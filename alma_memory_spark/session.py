@@ -1,0 +1,78 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is the test harness; the configs are chosen so the same code
+scales to a real cluster: AQE on (runtime re-planning, skew-join
+handling, partition coalescing), Arrow on (pandas UDF fast path),
+UTC session timezone (oracle comparability), shuffle partitions sized
+to cores locally (on a cluster you'd size to ~2-3x total cores).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "alma_memory_spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # the driver's synthetic parquet stores TIMESTAMP(NANOS); read as
+        # int64 nanos and convert in load_tables (Spark has no nanos type)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+# Columns stored as TIMESTAMP(NANOS) in the driver's parquet; Spark reads
+# them as int64 nanos (legacy.parquet.nanosAsLong) and we convert to
+# microsecond timestamps (truncation matches DuckDB's nanos->micros read).
+_NANO_TS_COLS = {
+    "events": ["ts"],
+    "lineitem": ["l_shipdate"],
+    "orders": ["o_orderdate"],
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    from pyspark.sql import functions as F
+
+    # the driver may hand us a session without this (runtime-settable) conf
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _NANO_TS_COLS.get(name, []):
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
+    """Load the driver's synthetic parquet tables as a dict of DataFrames."""
+    names = names or [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]
+    return {n: load_table(spark, sf_dir, n) for n in names}

@@ -1,0 +1,198 @@
+"""Parquet-backed table store: the engine's storage layer.
+
+The reference's storage ABC (alma/storage/base.py:36-1171) is a fixed
+menu of save/get/delete per memory type with upsert-by-id semantics
+(INSERT OR REPLACE, sqlite_local.py:644-813). On Spark + plain Parquet:
+
+- save (single or batch)  -> append new rows (a DataFrame write IS a
+  batch write; the reference's separate batch APIs collapse away)
+- upsert-by-id            -> union + window-dedup keep-latest rewrite
+  (Delta MERGE would replace this where available; import-gated)
+- delete                  -> anti-join rewrite, with an append-only
+  forget-audit sink written first (reference: sqlite_local.py:1820-1855)
+- archive/restore         -> move rows between live and archive tables
+  (reference: base.py:991-1128)
+
+Big memory tables are partitioned by (project_id, agent) so the
+reference's universal WHERE template becomes partition pruning; at
+100 TB that is the difference between scanning everything and scanning
+one directory.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from alma_memory_spark import schemas
+
+
+class ParquetStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        p = self._path(table)
+        if not os.path.isdir(p):
+            return False
+        return any(
+            f.endswith(".parquet") or f.startswith("project_id=") or f.startswith("_SUCCESS")
+            for f in os.listdir(p)
+        )
+
+    def read(self, table: str) -> DataFrame:
+        if not self.exists(table):
+            schema = schemas.ALL_TABLES[table]
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(self._path(table))
+
+    def append(self, table: str, df: DataFrame) -> None:
+        writer = df.write.mode("append")
+        if table in schemas.PARTITIONED_BY_PROJECT_AGENT:
+            writer = writer.partitionBy("project_id", "agent")
+        writer.parquet(self._path(table))
+
+    def overwrite(self, table: str, df: DataFrame) -> None:
+        # Parquet has no transactional overwrite of a path being read;
+        # stage through a temp dir then swap via a fresh write.
+        pdf = df.cache()
+        pdf.count()
+        writer = pdf.write.mode("overwrite")
+        if table in schemas.PARTITIONED_BY_PROJECT_AGENT:
+            writer = writer.partitionBy("project_id", "agent")
+        writer.parquet(self._path(table) + ".staging")
+        staged = self.spark.read.parquet(self._path(table) + ".staging")
+        w2 = staged.write.mode("overwrite")
+        if table in schemas.PARTITIONED_BY_PROJECT_AGENT:
+            w2 = w2.partitionBy("project_id", "agent")
+        w2.parquet(self._path(table))
+        pdf.unpersist()
+
+    def upsert(self, table: str, new_rows: DataFrame, key: str = "id") -> None:
+        """INSERT OR REPLACE by key: keep the newest version of each key.
+
+        Implemented as union + row_number window keep-first. On Delta this
+        would be MERGE INTO; on plain Parquet the rewrite is the portable
+        equivalent. `_v` disambiguates within-batch duplicates too.
+        """
+        if not self.exists(table):
+            self.append(table, new_rows)
+            return
+        existing = self.read(table).withColumn("_v", F.lit(0))
+        incoming = new_rows.withColumn("_v", F.lit(1))
+        merged = existing.unionByName(incoming)
+        w = W.partitionBy(key).orderBy(F.desc("_v"))
+        deduped = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_v")
+        )
+        self.overwrite(table, deduped)
+
+    def delete(
+        self,
+        table: str,
+        predicate,
+        reason: str = "manual",
+        audit: bool = True,
+        memory_type: str | None = None,
+    ) -> int:
+        """Delete rows matching `predicate`; write forget-audit first
+        (append-only, BEFORE the delete — reference ordering,
+        alma/learning/forgetting.py:306-330)."""
+        df = self.read(table)
+        doomed = df.filter(predicate)
+        n = doomed.count()
+        if n == 0:
+            return 0
+        if audit:
+            now = datetime.now(timezone.utc)
+            cols = set(doomed.columns)
+            audit_df = doomed.select(
+                F.concat(F.lit("audit_"), F.md5(F.col("id"))).alias("id"),
+                F.col("id").alias("memory_id"),
+                F.lit(memory_type or table).alias("memory_type"),
+                (F.col("agent") if "agent" in cols else F.lit(None).cast("string")).alias("agent"),
+                (
+                    F.col("project_id") if "project_id" in cols else F.lit(None).cast("string")
+                ).alias("project_id"),
+                F.lit(reason).alias("reason"),
+                F.lit(now).alias("deleted_at"),
+            )
+            self.append("forget_audit", audit_df)
+        kept = df.join(doomed.select("id"), "id", "left_anti")
+        self.overwrite(table, kept)
+        return n
+
+    def archive(self, table: str, predicate, reason: str = "decay") -> int:
+        """Soft-delete: move matching rows into archived_memories with the
+        full row JSON + embedding preserved, restorable later."""
+        df = self.read(table)
+        doomed = df.filter(predicate)
+        n = doomed.count()
+        if n == 0:
+            return 0
+        now = datetime.now(timezone.utc)
+        cols = set(doomed.columns)
+        payload = F.to_json(F.struct(*[c for c in doomed.columns if c != "embedding"]))
+        arch = doomed.select(
+            F.col("id"),
+            F.lit(table).alias("memory_type"),
+            (F.col("agent") if "agent" in cols else F.lit(None).cast("string")).alias("agent"),
+            (F.col("project_id") if "project_id" in cols else F.lit(None).cast("string")).alias(
+                "project_id"
+            ),
+            payload.alias("content"),
+            (
+                F.col("embedding")
+                if "embedding" in cols
+                else F.lit(None).cast(schemas.EMBEDDING)
+            ).alias("embedding"),
+            F.lit(reason).alias("archive_reason"),
+            F.lit(None).cast("double").alias("final_strength"),
+            F.lit(now).alias("archived_at"),
+        )
+        self.append("archived_memories", arch)
+        kept = df.join(doomed.select("id"), "id", "left_anti")
+        self.overwrite(table, kept)
+        return n
+
+    def restore_from_archive(self, memory_ids: list[str]) -> DataFrame:
+        """Return archived rows for the ids (caller re-parses `content`
+        into the live schema with from_json) and drop them from archive."""
+        arch = self.read("archived_memories")
+        hit = arch.filter(F.col("id").isin(memory_ids)).cache()
+        hit.count()
+        remaining = arch.join(hit.select("id"), "id", "left_anti")
+        self.overwrite("archived_memories", remaining)
+        return hit
+
+    def purge_archives(self, older_than: datetime) -> int:
+        arch = self.read("archived_memories")
+        doomed = arch.filter(F.col("archived_at") < F.lit(older_than))
+        n = doomed.count()
+        if n:
+            self.overwrite(
+                "archived_memories",
+                arch.filter(~(F.col("archived_at") < F.lit(older_than))),
+            )
+        return n
+
+    def stats(self, project_id: str | None = None) -> dict[str, int]:
+        """Per-type row counts (reference: sqlite_local.py:1486-1527)."""
+        out: dict[str, int] = {}
+        for t in schemas.MEMORY_TABLES:
+            df = self.read(t)
+            if project_id is not None and "project_id" in df.columns:
+                df = df.filter(F.col("project_id") == project_id)
+            out[t] = df.count()
+        out["total"] = sum(out.values())
+        return out

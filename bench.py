@@ -1,0 +1,56 @@
+"""Benchmark runner: executes the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from alma_memory_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    spark = get_spark("alma-bench", cpus=cpus)
+
+    from alma_memory_spark.plans.registry import QUERIES
+
+    timings: dict[str, float] = {}
+    # Warm the JVM + parquet footers once with a trivial action.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    for name, spec in QUERIES.items():
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        n = df.count()  # force full execution
+        timings[name] = round(time.perf_counter() - t0, 4)
+        _ = n
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "alma_memory_spark_bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
