@@ -26,14 +26,14 @@ def entry(spark: SparkSession) -> DataFrame:
     semi-join into documents with the similarity score carried through
     (reference: ALMA.retrieve, alma/retrieval/engine.py + FAISS stage
     sqlite_local.py:555-640, re-expressed as DataFrame ops)."""
-    from alma_memory_spark.plans.registry import QUERIES
+    from alma_memory_spark.plans import QUERIES
 
     return QUERIES["ann_candidate_join"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    from alma_memory_spark.plans.registry import QUERIES
+    from alma_memory_spark.plans import QUERIES
 
     return {name: spec.fn for name, spec in QUERIES.items()}
 
@@ -42,6 +42,6 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each queries() entry (pre-registered
     views: region nation customer supplier part orders lineitem events
     documents embeddings)."""
-    from alma_memory_spark.plans.registry import ORACLES
+    from alma_memory_spark.plans import oracles
 
-    return dict(ORACLES)
+    return oracles()

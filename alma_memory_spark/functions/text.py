@@ -1,0 +1,291 @@
+"""Text analysis as paired Spark / DuckDB-SQL expression builders.
+
+Implements the engine's text surface (reference: tokenizer + Jaccard
+alma/retrieval/text_search.py:129-132 and
+alma/learning/heuristic_extractor.py:324-368; token estimation
+alma/retrieval/budget.py:131-195) plus the large-corpus pipeline
+operators a training-data pipeline needs (language-ID, quality scoring,
+fingerprinting, shingles, MinHash, SimHash — standard public techniques:
+Broder 1997 resemblance/MinHash, Charikar 2002 SimHash, C4/Gopher-style
+quality heuristics).
+
+Every operator exists twice, from shared constants:
+- a Spark Column builder (JVM-side, codegen'd — no Python UDFs), and
+- a DuckDB SQL snippet builder for the correctness oracle.
+
+The portable 32-bit token hash folds the first 8 hex chars of md5 —
+identical bit-for-bit in both engines (verified), unlike engine-native
+hash() functions which differ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[^a-z0-9]+"  # alphanumeric tokenizer
+WS_RE = r"\s+"  # reference tokenizer: lowercase + whitespace split
+HEX = "0123456789abcdef"
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+# Fixed odd multipliers / offsets for MinHash permutations (seeded once).
+MINHASH_A = [
+    6250229, 2332469, 7558063, 3814699, 9838517, 1174243, 4921687, 8632711,
+    2563217, 6834563, 1957403, 8313529, 3511867, 7291199, 5167621, 9400949,
+]
+MINHASH_B = [
+    4111219, 8224447, 1337711, 6652049, 2776103, 9011857, 5587963, 3344779,
+    7720441, 1143893, 6269381, 2890621, 9537161, 4458737, 8083021, 1692409,
+]
+
+STOPWORDS_EN = "the and of to a in is it you that he was for on are".split()
+STOPWORDS_ES = "el la de que y en un los se no por las del con una".split()
+STOPWORDS_DE = "der die und das ist von mit den nicht ein zu dem sich auf".split()
+STOPWORDS_FR = "le la les de et un une est pour que dans qui par sur".split()
+
+
+# ---------------------------------------------------------------------------
+# Spark column builders
+# ---------------------------------------------------------------------------
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str, pattern: str = TOKEN_RE) -> Column:
+    """lower + regex split + drop empties."""
+    return F.filter(F.split(F.lower(_c(col)), pattern), lambda x: x != "")
+
+
+def ws_tokens(col: Column | str) -> Column:
+    """The reference's tokenizer: lowercase + whitespace split
+    (text_search.py:129-132)."""
+    return tokens(col, WS_RE)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(ws_tokens(col))
+
+
+def token_estimate(col: Column | str) -> Column:
+    """len(text)/4 token-count heuristic (reference: budget.py:131-195)."""
+    return F.floor(F.length(_c(col)) / F.lit(4)).cast("long")
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 over whitespace-normalized lowercase text
+    — exact-dedup canonical key."""
+    return F.md5(F.regexp_replace(F.trim(F.lower(_c(col))), WS_RE, " "))
+
+
+def jaccard(a: Column | str, b: Column | str) -> Column:
+    """Set Jaccard of two token-array columns (reference strategy
+    clustering threshold 0.5, heuristic_extractor.py:324-368)."""
+    inter = F.size(F.array_intersect(_c(a), _c(b))).cast("double")
+    union = F.size(F.array_union(_c(a), _c(b))).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Character n-gram shingles of the normalized text."""
+    norm = F.regexp_replace(F.trim(F.lower(_c(col))), WS_RE, " ")
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - F.lit(n - 1), F.lit(1))),
+        lambda i: norm.substr(i, F.lit(n)),
+    )
+
+
+def hash32(col: Column) -> Column:
+    """Portable 32-bit string hash: fold first 8 hex chars of md5.
+    Bit-identical in Spark and DuckDB."""
+    return F.aggregate(
+        F.split(F.substring(F.md5(col), 1, 8), ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: acc * F.lit(16) + (F.instr(F.lit(HEX), ch) - F.lit(1)).cast("long"),
+    )
+
+
+def minhash_signature(token_array: Column, k: int = 8) -> Column:
+    """MinHash signature (array of k minima) over a token/shingle array:
+    sig_j = min over tokens of (a_j * h32(tok) + b_j) mod p. No explode,
+    no shuffle — a per-row fold, embarrassingly parallel at any scale."""
+    def perm_min(j: int) -> Column:
+        return F.aggregate(
+            token_array,
+            F.lit(MINHASH_PRIME).cast("long"),
+            lambda acc, t: F.least(
+                acc,
+                (F.lit(MINHASH_A[j]) * hash32(t) + F.lit(MINHASH_B[j]))
+                % F.lit(MINHASH_PRIME),
+            ),
+        )
+
+    return F.array(*[perm_min(j) for j in range(k)])
+
+
+def simhash32(token_array: Column) -> Column:
+    """32-bit SimHash: bit i set iff sum over tokens of (+1 if bit i of
+    h32(tok) else -1) > 0 (Charikar 2002)."""
+    hashes = F.transform(token_array, hash32)
+    def bit(i: int) -> Column:
+        vote = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i) % 2 == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        return F.when(vote > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    out = F.lit(0).cast("long")
+    for i in range(32):
+        out = out + bit(i)
+    return out
+
+
+def cjk_count(col: Column | str) -> Column:
+    return F.length(F.regexp_replace(_c(col), "[^\\u4e00-\\u9fff]", ""))
+
+
+def stopword_hits(token_array: Column, stopwords: list[str]) -> Column:
+    return F.size(F.array_intersect(token_array, F.array(*[F.lit(s) for s in stopwords])))
+
+
+def lang_id(col: Column | str) -> Column:
+    """n-gram/stopword heuristic language ID: CJK chars -> zh, else the
+    language with most distinct stopword hits (priority en, es, de, fr on
+    ties), else 'und'."""
+    toks = ws_tokens(col)
+    en = stopword_hits(toks, STOPWORDS_EN)
+    es = stopword_hits(toks, STOPWORDS_ES)
+    de = stopword_hits(toks, STOPWORDS_DE)
+    fr = stopword_hits(toks, STOPWORDS_FR)
+    best = F.greatest(en, es, de, fr)
+    return (
+        F.when(cjk_count(col) > 0, F.lit("zh"))
+        .when(best == 0, F.lit("und"))
+        .when(en == best, F.lit("en"))
+        .when(es == best, F.lit("es"))
+        .when(de == best, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def quality_score(col: Column | str) -> Column:
+    """Document quality heuristic (C4/Gopher-style signals, public):
+    0.3*min(n_tokens/100, 1) + 0.3*(1 - punct_ratio)
+    + 0.2*min(5*stopword_ratio, 1) + 0.2*mean_token_len_in_[3,10].
+    All ratios from cheap column expressions; returns [0, 1]."""
+    toks = ws_tokens(col)
+    n_tok = F.size(toks).cast("double")
+    n_chars = F.length(_c(col)).cast("double")
+    alnum = F.length(F.regexp_replace(F.lower(_c(col)), "[^a-z0-9 ]", "")).cast("double")
+    punct_ratio = F.when(n_chars > 0, (n_chars - alnum) / n_chars).otherwise(F.lit(1.0))
+    stop_ratio = F.when(
+        n_tok > 0, stopword_hits(toks, STOPWORDS_EN).cast("double") / n_tok
+    ).otherwise(F.lit(0.0))
+    mean_len = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast(
+            "double"
+        )
+        / n_tok,
+    ).otherwise(F.lit(0.0))
+    len_ok = F.when((mean_len >= 3.0) & (mean_len <= 10.0), F.lit(1.0)).otherwise(
+        F.lit(0.5)
+    )
+    return (
+        F.lit(0.3) * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.2) * F.least(F.lit(5.0) * stop_ratio, F.lit(1.0))
+        + F.lit(0.2) * len_ok
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL snippet builders (oracle side) — same constants, same math
+# ---------------------------------------------------------------------------
+
+def sql_tokens(expr: str, pattern: str = TOKEN_RE) -> str:
+    return f"list_filter(regexp_split_to_array(lower({expr}), '{pattern}'), x -> x <> '')"
+
+
+def sql_ws_tokens(expr: str) -> str:
+    return sql_tokens(expr, r"\s+")
+
+
+def sql_fingerprint(expr: str) -> str:
+    return f"md5(regexp_replace(trim(lower({expr})), '\\s+', ' ', 'g'))"
+
+
+def sql_hash32(expr: str) -> str:
+    return (
+        f"list_reduce(list_transform(string_split_regex(substr(md5({expr}),1,8),'')::VARCHAR[], "
+        f"c -> (strpos('{HEX}', c) - 1)::BIGINT), (x,y) -> x*16+y)"
+    )
+
+
+def sql_shingles(expr: str, n: int = 3) -> str:
+    norm = f"regexp_replace(trim(lower({expr})), '\\s+', ' ', 'g')"
+    return (
+        f"list_transform(range(1, greatest(length({norm}) - {n - 1}, 1) + 1), "
+        f"i -> substr({norm}, i, {n}))"
+    )
+
+
+def sql_minhash_min(tokens_expr: str, j: int) -> str:
+    return (
+        f"list_min(list_transform({tokens_expr}, "
+        f"t -> ({MINHASH_A[j]}::BIGINT * ({sql_hash32('t')}) + {MINHASH_B[j]}) % {MINHASH_PRIME}))"
+    )
+
+
+def sql_simhash32(tokens_expr: str) -> str:
+    return (
+        "list_sum(list_transform(range(0, 32), i -> CASE WHEN "
+        f"list_sum(list_transform({tokens_expr}, t -> CASE WHEN (({sql_hash32('t')}) >> i) % 2 = 1 THEN 1 ELSE -1 END)) > 0 "
+        "THEN (1::BIGINT << i) ELSE 0 END))"
+    )
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ",".join(f"'{w}'" for w in words) + "]"
+
+
+def sql_stopword_hits(tokens_expr: str, stopwords: list[str]) -> str:
+    return f"len(list_intersect({tokens_expr}, {_sql_list(stopwords)}))"
+
+
+def sql_lang_id(expr: str) -> str:
+    t = sql_ws_tokens(expr)
+    en = sql_stopword_hits(t, STOPWORDS_EN)
+    es = sql_stopword_hits(t, STOPWORDS_ES)
+    de = sql_stopword_hits(t, STOPWORDS_DE)
+    fr = sql_stopword_hits(t, STOPWORDS_FR)
+    # RE2 (DuckDB) needs \x{...}; Java regex on the Spark side uses \uXXXX
+    cjk = f"length(regexp_replace({expr}, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))"
+    return (
+        f"CASE WHEN {cjk} > 0 THEN 'zh' "
+        f"WHEN greatest({en},{es},{de},{fr}) = 0 THEN 'und' "
+        f"WHEN {en} = greatest({en},{es},{de},{fr}) THEN 'en' "
+        f"WHEN {es} = greatest({en},{es},{de},{fr}) THEN 'es' "
+        f"WHEN {de} = greatest({en},{es},{de},{fr}) THEN 'de' "
+        f"ELSE 'fr' END"
+    )
+
+
+def sql_quality_score(expr: str) -> str:
+    t = sql_ws_tokens(expr)
+    n_tok = f"len({t})::DOUBLE"
+    n_chars = f"length({expr})::DOUBLE"
+    alnum = f"length(regexp_replace(lower({expr}), '[^a-z0-9 ]', '', 'g'))::DOUBLE"
+    punct = f"(CASE WHEN {n_chars} > 0 THEN ({n_chars} - {alnum}) / {n_chars} ELSE 1.0 END)"
+    stop = (
+        f"(CASE WHEN {n_tok} > 0 THEN {sql_stopword_hits(t, STOPWORDS_EN)}::DOUBLE / {n_tok} ELSE 0.0 END)"
+    )
+    mean_len = (
+        f"(CASE WHEN {n_tok} > 0 THEN list_sum(list_transform({t}, s -> length(s)))::DOUBLE / {n_tok} ELSE 0.0 END)"
+    )
+    len_ok = f"(CASE WHEN {mean_len} >= 3.0 AND {mean_len} <= 10.0 THEN 1.0 ELSE 0.5 END)"
+    return (
+        f"0.3 * least({n_tok} / 100.0, 1.0) + 0.3 * (1.0 - {punct}) "
+        f"+ 0.2 * least(5.0 * {stop}, 1.0) + 0.2 * {len_ok}"
+    )

@@ -1,1 +1,6 @@
-from alma_memory_spark.plans.registry import ORACLES, QUERIES  # noqa: F401
+from alma_memory_spark.plans import text_queries  # noqa: F401  (registers queries)
+from alma_memory_spark.plans.registry import QUERIES  # noqa: F401
+
+
+def oracles() -> dict[str, str]:
+    return {n: s.oracle for n, s in QUERIES.items() if s.oracle is not None}

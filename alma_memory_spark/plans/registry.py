@@ -576,6 +576,3 @@ def ann_candidate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLES: dict[str, str] = {
-    name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None
-}

@@ -1,0 +1,609 @@
+"""Text-analysis, dedup, and similarity-search queries over the
+`documents` and `embeddings` tables — the large-scale training-data
+pipeline operators (exact dedup, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding near-dup, ANN, TF-IDF relevance, language-ID, quality,
+sessionization, as-of join).
+
+Each query pairs a Spark plan with a DuckDB oracle built from the SAME
+constants/formulas in functions/text.py. Thresholds are tuned to the
+synthetic corpus so results are non-trivial; all are parameters of the
+underlying operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from alma_memory_spark.functions import text as X
+from alma_memory_spark.functions.vector import cosine_similarity
+from alma_memory_spark.plans.registry import (
+    _QV_SQL,
+    QUERY_VEC,
+    _r6,
+    _t,
+    register,
+)
+
+NEARDUP_COS = 0.4  # embedding near-dup threshold for this corpus (param; ref default 0.85)
+JACCARD_T = 0.95  # token-set near-dup threshold for this corpus
+MINHASH_K = 8
+LSH_BANDS = 2  # 2 bands x 4 rows (stricter banding: fewer, better candidates)
+LSH_ROWS = 4
+LSH_VERIFY_T = 0.9
+LSH_BUCKET_CAP = 100  # drop degenerate mega-buckets (standard LSH-dedup guard)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "token_stats",
+    f"""
+    SELECT doc_id,
+           len({X.sql_ws_tokens('text')}) AS n_tokens,
+           CAST(floor(length(text) / 4) AS BIGINT) AS token_estimate,
+           length(text) AS n_chars_actual
+    FROM documents
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokenizer (reference tokenizer,
+    text_search.py:129-132) + the len/4 estimation heuristic
+    (budget.py:131-195). Pure column expressions, scan-parallel."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count("text").alias("n_tokens"),
+        X.token_estimate("text").alias("token_estimate"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+@register(
+    "exact_dedup",
+    f"""
+    SELECT {X.sql_fingerprint('text')} AS fp,
+           min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 fingerprint over normalized text -> groupBy ->
+    canonical id = min(doc_id). One shuffle on the hash; at 100 TB this
+    is the standard first dedup pass (map-side partial agg + hash
+    shuffle)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", X.fingerprint("text"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@register(
+    "lang_id",
+    f"""
+    SELECT doc_id, {X.sql_lang_id('text')} AS pred_lang
+    FROM documents
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification: CJK-char detection + per-language
+    stopword-hit voting (n-gram/stopword heuristic — public technique;
+    the pipeline analog of fastText lang-id for when model libs are
+    unavailable)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.lang_id("text").alias("pred_lang"))
+
+
+@register(
+    "quality_score",
+    f"""
+    SELECT doc_id, round({X.sql_quality_score('text')}, 6) AS quality
+    FROM documents
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring from length / punctuation / stopword /
+    token-shape signals (C4/Gopher-style heuristics). Column expressions
+    only — runs at scan speed on 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", _r6(X.quality_score("text")).alias("quality"))
+
+
+@register(
+    "simhash_fingerprint",
+    f"""
+    SELECT doc_id, {X.sql_simhash32(X.sql_ws_tokens('text'))} AS simhash
+    FROM documents
+    """,
+)
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (32-bit, Charikar 2002): near-dup fingerprint where
+    hamming distance approximates token-set difference. Per-row fold over
+    the portable md5-based token hash — bit-identical to the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.simhash32(X.ws_tokens("text")).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# near-dup dedup family
+# ---------------------------------------------------------------------------
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, source,
+             list_distinct({X.sql_ws_tokens('text')}) AS ts
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.ts, b.ts)) * 1.0 /
+                 (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 6) AS jaccard_sim
+    FROM toks a JOIN toks b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.ts, b.ts)) * 1.0 /
+          (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= {JACCARD_T}
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked pairwise token-set Jaccard near-dup detection (reference
+    similarity threshold semantics: consolidation/deduplication.py:37-230).
+    Blocking on (lang, source) keeps the self-join O(block^2) instead of
+    O(n^2) — the scalable exact-verify step; candidates-by-LSH is the
+    fully scalable variant (see minhash_lsh_pairs)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", "source", F.array_distinct(X.ws_tokens("text")).alias("ts")
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ts"), F.col("b.ts"))).cast("double")
+    union = (
+        F.size(F.col("a.ts")) + F.size(F.col("b.ts"))
+    ).cast("double") - inter
+    jac = inter / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .withColumn("jaccard_sim_raw", jac)
+        .filter(F.col("jaccard_sim_raw") >= JACCARD_T)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            _r6(F.col("jaccard_sim_raw")).alias("jaccard_sim"),
+        )
+    )
+
+
+def _sql_minhash_cols() -> str:
+    return ",\n           ".join(
+        f"{X.sql_minhash_min('ts', j)} AS mh{j}" for j in range(MINHASH_K)
+    )
+
+
+@register(
+    "minhash_signatures",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct({X.sql_ws_tokens('text')}) AS ts
+      FROM documents
+    )
+    SELECT doc_id,
+           {_sql_minhash_cols()}
+    FROM toks
+    """,
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=8 permutations, Broder 1997): per-row fold,
+    no explode/shuffle. The signature column feeds LSH banding; identical
+    permutation constants on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.array_distinct(X.ws_tokens("text")).alias("ts"))
+    sig = X.minhash_signature(F.col("ts"), MINHASH_K)
+    out = toks.withColumn("sig", sig).select(
+        "doc_id", *[F.col("sig")[j].alias(f"mh{j}") for j in range(MINHASH_K)]
+    )
+    return out
+
+
+@register(
+    "minhash_lsh_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct({X.sql_ws_tokens('text')}) AS ts
+      FROM documents
+    ), sigs AS (
+      SELECT doc_id, ts,
+             {_sql_minhash_cols()}
+      FROM toks
+    ), bands AS (
+      SELECT doc_id, ts, b.band_idx,
+             CASE b.band_idx
+               WHEN 0 THEN md5(mh0::VARCHAR || '_' || mh1::VARCHAR || '_' || mh2::VARCHAR || '_' || mh3::VARCHAR)
+               ELSE md5(mh4::VARCHAR || '_' || mh5::VARCHAR || '_' || mh6::VARCHAR || '_' || mh7::VARCHAR)
+             END AS band_key
+      FROM sigs, (SELECT unnest(range(0, {LSH_BANDS})) AS band_idx) b
+    ), sized AS (
+      SELECT *, count(*) OVER (PARTITION BY band_idx, band_key) AS bucket_n
+      FROM bands
+    ), kept AS (
+      SELECT * FROM sized WHERE bucket_n <= {LSH_BUCKET_CAP}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM kept a JOIN kept b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(len(list_intersect(ta.ts, tb.ts)) * 1.0 /
+                 (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts))), 6) AS jaccard_sim
+    FROM cand c
+    JOIN toks ta ON ta.doc_id = c.doc_a
+    JOIN toks tb ON tb.doc_id = c.doc_b
+    WHERE len(list_intersect(ta.ts, tb.ts)) * 1.0 /
+          (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts))) >= {LSH_VERIFY_T}
+    """,
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: token sets -> k=8 signature ->
+    2 bands x 4 rows -> bucket-join candidates (mega-buckets > cap
+    dropped — the standard skew guard in production LSH dedup) -> exact
+    Jaccard verify >= 0.9. The only shuffle is on band keys, never
+    O(n^2) — THE scalable near-dup pattern for 100 TB corpora."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.array_distinct(X.ws_tokens("text")).alias("ts")
+    ).cache()
+    sig = X.minhash_signature(F.col("ts"), MINHASH_K)
+    sigs = toks.withColumn("sig", sig)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                "_",
+                                *[
+                                    F.col("sig")[i * LSH_ROWS + r].cast("string")
+                                    for r in range(LSH_ROWS)
+                                ],
+                            )
+                        ).alias("band_key"),
+                    )
+                    for i in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_key")
+    bands = bands.withColumn(
+        "bucket_n", F.count("*").over(W.partitionBy("band_idx", "band_key"))
+    ).filter(F.col("bucket_n") <= LSH_BUCKET_CAP)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
+    inter = F.size(F.array_intersect("ts_a", "ts_b")).cast("double")
+    union = (F.size("ts_a") + F.size("ts_b")).cast("double") - inter
+    jac = inter / union
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("jac_raw", jac)
+        .filter(F.col("jac_raw") >= LSH_VERIFY_T)
+        .select("doc_a", "doc_b", _r6(F.col("jac_raw")).alias("jaccard_sim"))
+    )
+
+
+@register(
+    "embedding_neardup_pairs",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      round(
+        list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+           * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))
+      , 6) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE
+        list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+           * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))
+        >= {NEARDUP_COS}
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: similarity self-join within a blocking
+    key (label) — the consolidation engine's duplicate-group formation
+    (reference: alma/consolidation/engine.py:93-199, threshold
+    configurable; 0.4 fits this corpus). Blocked self-join = one shuffle
+    on the block key; LSH-bucketed variant scales further."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cs = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cos_raw", cs)
+        .filter(F.col("cos_raw") >= NEARDUP_COS)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            _r6(F.col("cos_raw")).alias("cos_sim"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search (ANN)
+# ---------------------------------------------------------------------------
+
+_BUCKET_BITS = 4
+
+
+def _sql_bucket(col: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN {col}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(_BUCKET_BITS)
+    )
+
+
+_QV_BUCKET = sum((1 << i) for i in range(_BUCKET_BITS) if QUERY_VEC[i] > 0)
+
+
+@register(
+    "ann_lsh_bucketed",
+    f"""
+    WITH qv AS (SELECT {_QV_SQL} AS q)
+    SELECT vec_id, label,
+      round(
+        list_sum(list_transform(range(1, len(embedding)+1), i -> embedding[i]::DOUBLE * q[i]))
+        / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+           * sqrt(list_sum(list_transform(q, x -> x * x))))
+      , 6) AS similarity
+    FROM embeddings, qv
+    WHERE {_sql_bucket('embedding')} = {_QV_BUCKET}
+    ORDER BY similarity DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via sign-bit LSH (random-hyperplane family,
+    axis-aligned variant): bucket = sign bits of the first 4 dims; search
+    only the query's bucket then exact cosine top-k inside it. The bucket
+    predicate prunes ~15/16 of the corpus before any math — at 100 TB the
+    bucket id becomes a partition column and the scan prunes to one
+    partition. Exact counterpart: vector_topk."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bucket = None
+    for i in range(_BUCKET_BITS):
+        term = F.when(F.col("embedding")[i] > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    qlit = F.array(*[F.lit(float(x)) for x in QUERY_VEC])
+    return (
+        emb.withColumn("bucket", bucket)
+        .filter(F.col("bucket") == _QV_BUCKET)
+        .select(
+            "vec_id",
+            "label",
+            _r6(cosine_similarity("embedding", qlit)).alias("similarity"),
+        )
+        .orderBy(F.desc("similarity"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF relevance (reference text_search.py:46-124 exact formulas)
+# ---------------------------------------------------------------------------
+
+_TFIDF_QUERY = "spark join fast query"
+
+
+@register(
+    "tfidf_search",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, {X.sql_ws_tokens('text')} AS toks FROM documents
+    ),
+    n AS (SELECT count(*) AS n_docs FROM docs),
+    df AS (
+      SELECT term, count(*) AS df FROM (
+        SELECT doc_id, unnest(list_distinct(toks)) AS term FROM docs
+      ) GROUP BY term
+    ),
+    idf AS (
+      SELECT term, ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0 AS idf FROM df, n
+    ),
+    qterms AS (
+      SELECT unnest(['spark','join','fast','query']) AS term, 0.25 AS qtf
+    ),
+    qvec AS (
+      SELECT q.term, q.qtf * coalesce(i.idf, 0.0) AS qw
+      FROM qterms q LEFT JOIN idf i ON q.term = i.term
+    ),
+    qnorm AS (SELECT sqrt(sum(qw * qw)) AS qn FROM qvec),
+    doc_terms AS (
+      SELECT doc_id, term, count(*) * 1.0 / any_value(doc_len) AS tf
+      FROM (
+        SELECT doc_id, unnest(toks) AS term, len(toks) AS doc_len FROM docs
+      ) GROUP BY doc_id, term
+    ),
+    doc_w AS (
+      SELECT dt.doc_id, dt.term, dt.tf * i.idf AS w
+      FROM doc_terms dt JOIN idf i ON dt.term = i.term
+    ),
+    dnorm AS (
+      SELECT doc_id, sqrt(sum(w * w)) AS dn FROM doc_w GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT w.doc_id, sum(w.w * q.qw) AS dot
+      FROM doc_w w JOIN qvec q ON w.term = q.term
+      GROUP BY w.doc_id
+    )
+    SELECT d.doc_id, round(d.dot / (qn.qn * dn.dn), 6) AS tfidf_score
+    FROM dots d JOIN dnorm dn ON d.doc_id = dn.doc_id, qnorm qn
+    WHERE d.dot > 0
+    ORDER BY tfidf_score DESC, d.doc_id ASC
+    LIMIT 20
+    """,
+)
+def tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF relevance search with the reference's exact formulas
+    (alma/retrieval/text_search.py:61-124): whitespace tokenizer,
+    idf = ln((n+1)/(df+1)) + 1, tf normalized by doc length, cosine
+    between query and FULL document tf-idf vectors. Distributed shape:
+    explode -> (doc, term) counts -> broadcast idf of query terms ->
+    per-doc norm + dot aggregations. Two shuffles (term df, doc agg) —
+    both map-side combinable."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", X.ws_tokens("text").alias("toks")
+    )
+    docs = docs.withColumn("doc_len", F.size("toks"))
+    n_docs = docs.count()
+
+    terms = docs.select(
+        "doc_id", "doc_len", F.explode("toks").alias("term")
+    )
+    doc_terms = terms.groupBy("doc_id", "term").agg(
+        (F.count("*") / F.first("doc_len")).alias("tf")
+    )
+    df_ = terms.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    idf = df_.withColumn(
+        "idf", F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    ).select("term", "idf")
+
+    qtoks = _TFIDF_QUERY.lower().split()
+    qtf = 1.0 / len(qtoks)
+    qterms = docs.sparkSession.createDataFrame(
+        [(t, qtf) for t in qtoks], "term string, qtf double"
+    )
+    qvec = qterms.join(idf, "term", "left").select(
+        "term", (F.col("qtf") * F.coalesce(F.col("idf"), F.lit(0.0))).alias("qw")
+    )
+    qn = qvec.agg(F.sqrt(F.sum(F.col("qw") * F.col("qw")))).collect()[0][0]
+
+    doc_w = doc_terms.join(idf, "term").select(
+        "doc_id", "term", (F.col("tf") * F.col("idf")).alias("w")
+    )
+    dnorm = doc_w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("dn"))
+    dots = (
+        doc_w.join(F.broadcast(qvec), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("qw")).alias("dot"))
+    )
+    return (
+        dots.join(dnorm, "doc_id")
+        .filter(F.col("dot") > 0)
+        .select("doc_id", _r6(F.col("dot") / (F.lit(qn) * F.col("dn"))).alias("tfidf_score"))
+        .orderBy(F.desc("tfidf_score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# temporal: as-of join + sessionization (events)
+# ---------------------------------------------------------------------------
+
+@register(
+    "asof_join",
+    """
+    SELECT event_id, user_id, ts,
+           max(CASE WHEN event_type = 'signup' THEN ts END)
+             OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts
+    FROM events
+    WHERE event_type IN ('purchase', 'signup')
+    QUALIFY event_type = 'purchase'
+    """,
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal as-of join: for each purchase, the most recent prior (or
+    simultaneous) signup of the same user — the reference's bitemporal
+    'state valid at time t' semantics (alma/graph/store.py:535-559)
+    generalized to event streams. Expressed as a running max over a
+    union-sorted window: ONE shuffle on user_id, no range join explosion."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        ev.withColumn(
+            "last_signup_ts",
+            F.max(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_signup_ts")
+    )
+
+
+@register(
+    "sessionize",
+    """
+    SELECT event_id, user_id, ts, session_id
+    FROM (
+      SELECT event_id, user_id, ts,
+             sum(CASE WHEN prev_ts IS NULL
+                       OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM (
+        SELECT event_id, user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+        FROM events
+      )
+    )
+    """,
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute-gap session ids per user via
+    lag + running sum — the batch equivalent of the reference's session
+    grouping and of Structured Streaming's session_window (which the
+    streaming module uses). One shuffle on user_id."""
+    ev = _t(spark, sf_dir, "events")
+    wl = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    ws = wl.rowsBetween(W.unboundedPreceding, W.currentRow)
+    gap = F.when(
+        F.col("prev_ts").isNull()
+        | ((F.col("ts").cast("double") - F.col("prev_ts").cast("double")) > 1800),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        ev.withColumn("prev_ts", F.lag("ts").over(wl))
+        .withColumn("session_id", F.sum(gap).over(ws))
+        .select("event_id", "user_id", "ts", "session_id")
+    )
