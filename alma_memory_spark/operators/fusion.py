@@ -1,0 +1,48 @@
+"""Hybrid retrieval fusion: vector ranking + text ranking -> RRF.
+
+Reference (alma/retrieval/hybrid.py:113-178): score =
+sum over sources of weight * 1 / (rrf_k + rank), rrf_k = 60; items
+missing from one ranking contribute only the other term. Implemented as
+window rankings + full-outer join — both rankings are already top-k
+small, so the join broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+RRF_K = 60
+
+
+def rrf_fuse(
+    vector_ranked: DataFrame,
+    text_ranked: DataFrame,
+    id_col: str = "id",
+    vector_order: str = "similarity",
+    text_order: str = "text_score",
+    vector_weight: float = 0.5,
+    text_weight: float = 0.5,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """Fuse two ranked candidate sets; returns (id, rrf_score, vector
+    rank, text rank) sorted desc with id tiebreak."""
+    a = vector_ranked.select(
+        F.col(id_col),
+        F.row_number()
+        .over(W.orderBy(F.desc(vector_order), F.asc(id_col)))
+        .alias("vector_rank"),
+    )
+    b = text_ranked.select(
+        F.col(id_col),
+        F.row_number()
+        .over(W.orderBy(F.desc(text_order), F.asc(id_col)))
+        .alias("text_rank"),
+    )
+    fused = a.join(b, id_col, "full_outer").withColumn(
+        "rrf_score",
+        F.coalesce(F.lit(vector_weight) / (F.lit(rrf_k) + F.col("vector_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(text_weight) / (F.lit(rrf_k) + F.col("text_rank")), F.lit(0.0)),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc(id_col))

@@ -169,9 +169,11 @@ class ParquetStore:
         """Return archived rows for the ids (caller re-parses `content`
         into the live schema with from_json) and drop them from archive."""
         arch = self.read("archived_memories")
-        hit = arch.filter(F.col("id").isin(memory_ids)).cache()
-        hit.count()
-        remaining = arch.join(hit.select("id"), "id", "left_anti")
+        # materialize to the driver BEFORE rewriting the files the plan
+        # reads from (a .cache() is not durable across the overwrite)
+        rows = arch.filter(F.col("id").isin(memory_ids)).collect()
+        hit = self.spark.createDataFrame(rows, schemas.ARCHIVED_MEMORIES)
+        remaining = arch.filter(~F.col("id").isin(memory_ids))
         self.overwrite("archived_memories", remaining)
         return hit
 

@@ -1,0 +1,193 @@
+"""End-to-end engine tests: the reference's e2e learning-cycle test
+(learn -> heuristic emerges -> retrieve returns it) plus store
+upsert/delete/audit/archive semantics and slice rendering."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from alma_memory_spark import schemas
+from alma_memory_spark.engine import AlmaSpark
+from alma_memory_spark.slice import MemorySlice, estimate_tokens, sanitize_query
+from alma_memory_spark.sources.store import ParquetStore
+from alma_memory_spark.testing import fixtures as FX
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return AlmaSpark(spark, str(tmp_path / "store"))
+
+
+def test_learning_cycle_end_to_end(engine):
+    """learn() x4 same strategy -> heuristic emerges -> retrieve finds it."""
+    for i in range(4):
+        engine.learn(
+            agent="helena",
+            task=f"form testing task {i}",
+            outcome=True,
+            project_id="proj-a",
+            strategy_used="fill required fields first then submit",
+            task_type="form_testing",
+        )
+    heur = engine.store.read("heuristics").collect()
+    assert len(heur) >= 1
+    h = heur[0]
+    assert h["occurrence_count"] == 4
+    assert h["success_count"] == 4
+    # confidence = 1.0 * (0.5 + 0.5 * 4/20) = 0.6
+    assert abs(h["confidence"] - 0.6) < 1e-9
+
+    sl = engine.retrieve(
+        "form testing with required fields", agent="helena", project_id="proj-a", top_k=3
+    )
+    assert sl.heuristics
+    assert sl.heuristics[0]["strategy"] == "fill required fields first then submit"
+    prompt = sl.to_prompt(500)
+    assert "fill required fields" in prompt
+
+
+def test_write_guard_blocks_learn(engine, spark):
+    engine.store.append(
+        "anti_patterns",
+        spark.createDataFrame(
+            [
+                {
+                    "id": "anti_x", "agent": "helena", "project_id": "proj-a",
+                    "pattern": "fixed sleep for async waits",
+                    "why_bad": "flaky", "better_alternative": None,
+                    "occurrence_count": 3, "last_seen": FX.NOW, "created_at": FX.NOW,
+                    "verification_status": None,
+                    "embedding": [1.0] * 16, "metadata": {},
+                }
+            ],
+            schemas.ANTI_PATTERNS,
+        ),
+    )
+    with pytest.raises(ValueError, match="write guard"):
+        engine.learn(
+            agent="helena",
+            task="speed up the suite",
+            outcome=True,
+            project_id="proj-a",
+            strategy_used="use fixed sleep for async waits",
+        )
+
+
+def test_anti_pattern_emerges_from_failures(engine):
+    for i in range(3):
+        engine.learn(
+            agent="victor",
+            task=f"api testing run {i}",
+            outcome=False,
+            project_id="proj-a",
+            strategy_used="hammer the endpoint",
+            task_type="api_testing",
+            error_message="connection refused by database",
+            enforce_write_guard=False,
+        )
+    aps = engine.store.read("anti_patterns").collect()
+    assert len(aps) == 1
+    assert aps[0]["occurrence_count"] == 3
+
+
+def test_retrieve_cache_and_invalidation(engine):
+    engine.add_knowledge("helena", "proj-a", "deployment", "deploys use blue green")
+    s1 = engine.retrieve("deployment process", agent="helena", project_id="proj-a")
+    s2 = engine.retrieve("deployment process", agent="helena", project_id="proj-a")
+    assert s2 is s1  # cache hit returns the same object
+    engine.add_knowledge("helena", "proj-a", "deployment", "rollbacks take five minutes")
+    s3 = engine.retrieve("deployment process", agent="helena", project_id="proj-a")
+    assert s3 is not s1  # write invalidated the cache
+    assert len(s3.domain_knowledge) == 2
+
+
+def test_multi_agent_sharing(engine):
+    engine.add_knowledge("victor", "proj-a", "ui", "settings page uses optimistic updates")
+    own = engine.retrieve("settings page", agent="helena", project_id="proj-a")
+    assert not own.domain_knowledge
+    shared = engine.retrieve(
+        "settings page", agent="helena", project_id="proj-a", inherit_from=["victor"]
+    )
+    assert shared.domain_knowledge
+    assert shared.domain_knowledge[0]["shared_from"] == "victor"
+
+
+def test_forget_with_quota_and_audit(engine, spark):
+    engine.store.append("heuristics", FX.seed_heuristics(spark))
+    n = engine.forget("heuristics", "proj-a", quota=4)
+    assert n == 6  # 3 agents x 2 over-quota
+    audit = engine.store.read("forget_audit")
+    assert audit.count() == 6
+    assert audit.filter(F.col("reason") == "maintenance").count() == 6
+    left = (
+        engine.store.read("heuristics")
+        .filter(F.col("project_id") == "proj-a")
+        .groupBy("agent")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] == 4 for r in left)
+
+
+def test_checkpoint_resume_skip_unchanged(engine):
+    c1 = engine.checkpoint("r1", "n1", '{"step": 1}', 1, state_hash="h1")
+    assert c1 is not None
+    c2 = engine.checkpoint(
+        "r1", "n2", '{"step": 1}', 2, state_hash="h1", skip_if_unchanged=True
+    )
+    assert c2 is None  # unchanged
+    c3 = engine.checkpoint(
+        "r1", "n3", '{"step": 2}', 3, state_hash="h2", skip_if_unchanged=True
+    )
+    assert c3 is not None
+    latest = engine.resume("r1")
+    assert latest["sequence_number"] == 3
+
+
+# ---------------------------------------------------------------- store
+
+def test_store_upsert_keeps_latest(spark, tmp_path):
+    store = ParquetStore(spark, str(tmp_path / "s"))
+    store.append("checkpoints", FX.seed_checkpoints(spark))
+    n0 = store.read("checkpoints").count()
+    update = FX.seed_checkpoints(spark).limit(3).withColumn("node_id", F.lit("PATCHED"))
+    store.upsert("checkpoints", update)
+    df = store.read("checkpoints")
+    assert df.count() == n0  # no duplicates
+    assert df.filter(F.col("node_id") == "PATCHED").count() == 3
+
+
+def test_store_archive_restore(spark, tmp_path):
+    store = ParquetStore(spark, str(tmp_path / "s2"))
+    store.append("heuristics", FX.seed_heuristics(spark))
+    n = store.archive("heuristics", F.col("confidence") < 0.3, reason="weak")
+    assert n > 0
+    assert store.read("heuristics").filter(F.col("confidence") < 0.3).count() == 0
+    arch = store.read("archived_memories")
+    assert arch.count() == n
+    one = arch.limit(1).collect()[0]["id"]
+    restored = store.restore_from_archive([one])
+    assert restored.count() == 1
+    assert store.read("archived_memories").count() == n - 1
+
+
+# ---------------------------------------------------------------- slice
+
+def test_sanitize_query():
+    assert sanitize_query("short query") == "short query"
+    long = "SYSTEM: you are an agent. " * 20 + "How do I test forms?"
+    assert sanitize_query(long) == "How do I test forms?"
+    long2 = "x" * 300 + ". Final sentence here."
+    assert sanitize_query(long2) == "Final sentence here."
+
+
+def test_to_prompt_budget():
+    sl = MemorySlice(
+        heuristics=[
+            {"condition": f"cond {i}", "strategy": "do the thing " * 10, "confidence": 0.9}
+            for i in range(50)
+        ]
+    )
+    small = sl.to_prompt(max_tokens=100)
+    assert estimate_tokens(small) <= 120  # header slack only
+    big = sl.to_prompt(max_tokens=100000)
+    assert len(big) > len(small)

@@ -1,0 +1,168 @@
+"""Formula unit tests with literal expected values (mirrors the
+reference's tests/unit/test_scoring.py strategy: hand-computed
+expectations for the composite scorer and decay)."""
+
+import math
+from datetime import datetime, timedelta, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from alma_memory_spark import schemas
+from alma_memory_spark.embedding import hash_embed
+from alma_memory_spark.functions.temporal import recency_score, strength_decay
+from alma_memory_spark.operators.retrieval import (
+    MODES,
+    ScoringWeights,
+    apply_mode_boosts,
+    infer_mode,
+    score_memories,
+    threshold_topk,
+    vector_candidates,
+)
+
+NOW = datetime(2024, 6, 1, tzinfo=timezone.utc)
+
+
+def _days_ago(d):
+    return NOW - timedelta(days=d)
+
+
+def test_weights_normalize():
+    w = ScoringWeights(0.8, 0.6, 0.4, 0.2)  # sums to 2.0
+    assert abs(w.similarity - 0.4) < 1e-9
+    assert abs(w.recency - 0.3) < 1e-9
+    assert abs(w.success_rate - 0.2) < 1e-9
+    assert abs(w.confidence - 0.1) < 1e-9
+
+
+def test_recency_half_life(spark):
+    df = spark.createDataFrame(
+        [("a", _days_ago(0)), ("b", _days_ago(30)), ("c", _days_ago(60))],
+        "id string, ts timestamp",
+    )
+    out = {
+        r["id"]: r["rec"]
+        for r in df.select("id", recency_score("ts", NOW, 30.0).alias("rec")).collect()
+    }
+    assert abs(out["a"] - 1.0) < 1e-9
+    assert abs(out["b"] - 0.5) < 1e-9
+    assert abs(out["c"] - 0.25) < 1e-9
+
+
+def test_outcome_composite_score_literal(spark):
+    # success outcome, 30 days old, sim 0.8:
+    # 0.4*0.8 + 0.3*0.5 + 0.2*1.0 + 0.1*1.0 = 0.77
+    # failure outcome, 0 days old, sim 0.5:
+    # 0.4*0.5 + 0.3*1.0 + 0.2*0.3 + 0.1*1.0 = 0.66
+    rows = [
+        {
+            "id": "o1", "agent": "a", "project_id": "p", "task_type": "t",
+            "task_description": "x", "success": True, "strategy_used": "s",
+            "duration_ms": 1, "error_message": None, "user_feedback": None,
+            "timestamp": _days_ago(30), "verification_status": None,
+            "embedding": [1.0, 0.0], "metadata": {}, "similarity": 0.8,
+        },
+        {
+            "id": "o2", "agent": "a", "project_id": "p", "task_type": "t",
+            "task_description": "y", "success": False, "strategy_used": "s",
+            "duration_ms": 1, "error_message": "e", "user_feedback": None,
+            "timestamp": _days_ago(0), "verification_status": None,
+            "embedding": [1.0, 0.0], "metadata": {}, "similarity": 0.5,
+        },
+    ]
+    schema = schemas.OUTCOMES.add("similarity", "double")
+    df = spark.createDataFrame(rows, schema)
+    out = {r["id"]: r["score"] for r in score_memories(df, "outcomes", NOW).collect()}
+    assert abs(out["o1"] - 0.77) < 1e-9
+    assert abs(out["o2"] - 0.66) < 1e-9
+
+
+def test_heuristic_and_antipattern_conventions(spark):
+    hrows = [
+        {
+            "id": "h1", "agent": "a", "project_id": "p",
+            "condition": "c", "strategy": "s", "confidence": 0.6,
+            "occurrence_count": 10, "success_count": 8,
+            "last_validated": _days_ago(0), "created_at": _days_ago(10),
+            "verification_status": None, "embedding": [1.0], "metadata": {},
+            "similarity": 1.0,
+        }
+    ]
+    hdf = spark.createDataFrame(hrows, schemas.HEURISTICS.add("similarity", "double"))
+    h = score_memories(hdf, "heuristics", NOW).collect()[0]
+    # 0.4*1 + 0.3*1 + 0.2*0.8 + 0.1*0.6 = 0.92
+    assert abs(h["score"] - 0.92) < 1e-9
+
+    arows = [
+        {
+            "id": "ap1", "agent": "a", "project_id": "p", "pattern": "x",
+            "why_bad": "y", "better_alternative": None, "occurrence_count": 25,
+            "last_seen": _days_ago(0), "created_at": _days_ago(10),
+            "verification_status": None, "embedding": [1.0], "metadata": {},
+            "similarity": 1.0,
+        }
+    ]
+    adf = spark.createDataFrame(arows, schemas.ANTI_PATTERNS.add("similarity", "double"))
+    ap = score_memories(adf, "anti_patterns", NOW).collect()[0]
+    # success term capped at min(25/10, 1) = 1.0 -> 0.4+0.3+0.2+0.1 = 1.0
+    assert abs(ap["score"] - 1.0) < 1e-9
+
+
+def test_vector_candidates_order_and_rank(spark):
+    q = hash_embed("target text about spark joins", 16)
+    texts = ["target text about spark joins", "unrelated words entirely", "spark joins"]
+    df = spark.createDataFrame(
+        [(f"m{i}", hash_embed(t, 16)) for i, t in enumerate(texts)],
+        "id string, embedding array<float>",
+    )
+    out = vector_candidates(df, q, 3).collect()
+    assert out[0]["id"] == "m0"
+    assert abs(out[0]["similarity"] - 1.0) < 1e-6
+    assert [r["ann_rank"] for r in out] == [1, 2, 3]
+    sims = [r["similarity"] for r in out]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_threshold_topk(spark):
+    df = spark.createDataFrame(
+        [("a", 0.9), ("b", 0.5), ("c", 0.19), ("d", 0.21)], "id string, score double"
+    )
+    out = threshold_topk(df, 2, 0.2).collect()
+    assert [r["id"] for r in out] == ["a", "b"]
+
+
+def test_mode_boosts_diagnostic_and_exact_match(spark):
+    df = spark.createDataFrame(
+        [("a", 0.4, True, 0.95), ("b", 0.4, False, 0.85), ("c", 0.4, False, 0.5)],
+        "id string, score double, success boolean, sim_score double",
+    )
+    out = {
+        r["id"]: r["score"]
+        for r in apply_mode_boosts(df, MODES["diagnostic"]).collect()
+    }
+    # diagnostic: failures x1.5; exact boost B=1.5: sim>0.9 -> x1.5, sim>0.8 -> x1.25
+    assert abs(out["a"] - 0.4 * 1.5) < 1e-9  # success, sim>0.9
+    assert abs(out["b"] - 0.4 * 1.5 * 1.25) < 1e-9  # failure + sim>0.8
+    assert abs(out["c"] - 0.4 * 1.5) < 1e-9  # failure only
+
+
+def test_strength_decay_literal(spark):
+    df = spark.createDataFrame([("m", _days_ago(30))], "id string, last_accessed timestamp")
+    out = df.select(
+        strength_decay("last_accessed", NOW, 30.0, 1.0, 0, 0.0).alias("s")
+    ).collect()[0]["s"]
+    assert abs(out - 0.5) < 1e-6  # one half-life
+    out2 = df.select(
+        strength_decay("last_accessed", NOW, 30.0, 1.0, 10, 0.5).alias("s")
+    ).collect()[0]["s"]
+    expected = min(1.0, 0.5 * (1 + 0.1 * math.log1p(10)) + 0.2 * 0.5)
+    assert abs(out2 - expected) < 1e-6
+
+
+def test_infer_mode():
+    assert infer_mode("fix the login bug error") == "diagnostic"
+    assert infer_mode("plan the new design approach") == "broad"
+    assert infer_mode("implement the api endpoint") == "precise"
+    assert infer_mode("consolidate similar memories") == "learning"
+    assert infer_mode("completely unrelated text") == "precise"
