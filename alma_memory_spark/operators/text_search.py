@@ -1,0 +1,180 @@
+"""Distributed text relevance: TF-IDF (reference-exact) and BM25.
+
+Reference (alma/retrieval/text_search.py): SimpleTFIDFProvider —
+whitespace-lowercase tokenizer, idf = ln((n+1)/(df+1)) + 1, tf
+normalized by doc length, cosine between query and full doc tf-idf
+vectors (:61-124); BM25 via the optional bm25s lib with TFIDF fallback.
+Here BM25 is implemented directly (Robertson-Sparck Jones Okapi BM25,
+public formula) — no optional dependency, same DataFrame contract.
+
+Shape: explode -> (doc, term) counts -> term df/idf (broadcast for the
+query's terms) -> per-doc aggregations. Two map-side-combinable
+shuffles; nothing collects except tiny corpus constants (N, avgdl).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from alma_memory_spark.functions.text import ws_tokens
+
+BM25_K1 = 1.5
+BM25_B = 0.75
+
+
+def _doc_terms(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    toks = docs.select(
+        F.col(id_col).alias("_doc"), ws_tokens(text_col).alias("_toks")
+    ).withColumn("_dl", F.size("_toks"))
+    return toks.select(
+        "_doc", "_dl", F.explode("_toks").alias("term")
+    ).groupBy("_doc", "_dl", "term").agg(F.count("*").alias("tf"))
+
+
+def tfidf_scores(
+    docs: DataFrame, query: str, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """Reference-exact TF-IDF cosine scores for `query` over a corpus.
+    Returns (id, tfidf_score) for docs with score > 0."""
+    terms = _doc_terms(docs, id_col, text_col).cache()
+    n_docs = docs.count()
+    df_ = terms.groupBy("term").agg(F.countDistinct("_doc").alias("df"))
+    idf = df_.withColumn(
+        "idf", F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    ).select("term", "idf")
+
+    qtoks = query.lower().split()
+    if not qtoks:
+        return docs.sparkSession.createDataFrame([], f"{id_col} string, tfidf_score double")
+    qtf: dict[str, float] = {}
+    for t in qtoks:
+        qtf[t] = qtf.get(t, 0.0) + 1.0 / len(qtoks)
+    qdf = docs.sparkSession.createDataFrame(
+        [(t, w) for t, w in qtf.items()], "term string, qtf double"
+    )
+    qvec = qdf.join(idf, "term", "left").select(
+        "term", (F.col("qtf") * F.coalesce(F.col("idf"), F.lit(0.0))).alias("qw")
+    ).cache()
+    qn = qvec.agg(F.sqrt(F.sum(F.col("qw") * F.col("qw")))).collect()[0][0] or 0.0
+    if qn == 0.0:
+        return docs.sparkSession.createDataFrame([], f"{id_col} string, tfidf_score double")
+
+    w = terms.join(idf, "term").select(
+        "_doc", "term", (F.col("tf") / F.col("_dl") * F.col("idf")).alias("w")
+    )
+    dnorm = w.groupBy("_doc").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("dn"))
+    dots = (
+        w.join(F.broadcast(qvec), "term")
+        .groupBy("_doc")
+        .agg(F.sum(F.col("w") * F.col("qw")).alias("dot"))
+    )
+    return (
+        dots.join(dnorm, "_doc")
+        .filter(F.col("dot") > 0)
+        .select(
+            F.col("_doc").alias(id_col),
+            (F.col("dot") / (F.lit(qn) * F.col("dn"))).alias("tfidf_score"),
+        )
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query: str,
+    id_col: str = "id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Okapi BM25: score(q, d) = sum over q-terms of
+    idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),
+    idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1). Returns (id, bm25_score)."""
+    terms = _doc_terms(docs, id_col, text_col).cache()
+    stats = (
+        terms.select("_doc", "_dl")
+        .distinct()
+        .agg(F.count("*").alias("n"), F.avg("_dl").alias("avgdl"))
+        .collect()[0]
+    )
+    n_docs, avgdl = stats["n"], stats["avgdl"] or 1.0
+    qterms = sorted(set(query.lower().split()))
+    if not qterms:
+        return docs.sparkSession.createDataFrame([], f"{id_col} string, bm25_score double")
+    df_ = (
+        terms.filter(F.col("term").isin(qterms))
+        .groupBy("term")
+        .agg(F.countDistinct("_doc").alias("df"))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            ),
+        )
+    )
+    hit = terms.filter(F.col("term").isin(qterms)).join(F.broadcast(df_), "term")
+    contrib = F.col("idf") * (
+        F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("_dl") / F.lit(float(avgdl))))
+    )
+    return (
+        hit.withColumn("_c", contrib)
+        .groupBy("_doc")
+        .agg(F.sum("_c").alias("bm25_score"))
+        .select(F.col("_doc").alias(id_col), "bm25_score")
+    )
+
+
+def hybrid_search(
+    docs: DataFrame,
+    query_vec: list[float],
+    query_text: str,
+    top_k: int = 10,
+    id_col: str = "id",
+    text_col: str = "text",
+    embedding_col: str = "embedding",
+) -> DataFrame:
+    """Vector top-k + BM25 top-k fused with RRF (the reference's hybrid
+    retrieval, alma/retrieval/hybrid.py)."""
+    from alma_memory_spark.functions.vector import cosine_similarity
+    from alma_memory_spark.operators.fusion import rrf_fuse
+
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    vec = (
+        docs.select(
+            F.col(id_col), cosine_similarity(embedding_col, qlit).alias("similarity")
+        )
+        .orderBy(F.desc("similarity"), F.asc(id_col))
+        .limit(top_k * 2)
+    )
+    txt = (
+        bm25_scores(docs, query_text, id_col, text_col)
+        .withColumnRenamed("bm25_score", "text_score")
+        .orderBy(F.desc("text_score"), F.asc(id_col))
+        .limit(top_k * 2)
+    )
+    return rrf_fuse(vec, txt, id_col=id_col).limit(top_k)
+
+
+def bm25_reference_check(
+    corpus: list[str], query: str, k1: float = BM25_K1, b: float = BM25_B
+) -> list[tuple[int, float]]:
+    """Driver-side BM25 for oracle tests (same formula, pure Python)."""
+    toks = [d.lower().split() for d in corpus]
+    n = len(corpus)
+    avgdl = sum(len(t) for t in toks) / max(n, 1)
+    out = []
+    for i, dt in enumerate(toks):
+        score = 0.0
+        for t in sorted(set(query.lower().split())):
+            tf = dt.count(t)
+            if tf == 0:
+                continue
+            df = sum(1 for d in toks if t in d)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            score += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(dt) / avgdl))
+        if score > 0:
+            out.append((i, score))
+    return sorted(out, key=lambda x: -x[1])

@@ -1,0 +1,262 @@
+"""Ingestion: multi-format chat-export normalization, directory mining,
+rule-based memory extraction — as DataFrame pipelines.
+
+Reference (alma/ingestion/):
+- normalizer.py:30-151 auto-detects 6 formats (Claude Code JSONL, Codex
+  JSONL, Claude.ai JSON, ChatGPT JSON, Slack JSON, plain text /
+  `> `-marked transcript) and normalizes to a transcript;
+- file_miner.py:119,289-445 chunks files and classifies chunks into the
+  five memory types;
+- memory_extractor.py:373-493 scores text segments with marker rules,
+  keeping type assignments with confidence >= 0.3.
+
+Spark shape: format detection probes a small sample per file on the
+driver (cheap; files are the unit of work), then each format maps to a
+`spark.read.json/text` + per-format projection — the heavy lifting
+(parse, explode, classify) is distributed. The rule classifier is pure
+column expressions, not a UDF.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TRANSCRIPT_SCHEMA = "source_file string, turn int, role string, text string"
+
+
+def detect_format(path: str, sample_bytes: int = 64 * 1024) -> str:
+    """Schema-probe format detection (mirrors normalizer.py:30-151
+    semantics on a bounded sample instead of the whole file)."""
+    with open(path, encoding="utf-8", errors="replace") as f:
+        content = f.read(sample_bytes)
+    if not content.strip():
+        return "plain_text"
+    lines = content.split("\n")
+    if sum(1 for ln in lines if ln.strip().startswith(">")) >= 3:
+        return "transcript"
+    head = content.strip()[:1]
+    if head not in ("{", "[") and not path.endswith((".json", ".jsonl")):
+        return "plain_text"
+    parsed = []
+    for ln in lines[:20]:
+        ln = ln.strip()
+        if not ln:
+            continue
+        try:
+            parsed.append(json.loads(ln))
+        except json.JSONDecodeError:
+            parsed.append(None)
+    objs = [p for p in parsed if isinstance(p, dict)]
+    if objs and any(o.get("type") in ("human", "user", "assistant") for o in objs):
+        return "claude_code_jsonl"
+    if objs and any(o.get("type") == "session_meta" for o in objs):
+        return "codex_jsonl"
+    try:
+        data = json.loads(content)
+    except json.JSONDecodeError:
+        return "plain_text"
+    if isinstance(data, dict) and ("messages" in data or "chat_messages" in data):
+        return "claude_ai_json"
+    if isinstance(data, dict) and "mapping" in data:
+        return "chatgpt_json"
+    if isinstance(data, list) and data:
+        first = data[0]
+        if isinstance(first, dict) and any(
+            i.get("type") == "message" for i in data[:5] if isinstance(i, dict)
+        ):
+            return "slack_json"
+        if isinstance(first, dict) and (
+            "chat_messages" in first or "messages" in first or "role" in first or "sender" in first
+        ):
+            return "claude_ai_json"
+    return "plain_text"
+
+
+def _norm_claude_code(spark: SparkSession, path: str) -> DataFrame:
+    df = spark.read.json(path)
+    cols = df.columns
+    text = (
+        F.col("message.content").cast("string")
+        if "message" in cols
+        else F.col("content").cast("string")
+        if "content" in cols
+        else F.col("text")
+    )
+    role = F.col("type")
+    return (
+        df.filter(F.col("type").isin("human", "user", "assistant"))
+        .select(role.alias("role"), text.alias("text"))
+        .withColumn("source_file", F.lit(path))
+        .withColumn(
+            "turn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy(
+                    F.monotonically_increasing_id()
+                )
+            ),
+        )
+        .select("source_file", "turn", "role", "text")
+    )
+
+
+def _norm_driver_json(spark: SparkSession, path: str, fmt: str) -> DataFrame:
+    """Claude.ai / ChatGPT / Slack exports are single nested JSON
+    documents: parse on the driver (one file = one doc), emit rows.
+    Distribution comes from processing MANY files in parallel via
+    normalize_directory, not from splitting one document."""
+    with open(path, encoding="utf-8", errors="replace") as f:
+        data = json.load(f)
+    rows: list[tuple[str, int, str, str]] = []
+
+    def add(role, text):
+        if text and str(text).strip():
+            rows.append((path, len(rows) + 1, str(role or "unknown"), str(text)))
+
+    if fmt == "claude_ai_json":
+        convs = data if isinstance(data, list) else [data]
+        for conv in convs:
+            msgs = conv.get("chat_messages") or conv.get("messages") or []
+            for m in msgs:
+                content = m.get("text") or m.get("content")
+                if isinstance(content, list):
+                    content = " ".join(
+                        c.get("text", "") if isinstance(c, dict) else str(c)
+                        for c in content
+                    )
+                add(m.get("sender") or m.get("role"), content)
+    elif fmt == "chatgpt_json":
+        mapping = data.get("mapping", {})
+        nodes = sorted(
+            (v for v in mapping.values() if isinstance(v, dict)),
+            key=lambda v: (v.get("message") or {}).get("create_time") or 0.0,
+        )
+        for node in nodes:
+            msg = node.get("message") or {}
+            parts = ((msg.get("content") or {}).get("parts")) or []
+            add(
+                (msg.get("author") or {}).get("role"),
+                " ".join(str(p) for p in parts if isinstance(p, (str, int, float))),
+            )
+    elif fmt == "slack_json":
+        for item in data:
+            if isinstance(item, dict) and item.get("type") == "message":
+                add(item.get("user") or "user", item.get("text"))
+    return spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+
+
+def _norm_text(spark: SparkSession, path: str, transcript: bool) -> DataFrame:
+    df = spark.read.text(path).withColumn("source_file", F.lit(path))
+    from pyspark.sql.window import Window as W
+
+    df = df.withColumn(
+        "turn", F.row_number().over(W.orderBy(F.monotonically_increasing_id()))
+    )
+    if transcript:
+        df = df.filter(F.col("value").startswith(">"))
+        text = F.regexp_replace(F.col("value"), r"^>\s*", "")
+    else:
+        df = df.filter(F.length(F.trim("value")) > 0)
+        text = F.col("value")
+    return df.select(
+        "source_file", "turn", F.lit("user").alias("role"), text.alias("text")
+    )
+
+
+def normalize_file(spark: SparkSession, path: str) -> DataFrame:
+    """One file -> normalized transcript rows (source_file, turn, role,
+    text)."""
+    fmt = detect_format(path)
+    if fmt in ("claude_code_jsonl", "codex_jsonl"):
+        return _norm_claude_code(spark, path)
+    if fmt in ("claude_ai_json", "chatgpt_json", "slack_json"):
+        return _norm_driver_json(spark, path, fmt)
+    return _norm_text(spark, path, transcript=(fmt == "transcript"))
+
+
+def normalize_directory(spark: SparkSession, directory: str) -> DataFrame:
+    """Normalize every file in a directory; per-file format dispatch,
+    unioned into one transcript DataFrame."""
+    parts = []
+    for name in sorted(os.listdir(directory)):
+        p = os.path.join(directory, name)
+        if os.path.isfile(p):
+            parts.append(normalize_file(spark, p))
+    if not parts:
+        return spark.createDataFrame([], TRANSCRIPT_SCHEMA)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# chunking + rule classification (file miner / memory extractor)
+# ---------------------------------------------------------------------------
+
+CHUNK_CHARS = 1000
+CHUNK_OVERLAP = 100
+
+# marker-rule vocabularies (memory_extractor.py approach: scored markers
+# per memory type; confidence = matched-marker fraction, keep >= 0.3)
+TYPE_MARKERS = {
+    "heuristic": ["when", "always", "works", "should", "if you", "best way", "strategy"],
+    "anti_pattern": ["never", "avoid", "don't", "do not", "bad idea", "fails", "broken"],
+    "user_preference": ["prefer", "i like", "i want", "please use", "style", "format"],
+    "domain_knowledge": ["is a", "consists", "contains", "uses", "the system", "architecture", "defined"],
+}
+MIN_EXTRACT_CONFIDENCE = 0.3
+
+
+def chunk_text_df(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Split texts into overlapping character chunks — a pure column
+    expression (sequence + substring), no UDF."""
+    step = CHUNK_CHARS - CHUNK_OVERLAP
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length(text_col) - CHUNK_OVERLAP, F.lit(1)), F.lit(step)
+    )
+    chunks = F.transform(starts, lambda s: F.col(text_col).substr(s, F.lit(CHUNK_CHARS)))
+    return df.withColumn("chunk", F.explode(chunks)).drop(text_col)
+
+
+def classify_chunks(df: DataFrame, chunk_col: str = "chunk") -> DataFrame:
+    """Marker-rule classification into memory types with confidence.
+    Adds (memory_type, extract_confidence); rows below the 0.3 threshold
+    get memory_type = NULL (callers filter). Column expressions only."""
+    low = F.lower(F.col(chunk_col))
+    scores = {}
+    for mtype, markers in TYPE_MARKERS.items():
+        hits = None
+        for m in markers:
+            h = F.when(low.contains(m), 1).otherwise(0)
+            hits = h if hits is None else hits + h
+        scores[mtype] = hits.cast("double") / float(len(markers))
+    best_score = None
+    for s in scores.values():
+        best_score = s if best_score is None else F.greatest(best_score, s)
+    best_type = None
+    expr = F.lit(None).cast("string")
+    for mtype, s in reversed(list(scores.items())):
+        expr = F.when(s == best_score, F.lit(mtype)).otherwise(expr)
+    best_type = expr
+    conf = F.least(best_score * 2.0, F.lit(1.0))  # 50%+ markers -> confidence 1
+    return df.withColumn(
+        "extract_confidence", F.round(conf, 6)
+    ).withColumn(
+        "memory_type",
+        F.when(F.col("extract_confidence") >= MIN_EXTRACT_CONFIDENCE, best_type),
+    )
+
+
+def mine_directory(spark: SparkSession, directory: str) -> DataFrame:
+    """ingest_directory: normalize -> chunk -> classify; returns rows
+    ready for per-type writes (file_miner.py:289-445)."""
+    transcript = normalize_directory(spark, directory)
+    docs = transcript.groupBy("source_file").agg(
+        F.concat_ws("\n", F.collect_list("text")).alias("text")
+    )
+    chunks = chunk_text_df(docs)
+    return classify_chunks(chunks).filter(F.col("memory_type").isNotNull())

@@ -1,0 +1,108 @@
+"""Structured Streaming layer: continuous learn-ingest and windowed
+signal aggregation.
+
+The reference has no streaming engine — its nearest mechanisms are
+incremental `learn()` writes with cache invalidation (core.py:309-380)
+and a background CleanupScheduler (forgetting.py:1239-1477). This module
+is the Spark-native upgrade of those capabilities (SURVEY §2.9):
+
+- `stream_outcomes`: readStream over an outcome-event directory ->
+  foreachBatch append into the Parquet store + cache-epoch bump —
+  exactly-once per micro-batch, the streaming form of learn();
+- `windowed_outcome_stats`: watermarked sliding-window success-rate
+  aggregation — the streaming form of the heuristic-extraction
+  aggregate (late data handled by the watermark, not by reprocessing);
+- `session_activity`: session_window gap sessions (streaming analog of
+  the batch sessionize query);
+- `streaming_strength`: decay-at-read is a stateless column expression
+  (decay.py:74-122 design), so the SAME expression used in batch works
+  on a stream — demonstrated here.
+
+All testable locally with file sources + `format("memory")` sinks and
+processAllAvailable().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from alma_memory_spark import schemas
+from alma_memory_spark.functions.temporal import recency_score
+
+
+def read_outcome_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of outcome rows (schema-pinned; maxFilesPerTrigger
+    bounds micro-batch size so state stays executor-memory-sized)."""
+    return (
+        spark.readStream.schema(schemas.OUTCOMES)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(path)
+    )
+
+
+def stream_outcomes_into_store(stream: DataFrame, store, on_batch=None):
+    """foreachBatch sink: append each micro-batch to the outcomes table
+    (a DataFrame write IS a batch write) and invalidate read caches.
+    Returns the StreamingQuery; caller stops it."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store.append("outcomes", batch_df)
+        if on_batch is not None:
+            on_batch(epoch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", store.root + "/_stream_checkpoints/outcomes")
+        .start()
+    )
+
+
+def windowed_outcome_stats(
+    stream: DataFrame,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Watermarked windowed success-rate per (agent, task_type): the
+    streaming form of the heuristic-extraction aggregate. Late rows
+    beyond the watermark are dropped (bounded state)."""
+    w = (
+        F.window("timestamp", window, slide)
+        if slide
+        else F.window("timestamp", window)
+    )
+    n = F.count("*")
+    succ = F.sum(F.when(F.col("success"), 1).otherwise(0))
+    return (
+        stream.withWatermark("timestamp", watermark)
+        .groupBy(w.alias("win"), "agent", "task_type")
+        .agg(
+            n.alias("occurrence_count"),
+            succ.alias("success_count"),
+            (succ.cast("double") / n).alias("success_rate"),
+        )
+    )
+
+
+def session_activity(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """session_window sessions per agent (streaming analog of the batch
+    sessionize operator)."""
+    return (
+        stream.withWatermark("timestamp", watermark)
+        .groupBy(F.session_window("timestamp", gap).alias("session"), "agent")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def streaming_strength(stream: DataFrame, half_life_days: float = 30.0) -> DataFrame:
+    """Decay-at-read on a stream: the same stateless recency expression
+    used in batch (design parity with decay.py:74-122)."""
+    return stream.withColumn(
+        "strength",
+        recency_score("timestamp", F.current_timestamp(), half_life_days),
+    )

@@ -1,0 +1,305 @@
+"""Tests for verification, BM25/TF-IDF text search, ingestion,
+streaming, and multimodal plumbing."""
+
+import json
+import math
+from datetime import timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from alma_memory_spark import schemas
+from alma_memory_spark.embedding import hash_embed
+from alma_memory_spark.operators.multimodal import (
+    decode_image_features,
+    media_stats,
+    resize_stage,
+    sample_frames,
+)
+from alma_memory_spark.operators.text_search import (
+    bm25_reference_check,
+    bm25_scores,
+    hybrid_search,
+    tfidf_scores,
+)
+from alma_memory_spark.operators.verification import (
+    combined_score,
+    confidence_fallback,
+    cross_verify,
+    list_by_status,
+)
+from alma_memory_spark.sources.ingestion import (
+    chunk_text_df,
+    classify_chunks,
+    detect_format,
+    normalize_directory,
+    normalize_file,
+)
+from alma_memory_spark.sources.store import ParquetStore
+from alma_memory_spark.streaming.ingest import (
+    read_outcome_stream,
+    session_activity,
+    stream_outcomes_into_store,
+    windowed_outcome_stats,
+)
+from alma_memory_spark.testing import fixtures as FX
+
+NOW = FX.NOW
+
+
+# ------------------------------------------------------------- verification
+
+def _dk_rows():
+    base = {
+        "agent": "a", "project_id": "p", "domain": "deploy", "source": "doc",
+        "last_verified": NOW, "verification_status": None, "metadata": {},
+    }
+    return [
+        {**base, "id": "k1", "fact": "deploys use blue green switchover",
+         "confidence": 0.9, "embedding": hash_embed("deploys use blue green", 16)},
+        {**base, "id": "k2", "fact": "deploys are manual only", "confidence": 0.4,
+         "embedding": hash_embed("deploys are manual only", 16)},
+        {**base, "id": "k3", "fact": "nothing related", "confidence": 0.2,
+         "embedding": hash_embed("nothing related", 16)},
+    ]
+
+
+def test_confidence_fallback_statuses(spark):
+    df = spark.createDataFrame(_dk_rows(), schemas.DOMAIN_KNOWLEDGE)
+    out = {r["id"]: r for r in confidence_fallback(df, NOW).collect()}
+    assert out["k1"]["verification_status"] == "verified"
+    assert out["k2"]["verification_status"] == "uncertain"
+    assert "Moderate" in out["k2"]["verification_reason"]
+    assert "Low" in out["k3"]["verification_reason"]
+    assert out["k1"]["verification_method"] == "confidence"
+
+
+def test_cross_verify_contradiction(spark):
+    rows = _dk_rows()
+    # opposite-direction embedding vs k1, lower confidence -> contradicted
+    neg = [-v for v in rows[0]["embedding"]]
+    rows.append(
+        {**rows[0], "id": "k4", "fact": "deploys never use blue green",
+         "confidence": 0.5, "embedding": neg}
+    )
+    df = spark.createDataFrame(rows, schemas.DOMAIN_KNOWLEDGE)
+    out = {r["id"]: r for r in cross_verify(df, NOW).collect()}
+    assert out["k4"]["verification_status"] == "contradicted"
+    assert out["k4"]["contradicting_source"] == "k1"
+    assert out["k1"]["verification_status"] == "verified"
+
+    blended = combined_score(
+        cross_verify(df, NOW).withColumn("score", F.lit(0.8))
+    ).collect()
+    k1 = [r for r in blended if r["id"] == "k1"][0]
+    assert abs(k1["combined_score"] - (0.8 * 0.5 + 0.9 * 0.5)) < 1e-9
+
+    byst = list_by_status(cross_verify(df, NOW), "p", "verified").collect()
+    assert [r["id"] for r in byst] == ["k1"]
+
+
+# ------------------------------------------------------------- text search
+
+CORPUS = [
+    "spark joins shuffle data across the cluster",
+    "broadcast joins avoid the shuffle entirely",
+    "window functions rank rows within partitions",
+    "the quick brown fox jumps over the lazy dog",
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(str(i), t, hash_embed(t, 16)) for i, t in enumerate(CORPUS)],
+        "id string, text string, embedding array<float>",
+    )
+
+
+def test_bm25_matches_reference_formula(spark):
+    q = "joins shuffle"
+    out = {r["id"]: r["bm25_score"] for r in bm25_scores(_docs(spark), q).collect()}
+    expected = dict(
+        (str(i), s) for i, s in bm25_reference_check(CORPUS, q)
+    )
+    assert set(out) == set(expected)
+    for k in out:
+        assert abs(out[k] - expected[k]) < 1e-9
+    # only docs 0 and 1 contain query terms; 1 wins (both terms, shorter doc)
+    assert set(out) == {"0", "1"}
+    assert max(out, key=out.get) == "1"
+
+
+def test_tfidf_scores_rank(spark):
+    out = tfidf_scores(_docs(spark), "broadcast joins")
+    rows = out.orderBy(F.desc("tfidf_score")).collect()
+    assert rows[0]["id"] == "1"
+    assert all(r["tfidf_score"] > 0 for r in rows)
+
+
+def test_hybrid_search_fuses(spark):
+    q = "broadcast joins avoid shuffle"
+    out = hybrid_search(_docs(spark), hash_embed(q, 16), q, top_k=3).collect()
+    assert out[0]["id"] == "1"
+    assert out[0]["vector_rank"] == 1 and out[0]["text_rank"] == 1
+
+
+# ------------------------------------------------------------- ingestion
+
+def test_detect_and_normalize_formats(spark, tmp_path):
+    cc = tmp_path / "claude.jsonl"
+    cc.write_text(
+        "\n".join(
+            json.dumps(x)
+            for x in [
+                {"type": "user", "message": {"content": "hello there"}},
+                {"type": "assistant", "message": {"content": "hi, how can I help"}},
+            ]
+        )
+    )
+    chatgpt = tmp_path / "conversations.json"
+    chatgpt.write_text(
+        json.dumps(
+            {
+                "mapping": {
+                    "a": {"message": {"author": {"role": "user"},
+                                      "content": {"parts": ["what is spark"]},
+                                      "create_time": 1.0}},
+                    "b": {"message": {"author": {"role": "assistant"},
+                                      "content": {"parts": ["a distributed engine"]},
+                                      "create_time": 2.0}},
+                }
+            }
+        )
+    )
+    slack = tmp_path / "slack.json"
+    slack.write_text(
+        json.dumps(
+            [
+                {"type": "message", "user": "U1", "text": "deploy at noon"},
+                {"type": "message", "user": "U2", "text": "ack"},
+            ]
+        )
+    )
+    transcript = tmp_path / "notes.txt"
+    transcript.write_text("> first turn here\n> second turn\n> third turn\n")
+    plain = tmp_path / "plain.txt"
+    plain.write_text("just some notes\nwith two lines\n")
+
+    assert detect_format(str(cc)) == "claude_code_jsonl"
+    assert detect_format(str(chatgpt)) == "chatgpt_json"
+    assert detect_format(str(slack)) == "slack_json"
+    assert detect_format(str(transcript)) == "transcript"
+    assert detect_format(str(plain)) == "plain_text"
+
+    rows = normalize_file(spark, str(chatgpt)).collect()
+    assert [r["role"] for r in rows] == ["user", "assistant"]
+    assert rows[0]["text"] == "what is spark"
+
+    allrows = normalize_directory(spark, str(tmp_path))
+    assert allrows.count() == 2 + 2 + 2 + 3 + 2
+    tr = allrows.filter(F.col("source_file").endswith("notes.txt")).collect()
+    assert all(not r["text"].startswith(">") for r in tr)
+
+
+def test_chunk_and_classify(spark):
+    docs = spark.createDataFrame(
+        [
+            ("f1", "Always use explicit waits when testing async pages. "
+                   "This strategy works best for flaky suites. " * 20),
+            ("f2", "Never hardcode credentials. Avoid storing secrets in code. " * 20),
+            ("f3", "zzz qqq xxx " * 10),
+        ],
+        "source_file string, text string",
+    )
+    chunks = chunk_text_df(docs)
+    assert chunks.count() > 3  # long docs split into multiple chunks
+    classified = classify_chunks(chunks)
+    by_file = {
+        r["source_file"]: r["memory_type"]
+        for r in classified.select("source_file", "memory_type").distinct().collect()
+    }
+    assert by_file["f1"] == "heuristic"
+    assert by_file["f2"] == "anti_pattern"
+    assert by_file["f3"] is None  # below confidence threshold
+
+
+# ------------------------------------------------------------- streaming
+
+def test_streaming_ingest_and_windows(spark, tmp_path):
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    out_store = ParquetStore(spark, str(tmp_path / "store"))
+    batch1 = FX.seed_outcomes(spark).limit(20)
+    batch1.write.mode("append").parquet(str(src))
+
+    stream = read_outcome_stream(spark, str(src))
+    assert stream.isStreaming
+    q = stream_outcomes_into_store(stream, out_store)
+    q.processAllAvailable()
+    n1 = out_store.read("outcomes").count()
+    assert n1 == 20
+    # second batch arrives -> incremental, no reprocess
+    FX.seed_outcomes(spark).limit(35).write.mode("append").parquet(str(src))
+    q.processAllAvailable()
+    q.stop()
+    assert out_store.read("outcomes").count() == 55  # 20 + 35
+
+    agg = windowed_outcome_stats(read_outcome_stream(spark, str(src)), "1 day")
+    q2 = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_stats")
+        .start()
+    )
+    q2.processAllAvailable()
+    rows = spark.sql("SELECT * FROM win_stats").collect()
+    q2.stop()
+    assert rows
+    assert all(0.0 <= r["success_rate"] <= 1.0 for r in rows)
+    assert {"win", "agent", "task_type"} <= set(rows[0].asDict().keys())
+
+    sess = session_activity(read_outcome_stream(spark, str(src)))
+    q3 = (
+        sess.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sessions")
+        .start()
+    )
+    q3.processAllAvailable()
+    srows = spark.sql("SELECT * FROM sessions").collect()
+    q3.stop()
+    assert srows and all(r["n_events"] >= 1 for r in srows)
+
+
+# ------------------------------------------------------------- multimodal
+
+def test_multimodal_plumbing(spark):
+    rows = [
+        ("m1", "image/png", b"\x89PNG fake bytes payload one", {"source": "cam"}),
+        ("m2", "image/jpeg", b"\xff\xd8 another payload", {}),
+        ("m3", "video/mp4", b"\x00\x00ftyp" + b"x" * 100, {}),
+    ]
+    media = spark.createDataFrame(rows, "media_id string, mime string, payload binary, meta map<string,string>")
+    feats = decode_image_features(media)
+    got = {r["media_id"]: r for r in feats.collect()}
+    assert len(got) == 3
+    assert all(64 <= r["width"] <= 256 for r in got.values())
+    # deterministic: same payload -> same features
+    again = {r["media_id"]: r for r in decode_image_features(media).collect()}
+    assert got["m1"]["mean_luma"] == again["m1"]["mean_luma"]
+    assert got["m1"]["payload_sha256"] == again["m1"]["payload_sha256"]
+
+    resized = resize_stage(feats, max_side=100).collect()
+    for r in resized:
+        assert max(r["target_w"], r["target_h"]) <= 100
+        assert r["target_w"] >= 1 and r["target_h"] >= 1
+
+    frames = sample_frames(media.filter(F.col("mime") == "video/mp4")).collect()
+    assert len(frames) == 4
+    assert [f["frame_idx"] for f in frames] == [0, 1, 2, 3]
+
+    stats = {r["mime"]: r for r in media_stats(feats).collect()}
+    assert stats["image/png"]["n"] == 1
+
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        decode_image_features(media, fake=False)
