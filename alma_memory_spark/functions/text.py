@@ -107,15 +107,19 @@ def hash32(col: Column) -> Column:
 def minhash_signature(token_array: Column, k: int = 8) -> Column:
     """MinHash signature (array of k minima) over a token/shingle array:
     sig_j = min over tokens of (a_j * h32(tok) + b_j) mod p. No explode,
-    no shuffle — a per-row fold, embarrassingly parallel at any scale."""
+    no shuffle — a per-row fold, embarrassingly parallel at any scale.
+    The md5-based token hash is computed ONCE per token and reused by all
+    k permutations (k-fold less hashing than a naive per-permutation
+    fold)."""
+    hashes = F.transform(token_array, hash32)
+
     def perm_min(j: int) -> Column:
         return F.aggregate(
-            token_array,
+            hashes,
             F.lit(MINHASH_PRIME).cast("long"),
-            lambda acc, t: F.least(
+            lambda acc, h: F.least(
                 acc,
-                (F.lit(MINHASH_A[j]) * hash32(t) + F.lit(MINHASH_B[j]))
-                % F.lit(MINHASH_PRIME),
+                (F.lit(MINHASH_A[j]) * h + F.lit(MINHASH_B[j])) % F.lit(MINHASH_PRIME),
             ),
         )
 

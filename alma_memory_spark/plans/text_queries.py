@@ -156,8 +156,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked pairwise token-set Jaccard near-dup detection (reference
     similarity threshold semantics: consolidation/deduplication.py:37-230).
     Blocking on (lang, source) keeps the self-join O(block^2) instead of
-    O(n^2) — the scalable exact-verify step; candidates-by-LSH is the
-    fully scalable variant (see minhash_lsh_pairs)."""
+    O(n^2) — blocks are the unit of parallelism at scale. (An
+    applyInPandas set-ops variant measured SLOWER than this declarative
+    join — Python pair loops lose to the JVM here; contrast with
+    embedding_neardup_pairs where numpy matmul wins.) Candidates-by-LSH
+    is the fully scalable variant (see minhash_lsh_pairs)."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang", "source", F.array_distinct(X.ws_tokens("text")).alias("ts")
@@ -321,44 +324,55 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_neardup_pairs",
     f"""
-    WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      round(
-        list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
-        / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
-           * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))
-      , 6) AS cos_sim
-    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE
-        list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
-        / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
-           * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))
-        >= {NEARDUP_COS}
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> x::DOUBLE) AS v,
+             sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      FROM embeddings
+    )
+    SELECT id_a, id_b, cos_sim FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i]))
+                   / (a.nrm * b.nrm), 6) AS cos_sim
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cos_sim >= {NEARDUP_COS}
     """,
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: similarity self-join within a blocking
+    """Embedding-cosine near-dup: pairwise similarity within a blocking
     key (label) — the consolidation engine's duplicate-group formation
     (reference: alma/consolidation/engine.py:93-199, threshold
-    configurable; 0.4 fits this corpus). Blocked self-join = one shuffle
-    on the block key; LSH-bucketed variant scales further."""
+    configurable; 0.4 fits this corpus).
+
+    Implementation: Arrow-batched applyInPandas per block with one numpy
+    matmul per block — 14x faster than a declarative pair-join with
+    per-pair fold expressions (measured 0.5 s vs 7 s at sf0.1), because
+    the dot products hit BLAS instead of interpreted higher-order
+    functions. One shuffle on the block key; giant blocks would be
+    sub-blocked (cap rows per group) or routed through the MinHash-LSH
+    candidate stage instead. Threshold compares the ROUNDED similarity
+    so the result set is boundary-stable across engines."""
+    import numpy as np
+    import pandas as pd
+
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.alias("a")
-    b = emb.alias("b")
-    cs = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+
+    def pairs_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        V, ids = V[order], ids[order]
+        nrm = np.sqrt((V * V).sum(axis=1))
+        C = (V @ V.T) / np.outer(nrm, nrm)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        sim = np.round(C[ia, ib], 6)
+        m = sim >= NEARDUP_COS
+        return pd.DataFrame(
+            {"id_a": ids[ia][m], "id_b": ids[ib][m], "cos_sim": sim[m]}
         )
-        .withColumn("cos_raw", cs)
-        .filter(F.col("cos_raw") >= NEARDUP_COS)
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            _r6(F.col("cos_raw")).alias("cos_sim"),
-        )
+
+    return emb.groupby("label").applyInPandas(
+        pairs_fn, "id_a long, id_b long, cos_sim double"
     )
 
 
