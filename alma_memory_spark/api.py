@@ -1,0 +1,182 @@
+"""Tool-surface adapter: the reference's MCP tool names mapped onto the
+Spark engine.
+
+The reference serves 22+ tools over a stdio JSON-RPC MCP server
+(alma/mcp/server.py, tools/__init__.py:98-135). The transport is out of
+scope for a Spark engine (any thin JSON-RPC/HTTP layer can wrap this),
+but the TOOL CONTRACT — names, arguments, dict-shaped results — is part
+of API parity, so it lives here as plain callables: `call(tool, **args)`
+dispatches exactly like the reference's server does onto its ALMA
+facade.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from alma_memory_spark.engine import AlmaSpark
+
+
+class AlmaToolSurface:
+    def __init__(self, engine: AlmaSpark):
+        self.engine = engine
+        self._tools = {
+            "alma_retrieve": self._retrieve,
+            "alma_retrieve_smart": self._retrieve_smart,
+            "alma_retrieve_scoped": self._retrieve_scoped,
+            "alma_retrieve_with_budget": self._retrieve_with_budget,
+            "alma_retrieve_progressive": self._retrieve_progressive,
+            "alma_learn": self._learn,
+            "alma_add_knowledge": self._add_knowledge,
+            "alma_add_preference": self._add_preference,
+            "alma_record_feedback": self._record_feedback,
+            "alma_consolidate": self._consolidate,
+            "alma_smart_forget": self._smart_forget,
+            "alma_checkpoint": self._checkpoint,
+            "alma_resume": self._resume,
+            "alma_merge_states": self._merge_states,
+            "alma_stats": self._stats,
+            "alma_health": self._health,
+        }
+
+    def tools(self) -> list[str]:
+        return sorted(self._tools)
+
+    def call(self, tool: str, **args: Any) -> dict[str, Any]:
+        if tool not in self._tools:
+            return {"error": f"unknown tool: {tool}", "available": self.tools()}
+        try:
+            return self._tools[tool](**args)
+        except TypeError as e:
+            # bad/missing arguments -> structured error payload (the
+            # reference's MCP server returns JSON-RPC errors, not stack
+            # traces)
+            return {"error": f"invalid arguments for {tool}: {e}"}
+
+    # -- retrieval ----------------------------------------------------
+
+    def _slice_dict(self, sl) -> dict[str, Any]:
+        return {
+            "query": sl.query,
+            "agent": sl.agent,
+            "mode": sl.mode,
+            "counts": {
+                "heuristics": len(sl.heuristics),
+                "outcomes": len(sl.outcomes),
+                "preferences": len(sl.preferences),
+                "domain_knowledge": len(sl.domain_knowledge),
+                "anti_patterns": len(sl.anti_patterns),
+            },
+            "heuristics": sl.heuristics,
+            "outcomes": sl.outcomes,
+            "preferences": sl.preferences,
+            "domain_knowledge": sl.domain_knowledge,
+            "anti_patterns": sl.anti_patterns,
+        }
+
+    def _retrieve(self, task: str, agent: str, project_id: str | None = None,
+                  top_k: int = 5, user_id: str | None = None) -> dict[str, Any]:
+        return self._slice_dict(
+            self.engine.retrieve(task, agent, project_id, user_id, top_k)
+        )
+
+    def _retrieve_smart(self, task: str, agent: str, project_id: str | None = None,
+                        top_k: int = 5) -> dict[str, Any]:
+        return self._slice_dict(
+            self.engine.retrieve(task, agent, project_id, top_k=top_k, mode="auto")
+        )
+
+    def _retrieve_scoped(self, task: str, agent: str, project_id: str,
+                         inherit_from: list[str] | None = None,
+                         top_k: int = 5) -> dict[str, Any]:
+        return self._slice_dict(
+            self.engine.retrieve(
+                task, agent, project_id, top_k=top_k, inherit_from=inherit_from
+            )
+        )
+
+    def _retrieve_with_budget(self, task: str, agent: str, max_tokens: int,
+                              project_id: str | None = None) -> dict[str, Any]:
+        sl, prompt = self.engine.retrieve_with_budget(task, agent, max_tokens, project_id)
+        out = self._slice_dict(sl)
+        out["prompt"] = prompt
+        return out
+
+    def _retrieve_progressive(self, task: str, agent: str,
+                              project_id: str | None = None,
+                              level: str = "summary") -> dict[str, Any]:
+        return {
+            "items": self.engine.retrieve_progressive(
+                task, agent, project_id, level=level
+            )
+        }
+
+    # -- writes -------------------------------------------------------
+
+    def _learn(self, agent: str, task: str, outcome: bool, project_id: str,
+               strategy_used: str | None = None, task_type: str | None = None,
+               error_message: str | None = None) -> dict[str, Any]:
+        try:
+            return self.engine.learn(
+                agent, task, outcome, project_id, strategy_used, task_type,
+                error_message=error_message,
+            )
+        except ValueError as e:
+            return {"blocked": True, "reason": str(e)}
+
+    def _add_knowledge(self, agent: str, project_id: str, domain: str,
+                       fact: str, source: str = "user_stated") -> dict[str, Any]:
+        return {"id": self.engine.add_knowledge(agent, project_id, domain, fact, source)}
+
+    def _add_preference(self, user_id: str, category: str, preference: str,
+                        source: str = "explicit_instruction") -> dict[str, Any]:
+        return {"id": self.engine.add_preference(user_id, category, preference, source)}
+
+    def _record_feedback(self, memory_id: str, memory_type: str, signal: str,
+                         agent: str, project_id: str | None = None) -> dict[str, Any]:
+        self.engine.record_feedback(memory_id, memory_type, signal, agent, project_id)
+        return {"recorded": True}
+
+    # -- lifecycle ----------------------------------------------------
+
+    def _consolidate(self, table: str, project_id: str,
+                     threshold: float = 0.85) -> dict[str, Any]:
+        return {"merged": self.engine.consolidate(table, project_id, threshold)}
+
+    def _smart_forget(self, table: str, project_id: str,
+                      max_age_days: float | None = None,
+                      min_confidence: float | None = None,
+                      quota: int | None = None) -> dict[str, Any]:
+        return {
+            "deleted": self.engine.forget(
+                table, project_id, max_age_days, min_confidence, quota
+            )
+        }
+
+    # -- workflow / admin --------------------------------------------
+
+    def _checkpoint(self, run_id: str, node_id: str, state: dict | str,
+                    sequence_number: int, branch_id: str | None = None,
+                    state_hash: str | None = None,
+                    skip_if_unchanged: bool = False) -> dict[str, Any]:
+        state_json = state if isinstance(state, str) else json.dumps(state)
+        cid = self.engine.checkpoint(
+            run_id, node_id, state_json, sequence_number, branch_id,
+            state_hash, skip_if_unchanged,
+        )
+        return {"checkpoint_id": cid, "skipped": cid is None}
+
+    def _resume(self, run_id: str, branch_id: str | None = None) -> dict[str, Any]:
+        row = self.engine.resume(run_id, branch_id)
+        return {"checkpoint": row}
+
+    def _merge_states(self, run_ids: list[str],
+                      reducers: dict[str, str] | None = None) -> dict[str, Any]:
+        return {"state": self.engine.merge_states(run_ids, reducers)}
+
+    def _stats(self, project_id: str | None = None) -> dict[str, Any]:
+        return self.engine.stats(project_id)
+
+    def _health(self) -> dict[str, Any]:
+        return self.engine.health()

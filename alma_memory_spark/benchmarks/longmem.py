@@ -1,0 +1,151 @@
+"""LongMemEval-style session-retrieval benchmark over the Spark engine.
+
+Method parity with the reference harness (benchmarks/longmemeval/runner.py,
+docs/benchmarks/BENCHMARK-REPORT.md:42-78): sessions are ingested as
+domain_knowledge rows carrying metadata.session_id; each question runs in
+BENCHMARK mode (pure-similarity weights, top-50, no threshold); ranked
+session ids are scored with R@K / NDCG@K / MRR against gold ids.
+
+This harness exists to pin the score-propagation property that cost the
+reference its 0.236 -> 0.964 R@5 climb (BENCHMARK-REPORT.md:112-196):
+similarity MUST flow from the vector stage into the ranking. The
+synthetic corpus generator makes gold sessions token-overlap with their
+questions, so a correct pipeline scores near 1.0 and a broken hand-off
+collapses toward chance.
+
+Spark shape: ONE job ranks ALL questions — a broadcast of the question
+embeddings against the session corpus, window top-k per question — not a
+per-question loop (that is the 1000-executor formulation; the reference
+loops questions against a fresh FAISS DB each time).
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from alma_memory_spark.benchmarks.ir_metrics import (
+    BenchmarkMetrics,
+    QuestionResult,
+    compute_metrics,
+)
+from alma_memory_spark.embedding import hash_embed
+from alma_memory_spark.functions.vector import cosine_similarity
+
+TOPIC_WORDS = {
+    "deploy": "deploy release rollout pipeline blue green switchover canary",
+    "auth": "login oauth token refresh session cookie password identity",
+    "billing": "invoice payment charge subscription refund credit card",
+    "search": "index query ranking relevance retrieval recall precision",
+    "infra": "cluster node executor shuffle partition memory spill disk",
+    "ui": "button form modal layout render component state props",
+}
+QUESTION_TYPES = [
+    "multi-session",
+    "single-session-user",
+    "knowledge-update",
+    "temporal-reasoning",
+]
+
+
+@dataclass
+class SessionCorpus:
+    sessions: DataFrame  # (session_id, session_text, embedding)
+    questions: list[dict]  # question_id, question_type, question, gold_session_ids
+
+
+def generate_corpus(
+    spark: SparkSession,
+    n_questions: int = 40,
+    sessions_per_question: int = 12,
+    dim: int = 64,
+    seed: int = 42,
+) -> SessionCorpus:
+    """Synthetic LongMemEval-shaped corpus: each question's gold sessions
+    share topic vocabulary with it; distractor sessions draw from other
+    topics (FIXTURES.md sessions-corpus shape)."""
+    rng = random.Random(seed)
+    topics = list(TOPIC_WORDS)
+    sessions: list[tuple[str, str]] = []
+    questions: list[dict] = []
+    sid = 0
+    for qi in range(n_questions):
+        topic = topics[qi % len(topics)]
+        words = TOPIC_WORDS[topic].split()
+        qtype = QUESTION_TYPES[qi % len(QUESTION_TYPES)]
+        n_gold = 2 if qtype == "multi-session" else 1
+        gold_ids = []
+        qwords = rng.sample(words, 4)
+        for g in range(n_gold):
+            gold_ids.append(f"sess_{sid:05d}")
+            body = " ".join(
+                qwords + rng.sample(words, 3) + [f"detail{qi}g{g}", f"answer{qi}"]
+            )
+            sessions.append((f"sess_{sid:05d}", body))
+            sid += 1
+        for _ in range(sessions_per_question - n_gold):
+            other = rng.choice([t for t in topics if t != topic])
+            body = " ".join(
+                rng.sample(TOPIC_WORDS[other].split(), 5) + [f"noise{sid}"]
+            )
+            sessions.append((f"sess_{sid:05d}", body))
+            sid += 1
+        questions.append(
+            {
+                "question_id": f"q_{qi:04d}",
+                "question_type": qtype,
+                "question": " ".join(qwords) + f" answer{qi}",
+                "gold_session_ids": gold_ids,
+            }
+        )
+    sess_df = spark.createDataFrame(
+        [(s, t, hash_embed(t, dim)) for s, t in sessions],
+        "session_id string, session_text string, embedding array<float>",
+    )
+    return SessionCorpus(sessions=sess_df, questions=questions)
+
+
+def run_benchmark(
+    spark: SparkSession,
+    corpus: SessionCorpus,
+    top_k: int = 50,
+    dim: int = 64,
+) -> tuple[BenchmarkMetrics, list[QuestionResult]]:
+    """Rank all questions against the session corpus in one Spark job
+    (BENCHMARK mode: pure similarity, no threshold) and score."""
+    qdf = spark.createDataFrame(
+        [
+            (q["question_id"], hash_embed(q["question"], dim))
+            for q in corpus.questions
+        ],
+        "question_id string, qvec array<float>",
+    )
+    # broadcast questions x sessions -> similarity -> top-k per question.
+    joined = corpus.sessions.crossJoin(F.broadcast(qdf))
+    sim = cosine_similarity("embedding", "qvec")
+    w = W.partitionBy("question_id").orderBy(F.desc("sim"), F.asc("session_id"))
+    ranked = (
+        joined.withColumn("sim", sim)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select("question_id", "session_id", "rk")
+    )
+    by_q: dict[str, list[tuple[int, str]]] = {}
+    for r in ranked.collect():
+        by_q.setdefault(r["question_id"], []).append((r["rk"], r["session_id"]))
+    results = []
+    for q in corpus.questions:
+        ids = [s for _, s in sorted(by_q.get(q["question_id"], []))]
+        results.append(
+            QuestionResult(
+                question_id=q["question_id"],
+                question_type=q["question_type"],
+                correct_ids=set(q["gold_session_ids"]),
+                ranked_ids=ids,
+            )
+        )
+    return compute_metrics(results), results

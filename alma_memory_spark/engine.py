@@ -175,6 +175,71 @@ class AlmaSpark:
             self._cache.popitem(last=False)
         return sl
 
+    def retrieve_with_budget(
+        self,
+        task: str,
+        agent: str,
+        max_tokens: int,
+        project_id: str | None = None,
+        user_id: str | None = None,
+        top_k: int = 10,
+    ) -> tuple[MemorySlice, str]:
+        """Budget-constrained retrieval: same pipeline, prompt packed to
+        `max_tokens` with the len/4 estimator (reference:
+        alma/retrieval/budget.py:131-195). Returns (slice, prompt)."""
+        sl = self.retrieve(task, agent, project_id=project_id, user_id=user_id, top_k=top_k)
+        return sl, sl.to_prompt(max_tokens)
+
+    def retrieve_progressive(
+        self,
+        task: str,
+        agent: str,
+        project_id: str | None = None,
+        top_k: int = 10,
+        level: str = "summary",
+    ) -> list[dict[str, Any]]:
+        """Progressive disclosure (reference: alma_retrieve_progressive
+        MCP tool): `summary` returns compact (id, type, headline, score)
+        rows for cheap display; `full` returns the complete rows for the
+        ids the caller drills into."""
+        sl = self.retrieve(task, agent, project_id=project_id, top_k=top_k)
+        out: list[dict[str, Any]] = []
+        headline = {
+            "heuristics": lambda r: f"{r.get('condition')}: {r.get('strategy')}",
+            "outcomes": lambda r: r.get("task_description"),
+            "domain_knowledge": lambda r: r.get("fact"),
+            "anti_patterns": lambda r: r.get("pattern"),
+        }
+        for mtype in ("heuristics", "outcomes", "domain_knowledge", "anti_patterns"):
+            for r in getattr(sl, mtype):
+                if level == "summary":
+                    out.append(
+                        {
+                            "id": r.get("id"),
+                            "memory_type": mtype,
+                            "headline": headline[mtype](r),
+                            "score": r.get("score"),
+                        }
+                    )
+                else:
+                    out.append({**r, "memory_type": mtype})
+        out.sort(key=lambda d: -(d.get("score") or 0.0))
+        return out
+
+    def validate_embedding_dim(self, df: DataFrame, expected: int | None = None) -> int:
+        """Embedding-dimension validation at plan time (reference:
+        engine.py:891-929 validates provider dim vs storage dim)."""
+        expected = expected or self.embedder.dim
+        bad = df.filter(
+            F.col("embedding").isNotNull() & (F.size("embedding") != expected)
+        ).limit(1).count()
+        if bad:
+            raise ValueError(
+                f"embedding dimension mismatch: expected {expected} "
+                "(provider dim) but found rows with a different size"
+            )
+        return expected
+
     # ------------------------------------------------------------------
     # learn path (reference core.py:309-380, protocols.py:59-279)
     # ------------------------------------------------------------------

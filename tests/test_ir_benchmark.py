@@ -1,0 +1,73 @@
+"""IR-metric harness tests: metric formulas with literal values, and the
+LongMemEval-style end-to-end benchmark (score-propagation oracle)."""
+
+import math
+
+from alma_memory_spark.benchmarks.ir_metrics import (
+    QuestionResult,
+    compute_metrics,
+    mrr,
+    ndcg_at_k,
+    precision_at_k,
+    recall_all_at_k,
+    recall_at_k,
+)
+from alma_memory_spark.benchmarks.longmem import generate_corpus, run_benchmark
+
+
+def _r(qid, gold, ranked, qtype="multi-session"):
+    return QuestionResult(qid, qtype, set(gold), list(ranked))
+
+
+def test_metric_literals():
+    results = [
+        _r("q1", ["a"], ["a", "x", "y"]),          # hit at rank 1
+        _r("q2", ["b"], ["x", "b", "y"]),          # hit at rank 2
+        _r("q3", ["c"], ["x", "y", "z"]),          # miss
+        _r("q4", ["d", "e"], ["d", "x", "e"]),     # both gold in top 3
+    ]
+    assert recall_at_k(results, 1) == 0.5  # q1, q4
+    assert recall_at_k(results, 3) == 0.75
+    assert recall_all_at_k(results, 3) == 0.75  # q3 misses; q4 has both
+    assert recall_all_at_k(results, 1) == 0.25  # only q1 (q4 needs both)
+    assert abs(mrr(results) - (1.0 + 0.5 + 0.0 + 1.0) / 4) < 1e-9
+    # precision@3: q1 1/3, q2 1/3, q3 0, q4 2/3
+    assert abs(precision_at_k(results, 3) - (1 / 3 + 1 / 3 + 0 + 2 / 3) / 4) < 1e-9
+    # ndcg@3 for q2: dcg = 1/log2(3), idcg = 1 -> 0.6309...
+    nd = ndcg_at_k([results[1]], 3)
+    assert abs(nd - 1.0 / math.log2(3)) < 1e-9
+    m = compute_metrics(results, ks=(1, 3))
+    assert m.total_questions == 4
+    assert m.per_type["multi-session"].total_questions == 4
+
+
+def test_longmem_benchmark_pipeline(spark):
+    corpus = generate_corpus(spark, n_questions=24, sessions_per_question=10)
+    metrics, results = run_benchmark(spark, corpus, top_k=10)
+    # a correct score-propagation pipeline on this corpus retrieves gold
+    # sessions near-perfectly; a broken hand-off collapses toward chance
+    assert metrics.recall_at_k[5] >= 0.95
+    assert metrics.mrr >= 0.8
+    assert metrics.recall_at_k[1] >= 0.7
+    # per-type breakdown exists for all four types
+    assert len(metrics.per_type) == 4
+    # every question produced a full ranking
+    assert all(len(r.ranked_ids) == 10 for r in results)
+
+
+def test_longmem_detects_broken_propagation(spark):
+    """If ranking ignores similarity (the bug class the reference fought:
+    BENCHMARK-REPORT.md:112-196), recall collapses — the harness must
+    catch it. Simulate by shuffling ranked ids."""
+    import random
+
+    corpus = generate_corpus(spark, n_questions=12, sessions_per_question=10)
+    metrics, results = run_benchmark(spark, corpus, top_k=10)
+    rng = random.Random(0)
+    broken = []
+    all_ids = [r2 for res in results for r2 in res.ranked_ids]
+    for r in results:
+        fake = rng.sample(all_ids, min(10, len(all_ids)))
+        broken.append(QuestionResult(r.question_id, r.question_type, r.correct_ids, fake))
+    bm = compute_metrics(broken, ks=(5,))
+    assert bm.recall_at_k[5] < metrics.recall_at_k[5]
