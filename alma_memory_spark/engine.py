@@ -565,3 +565,185 @@ class AlmaSpark:
         self, run_ids: list[str], reducers: dict[str, str] | None = None
     ) -> dict[str, Any]:
         return WF.merge_checkpoint_states(self.store.read("checkpoints"), run_ids, reducers)
+
+    def save_handoff(
+        self,
+        agent: str,
+        project_id: str,
+        last_action: str,
+        key_decisions: list[str] | None = None,
+        active_files: list[str] | None = None,
+        blockers: list[str] | None = None,
+        next_steps: list[str] | None = None,
+    ) -> str:
+        hid = self._new_id("hand")
+        self.store.append(
+            "session_handoffs",
+            self._rows_df(
+                "session_handoffs",
+                [
+                    {
+                        "id": hid,
+                        "agent": agent,
+                        "project_id": project_id,
+                        "last_action": last_action,
+                        "key_decisions": key_decisions or [],
+                        "active_files": active_files or [],
+                        "blockers": blockers or [],
+                        "next_steps": next_steps or [],
+                        "created_at": self._now(),
+                    }
+                ],
+            ),
+        )
+        return hid
+
+    def get_latest_handoff(self, agent: str) -> dict[str, Any] | None:
+        rows = (
+            WF.latest_handoffs(
+                self.store.read("session_handoffs").filter(F.col("agent") == agent)
+            )
+            .collect()
+        )
+        return rows[0].asDict() if rows else None
+
+    def record_workflow_outcome(
+        self,
+        workflow_id: str,
+        run_id: str,
+        agent: str,
+        project_id: str,
+        result: str,
+        summary: str | None = None,
+        strategies_used: list[str] | None = None,
+        successful_patterns: list[str] | None = None,
+        failed_patterns: list[str] | None = None,
+        duration_seconds: float | None = None,
+        node_count: int | None = None,
+        tenant_id: str | None = None,
+    ) -> str:
+        wid = self._new_id("wf")
+        self.store.append(
+            "workflow_outcomes",
+            self._rows_df(
+                "workflow_outcomes",
+                [
+                    {
+                        "id": wid,
+                        "tenant_id": tenant_id,
+                        "workflow_id": workflow_id,
+                        "run_id": run_id,
+                        "agent": agent,
+                        "project_id": project_id,
+                        "result": result,
+                        "summary": summary,
+                        "strategies_used": strategies_used or [],
+                        "successful_patterns": successful_patterns or [],
+                        "failed_patterns": failed_patterns or [],
+                        "duration_seconds": duration_seconds,
+                        "node_count": node_count,
+                        "error_message": None,
+                        "created_at": self._now(),
+                    }
+                ],
+            ),
+        )
+        return wid
+
+    def get_workflow_outcomes(
+        self,
+        tenant_id: str | None = None,
+        workflow_id: str | None = None,
+        run_id: str | None = None,
+    ) -> DataFrame:
+        """ScopeFilter semantics (reference: types.py:88-141,
+        sqlite_local.py:1971-1995): hierarchical tenant > workflow > run
+        equality filters — partition-prunable columns at scale."""
+        df = self.store.read("workflow_outcomes")
+        if tenant_id is not None:
+            df = df.filter(F.col("tenant_id") == tenant_id)
+        if workflow_id is not None:
+            df = df.filter(F.col("workflow_id") == workflow_id)
+        if run_id is not None:
+            df = df.filter(F.col("run_id") == run_id)
+        return df
+
+    # ------------------------------------------------------------------
+    # graph (reference: alma/graph/store.py)
+    # ------------------------------------------------------------------
+
+    def add_entity(
+        self, name: str, entity_type: str, properties: dict[str, str] | None = None
+    ) -> str:
+        eid = self._new_id("ent")
+        self.store.append(
+            "graph_entities",
+            self._rows_df(
+                "graph_entities",
+                [
+                    {
+                        "id": eid,
+                        "name": name,
+                        "entity_type": entity_type,
+                        "properties": properties or {},
+                        "created_at": self._now(),
+                    }
+                ],
+            ),
+        )
+        return eid
+
+    def add_relationship(
+        self,
+        source_id: str,
+        target_id: str,
+        relation_type: str,
+        confidence: float = 1.0,
+        valid_from: datetime | None = None,
+        valid_to: datetime | None = None,
+        properties: dict[str, str] | None = None,
+    ) -> str:
+        rid = self._new_id("rel")
+        self.store.append(
+            "graph_relationships",
+            self._rows_df(
+                "graph_relationships",
+                [
+                    {
+                        "id": rid,
+                        "source_id": source_id,
+                        "target_id": target_id,
+                        "relation_type": relation_type,
+                        "properties": properties or {},
+                        "confidence": confidence,
+                        "created_at": self._now(),
+                        "valid_from": valid_from,
+                        "valid_to": valid_to,
+                    }
+                ],
+            ),
+        )
+        return rid
+
+    def graph_neighbors(
+        self,
+        start_ids: list[str],
+        max_hops: int = 2,
+        relation_types: list[str] | None = None,
+        at: datetime | None = None,
+    ) -> DataFrame:
+        from alma_memory_spark.operators.graph import neighborhood
+
+        return neighborhood(
+            self.store.read("graph_entities"),
+            self.store.read("graph_relationships"),
+            start_ids,
+            max_hops,
+            relation_types,
+            at,
+        )
+
+    def relationships_as_of(self, at: datetime, **kwargs) -> DataFrame:
+        from alma_memory_spark.operators.graph import relationships_as_of
+
+        return relationships_as_of(self.store.read("graph_relationships"), at, **kwargs)

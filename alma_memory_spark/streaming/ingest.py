@@ -106,3 +106,55 @@ def streaming_strength(stream: DataFrame, half_life_days: float = 30.0) -> DataF
         "strength",
         recency_score("timestamp", F.current_timestamp(), half_life_days),
     )
+
+
+def running_success_rate(
+    stream: DataFrame, timeout_minutes: int | None = None
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-agent RUNNING totals across micro-batches (the incremental form
+    of the learning loop's success tracking — state the windowed agg
+    cannot express because it never closes).
+
+    State = (occurrences, successes); emits one updated row per agent
+    per batch. Pass `timeout_minutes` in production to expire idle
+    agents' state (bounded state on an unbounded stream); the default is
+    NoTimeout because ProcessingTimeTimeout schedules continuous
+    timeout-evaluation batches, which livelocks the synchronous
+    `processAllAvailable()` test/maintenance pattern."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "agent string, occurrence_count long, success_count long, success_rate double"
+    )
+    state_schema = "occ long, succ long"
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_minutes
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        occ, succ = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            occ += len(pdf)
+            succ += int(pdf["success"].sum())
+        state.update((occ, succ))
+        if timeout_minutes:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {
+                "agent": [key[0]],
+                "occurrence_count": [occ],
+                "success_count": [succ],
+                "success_rate": [succ / occ if occ else 0.0],
+            }
+        )
+
+    return stream.groupBy("agent").applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )

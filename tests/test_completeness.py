@@ -1,0 +1,143 @@
+"""Tests for compression, entity detection, stateful streaming, and the
+engine's graph/handoff/workflow-outcome surface."""
+
+from datetime import timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from alma_memory_spark.engine import AlmaSpark
+from alma_memory_spark.operators.compression import (
+    CompressionResult,
+    compress_column,
+    compress_text,
+)
+from alma_memory_spark.operators.entities import detect_entities
+from alma_memory_spark.sources.store import ParquetStore
+from alma_memory_spark.streaming.ingest import (
+    read_outcome_stream,
+    running_success_rate,
+)
+from alma_memory_spark.testing import fixtures as FX
+
+LONG = (
+    "The deploy failed on Tuesday. The root cause was a stale cache because "
+    "the invalidation step never ran. We must always purge the cache before "
+    "a rollout. The fix works by adding an explicit purge stage. Unrelated "
+    "chatter about lunch happened in the channel. The monitoring dashboard "
+    "showed elevated errors due to the stale entries."
+)
+
+
+def test_compress_text_rules():
+    r = compress_text(LONG, "medium")
+    assert r.original_length == len(LONG)
+    assert r.compression_ratio > 1.5
+    assert "deploy failed" in r.summary  # first sentence kept
+    assert any("must always purge" in f for f in r.constraints)
+    assert len(r.key_facts) <= 5 and r.key_facts
+    # short content passes through untouched
+    short = compress_text("tiny note.", "heavy")
+    assert short.summary == "tiny note." and short.compression_ratio == 1.0
+    # levels shrink output monotonically
+    heavy = compress_text(LONG, "heavy")
+    assert heavy.compressed_length <= r.compressed_length
+
+
+def test_compress_text_llm_hook():
+    class FakeLLM:
+        def complete(self, prompt, timeout=None):
+            return "LLM SUMMARY"
+
+    r = compress_text(LONG, "medium", llm_client=FakeLLM())
+    assert r.summary == "LLM SUMMARY"
+
+
+def test_compress_column(spark):
+    df = spark.createDataFrame([("d1", LONG), ("d2", "short text.")], "id string, text string")
+    out = {r["id"]: r for r in compress_column(df, "text").collect()}
+    assert out["d2"]["compressed"] == "short text."
+    assert out["d1"]["compression_ratio"] > 1.0
+    assert len(out["d1"]["compressed"]) < len(LONG)
+
+
+def test_detect_entities(spark):
+    text = (
+        "Helena said the deploy looks fine. Helena asked about the cache. "
+        "Thanks Helena. Atlas is the build repo we deploy from; Atlas "
+        "version two ships Friday. Atlas install docs are stale. "
+        "Memory Palace is discussed here. Memory Palace again. Memory Palace forever."
+    )
+    docs = spark.createDataFrame([(text,)], "text string")
+    out = {r["name"]: r for r in detect_entities(docs, min_frequency=3).collect()}
+    assert "Helena" in out and out["Helena"]["entity_type"] == "person"
+    assert "Atlas" in out
+    assert out["Memory Palace"]["entity_type"] == "concept"
+    assert all(r["frequency"] >= 3 for r in out.values())
+
+
+def test_running_success_rate_stateful(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    FX.seed_outcomes(spark).limit(30).write.mode("append").parquet(str(src))
+    q = (
+        running_success_rate(read_outcome_stream(spark, str(src)))
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_rate")
+        .start()
+    )
+    q.processAllAvailable()
+    first = {
+        r["agent"]: r for r in spark.sql("SELECT * FROM running_rate").collect()
+    }
+    assert first and all(0 <= r["success_rate"] <= 1 for r in first.values())
+    # second batch: totals must GROW (state persisted across batches)
+    FX.seed_outcomes(spark).limit(60).write.mode("append").parquet(str(src))
+    q.processAllAvailable()
+    rows = spark.sql("SELECT * FROM running_rate").collect()
+    q.stop()
+    latest: dict = {}
+    for r in rows:  # memory sink in update mode appends; take max per agent
+        cur = latest.get(r["agent"])
+        if cur is None or r["occurrence_count"] > cur["occurrence_count"]:
+            latest[r["agent"]] = r
+    total = sum(r["occurrence_count"] for r in latest.values())
+    assert total == 90  # 30 + 60 accumulated, not reprocessed
+
+
+def test_engine_graph_and_handoffs(spark, tmp_path):
+    eng = AlmaSpark(spark, str(tmp_path / "store"))
+    e1 = eng.add_entity("helena", "person")
+    e2 = eng.add_entity("atlas", "tool")
+    e3 = eng.add_entity("corp", "organization")
+    eng.add_relationship(e1, e2, "USES")
+    eng.add_relationship(e2, e3, "CREATED_BY")
+    past = FX.NOW - timedelta(days=400)
+    eng.add_relationship(e1, e3, "WORKS_AT", valid_from=None, valid_to=past)
+    # without an as-of time every edge is traversable -> e3 is 1 hop away
+    hops_all = {r["id"]: r["hop"] for r in eng.graph_neighbors([e1]).collect()}
+    assert hops_all[e3] == 1
+    # as of NOW the expired WORKS_AT edge is invisible -> e3 via e2 = 2 hops
+    hops = {r["id"]: r["hop"] for r in eng.graph_neighbors([e1], at=FX.NOW).collect()}
+    assert hops[e2] == 1 and hops[e3] == 2
+    # as-of: the expired WORKS_AT edge is invisible now, visible back then
+    now_edges = {r["relation_type"] for r in eng.relationships_as_of(FX.NOW, source_id=e1).collect()}
+    assert now_edges == {"USES"}
+    then_edges = {
+        r["relation_type"]
+        for r in eng.relationships_as_of(past - timedelta(days=1), source_id=e1).collect()
+    }
+    assert "WORKS_AT" in then_edges
+
+    hid = eng.save_handoff("helena", "p", "fixed the deploy", next_steps=["watch dashboards"])
+    assert hid.startswith("hand_")
+    h = eng.get_latest_handoff("helena")
+    assert h["last_action"] == "fixed the deploy"
+    assert eng.get_latest_handoff("nobody") is None
+
+    eng.record_workflow_outcome("wf-a", "run-1", "helena", "p", "success", node_count=4)
+    eng.record_workflow_outcome("wf-a", "run-2", "helena", "p", "failure", tenant_id="t1")
+    assert eng.get_workflow_outcomes(workflow_id="wf-a").count() == 2
+    assert eng.get_workflow_outcomes(tenant_id="t1").count() == 1
+    assert eng.get_workflow_outcomes(run_id="run-1").count() == 1
