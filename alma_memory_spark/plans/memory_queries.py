@@ -26,7 +26,7 @@ from alma_memory_spark.functions.vector import cosine_similarity
     """
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events
     GROUP BY event_type

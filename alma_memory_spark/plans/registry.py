@@ -142,7 +142,7 @@ def anti_join_write_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "topk_per_group",
     """
-    SELECT o_custkey, o_orderkey, o_totalprice, rk
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS BIGINT) AS rk
     FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
              row_number() OVER (PARTITION BY o_custkey
@@ -160,7 +160,9 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+        .select(
+            "o_custkey", "o_orderkey", "o_totalprice", F.col("rk").cast("long").alias("rk")
+        )
     )
 
 

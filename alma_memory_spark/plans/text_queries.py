@@ -56,7 +56,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        X.token_count("text").alias("n_tokens"),
+        X.token_count("text").cast("long").alias("n_tokens"),
         X.token_estimate("text").alias("token_estimate"),
         F.length("text").cast("long").alias("n_chars_actual"),
     )
@@ -119,7 +119,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "simhash_fingerprint",
     f"""
-    SELECT doc_id, {X.sql_simhash32(X.sql_ws_tokens('text'))} AS simhash
+    SELECT doc_id, CAST({X.sql_simhash32(X.sql_ws_tokens('text'))} AS BIGINT) AS simhash
     FROM documents
     """,
 )
@@ -588,7 +588,7 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sessionize",
     """
-    SELECT event_id, user_id, ts, session_id
+    SELECT event_id, user_id, ts, CAST(session_id AS BIGINT) AS session_id
     FROM (
       SELECT event_id, user_id, ts,
              sum(CASE WHEN prev_ts IS NULL
