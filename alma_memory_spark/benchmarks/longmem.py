@@ -149,3 +149,54 @@ def run_benchmark(
             )
         )
     return compute_metrics(results), results
+
+
+def run_benchmark_via_engine(
+    engine,
+    corpus: SessionCorpus,
+    top_k: int = 50,
+    project_id: str = "longmem",
+    agent: str = "bench",
+) -> tuple[BenchmarkMetrics, list[QuestionResult]]:
+    """METHOD-parity run: sessions ingested as domain_knowledge rows with
+    metadata.session_id, each question answered through the engine's
+    public `retrieve(..., mode='benchmark')` (pure-similarity weights,
+    no threshold) — exactly the reference's LongMemEval procedure
+    (docs/benchmarks/BENCHMARK-REPORT.md:42-78). Slower than the one-job
+    `run_benchmark` (per-question API calls); use it to certify the
+    engine end-to-end, the one-job form for scale."""
+    from pyspark.sql import functions as F
+
+    rows = corpus.sessions.select(
+        F.concat(F.lit("dk_"), F.col("session_id")).alias("id"),
+        F.lit(agent).alias("agent"),
+        F.lit(project_id).alias("project_id"),
+        F.lit("session").alias("domain"),
+        F.col("session_text").alias("fact"),
+        F.lit("benchmark").alias("source"),
+        F.lit(1.0).alias("confidence"),
+        F.current_timestamp().alias("last_verified"),
+        F.lit(None).cast("string").alias("verification_status"),
+        F.col("embedding"),
+        F.create_map(F.lit("session_id"), F.col("session_id")).alias("metadata"),
+    )
+    engine.store.append("domain_knowledge", rows)
+    results = []
+    for q in corpus.questions:
+        sl = engine.retrieve(
+            q["question"], agent=agent, project_id=project_id,
+            top_k=top_k, mode="benchmark",
+        )
+        ranked = [
+            (r.get("metadata") or {}).get("session_id")
+            for r in sl.domain_knowledge
+        ]
+        results.append(
+            QuestionResult(
+                question_id=q["question_id"],
+                question_type=q["question_type"],
+                correct_ids=set(q["gold_session_ids"]),
+                ranked_ids=[s for s in ranked if s],
+            )
+        )
+    return compute_metrics(results), results

@@ -56,6 +56,9 @@ class AlmaSpark:
         embedder: HashEmbedder | None = None,
         feedback_weight: float = 0.15,
     ):
+        from alma_memory_spark.session import ensure_package_shipped
+
+        ensure_package_shipped(spark)
         self.spark = spark
         self.store = ParquetStore(spark, root)
         self.embedder = embedder or HashEmbedder()

@@ -49,11 +49,45 @@ _NANO_TS_COLS = {
 }
 
 
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via addPyFile.
+
+    Queries that use pandas UDFs / applyInPandas capture module globals
+    in their closures; cloudpickle serializes those by reference, so the
+    workers must be able to import `alma_memory_spark`. When the driver
+    process runs from outside the repo (as the harness driver does),
+    sys.path tweaks on the driver do NOT propagate — a zipped copy of
+    the package shipped through Spark's file distribution does."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED_SESSIONS:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"alma_memory_spark_pkg_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    spark.sparkContext.addPyFile(zpath)
+    _SHIPPED_SESSIONS.add(key)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     from pyspark.sql import functions as F
 
     # the driver may hand us a session without this (runtime-settable) conf
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_package_shipped(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NANO_TS_COLS.get(name, []):
         if dict(df.dtypes).get(c) == "bigint":

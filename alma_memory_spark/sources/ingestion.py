@@ -260,3 +260,89 @@ def mine_directory(spark: SparkSession, directory: str) -> DataFrame:
     )
     chunks = chunk_text_df(docs)
     return classify_chunks(chunks).filter(F.col("memory_type").isNotNull())
+
+
+def ingest_directory_to_store(
+    spark: SparkSession,
+    directory: str,
+    store,
+    agent: str = "miner",
+    project_id: str = "ingested",
+    dim: int | None = None,
+) -> dict[str, int]:
+    """Full ingestion pipeline: mine -> write-time embedding via the
+    Arrow-batched encode UDF (embeddings are computed DISTRIBUTED, per
+    batch, never per-row on the driver) -> per-type appends into the
+    store. Returns rows written per memory type.
+
+    This is the 100 TB entry point: every stage (normalize is per-file,
+    chunk/classify/encode are column/pandas expressions, writes are
+    partitioned appends) parallelizes with the file count."""
+    from alma_memory_spark.embedding import DEFAULT_DIM, encode_udf
+
+    dim = dim or DEFAULT_DIM
+    mined = mine_directory(spark, directory).withColumn(
+        "embedding", encode_udf(dim)(F.col("chunk"))
+    )
+    mined = mined.withColumn(
+        "id", F.concat(F.lit("mined_"), F.substring(F.md5(F.col("chunk")), 1, 12))
+    ).withColumn("now", F.current_timestamp())
+    written: dict[str, int] = {}
+
+    dk = mined.filter(F.col("memory_type") == "domain_knowledge").select(
+        "id",
+        F.lit(agent).alias("agent"),
+        F.lit(project_id).alias("project_id"),
+        F.lit("mined").alias("domain"),
+        F.col("chunk").alias("fact"),
+        F.lit("file_mining").alias("source"),
+        F.col("extract_confidence").alias("confidence"),
+        F.col("now").alias("last_verified"),
+        F.lit(None).cast("string").alias("verification_status"),
+        "embedding",
+        F.create_map(F.lit("source_file"), F.col("source_file")).alias("metadata"),
+    )
+    n = dk.count()
+    if n:
+        store.append("domain_knowledge", dk)
+    written["domain_knowledge"] = n
+
+    heur = mined.filter(F.col("memory_type") == "heuristic").select(
+        "id",
+        F.lit(agent).alias("agent"),
+        F.lit(project_id).alias("project_id"),
+        F.lit("mined from files").alias("condition"),
+        F.col("chunk").alias("strategy"),
+        F.col("extract_confidence").alias("confidence"),
+        F.lit(1).alias("occurrence_count"),
+        F.lit(1).alias("success_count"),
+        F.col("now").alias("last_validated"),
+        F.col("now").alias("created_at"),
+        F.lit(None).cast("string").alias("verification_status"),
+        "embedding",
+        F.create_map(F.lit("source_file"), F.col("source_file")).alias("metadata"),
+    )
+    n = heur.count()
+    if n:
+        store.append("heuristics", heur)
+    written["heuristics"] = n
+
+    ap = mined.filter(F.col("memory_type") == "anti_pattern").select(
+        "id",
+        F.lit(agent).alias("agent"),
+        F.lit(project_id).alias("project_id"),
+        F.col("chunk").alias("pattern"),
+        F.lit("mined warning").alias("why_bad"),
+        F.lit(None).cast("string").alias("better_alternative"),
+        F.lit(1).alias("occurrence_count"),
+        F.col("now").alias("last_seen"),
+        F.col("now").alias("created_at"),
+        F.lit(None).cast("string").alias("verification_status"),
+        "embedding",
+        F.create_map(F.lit("source_file"), F.col("source_file")).alias("metadata"),
+    )
+    n = ap.count()
+    if n:
+        store.append("anti_patterns", ap)
+    written["anti_patterns"] = n
+    return written

@@ -1,0 +1,103 @@
+"""Property-based tests (hypothesis): invariants the unit goldens can't
+cover — upsert idempotence, hash-embedding determinism/normalization,
+compression bounds, MinHash containment, merge_states algebra."""
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from alma_memory_spark.embedding import hash_embed
+from alma_memory_spark.functions.text import MINHASH_A, MINHASH_B, MINHASH_PRIME
+from alma_memory_spark.operators.compression import compress_text
+from alma_memory_spark.operators.workflow import merge_states
+from alma_memory_spark.slice import sanitize_query
+
+TEXT = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd", "Zs")),
+    min_size=0,
+    max_size=400,
+)
+
+
+@given(TEXT)
+@settings(max_examples=200, suppress_health_check=[HealthCheck.too_slow])
+def test_hash_embed_unit_norm_and_deterministic(text):
+    v1 = hash_embed(text, 32)
+    v2 = hash_embed(text, 32)
+    assert v1 == v2
+    norm = math.sqrt(sum(x * x for x in v1))
+    assert abs(norm - 1.0) < 1e-9
+
+
+@given(TEXT, TEXT)
+@settings(max_examples=100)
+def test_hash_embed_token_order_invariant(a, b):
+    """Bag-of-tokens: token order must not change the embedding."""
+    joined = f"{a} {b}"
+    reversed_ = f"{b} {a}"
+    assert hash_embed(joined, 32) == hash_embed(reversed_, 32)
+
+
+@given(st.text(min_size=0, max_size=2000))
+@settings(max_examples=100)
+def test_compress_never_grows(content):
+    r = compress_text(content, "medium")
+    assert r.compressed_length <= max(r.original_length, 0) or r.summary == content
+    assert r.original_length == len(content)
+    assert len(r.key_facts) <= 5 and len(r.constraints) <= 3
+
+
+@given(st.text(min_size=0, max_size=1000))
+@settings(max_examples=100)
+def test_sanitize_query_bounded(q):
+    out = sanitize_query(q)
+    assert len(out) <= max(len(q.strip()), 250)
+    if len(q.strip()) <= 200:
+        assert out == q.strip()
+
+
+@given(
+    st.lists(
+        st.dictionaries(
+            st.sampled_from(["a", "b", "n"]),
+            st.integers(min_value=-100, max_value=100),
+            max_size=3,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=100)
+def test_merge_states_sum_algebra(states):
+    out = merge_states(states, {"a": "sum", "b": "max", "n": "min"})
+    for k, fn in [("a", sum), ("b", max), ("n", min)]:
+        vals = [s[k] for s in states if k in s]
+        if vals:
+            assert out[k] == fn(vals)
+        else:
+            assert k not in out
+
+
+@given(st.lists(st.text(min_size=1, max_size=12), min_size=1, max_size=30, unique=True))
+@settings(max_examples=50)
+def test_minhash_permutation_range(tokens):
+    """Driver-side mirror of the minhash permutation: values stay in
+    [0, p) and the signature of a superset is <= elementwise (more
+    tokens can only lower minima)."""
+    import hashlib
+
+    def h32(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+
+    def sig(toks):
+        return [
+            min(((MINHASH_A[j] * h32(t) + MINHASH_B[j]) % MINHASH_PRIME) for t in toks)
+            for j in range(8)
+        ]
+
+    s_all = sig(tokens)
+    assert all(0 <= v < MINHASH_PRIME for v in s_all)
+    subset = tokens[: max(1, len(tokens) // 2)]
+    s_sub = sig(subset)
+    assert all(a <= b for a, b in zip(s_all, s_sub))
