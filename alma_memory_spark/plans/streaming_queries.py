@@ -1,0 +1,86 @@
+"""Structured Streaming query for the driver gate: a real streaming job
+(readStream -> watermarked tumbling-window aggregation -> memory sink,
+processed to completion) whose final result equals a batch oracle — so
+even the streaming path is DuckDB-hash-checked, not just rows-counted.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from alma_memory_spark.plans.registry import _r6, register
+
+_EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+@register(
+    "streaming_window_stats",
+    """
+    SELECT CAST(floor(epoch(ts) / 86400.0) * 86400 AS BIGINT) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(CAST(sum(value::DECIMAL(18,2)) AS DOUBLE), 6) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed aggregation (SURVEY §2.9): the events table is
+    replayed through a FILE STREAM (readStream, maxFilesPerTrigger) into
+    a watermarked 1-day tumbling-window count/sum, drained with
+    processAllAvailable into a memory sink. The completed stream result
+    must equal the batch oracle — this is the determinism property that
+    makes streaming ingestion safe to adopt incrementally at scale.
+
+    DECIMAL sums keep the aggregate order-independent across micro-batch
+    boundaries exactly as across partitions in batch."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from alma_memory_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    stream = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .parquet(sf_dir)
+    )
+    # nanos->timestamp, then watermark + tumbling window
+    ev = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        ev.withWatermark("ts", "2 days")
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_dec"),
+        )
+    )
+    qname = "stream_win_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = (
+            spark.table(qname)
+            .select(
+                F.col("win.start").cast("long").alias("window_start"),
+                "event_type",
+                "n",
+                _r6(F.col("sum_dec").cast("double")).alias("sum_value"),
+            )
+            # materialize before the stream/view goes away
+            .cache()
+        )
+        out.count()
+        return out
+    finally:
+        q.stop()

@@ -504,6 +504,10 @@ def tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs.withColumn("doc_len", F.size("toks"))
     n_docs = docs.count()
 
+    # NOTE: caching this exploded table measured SLOWER than recomputing
+    # it (materialization cost > 3x tokenize+explode at this scale);
+    # on a cluster with memory to spare the trade flips — leave the
+    # lineage declarative and let the deployment decide via persist()
     terms = docs.select(
         "doc_id", "doc_len", F.explode("toks").alias("term")
     )
