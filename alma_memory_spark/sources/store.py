@@ -188,6 +188,36 @@ class ParquetStore:
             )
         return n
 
+    def migrate(self, table: str) -> list[str]:
+        """Idempotent schema migration: add any columns the current
+        schema defines that the stored files lack (NULL-filled), e.g.
+        the verification columns added in the reference's v1.2.0
+        migration (sqlite_local.py:1726-1818). Returns added columns."""
+        if not self.exists(table):
+            return []
+        target = schemas.ALL_TABLES[table]
+        df = self.spark.read.parquet(self._path(table))
+        have = set(df.columns)
+        added = []
+        for field in target.fields:
+            if field.name not in have:
+                df = df.withColumn(field.name, F.lit(None).cast(field.dataType))
+                added.append(field.name)
+        if added:
+            df = df.select([f.name for f in target.fields])
+            self.overwrite(table, df)
+        return added
+
+    def export_json(self, table: str, path: str) -> None:
+        """JSON export (the reference's zero-dep file-based store format,
+        alma/storage/file_based.py). Embeddings/maps serialize natively."""
+        self.read(table).write.mode("overwrite").json(path)
+
+    def import_json(self, table: str, path: str) -> None:
+        """Import a JSON export, coercing to the table schema."""
+        df = self.spark.read.schema(schemas.ALL_TABLES[table]).json(path)
+        self.append(table, df)
+
     def stats(self, project_id: str | None = None) -> dict[str, int]:
         """Per-type row counts (reference: sqlite_local.py:1486-1527)."""
         out: dict[str, int] = {}

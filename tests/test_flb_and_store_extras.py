@@ -1,0 +1,50 @@
+"""Feedback-learning benchmark + store migration / JSON round-trip."""
+
+from pyspark.sql import functions as F
+
+from alma_memory_spark import schemas
+from alma_memory_spark.benchmarks.feedback_learning import run_feedback_learning
+from alma_memory_spark.benchmarks.longmem import generate_corpus
+from alma_memory_spark.sources.store import ParquetStore
+from alma_memory_spark.testing import fixtures as FX
+
+
+def test_feedback_learning_uplift(spark):
+    corpus = generate_corpus(spark, n_questions=24, sessions_per_question=12)
+    rounds = run_feedback_learning(spark, corpus, rounds=3)
+    assert len(rounds) == 4
+    base, final = rounds[0].recall_at_5, rounds[-1].recall_at_5
+    # weakened retriever leaves headroom; accurate-ish feedback must help
+    assert base < 0.9
+    assert final >= base
+    assert final - base > 0.0  # the reference's headline: positive delta
+
+
+def test_store_migrate_adds_missing_columns(spark, tmp_path):
+    store = ParquetStore(spark, str(tmp_path / "s"))
+    # write heuristics WITHOUT the verification column (pre-migration shape)
+    old = FX.seed_heuristics(spark).drop("verification_status")
+    old.write.mode("append").partitionBy("project_id", "agent").parquet(
+        str(tmp_path / "s" / "heuristics")
+    )
+    added = store.migrate("heuristics")
+    assert added == ["verification_status"]
+    df = store.read("heuristics")
+    assert "verification_status" in df.columns
+    assert df.filter(F.col("verification_status").isNull()).count() == df.count()
+    # idempotent
+    assert store.migrate("heuristics") == []
+
+
+def test_store_json_roundtrip(spark, tmp_path):
+    store = ParquetStore(spark, str(tmp_path / "s2"))
+    store.append("heuristics", FX.seed_heuristics(spark))
+    n = store.read("heuristics").count()
+    store.export_json("heuristics", str(tmp_path / "export"))
+    store2 = ParquetStore(spark, str(tmp_path / "s3"))
+    store2.import_json("heuristics", str(tmp_path / "export"))
+    df2 = store2.read("heuristics")
+    assert df2.count() == n
+    assert dict(df2.dtypes) == dict(
+        spark.createDataFrame([], schemas.HEURISTICS).dtypes
+    )
