@@ -1,0 +1,224 @@
+"""Hybrid retrieval gate query (vector + text RRF with a full DuckDB
+oracle) plus rows-only gate entries for operators whose semantics are
+not single-pass-SQL-expressible (iterative connected components,
+stateful streaming): the driver records a weaker rows-only check for
+those — visible as such in CORRECTNESS_r{N}.json."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from alma_memory_spark.functions import text as X
+from alma_memory_spark.functions.vector import cosine_similarity
+from alma_memory_spark.plans.registry import (
+    _COS_SQL,
+    _QV_SQL,
+    QUERY_TEXT,
+    QUERY_VEC,
+    _r6,
+    _t,
+    register,
+)
+
+_QTERMS = sorted(set(QUERY_TEXT.lower().split()))
+_QTERMS_SQL = "[" + ",".join(f"'{t}'" for t in _QTERMS) + "]"
+_QTF = 1.0 / len(QUERY_TEXT.lower().split())
+
+
+@register(
+    "hybrid_rrf_search",
+    f"""
+    WITH qv AS (SELECT {_QV_SQL} AS q),
+    vecrank AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (ORDER BY {_COS_SQL} DESC, vec_id ASC) AS vrank
+      FROM embeddings, qv
+      ORDER BY vrank LIMIT 40
+    ),
+    docs AS (
+      SELECT doc_id, {X.sql_ws_tokens('text')} AS toks FROM documents
+    ),
+    n AS (SELECT count(*) AS n_docs FROM docs),
+    df AS (
+      SELECT term, count(*) AS df FROM (
+        SELECT doc_id, unnest(list_distinct(toks)) AS term FROM docs
+      ) GROUP BY term
+    ),
+    idf AS (SELECT term, ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0 AS idf FROM df, n),
+    qterms AS (SELECT unnest({_QTERMS_SQL}) AS term, {_QTF} AS qtf),
+    qvec AS (
+      SELECT q.term, q.qtf * coalesce(i.idf, 0.0) AS qw
+      FROM qterms q LEFT JOIN idf i ON q.term = i.term
+    ),
+    qnorm AS (SELECT sqrt(sum(qw * qw)) AS qn FROM qvec),
+    doc_terms AS (
+      SELECT doc_id, term, count(*) * 1.0 / any_value(doc_len) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term, len(toks) AS doc_len FROM docs)
+      GROUP BY doc_id, term
+    ),
+    doc_w AS (
+      SELECT dt.doc_id, dt.term, dt.tf * i.idf AS w
+      FROM doc_terms dt JOIN idf i ON dt.term = i.term
+    ),
+    dnorm AS (SELECT doc_id, sqrt(sum(w * w)) AS dn FROM doc_w GROUP BY doc_id),
+    dots AS (
+      SELECT w.doc_id, sum(w.w * q.qw) AS dot
+      FROM doc_w w JOIN qvec q ON w.term = q.term GROUP BY w.doc_id
+    ),
+    textrank AS (
+      SELECT d.doc_id,
+             row_number() OVER (ORDER BY d.dot / (qn.qn * dn.dn) DESC, d.doc_id ASC) AS trank
+      FROM dots d JOIN dnorm dn ON d.doc_id = dn.doc_id, qnorm qn
+      WHERE d.dot > 0
+      ORDER BY trank LIMIT 40
+    )
+    SELECT coalesce(v.doc_id, t.doc_id) AS doc_id,
+           round(coalesce(0.5 / (60 + v.vrank), 0.0)
+                 + coalesce(0.5 / (60 + t.trank), 0.0), 6) AS rrf_score
+    FROM vecrank v FULL OUTER JOIN textrank t ON v.doc_id = t.doc_id
+    ORDER BY rrf_score DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE hybrid retrieval pipeline end-to-end (reference:
+    alma/retrieval/hybrid.py): exact-cosine vector ranking over the
+    embeddings table + reference-exact TF-IDF text ranking over the
+    documents table, fused with RRF (k=60, weights 0.5/0.5), both sides
+    over-fetched to 40 then cut to 20. Both rankings are top-k-bounded
+    before the (broadcast) full-outer fusion join — nothing unbounded
+    shuffles."""
+    from alma_memory_spark.plans.text_queries import tfidf_scores_df  # shared scorer
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qlit = F.array(*[F.lit(float(x)) for x in QUERY_VEC])
+    vec = (
+        emb.select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_similarity("embedding", qlit).alias("similarity"),
+        )
+        .withColumn(
+            "vrank",
+            F.row_number().over(W.orderBy(F.desc("similarity"), F.asc("doc_id"))),
+        )
+        .filter(F.col("vrank") <= 40)
+        .select("doc_id", "vrank")
+    )
+    txt = (
+        tfidf_scores_df(spark, sf_dir)
+        .withColumn(
+            "trank",
+            F.row_number().over(W.orderBy(F.desc("tfidf_score"), F.asc("doc_id"))),
+        )
+        .filter(F.col("trank") <= 40)
+        .select("doc_id", "trank")
+    )
+    fused = vec.join(txt, "doc_id", "full_outer").select(
+        "doc_id",
+        _r6(
+            F.coalesce(F.lit(0.5) / (F.lit(60) + F.col("vrank")), F.lit(0.0))
+            + F.coalesce(F.lit(0.5) / (F.lit(60) + F.col("trank")), F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(20)
+
+
+@register("consolidation_clusters", None)  # rows-only: iterative algorithm
+def consolidation_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidation duplicate-group formation (reference:
+    alma/consolidation/engine.py:93-199): similarity self-join within
+    label blocks -> connected components (iterative min-label
+    propagation — NOT single-pass-SQL-expressible, hence a rows-only
+    driver check) -> cluster sizes. Unit tests pin the merge semantics;
+    this gate entry proves the distributed operator runs end-to-end."""
+    from alma_memory_spark.operators.learning import connected_components
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(
+        "label", F.col("vec_id").alias("ida"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        "label", F.col("vec_id").alias("idb"), F.col("embedding").alias("eb")
+    )
+    pairs = (
+        a.join(b, "label")
+        .filter(F.col("ida") < F.col("idb"))
+        .filter(cosine_similarity("ea", "eb") >= 0.3)
+        .select(
+            F.col("ida").cast("string").alias("src"),
+            F.col("idb").cast("string").alias("dst"),
+        )
+    )
+    nodes = emb.select(F.col("vec_id").cast("string").alias("node"))
+    labels = connected_components(nodes, pairs)
+    return (
+        labels.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .filter(F.col("cluster_size") > 1)
+        .orderBy(F.desc("cluster_size"), F.asc("cluster_id"))
+    )
+
+
+@register("streaming_stateful_totals", None)  # rows-only: streaming state
+def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator in the gate (rows-only check):
+    events replayed as a file stream through applyInPandasWithState
+    accumulating per-user running totals across micro-batches — state a
+    windowed agg cannot express. Batch-SQL cannot express cross-batch
+    state either, hence no oracle; unit tests pin the accumulation
+    semantics."""
+    import uuid
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from alma_memory_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts bigint, user_id bigint, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+    def update(key, pdfs, state):
+        (n,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    totals = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        "user_id long, n_events long",
+        "n long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    qname = "stateful_" + uuid.uuid4().hex[:8]
+    q = (
+        totals.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = (
+            spark.table(qname)
+            .groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events"))
+            .orderBy("user_id")
+            .cache()
+        )
+        out.count()
+        return out
+    finally:
+        q.stop()

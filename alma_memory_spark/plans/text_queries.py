@@ -442,9 +442,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TFIDF_QUERY = "spark join fast query"
 
 
-@register(
-    "tfidf_search",
-    f"""
+TFIDF_SEARCH_SQL = f"""
     WITH docs AS (
       SELECT doc_id, {X.sql_ws_tokens('text')} AS toks FROM documents
     ),
@@ -488,16 +486,12 @@ _TFIDF_QUERY = "spark join fast query"
     WHERE d.dot > 0
     ORDER BY tfidf_score DESC, d.doc_id ASC
     LIMIT 20
-    """,
-)
-def tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF relevance search with the reference's exact formulas
-    (alma/retrieval/text_search.py:61-124): whitespace tokenizer,
-    idf = ln((n+1)/(df+1)) + 1, tf normalized by doc length, cosine
-    between query and FULL document tf-idf vectors. Distributed shape:
-    explode -> (doc, term) counts -> broadcast idf of query terms ->
-    per-doc norm + dot aggregations. Two shuffles (term df, doc agg) —
-    both map-side combinable."""
+    """
+
+
+def tfidf_scores_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full TF-IDF score table (doc_id, tfidf_score) — shared by
+    tfidf_search (top-20) and hybrid_rrf_search (top-40 side)."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", X.ws_tokens("text").alias("toks")
     )
@@ -544,6 +538,20 @@ def tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         dots.join(dnorm, "doc_id")
         .filter(F.col("dot") > 0)
         .select("doc_id", _r6(F.col("dot") / (F.lit(qn) * F.col("dn"))).alias("tfidf_score"))
+    )
+
+
+@register("tfidf_search", TFIDF_SEARCH_SQL)
+def tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF relevance search with the reference's exact formulas
+    (alma/retrieval/text_search.py:61-124): whitespace tokenizer,
+    idf = ln((n+1)/(df+1)) + 1, tf normalized by doc length, cosine
+    between query and FULL document tf-idf vectors. Distributed shape:
+    explode -> (doc, term) counts -> broadcast idf of query terms ->
+    per-doc norm + dot aggregations. Two shuffles (term df, doc agg) —
+    both map-side combinable."""
+    return (
+        tfidf_scores_df(spark, sf_dir)
         .orderBy(F.desc("tfidf_score"), F.asc("doc_id"))
         .limit(20)
     )
