@@ -51,33 +51,114 @@ def _guard_tokens(col: Column) -> Column:
     )
 
 
+def blocked_connected_components(
+    pairs: DataFrame, block_cols: list[str]
+) -> DataFrame:
+    """Connected components when every edge lives inside one block
+    (similarity self-joins blocked on key columns guarantee this):
+    groupBy(block) + per-block union-find in an Arrow batch. ONE shuffle,
+    zero iterative jobs — the block is the unit of parallelism, the same
+    bound the blocked similarity join already imposes upstream, so this
+    scales to any number of blocks. `pairs` must have block_cols + (src,
+    dst). Returns (node, cluster_id) as strings for every node that
+    appears in an edge (singletons absent — callers coalesce to own id);
+    cluster_id is the lexicographic min node id of the component."""
+    import pandas as pd
+
+    p = pairs.select(
+        *block_cols,
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+    )
+    block_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in p.schema
+        if f.name in block_cols
+    )
+    out_schema = (block_schema + ", " if block_schema else "") + (
+        "node string, cluster_id string"
+    )
+    bcols = list(block_cols)
+
+    def uf(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for s, d in zip(pdf["src"], pdf["dst"]):
+            if s not in parent:
+                parent[s] = s
+            if d not in parent:
+                parent[d] = d
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                # smaller root wins => component root = min node id
+                lo, hi = (rs, rd) if rs < rd else (rd, rs)
+                parent[hi] = lo
+        nodes = list(parent)
+        out = {c: [pdf[c].iloc[0]] * len(nodes) for c in bcols}
+        out["node"] = nodes
+        out["cluster_id"] = [find(n) for n in nodes]
+        return pd.DataFrame(out)
+
+    return p.groupBy(*bcols).applyInPandas(uf, out_schema)
+
+
 def connected_components(
-    nodes: DataFrame, pairs: DataFrame, max_iter: int = 10
+    nodes: DataFrame, pairs: DataFrame, max_iter: int = 30
 ) -> DataFrame:
     """Connected components by iterative min-id label propagation.
     `nodes`: one column `node`; `pairs`: columns (src, dst), undirected
     semantics. Returns (node, cluster_id). Converges in <= diameter
     iterations — small for near-dup clusters; each iteration is one
-    shuffle on node id."""
+    shuffle on node id.
+
+    Each iteration ends in an eager localCheckpoint: the loop references
+    `labels` twice per pass, so without lineage truncation the logical
+    plan doubles every iteration and the driver OOMs on planning long
+    before the data is large. With truncation, cost per iteration is
+    flat, so the loop scales to 1000-executor edge sets (for truly huge
+    graphs, swap in alternating large-star/small-star for O(log n)
+    rounds — diameter of near-dup clusters is small, so min-label wins
+    here)."""
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).cache()
-    labels = nodes.withColumn("cluster_id", F.col("node"))
+    ).localCheckpoint()
+    labels = nodes.withColumn("cluster_id", F.col("node")).localCheckpoint()
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.src == labels.node)
             .groupBy("dst")
             .agg(F.min("cluster_id").alias("nbr_cluster"))
         )
+        stepped = labels.join(nbr_min, labels.node == nbr_min.dst, "left").select(
+            "node",
+            F.least(
+                F.col("cluster_id"), F.coalesce(F.col("nbr_cluster"), F.col("cluster_id"))
+            ).alias("cluster_id"),
+        )
+        # pointer-jump (path halving): node -> label(label(node)); squares
+        # the propagation distance so convergence is O(log diameter)
+        # rounds instead of O(diameter) — round count, not data volume,
+        # dominates iterative jobs.
+        jump = stepped.select(
+            F.col("node").alias("jnode"), F.col("cluster_id").alias("jcluster")
+        )
         new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.dst, "left")
+            stepped.join(jump, stepped.cluster_id == jump.jnode, "left")
             .select(
                 "node",
                 F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_cluster"), F.col("cluster_id"))
+                    F.col("cluster_id"), F.coalesce(F.col("jcluster"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-        )
+        ).localCheckpoint()  # eager: truncates lineage AND materializes
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -85,7 +166,7 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels = new_labels.cache()
+        labels = new_labels
         if changed == 0:
             break
     return labels
@@ -104,7 +185,9 @@ def cluster_by_similarity(
     + `cluster_id`.
 
     The self-join is blocked on key_cols, so cost is O(group^2) not
-    O(n^2); at scale the blocks are the unit of parallelism."""
+    O(n^2); at scale the blocks are the unit of parallelism. Edges never
+    cross blocks, so components are computed per block with a one-shuffle
+    union-find (no iterative jobs)."""
     a = df.select(*key_cols, F.col(id_col).alias("_ida"), F.col(embedding_col).alias("_ea"))
     b = df.select(*key_cols, F.col(id_col).alias("_idb"), F.col(embedding_col).alias("_eb"))
     cond = None
@@ -115,12 +198,21 @@ def cluster_by_similarity(
         a.join(b, cond)
         .filter(F.col("_ida") < F.col("_idb"))
         .filter(cosine_similarity("_ea", "_eb") >= threshold)
-        .select(F.col("_ida").alias("src"), F.col("_idb").alias("dst"))
+        .select(
+            *[a[k] for k in key_cols],
+            F.col("_ida").alias("src"),
+            F.col("_idb").alias("dst"),
+        )
     )
-    labels = connected_components(
-        df.select(F.col(id_col).alias("node")), pairs, max_iter
+    labels = blocked_connected_components(pairs, key_cols).select("node", "cluster_id")
+    return (
+        df.join(labels, df[id_col].cast("string") == labels.node, "left")
+        .drop("node")
+        .withColumn(
+            "cluster_id",
+            F.coalesce(F.col("cluster_id"), F.col(id_col).cast("string")),
+        )
     )
-    return df.join(labels, df[id_col] == labels.node).drop("node")
 
 
 def extract_heuristics(
@@ -208,10 +300,22 @@ def extract_anti_patterns(outcomes: DataFrame, min_failures: int = 2) -> DataFra
         & (F.col("a.agent") == F.col("b.agent"))
         & (F.col("a.id") < F.col("b.id"))
         & sim,
-    ).select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+    ).select(
+        F.col("a.project_id").alias("project_id"),
+        F.col("a.agent").alias("agent"),
+        F.col("a.id").alias("src"),
+        F.col("b.id").alias("dst"),
+    )
     # containment is not transitive -> close it with connected components
-    labels = connected_components(fails.select(F.col("id").alias("node")), pairs)
-    clustered = fails.join(labels, fails.id == labels.node).drop("node")
+    # (edges stay inside a (project, agent) block -> per-block union-find)
+    labels = blocked_connected_components(pairs, ["project_id", "agent"]).select(
+        "node", "cluster_id"
+    )
+    clustered = (
+        fails.join(labels, fails.id == labels.node, "left")
+        .drop("node")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "id"))
+    )
     return (
         clustered.groupBy("project_id", "agent", "cluster_id")
         .agg(

@@ -129,30 +129,33 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 def consolidation_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consolidation duplicate-group formation (reference:
     alma/consolidation/engine.py:93-199): similarity self-join within
-    label blocks -> connected components (iterative min-label
-    propagation — NOT single-pass-SQL-expressible, hence a rows-only
-    driver check) -> cluster sizes. Unit tests pin the merge semantics;
-    this gate entry proves the distributed operator runs end-to-end."""
-    from alma_memory_spark.operators.learning import connected_components
+    label blocks -> connected components (union-find in a per-block Arrow
+    batch — NOT single-pass-SQL-expressible, hence a rows-only driver
+    check) -> cluster sizes. Edges never cross label blocks, so CC is one
+    shuffle with the block as the parallelism unit — no iterative jobs.
+    Unit tests pin the merge semantics; this gate entry proves the
+    distributed operator runs end-to-end."""
+    from alma_memory_spark.operators.learning import blocked_connected_components
 
     emb = _t(spark, sf_dir, "embeddings")
     a = emb.select(
         "label", F.col("vec_id").alias("ida"), F.col("embedding").alias("ea")
     )
     b = emb.select(
-        "label", F.col("vec_id").alias("idb"), F.col("embedding").alias("eb")
+        F.col("label").alias("lb"), F.col("vec_id").alias("idb"),
+        F.col("embedding").alias("eb"),
     )
     pairs = (
-        a.join(b, "label")
+        a.join(b, a.label == b.lb)
         .filter(F.col("ida") < F.col("idb"))
         .filter(cosine_similarity("ea", "eb") >= 0.3)
         .select(
+            "label",
             F.col("ida").cast("string").alias("src"),
             F.col("idb").cast("string").alias("dst"),
         )
     )
-    nodes = emb.select(F.col("vec_id").cast("string").alias("node"))
-    labels = connected_components(nodes, pairs)
+    labels = blocked_connected_components(pairs, ["label"])
     return (
         labels.groupBy("cluster_id")
         .agg(F.count("*").alias("cluster_size"))
