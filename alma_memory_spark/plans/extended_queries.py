@@ -121,6 +121,185 @@ def state_reducers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _markers_sql(low: str, markers: list[str]) -> str:
+    terms = " + ".join(
+        "(CASE WHEN position('{m}' IN {low}) > 0 THEN 1 ELSE 0 END)".format(
+            m=m.replace("'", "''"), low=low
+        )
+        for m in markers
+    )
+    return f"(({terms}) * 1.0 / {len(markers)})"
+
+
+def _chunk_classify_sql() -> str:
+    from alma_memory_spark.sources.ingestion import (
+        CHUNK_CHARS,
+        CHUNK_OVERLAP,
+        MIN_EXTRACT_CONFIDENCE,
+        TYPE_MARKERS,
+    )
+
+    step = CHUNK_CHARS - CHUNK_OVERLAP
+    scores = {t: _markers_sql("low", ms) for t, ms in TYPE_MARKERS.items()}
+    best = "greatest(" + ", ".join(f"s_{t}" for t in scores) + ")"
+    type_case = (
+        "CASE "
+        + " ".join(f"WHEN s_{t} = best THEN '{t}'" for t in scores)
+        + " END"
+    )
+    score_cols = ",\n             ".join(f"{e} AS s_{t}" for t, e in scores.items())
+    return f"""
+    WITH chunks AS (
+      SELECT doc_id, substring(text, s, {CHUNK_CHARS}) AS chunk
+      FROM documents,
+           LATERAL unnest(generate_series(
+             1, greatest(length(text) - {CHUNK_OVERLAP}, 1), {step})) AS t(s)
+    ), scored AS (
+      SELECT doc_id, chunk,
+             {score_cols}
+      FROM (SELECT doc_id, chunk, lower(chunk) AS low FROM chunks)
+    ), ranked AS (
+      SELECT doc_id, chunk, {best} AS best,
+             s_{list(scores)[0]}, s_{list(scores)[1]}, s_{list(scores)[2]}, s_{list(scores)[3]}
+      FROM scored
+    )
+    SELECT doc_id, chunk,
+           round(least(best * 2.0, 1.0), 6) AS extract_confidence,
+           CASE WHEN round(least(best * 2.0, 1.0), 6) >= {MIN_EXTRACT_CONFIDENCE}
+                THEN {type_case} END AS memory_type
+    FROM ranked
+    """
+
+
+@register("chunk_classify", _chunk_classify_sql())
+def chunk_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-mining ingestion pipeline: overlapping character chunking
+    (sequence + substr, no UDF) -> marker-rule classification into the
+    five memory types with confidence = matched-marker fraction, kept at
+    >= 0.3 (reference: chunker alma/ingestion/file_miner.py:119, rule
+    classifier alma/ingestion/memory_extractor.py:373-493). Explode
+    inflates by ~len/900 — bounded, and everything stays whole-stage
+    codegen; ties pick the first type in declaration order on BOTH
+    sides."""
+    from alma_memory_spark.sources.ingestion import chunk_text_df, classify_chunks
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = chunk_text_df(docs)
+    return classify_chunks(chunks).select(
+        "doc_id", "chunk", "extract_confidence", "memory_type"
+    )
+
+
+def _compression_sql() -> str:
+    from alma_memory_spark.operators.compression import (
+        LEVEL_SENTENCES,
+        MIN_LENGTH_FOR_COMPRESSION,
+    )
+
+    budget = LEVEL_SENTENCES["medium"]
+    return rf"""
+    WITH c AS (
+      SELECT doc_id, text,
+             string_split(
+               regexp_replace(text, '([.!?])\s+', '\1' || chr(1), 'g'), chr(1)
+             ) AS sents
+      FROM documents
+    ), o AS (
+      SELECT doc_id,
+             CASE WHEN length(text) < {MIN_LENGTH_FOR_COMPRESSION} THEN text
+                  ELSE array_to_string(sents[1:{budget}], ' ') END AS compressed,
+             length(text) AS original_length
+      FROM c
+    )
+    SELECT doc_id, compressed,
+           round(original_length * 1.0 / greatest(length(compressed), 1), 6)
+             AS compression_ratio
+    FROM o
+    """
+
+
+@register("compression_stats", _compression_sql())
+def compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based compression, batch column form (reference:
+    alma/compression/pipeline.py — levels none/light/medium/heavy, pass
+    through below min_length 200, deterministic non-LLM default): keep
+    the first `budget` sentences, report the compression ratio. Pure
+    column expressions (regex sentence split + slice) — scan-speed on
+    100 TB; the oracle splits via replace-then-split because RE2 lacks
+    lookbehind, which is equivalent for any input."""
+    from alma_memory_spark.operators.compression import compress_column
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return compress_column(docs, "text", "medium").select(
+        "doc_id", "compressed", "compression_ratio"
+    )
+
+
+_XV_CONF_SQL = "round((vec_id % 100) / 100.0, 6)"
+
+
+@register(
+    "cross_verify",
+    f"""
+    WITH m AS (
+      SELECT vec_id AS id,
+             vec_id % 5 AS domain,
+             {_XV_CONF_SQL} AS confidence,
+             list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.id AS id, min(b.id) AS contradicting_source
+      FROM m a JOIN m b
+        ON a.domain = b.domain AND a.id <> b.id AND b.confidence > a.confidence
+      WHERE list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i]))
+            / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+               * sqrt(list_sum(list_transform(b.v, x -> x * x)))) < -0.2
+      GROUP BY a.id
+    )
+    SELECT m.id, m.confidence,
+           CASE WHEN p.contradicting_source IS NOT NULL THEN 'contradicted'
+                WHEN m.confidence >= 0.7 THEN 'verified'
+                ELSE 'uncertain' END AS verification_status,
+           m.confidence AS verification_confidence,
+           p.contradicting_source,
+           CASE WHEN p.contradicting_source IS NOT NULL THEN 'cross_verify'
+                ELSE 'confidence' END AS verification_method
+    FROM m LEFT JOIN pairs p ON m.id = p.id
+    """,
+)
+def cross_verify_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-verification (reference: alma/retrieval/verification.py:
+    623-729 — each candidate vs its same-domain peers; the deterministic
+    non-LLM analog flags `contradicted` when a strictly
+    higher-confidence peer's embedding points the opposite way, cosine
+    < -0.2; else the confidence fallback classifies
+    verified/uncertain). Blocked self-join + min-peer aggregation —
+    fully declarative, same scaling shape as consolidation. Synthetic
+    memory frame: id = vec_id, domain = vec_id % 5, confidence =
+    (vec_id % 100)/100."""
+    from datetime import datetime, timezone
+
+    from alma_memory_spark.operators.verification import cross_verify
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mem = emb.select(
+        F.col("vec_id").alias("id"),
+        F.lit("p").alias("project_id"),
+        (F.col("vec_id") % 5).alias("domain"),
+        _r6((F.col("vec_id") % 100) / F.lit(100.0)).alias("confidence"),
+        "embedding",
+    )
+    out = cross_verify(mem, now=datetime(2024, 2, 15, tzinfo=timezone.utc))
+    return out.select(
+        "id",
+        "confidence",
+        "verification_status",
+        F.col("verification_confidence").alias("verification_confidence"),
+        "contradicting_source",
+        "verification_method",
+    )
+
+
 @register("mmr_diversify", None)  # rows-only: greedy sequential selection
 def mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversification end-to-end: distributed exact cosine top-50
