@@ -251,9 +251,10 @@ _XV_CONF_SQL = "round((vec_id % 100) / 100.0, 6)"
       SELECT a.id AS id, min(b.id) AS contradicting_source
       FROM m a JOIN m b
         ON a.domain = b.domain AND a.id <> b.id AND b.confidence > a.confidence
-      WHERE list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i]))
-            / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-               * sqrt(list_sum(list_transform(b.v, x -> x * x)))) < -0.2
+      WHERE round(
+              list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i]))
+              / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                 * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) < -0.2
       GROUP BY a.id
     )
     SELECT m.id, m.confidence,
