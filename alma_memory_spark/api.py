@@ -23,21 +23,37 @@ class AlmaToolSurface:
         self.engine = engine
         self._tools = {
             "alma_retrieve": self._retrieve,
+            "alma_retrieve_for_mode": self._retrieve_for_mode,
             "alma_retrieve_smart": self._retrieve_smart,
             "alma_retrieve_scoped": self._retrieve_scoped,
+            "alma_retrieve_verified": self._retrieve_verified,
+            "alma_retrieve_with_trust": self._retrieve_with_trust,
             "alma_retrieve_with_budget": self._retrieve_with_budget,
             "alma_retrieve_progressive": self._retrieve_progressive,
+            "alma_get_memory_full": self._get_memory_full,
             "alma_learn": self._learn,
+            "alma_list_verification": self._list_verification,
             "alma_add_knowledge": self._add_knowledge,
             "alma_add_preference": self._add_preference,
             "alma_record_feedback": self._record_feedback,
+            "alma_forget": self._smart_forget,
             "alma_consolidate": self._consolidate,
+            "alma_reinforce": self._reinforce,
+            "alma_get_weak_memories": self._get_weak_memories,
             "alma_smart_forget": self._smart_forget,
+            "alma_compress_and_learn": self._compress_and_learn,
+            "alma_extract_heuristic": self._extract_heuristic,
             "alma_checkpoint": self._checkpoint,
             "alma_resume": self._resume,
             "alma_merge_states": self._merge_states,
+            "alma_workflow_learn": self._workflow_learn,
+            "alma_link_artifact": self._link_artifact,
+            "alma_get_artifacts": self._get_artifacts,
+            "alma_cleanup_checkpoints": self._cleanup_checkpoints,
             "alma_stats": self._stats,
             "alma_health": self._health,
+            "alma_store_trust_pattern": self._store_trust_pattern,
+            "alma_get_trust_warnings": self._get_trust_warnings,
         }
 
     def tools(self) -> list[str]:
@@ -180,3 +196,87 @@ class AlmaToolSurface:
 
     def _health(self) -> dict[str, Any]:
         return self.engine.health()
+
+    # -- extended surface (remaining reference tools) -----------------
+
+    def _retrieve_for_mode(self, task: str, agent: str, mode: str,
+                           project_id: str | None = None,
+                           top_k: int = 5) -> dict[str, Any]:
+        return self._slice_dict(
+            self.engine.retrieve(task, agent, project_id, top_k=top_k, mode=mode)
+        )
+
+    def _retrieve_verified(self, task: str, agent: str,
+                           project_id: str | None = None,
+                           top_k: int = 5) -> dict[str, Any]:
+        return self._slice_dict(
+            self.engine.retrieve_verified(
+                task, agent, project_id=project_id, top_k=top_k
+            )
+        )
+
+    def _retrieve_with_trust(self, task: str, agent: str,
+                             project_id: str | None = None,
+                             top_k: int = 5) -> dict[str, Any]:
+        return self._slice_dict(
+            self.engine.retrieve_with_trust(
+                task, agent, project_id=project_id, top_k=top_k
+            )
+        )
+
+    def _get_memory_full(self, memory_type: str, memory_id: str) -> dict[str, Any]:
+        row = self.engine.get_memory_full(memory_type, memory_id)
+        return {"memory": row, "found": row is not None}
+
+    def _list_verification(self, table: str, project_id: str, status: str,
+                           limit: int = 100) -> dict[str, Any]:
+        return {"items": self.engine.list_verification(table, project_id, status, limit)}
+
+    def _reinforce(self, memory_type: str, memory_id: str,
+                   importance: float | None = None) -> dict[str, Any]:
+        return self.engine.reinforce(memory_type, memory_id, importance)
+
+    def _get_weak_memories(self, threshold: float = 0.3) -> dict[str, Any]:
+        return {"items": self.engine.get_weak_memories(threshold)}
+
+    def _compress_and_learn(self, content: str, agent: str, project_id: str,
+                            domain: str = "general") -> dict[str, Any]:
+        return self.engine.compress_and_learn(content, agent, project_id, domain)
+
+    def _extract_heuristic(self, project_id: str | None = None) -> dict[str, Any]:
+        return {"extracted": self.engine.extract_heuristics_batch(project_id)}
+
+    def _workflow_learn(self, workflow_id: str, run_id: str, agent: str,
+                        project_id: str, result: str, **kwargs: Any) -> dict[str, Any]:
+        return {
+            "id": self.engine.record_workflow_outcome(
+                workflow_id, run_id, agent, project_id, result, **kwargs
+            )
+        }
+
+    def _link_artifact(self, memory_type: str, memory_id: str, storage_url: str,
+                       mime_type: str | None = None,
+                       checksum: str | None = None) -> dict[str, Any]:
+        return {
+            "id": self.engine.link_artifact(
+                memory_type, memory_id, storage_url, mime_type, checksum
+            )
+        }
+
+    def _get_artifacts(self, memory_type: str, memory_id: str) -> dict[str, Any]:
+        return {"items": self.engine.get_artifacts(memory_type, memory_id)}
+
+    def _cleanup_checkpoints(self, run_id: str | None = None,
+                             older_than_days: float | None = None) -> dict[str, Any]:
+        return {"deleted": self.engine.cleanup_checkpoints(run_id, older_than_days)}
+
+    def _store_trust_pattern(self, agent: str, performance_score: float,
+                             behavior_scores: list[float] | None = None,
+                             success_streak: int = 0) -> dict[str, Any]:
+        self.engine.store_trust_pattern(
+            agent, performance_score, behavior_scores, success_streak
+        )
+        return {"stored": True}
+
+    def _get_trust_warnings(self, threshold: float = 0.5) -> dict[str, Any]:
+        return {"items": self.engine.get_trust_warnings(threshold)}

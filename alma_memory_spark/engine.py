@@ -524,6 +524,290 @@ class AlmaSpark:
         return LC.health_metrics(tables, self._now())
 
     # ------------------------------------------------------------------
+    # strength / artifacts / trust / verification / batch-learning
+    # (reference: the remaining MCP tool surface, mcp/tools/__init__.py)
+    # ------------------------------------------------------------------
+
+    def get_memory_full(self, memory_type: str, memory_id: str) -> dict[str, Any] | None:
+        """Full row fetch by id (reference: alma_get_memory_full)."""
+        rows = (
+            self.store.read(memory_type).filter(F.col("id") == memory_id).limit(1).collect()
+        )
+        return rows[0].asDict(recursive=True) if rows else None
+
+    def reinforce(
+        self, memory_type: str, memory_id: str, importance: float | None = None
+    ) -> dict[str, Any]:
+        """Reinforce a memory: bump access_count, stamp last_accessed,
+        append a reinforcement event (reference: decay reinforcement,
+        alma/learning/decay.py — events feed the strength formula)."""
+        now = self._now()
+        existing = (
+            self.store.read("memory_strength")
+            .filter(
+                (F.col("memory_id") == memory_id)
+                & (F.col("memory_type") == memory_type)
+            )
+            .collect()
+        )
+        if existing:
+            r = existing[0].asDict(recursive=True)
+            r["access_count"] = (r.get("access_count") or 0) + 1
+            r["last_accessed"] = now
+            r["reinforcement_events"] = list(r.get("reinforcement_events") or []) + [now]
+            if importance is not None:
+                r["explicit_importance"] = importance
+        else:
+            r = {
+                "memory_id": memory_id,
+                "memory_type": memory_type,
+                "project_id": None,
+                "agent": None,
+                "initial_strength": 1.0,
+                "decay_half_life_days": 30,
+                "created_at": now,
+                "last_accessed": now,
+                "access_count": 1,
+                "explicit_importance": importance,
+                "reinforcement_events": [now],
+            }
+        kept = self.store.read("memory_strength").filter(
+            ~(
+                (F.col("memory_id") == memory_id)
+                & (F.col("memory_type") == memory_type)
+            )
+        )
+        self.store.overwrite(
+            "memory_strength",
+            kept.unionByName(self._rows_df("memory_strength", [r])),
+        )
+        return {"memory_id": memory_id, "access_count": r["access_count"]}
+
+    def get_weak_memories(self, threshold: float = 0.3) -> list[dict[str, Any]]:
+        """Memories whose decayed strength fell below `threshold`
+        (reference: alma_get_weak_memories; strength recomputed at read,
+        never stored stale)."""
+        df = LC.with_strength(self.store.read("memory_strength"), self._now())
+        return [
+            r.asDict(recursive=True)
+            for r in df.filter(F.col("strength") < threshold)
+            .orderBy(F.asc("strength"), F.asc("memory_id"))
+            .collect()
+        ]
+
+    def link_artifact(
+        self,
+        memory_type: str,
+        memory_id: str,
+        storage_url: str,
+        mime_type: str | None = None,
+        checksum: str | None = None,
+    ) -> str:
+        """Attach an external-file reference to a memory (reference:
+        ArtifactRef, alma/core.py:744-807)."""
+        aid = self._new_id("art")
+        self.store.append(
+            "artifacts",
+            self._rows_df(
+                "artifacts",
+                [
+                    {
+                        "id": aid,
+                        "memory_type": memory_type,
+                        "memory_id": memory_id,
+                        "storage_url": storage_url,
+                        "mime_type": mime_type,
+                        "checksum": checksum,
+                        "created_at": self._now(),
+                        "metadata": {},
+                    }
+                ],
+            ),
+        )
+        return aid
+
+    def get_artifacts(self, memory_type: str, memory_id: str) -> list[dict[str, Any]]:
+        return [
+            r.asDict(recursive=True)
+            for r in self.store.read("artifacts")
+            .filter(
+                (F.col("memory_type") == memory_type)
+                & (F.col("memory_id") == memory_id)
+            )
+            .orderBy(F.asc("id"))
+            .collect()
+        ]
+
+    def cleanup_checkpoints(
+        self, run_id: str | None = None, older_than_days: float | None = None
+    ) -> int:
+        """Delete checkpoints by run and/or age (reference:
+        alma_cleanup_checkpoints)."""
+        pred = None
+        if run_id is not None:
+            pred = F.col("run_id") == run_id
+        if older_than_days is not None:
+            cutoff = datetime.fromtimestamp(
+                self._now().timestamp() - older_than_days * 86400, tz=timezone.utc
+            )
+            p = F.col("created_at") < cutoff
+            pred = p if pred is None else (pred & p)
+        if pred is None:
+            return 0
+        return self.store.delete("checkpoints", pred, reason="checkpoint_cleanup", audit=False)
+
+    def extract_heuristics_batch(self, project_id: str | None = None) -> int:
+        """Batch heuristic extraction over the outcomes table — the
+        Spark-natural formulation of the reference's HeuristicExtractor
+        (alma/learning/heuristic_extractor.py); candidates upsert by
+        deterministic id (update-or-create)."""
+        outcomes = self.store.read("outcomes")
+        if project_id is not None:
+            outcomes = outcomes.filter(F.col("project_id") == project_id)
+        cand = [r.asDict() for r in L.extract_heuristics(outcomes).collect()]
+        if not cand:
+            return 0
+        rows = [
+            {
+                "id": c["id"],
+                "agent": c["agent"],
+                "project_id": c["project_id"],
+                "condition": c["condition"],
+                "strategy": c["strategy"],
+                "confidence": c["confidence"],
+                "occurrence_count": c["occurrence_count"],
+                "success_count": c["success_count"],
+                "last_validated": c["last_validated"],
+                "created_at": c["created_at"],
+                "verification_status": None,
+                "embedding": self.embedder.encode(
+                    f"{c['condition']} {c['strategy']}"
+                ),
+                "metadata": {},
+            }
+            for c in cand
+        ]
+        self.store.upsert("heuristics", self._rows_df("heuristics", rows))
+        self._invalidate_cache()
+        return len(rows)
+
+    def compress_and_learn(
+        self, content: str, agent: str, project_id: str, domain: str = "general"
+    ) -> dict[str, Any]:
+        """Compress verbose content (deterministic rule path) and save
+        the summary as domain knowledge (reference:
+        alma_compress_and_learn)."""
+        from alma_memory_spark.operators.compression import compress_text
+
+        res = compress_text(content)
+        kid = self.add_knowledge(
+            agent, project_id, domain, res.summary, source="compressed"
+        )
+        return {
+            "id": kid,
+            "summary": res.summary,
+            "key_facts": res.key_facts,
+            "constraints": res.constraints,
+            "compression_ratio": res.compression_ratio,
+        }
+
+    def store_trust_pattern(
+        self,
+        agent: str,
+        performance_score: float,
+        behavior_scores: list[float] | None = None,
+        success_streak: int = 0,
+    ) -> None:
+        """Upsert an agent trust profile (reference: trust_scoring
+        AgentTrustProfile, alma/retrieval/trust_scoring.py:99-170)."""
+        self.store.upsert(
+            "agent_trust",
+            self._rows_df(
+                "agent_trust",
+                [
+                    {
+                        "agent": agent,
+                        "performance_score": performance_score,
+                        "behavior_scores": behavior_scores or [0.5] * 5,
+                        "success_streak": success_streak,
+                        "last_updated": self._now(),
+                    }
+                ],
+            ),
+            key="agent",
+        )
+
+    def get_trust_warnings(self, threshold: float = 0.5) -> list[dict[str, Any]]:
+        """Agents whose decayed trust fell below `threshold`
+        (reference: alma_get_trust_warnings)."""
+        from alma_memory_spark.operators.trust import with_trust
+
+        df = with_trust(self.store.read("agent_trust"), self._now())
+        return [
+            r.asDict(recursive=True)
+            for r in df.filter(F.col("trust") < threshold)
+            .orderBy(F.asc("trust"), F.asc("agent"))
+            .collect()
+        ]
+
+    def list_verification(
+        self, table: str, project_id: str, status: str, limit: int = 100
+    ) -> list[dict[str, Any]]:
+        """list_by_verification_status (reference:
+        sqlite_local.py:1857-1887); runs the idempotent column-add
+        migration first so pre-migration tables answer too."""
+        from alma_memory_spark.operators.verification import list_by_status
+
+        self.store.migrate(table)
+        df = list_by_status(self.store.read(table), project_id, status, limit)
+        return [r.asDict(recursive=True) for r in df.collect()]
+
+    def retrieve_verified(self, task: str, agent: str, **kwargs: Any) -> MemorySlice:
+        """Retrieval + deterministic verification annotation of the
+        returned candidates (reference: alma_retrieve_verified with the
+        non-LLM confidence fallback, verification.py:690-729)."""
+        from alma_memory_spark.operators.verification import CONFIDENCE_THRESHOLD
+
+        sl = self.retrieve(task, agent, **kwargs)
+        for rows in (
+            sl.heuristics, sl.outcomes, sl.preferences, sl.domain_knowledge,
+            sl.anti_patterns,
+        ):
+            for r in rows:
+                conf = r.get("confidence")
+                conf = 0.5 if conf is None else conf
+                r["verification_status"] = (
+                    "verified" if conf >= CONFIDENCE_THRESHOLD else "uncertain"
+                )
+                r["verification_confidence"] = float(conf)
+                r["verification_method"] = "confidence"
+        return sl
+
+    def retrieve_with_trust(
+        self, task: str, agent: str, trust_weight: float = 0.15, **kwargs: Any
+    ) -> MemorySlice:
+        """Retrieval with per-source-agent trust blended into the score:
+        score' = (1-w)*score + w*trust, then re-rank (reference:
+        trust-aware retrieval, alma/retrieval/trust_scoring.py — the
+        trust term enters the composite with weight 0.15; unknown agents
+        get the 0.5 neutral prior)."""
+        from alma_memory_spark.operators.trust import with_trust
+
+        trust = {
+            r["agent"]: r["trust"]
+            for r in with_trust(self.store.read("agent_trust"), self._now()).collect()
+        }
+        sl = self.retrieve(task, agent, **kwargs)
+        for rows in (sl.heuristics, sl.outcomes, sl.domain_knowledge, sl.anti_patterns):
+            for r in rows:
+                t = trust.get(r.get("agent"), 0.5)
+                if r.get("score") is not None:
+                    r["score"] = (1 - trust_weight) * r["score"] + trust_weight * t
+                r["trust"] = t
+            rows.sort(key=lambda r: (-(r.get("score") or 0.0), str(r.get("id"))))
+        return sl
+
+    # ------------------------------------------------------------------
     # workflow / session
     # ------------------------------------------------------------------
 

@@ -148,11 +148,16 @@ def combined_score(
 def list_by_status(df: DataFrame, project_id: str, status: str, limit: int = 100) -> DataFrame:
     """WHERE project_id = ? AND verification_status = ? LIMIT ?
     (sqlite_local.py:1857-1887) with deterministic ordering."""
+    order = (
+        [F.desc_nulls_last("verification_confidence")]
+        if "verification_confidence" in df.columns
+        else []
+    )
     return (
         df.filter(
             (F.col("project_id") == project_id)
             & (F.col("verification_status") == status)
         )
-        .orderBy(F.desc("verification_confidence"), F.asc("id"))
+        .orderBy(*order, F.asc("id"))
         .limit(limit)
     )

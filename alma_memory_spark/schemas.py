@@ -236,6 +236,19 @@ FORGET_AUDIT = T.StructType(
     ]
 )
 
+ARTIFACTS = T.StructType(
+    [
+        _f("id", T.StringType(), False),
+        _f("memory_type", T.StringType(), False),
+        _f("memory_id", T.StringType(), False),
+        _f("storage_url", T.StringType()),
+        _f("mime_type", T.StringType()),
+        _f("checksum", T.StringType()),
+        _f("created_at", T.TimestampType()),
+        _f("metadata", METADATA),
+    ]
+)
+
 AGENT_TRUST = T.StructType(
     [
         _f("agent", T.StringType(), False),
@@ -266,6 +279,7 @@ ALL_TABLES = {
     "archived_memories": ARCHIVED_MEMORIES,
     "forget_audit": FORGET_AUDIT,
     "agent_trust": AGENT_TRUST,
+    "artifacts": ARTIFACTS,
 }
 
 # Tables partitioned by (project_id, agent) on disk — the reference's two

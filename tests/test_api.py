@@ -57,6 +57,108 @@ def test_tool_roundtrip(surface):
     assert "error" in bad and "alma_retrieve" in bad["available"]
 
 
+def test_extended_tool_surface(surface):
+    """The remaining reference MCP tools (mcp/tools/__init__.py:98-135):
+    verified/trust/mode retrieval, reinforce + weak memories, artifacts,
+    compress-and-learn, batch heuristic extraction, workflow learn,
+    checkpoint cleanup, trust patterns, verification listing."""
+    k = surface.call(
+        "alma_add_knowledge", agent="helena", project_id="p",
+        domain="deploy", fact="blue green deploys must drain connections first",
+    )
+
+    full = surface.call(
+        "alma_get_memory_full", memory_type="domain_knowledge", memory_id=k["id"]
+    )
+    assert full["found"] and full["memory"]["fact"].startswith("blue green")
+
+    v = surface.call("alma_retrieve_verified", task="deploys", agent="helena", project_id="p")
+    dk = v["domain_knowledge"][0]
+    assert dk["verification_status"] == "verified"  # confidence 0.9 >= 0.7
+    assert dk["verification_method"] == "confidence"
+
+    m = surface.call(
+        "alma_retrieve_for_mode", task="deploys", agent="helena",
+        mode="precise", project_id="p",
+    )
+    assert m["mode"] == "precise"
+
+    surface.call(
+        "alma_store_trust_pattern", agent="helena", performance_score=0.9,
+        success_streak=3,
+    )
+    surface.call("alma_store_trust_pattern", agent="shady", performance_score=0.1)
+    warn = surface.call("alma_get_trust_warnings", threshold=0.5)
+    assert [w["agent"] for w in warn["items"]] == ["shady"]
+
+    t = surface.call(
+        "alma_retrieve_with_trust", task="deploys", agent="helena", project_id="p"
+    )
+    assert "trust" in t["domain_knowledge"][0]
+
+    r1 = surface.call(
+        "alma_reinforce", memory_type="domain_knowledge", memory_id=k["id"]
+    )
+    r2 = surface.call(
+        "alma_reinforce", memory_type="domain_knowledge", memory_id=k["id"],
+        importance=0.05,
+    )
+    assert (r1["access_count"], r2["access_count"]) == (1, 2)
+    # importance 0.05 drags decayed strength below the 0.3 band
+    weak = surface.call("alma_get_weak_memories", threshold=1.1)
+    assert any(w["memory_id"] == k["id"] for w in weak["items"])
+
+    a = surface.call(
+        "alma_link_artifact", memory_type="domain_knowledge", memory_id=k["id"],
+        storage_url="s3://bucket/diagram.png", mime_type="image/png",
+    )
+    arts = surface.call(
+        "alma_get_artifacts", memory_type="domain_knowledge", memory_id=k["id"]
+    )
+    assert [x["id"] for x in arts["items"]] == [a["id"]]
+    assert arts["items"][0]["storage_url"] == "s3://bucket/diagram.png"
+
+    c = surface.call(
+        "alma_compress_and_learn", agent="helena", project_id="p",
+        content=(
+            "The deploy pipeline has three stages. It works because the "
+            "canary fails fast. You must drain connections before cutover. "
+            "Rollbacks should never skip the smoke tests. " * 2
+        ),
+    )
+    assert c["id"].startswith("dk_") and c["compression_ratio"] > 1.0
+
+    for i in range(3):
+        surface.call(
+            "alma_learn", agent="helena", task=f"ship release {i}", outcome=True,
+            project_id="p", strategy_used="canary then full rollout",
+            task_type="deployment",
+        )
+    ex = surface.call("alma_extract_heuristic", project_id="p")
+    assert ex["extracted"] >= 1
+
+    w = surface.call(
+        "alma_workflow_learn", workflow_id="wf1", run_id="r9", agent="helena",
+        project_id="p", result="success", strategies_used=["canary"],
+    )
+    assert w["id"].startswith("wf_")
+
+    surface.call(
+        "alma_checkpoint", run_id="r9", node_id="n1", state={"x": 1},
+        sequence_number=1,
+    )
+    gone = surface.call("alma_cleanup_checkpoints", run_id="r9")
+    assert gone["deleted"] == 1
+
+    lv = surface.call(
+        "alma_list_verification", table="domain_knowledge", project_id="p",
+        status="verified",
+    )
+    assert isinstance(lv["items"], list)
+
+    assert len(surface.tools()) >= 32
+
+
 def test_reranker_kinds():
     rows = [
         {"id": "a", "text": "spark joins shuffle", "score": 0.9},
