@@ -568,7 +568,9 @@ class AlmaSpark:
                 "created_at": now,
                 "last_accessed": now,
                 "access_count": 1,
-                "explicit_importance": importance,
+                # reference dataclass default 0.5 (decay.py:74) — never
+                # persist NULL importance
+                "explicit_importance": 0.5 if importance is None else importance,
                 "reinforcement_events": [now],
             }
         kept = self.store.read("memory_strength").filter(

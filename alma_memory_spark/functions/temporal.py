@@ -46,17 +46,23 @@ def strength_decay(
     half_life_days: Column | float = 30.0,
     initial_strength: Column | float = 1.0,
     access_count: Column | int = 0,
-    explicit_importance: Column | float = 0.0,
+    explicit_importance: Column | float = 0.5,
+    recent_reinforcements: Column | int = 0,
 ) -> Column:
-    """Memory-strength decay with access reinforcement.
+    """Memory-strength decay with access + reinforcement bonuses.
 
-    strength = clamp( initial * exp(-ln2 * age/half_life)
-                      * (1 + 0.1 * ln(1 + access_count))
-                      + 0.2 * explicit_importance , 0, 1 )
+    Reference-exact MemoryStrength (alma/learning/decay.py:15-22, 76-126):
 
-    Mirrors the reference's MemoryStrength model (alma/learning/decay.py:
-    43-122): exponential base decay, log1p access bonus, explicit
-    importance floor.
+        base_decay     = exp(-0.693 * age_days / half_life)   (1.0 if half_life <= 0)
+        access_bonus   = min(0.4, 0.1 * log1p(access_count))
+        reinf_bonus    = min(0.3, 0.1 * recent_reinforcements)   (events < 7 days old)
+        importance_f   = 0.5 + 0.5 * explicit_importance         (default 0.5)
+        strength       = clamp((base + access + reinf) * importance_f, 0, 1)
+
+    All nullable inputs are coalesced to the reference dataclass defaults
+    (importance 0.5, counts 0, half-life 30, initial 1.0) so a NULL never
+    poisons the arithmetic into NULL-then-0.0. `initial_strength` scales
+    the base-decay term; the reference default 1.0 makes it a no-op.
     """
     now_c = F.lit(now) if isinstance(now, datetime) else now
     hl = F.lit(half_life_days) if isinstance(half_life_days, (int, float)) else half_life_days
@@ -67,10 +73,24 @@ def strength_decay(
         if isinstance(explicit_importance, (int, float))
         else explicit_importance
     )
+    reinf = (
+        F.lit(recent_reinforcements)
+        if isinstance(recent_reinforcements, int)
+        else recent_reinforcements
+    )
+    hl = F.coalesce(hl.cast("double"), F.lit(30.0))
+    init = F.coalesce(init.cast("double"), F.lit(1.0))
+    acc = F.coalesce(acc.cast("double"), F.lit(0.0))
+    imp = F.coalesce(imp.cast("double"), F.lit(0.5))
+    reinf = F.coalesce(reinf.cast("double"), F.lit(0.0))
     age = F.greatest(days_between(now_c, last_accessed), F.lit(0.0))
-    base = init * F.exp(F.lit(-LN2) * age / hl)
-    bonus = F.lit(1.0) + F.lit(0.1) * F.log1p(acc.cast("double"))
-    return F.least(F.lit(1.0), F.greatest(F.lit(0.0), base * bonus + F.lit(0.2) * imp))
+    # literal 0.693 (not full-precision ln 2) to match decay.py:103 exactly
+    base = init * F.when(hl > 0, F.exp(F.lit(-0.693) * age / hl)).otherwise(F.lit(1.0))
+    access_bonus = F.least(F.lit(0.4), F.lit(0.1) * F.log1p(acc))
+    reinf_bonus = F.least(F.lit(0.3), F.lit(0.1) * reinf)
+    importance_factor = F.lit(0.5) + F.lit(0.5) * imp
+    s = (base + access_bonus + reinf_bonus) * importance_factor
+    return F.least(F.lit(1.0), F.greatest(F.lit(0.0), s))
 
 
 def linear_decay(ts: Column | str, now: datetime | Column, lifetime_days: float) -> Column:

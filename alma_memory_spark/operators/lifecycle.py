@@ -36,7 +36,20 @@ QUOTA_METRIC = {
 def with_strength(
     strength_df: DataFrame, now: datetime, strength_col: str = "strength"
 ) -> DataFrame:
-    """Attach current decayed strength + band to a memory_strength table."""
+    """Attach current decayed strength + band to a memory_strength table.
+
+    Recent-reinforcement count = events within the last 7 days
+    (reference: decay.py:109-115); the array filter is a per-row map,
+    no shuffle."""
+    recent = F.lit(0)
+    if "reinforcement_events" in strength_df.columns:
+        cutoff = F.lit(now).cast("timestamp").cast("double") - 7 * 86400.0
+        recent = F.size(
+            F.filter(
+                F.coalesce(F.col("reinforcement_events"), F.array()),
+                lambda r: r.cast("double") > cutoff,
+            )
+        )
     s = strength_decay(
         "last_accessed",
         now,
@@ -44,6 +57,7 @@ def with_strength(
         F.col("initial_strength"),
         F.col("access_count"),
         F.col("explicit_importance"),
+        recent,
     )
     band = (
         F.when(F.col(strength_col) > 0.7, "active")

@@ -49,27 +49,29 @@ def verification_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     "strength_decay",
     f"""
     SELECT event_id,
-           round(least(1.0,
-             exp(-0.6931471805599453 * ((epoch(TIMESTAMP '{NOW}') - epoch(ts)) / 86400.0) / 30.0)
-             * (1.0 + 0.1 * ln(1.0 + CAST(json_extract_string(props, '$.k') AS BIGINT)))
-           ), 6) AS strength
+           round(least(1.0, greatest(0.0,
+             ( exp(-0.693 * ((epoch(TIMESTAMP '{NOW}') - epoch(ts)) / 86400.0) / 30.0)
+               + least(0.4, 0.1 * ln(1.0 + coalesce(CAST(json_extract_string(props, '$.k') AS DOUBLE), 0.0)))
+             ) * 0.75
+           )), 6) AS strength
     FROM events
     WHERE ts <= TIMESTAMP '{NOW}'
     """,
 )
 def strength_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Memory-strength decay with access reinforcement (reference:
-    alma/learning/decay.py:43-122): exp(-ln2 * age/half_life) *
-    (1 + 0.1*ln(1 + access_count)), clamped to 1. The props.k counter
-    stands in for access_count. Decay-at-read: a stateless column
+    """Memory-strength decay, reference-exact (alma/learning/decay.py:
+    15-22, 76-126): (base_decay + min(0.4, 0.1*log1p(access))) *
+    (0.5 + 0.5*importance), importance at the 0.5 default -> x0.75.
+    The props.k counter stands in for access_count. Spark side calls the
+    SAME strength_decay() column function the engine uses, so the gate
+    pins the production expression. Decay-at-read: stateless column
     expression over event time — identical in batch and streaming."""
+    from alma_memory_spark.functions.temporal import strength_decay as sd
+
     ev = _t(spark, sf_dir, "events").filter(F.col("ts") <= _now())
-    age = (_now().cast("double") - F.col("ts").cast("double")) / 86400.0
-    k = F.get_json_object("props", "$.k").cast("long")
-    s = F.exp(F.lit(-0.6931471805599453) * age / 30.0) * (
-        1.0 + 0.1 * F.log(1.0 + k)
-    )
-    return ev.select("event_id", _r6(F.least(F.lit(1.0), s)).alias("strength"))
+    k = F.get_json_object("props", "$.k").cast("double")
+    s = sd("ts", _now(), 30.0, 1.0, k)
+    return ev.select("event_id", _r6(s).alias("strength"))
 
 
 @register(

@@ -131,19 +131,31 @@ def test_quota_select(spark):
 
 
 def test_strength_bands(spark):
+    # importance 1.0 -> factor 1.0, so bands depend on base decay alone:
+    # 1d -> 0.977 active, 45d -> 0.354 weak, 80d -> 0.158 stale,
+    # 150d -> 0.031 forgotten (reference formula, decay.py:76-126)
     rows = [
         ("m1", "heuristics", "p", "a", 1.0, 30, NOW - timedelta(days=200),
-         NOW - timedelta(days=1), 0, 0.0, []),
+         NOW - timedelta(days=1), 0, 1.0, []),
         ("m2", "heuristics", "p", "a", 1.0, 30, NOW - timedelta(days=200),
-         NOW - timedelta(days=45), 0, 0.0, []),
+         NOW - timedelta(days=45), 0, 1.0, []),
         ("m3", "heuristics", "p", "a", 1.0, 30, NOW - timedelta(days=200),
-         NOW - timedelta(days=80), 0, 0.0, []),
+         NOW - timedelta(days=80), 0, 1.0, []),
         ("m4", "heuristics", "p", "a", 1.0, 30, NOW - timedelta(days=200),
-         NOW - timedelta(days=150), 0, 0.0, []),
+         NOW - timedelta(days=150), 0, 1.0, []),
     ]
     df = spark.createDataFrame(rows, schemas.MEMORY_STRENGTH)
     out = {r["memory_id"]: r["band"] for r in with_strength(df, NOW).collect()}
     assert out == {"m1": "active", "m2": "weak", "m3": "stale", "m4": "forgotten"}
+    # NULL importance coalesces to 0.5 (never NULL->0.0): 1-day-old row
+    # must stay out of the forgotten band
+    null_imp = spark.createDataFrame(
+        [("m5", "heuristics", "p", "a", 1.0, 30, NOW - timedelta(days=200),
+          NOW - timedelta(days=1), 0, None, [])],
+        schemas.MEMORY_STRENGTH,
+    )
+    r5 = with_strength(null_imp, NOW).collect()[0]
+    assert r5["band"] == "active" and abs(r5["strength"] - 0.7329) < 1e-3
 
 
 # ---------------------------------------------------------------- workflow

@@ -147,17 +147,60 @@ def test_mode_boosts_diagnostic_and_exact_match(spark):
     assert abs(out["c"] - 0.4 * 1.5) < 1e-9  # failure only
 
 
+def _ref_strength(days, half_life=30.0, access=0, importance=0.5, reinf=0):
+    """Reference current_strength(), decay.py:76-126."""
+    base = math.exp(-0.693 * days / half_life) if half_life > 0 else 1.0
+    access_bonus = min(0.4, 0.1 * math.log1p(access))
+    reinf_bonus = min(0.3, 0.1 * reinf)
+    factor = 0.5 + 0.5 * importance
+    return min(1.0, max(0.0, (base + access_bonus + reinf_bonus) * factor))
+
+
 def test_strength_decay_literal(spark):
     df = spark.createDataFrame([("m", _days_ago(30))], "id string, last_accessed timestamp")
     out = df.select(
         strength_decay("last_accessed", NOW, 30.0, 1.0, 0, 0.0).alias("s")
     ).collect()[0]["s"]
-    assert abs(out - 0.5) < 1e-6  # one half-life
+    assert abs(out - _ref_strength(30, importance=0.0)) < 1e-6
     out2 = df.select(
         strength_decay("last_accessed", NOW, 30.0, 1.0, 10, 0.5).alias("s")
     ).collect()[0]["s"]
-    expected = min(1.0, 0.5 * (1 + 0.1 * math.log1p(10)) + 0.2 * 0.5)
-    assert abs(out2 - expected) < 1e-6
+    assert abs(out2 - _ref_strength(30, access=10, importance=0.5)) < 1e-6
+    # fresh memory at all-default inputs: reference gives 0.75, not 1.0
+    fresh = spark.createDataFrame([("m", _days_ago(0))], "id string, last_accessed timestamp")
+    out3 = fresh.select(strength_decay("last_accessed", NOW).alias("s")).collect()[0]["s"]
+    assert abs(out3 - 0.75) < 1e-6
+
+
+def test_strength_decay_null_importance(spark):
+    """Regression: NULL explicit_importance must coalesce to the 0.5
+    default, not propagate to NULL-then-0.0 (which inverted
+    reinforcement and fed just-reinforced memories to forget)."""
+    df = spark.createDataFrame(
+        [("m", _days_ago(1), None)],
+        "id string, last_accessed timestamp, explicit_importance double",
+    )
+    out = df.select(
+        strength_decay(
+            "last_accessed", NOW, 30.0, 1.0, 1, F.col("explicit_importance")
+        ).alias("s")
+    ).collect()[0]["s"]
+    assert abs(out - _ref_strength(1, access=1, importance=0.5)) < 1e-6
+    assert out > 0.5  # a just-accessed memory is never 'forgotten'
+
+
+def test_strength_decay_caps_and_zero_half_life(spark):
+    df = spark.createDataFrame([("m", _days_ago(10))], "id string, last_accessed timestamp")
+    # access bonus caps at 0.4, reinforcement bonus at 0.3
+    out = df.select(
+        strength_decay("last_accessed", NOW, 30.0, 1.0, 10_000, 1.0, 99).alias("s")
+    ).collect()[0]["s"]
+    assert abs(out - _ref_strength(10, access=10_000, importance=1.0, reinf=99)) < 1e-6
+    # half_life 0 -> no decay (decay.py:100-105)
+    out2 = df.select(
+        strength_decay("last_accessed", NOW, 0.0, 1.0, 0, 0.5).alias("s")
+    ).collect()[0]["s"]
+    assert abs(out2 - 0.75) < 1e-6
 
 
 def test_infer_mode():
