@@ -1,7 +1,7 @@
 """Gate queries for the remaining SURVEY §2 rows that lacked a
 driver-checked oracle entry: memory-health metrics, entity detection,
-workflow state reducers, and MMR diversification (rows-only —
-inherently sequential greedy selection)."""
+workflow state reducers, and MMR diversification (greedy selection,
+oracle via its closed form — see mmr_diversify)."""
 
 from __future__ import annotations
 
@@ -9,6 +9,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from alma_memory_spark.plans.registry import (
+    _COS_SQL,
+    _QV_SQL,
     NOW,
     QUERY_VEC,
     _now,
@@ -301,7 +303,40 @@ def cross_verify_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mmr_diversify", None)  # rows-only: greedy sequential selection
+@register(
+    "mmr_diversify",
+    f"""
+    WITH qv AS (SELECT {_QV_SQL} AS q),
+    cand AS (
+      SELECT vec_id, {_COS_SQL} AS similarity
+      FROM embeddings, qv
+      ORDER BY similarity DESC, vec_id ASC
+      LIMIT 50
+    ),
+    head AS (
+      SELECT vec_id, similarity FROM cand
+      ORDER BY similarity DESC, vec_id ASC LIMIT 1
+    ),
+    rest AS (
+      SELECT c.vec_id, c.similarity,
+             c.similarity - 0.3 * sqrt(greatest(c.similarity, 0.0)
+                                       * greatest(h.similarity, 0.0)) AS val
+      FROM cand c, head h
+      WHERE c.vec_id <> h.vec_id
+    ),
+    ranked AS (
+      SELECT vec_id, similarity,
+             1 + row_number() OVER (ORDER BY val DESC, similarity DESC, vec_id ASC)
+               AS mmr_rank
+      FROM rest
+    )
+    SELECT CAST(mmr_rank AS INT) AS mmr_rank, vec_id, similarity FROM (
+      SELECT 1 AS mmr_rank, vec_id, similarity FROM head
+      UNION ALL
+      SELECT mmr_rank, vec_id, similarity FROM ranked WHERE mmr_rank <= 10
+    ) ORDER BY mmr_rank
+    """,
+)
 def mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversification end-to-end: distributed exact cosine top-50
     candidate stage, then the driver-side greedy re-order
@@ -309,7 +344,16 @@ def mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim estimated as sqrt(sim_a * sim_b) (reference:
     alma/retrieval/engine.py:639-715). Inherently sequential over <= 50
     collected rows — the one deliberately non-distributed operator,
-    applied AFTER the distributed top-k; rows-only driver check."""
+    applied AFTER the distributed top-k.
+
+    Oracle: with the sqrt(sim_a*sim_b) estimate the greedy collapses to
+    a closed form — the first pick is the global argmax s1, and because
+    every later selection has sim <= s1, each candidate's penalty is the
+    CONSTANT lambda*sqrt(max(s,0)*max(s1,0)); ranks 2..k are therefore a
+    single sort by (s - penalty) desc with the original
+    (similarity desc, vec_id asc) order as tiebreak (Python's strict `>`
+    keeps the first remaining index on ties). The SQL derives the same
+    ranking independently, making this a hash-checked gate at any SF."""
     from alma_memory_spark.functions.vector import cosine_similarity
     from alma_memory_spark.operators.mmr import mmr_rerank
 

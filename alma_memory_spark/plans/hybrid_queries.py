@@ -1,8 +1,9 @@
 """Hybrid retrieval gate query (vector + text RRF with a full DuckDB
-oracle) plus rows-only gate entries for operators whose semantics are
-not single-pass-SQL-expressible (iterative connected components,
-stateful streaming): the driver records a weaker rows-only check for
-those — visible as such in CORRECTNESS_r{N}.json."""
+oracle) plus gates for operators whose Spark implementations are
+iterative/stateful (connected components, stateful streaming). Those
+get hash-checked oracles too, via independent re-derivations: a
+recursive-CTE reachability closure for the union-find components, and
+the batch GROUP BY identity for the final streaming state."""
 
 from __future__ import annotations
 
@@ -131,13 +132,40 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(20)
 
 
-@register("consolidation_clusters", None)  # rows-only: iterative algorithm
+@register(
+    "consolidation_clusters",
+    """
+    WITH RECURSIVE e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> x::DOUBLE) AS v,
+             sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      FROM embeddings
+    ),
+    edges AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+      WHERE list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i]))
+            / (a.nrm * b.nrm) >= 0.3
+    ),
+    reach AS (
+      SELECT vec_id AS node, vec_id AS r FROM e
+      UNION
+      SELECT w.node, ed.dst FROM reach w JOIN edges ed ON w.r = ed.src
+    ),
+    comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+    SELECT CAST(cluster_id AS VARCHAR) AS cluster_id, count(*) AS cluster_size
+    FROM comp GROUP BY cluster_id HAVING count(*) > 1
+    ORDER BY cluster_size DESC, cluster_id ASC
+    """,
+)
 def consolidation_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consolidation duplicate-group formation (reference:
     alma/consolidation/engine.py:93-199): similarity self-join within
     label blocks -> connected components (union-find in a per-block Arrow
-    batch — NOT single-pass-SQL-expressible, hence a rows-only driver
-    check) -> cluster sizes. Edges never cross label blocks, so the
+    batch) -> cluster sizes. The oracle reproduces min-id components
+    independently via a recursive-CTE reachability closure over the
+    >=0.3-cosine edges, so the union-find is hash-checked, not just
+    row-counted. Edges never cross label blocks, so the
     WHOLE pipeline — cosine pairs via one BLAS matmul + union-find —
     fuses into a single groupBy(label).applyInPandas pass: ONE shuffle,
     the block is the parallelism unit, no iterative jobs (measured ~8x
@@ -190,14 +218,20 @@ def consolidation_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("streaming_stateful_totals", None)  # rows-only: streaming state
+@register(
+    "streaming_stateful_totals",
+    """
+    SELECT user_id, count(*) AS n_events
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
 def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful streaming operator in the gate (rows-only check):
-    events replayed as a file stream through applyInPandasWithState
-    accumulating per-user running totals across micro-batches — state a
-    windowed agg cannot express. Batch-SQL cannot express cross-batch
-    state either, hence no oracle; unit tests pin the accumulation
-    semantics."""
+    """Custom stateful streaming operator in the gate: events replayed as
+    a file stream through applyInPandasWithState accumulating per-user
+    running totals across micro-batches — state a windowed agg cannot
+    express. The FINAL state after processAllAvailable() is exactly the
+    batch per-user count, so a plain GROUP BY oracle hash-checks the
+    cross-batch accumulation end-to-end."""
     import uuid
 
     import pandas as pd
