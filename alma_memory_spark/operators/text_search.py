@@ -91,36 +91,48 @@ def bm25_scores(
 ) -> DataFrame:
     """Okapi BM25: score(q, d) = sum over q-terms of
     idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),
-    idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1). Returns (id, bm25_score)."""
-    terms = _doc_terms(docs, id_col, text_col).cache()
-    stats = (
-        terms.select("_doc", "_dl")
-        .distinct()
-        .agg(F.count("*").alias("n"), F.avg("_dl").alias("avgdl"))
-        .collect()[0]
-    )
-    n_docs, avgdl = stats["n"], stats["avgdl"] or 1.0
+    idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1). Returns (id, bm25_score).
+
+    Corpus stats (N, avgdl) ride a broadcast one-row frame instead of a
+    driver collect, so the whole score is ONE declarative plan; the term
+    explode is filtered to the query's terms before any shuffle, so the
+    two aggregations (per-doc tf, per-term df) only touch matching
+    postings."""
     qterms = sorted(set(query.lower().split()))
     if not qterms:
         return docs.sparkSession.createDataFrame([], f"{id_col} string, bm25_score double")
-    df_ = (
-        terms.filter(F.col("term").isin(qterms))
-        .groupBy("term")
+    toks = docs.select(
+        F.col(id_col).alias("_doc"), ws_tokens(text_col).alias("_toks")
+    ).withColumn("_dl", F.size("_toks"))
+    stats = toks.agg(
+        F.count("*").cast("double").alias("n"),
+        F.coalesce(F.avg("_dl"), F.lit(1.0)).alias("avgdl"),
+    )
+    hits = (
+        toks.select("_doc", "_dl", F.explode("_toks").alias("term"))
+        .filter(F.col("term").isin(qterms))
+        .groupBy("_doc", "_dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = (
+        hits.groupBy("term")
         .agg(F.countDistinct("_doc").alias("df"))
-        .withColumn(
-            "idf",
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "avgdl",
             F.log(
-                (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-            ),
+                (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            ).alias("idf"),
         )
     )
-    hit = terms.filter(F.col("term").isin(qterms)).join(F.broadcast(df_), "term")
     contrib = F.col("idf") * (
         F.col("tf") * (k1 + 1.0)
-        / (F.col("tf") + k1 * (1.0 - b + b * F.col("_dl") / F.lit(float(avgdl))))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("_dl") / F.col("avgdl")))
     )
     return (
-        hit.withColumn("_c", contrib)
+        hits.join(F.broadcast(idf), "term")
+        .withColumn("_c", contrib)
         .groupBy("_doc")
         .agg(F.sum("_c").alias("bm25_score"))
         .select(F.col("_doc").alias(id_col), "bm25_score")

@@ -592,6 +592,53 @@ def tfidf_scores_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_SEARCH_SQL = f"""
+    WITH d AS (
+      SELECT doc_id, {X.sql_ws_tokens('text')} AS toks FROM documents
+    ),
+    dl AS (SELECT doc_id, toks, len(toks) AS dl FROM d),
+    stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+    hits AS (
+      SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+      FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
+      WHERE term IN ('fast','join','query','spark')
+      GROUP BY doc_id, term
+    ),
+    idf AS (
+      SELECT df.term, ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0) AS idf
+      FROM (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY term) df, stats s
+    )
+    SELECT h.doc_id,
+           round(sum(i.idf * (h.tf * (1.5 + 1.0))
+                     / (h.tf + 1.5 * (1.0 - 0.75 + 0.75 * h.dl / s.avgdl))), 6)
+             AS bm25_score
+    FROM hits h JOIN idf i ON h.term = i.term, stats s
+    GROUP BY h.doc_id
+    ORDER BY bm25_score DESC, h.doc_id ASC
+    LIMIT 20
+    """
+
+
+@register("bm25_search", BM25_SEARCH_SQL)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance search (k1=1.5, b=0.75) — the reference's
+    BM25 provider surface (alma/retrieval/text_search.py:46-194, which
+    delegates to the bm25s lib with a TFIDF fallback; here the Okapi
+    formula is implemented directly as one declarative plan, see
+    operators/text_search.py:bm25_scores). Postings are filtered to the
+    query's terms BEFORE any shuffle, and corpus stats (N, avgdl) ride a
+    broadcast one-row frame — no driver collect."""
+    from alma_memory_spark.operators.text_search import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        bm25_scores(docs, _TFIDF_QUERY, id_col="doc_id", text_col="text")
+        .select("doc_id", _r6(F.col("bm25_score")).alias("bm25_score"))
+        .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 @register("tfidf_search", TFIDF_SEARCH_SQL)
 def tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF relevance search with the reference's exact formulas
