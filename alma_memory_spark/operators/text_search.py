@@ -9,7 +9,8 @@ public formula) — no optional dependency, same DataFrame contract.
 
 Shape: explode -> (doc, term) counts -> term df/idf (broadcast for the
 query's terms) -> per-doc aggregations. Two map-side-combinable
-shuffles; nothing collects except tiny corpus constants (N, avgdl).
+shuffles; zero driver collects — corpus constants (N, avgdl, query
+norm) ride broadcast one-row frames inside the one plan.
 """
 
 from __future__ import annotations
@@ -38,17 +39,24 @@ def tfidf_scores(
     docs: DataFrame, query: str, id_col: str = "id", text_col: str = "text"
 ) -> DataFrame:
     """Reference-exact TF-IDF cosine scores for `query` over a corpus.
-    Returns (id, tfidf_score) for docs with score > 0."""
-    terms = _doc_terms(docs, id_col, text_col).cache()
-    n_docs = docs.count()
-    df_ = terms.groupBy("term").agg(F.countDistinct("_doc").alias("df"))
-    idf = df_.withColumn(
-        "idf", F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
-    ).select("term", "idf")
+    Returns (id, tfidf_score) for docs with score > 0.
 
+    One declarative plan, zero driver collects: corpus size and the
+    query norm each ride a broadcast one-row frame. (A dot > 0 row
+    implies some qw > 0, hence qn > 0 — the zero-query-norm early
+    return the collect form needed is subsumed by the filter.)"""
     qtoks = query.lower().split()
     if not qtoks:
         return docs.sparkSession.createDataFrame([], f"{id_col} string, tfidf_score double")
+    terms = _doc_terms(docs, id_col, text_col)
+    ndocs = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    df_ = terms.groupBy("term").agg(F.countDistinct("_doc").alias("df"))
+    idf = (
+        df_.crossJoin(F.broadcast(ndocs))
+        .withColumn("idf", F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+        .select("term", "idf")
+    )
+
     qtf: dict[str, float] = {}
     for t in qtoks:
         qtf[t] = qtf.get(t, 0.0) + 1.0 / len(qtoks)
@@ -57,10 +65,8 @@ def tfidf_scores(
     )
     qvec = qdf.join(idf, "term", "left").select(
         "term", (F.col("qtf") * F.coalesce(F.col("idf"), F.lit(0.0))).alias("qw")
-    ).cache()
-    qn = qvec.agg(F.sqrt(F.sum(F.col("qw") * F.col("qw")))).collect()[0][0] or 0.0
-    if qn == 0.0:
-        return docs.sparkSession.createDataFrame([], f"{id_col} string, tfidf_score double")
+    )
+    qnorm = qvec.agg(F.sqrt(F.sum(F.col("qw") * F.col("qw"))).alias("qn"))
 
     w = terms.join(idf, "term").select(
         "_doc", "term", (F.col("tf") / F.col("_dl") * F.col("idf")).alias("w")
@@ -73,10 +79,11 @@ def tfidf_scores(
     )
     return (
         dots.join(dnorm, "_doc")
+        .crossJoin(F.broadcast(qnorm))
         .filter(F.col("dot") > 0)
         .select(
             F.col("_doc").alias(id_col),
-            (F.col("dot") / (F.lit(qn) * F.col("dn"))).alias("tfidf_score"),
+            (F.col("dot") / (F.col("qn") * F.col("dn"))).alias("tfidf_score"),
         )
     )
 

@@ -541,7 +541,10 @@ def tfidf_scores_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", X.ws_tokens("text").alias("toks")
     )
     docs = docs.withColumn("doc_len", F.size("toks"))
-    n_docs = docs.count()
+    # corpus size as a one-row broadcast frame, NOT docs.count(): the
+    # collect form is a separate driver-blocking job per invocation
+    # (and a second corpus scan); this keeps the whole score one plan
+    ndocs = docs.agg(F.count("*").cast("double").alias("n_docs"))
 
     # NOTE: caching this exploded table measured SLOWER than recomputing
     # it (materialization cost > 3x tokenize+explode at this scale);
@@ -556,9 +559,11 @@ def tfidf_scores_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = terms.select("doc_id", "term").distinct().groupBy("term").agg(
         F.count("*").alias("df")
     )
-    idf = df_.withColumn(
-        "idf", F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
-    ).select("term", "idf")
+    idf = (
+        df_.crossJoin(F.broadcast(ndocs))
+        .withColumn("idf", F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+        .select("term", "idf")
+    )
 
     qtoks = _TFIDF_QUERY.lower().split()
     qtf = 1.0 / len(qtoks)
