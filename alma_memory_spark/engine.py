@@ -94,7 +94,7 @@ class AlmaSpark:
         agent: str,
         project_id: str | None = None,
         user_id: str | None = None,
-        top_k: int = 5,
+        top_k: int | None = None,
         mode: str | None = None,
         inherit_from: list[str] | None = None,
         use_feedback: bool = False,
@@ -112,8 +112,15 @@ class AlmaSpark:
         mode_name = mode if mode in MODES else (infer_mode(task) if mode == "auto" else None)
         cfg: ModeConfig | None = MODES.get(mode_name) if mode_name else None
         weights = cfg.weights if cfg else ScoringWeights()
-        k = cfg.top_k if cfg and mode_name else top_k
+        # caller top_k OVERRIDES the mode default (reference core.py:
+        # effective_top_k = top_k if top_k is not None else config.top_k)
+        k = top_k if top_k is not None else (cfg.top_k if cfg else 5)
         min_score = 0.2 if cfg is None else (cfg.min_confidence if cfg.min_confidence else 0.0)
+        # diversity re-ranking needs slack to swap memberships: over-fetch
+        # 3x and let MMR cut to k (reference: retrieval_k = top_k * 3
+        # when diversity_factor > 0)
+        diversity = cfg.diversity_factor if cfg else 0.0
+        fetch_k = 3 * k if diversity > 0 else k
 
         query = sanitize_query(task)
         qvec = self.embedder.encode(query)
@@ -125,10 +132,15 @@ class AlmaSpark:
             fb_df = self.store.read("retrieval_feedback")
             fb = feedback_summary(fb_df)
 
-        out: dict[str, list[dict]] = {}
+        # ONE Spark job for all memory types (SURVEY §3.1): per-type
+        # candidate frames (each already cut to fetch_k by
+        # TakeOrderedAndProject) union into a single plan with a
+        # memory_type column and ONE collect; rows split back driver-side.
         type_list = ["heuristics", "outcomes", "domain_knowledge"]
         if cfg is None or cfg.include_anti_patterns:
             type_list.append("anti_patterns")
+        frames: list[DataFrame] = []
+        colsets: dict[str, list[str]] = {}
         for t in type_list:
             df = self.store.read(t)
             scored = retrieve_type(
@@ -136,7 +148,7 @@ class AlmaSpark:
                 t,
                 now,
                 qvec,
-                top_k=k,
+                top_k=fetch_k,
                 project_id=project_id,
                 agents=agents,
                 min_score=min_score,
@@ -148,19 +160,44 @@ class AlmaSpark:
                     scored, fb, self.feedback_weight, memory_type=t
                 )
                 tiebreak = "ann_rank" if "ann_rank" in scored.columns else "id"
-                scored = scored.orderBy(F.desc("score"), F.asc(tiebreak)).limit(k)
-            rows = [r.asDict(recursive=True) for r in scored.collect()]
-            if cfg is not None and cfg.diversity_factor > 0:
-                rows = mmr_rerank(rows, cfg.diversity_factor, k)
-            out[t] = rows
-
-        prefs: list[dict] = []
+                scored = scored.orderBy(F.desc("score"), F.asc(tiebreak)).limit(fetch_k)
+            colsets[t] = list(scored.columns)
+            frames.append(scored.withColumn("memory_type", F.lit(t)))
         if user_id is not None:
-            pdf = self.store.read("preferences").filter(F.col("user_id") == user_id)
-            prefs = [
-                r.asDict(recursive=True)
-                for r in pdf.orderBy(F.desc("confidence"), F.asc("id")).limit(k).collect()
-            ]
+            pdf = (
+                self.store.read("preferences")
+                .filter(F.col("user_id") == user_id)
+                .orderBy(F.desc("confidence"), F.asc("id"))
+                .limit(k)
+            )
+            colsets["preferences"] = list(pdf.columns)
+            frames.append(pdf.withColumn("memory_type", F.lit("preferences")))
+
+        unioned = frames[0]
+        for f in frames[1:]:
+            unioned = unioned.unionByName(f, allowMissingColumns=True)
+        by_type: dict[str, list[dict]] = {t: [] for t in colsets}
+        for r in unioned.collect():
+            d = r.asDict(recursive=True)
+            t = d.pop("memory_type")
+            # drop the union's null-filled columns foreign to this type
+            by_type[t].append({c: d[c] for c in colsets[t]})
+
+        out: dict[str, list[dict]] = {}
+        for t in type_list:
+            rows = by_type[t]
+            # union does not guarantee branch order — re-sort each
+            # type's <= fetch_k rows driver-side (same keys as the plan)
+            if rows and "ann_rank" in rows[0]:
+                rows.sort(key=lambda d: (-(d.get("score") or 0.0), d.get("ann_rank") or 0))
+            else:
+                rows.sort(key=lambda d: (-(d.get("score") or 0.0), d.get("id") or ""))
+            if diversity > 0:
+                rows = mmr_rerank(rows, diversity, k)
+            out[t] = rows[:k]
+
+        prefs = by_type.get("preferences", [])
+        prefs.sort(key=lambda d: (-(d.get("confidence") or 0.0), d.get("id") or ""))
 
         sl = MemorySlice(
             heuristics=out.get("heuristics", []),
