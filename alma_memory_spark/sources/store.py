@@ -22,6 +22,7 @@ one directory.
 from __future__ import annotations
 
 import os
+import shutil
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,7 +40,17 @@ class ParquetStore:
     def _path(self, table: str) -> str:
         return os.path.join(self.root, table)
 
+    def _recover(self, table: str) -> None:
+        """Crash recovery: if a prior overwrite() renamed the live dir
+        aside but died before renaming staging in, put the old data
+        back. Leftover staging dirs are cleaned by the next overwrite."""
+        path = self._path(table)
+        old = path + ".old"
+        if not os.path.isdir(path) and os.path.isdir(old):
+            os.rename(old, path)
+
     def exists(self, table: str) -> bool:
+        self._recover(table)
         p = self._path(table)
         if not os.path.isdir(p):
             return False
@@ -55,26 +66,38 @@ class ParquetStore:
         return self.spark.read.parquet(self._path(table))
 
     def append(self, table: str, df: DataFrame) -> None:
+        self._recover(table)
         writer = df.write.mode("append")
         if table in schemas.PARTITIONED_BY_PROJECT_AGENT:
             writer = writer.partitionBy("project_id", "agent")
         writer.parquet(self._path(table))
 
     def overwrite(self, table: str, df: DataFrame) -> None:
-        # Parquet has no transactional overwrite of a path being read;
-        # stage through a temp dir then swap via a fresh write.
-        pdf = df.cache()
-        pdf.count()
-        writer = pdf.write.mode("overwrite")
+        """Crash-safe overwrite of a path the plan may be reading from.
+
+        Write the full result to `<path>.staging` (the source files are
+        untouched, so the plan's lineage stays valid — no cache/count
+        materialization needed), then swap directories with two renames.
+        A crash leaves either the old table live (staging discarded on
+        the next overwrite) or a `.old` dir that _recover() renames
+        back; at no point is the table's data lost. On a cluster this
+        whole method is replaced by a transactional table format
+        (Delta/Iceberg MERGE/replace) — this is the zero-dep local
+        equivalent of the reference's SQLite transaction
+        (sqlite_local.py:644-813)."""
+        self._recover(table)
+        path = self._path(table)
+        staging, old = path + ".staging", path + ".old"
+        shutil.rmtree(staging, ignore_errors=True)
+        writer = df.write.mode("overwrite")
         if table in schemas.PARTITIONED_BY_PROJECT_AGENT:
             writer = writer.partitionBy("project_id", "agent")
-        writer.parquet(self._path(table) + ".staging")
-        staged = self.spark.read.parquet(self._path(table) + ".staging")
-        w2 = staged.write.mode("overwrite")
-        if table in schemas.PARTITIONED_BY_PROJECT_AGENT:
-            w2 = w2.partitionBy("project_id", "agent")
-        w2.parquet(self._path(table))
-        pdf.unpersist()
+        writer.parquet(staging)
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(path):
+            os.rename(path, old)
+        os.rename(staging, path)
+        shutil.rmtree(old, ignore_errors=True)
 
     def upsert(self, table: str, new_rows: DataFrame, key: str = "id") -> None:
         """INSERT OR REPLACE by key: keep the newest version of each key.

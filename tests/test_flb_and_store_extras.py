@@ -48,3 +48,33 @@ def test_store_json_roundtrip(spark, tmp_path):
     assert dict(df2.dtypes) == dict(
         spark.createDataFrame([], schemas.HEURISTICS).dtypes
     )
+
+
+def test_overwrite_atomic_no_staging_leak(spark, tmp_path):
+    import os
+
+    root = str(tmp_path / "s3")
+    store = ParquetStore(spark, root)
+    store.append("heuristics", FX.seed_heuristics(spark))
+    n = store.read("heuristics").count()
+    # upsert triggers overwrite (read-modify-write of the same path)
+    store.upsert("heuristics", FX.seed_heuristics(spark).limit(2))
+    assert store.read("heuristics").count() == n
+    # no staging/old copies accumulate per rewrite
+    assert not os.path.isdir(os.path.join(root, "heuristics.staging"))
+    assert not os.path.isdir(os.path.join(root, "heuristics.old"))
+
+
+def test_overwrite_crash_recovery(spark, tmp_path):
+    import os
+
+    root = str(tmp_path / "s4")
+    store = ParquetStore(spark, root)
+    store.append("heuristics", FX.seed_heuristics(spark))
+    n = store.read("heuristics").count()
+    live = os.path.join(root, "heuristics")
+    # simulate a crash between the two swap renames: live dir moved
+    # aside, staging never renamed in
+    os.rename(live, live + ".old")
+    assert store.read("heuristics").count() == n  # _recover() healed it
+    assert os.path.isdir(live) and not os.path.isdir(live + ".old")
