@@ -374,3 +374,81 @@ def mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         (i + 1, r["vec_id"], float(r["similarity"])) for i, r in enumerate(picked)
     ]
     return spark.createDataFrame(out, "mmr_rank INT, vec_id BIGINT, similarity DOUBLE")
+
+
+ARCHIVE_CUTOFF = "2024-01-15 00:00:00"
+
+
+@register(
+    "archive_restore_roundtrip",
+    f"""
+    SELECT CAST(event_id AS VARCHAR) AS id,
+           'domain_knowledge' AS memory_type,
+           'u' || CAST(user_id % 5 AS VARCHAR) AS agent,
+           'p' AS project_id,
+           'decay' AS archive_reason,
+           round(value, 6) AS value
+    FROM events
+    WHERE user_id = 7 AND ts < TIMESTAMP '{ARCHIVE_CUTOFF}' AND event_id % 10 <> 0
+    ORDER BY id
+    """,
+)
+def archive_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive -> restore round-trip through the REAL ParquetStore
+    (reference: base.py:991-1128): seed a live table from events
+    (user 7's slice), archive() rows older than the cutoff (anti-join
+    rewrite + JSON-payload append to archived_memories), then
+    restore_from_archive() every archived id divisible by 10. The gate
+    returns the final archive table — ids, scope columns, reason, and
+    the `value` field extracted back OUT of the JSON payload — and the
+    oracle recomputes that end state straight from events, so the
+    append/anti-join/payload/restore semantics are all hash-checked."""
+    import shutil
+    import tempfile
+
+    from alma_memory_spark.sources.store import ParquetStore
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") == 7)
+    live = ev.select(
+        F.col("event_id").cast("string").alias("id"),
+        F.concat(F.lit("u"), (F.col("user_id") % 5).cast("string")).alias("agent"),
+        F.lit("p").alias("project_id"),
+        F.col("value"),
+        F.col("ts"),
+    )
+    root = tempfile.mkdtemp(prefix="alma_archive_gate_")
+    try:
+        store = ParquetStore(spark, root)
+        store.append("domain_knowledge", live)
+        store.archive(
+            "domain_knowledge",
+            F.col("ts") < F.to_timestamp(F.lit(ARCHIVE_CUTOFF)),
+            reason="decay",
+        )
+        restore_ids = [
+            r["id"]
+            for r in store.read("archived_memories")
+            .filter((F.col("id").cast("long") % 10) == 0)
+            .select("id")
+            .collect()
+        ]
+        if restore_ids:
+            store.restore_from_archive(restore_ids)
+        out = (
+            store.read("archived_memories")
+            .select(
+                "id",
+                "memory_type",
+                "agent",
+                "project_id",
+                "archive_reason",
+                _r6(F.get_json_object("content", "$.value").cast("double")).alias(
+                    "value"
+                ),
+            )
+            .orderBy("id")
+        )
+        rows = out.collect()  # materialize before the temp dir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
