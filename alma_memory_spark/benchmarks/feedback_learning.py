@@ -11,6 +11,14 @@ feedback blend (w=0.15) re-ranks; headline = delta R@5 across 3 rounds
 Here the same loop runs against the Spark engine: rank (pure similarity
 on a deliberately NOISY embedder so there is headroom), simulate
 feedback, aggregate with feedback_summary, blend with w, re-rank, score.
+
+Reference-exact simulator regime (simulator.py:94-117, runner config):
+feedback is judged on ALL top_k retrieved items (top_k=50 — so gold
+items stranded at ranks 6..50 accumulate positive signal and get
+promoted into the scored top-5; that promotion IS the uplift
+mechanism), gold items are marked USED with p=0.8, and non-gold items
+are false-positive USED with p=0.1. fb = (used - ignored)/total per
+item (types.py:399-420), blended as (1-w)*sim + w*(fb+1)/2.
 """
 
 from __future__ import annotations
@@ -42,34 +50,70 @@ def run_feedback_learning(
     rounds: int = 3,
     feedback_weight: float = 0.15,
     feedback_accuracy: float = 0.8,
-    top_k: int = 10,
-    noise_dim_keep: int = 8,
+    false_positive_rate: float = 0.1,
+    top_k: int = 50,
+    noise_dim_keep: int | None = None,
+    signal_scale: float = 0.5,
+    noise_sigma: float = 0.14,
     seed: int = 42,
 ) -> list[RoundResult]:
     """Run `rounds` of retrieve -> simulate feedback -> re-rank.
 
-    The base ranking uses only the first `noise_dim_keep` embedding
-    dimensions (a deliberately weakened retriever — the reference's FLB
-    also operates in a low-recall regime, 0.258 base R@5), so feedback
-    has headroom to help. Feedback accumulates in a (memory_id ->
-    net-signal) table; ranking = (1-w)*sim_rank_score + w*(fb+1)/2
-    exactly like the production blend."""
+    The retriever is deliberately weakened so feedback has headroom (the
+    reference's FLB operates at 0.258 base R@5). The default weakener
+    ranks by `signal_scale*cosine + noise_sigma*G(q,s)` where G is a
+    DETERMINISTIC per-pair Gaussian (Box-Muller over two xxhash64
+    uniforms). Three properties make this the right noise model (each
+    was measured to matter — see COVERAGE.md FLB section):
+
+    - Gaussian, not uniform: the top-50 of a large corpus is then an
+      extreme-value tail with thinning spacing, like a real embedder's
+      score distribution — a feedback-promoted item lands in a sparse
+      region and stays, instead of trading places with a dense queue of
+      near-identical noise scores.
+    - Noise on the SCORE, not the vector: R@50 stays high while R@5
+      drops ("right neighborhood, imperfect ordering"), so promotion
+      from ranks 6..50 has a ceiling to reach. Truncating embedding
+      dimensions (`noise_dim_keep`, the legacy knob) collapses R@50
+      with R@5 and caps any possible uplift.
+    - Scores live in the 0.2-0.6 band real embedder cosines occupy: the
+      blend's (fb+1)/2 term competes with the absolute score level, so
+      near-1.0 hash-embed cosines would mute feedback in a way real
+      cosines don't.
+
+    Feedback accumulates in a (memory_id -> net-signal) table; ranking
+    = (1-w)*rank_score + w*(fb+1)/2 exactly like the production blend."""
     rng = random.Random(seed)
     from alma_memory_spark.embedding import hash_embed
 
+    dim_keep = noise_dim_keep if noise_dim_keep is not None else 64
     qvecs = spark.createDataFrame(
         [
-            (q["question_id"], hash_embed(q["question"], 64)[:noise_dim_keep])
+            (q["question_id"], hash_embed(q["question"], 64)[:dim_keep])
             for q in corpus.questions
         ],
         "question_id string, qvec array<float>",
     )
     sessions = corpus.sessions.select(
-        "session_id", F.slice("embedding", 1, noise_dim_keep).alias("emb")
+        "session_id", F.slice("embedding", 1, dim_keep).alias("emb")
     )
+    sim = cosine_similarity("emb", "qvec")
+    if noise_dim_keep is None and noise_sigma > 0:
+        u1 = (
+            F.pmod(F.xxhash64("question_id", "session_id", F.lit(seed)), F.lit(100000))
+            + 1.0
+        ) / 100001.0
+        u2 = (
+            F.pmod(
+                F.xxhash64("session_id", "question_id", F.lit(seed + 1)), F.lit(100000)
+            )
+            / 100000.0
+        )
+        gauss = F.sqrt(-2.0 * F.log(u1)) * F.cos(2.0 * 3.141592653589793 * u2)
+        sim = sim * signal_scale + F.lit(noise_sigma) * gauss
     base = (
         sessions.crossJoin(F.broadcast(qvecs))
-        .withColumn("sim", cosine_similarity("emb", "qvec"))
+        .withColumn("sim", sim)
         .select("question_id", "session_id", "sim")
         .cache()
     )
@@ -115,15 +159,16 @@ def run_feedback_learning(
         m = compute_metrics(results, ks=(5,))
         out.append(RoundResult(rnd, m.recall_at_k[5], m.mrr))
 
-        # simulate feedback on this round's retrievals (accuracy p)
+        # simulate feedback on ALL top_k retrievals (reference
+        # simulator.py:94-117): gold -> USED with p=accuracy; non-gold
+        # -> false-positive USED with p=false_positive_rate
         for qid, items in by_q.items():
-            for rk, sid in items:
-                if rk > 5:
-                    continue
+            for _rk, sid in items:
                 is_gold = sid in gold[qid]
-                judged_gold = is_gold if rng.random() < feedback_accuracy else not is_gold
+                p = feedback_accuracy if is_gold else false_positive_rate
+                used = rng.random() < p
                 c = counts.setdefault(sid, [0, 0])
                 c[1] += 1
-                if judged_gold:
+                if used:
                     c[0] += 1
     return out

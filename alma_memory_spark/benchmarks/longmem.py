@@ -64,10 +64,20 @@ def generate_corpus(
     sessions_per_question: int = 12,
     dim: int = 64,
     seed: int = 42,
+    n_salt: int = 0,
+    multi_gold: int = 2,
 ) -> SessionCorpus:
     """Synthetic LongMemEval-shaped corpus: each question's gold sessions
     share topic vocabulary with it; distractor sessions draw from other
-    topics (FIXTURES.md sessions-corpus shape)."""
+    topics (FIXTURES.md sessions-corpus shape).
+
+    `n_salt` > 0 swaps part of the shared topic vocabulary for
+    per-question unique tokens. Real LongMemEval sessions are unique
+    conversations — a question's gold is similar to ITS question, not to
+    every same-topic sibling. With only 6 shared topics, gold sessions
+    otherwise flood the top-k of ~n_questions/6 sibling questions, which
+    matters for feedback benchmarks (siblings mark foreign gold IGNORED,
+    poisoning its net signal in a way the real corpus geometry doesn't)."""
     rng = random.Random(seed)
     topics = list(TOPIC_WORDS)
     sessions: list[tuple[str, str]] = []
@@ -77,9 +87,16 @@ def generate_corpus(
         topic = topics[qi % len(topics)]
         words = TOPIC_WORDS[topic].split()
         qtype = QUESTION_TYPES[qi % len(QUESTION_TYPES)]
-        n_gold = 2 if qtype == "multi-session" else 1
+        # real LongMemEval multi-session questions have several relevant
+        # sessions (3-6); `multi_gold` parameterizes that
+        n_gold = multi_gold if qtype == "multi-session" else 1
         gold_ids = []
-        qwords = rng.sample(words, 4)
+        if n_salt > 0:
+            qwords = rng.sample(words, max(1, 4 - n_salt)) + [
+                f"q{qi}salt{j}" for j in range(n_salt)
+            ]
+        else:
+            qwords = rng.sample(words, 4)
         for g in range(n_gold):
             gold_ids.append(f"sess_{sid:05d}")
             body = " ".join(

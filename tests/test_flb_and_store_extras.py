@@ -10,14 +10,17 @@ from alma_memory_spark.testing import fixtures as FX
 
 
 def test_feedback_learning_uplift(spark):
-    corpus = generate_corpus(spark, n_questions=24, sessions_per_question=12)
+    # the COVERAGE.md regime (LongMemEval-shaped geometry: salted
+    # per-question vocabulary, multi-gold multi-session questions)
+    corpus = generate_corpus(
+        spark, n_questions=96, sessions_per_question=24, n_salt=3, multi_gold=4
+    )
     rounds = run_feedback_learning(spark, corpus, rounds=3)
     assert len(rounds) == 4
     base, final = rounds[0].recall_at_5, rounds[-1].recall_at_5
     # weakened retriever leaves headroom; accurate-ish feedback must help
-    assert base < 0.9
-    assert final >= base
-    assert final - base > 0.0  # the reference's headline: positive delta
+    assert base < 0.6
+    assert final - base >= 0.05  # well below the measured +0.084..+0.146
 
 
 def test_store_migrate_adds_missing_columns(spark, tmp_path):
