@@ -126,6 +126,59 @@ def generate_corpus(
     return SessionCorpus(sessions=sess_df, questions=questions)
 
 
+def load_longmemeval(
+    spark: SparkSession, path: str, dim: int = 64, limit: int | None = None
+) -> SessionCorpus:
+    """Load the REAL LongMemEval dataset (S or M variant) into a
+    SessionCorpus, so `run_benchmark` / `run_feedback_learning` can score
+    against the actual benchmark whenever the file is present.
+
+    Accepts both the published JSON-array file
+    (longmemeval_s_cleaned.json) and JSONL. Per-entry schema (reference:
+    benchmarks/longmemeval/dataset.py:1-21): question_id, question,
+    question_type, answer_session_ids, and parallel haystack_sessions
+    (list of {role, content} turn lists) / haystack_session_ids.
+    Sessions recur across questions' haystacks and are deduplicated by
+    session_id; session text = all turns joined (dataset.py full_text).
+    """
+    import json as _json
+
+    with open(path) as f:
+        head = f.read(1)
+        f.seek(0)
+        if head == "[":
+            items = _json.load(f)
+        else:
+            items = [_json.loads(line) for line in f if line.strip()]
+    if limit is not None:
+        items = items[:limit]
+    sessions: dict[str, str] = {}
+    questions: list[dict] = []
+    for it in items:
+        sids = it.get("haystack_session_ids") or []
+        for sid, turns in zip(sids, it.get("haystack_sessions") or []):
+            sid = str(sid)
+            if sid not in sessions:
+                sessions[sid] = "\n".join(
+                    t.get("content", "") for t in turns if isinstance(t, dict)
+                )
+        questions.append(
+            {
+                "question_id": str(it.get("question_id")),
+                "question_type": it.get("question_type", "unknown"),
+                "question": it.get("question", ""),
+                "gold_session_ids": [
+                    str(s) for s in (it.get("answer_session_ids") or [])
+                ],
+            }
+        )
+    sess_df = spark.createDataFrame(
+        [(sid, txt, hash_embed(txt, dim)) for sid, txt in sessions.items()],
+        "session_id string, session_text string, embedding array<float>",
+    )
+    return SessionCorpus(sessions=sess_df, questions=questions)
+
+
 def run_benchmark(
     spark: SparkSession,
     corpus: SessionCorpus,

@@ -71,3 +71,59 @@ def test_longmem_detects_broken_propagation(spark):
         broken.append(QuestionResult(r.question_id, r.question_type, r.correct_ids, fake))
     bm = compute_metrics(broken, ks=(5,))
     assert bm.recall_at_k[5] < metrics.recall_at_k[5]
+
+
+def test_load_longmemeval_real_format(spark, tmp_path):
+    """The loader must accept the published longmemeval_s_cleaned.json
+    schema (JSON array of entries with parallel haystack lists) so the
+    harness runs on the real dataset whenever the file is present."""
+    import json
+
+    from alma_memory_spark.benchmarks.longmem import load_longmemeval, run_benchmark
+
+    entries = [
+        {
+            "question_id": "q1",
+            "question": "what database did I migrate to",
+            "question_type": "single-session-user",
+            "question_date": "2023/05/20 (Sat) 02:21",
+            "answer": "postgres",
+            "answer_session_ids": ["s_a"],
+            "haystack_session_ids": ["s_a", "s_b"],
+            "haystack_dates": ["2023/05/01 (Mon) 10:00", "2023/05/02 (Tue) 11:00"],
+            "haystack_sessions": [
+                [
+                    {"role": "user", "content": "I migrated the app database to postgres"},
+                    {"role": "assistant", "content": "Noted: postgres migration."},
+                ],
+                [{"role": "user", "content": "the weather is nice today"}],
+            ],
+        },
+        {
+            "question_id": "q2",
+            "question": "weather chat",
+            "question_type": "temporal-reasoning",
+            "answer_session_ids": ["s_b"],
+            "haystack_session_ids": ["s_b", "s_c"],
+            "haystack_sessions": [
+                [{"role": "user", "content": "the weather is nice today"}],
+                [{"role": "user", "content": "let us talk about deployment pipelines"}],
+            ],
+        },
+    ]
+    p = tmp_path / "longmemeval_s_cleaned.json"
+    p.write_text(json.dumps(entries))
+    corpus = load_longmemeval(spark, str(p))
+    assert corpus.sessions.count() == 3  # s_b deduplicated across haystacks
+    assert [q["question_id"] for q in corpus.questions] == ["q1", "q2"]
+    assert corpus.questions[0]["gold_session_ids"] == ["s_a"]
+    metrics, results = run_benchmark(spark, corpus)
+    assert metrics.total_questions == 2
+    # q1's gold shares vocabulary with the question -> must rank top-5
+    r1 = [r for r in results if r.question_id == "q1"][0]
+    assert "s_a" in r1.ranked_ids[:5]
+    # JSONL form parses identically
+    p2 = tmp_path / "lme.jsonl"
+    p2.write_text("\n".join(json.dumps(e) for e in entries))
+    corpus2 = load_longmemeval(spark, str(p2), limit=1)
+    assert len(corpus2.questions) == 1
