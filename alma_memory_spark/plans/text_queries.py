@@ -480,6 +480,102 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_CENT_EVERY = 50  # centroid sampling stride (index-build param)
+IVF_NPROBE = 3
+
+_IVF_DOT = "list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * c.cvec[i]))"
+_IVF_QDOT = "list_sum(list_transform(range(1, len(cvec)+1), i -> cvec[i] * q[i]))"
+_IVF_EQDOT = "list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i] * q[i]))"
+
+
+@register(
+    "ann_ivf_probe",
+    f"""
+    WITH qv AS (SELECT {_QV_SQL} AS q),
+    e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+             sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cell, v AS cvec, nrm AS cnrm FROM e
+      WHERE vec_id % {IVF_CENT_EVERY} = 0
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT a.vec_id, c.cell,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY round({_IVF_DOT} / (a.nrm * c.cnrm), 6) DESC, c.cell DESC
+               ) AS rn
+        FROM e a, cents c
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT cell FROM cents, qv
+      ORDER BY round({_IVF_QDOT} / (cnrm * sqrt(list_sum(list_transform(q, x -> x*x)))), 6)
+               DESC, cell DESC
+      LIMIT {IVF_NPROBE}
+    )
+    SELECT e.vec_id,
+           round({_IVF_EQDOT} / (e.nrm * sqrt(list_sum(list_transform(q, x -> x*x)))), 6)
+             AS similarity
+    FROM e JOIN assign ON e.vec_id = assign.vec_id, qv
+    WHERE assign.cell IN (SELECT cell FROM probe)
+    ORDER BY similarity DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+)
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into cells (centroids =
+    every {IVF_CENT_EVERY}th vector — a deterministic sampled-init
+    quantizer, the standard kmeans seeding), assign each vector to its
+    nearest centroid, probe the query's IVF_NPROBE nearest cells, exact
+    cosine top-k inside the probed cells only.
+
+    Spark shape: centroids are a ~n/{IVF_CENT_EVERY}-row broadcast (the
+    'index'); assignment is a broadcast nested-loop + map-side-combined
+    max-by (one shuffle keyed on vec_id); the probe list is a broadcast
+    semi-join. At 100 TB the assignment runs ONCE at ingest and `cell`
+    becomes a partition column — the query path then scans only
+    IVF_NPROBE partitions, turning ANN into partition pruning exactly
+    like the LSH variant (ann_lsh_bucketed) but with data-adaptive
+    cells. Both sides round cosines to 6dp BEFORE argmax/probe cuts so
+    borderline ties break identically (cell DESC, then vec_id ASC)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qlit = F.array(*[F.lit(float(x)) for x in QUERY_VEC])
+    cents = emb.filter(F.pmod(F.col("vec_id"), F.lit(IVF_CENT_EVERY)) == 0).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
+    )
+    joined = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cell",
+        _r6(cosine_similarity("embedding", "cvec")).alias("csim"),
+    )
+    assign = (
+        joined.groupBy("vec_id")
+        .agg(
+            F.max(F.struct(F.col("csim"), F.col("cell"))).alias("m"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select("vec_id", "embedding", F.col("m.cell").alias("cell"))
+    )
+    probe = (
+        cents.select("cell", _r6(cosine_similarity("cvec", qlit)).alias("qsim"))
+        .orderBy(F.desc("qsim"), F.desc("cell"))
+        .limit(IVF_NPROBE)
+    )
+    hits = assign.join(F.broadcast(probe.select("cell")), "cell", "left_semi")
+    return (
+        hits.select(
+            "vec_id", _r6(cosine_similarity("embedding", qlit)).alias("similarity")
+        )
+        .orderBy(F.desc("similarity"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF relevance (reference text_search.py:46-124 exact formulas)
 # ---------------------------------------------------------------------------
