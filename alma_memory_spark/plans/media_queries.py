@@ -1,0 +1,146 @@
+"""Gate queries for the multimodal plumbing and the reranking stage —
+the two SURVEY §2 rows that previously had only unit tests.
+
+The multimodal gate runs the REAL mapInPandas decode stage (with its
+deterministic fake codec — the pixel libraries are absent by declared
+contract, operators/multimodal.py) over binary payloads built from the
+documents table; the oracle re-derives the fake codec's hash math in
+SQL, so the Arrow batching, schema, and resize planning are all
+hash-checked, not just exercised.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from alma_memory_spark.functions import text as X
+from alma_memory_spark.plans.registry import _r6, _t, register
+from alma_memory_spark.plans.text_queries import TFIDF_SEARCH_SQL
+
+_HEXVAL = "(strpos('0123456789abcdef', {c}) - 1)"
+
+
+def _sha_byte(i: int) -> str:
+    """SQL for byte i of sha256(text) as an integer (two hex chars)."""
+    hi = _HEXVAL.format(c=f"substr(sha256(text), {2 * i + 1}, 1)")
+    lo = _HEXVAL.format(c=f"substr(sha256(text), {2 * i + 2}, 1)")
+    return f"({hi} * 16 + {lo})"
+
+
+@register(
+    "multimodal_decode_resize",
+    f"""
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           'image/fake' AS mime,
+           CAST(64 + {_sha_byte(0)} % 192 AS INT) AS width,
+           CAST(64 + {_sha_byte(1)} % 192 AS INT) AS height,
+           round({_sha_byte(2)} / 255.0, 6) AS mean_luma,
+           sha256(text) AS payload_sha256,
+           round(least(1.0, 128.0 / greatest(64 + {_sha_byte(0)} % 192,
+                                             64 + {_sha_byte(1)} % 192)), 6) AS scale,
+           CAST(ceil((64 + {_sha_byte(0)} % 192)
+                * least(1.0, 128.0 / greatest(64 + {_sha_byte(0)} % 192,
+                                              64 + {_sha_byte(1)} % 192))) AS INT)
+             AS target_w,
+           CAST(ceil((64 + {_sha_byte(1)} % 192)
+                * least(1.0, 128.0 / greatest(64 + {_sha_byte(0)} % 192,
+                                              64 + {_sha_byte(1)} % 192))) AS INT)
+             AS target_h
+    FROM documents
+    """,
+)
+def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode + resize planning end-to-end: documents' text
+    bytes stand in as binary payloads; the REAL Arrow-batched
+    mapInPandas decode stage (operators/multimodal.py:60, deterministic
+    fake codec — real Pillow kernel plugs into the same stage) extracts
+    width/height/luma/sha256, then resize_stage computes the scale plan
+    as pure column math. The oracle reproduces the codec's sha256-derived
+    dims in SQL, hash-checking the batching plumbing and schema, which
+    previously had only unit tests."""
+    from alma_memory_spark.operators.multimodal import (
+        decode_image_features,
+        resize_stage,
+    )
+    from alma_memory_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image/fake").alias("mime"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+    feats = resize_stage(decode_image_features(media, fake=True))
+    return feats.select(
+        "media_id",
+        "mime",
+        "width",
+        "height",
+        _r6(F.col("mean_luma")).alias("mean_luma"),
+        "payload_sha256",
+        _r6(F.col("scale")).alias("scale"),
+        "target_w",
+        "target_h",
+    )
+
+
+@register(
+    "rerank_overlap",
+    f"""
+    WITH cand AS (
+      SELECT t.doc_id, t.tfidf_score,
+             row_number() OVER (ORDER BY t.tfidf_score DESC, t.doc_id ASC) AS trank
+      FROM ({TFIDF_SEARCH_SQL}) t
+    ),
+    ov AS (
+      SELECT c.doc_id, c.trank,
+             len(list_intersect(list_distinct({X.sql_ws_tokens('d.text')}),
+                                ['fast','join','query','spark'])) AS overlap
+      FROM cand c JOIN documents d ON c.doc_id = d.doc_id
+    )
+    SELECT CAST(row_number() OVER (ORDER BY overlap DESC, trank ASC) AS INT)
+             AS rerank_pos,
+           doc_id,
+           CAST(overlap AS INT) AS overlap
+    FROM ov
+    ORDER BY rerank_pos
+    """,
+)
+def rerank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reranking stage end-to-end (reference: alma/retrieval/
+    reranking.py:16-128 — Reranker ABC over retrieved candidates): the
+    TF-IDF top-20 collect to the driver and the REAL OverlapReranker
+    re-orders them by query-token overlap, stable w.r.t. the incoming
+    (score desc, doc_id asc) order — exactly the reference's
+    post-retrieval rerank shape (distributed candidate stage, tiny
+    driver-side model pass). The oracle reproduces the stable sort with
+    a window over the same TF-IDF subquery."""
+    from alma_memory_spark.operators.reranking import OverlapReranker
+    from alma_memory_spark.plans.text_queries import _TFIDF_QUERY, tfidf_scores_df
+
+    cand = (
+        tfidf_scores_df(spark, sf_dir)
+        .orderBy(F.desc("tfidf_score"), F.asc("doc_id"))
+        .limit(20)
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = [
+        r.asDict()
+        for r in cand.join(docs, "doc_id")
+        .orderBy(F.desc("tfidf_score"), F.asc("doc_id"))
+        .collect()
+    ]
+    reranked = OverlapReranker().rerank(_TFIDF_QUERY, rows, text_key="text")
+    qtoks = set(_TFIDF_QUERY.lower().split())
+    out = [
+        (
+            i + 1,
+            r["doc_id"],
+            len(qtoks & set(str(r["text"]).lower().split())),
+        )
+        for i, r in enumerate(reranked)
+    ]
+    return spark.createDataFrame(out, "rerank_pos int, doc_id bigint, overlap int")
