@@ -541,39 +541,69 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF_NPROBE partitions, turning ANN into partition pruning exactly
     like the LSH variant (ann_lsh_bucketed) but with data-adaptive
     cells. Both sides round cosines to 6dp BEFORE argmax/probe cuts so
-    borderline ties break identically (cell DESC, then vec_id ASC)."""
+    borderline ties break identically (cell DESC, then vec_id ASC).
+
+    Kernel note: assignment + probe filtering + query scoring fuse into
+    ONE mapInPandas pass with a per-batch BLAS matmul against the
+    broadcast centroid matrix (the fused-kernel pattern SCALE.md
+    measures at 14-30x over interpreted per-pair `aggregate` folds).
+    The centroid collect is the IVF index build — a deliberately tiny
+    driver artifact (~n/{IVF_CENT_EVERY} rows), exactly what FAISS
+    materializes as the coarse quantizer. The whole corpus-side plan is
+    a single narrow scan -> map -> TakeOrderedAndProject: no shuffle at
+    all until the final top-k reduce."""
+    import numpy as np
+    import pandas as pd
+
+    from alma_memory_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
     emb = _t(spark, sf_dir, "embeddings")
-    qlit = F.array(*[F.lit(float(x)) for x in QUERY_VEC])
-    cents = emb.filter(F.pmod(F.col("vec_id"), F.lit(IVF_CENT_EVERY)) == 0).select(
-        F.col("vec_id").alias("cell"), F.col("embedding").alias("cvec")
+    # index build: centroids -> driver (cell DESC so that argmax's
+    # first-max tie-break lands on the LARGER cell, like the oracle's
+    # ORDER BY csim DESC, cell DESC)
+    cent_rows = sorted(
+        emb.filter(F.pmod(F.col("vec_id"), F.lit(IVF_CENT_EVERY)) == 0)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: -r["vec_id"],
     )
-    joined = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        "cell",
-        _r6(cosine_similarity("embedding", "cvec")).alias("csim"),
+    cells = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
+    C = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    q = np.array(QUERY_VEC, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    qsims = np.round(Cn @ qn, 6)
+    order = np.lexsort((-cells, -qsims))  # qsim DESC, cell DESC
+    probed = cells[order[:IVF_NPROBE]]
+    sc = spark.sparkContext
+    b_cent = sc.broadcast((cells, Cn, set(probed.tolist()), qn))
+
+    def kernel(it):
+        cells_, Cn_, probed_, qn_ = b_cent.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            Vn = V / np.maximum(
+                np.linalg.norm(V, axis=1, keepdims=True), 1e-300
+            )
+            csims = np.round(Vn @ Cn_.T, 6)
+            cell = cells_[np.argmax(csims, axis=1)]  # first max = larger cell
+            mask = np.isin(cell, list(probed_))
+            if not mask.any():
+                continue
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[mask],
+                    "similarity": np.round(Vn[mask] @ qn_, 6),
+                }
+            )
+
+    hits = emb.select("vec_id", "embedding").mapInPandas(
+        kernel, "vec_id long, similarity double"
     )
-    assign = (
-        joined.groupBy("vec_id")
-        .agg(
-            F.max(F.struct(F.col("csim"), F.col("cell"))).alias("m"),
-            F.first("embedding").alias("embedding"),
-        )
-        .select("vec_id", "embedding", F.col("m.cell").alias("cell"))
-    )
-    probe = (
-        cents.select("cell", _r6(cosine_similarity("cvec", qlit)).alias("qsim"))
-        .orderBy(F.desc("qsim"), F.desc("cell"))
-        .limit(IVF_NPROBE)
-    )
-    hits = assign.join(F.broadcast(probe.select("cell")), "cell", "left_semi")
-    return (
-        hits.select(
-            "vec_id", _r6(cosine_similarity("embedding", qlit)).alias("similarity")
-        )
-        .orderBy(F.desc("similarity"), F.asc("vec_id"))
-        .limit(10)
-    )
+    return hits.orderBy(F.desc("similarity"), F.asc("vec_id")).limit(10)
 
 
 # ---------------------------------------------------------------------------
