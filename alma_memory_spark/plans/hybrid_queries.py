@@ -231,7 +231,15 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     running totals across micro-batches — state a windowed agg cannot
     express. The FINAL state after processAllAvailable() is exactly the
     batch per-user count, so a plain GROUP BY oracle hash-checks the
-    cross-batch accumulation end-to-end."""
+    cross-batch accumulation end-to-end.
+
+    State-store sizing: the stateful shuffle inherits
+    spark.sql.shuffle.partitions, and each state partition carries a
+    HDFS-backed store + checkpoint directory — with 150 distinct keys,
+    32 stores are pure per-trigger overhead (measured: most of this
+    gate's wall time). The conf drops to 8 for the stream's plan and is
+    restored after; at real volume the knob goes the other way
+    (partitions sized so each store's keys fit memory)."""
     import uuid
 
     import pandas as pd
@@ -241,6 +249,7 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from alma_memory_spark.session import ensure_package_shipped
 
     ensure_package_shipped(spark)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     stream = (
         spark.readStream.schema(
             "event_id bigint, ts bigint, user_id bigint, event_type string, "
@@ -266,12 +275,18 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         GroupStateTimeout.NoTimeout,
     )
     qname = "stateful_" + uuid.uuid4().hex[:8]
-    q = (
-        totals.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(qname)
-        .start()
-    )
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            totals.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(qname)
+            .start()
+        )
+    finally:
+        # the streaming plan captured the conf at start(); restore for
+        # everything else immediately
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     try:
         q.processAllAvailable()
         out = (
