@@ -3,6 +3,7 @@ from alma_memory_spark.plans import hybrid_queries  # noqa: F401  (registers que
 from alma_memory_spark.plans import lifecycle_queries  # noqa: F401  (registers queries)
 from alma_memory_spark.plans import media_queries  # noqa: F401  (registers queries)
 from alma_memory_spark.plans import memory_queries  # noqa: F401  (registers queries)
+from alma_memory_spark.plans import store_queries  # noqa: F401  (registers queries)
 from alma_memory_spark.plans import streaming_queries  # noqa: F401  (registers queries)
 from alma_memory_spark.plans import text_queries  # noqa: F401  (registers queries)
 from alma_memory_spark.plans.registry import QUERIES  # noqa: F401

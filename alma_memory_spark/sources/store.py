@@ -231,14 +231,25 @@ class ParquetStore:
             self.overwrite(table, df)
         return added
 
+    # Spark's default JSON timestampFormat keeps only milliseconds;
+    # full-microsecond format so export -> import is lossless (the gate
+    # query json_store_roundtrip hash-checks this against the source)
+    _JSON_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
     def export_json(self, table: str, path: str) -> None:
         """JSON export (the reference's zero-dep file-based store format,
         alma/storage/file_based.py). Embeddings/maps serialize natively."""
-        self.read(table).write.mode("overwrite").json(path)
+        self.read(table).write.mode("overwrite").option(
+            "timestampFormat", self._JSON_TS_FMT
+        ).json(path)
 
     def import_json(self, table: str, path: str) -> None:
         """Import a JSON export, coercing to the table schema."""
-        df = self.spark.read.schema(schemas.ALL_TABLES[table]).json(path)
+        df = (
+            self.spark.read.schema(schemas.ALL_TABLES[table])
+            .option("timestampFormat", self._JSON_TS_FMT)
+            .json(path)
+        )
         self.append(table, df)
 
     def stats(self, project_id: str | None = None) -> dict[str, int]:
