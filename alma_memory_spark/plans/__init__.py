@@ -1,5 +1,6 @@
 from alma_memory_spark.plans import extended_queries  # noqa: F401  (registers queries)
 from alma_memory_spark.plans import hybrid_queries  # noqa: F401  (registers queries)
+from alma_memory_spark.plans import ingest_queries  # noqa: F401  (registers queries)
 from alma_memory_spark.plans import lifecycle_queries  # noqa: F401  (registers queries)
 from alma_memory_spark.plans import media_queries  # noqa: F401  (registers queries)
 from alma_memory_spark.plans import memory_queries  # noqa: F401  (registers queries)
