@@ -167,3 +167,195 @@ def json_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             _schemas.ALL_TABLES["_json_gate"] = prev
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "streaming_learn_ingest",
+    """
+    SELECT CAST(event_id AS VARCHAR) AS id,
+           'u' || CAST(user_id % 5 AS VARCHAR) AS agent,
+           event_type AS task_type,
+           value > 30.0 AS success,
+           round(epoch(ts), 6) AS ts_epoch
+    FROM events
+    WHERE user_id <= 2
+    ORDER BY id
+    """,
+)
+def streaming_learn_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous learn-ingest end-to-end (SURVEY §2.9; the streaming
+    form of the reference's incremental learn(), core.py:309-380):
+    outcome rows derived from events land as 12 parquet files, replay
+    through the file-source stream -> foreachBatch append into a REAL
+    ParquetStore across multiple micro-batches, and the gate returns the
+    final outcomes table. The oracle is the batch identity over events —
+    a dropped or duplicated micro-batch breaks the hash."""
+    from alma_memory_spark import schemas as _schemas
+    from alma_memory_spark.sources.store import ParquetStore
+    from alma_memory_spark.streaming.ingest import (
+        read_outcome_stream,
+        stream_outcomes_into_store,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") <= 2)
+    outcomes = ev.select(
+        F.col("event_id").cast("string").alias("id"),
+        F.concat(F.lit("u"), (F.col("user_id") % 5).cast("string")).alias("agent"),
+        F.lit("p").alias("project_id"),
+        F.col("event_type").alias("task_type"),
+        F.lit(None).cast("string").alias("task_description"),
+        (F.col("value") > 30.0).alias("success"),
+        F.lit(None).cast("string").alias("strategy_used"),
+        F.lit(None).cast("int").alias("duration_ms"),
+        F.lit(None).cast("string").alias("error_message"),
+        F.lit(None).cast("string").alias("user_feedback"),
+        F.col("ts").alias("timestamp"),
+        F.lit(None).cast("string").alias("verification_status"),
+        F.lit(None).cast(_schemas.EMBEDDING).alias("embedding"),
+        F.lit(None).cast(_schemas.METADATA).alias("metadata"),
+    )
+    root = tempfile.mkdtemp(prefix="alma_stream_ingest_gate_")
+    try:
+        inbox = root + "/inbox"
+        outcomes.repartition(12).write.parquet(inbox)
+        store = ParquetStore(spark, root + "/store")
+        batches: list[int] = []
+        q = stream_outcomes_into_store(
+            read_outcome_stream(spark, inbox), store, on_batch=batches.append
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = (
+            store.read("outcomes")
+            .select(
+                "id",
+                "agent",
+                "task_type",
+                "success",
+                _r6(F.col("timestamp").cast("double")).alias("ts_epoch"),
+            )
+            .orderBy("id")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "migration_roundtrip",
+    """
+    SELECT CAST(event_id AS VARCHAR) AS id,
+           'u' || CAST(user_id % 5 AS VARCHAR) AS agent,
+           round(value, 6) AS value,
+           CAST(NULL AS VARCHAR) AS verification_status,
+           CAST(NULL AS DOUBLE) AS strength
+    FROM events
+    WHERE user_id = 13
+    ORDER BY id
+    """,
+)
+def migration_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent schema migration (reference: the v1.2.0 verification-
+    columns migration, sqlite_local.py:1726-1818): a table written under
+    the OLD schema gains the current schema's missing columns as typed
+    NULLs via store.migrate(); a second migrate() is a no-op. The oracle
+    recomputes the migrated table (original rows + NULL-typed new
+    columns) from events."""
+    from alma_memory_spark import schemas as _schemas
+    from alma_memory_spark.sources.store import ParquetStore
+
+    live = _seed_frame(spark, sf_dir, F.col("user_id") == 13).drop("ts")
+    root = tempfile.mkdtemp(prefix="alma_migrate_gate_")
+    from pyspark.sql.types import StructType
+
+    target = StructType.fromDDL(
+        "id string, agent string, project_id string, value double, "
+        "verification_status string, strength double"
+    )
+    prev = _schemas.ALL_TABLES.get("_mig_gate")
+    _schemas.ALL_TABLES["_mig_gate"] = target
+    try:
+        store = ParquetStore(spark, root)
+        store.append("_mig_gate", live)
+        added = store.migrate("_mig_gate")
+        assert added == ["verification_status", "strength"], added
+        assert store.migrate("_mig_gate") == []  # idempotent
+        out = (
+            store.read("_mig_gate")
+            .select(
+                "id",
+                "agent",
+                _r6(F.col("value")).alias("value"),
+                "verification_status",
+                "strength",
+            )
+            .orderBy("id")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        if prev is None:
+            _schemas.ALL_TABLES.pop("_mig_gate", None)
+        else:
+            _schemas.ALL_TABLES["_mig_gate"] = prev
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "workflow_scope_filter",
+    """
+    SELECT CAST(event_id AS VARCHAR) AS id,
+           't' || CAST(user_id % 3 AS VARCHAR) AS tenant_id,
+           'w' || CAST(user_id AS VARCHAR) AS workflow_id,
+           'r' || CAST(event_id % 7 AS VARCHAR) AS run_id,
+           CASE WHEN value > 30.0 THEN 'success' ELSE 'failure' END AS result
+    FROM events
+    WHERE user_id % 3 = 1 AND user_id = 7 AND event_id % 7 = 2
+    ORDER BY id
+    """,
+)
+def workflow_scope_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ScopeFilter (reference: types.py:88-141,
+    sqlite_local.py:1971-1995 — tenant > workflow > run equality
+    cascade) through the real engine API: workflow_outcomes seeded from
+    events, then engine.get_workflow_outcomes(tenant_id='t1',
+    workflow_id='w7', run_id='r2'). At scale these are partition-
+    prunable columns; the oracle applies the same cascade in SQL."""
+    from alma_memory_spark.engine import AlmaSpark
+
+    ev = _t(spark, sf_dir, "events")
+    rows_df = ev.select(
+        F.col("event_id").cast("string").alias("id"),
+        F.concat(F.lit("t"), (F.col("user_id") % 3).cast("string")).alias("tenant_id"),
+        F.concat(F.lit("w"), F.col("user_id").cast("string")).alias("workflow_id"),
+        F.concat(F.lit("r"), (F.col("event_id") % 7).cast("string")).alias("run_id"),
+        F.lit(None).cast("string").alias("agent"),
+        F.lit("p").alias("project_id"),
+        F.when(F.col("value") > 30.0, "success").otherwise("failure").alias("result"),
+        F.lit(None).cast("string").alias("summary"),
+        F.lit(None).cast("array<string>").alias("strategies_used"),
+        F.lit(None).cast("array<string>").alias("successful_patterns"),
+        F.lit(None).cast("array<string>").alias("failed_patterns"),
+        F.lit(None).cast("double").alias("duration_seconds"),
+        F.lit(None).cast("int").alias("node_count"),
+        F.lit(None).cast("string").alias("error_message"),
+        F.col("ts").alias("created_at"),
+    )
+    root = tempfile.mkdtemp(prefix="alma_scope_gate_")
+    try:
+        eng = AlmaSpark(spark, root)
+        eng.store.append("workflow_outcomes", rows_df)
+        out = (
+            eng.get_workflow_outcomes(
+                tenant_id="t1", workflow_id="w7", run_id="r2"
+            )
+            .select("id", "tenant_id", "workflow_id", "run_id", "result")
+            .orderBy("id")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
