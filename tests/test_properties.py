@@ -101,3 +101,45 @@ def test_minhash_permutation_range(tokens):
     subset = tokens[: max(1, len(tokens) // 2)]
     s_sub = sig(subset)
     assert all(a <= b for a, b in zip(s_all, s_sub))
+
+
+@given(
+    st.floats(min_value=0.0, max_value=400.0),
+    st.integers(min_value=0, max_value=10_000),
+    st.one_of(st.none(), st.floats(min_value=0.0, max_value=1.0)),
+    st.integers(min_value=0, max_value=20),
+    st.sampled_from([0.0, 7.0, 30.0, 365.0]),
+)
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_strength_decay_matches_reference_formula(
+    age_days, access, importance, reinf, half_life
+):
+    """Column expression == the reference MemoryStrength math
+    (decay.py:76-126) for arbitrary inputs, including NULL importance
+    coalescing to the 0.5 dataclass default and the 0.4/0.3 bonus caps."""
+    import math
+    from datetime import datetime, timedelta, timezone
+
+    from pyspark.sql import functions as F
+
+    from alma_memory_spark.functions.temporal import strength_decay
+    from alma_memory_spark.session import get_spark
+
+    spark = get_spark(cpus=4)
+    now = datetime(2024, 6, 1, tzinfo=timezone.utc)
+    df = spark.createDataFrame(
+        [("m", now - timedelta(days=age_days), importance)],
+        "id string, last_accessed timestamp, imp double",
+    )
+    out = df.select(
+        strength_decay(
+            "last_accessed", now, half_life, 1.0, access, F.col("imp"), reinf
+        ).alias("s")
+    ).collect()[0]["s"]
+
+    base = math.exp(-0.693 * age_days / half_life) if half_life > 0 else 1.0
+    access_bonus = min(0.4, 0.1 * math.log1p(access))
+    reinf_bonus = min(0.3, 0.1 * reinf)
+    factor = 0.5 + 0.5 * (0.5 if importance is None else importance)
+    expected = min(1.0, max(0.0, (base + access_bonus + reinf_bonus) * factor))
+    assert abs(out - expected) < 1e-9
