@@ -102,9 +102,11 @@ def health_metrics(
     stale_days: int = 90,
 ) -> dict[str, float]:
     """Memory health: totals, weak/stale ratios (reference:
-    forgetting.py:873-1208). One pass per table, combinable aggregates."""
+    forgetting.py:873-1208). ONE Spark job: each table contributes a
+    one-row aggregate branch (weak/stale padded with NULL where the
+    table lacks the column), unioned and collected once — the same
+    union-then-single-collect shape as engine.retrieve()."""
     out: dict[str, float] = {}
-    total = 0
     ts_col = {
         "heuristics": "last_validated",
         "outcomes": "timestamp",
@@ -112,14 +114,17 @@ def health_metrics(
         "anti_patterns": "last_seen",
         "preferences": "timestamp",
     }
+    branches = []
     for name, df in tables.items():
-        aggs = [F.count("*").alias("n")]
+        aggs = [F.count(F.lit(1)).alias("n")]
         if "confidence" in df.columns:
             aggs.append(
-                F.sum(F.when(F.col("confidence") < weak_confidence, 1).otherwise(0)).alias(
-                    "weak"
-                )
+                F.sum(
+                    F.when(F.col("confidence") < weak_confidence, 1).otherwise(0)
+                ).alias("weak")
             )
+        else:
+            aggs.append(F.max(F.lit(None).cast("long")).alias("weak"))
         tc = ts_col.get(name)
         if tc and tc in df.columns:
             cutoff = F.lit(now).cast("timestamp").cast("double") - stale_days * 86400.0
@@ -128,13 +133,23 @@ def health_metrics(
                     F.when(F.col(tc).cast("double") < cutoff, 1).otherwise(0)
                 ).alias("stale")
             )
-        row = df.agg(*aggs).collect()[0].asDict()
-        n = row.get("n", 0)
+        else:
+            aggs.append(F.max(F.lit(None).cast("long")).alias("stale"))
+        branches.append(df.agg(*aggs).select(F.lit(name).alias("_table"), "*"))
+    if not branches:
+        return {"total": 0.0}
+    unioned = branches[0]
+    for b in branches[1:]:
+        unioned = unioned.unionByName(b)
+    total = 0
+    for row in unioned.collect():
+        r = row.asDict()
+        name, n = r["_table"], r["n"] or 0
         total += n
         out[f"{name}_count"] = float(n)
-        if "weak" in row and n:
-            out[f"{name}_weak_ratio"] = round((row["weak"] or 0) / n, 6)
-        if "stale" in row and n:
-            out[f"{name}_stale_ratio"] = round((row["stale"] or 0) / n, 6)
+        if r["weak"] is not None and n:
+            out[f"{name}_weak_ratio"] = round(r["weak"] / n, 6)
+        if r["stale"] is not None and n:
+            out[f"{name}_stale_ratio"] = round(r["stale"] / n, 6)
     out["total"] = float(total)
     return out

@@ -253,12 +253,22 @@ class ParquetStore:
         self.append(table, df)
 
     def stats(self, project_id: str | None = None) -> dict[str, int]:
-        """Per-type row counts (reference: sqlite_local.py:1486-1527)."""
-        out: dict[str, int] = {}
+        """Per-type row counts (reference: sqlite_local.py:1486-1527).
+        ONE Spark job: per-table count branches unioned, single collect
+        — not a count() round-trip per table."""
+        branches = []
         for t in schemas.MEMORY_TABLES:
             df = self.read(t)
             if project_id is not None and "project_id" in df.columns:
                 df = df.filter(F.col("project_id") == project_id)
-            out[t] = df.count()
+            branches.append(
+                df.agg(F.count(F.lit(1)).alias("n")).select(
+                    F.lit(t).alias("t"), "n"
+                )
+            )
+        unioned = branches[0]
+        for b in branches[1:]:
+            unioned = unioned.unionByName(b)
+        out: dict[str, int] = {r["t"]: r["n"] for r in unioned.collect()}
         out["total"] = sum(out.values())
         return out
