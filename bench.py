@@ -28,8 +28,17 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    # Warm the JVM + parquet footers once with a trivial action.
+    # Warm the JVM + parquet footers once with a trivial action, and the
+    # Python-worker pool + Arrow serialization path (several queries use
+    # pandas_udf/mapInPandas; without this the FIRST such query absorbs
+    # the whole pool's cold start and the per-query numbers mislead).
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    try:
+        spark.range(cpus * 4).repartition(cpus).mapInPandas(
+            lambda it: (pdf for pdf in it), "id long"
+        ).count()
+    except Exception:
+        pass  # warmup must never cost the round
 
     for name, spec in QUERIES.items():
         t0 = time.perf_counter()
