@@ -359,3 +359,64 @@ def workflow_scope_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+_ENCODE_TEXTS = [
+    "spark query engine fast join",
+    "the quick brown fox",
+    "deploy release rollout pipeline",
+    "",
+    "Unicode tokens naive resume",
+]
+
+
+def _encode_oracle() -> str:
+    """Oracle literals computed by the SAME pure hash_embed the UDF
+    wraps — the gate therefore checks the Arrow/executor plumbing
+    (serialization, batching, null handling), which is exactly the part
+    a pure-Python unit test cannot reach."""
+    from alma_memory_spark.embedding import hash_embed
+
+    rows = []
+    for i, t in enumerate(_ENCODE_TEXTS):
+        v = hash_embed(t, 64)
+        norm = sum(x * x for x in v) ** 0.5
+        rows.append(
+            f"({i}, {round(float(v[0]), 6)}, {round(float(v[1]), 6)}, "
+            f"{round(float(norm), 6)})"
+        )
+    values = ",\n      ".join(rows)
+    return f"""
+    SELECT * FROM (VALUES
+      {values}
+    ) AS t(text_id, dim0, dim1, norm)
+    ORDER BY text_id
+    """
+
+
+@register("embedding_encode_udf", _encode_oracle())
+def embedding_encode_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-time embedding encode through the REAL Arrow-batched
+    pandas UDF (reference: MockEmbeddingProvider default strategy —
+    deterministic embedder, embedding.py:74): encode a fixed text set
+    on the EXECUTORS and compare dim samples + L2 norm against literals
+    computed driver-side by the same pure function. Catches Arrow float
+    truncation, batch-boundary bugs, and null-text handling; the empty
+    string exercises the zero-vector path."""
+    from alma_memory_spark.embedding import encode_udf
+    from alma_memory_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    df = spark.createDataFrame(
+        list(enumerate(_ENCODE_TEXTS)), "text_id int, text string"
+    )
+    enc = df.repartition(3).withColumn("emb", encode_udf(64)(F.col("text")))
+    norm = F.sqrt(F.aggregate("emb", F.lit(0.0), lambda a, x: a + x * x))
+    out = enc.select(
+        "text_id",
+        _r6(F.col("emb")[0].cast("double")).alias("dim0"),
+        _r6(F.col("emb")[1].cast("double")).alias("dim1"),
+        _r6(norm).alias("norm"),
+    ).orderBy("text_id")
+    rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)

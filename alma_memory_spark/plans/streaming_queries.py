@@ -11,7 +11,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from alma_memory_spark.plans.registry import _r6, register
+from alma_memory_spark.plans.registry import NOW, _now, _r6, register
 
 _EVENTS_SCHEMA = (
     "event_id bigint, ts bigint, user_id bigint, event_type string, "
@@ -80,6 +80,64 @@ def streaming_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             # materialize before the stream/view goes away
             .cache()
         )
+        out.count()
+        return out
+    finally:
+        q.stop()
+
+
+@register(
+    "streaming_decay_at_read",
+    f"""
+    SELECT event_id,
+           round(least(1.0, greatest(0.0,
+             ( exp(-0.693 * ((epoch(TIMESTAMP '{NOW}') - epoch(ts)) / 86400.0) / 30.0)
+               + least(0.4, 0.1 * ln(1.0 + coalesce(CAST(json_extract_string(props, '$.k') AS DOUBLE), 0.0)))
+             ) * 0.75
+           )), 6) AS strength
+    FROM events
+    WHERE ts <= TIMESTAMP '{NOW}'
+    """,
+)
+def streaming_decay_at_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decay-at-read on a REAL stream (SURVEY §2.9; reference design
+    decay.py:74-122 — strength is never stored, always computed from
+    timestamps at read): events replay through a file stream, the SAME
+    strength_decay column expression used in batch attaches per-row
+    strength in-flight, append-mode memory sink, drained with
+    processAllAvailable. The oracle is the batch strength_decay query —
+    the stateless-expression property means batch and stream must agree
+    bit-for-bit, and this gate proves it on an actual streaming plan."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from alma_memory_spark.functions.temporal import strength_decay
+    from alma_memory_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    stream = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    k = F.get_json_object("props", "$.k").cast("double")
+    scored = (
+        ev.filter(F.col("ts") <= _now())
+        .select(
+            "event_id",
+            _r6(strength_decay("ts", _now(), 30.0, 1.0, k)).alias("strength"),
+        )
+    )
+    qname = "stream_decay_" + uuid.uuid4().hex[:8]
+    q = (
+        scored.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.table(qname).cache()
         out.count()
         return out
     finally:
