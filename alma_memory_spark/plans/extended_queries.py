@@ -452,3 +452,66 @@ def archive_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "entity_detection_full",
+    """
+    WITH n AS (
+      SELECT count(*) FILTER (WHERE doc_id % 3 = 0) AS n3,
+             count(*) FILTER (WHERE doc_id % 4 = 0) AS n4,
+             count(*) FILTER (WHERE doc_id % 5 = 0) AS n5
+      FROM documents
+    )
+    SELECT * FROM (
+      SELECT 'Helena' AS name, n3 AS frequency, n3 AS person_signals,
+             CAST(0 AS BIGINT) AS project_signals, 'person' AS entity_type FROM n
+      UNION ALL
+      SELECT 'Spark', n4, CAST(0 AS BIGINT), n4, 'tool' FROM n
+      UNION ALL
+      SELECT 'Vector Database', n5, CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'concept' FROM n
+      UNION ALL
+      SELECT 'Vector', n5, CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'concept' FROM n
+      UNION ALL
+      SELECT 'Database', n5, CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'concept' FROM n
+    ) ORDER BY name
+    """,
+)
+def entity_detection_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL entity detection pipeline (reference: entity_detector.py
+    :401-728 — frequency candidates + name-adjacent signal scoring +
+    person/tool/concept classification), on a corpus with known ground
+    truth: deterministic entity sentences are injected into the
+    documents text by doc_id arithmetic ('Helena said ...' -> person
+    dialogue signal, 'Spark version' -> project signal, 'Vector
+    Database' -> multi-word candidate with no signals -> concept). The
+    oracle derives every frequency and signal count ARITHMETICALLY from
+    the same doc_id predicates — a completely independent derivation
+    that breaks if extraction, the dynamic per-name signal regexes, or
+    the classification rule drift. (The base corpus is all-lowercase,
+    so injected names are provably the only candidates — unlike the
+    frequency-only entity_candidates gate, whose empty result this gate
+    complements.)"""
+    from alma_memory_spark.operators.entities import detect_entities
+
+    docs = _t(spark, sf_dir, "documents")
+    text2 = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" Helena said hello")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            F.col("doc_id") % 4 == 0, F.lit(" please use Spark version two")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit(" about Vector Database design")
+        ).otherwise(F.lit("")),
+    )
+    out = detect_entities(docs.select("doc_id", text2.alias("text")))
+    return out.select(
+        "name",
+        F.col("frequency").cast("long").alias("frequency"),
+        F.col("person_signals").cast("long").alias("person_signals"),
+        F.col("project_signals").cast("long").alias("project_signals"),
+        "entity_type",
+    ).orderBy("name")
