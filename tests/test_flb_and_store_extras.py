@@ -81,3 +81,31 @@ def test_overwrite_crash_recovery(spark, tmp_path):
     os.rename(live, live + ".old")
     assert store.read("heuristics").count() == n  # _recover() healed it
     assert os.path.isdir(live) and not os.path.isdir(live + ".old")
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the same key/count must sort-merge join
+    with NO Exchange on either side — the co-located-join contract that
+    makes id-keyed joins shuffle-free at scale."""
+    from pyspark.sql import functions as F
+
+    store = ParquetStore(spark, str(tmp_path / "sb"))
+    left = spark.range(1000).select(
+        F.col("id").cast("string").alias("id"), (F.col("id") * 2).alias("v")
+    )
+    right = spark.range(1000).select(
+        F.col("id").cast("string").alias("id"), (F.col("id") * 3).alias("w")
+    )
+    tl = store.write_bucketed("left_t", left, buckets=8)
+    tr = store.write_bucketed("right_t", right, buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(tl).join(spark.table(tr), "id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {tl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tr}")
