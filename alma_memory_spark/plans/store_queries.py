@@ -420,3 +420,88 @@ def embedding_encode_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("text_id")
     rows = out.collect()
     return spark.createDataFrame(rows, out.schema)
+
+
+@register(
+    "graph_asof_neighbors",
+    f"""
+    SELECT n.n_name AS source_name, r.r_name AS target_name,
+           'in_region' AS relation_type
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE (n.n_nationkey % 3 = 0 OR n.n_nationkey % 2 = 0)
+      AND n.n_nationkey % 5 <> 0
+    ORDER BY source_name
+    """,
+)
+def graph_asof_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal graph as-of through the REAL engine
+    (reference: alma/graph/store.py:535-559): nation->region edges with
+    a mix of NULL valid_from (valid since forever, nationkey % 3 = 0),
+    early/late validity starts (% 2), and expired valid_to
+    (% 5 = 0); engine.relationships_as_of at the shared NOW anchor must
+    keep exactly the (since-forever OR started) AND NOT expired set.
+    NULL-handling in the as-of predicate is the part a wrong `<=` vs
+    coalesce silently breaks — the oracle reproduces the validity rules
+    arithmetically."""
+    from datetime import datetime, timezone
+
+    from alma_memory_spark.engine import AlmaSpark
+
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    ents = nation.select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("id"),
+        F.col("n_name").alias("name"),
+        F.lit("nation").alias("entity_type"),
+        F.create_map().cast("map<string,string>").alias("properties"),
+        F.to_timestamp(F.lit("2023-12-01 00:00:00")).alias("created_at"),
+    ).unionByName(
+        region.select(
+            F.concat(F.lit("r"), F.col("r_regionkey").cast("string")).alias("id"),
+            F.col("r_name").alias("name"),
+            F.lit("region").alias("entity_type"),
+            F.create_map().cast("map<string,string>").alias("properties"),
+            F.to_timestamp(F.lit("2023-12-01 00:00:00")).alias("created_at"),
+        )
+    )
+    k = F.col("n_nationkey")
+    rels = nation.select(
+        F.concat(F.lit("rel"), k.cast("string")).alias("id"),
+        F.concat(F.lit("n"), k.cast("string")).alias("source_id"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("target_id"),
+        F.lit("in_region").alias("relation_type"),
+        F.create_map().cast("map<string,string>").alias("properties"),
+        F.lit(1.0).alias("confidence"),
+        F.to_timestamp(F.lit("2023-12-01 00:00:00")).alias("created_at"),
+        F.when(k % 3 == 0, F.lit(None).cast("timestamp"))
+        .when(k % 2 == 0, F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+        .otherwise(F.to_timestamp(F.lit("2024-03-01 00:00:00")))
+        .alias("valid_from"),
+        F.when(k % 5 == 0, F.to_timestamp(F.lit("2024-02-01 00:00:00")))
+        .otherwise(F.lit(None).cast("timestamp"))
+        .alias("valid_to"),
+    )
+    root = tempfile.mkdtemp(prefix="alma_graph_gate_")
+    try:
+        eng = AlmaSpark(spark, root)
+        eng.store.append("graph_entities", ents)
+        eng.store.append("graph_relationships", rels)
+        at = datetime(2024, 2, 15, tzinfo=timezone.utc)
+        live = eng.relationships_as_of(at)
+        names = eng.store.read("graph_entities").select("id", "name")
+        out = (
+            live.join(names.withColumnRenamed("id", "source_id"), "source_id")
+            .withColumnRenamed("name", "source_name")
+            .join(
+                names.withColumnRenamed("id", "target_id").withColumnRenamed(
+                    "name", "target_name"
+                ),
+                "target_id",
+            )
+            .select("source_name", "target_name", "relation_type")
+            .orderBy("source_name")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
