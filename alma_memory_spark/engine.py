@@ -55,7 +55,12 @@ class AlmaSpark:
         root: str,
         embedder: HashEmbedder | None = None,
         feedback_weight: float = 0.15,
+        clock=None,
     ):
+        """`clock`: optional () -> datetime override for the engine's
+        notion of now — deterministic retrieval scoring in tests/gates
+        (recency decay is computed at read time, so wall-clock drift
+        otherwise changes scores between runs)."""
         from alma_memory_spark.session import ensure_package_shipped
 
         ensure_package_shipped(spark)
@@ -65,14 +70,14 @@ class AlmaSpark:
         self.feedback_weight = feedback_weight
         self._cache: OrderedDict[tuple, tuple[float, int, MemorySlice]] = OrderedDict()
         self._epoch = 0
+        self._clock = clock
 
     # ------------------------------------------------------------------
     # helpers
     # ------------------------------------------------------------------
 
-    @staticmethod
-    def _now() -> datetime:
-        return datetime.now(timezone.utc)
+    def _now(self) -> datetime:
+        return self._clock() if self._clock is not None else datetime.now(timezone.utc)
 
     @staticmethod
     def _new_id(prefix: str) -> str:

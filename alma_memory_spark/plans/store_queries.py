@@ -505,3 +505,88 @@ def graph_asof_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+_RAW_COS = """
+      list_sum(list_transform(range(1, len(embedding)+1), i -> embedding[i]::DOUBLE * q[i]))
+      / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+         * sqrt(list_sum(list_transform(q, x -> x * x))))
+"""
+
+
+def _retrieve_e2e_oracle() -> str:
+    from alma_memory_spark.plans.registry import _QV_SQL
+
+    return f"""
+    WITH qv AS (SELECT {_QV_SQL} AS q),
+    c AS (
+      SELECT CAST(vec_id AS VARCHAR) AS id, vec_id, {_RAW_COS} AS sim
+      FROM embeddings, qv
+    ),
+    top40 AS (
+      SELECT * FROM (
+        SELECT c.*, row_number() OVER (ORDER BY sim DESC, id ASC) AS ann_rank
+        FROM c
+      ) WHERE ann_rank <= 40
+    ),
+    scored AS (
+      SELECT id, ann_rank,
+             0.4 * sim
+             + 0.3 * pow(0.5, (vec_id % 60) / 30.0)
+             + 0.2 * 1.0
+             + 0.1 * ((vec_id % 100) / 100.0) AS score
+      FROM top40
+    )
+    SELECT id, round(score, 6) AS score
+    FROM scored
+    WHERE score >= 0.2
+    ORDER BY score DESC, ann_rank ASC
+    LIMIT 20
+    """
+
+
+@register("engine_retrieve_e2e", _retrieve_e2e_oracle())
+def engine_retrieve_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE serving path, end-to-end through the real facade
+    (reference: alma/core.py:246-307 + retrieval/engine.py:275-374):
+    AlmaSpark.retrieve() with an injected fixed clock over a
+    domain_knowledge corpus whose embeddings come from the embeddings
+    table and whose confidence/recency are vec_id arithmetic. Exercises
+    sanitize -> HashEmbedder encode (qvec == the shared QUERY_VEC) ->
+    one-job union plan -> vector top-2k candidates with explicit
+    ann_rank -> composite 0.4/0.3/0.2/0.1 scoring -> 0.2 threshold ->
+    top-k -> MemorySlice. The oracle recomputes every stage in SQL:
+    raw-cosine ranking, 2k over-fetch cut, per-type score conventions
+    (success=1.0, conf=confidence for domain_knowledge), threshold, and
+    the ann_rank tiebreak."""
+    from datetime import datetime, timezone
+
+    from alma_memory_spark.engine import AlmaSpark
+    from alma_memory_spark.plans.registry import QUERY_TEXT
+
+    anchor = datetime(2024, 2, 15, tzinfo=timezone.utc)
+    emb = _t(spark, sf_dir, "embeddings")
+    rows_df = emb.select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.lit("helena").alias("agent"),
+        F.lit("p").alias("project_id"),
+        F.lit("d").alias("domain"),
+        F.concat(F.lit("fact "), F.col("vec_id").cast("string")).alias("fact"),
+        F.lit("user_stated").alias("source"),
+        ((F.col("vec_id") % 100) / F.lit(100.0)).alias("confidence"),
+        F.timestamp_seconds(
+            F.lit(anchor.timestamp()) - (F.col("vec_id") % 60) * 86400.0
+        ).alias("last_verified"),
+        F.lit(None).cast("string").alias("verification_status"),
+        F.col("embedding"),
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+    )
+    root = tempfile.mkdtemp(prefix="alma_retrieve_gate_")
+    try:
+        eng = AlmaSpark(spark, root, clock=lambda: anchor)
+        eng.store.append("domain_knowledge", rows_df)
+        sl = eng.retrieve(QUERY_TEXT, agent="helena", project_id="p", top_k=20)
+        out = [(r["id"], round(float(r["score"]), 6)) for r in sl.domain_knowledge]
+        return spark.createDataFrame(out, "id string, score double")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
