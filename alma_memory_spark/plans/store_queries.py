@@ -590,3 +590,83 @@ def engine_retrieve_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out, "id string, score double")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _retrieve_mode_oracle() -> str:
+    from alma_memory_spark.plans.registry import _QV_SQL
+
+    # RECALL mode (operators/retrieval.py MODES): k=15 caller override,
+    # min_confidence 0.5 as the score threshold, weights
+    # (0.95, 0, 0, 0.05), exact_match_boost 3.0 -> sim > 0.9 scores x3,
+    # sim > 0.8 scores x2 (1 + (B-1)/2).
+    return f"""
+    WITH qv AS (SELECT {_QV_SQL} AS q),
+    c AS (
+      SELECT CAST(vec_id AS VARCHAR) AS id, vec_id, {_RAW_COS} AS sim
+      FROM embeddings, qv
+    ),
+    top30 AS (
+      SELECT * FROM (
+        SELECT c.*, row_number() OVER (ORDER BY sim DESC, id ASC) AS ann_rank
+        FROM c
+      ) WHERE ann_rank <= 30
+    ),
+    scored AS (
+      SELECT id, ann_rank,
+             (0.95 * sim + 0.05 * ((vec_id % 100) / 100.0))
+             * (CASE WHEN sim > 0.9 THEN 3.0
+                     WHEN sim > 0.8 THEN 2.0
+                     ELSE 1.0 END) AS score
+      FROM top30
+    )
+    SELECT id, round(score, 6) AS score
+    FROM scored
+    WHERE score >= 0.5
+    ORDER BY score DESC, ann_rank ASC
+    LIMIT 15
+    """
+
+
+@register("engine_retrieve_mode_recall", _retrieve_mode_oracle())
+def engine_retrieve_mode_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode-aware retrieval through the facade (reference:
+    retrieval/engine.py:375-520 retrieve_with_mode + modes.py RECALL):
+    caller top_k overrides the mode default, mode weights (0.95 sim /
+    0.05 conf) swap in, min_confidence 0.5 acts as the score threshold,
+    and the exact-match boost multiplies sim>0.9 scores by 3 and
+    sim>0.8 by 2 BEFORE threshold/top-k. Same fixed-clock seeded corpus
+    as engine_retrieve_e2e; the oracle recomputes mode resolution,
+    boost tiers, threshold, and tiebreak in SQL."""
+    from datetime import datetime, timezone
+
+    from alma_memory_spark.engine import AlmaSpark
+    from alma_memory_spark.plans.registry import QUERY_TEXT
+
+    anchor = datetime(2024, 2, 15, tzinfo=timezone.utc)
+    emb = _t(spark, sf_dir, "embeddings")
+    rows_df = emb.select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.lit("helena").alias("agent"),
+        F.lit("p").alias("project_id"),
+        F.lit("d").alias("domain"),
+        F.concat(F.lit("fact "), F.col("vec_id").cast("string")).alias("fact"),
+        F.lit("user_stated").alias("source"),
+        ((F.col("vec_id") % 100) / F.lit(100.0)).alias("confidence"),
+        F.timestamp_seconds(
+            F.lit(anchor.timestamp()) - (F.col("vec_id") % 60) * 86400.0
+        ).alias("last_verified"),
+        F.lit(None).cast("string").alias("verification_status"),
+        F.col("embedding"),
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+    )
+    root = tempfile.mkdtemp(prefix="alma_mode_gate_")
+    try:
+        eng = AlmaSpark(spark, root, clock=lambda: anchor)
+        eng.store.append("domain_knowledge", rows_df)
+        sl = eng.retrieve(
+            QUERY_TEXT, agent="helena", project_id="p", top_k=15, mode="recall"
+        )
+        out = [(r["id"], round(float(r["score"]), 6)) for r in sl.domain_knowledge]
+        return spark.createDataFrame(out, "id string, score double")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
