@@ -179,6 +179,82 @@ def load_longmemeval(
     return SessionCorpus(sessions=sess_df, questions=questions)
 
 
+def load_locomo(
+    spark: SparkSession,
+    path: str,
+    dim: int = 64,
+    granularity: str = "session",
+    limit: int | None = None,
+) -> SessionCorpus:
+    """Load the REAL LoCoMo dataset (locomo10.json, public snap-research
+    format; reference: benchmarks/locomo/dataset.py:1-25) into a
+    SessionCorpus for the same Spark ranking harness.
+
+    Per-conversation schema: conversation.session_{N} = list of
+    {speaker, dia_id, text} turns, qa = list of {question, answer,
+    category, evidence: ["D{session}:{turn}", ...]}.
+
+    granularity='session' (default): each session becomes one corpus
+    item with id "{conv}/D{N}"; a question's gold = the distinct
+    sessions its evidence turns live in. granularity='turn': each turn
+    is an item keyed by "{conv}/{dia_id}" and gold = the evidence turn
+    ids — the reference sweeps both regimes."""
+    import json as _json
+    import re as _re
+
+    with open(path) as f:
+        items = _json.load(f)
+    if limit is not None:
+        items = items[:limit]
+    sessions: dict[str, str] = {}
+    questions: list[dict] = []
+    for conv_i, it in enumerate(items):
+        conv = str(it.get("sample_id") or it.get("conv_id") or f"conv{conv_i}")
+        conversation = it.get("conversation") or {}
+        turn_texts: dict[str, str] = {}
+        for key, value in conversation.items():
+            m = _re.fullmatch(r"session_(\d+)", key)
+            if not m or not isinstance(value, list):
+                continue
+            snum = int(m.group(1))
+            parts = []
+            for idx, t in enumerate(value):
+                if not isinstance(t, dict):
+                    continue
+                text = str(t.get("text") or "")
+                dia = str(t.get("dia_id") or f"D{snum}:{idx}")
+                turn_texts[dia] = f"{t.get('speaker', '')}: {text}"
+                parts.append(f"{t.get('speaker', '')}: {text}")
+            if granularity == "session":
+                sessions[f"{conv}/D{snum}"] = "\n".join(parts)
+        if granularity == "turn":
+            for dia, text in turn_texts.items():
+                sessions[f"{conv}/{dia}"] = text
+        for qi, qa in enumerate(it.get("qa") or []):
+            evidence = [str(e) for e in (qa.get("evidence") or [])]
+            if granularity == "session":
+                gold = sorted(
+                    {f"{conv}/D{e.split(':')[0].lstrip('D')}" for e in evidence if ":" in e}
+                )
+            else:
+                gold = sorted({f"{conv}/{e}" for e in evidence})
+            if not gold:
+                continue  # unanswerable/adversarial rows have no evidence
+            questions.append(
+                {
+                    "question_id": f"{conv}/q{qi}",
+                    "question_type": str(qa.get("category", "")),
+                    "question": str(qa.get("question") or ""),
+                    "gold_session_ids": gold,
+                }
+            )
+    sess_df = spark.createDataFrame(
+        [(sid, txt, hash_embed(txt, dim)) for sid, txt in sessions.items()],
+        "session_id string, session_text string, embedding array<float>",
+    )
+    return SessionCorpus(sessions=sess_df, questions=questions)
+
+
 def run_benchmark(
     spark: SparkSession,
     corpus: SessionCorpus,

@@ -127,3 +127,48 @@ def test_load_longmemeval_real_format(spark, tmp_path):
     p2.write_text("\n".join(json.dumps(e) for e in entries))
     corpus2 = load_longmemeval(spark, str(p2), limit=1)
     assert len(corpus2.questions) == 1
+
+
+def test_load_locomo_real_format(spark, tmp_path):
+    """Loader must accept the public locomo10.json schema (session_{N}
+    turn lists with dia_id evidence pointers) at both granularities."""
+    import json
+
+    from alma_memory_spark.benchmarks.longmem import load_locomo, run_benchmark
+
+    sample = [
+        {
+            "sample_id": "conv1",
+            "conversation": {
+                "session_1": [
+                    {"speaker": "Caroline", "dia_id": "D1:1",
+                     "text": "I adopted a golden retriever named Max"},
+                    {"speaker": "Mel", "dia_id": "D1:2", "text": "congrats!"},
+                ],
+                "session_1_date_time": "1:56 pm on 8 May, 2023",
+                "session_2": [
+                    {"speaker": "Caroline", "dia_id": "D2:1",
+                     "text": "the weather is nice"},
+                ],
+                "session_2_date_time": "2:00 pm on 9 May, 2023",
+            },
+            "qa": [
+                {"question": "what dog did Caroline adopt golden retriever",
+                 "answer": "a golden retriever named Max",
+                 "evidence": ["D1:1"], "category": 1},
+                {"question": "unanswerable", "answer": "", "evidence": [],
+                 "category": 5},
+            ],
+        }
+    ]
+    p = tmp_path / "locomo10.json"
+    p.write_text(json.dumps(sample))
+    corpus = load_locomo(spark, str(p))
+    assert corpus.sessions.count() == 2
+    assert len(corpus.questions) == 1  # evidence-less QA dropped
+    assert corpus.questions[0]["gold_session_ids"] == ["conv1/D1"]
+    metrics, results = run_benchmark(spark, corpus)
+    assert "conv1/D1" in results[0].ranked_ids[:1]  # token overlap wins
+    turns = load_locomo(spark, str(p), granularity="turn")
+    assert turns.sessions.count() == 3
+    assert turns.questions[0]["gold_session_ids"] == ["conv1/D1:1"]
