@@ -670,3 +670,110 @@ def engine_retrieve_mode_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out, "id string, score double")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _retrieve_feedback_oracle() -> str:
+    from alma_memory_spark.plans.registry import _QV_SQL
+
+    # feedback per vec_id%4: 0 -> 'used' (fb=1 -> +0.15), 1 ->
+    # 'thumbs_down' (fb=-1 -> +0), 2 -> 'ignored' (fb=0 -> +0.075),
+    # 3 -> no feedback (score unchanged); blend w=0.15
+    return f"""
+    WITH qv AS (SELECT {_QV_SQL} AS q),
+    c AS (
+      SELECT CAST(vec_id AS VARCHAR) AS id, vec_id, {_RAW_COS} AS sim
+      FROM embeddings, qv
+    ),
+    top40 AS (
+      SELECT * FROM (
+        SELECT c.*, row_number() OVER (ORDER BY sim DESC, id ASC) AS ann_rank
+        FROM c
+      ) WHERE ann_rank <= 40
+    ),
+    base AS (
+      SELECT id, vec_id, ann_rank,
+             0.4 * sim
+             + 0.3 * pow(0.5, (vec_id % 60) / 30.0)
+             + 0.2 * 1.0
+             + 0.1 * ((vec_id % 100) / 100.0) AS score
+      FROM top40
+    ),
+    fetched AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (ORDER BY score DESC, ann_rank ASC) AS rk
+        FROM base WHERE score >= 0.2
+      ) WHERE rk <= 20
+    ),
+    blended AS (
+      SELECT id, ann_rank,
+             CASE WHEN vec_id % 4 = 0 THEN 0.85 * score + 0.15
+                  WHEN vec_id % 4 = 1 THEN 0.85 * score
+                  WHEN vec_id % 4 = 2 THEN 0.85 * score + 0.075
+                  ELSE score END AS fscore
+      FROM fetched
+    )
+    SELECT id, round(fscore, 6) AS score
+    FROM blended ORDER BY fscore DESC, ann_rank ASC LIMIT 20
+    """
+
+
+@register("engine_retrieve_feedback", _retrieve_feedback_oracle())
+def engine_retrieve_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feedback-aware retrieval through the facade (reference:
+    alma/retrieval/feedback.py:170-230 + types.py:383-420): seeded
+    used / thumbs_down / ignored signals aggregate to feedback_score =
+    (pos-neg)/total, and retrieve(use_feedback=True) blends
+    (1-w)*score + w*(fb+1)/2 at w=0.15 for exactly the memories with
+    feedback, re-ranking the fetched candidates. Same fixed-clock
+    corpus as engine_retrieve_e2e; the oracle recomputes the signal
+    aggregation arithmetically from vec_id%4 and re-derives the blend
+    and the re-rank."""
+    from datetime import datetime, timezone
+
+    from alma_memory_spark.engine import AlmaSpark
+    from alma_memory_spark.plans.registry import QUERY_TEXT
+
+    anchor = datetime(2024, 2, 15, tzinfo=timezone.utc)
+    emb = _t(spark, sf_dir, "embeddings")
+    rows_df = emb.select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.lit("helena").alias("agent"),
+        F.lit("p").alias("project_id"),
+        F.lit("d").alias("domain"),
+        F.concat(F.lit("fact "), F.col("vec_id").cast("string")).alias("fact"),
+        F.lit("user_stated").alias("source"),
+        ((F.col("vec_id") % 100) / F.lit(100.0)).alias("confidence"),
+        F.timestamp_seconds(
+            F.lit(anchor.timestamp()) - (F.col("vec_id") % 60) * 86400.0
+        ).alias("last_verified"),
+        F.lit(None).cast("string").alias("verification_status"),
+        F.col("embedding"),
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+    )
+    signal = (
+        F.when(F.col("vec_id") % 4 == 0, "used")
+        .when(F.col("vec_id") % 4 == 1, "thumbs_down")
+        .when(F.col("vec_id") % 4 == 2, "ignored")
+    )
+    fb_df = emb.filter(F.col("vec_id") % 4 != 3).select(
+        F.concat(F.lit("fb"), F.col("vec_id").cast("string")).alias("id"),
+        F.col("vec_id").cast("string").alias("memory_id"),
+        F.lit("domain_knowledge").alias("memory_type"),
+        F.lit(None).cast("string").alias("query"),
+        F.lit("helena").alias("agent"),
+        F.lit("p").alias("project_id"),
+        signal.alias("signal"),
+        F.to_timestamp(F.lit("2024-02-01 00:00:00")).alias("timestamp"),
+    )
+    root = tempfile.mkdtemp(prefix="alma_fb_gate_")
+    try:
+        eng = AlmaSpark(spark, root, clock=lambda: anchor)
+        eng.store.append("domain_knowledge", rows_df)
+        eng.store.append("retrieval_feedback", fb_df)
+        sl = eng.retrieve(
+            QUERY_TEXT, agent="helena", project_id="p", top_k=20, use_feedback=True
+        )
+        out = [(r["id"], round(float(r["score"]), 6)) for r in sl.domain_knowledge]
+        return spark.createDataFrame(out, "id string, score double")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
