@@ -21,15 +21,30 @@ one directory.
 
 from __future__ import annotations
 
+import functools
+import operator
 import os
 import shutil
 from datetime import datetime, timezone
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from alma_memory_spark import schemas
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _decode_part(dirname: str):
+    """Decode a hive partition dir name ('agent=a%20b') to its value.
+    Spark escapes special chars percent-style; the hive default
+    partition marker means NULL."""
+    value = dirname.split("=", 1)[1]
+    if value == _HIVE_NULL:
+        return None
+    return unquote(value)
 
 
 class ParquetStore:
@@ -43,11 +58,28 @@ class ParquetStore:
     def _recover(self, table: str) -> None:
         """Crash recovery: if a prior overwrite() renamed the live dir
         aside but died before renaming staging in, put the old data
-        back. Leftover staging dirs are cleaned by the next overwrite."""
+        back. Leftover staging dirs are cleaned by the next overwrite.
+        Partition-scoped writes leave dot-prefixed '.<agent=...>.old'
+        dirs (invisible to Spark's file index) — restore any whose live
+        partition vanished, drop the rest."""
         path = self._path(table)
         old = path + ".old"
         if not os.path.isdir(path) and os.path.isdir(old):
             os.rename(old, path)
+        if not os.path.isdir(path):
+            return
+        for proj_dir in os.listdir(path):
+            pd = os.path.join(path, proj_dir)
+            if not (proj_dir.startswith("project_id=") and os.path.isdir(pd)):
+                continue
+            for d in os.listdir(pd):
+                if d.startswith(".agent=") and d.endswith(".old"):
+                    live = os.path.join(pd, d[1:-4])
+                    aside = os.path.join(pd, d)
+                    if os.path.isdir(live):
+                        shutil.rmtree(aside)
+                    else:
+                        os.rename(aside, live)
 
     def exists(self, table: str) -> bool:
         self._recover(table)
@@ -99,17 +131,114 @@ class ParquetStore:
         os.rename(staging, path)
         shutil.rmtree(old, ignore_errors=True)
 
+    # ---- partition-scoped rewrites (the plain-Parquet MERGE) ----------
+    #
+    # The reference's INSERT OR REPLACE touches one row; a full-table
+    # rewrite per upsert would be the 100 TB scale-killer. For tables
+    # partitioned by (project_id, agent) we instead:
+    #   1. collect the distinct partition pairs in the incoming rows
+    #      (bounded by #projects x #agents — a handful, never data-sized),
+    #   2. partition-prune the existing read down to just those pairs,
+    #   3. merge (window-dedup keep-latest), write ONLY those partitions
+    #      to a staging dir, and swap the partition directories in.
+    # Untouched partitions' files are never read or rewritten. Delta's
+    # MERGE INTO does the same file-level pruning transactionally; this
+    # is the zero-dep equivalent with per-partition crash recovery.
+
+    def _pairs_of(self, df: DataFrame) -> list[tuple]:
+        return [
+            (r["project_id"], r["agent"])
+            for r in df.select("project_id", "agent").distinct().collect()
+        ]
+
+    @staticmethod
+    def _pairs_predicate(pairs: list[tuple]):
+        return functools.reduce(
+            operator.or_,
+            [
+                F.col("project_id").eqNullSafe(F.lit(p)) & F.col("agent").eqNullSafe(F.lit(a))
+                for p, a in pairs
+            ],
+        )
+
+    def _swap_partitions(self, table: str, staging: str, touched: list[tuple]) -> None:
+        """Move staged partition dirs into the live table; a touched pair
+        with no staged output (all its rows deleted) has its live dir
+        removed. Each swap is rename-aside -> rename-in, recoverable by
+        _recover()."""
+        path = self._path(table)
+        staged: set[tuple] = set()
+        for proj_dir in os.listdir(staging):
+            spd = os.path.join(staging, proj_dir)
+            if not (proj_dir.startswith("project_id=") and os.path.isdir(spd)):
+                continue
+            for agent_dir in os.listdir(spd):
+                src = os.path.join(spd, agent_dir)
+                if not (agent_dir.startswith("agent=") and os.path.isdir(src)):
+                    continue
+                staged.add((_decode_part(proj_dir), _decode_part(agent_dir)))
+                dst_parent = os.path.join(path, proj_dir)
+                os.makedirs(dst_parent, exist_ok=True)
+                dst = os.path.join(dst_parent, agent_dir)
+                aside = os.path.join(dst_parent, "." + agent_dir + ".old")
+                shutil.rmtree(aside, ignore_errors=True)
+                if os.path.isdir(dst):
+                    os.rename(dst, aside)
+                os.rename(src, dst)
+                shutil.rmtree(aside, ignore_errors=True)
+        # touched pairs that produced zero rows: drop their live dirs
+        for pair in touched:
+            if pair in staged:
+                continue
+            for proj_dir in os.listdir(path):
+                pd = os.path.join(path, proj_dir)
+                if not (proj_dir.startswith("project_id=") and os.path.isdir(pd)):
+                    continue
+                if _decode_part(proj_dir) != pair[0]:
+                    continue
+                for agent_dir in os.listdir(pd):
+                    apd = os.path.join(pd, agent_dir)
+                    if (
+                        agent_dir.startswith("agent=")
+                        and os.path.isdir(apd)
+                        and _decode_part(agent_dir) == pair[1]
+                    ):
+                        shutil.rmtree(apd)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    def _rewrite_partitions(self, table: str, touched: list[tuple], content: DataFrame) -> None:
+        """Write `content` (the full new contents of the touched
+        partitions) to staging and swap those partition dirs in."""
+        path = self._path(table)
+        staging = path + ".staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        content.write.mode("overwrite").partitionBy("project_id", "agent").parquet(staging)
+        self._swap_partitions(table, staging, touched)
+
     def upsert(self, table: str, new_rows: DataFrame, key: str = "id") -> None:
         """INSERT OR REPLACE by key: keep the newest version of each key.
 
         Implemented as union + row_number window keep-first. On Delta this
         would be MERGE INTO; on plain Parquet the rewrite is the portable
         equivalent. `_v` disambiguates within-batch duplicates too.
+        Partitioned tables only read + rewrite the partitions present in
+        `new_rows` (see the partition-scoped block above). Contract: a
+        key never changes partition (a memory's project/agent identity
+        is fixed at save time in the reference — save_* writes carry the
+        row's own scope, sqlite_local.py:644-813), so the old version is
+        always found inside the touched partitions.
         """
         if not self.exists(table):
             self.append(table, new_rows)
             return
-        existing = self.read(table).withColumn("_v", F.lit(0))
+        scoped = table in schemas.PARTITIONED_BY_PROJECT_AGENT
+        touched = self._pairs_of(new_rows) if scoped else []
+        existing = self.read(table)
+        if scoped:
+            if not touched:
+                return
+            existing = existing.filter(self._pairs_predicate(touched))
+        existing = existing.withColumn("_v", F.lit(0))
         incoming = new_rows.withColumn("_v", F.lit(1))
         merged = existing.unionByName(incoming)
         w = W.partitionBy(key).orderBy(F.desc("_v"))
@@ -118,7 +247,10 @@ class ParquetStore:
             .filter(F.col("_rn") == 1)
             .drop("_rn", "_v")
         )
-        self.overwrite(table, deduped)
+        if scoped:
+            self._rewrite_partitions(table, touched, deduped)
+        else:
+            self.overwrite(table, deduped)
 
     def delete(
         self,
@@ -151,8 +283,15 @@ class ParquetStore:
                 F.lit(now).alias("deleted_at"),
             )
             self.append("forget_audit", audit_df)
-        kept = df.join(doomed.select("id"), "id", "left_anti")
-        self.overwrite(table, kept)
+        if table in schemas.PARTITIONED_BY_PROJECT_AGENT:
+            touched = self._pairs_of(doomed)
+            kept = df.filter(self._pairs_predicate(touched)).join(
+                doomed.select("id"), "id", "left_anti"
+            )
+            self._rewrite_partitions(table, touched, kept)
+        else:
+            kept = df.join(doomed.select("id"), "id", "left_anti")
+            self.overwrite(table, kept)
         return n
 
     def archive(self, table: str, predicate, reason: str = "decay") -> int:
@@ -184,8 +323,15 @@ class ParquetStore:
             F.lit(now).alias("archived_at"),
         )
         self.append("archived_memories", arch)
-        kept = df.join(doomed.select("id"), "id", "left_anti")
-        self.overwrite(table, kept)
+        if table in schemas.PARTITIONED_BY_PROJECT_AGENT:
+            touched = self._pairs_of(doomed)
+            kept = df.filter(self._pairs_predicate(touched)).join(
+                doomed.select("id"), "id", "left_anti"
+            )
+            self._rewrite_partitions(table, touched, kept)
+        else:
+            kept = df.join(doomed.select("id"), "id", "left_anti")
+            self.overwrite(table, kept)
         return n
 
     def restore_from_archive(self, memory_ids: list[str]) -> DataFrame:

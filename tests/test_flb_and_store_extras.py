@@ -83,6 +83,110 @@ def test_overwrite_crash_recovery(spark, tmp_path):
     assert os.path.isdir(live) and not os.path.isdir(live + ".old")
 
 
+def _partition_files(root, table):
+    """{(proj_dir, agent_dir): {(filename, mtime_ns)}} for a partitioned table."""
+    import os
+
+    out = {}
+    base = os.path.join(root, table)
+    for pd in os.listdir(base):
+        p = os.path.join(base, pd)
+        if not (pd.startswith("project_id=") and os.path.isdir(p)):
+            continue
+        for ad in os.listdir(p):
+            a = os.path.join(p, ad)
+            if not (ad.startswith("agent=") and os.path.isdir(a)):
+                continue
+            out[(pd, ad)] = {
+                (f, os.stat(os.path.join(a, f)).st_mtime_ns)
+                for f in os.listdir(a)
+                if not f.startswith(".")
+            }
+    return out
+
+
+def test_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    """The plain-Parquet MERGE contract: an upsert whose rows live in one
+    (project_id, agent) partition must leave every other partition's
+    files byte-untouched (same names, same mtimes) — at 100 TB this is
+    the difference between rewriting one directory and the whole table."""
+    root = str(tmp_path / "ps")
+    store = ParquetStore(spark, root)
+    seed = FX.seed_heuristics(spark)
+    store.append("heuristics", seed)
+    before = _partition_files(root, "heuristics")
+    assert len(before) >= 2, "fixture must span multiple partitions"
+    # upsert one partition's rows with bumped confidence
+    one = seed.orderBy("id").limit(1)
+    pair = one.select("project_id", "agent").first()
+    update = seed.filter(
+        (F.col("project_id") == pair["project_id"]) & (F.col("agent") == pair["agent"])
+    ).withColumn("confidence", F.lit(0.99))
+    n = store.read("heuristics").count()
+    store.upsert("heuristics", update)
+    after = _partition_files(root, "heuristics")
+    touched_key = (f"project_id={pair['project_id']}", f"agent={pair['agent']}")
+    for key in before:
+        if key == touched_key:
+            continue
+        assert after[key] == before[key], f"untouched partition {key} was rewritten"
+    got = store.read("heuristics")
+    assert got.count() == n  # replaced, not appended
+    assert (
+        got.filter(
+            (F.col("project_id") == pair["project_id"]) & (F.col("agent") == pair["agent"])
+        )
+        .filter(F.col("confidence") == 0.99)
+        .count()
+        == update.count()
+    )
+    import os
+
+    assert not os.path.isdir(os.path.join(root, "heuristics.staging"))
+
+
+def test_delete_scoped_drops_emptied_partition(spark, tmp_path):
+    """Deleting every row of one partition removes its directory and
+    leaves other partitions' files untouched."""
+    root = str(tmp_path / "pd")
+    store = ParquetStore(spark, root)
+    seed = FX.seed_heuristics(spark)
+    store.append("heuristics", seed)
+    before = _partition_files(root, "heuristics")
+    pair = seed.orderBy("id").limit(1).select("project_id", "agent").first()
+    pred = (F.col("project_id") == pair["project_id"]) & (F.col("agent") == pair["agent"])
+    doomed_n = store.read("heuristics").filter(pred).count()
+    total = store.read("heuristics").count()
+    assert store.delete("heuristics", pred, reason="test") == doomed_n
+    after = _partition_files(root, "heuristics")
+    touched_key = (f"project_id={pair['project_id']}", f"agent={pair['agent']}")
+    assert touched_key not in after, "emptied partition dir must be removed"
+    for key in before:
+        if key != touched_key:
+            assert after[key] == before[key]
+    assert store.read("heuristics").count() == total - doomed_n
+
+
+def test_partition_swap_crash_recovery(spark, tmp_path):
+    """A crash between the partition swap renames leaves '.agent=...old'
+    aside-dirs; _recover() must restore any whose live dir vanished."""
+    import os
+
+    root = str(tmp_path / "pc")
+    store = ParquetStore(spark, root)
+    store.append("heuristics", FX.seed_heuristics(spark))
+    n = store.read("heuristics").count()
+    base = os.path.join(root, "heuristics")
+    proj = next(d for d in os.listdir(base) if d.startswith("project_id="))
+    pd = os.path.join(base, proj)
+    agent = next(d for d in os.listdir(pd) if d.startswith("agent="))
+    # simulate: live partition renamed aside, staged copy never moved in
+    os.rename(os.path.join(pd, agent), os.path.join(pd, "." + agent + ".old"))
+    assert store.read("heuristics").count() == n  # healed on next read
+    assert os.path.isdir(os.path.join(pd, agent))
+    assert not os.path.isdir(os.path.join(pd, "." + agent + ".old"))
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Two tables bucketed on the same key/count must sort-merge join
     with NO Exchange on either side — the co-located-join contract that
