@@ -111,10 +111,23 @@ def run_feedback_learning(
         )
         gauss = F.sqrt(-2.0 * F.log(u1)) * F.cos(2.0 * 3.141592653589793 * u2)
         sim = sim * signal_scale + F.lit(noise_sigma) * gauss
+    from pyspark.sql import Window as W
+
+    # Reference-exact candidate pool: the engine fetches top_k*2 FAISS
+    # candidates per query (engine.py:275-304) and the feedback blend
+    # reorders only that pool — an item outside a question's similarity
+    # top-100 is invisible to it no matter how much feedback it has.
+    # Blending over the whole corpus instead lets one lucky false
+    # positive invade every question's ranking from arbitrary depth,
+    # which real candidate-pool geometry forbids.
+    pool_w = W.partitionBy("question_id").orderBy(F.desc("sim"), F.asc("session_id"))
     base = (
         sessions.crossJoin(F.broadcast(qvecs))
         .withColumn("sim", sim)
         .select("question_id", "session_id", "sim")
+        .withColumn("sim_rank", F.row_number().over(pool_w))
+        .filter(F.col("sim_rank") <= 2 * top_k)
+        .drop("sim_rank")
         .cache()
     )
     base.count()
@@ -139,8 +152,6 @@ def run_feedback_learning(
             )
         else:
             scored = base.withColumn("score", F.col("sim"))
-        from pyspark.sql import Window as W
-
         w = W.partitionBy("question_id").orderBy(F.desc("score"), F.asc("session_id"))
         ranked = (
             scored.withColumn("rk", F.row_number().over(w))
