@@ -105,7 +105,22 @@ class AlmaSpark:
         use_feedback: bool = False,
     ) -> MemorySlice:
         t0 = time.perf_counter()
-        key = (task, agent, project_id, user_id, top_k, mode, tuple(inherit_from or ()))
+        # key on the SANITIZED query (reference normalizes before keying,
+        # alma/retrieval/cache.py:34-189 — raw and sanitized forms of the
+        # same task share one entry) and on every input that changes the
+        # result, including use_feedback (a key without it would replay a
+        # non-feedback slice for a use_feedback=True call within the TTL).
+        query = sanitize_query(task)
+        key = (
+            query,
+            agent,
+            project_id,
+            user_id,
+            top_k,
+            mode,
+            tuple(inherit_from or ()),
+            use_feedback,
+        )
         hit = self._cache.get(key)
         if hit is not None:
             ts, epoch, sl = hit
@@ -127,7 +142,6 @@ class AlmaSpark:
         diversity = cfg.diversity_factor if cfg else 0.0
         fetch_k = 3 * k if diversity > 0 else k
 
-        query = sanitize_query(task)
         qvec = self.embedder.encode(query)
         now = self._now()
         agents = [agent] + [a for a in (inherit_from or []) if a != agent]
@@ -192,8 +206,10 @@ class AlmaSpark:
         for t in type_list:
             rows = by_type[t]
             # union does not guarantee branch order — re-sort each
-            # type's <= fetch_k rows driver-side (same keys as the plan)
-            if rows and "ann_rank" in rows[0]:
+            # type's <= fetch_k rows driver-side with the SAME keys the
+            # plan used; the tiebreak comes from the branch's column set
+            # (rows[0] membership could disagree at the k boundary)
+            if "ann_rank" in colsets[t]:
                 rows.sort(key=lambda d: (-(d.get("score") or 0.0), d.get("ann_rank") or 0))
             else:
                 rows.sort(key=lambda d: (-(d.get("score") or 0.0), d.get("id") or ""))

@@ -96,43 +96,52 @@ def memory_fetch_template(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "semi_join_candidates",
+    "join_guard_shapes",
     """
-    SELECT o_orderkey, o_custkey, o_totalprice
+    SELECT 'semi' AS shape, o_orderkey AS key, CAST(o_custkey AS VARCHAR) AS tag,
+           o_totalprice AS val
     FROM orders
     WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
-    """,
-)
-def semi_join_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN-candidate semi-join shape: `id IN (candidate set)` becomes a
-    broadcast LEFT SEMI join (reference: sqlite_local.py:964-967 fetches
-    `id IN (faiss top-2k)`). The candidate side is small by construction
-    -> broadcast, no shuffle of the big side."""
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    return orders.join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_semi"
-    ).select("o_orderkey", "o_custkey", "o_totalprice")
-
-
-@register(
-    "anti_join_write_guard",
-    """
-    SELECT c_custkey, c_name, c_mktsegment
+    UNION ALL
+    SELECT 'anti', c_custkey, c_name || '/' || c_mktsegment, CAST(NULL AS DOUBLE)
     FROM customer
     WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
     """,
 )
-def anti_join_write_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Write-guard shape: candidate rows that do NOT match an existing
-    blocklist pass through — LEFT ANTI join (reference: the anti-pattern
-    write guard blocks saves matching stored anti-patterns,
-    alma/learning/protocols.py:95-109)."""
-    cust = _t(spark, sf_dir, "customer")
+def join_guard_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite gate: both candidate-set join shapes in one checked frame
+    (merged r3 from semi_join_candidates + anti_join_write_guard, both
+    driver-green in r2, to fit the driver's 50-query correctness cap).
+
+    'semi' rows — ANN-candidate semi-join: `id IN (candidate set)` as a
+    broadcast LEFT SEMI join (reference: sqlite_local.py:964-967 fetches
+    `id IN (faiss top-2k)`); the candidate side is small by construction
+    -> broadcast, no shuffle of the big side.
+    'anti' rows — write-guard: candidate rows that do NOT match a stored
+    blocklist pass through, LEFT ANTI join (reference: the anti-pattern
+    write guard, alma/learning/protocols.py:95-109)."""
     orders = _t(spark, sf_dir, "orders")
-    return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti"
-    ).select("c_custkey", "c_name", "c_mktsegment")
+    cust = _t(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING")
+    semi = (
+        orders.join(F.broadcast(building), orders.o_custkey == building.c_custkey, "left_semi")
+        .select(
+            F.lit("semi").alias("shape"),
+            F.col("o_orderkey").alias("key"),
+            F.col("o_custkey").cast("string").alias("tag"),
+            F.col("o_totalprice").alias("val"),
+        )
+    )
+    anti = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select(
+            F.lit("anti").alias("shape"),
+            F.col("c_custkey").alias("key"),
+            F.concat(F.col("c_name"), F.lit("/"), F.col("c_mktsegment")).alias("tag"),
+            F.lit(None).cast("double").alias("val"),
+        )
+    )
+    return semi.unionByName(anti)
 
 
 # ---------------------------------------------------------------------------
@@ -167,52 +176,51 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "latest_checkpoint",
+    "retention_windows",
     """
-    SELECT user_id, event_id, ts, event_type
-    FROM (
-      SELECT user_id, event_id, ts, event_type,
-             row_number() OVER (PARTITION BY user_id
-                                ORDER BY ts DESC, event_id DESC) AS rk
-      FROM events
-    ) WHERE rk = 1
+    SELECT shape, user_id, event_id, ts, event_type FROM (
+      SELECT CASE WHEN rk = 1 THEN 'latest' WHEN rk > 50 THEN 'overflow' END AS shape,
+             user_id, event_id, ts,
+             CASE WHEN rk = 1 THEN event_type END AS event_type
+      FROM (
+        SELECT user_id, event_id, ts, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rk
+        FROM events
+      )
+    ) WHERE shape IS NOT NULL
     """,
 )
-def latest_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Latest-per-key: max sequence_number per (run, branch) in the
-    reference's checkpoint resume (sqlite_local.py:2041-2065) — window
-    row_number() desc = 1 over the key."""
+def retention_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite gate: both retention window shapes from ONE ranking pass
+    (merged r3 from latest_checkpoint + quota_enforcement, both
+    driver-green in r2, to fit the driver's 50-query correctness cap).
+
+    'latest' rows (rk = 1) — latest-per-key: max sequence_number per
+    (run, branch) in the reference's checkpoint resume
+    (sqlite_local.py:2041-2065).
+    'overflow' rows (rk > 50) — quota pruning: keep the newest N per
+    agent, emit the delete set (reference: max_outcomes_per_agent quota
+    delete, alma/learning/forgetting.py:441-516).
+    One shuffle on the key serves both consumers — at scale the ranking
+    is computed once and fanned out, not one window per policy."""
     ev = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    return (
-        ev.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("user_id", "event_id", "ts", "event_type")
+    ranked = ev.withColumn("rk", F.row_number().over(w))
+    shape = (
+        F.when(F.col("rk") == 1, "latest")
+        .when(F.col("rk") > 50, "overflow")
     )
-
-
-@register(
-    "quota_enforcement",
-    """
-    SELECT user_id, event_id, ts
-    FROM (
-      SELECT user_id, event_id, ts,
-             row_number() OVER (PARTITION BY user_id
-                                ORDER BY ts DESC, event_id DESC) AS rk
-      FROM events
-    ) WHERE rk > 50
-    """,
-)
-def quota_enforcement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quota pruning: keep the newest N per agent, emit the delete set
-    (reference: max_outcomes_per_agent quota delete,
-    alma/learning/forgetting.py:441-516)."""
-    ev = _t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     return (
-        ev.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") > 50)
-        .select("user_id", "event_id", "ts")
+        ranked.withColumn("shape", shape)
+        .filter(F.col("shape").isNotNull())
+        .select(
+            "shape",
+            "user_id",
+            "event_id",
+            "ts",
+            F.when(F.col("rk") == 1, F.col("event_type")).alias("event_type"),
+        )
     )
 
 
@@ -284,45 +292,24 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register(
-    "groupby_agg_pricing",
+    "pricing_revenue_agg",
     """
-    SELECT l_returnflag, l_linestatus,
+    SELECT l_returnflag AS grp, l_linestatus AS grp2,
            CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
            CAST(sum(l_extendedprice::DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
            CAST(sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
            round(CAST(sum(l_quantity) AS DOUBLE) / count(*), 6) AS avg_qty,
-           count(*) AS count_order
+           count(*) AS n_rows
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-12-01'
     GROUP BY l_returnflag, l_linestatus
-    """,
-)
-def groupby_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q1-shaped groupBy aggregate (the reference's stats/health
-    aggregations generalized, forgetting.py:873-1208). Partial (map-side)
-    aggregation is free from Catalyst; DECIMAL sums keep the result
-    order-independent — a distributed double-sum is not reproducible."""
-    li = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.to_timestamp(F.lit("2000-12-01"))
-    )
-    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum("l_quantity").cast("double").alias("sum_qty"),
-        F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
-        .cast("double")
-        .alias("sum_disc_price"),
-        _r6(F.sum("l_quantity").cast("double") / F.count("*")).alias("avg_qty"),
-        F.count("*").alias("count_order"),
-    )
-
-
-@register(
-    "join_agg_revenue",
-    """
-    SELECT n_name,
-           CAST(sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))) AS DOUBLE) AS revenue,
-           count(*) AS n_items
+    UNION ALL
+    SELECT n_name, CAST(NULL AS VARCHAR),
+           CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE),
+           CAST(sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))) AS DOUBLE),
+           CAST(NULL AS DOUBLE),
+           count(*)
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -332,18 +319,45 @@ def groupby_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n_name
     """,
 )
-def join_agg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-join star aggregation (TPC-H-Q5 shape). Dimension tables
-    (nation, region, customer at this scale) broadcast; only the
-    fact-fact join shuffles. Catalyst reorders/prunes; at 100 TB the same
-    plan holds because dims stay small."""
+def pricing_revenue_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite gate: the two classic OLAP aggregate shapes in one
+    checked frame (merged r3 from groupby_agg_pricing + join_agg_revenue,
+    both driver-green in r2, to fit the 50-query correctness cap).
+
+    Pricing rows — TPC-H-Q1-shaped groupBy aggregate (the reference's
+    stats/health aggregations generalized, forgetting.py:873-1208):
+    partial map-side aggregation from Catalyst, DECIMAL sums for an
+    order-independent distributed result.
+    Revenue rows — TPC-H-Q5-shaped multi-join star aggregation: dims
+    (nation, region) broadcast, only the fact-fact join shuffles; the
+    same plan holds at 100 TB because dims stay small."""
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.to_timestamp(F.lit("2000-12-01"))
+    )
+    pricing = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+        .cast("double")
+        .alias("sum_disc_price"),
+        _r6(F.sum("l_quantity").cast("double") / F.count("*")).alias("avg_qty"),
+        F.count("*").alias("n_rows"),
+    ).select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_linestatus").alias("grp2"),
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "avg_qty",
+        "n_rows",
+    )
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    dec = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
-    return (
+    revenue = (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -352,10 +366,20 @@ def join_agg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
             .cast("double")
-            .alias("revenue"),
-            F.count("*").alias("n_items"),
+            .alias("sum_disc_price"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            F.col("n_name").alias("grp"),
+            F.lit(None).cast("string").alias("grp2"),
+            F.lit(None).cast("double").alias("sum_qty"),
+            F.lit(None).cast("double").alias("sum_base_price"),
+            "sum_disc_price",
+            F.lit(None).cast("double").alias("avg_qty"),
+            "n_rows",
         )
     )
+    return pricing.unionByName(revenue)
 
 
 @register(
@@ -457,58 +481,66 @@ def anti_pattern_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register(
-    "recency_decay",
+    "decay_composite_scoring",
     f"""
-    SELECT event_id,
-           round(pow(0.5, (epoch(TIMESTAMP '{NOW}') - epoch(ts)) / 86400.0 / {HALF_LIFE_DAYS}), 6) AS recency_score
-    FROM events
-    WHERE ts <= TIMESTAMP '{NOW}'
-    """,
-)
-def recency_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exponential half-life recency: 0.5 ** (age_days / half_life),
-    fractional days (reference: scoring.py:271-293; decay-at-read design
-    decay.py:74-122 — strength recomputed from timestamps at query time,
-    never stored stale). Pure column expression: streaming-safe,
-    whole-stage-codegen'd."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("ts") <= _now())
-    age_days = (_now().cast("double") - F.col("ts").cast("double")) / F.lit(86400.0)
-    return ev.select(
-        "event_id",
-        _r6(F.pow(F.lit(0.5), age_days / F.lit(HALF_LIFE_DAYS))).alias("recency_score"),
+    WITH base AS (
+      SELECT event_id, user_id, event_type,
+             pow(0.5, (epoch(TIMESTAMP '{NOW}') - epoch(ts)) / 86400.0 / {HALF_LIFE_DAYS}) AS rec
+      FROM events
+      WHERE ts <= TIMESTAMP '{NOW}'
     )
-
-
-@register(
-    "composite_score_noembed",
-    f"""
-    SELECT event_id, user_id,
-           round(0.4 * 1.0
-                 + 0.3 * pow(0.5, (epoch(TIMESTAMP '{NOW}') - epoch(ts)) / 86400.0 / {HALF_LIFE_DAYS})
-                 + 0.2 * (CASE WHEN event_type <> 'error' THEN 1.0 ELSE 0.3 END)
-                 + 0.1 * 1.0, 6) AS score
-    FROM events
-    WHERE ts <= TIMESTAMP '{NOW}'
-    ORDER BY score DESC, event_id ASC
-    LIMIT 100
+    SELECT 'decay' AS shape, event_id, CAST(NULL AS BIGINT) AS user_id,
+           round(rec, 6) AS score
+    FROM base
+    UNION ALL
+    SELECT 'composite', event_id, user_id, score FROM (
+      SELECT event_id, user_id,
+             round(0.4 * 1.0
+                   + 0.3 * rec
+                   + 0.2 * (CASE WHEN event_type <> 'error' THEN 1.0 ELSE 0.3 END)
+                   + 0.1 * 1.0, 6) AS score
+      FROM base
+      ORDER BY score DESC, event_id ASC
+      LIMIT 100
+    )
     """,
 )
-def composite_score_noembed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 4-factor composite score on the no-embedding path: sim
-    defaults to 1.0, score = 0.4*sim + 0.3*recency + 0.2*success +
-    0.1*confidence with outcome conventions success ? 1.0 : 0.3, conf 1.0
-    (reference: scoring.py:122-170; weights scoring.py:16-36). Events
-    stand in for outcomes; 'error' = failure."""
+def decay_composite_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite gate: the decay primitive AND the full 4-factor score
+    built on it (merged r3 from recency_decay + composite_score_noembed,
+    both driver-green in r2, to fit the 50-query correctness cap).
+
+    'decay' rows — exponential half-life recency 0.5**(age_days /
+    half_life), fractional days, over every past event (reference:
+    scoring.py:271-293; decay-at-read design decay.py:74-122 — strength
+    recomputed from timestamps at query time, never stored stale).
+    'composite' rows — the no-embedding composite: sim defaults to 1.0,
+    score = 0.4*sim + 0.3*recency + 0.2*success + 0.1*confidence with
+    success ? 1.0 : 0.3, conf 1.0 (reference: scoring.py:122-170;
+    weights scoring.py:16-36), then threshold-free top-100 cut. Both
+    shapes are pure column expressions over one shared scan — the
+    'composite' branch's orderBy+limit still compiles to
+    TakeOrderedAndProject."""
     ev = _t(spark, sf_dir, "events").filter(F.col("ts") <= _now())
     age_days = (_now().cast("double") - F.col("ts").cast("double")) / F.lit(86400.0)
     rec = F.pow(F.lit(0.5), age_days / F.lit(HALF_LIFE_DAYS))
+    decay = ev.select(
+        F.lit("decay").alias("shape"),
+        "event_id",
+        F.lit(None).cast("long").alias("user_id"),
+        _r6(rec).alias("score"),
+    )
     succ = F.when(F.col("event_type") != "error", F.lit(1.0)).otherwise(F.lit(0.3))
-    score = F.lit(0.4) * F.lit(1.0) + F.lit(0.3) * rec + F.lit(0.2) * succ + F.lit(0.1) * F.lit(1.0)
-    return (
+    score = (
+        F.lit(0.4) * F.lit(1.0) + F.lit(0.3) * rec + F.lit(0.2) * succ + F.lit(0.1) * F.lit(1.0)
+    )
+    composite = (
         ev.select("event_id", "user_id", _r6(score).alias("score"))
         .orderBy(F.desc("score"), F.asc("event_id"))
         .limit(100)
+        .select(F.lit("composite").alias("shape"), "event_id", "user_id", "score")
     )
+    return decay.unionByName(composite)
 
 
 # ---------------------------------------------------------------------------

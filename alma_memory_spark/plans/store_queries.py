@@ -32,140 +32,174 @@ def _seed_frame(spark: SparkSession, sf_dir: str, user_pred) -> DataFrame:
 
 
 @register(
-    "upsert_roundtrip",
-    """
-    SELECT CAST(event_id AS VARCHAR) AS id,
+    "store_write_roundtrips",
+    f"""
+    SELECT 'upsert' AS stage,
+           CAST(event_id AS VARCHAR) AS id,
            'u' || CAST(user_id % 5 AS VARCHAR) AS agent,
            round(CASE WHEN event_id % 3 = 0 THEN value + 1000.0 ELSE value END, 6)
-             AS value
+             AS value,
+           CAST(NULL AS VARCHAR) AS tag,
+           CAST(NULL AS DOUBLE) AS ts_epoch
     FROM events
     WHERE user_id <= 3
-    ORDER BY id
+    UNION ALL
+    SELECT 'audit',
+           'audit_' || md5(CAST(event_id AS VARCHAR)),
+           'u' || CAST(user_id % 5 AS VARCHAR),
+           CAST(NULL AS DOUBLE),
+           CAST(event_id AS VARCHAR) || '/domain_knowledge/p/expired',
+           CAST(NULL AS DOUBLE)
+    FROM events
+    WHERE user_id = 9 AND ts < TIMESTAMP '{_CUTOFF}'
+    UNION ALL
+    SELECT 'migrate',
+           CAST(event_id AS VARCHAR),
+           'u' || CAST(user_id % 5 AS VARCHAR),
+           round(value, 6),
+           CAST(NULL AS VARCHAR),
+           CAST(NULL AS DOUBLE)
+    FROM events
+    WHERE user_id = 13
+    UNION ALL
+    SELECT 'json',
+           CAST(event_id AS VARCHAR),
+           'u' || CAST(user_id % 5 AS VARCHAR),
+           round(value, 6),
+           CAST(NULL AS VARCHAR),
+           round(epoch(ts), 6)
+    FROM events
+    WHERE user_id = 11
     """,
 )
-def upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INSERT OR REPLACE semantics through the real store (reference:
-    sqlite_local.py:644-813): seed a table, upsert an overlapping batch
-    (every third id, value + 1000), and return the final table. The
-    oracle recomputes the keep-latest end state from events — row count
-    unchanged (no duplicate ids), replaced rows carry the new value —
-    hash-checking the union + window-dedup + atomic-swap rewrite."""
+def store_write_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite gate: the four ParquetStore write paths end-to-end in
+    one checked frame (merged r3 from upsert_roundtrip +
+    forget_audit_trail + migration_roundtrip + json_store_roundtrip to
+    fit the 50-query correctness cap; each stage still runs the REAL
+    store machinery in its own temp root).
+
+    'upsert' rows — INSERT OR REPLACE (reference:
+    sqlite_local.py:644-813): seed, upsert an overlapping batch (every
+    third id, value + 1000), return the final table; the oracle's
+    keep-latest end state hash-checks the union + window-dedup +
+    partition-scoped atomic swap.
+    'audit' rows — audit-before-delete (reference: forgetting.py:306-330
+    — every forget writes the audit sink FIRST): age-based delete, gate
+    returns the forget_audit table with tag =
+    memory_id/memory_type/project/reason.
+    'migrate' rows — idempotent schema migration (reference: the v1.2.0
+    verification-columns migration, sqlite_local.py:1726-1818): a table
+    written under the OLD schema gains the missing columns as typed
+    NULLs (tag = verification_status, ts_epoch = strength — both NULL
+    post-migration); a second migrate() asserts as a no-op.
+    'json' rows — file-based JSON store round-trip (reference:
+    alma/storage/file_based.py): export -> import into a FRESH store;
+    the identity oracle catches type coercion, timestamp formatting
+    (the r2 microsecond-truncation bug), and row drops."""
+    from pyspark.sql.types import StructType
+
+    from alma_memory_spark import schemas as _schemas
     from alma_memory_spark.sources.store import ParquetStore
 
-    live = _seed_frame(spark, sf_dir, F.col("user_id") <= 3)
-    root = tempfile.mkdtemp(prefix="alma_upsert_gate_")
+    root = tempfile.mkdtemp(prefix="alma_write_gates_")
+    mig_schema = StructType.fromDDL(
+        "id string, agent string, project_id string, value double, "
+        "verification_status string, strength double"
+    )
+    json_schema = "id string, agent string, project_id string, value double, ts timestamp"
+    prev_mig = _schemas.ALL_TABLES.get("_mig_gate")
+    prev_json = _schemas.ALL_TABLES.get("_json_gate")
+    _schemas.ALL_TABLES["_mig_gate"] = mig_schema
+    _schemas.ALL_TABLES["_json_gate"] = json_schema
     try:
-        store = ParquetStore(spark, root)
-        store.append("domain_knowledge", live)
+        # --- upsert ---
+        live = _seed_frame(spark, sf_dir, F.col("user_id") <= 3)
+        up_store = ParquetStore(spark, root + "/upsert")
+        up_store.append("domain_knowledge", live)
         updates = live.filter(F.col("id").cast("long") % 3 == 0).withColumn(
             "value", F.col("value") + 1000.0
         )
-        store.upsert("domain_knowledge", updates)
-        out = (
-            store.read("domain_knowledge")
-            .select("id", "agent", _r6(F.col("value")).alias("value"))
-            .orderBy("id")
+        up_store.upsert("domain_knowledge", updates)
+        upsert_out = up_store.read("domain_knowledge").select(
+            F.lit("upsert").alias("stage"),
+            "id",
+            "agent",
+            _r6(F.col("value")).alias("value"),
+            F.lit(None).cast("string").alias("tag"),
+            F.lit(None).cast("double").alias("ts_epoch"),
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
 
-
-@register(
-    "forget_audit_trail",
-    f"""
-    SELECT 'audit_' || md5(CAST(event_id AS VARCHAR)) AS id,
-           CAST(event_id AS VARCHAR) AS memory_id,
-           'domain_knowledge' AS memory_type,
-           'u' || CAST(user_id % 5 AS VARCHAR) AS agent,
-           'p' AS project_id,
-           'expired' AS reason
-    FROM events
-    WHERE user_id = 9 AND ts < TIMESTAMP '{_CUTOFF}'
-    ORDER BY memory_id
-    """,
-)
-def forget_audit_trail(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audit-before-delete ordering (reference: forgetting.py:306-330 —
-    every forget writes the audit sink FIRST): age-based delete through
-    the real store, gate returns the forget_audit table. The oracle
-    derives the expected audit rows (md5-keyed ids, scope columns,
-    reason) from the delete predicate over events, hash-checking the
-    audit projection and the predicate plumbing."""
-    from alma_memory_spark.sources.store import ParquetStore
-
-    live = _seed_frame(spark, sf_dir, F.col("user_id") == 9)
-    root = tempfile.mkdtemp(prefix="alma_forget_gate_")
-    try:
-        store = ParquetStore(spark, root)
-        store.append("domain_knowledge", live)
-        store.delete(
+        # --- audit-before-delete ---
+        fg_store = ParquetStore(spark, root + "/forget")
+        fg_store.append(
+            "domain_knowledge", _seed_frame(spark, sf_dir, F.col("user_id") == 9)
+        )
+        fg_store.delete(
             "domain_knowledge",
             F.col("ts") < F.to_timestamp(F.lit(_CUTOFF)),
             reason="expired",
             memory_type="domain_knowledge",
         )
-        out = (
-            store.read("forget_audit")
-            .select("id", "memory_id", "memory_type", "agent", "project_id", "reason")
-            .orderBy("memory_id")
+        audit_out = fg_store.read("forget_audit").select(
+            F.lit("audit").alias("stage"),
+            "id",
+            "agent",
+            F.lit(None).cast("double").alias("value"),
+            F.concat_ws(
+                "/", "memory_id", "memory_type", "project_id", "reason"
+            ).alias("tag"),
+            F.lit(None).cast("double").alias("ts_epoch"),
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
 
+        # --- migration ---
+        mig_store = ParquetStore(spark, root + "/migrate")
+        mig_store.append(
+            "_mig_gate", _seed_frame(spark, sf_dir, F.col("user_id") == 13).drop("ts")
+        )
+        added = mig_store.migrate("_mig_gate")
+        assert added == ["verification_status", "strength"], added
+        assert mig_store.migrate("_mig_gate") == []  # idempotent
+        mig_out = mig_store.read("_mig_gate").select(
+            F.lit("migrate").alias("stage"),
+            "id",
+            "agent",
+            _r6(F.col("value")).alias("value"),
+            F.col("verification_status").alias("tag"),
+            F.col("strength").alias("ts_epoch"),
+        )
 
-@register(
-    "json_store_roundtrip",
-    """
-    SELECT CAST(event_id AS VARCHAR) AS id,
-           'u' || CAST(user_id % 5 AS VARCHAR) AS agent,
-           round(value, 6) AS value,
-           round(epoch(ts), 6) AS ts_epoch
-    FROM events
-    WHERE user_id = 11
-    ORDER BY id
-    """,
-)
-def json_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-based JSON store round-trip (reference:
-    alma/storage/file_based.py): export a table to the JSON format,
-    import it into a FRESH store, return the imported rows. The oracle
-    is the identity over events — any loss in the JSON writer/reader
-    (type coercion, timestamp formatting, row drops) breaks the hash."""
-    from alma_memory_spark import schemas as _schemas
-    from alma_memory_spark.sources.store import ParquetStore
-
-    live = _seed_frame(spark, sf_dir, F.col("user_id") == 11)
-    root = tempfile.mkdtemp(prefix="alma_json_gate_")
-    schema = "id string, agent string, project_id string, value double, ts timestamp"
-    prev = _schemas.ALL_TABLES.get("_json_gate")
-    _schemas.ALL_TABLES["_json_gate"] = schema
-    try:
-        src = ParquetStore(spark, root + "/a")
-        dst = ParquetStore(spark, root + "/b")
-        src.append("_json_gate", live)
+        # --- JSON export/import ---
+        src = ParquetStore(spark, root + "/json_a")
+        dst = ParquetStore(spark, root + "/json_b")
+        src.append("_json_gate", _seed_frame(spark, sf_dir, F.col("user_id") == 11))
         src.export_json("_json_gate", root + "/export")
         dst.import_json("_json_gate", root + "/export")
-        out = (
-            dst.read("_json_gate")
-            .select(
-                "id",
-                "agent",
-                _r6(F.col("value")).alias("value"),
-                _r6(F.col("ts").cast("double")).alias("ts_epoch"),
-            )
-            .orderBy("id")
+        json_out = dst.read("_json_gate").select(
+            F.lit("json").alias("stage"),
+            "id",
+            "agent",
+            _r6(F.col("value")).alias("value"),
+            F.lit(None).cast("string").alias("tag"),
+            _r6(F.col("ts").cast("double")).alias("ts_epoch"),
         )
-        rows = out.collect()
+
+        out = (
+            upsert_out.unionByName(audit_out)
+            .unionByName(mig_out)
+            .unionByName(json_out)
+        )
+        rows = out.collect()  # materialize before the temp roots vanish
         return spark.createDataFrame(rows, out.schema)
     finally:
-        if prev is None:
+        if prev_mig is None:
+            _schemas.ALL_TABLES.pop("_mig_gate", None)
+        else:
+            _schemas.ALL_TABLES["_mig_gate"] = prev_mig
+        if prev_json is None:
             _schemas.ALL_TABLES.pop("_json_gate", None)
         else:
-            _schemas.ALL_TABLES["_json_gate"] = prev
+            _schemas.ALL_TABLES["_json_gate"] = prev_json
         shutil.rmtree(root, ignore_errors=True)
 
 
@@ -241,66 +275,6 @@ def streaming_learn_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
     finally:
-        shutil.rmtree(root, ignore_errors=True)
-
-
-@register(
-    "migration_roundtrip",
-    """
-    SELECT CAST(event_id AS VARCHAR) AS id,
-           'u' || CAST(user_id % 5 AS VARCHAR) AS agent,
-           round(value, 6) AS value,
-           CAST(NULL AS VARCHAR) AS verification_status,
-           CAST(NULL AS DOUBLE) AS strength
-    FROM events
-    WHERE user_id = 13
-    ORDER BY id
-    """,
-)
-def migration_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Idempotent schema migration (reference: the v1.2.0 verification-
-    columns migration, sqlite_local.py:1726-1818): a table written under
-    the OLD schema gains the current schema's missing columns as typed
-    NULLs via store.migrate(); a second migrate() is a no-op. The oracle
-    recomputes the migrated table (original rows + NULL-typed new
-    columns) from events."""
-    from alma_memory_spark import schemas as _schemas
-    from alma_memory_spark.sources.store import ParquetStore
-
-    live = _seed_frame(spark, sf_dir, F.col("user_id") == 13).drop("ts")
-    root = tempfile.mkdtemp(prefix="alma_migrate_gate_")
-    from pyspark.sql.types import StructType
-
-    target = StructType.fromDDL(
-        "id string, agent string, project_id string, value double, "
-        "verification_status string, strength double"
-    )
-    prev = _schemas.ALL_TABLES.get("_mig_gate")
-    _schemas.ALL_TABLES["_mig_gate"] = target
-    try:
-        store = ParquetStore(spark, root)
-        store.append("_mig_gate", live)
-        added = store.migrate("_mig_gate")
-        assert added == ["verification_status", "strength"], added
-        assert store.migrate("_mig_gate") == []  # idempotent
-        out = (
-            store.read("_mig_gate")
-            .select(
-                "id",
-                "agent",
-                _r6(F.col("value")).alias("value"),
-                "verification_status",
-                "strength",
-            )
-            .orderBy("id")
-        )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        if prev is None:
-            _schemas.ALL_TABLES.pop("_mig_gate", None)
-        else:
-            _schemas.ALL_TABLES["_mig_gate"] = prev
         shutil.rmtree(root, ignore_errors=True)
 
 
@@ -545,28 +519,9 @@ def _retrieve_e2e_oracle() -> str:
     """
 
 
-@register("engine_retrieve_e2e", _retrieve_e2e_oracle())
-def engine_retrieve_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """THE serving path, end-to-end through the real facade
-    (reference: alma/core.py:246-307 + retrieval/engine.py:275-374):
-    AlmaSpark.retrieve() with an injected fixed clock over a
-    domain_knowledge corpus whose embeddings come from the embeddings
-    table and whose confidence/recency are vec_id arithmetic. Exercises
-    sanitize -> HashEmbedder encode (qvec == the shared QUERY_VEC) ->
-    one-job union plan -> vector top-2k candidates with explicit
-    ann_rank -> composite 0.4/0.3/0.2/0.1 scoring -> 0.2 threshold ->
-    top-k -> MemorySlice. The oracle recomputes every stage in SQL:
-    raw-cosine ranking, 2k over-fetch cut, per-type score conventions
-    (success=1.0, conf=confidence for domain_knowledge), threshold, and
-    the ann_rank tiebreak."""
-    from datetime import datetime, timezone
-
-    from alma_memory_spark.engine import AlmaSpark
-    from alma_memory_spark.plans.registry import QUERY_TEXT
-
-    anchor = datetime(2024, 2, 15, tzinfo=timezone.utc)
+def _serving_corpus(spark: SparkSession, sf_dir: str, anchor) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    rows_df = emb.select(
+    return emb.select(
         F.col("vec_id").cast("string").alias("id"),
         F.lit("helena").alias("agent"),
         F.lit("p").alias("project_id"),
@@ -581,15 +536,6 @@ def engine_retrieve_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding"),
         F.lit(None).cast("map<string,string>").alias("metadata"),
     )
-    root = tempfile.mkdtemp(prefix="alma_retrieve_gate_")
-    try:
-        eng = AlmaSpark(spark, root, clock=lambda: anchor)
-        eng.store.append("domain_knowledge", rows_df)
-        sl = eng.retrieve(QUERY_TEXT, agent="helena", project_id="p", top_k=20)
-        out = [(r["id"], round(float(r["score"]), 6)) for r in sl.domain_knowledge]
-        return spark.createDataFrame(out, "id string, score double")
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
 
 
 def _retrieve_mode_oracle() -> str:
@@ -627,49 +573,6 @@ def _retrieve_mode_oracle() -> str:
     """
 
 
-@register("engine_retrieve_mode_recall", _retrieve_mode_oracle())
-def engine_retrieve_mode_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mode-aware retrieval through the facade (reference:
-    retrieval/engine.py:375-520 retrieve_with_mode + modes.py RECALL):
-    caller top_k overrides the mode default, mode weights (0.95 sim /
-    0.05 conf) swap in, min_confidence 0.5 acts as the score threshold,
-    and the exact-match boost multiplies sim>0.9 scores by 3 and
-    sim>0.8 by 2 BEFORE threshold/top-k. Same fixed-clock seeded corpus
-    as engine_retrieve_e2e; the oracle recomputes mode resolution,
-    boost tiers, threshold, and tiebreak in SQL."""
-    from datetime import datetime, timezone
-
-    from alma_memory_spark.engine import AlmaSpark
-    from alma_memory_spark.plans.registry import QUERY_TEXT
-
-    anchor = datetime(2024, 2, 15, tzinfo=timezone.utc)
-    emb = _t(spark, sf_dir, "embeddings")
-    rows_df = emb.select(
-        F.col("vec_id").cast("string").alias("id"),
-        F.lit("helena").alias("agent"),
-        F.lit("p").alias("project_id"),
-        F.lit("d").alias("domain"),
-        F.concat(F.lit("fact "), F.col("vec_id").cast("string")).alias("fact"),
-        F.lit("user_stated").alias("source"),
-        ((F.col("vec_id") % 100) / F.lit(100.0)).alias("confidence"),
-        F.timestamp_seconds(
-            F.lit(anchor.timestamp()) - (F.col("vec_id") % 60) * 86400.0
-        ).alias("last_verified"),
-        F.lit(None).cast("string").alias("verification_status"),
-        F.col("embedding"),
-        F.lit(None).cast("map<string,string>").alias("metadata"),
-    )
-    root = tempfile.mkdtemp(prefix="alma_mode_gate_")
-    try:
-        eng = AlmaSpark(spark, root, clock=lambda: anchor)
-        eng.store.append("domain_knowledge", rows_df)
-        sl = eng.retrieve(
-            QUERY_TEXT, agent="helena", project_id="p", top_k=15, mode="recall"
-        )
-        out = [(r["id"], round(float(r["score"]), 6)) for r in sl.domain_knowledge]
-        return spark.createDataFrame(out, "id string, score double")
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
 
 
 def _retrieve_feedback_oracle() -> str:
@@ -717,17 +620,43 @@ def _retrieve_feedback_oracle() -> str:
     """
 
 
-@register("engine_retrieve_feedback", _retrieve_feedback_oracle())
-def engine_retrieve_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feedback-aware retrieval through the facade (reference:
-    alma/retrieval/feedback.py:170-230 + types.py:383-420): seeded
-    used / thumbs_down / ignored signals aggregate to feedback_score =
-    (pos-neg)/total, and retrieve(use_feedback=True) blends
+def _retrieve_serving_oracle() -> str:
+    return f"""
+    SELECT 'e2e' AS variant, id, score FROM ({_retrieve_e2e_oracle()})
+    UNION ALL
+    SELECT 'recall', id, score FROM ({_retrieve_mode_oracle()})
+    UNION ALL
+    SELECT 'feedback', id, score FROM ({_retrieve_feedback_oracle()})
+    """
+
+
+@register("engine_retrieve_serving", _retrieve_serving_oracle())
+def engine_retrieve_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE serving path through the real facade, all three variants over
+    ONE seeded corpus + engine (merged r3 from engine_retrieve_e2e +
+    engine_retrieve_mode_recall + engine_retrieve_feedback to fit the
+    50-query correctness cap; the corpus now writes once instead of
+    three times).
+
+    'e2e' rows — AlmaSpark.retrieve() end-to-end (reference:
+    alma/core.py:246-307 + retrieval/engine.py:275-374) with an
+    injected fixed clock: sanitize -> HashEmbedder encode (qvec == the
+    shared QUERY_VEC) -> one-job union plan -> vector top-2k candidates
+    with explicit ann_rank -> composite 0.4/0.3/0.2/0.1 scoring -> 0.2
+    threshold -> top-k -> MemorySlice. The oracle recomputes every
+    stage in SQL.
+    'recall' rows — mode-aware retrieval (reference:
+    retrieval/engine.py:375-520 + modes.py RECALL): caller top_k=15
+    overrides the mode default, weights (0.95 sim / 0.05 conf),
+    min_confidence 0.5 as score threshold, exact-match boost x3 above
+    sim 0.9 / x2 above 0.8 BEFORE threshold/top-k.
+    'feedback' rows — retrieve(use_feedback=True) (reference:
+    alma/retrieval/feedback.py:170-230): seeded used / thumbs_down /
+    ignored signals aggregate to (pos-neg)/total and blend
     (1-w)*score + w*(fb+1)/2 at w=0.15 for exactly the memories with
-    feedback, re-ranking the fetched candidates. Same fixed-clock
-    corpus as engine_retrieve_e2e; the oracle recomputes the signal
-    aggregation arithmetically from vec_id%4 and re-derives the blend
-    and the re-rank."""
+    feedback. Because the same engine serves all three calls, this gate
+    also proves the retrieval cache keys on (mode, top_k, use_feedback)
+    — a key that ignored use_feedback would replay the 'e2e' result."""
     from datetime import datetime, timezone
 
     from alma_memory_spark.engine import AlmaSpark
@@ -735,21 +664,7 @@ def engine_retrieve_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     anchor = datetime(2024, 2, 15, tzinfo=timezone.utc)
     emb = _t(spark, sf_dir, "embeddings")
-    rows_df = emb.select(
-        F.col("vec_id").cast("string").alias("id"),
-        F.lit("helena").alias("agent"),
-        F.lit("p").alias("project_id"),
-        F.lit("d").alias("domain"),
-        F.concat(F.lit("fact "), F.col("vec_id").cast("string")).alias("fact"),
-        F.lit("user_stated").alias("source"),
-        ((F.col("vec_id") % 100) / F.lit(100.0)).alias("confidence"),
-        F.timestamp_seconds(
-            F.lit(anchor.timestamp()) - (F.col("vec_id") % 60) * 86400.0
-        ).alias("last_verified"),
-        F.lit(None).cast("string").alias("verification_status"),
-        F.col("embedding"),
-        F.lit(None).cast("map<string,string>").alias("metadata"),
-    )
+    rows_df = _serving_corpus(spark, sf_dir, anchor)
     signal = (
         F.when(F.col("vec_id") % 4 == 0, "used")
         .when(F.col("vec_id") % 4 == 1, "thumbs_down")
@@ -765,15 +680,30 @@ def engine_retrieve_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
         signal.alias("signal"),
         F.to_timestamp(F.lit("2024-02-01 00:00:00")).alias("timestamp"),
     )
-    root = tempfile.mkdtemp(prefix="alma_fb_gate_")
+    root = tempfile.mkdtemp(prefix="alma_serving_gate_")
     try:
         eng = AlmaSpark(spark, root, clock=lambda: anchor)
         eng.store.append("domain_knowledge", rows_df)
         eng.store.append("retrieval_feedback", fb_df)
+        out = []
+        sl = eng.retrieve(QUERY_TEXT, agent="helena", project_id="p", top_k=20)
+        out += [
+            ("e2e", r["id"], round(float(r["score"]), 6)) for r in sl.domain_knowledge
+        ]
+        sl = eng.retrieve(
+            QUERY_TEXT, agent="helena", project_id="p", top_k=15, mode="recall"
+        )
+        out += [
+            ("recall", r["id"], round(float(r["score"]), 6))
+            for r in sl.domain_knowledge
+        ]
         sl = eng.retrieve(
             QUERY_TEXT, agent="helena", project_id="p", top_k=20, use_feedback=True
         )
-        out = [(r["id"], round(float(r["score"]), 6)) for r in sl.domain_knowledge]
-        return spark.createDataFrame(out, "id string, score double")
+        out += [
+            ("feedback", r["id"], round(float(r["score"]), 6))
+            for r in sl.domain_knowledge
+        ]
+        return spark.createDataFrame(out, "variant string, id string, score double")
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -13,8 +13,11 @@ from pyspark.sql import functions as F
 
 from alma_memory_spark.plans.registry import NOW, _now, _r6, register
 
+# the driver's parquet stores ts as TIMESTAMP(MICROS); declaring the
+# column as timestamp makes the file-source read it directly (the
+# explicit schema also overrides Spark 4.1's NTZ inference).
 _EVENTS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
     "value double, props string"
 )
 
@@ -50,10 +53,8 @@ def streaming_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")  # file source needs a dir
         .parquet(sf_dir)
     )
-    # nanos->timestamp, then watermark + tumbling window
-    ev = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     agg = (
-        ev.withWatermark("ts", "2 days")
+        stream.withWatermark("ts", "2 days")
         .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
         .agg(
             F.count("*").alias("n"),
@@ -119,10 +120,9 @@ def streaming_decay_at_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ev = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     k = F.get_json_object("props", "$.k").cast("double")
     scored = (
-        ev.filter(F.col("ts") <= _now())
+        stream.filter(F.col("ts") <= _now())
         .select(
             "event_id",
             _r6(strength_decay("ts", _now(), 30.0, 1.0, k)).alias("strength"),

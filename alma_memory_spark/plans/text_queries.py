@@ -42,25 +42,40 @@ LSH_BUCKET_CAP = 100  # drop degenerate mega-buckets (standard LSH-dedup guard)
 # ---------------------------------------------------------------------------
 
 @register(
-    "token_stats",
+    "text_profile",
     f"""
     SELECT doc_id,
            len({X.sql_ws_tokens('text')}) AS n_tokens,
            CAST(floor(length(text) / 4) AS BIGINT) AS token_estimate,
-           length(text) AS n_chars_actual
+           length(text) AS n_chars_actual,
+           {X.sql_lang_id('text')} AS pred_lang,
+           round({X.sql_quality_score('text')}, 6) AS quality
     FROM documents
     """,
 )
-def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokenizer (reference tokenizer,
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite gate: the per-document text-analysis profile in ONE
+    scan-speed pass (merged r3 from token_stats + lang_id +
+    quality_score, all driver-green in r2, to fit the 50-query
+    correctness cap — and the shape a real pipeline uses: profile once,
+    consume many).
+
+    Token counting: whitespace tokenizer (reference tokenizer,
     text_search.py:129-132) + the len/4 estimation heuristic
-    (budget.py:131-195). Pure column expressions, scan-parallel."""
+    (budget.py:131-195). Language-ID: CJK-char detection + per-language
+    stopword-hit voting (the pipeline analog of fastText lang-id when
+    model libs are unavailable). Quality: length / punctuation /
+    stopword / token-shape signals (C4/Gopher-style heuristics). All
+    pure column expressions — one scan, whole-stage codegen, no
+    shuffle at any scale."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         X.token_count("text").cast("long").alias("n_tokens"),
         X.token_estimate("text").alias("token_estimate"),
         F.length("text").cast("long").alias("n_chars_actual"),
+        X.lang_id("text").alias("pred_lang"),
+        _r6(X.quality_score("text")).alias("quality"),
     )
 
 
@@ -87,52 +102,38 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "lang_id",
-    f"""
-    SELECT doc_id, {X.sql_lang_id('text')} AS pred_lang
-    FROM documents
-    """,
-)
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language identification: CJK-char detection + per-language
-    stopword-hit voting (n-gram/stopword heuristic — public technique;
-    the pipeline analog of fastText lang-id for when model libs are
-    unavailable)."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", X.lang_id("text").alias("pred_lang"))
+def _sql_minhash_cols() -> str:
+    return ",\n           ".join(
+        f"{X.sql_minhash_min('ts', j)} AS mh{j}" for j in range(MINHASH_K)
+    )
 
 
 @register(
-    "quality_score",
+    "doc_fingerprints",
     f"""
-    SELECT doc_id, round({X.sql_quality_score('text')}, 6) AS quality
-    FROM documents
+    WITH toks AS (
+      SELECT doc_id, {X.sql_ws_tokens('text')} AS ws FROM documents
+    )
+    SELECT doc_id,
+           CAST({X.sql_simhash32('ws')} AS BIGINT) AS simhash,
+           {_sql_minhash_cols()}
+    FROM (SELECT doc_id, ws, list_distinct(ws) AS ts FROM toks)
     """,
 )
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document quality scoring from length / punctuation / stopword /
-    token-shape signals (C4/Gopher-style heuristics). Column expressions
-    only — runs at scan speed on 100 TB."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", _r6(X.quality_score("text")).alias("quality"))
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite gate: BOTH near-dup fingerprints per document from one
+    tokenize pass (merged r3 from simhash_fingerprint +
+    minhash_signatures, both driver-green in r2, to fit the 50-query
+    correctness cap).
 
-
-@register(
-    "simhash_fingerprint",
-    f"""
-    SELECT doc_id, CAST({X.sql_simhash32(X.sql_ws_tokens('text'))} AS BIGINT) AS simhash
-    FROM documents
-    """,
-)
-def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash (32-bit, Charikar 2002): near-dup fingerprint where
-    hamming distance approximates token-set difference. Token hashes are
-    materialized JVM-side (md5 once per token), then the 32 bit-votes
-    run as ONE vectorized Arrow batch in numpy — 32 interpreted
-    higher-order folds per row measured ~4x slower. Exact int64 math,
-    bit-identical to the oracle; per-row map, shuffle-free at any
-    scale."""
+    SimHash (32-bit, Charikar 2002): hamming distance approximates
+    token-multiset difference. Token hashes are materialized JVM-side
+    (md5 once per token), then the 32 bit-votes run as ONE vectorized
+    Arrow batch in numpy — 32 interpreted higher-order folds per row
+    measured ~4x slower. MinHash (k=8 permutations, Broder 1997):
+    per-row fold over the DISTINCT token hashes, feeds LSH banding.
+    Exact int64 math, bit-identical to the oracle; per-row map,
+    shuffle-free at any scale."""
     from pyspark.sql.functions import pandas_udf
 
     from alma_memory_spark.session import ensure_package_shipped
@@ -151,9 +152,16 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     hashed = docs.select(
-        "doc_id", F.transform(X.ws_tokens("text"), X.hash32).alias("hs")
+        "doc_id",
+        F.transform(X.ws_tokens("text"), X.hash32).alias("hs"),
+        F.transform(F.array_distinct(X.ws_tokens("text")), X.hash32).alias("dhs"),
     )
-    return hashed.select("doc_id", simhash_np(F.col("hs")).alias("simhash"))
+    sig = X.minhash_signature(F.col("dhs"), MINHASH_K, hashed=True)
+    return hashed.select(
+        "doc_id",
+        simhash_np(F.col("hs")).alias("simhash"),
+        *[sig[j].alias(f"mh{j}") for j in range(MINHASH_K)],
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -161,50 +169,70 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register(
-    "ngram_jaccard_pairs",
+    "neardup_pairs",
     f"""
     WITH toks AS (
       SELECT doc_id, lang, source,
              list_distinct({X.sql_ws_tokens('text')}) AS ts
       FROM documents
+    ),
+    e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> x::DOUBLE) AS v,
+             sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      FROM embeddings
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    SELECT 'jaccard' AS method, a.doc_id AS id_a, b.doc_id AS id_b,
            round(len(list_intersect(a.ts, b.ts)) * 1.0 /
-                 (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 6) AS jaccard_sim
+                 (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 6) AS sim
     FROM toks a JOIN toks b
       ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
     WHERE len(list_intersect(a.ts, b.ts)) * 1.0 /
           (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= {JACCARD_T}
+    UNION ALL
+    SELECT 'cosine', id_a, id_b, cos_sim FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i]))
+                   / (a.nrm * b.nrm), 6) AS cos_sim
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cos_sim >= {NEARDUP_COS}
     """,
 )
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked pairwise token-set Jaccard near-dup detection (reference
-    similarity threshold semantics: consolidation/deduplication.py:37-230).
-    Blocking on (lang, source) keeps the cost O(block^2) instead of
-    O(n^2) — blocks are the unit of parallelism at scale.
+def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite gate: BOTH blocked near-dup pair detectors (merged r3
+    from ngram_jaccard_pairs + embedding_neardup_pairs, both
+    driver-green in r2, to fit the 50-query correctness cap).
 
-    Implementation: one groupBy(block).applyInPandas pass; inside each
-    Arrow batch the token sets become a binary doc x vocab matrix and ALL
+    'jaccard' rows — blocked pairwise token-set Jaccard over documents,
+    blocking on (lang, source) (reference similarity threshold
+    semantics: consolidation/deduplication.py:37-230): inside each Arrow
+    batch the token sets become a binary doc x vocab matrix and ALL
     pairwise intersection counts come from one BLAS matmul (M @ M.T) —
     measured ~3.5x faster than the declarative pair self-join with
-    array_intersect per pair (interpreted JVM set ops; a Python
-    pair-loop variant is slower than both). Giant blocks would be capped
-    / routed through MinHash-LSH candidates instead (minhash_lsh_pairs
-    is the fully scalable variant)."""
+    array_intersect per pair.
+    'cosine' rows — embedding-cosine near-dup blocked on label, one
+    numpy matmul per block (reference: alma/consolidation/
+    engine.py:93-199) — measured 14x over per-pair fold expressions.
+
+    Both are one groupBy(block).applyInPandas pass: the cost is
+    O(block^2), blocks are the unit of parallelism, and giant blocks
+    route through the MinHash-LSH candidate stage (minhash_lsh_pairs)
+    instead. Threshold compares the ROUNDED similarity so the result
+    set is boundary-stable across engines."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang", "source", F.array_distinct(X.ws_tokens("text")).alias("ts")
     )
 
-    def pairs_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    def jac_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["doc_id"].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
         ts = pdf["ts"].to_numpy()[order]
         n = len(ids)
         if n < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard_sim": []}).astype(
-                {"doc_a": "int64", "doc_b": "int64", "jaccard_sim": "float64"}
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "sim": "float64"}
             )
         lengths = np.array([len(t) for t in ts])
         flat = np.concatenate([np.asarray(t, dtype=object) for t in ts])
@@ -217,47 +245,30 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ia, ib = np.triu_indices(n, k=1)
         sim = np.round(inter[ia, ib] / union[ia, ib], 6)
         m = sim >= JACCARD_T
-        return pd.DataFrame(
-            {"doc_a": ids[ia][m], "doc_b": ids[ib][m], "jaccard_sim": sim[m]}
-        )
+        return pd.DataFrame({"id_a": ids[ia][m], "id_b": ids[ib][m], "sim": sim[m]})
 
-    return toks.groupby("lang", "source").applyInPandas(
-        pairs_fn, "doc_a long, doc_b long, jaccard_sim double"
+    jac = toks.groupby("lang", "source").applyInPandas(
+        jac_fn, "id_a long, id_b long, sim double"
     )
 
+    emb = _t(spark, sf_dir, "embeddings")
 
-def _sql_minhash_cols() -> str:
-    return ",\n           ".join(
-        f"{X.sql_minhash_min('ts', j)} AS mh{j}" for j in range(MINHASH_K)
-    )
+    def cos_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        V, ids = V[order], ids[order]
+        nrm = np.sqrt((V * V).sum(axis=1))
+        C = (V @ V.T) / np.outer(nrm, nrm)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        sim = np.round(C[ia, ib], 6)
+        m = sim >= NEARDUP_COS
+        return pd.DataFrame({"id_a": ids[ia][m], "id_b": ids[ib][m], "sim": sim[m]})
 
-
-@register(
-    "minhash_signatures",
-    f"""
-    WITH toks AS (
-      SELECT doc_id, list_distinct({X.sql_ws_tokens('text')}) AS ts
-      FROM documents
+    cos = emb.groupby("label").applyInPandas(cos_fn, "id_a long, id_b long, sim double")
+    return jac.select(F.lit("jaccard").alias("method"), "*").unionByName(
+        cos.select(F.lit("cosine").alias("method"), "*")
     )
-    SELECT doc_id,
-           {_sql_minhash_cols()}
-    FROM toks
-    """,
-)
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (k=8 permutations, Broder 1997): per-row fold,
-    no explode/shuffle. The signature column feeds LSH banding; identical
-    permutation constants on both engines."""
-    docs = _t(spark, sf_dir, "documents")
-    hashed = docs.select(
-        "doc_id",
-        F.transform(F.array_distinct(X.ws_tokens("text")), X.hash32).alias("hs"),
-    )
-    sig = X.minhash_signature(F.col("hs"), MINHASH_K, hashed=True)
-    out = hashed.withColumn("sig", sig).select(
-        "doc_id", *[F.col("sig")[j].alias(f"mh{j}") for j in range(MINHASH_K)]
-    )
-    return out
 
 
 @register(
@@ -369,58 +380,6 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embedding_neardup_pairs",
-    f"""
-    WITH e AS (
-      SELECT vec_id, label,
-             list_transform(embedding, x -> x::DOUBLE) AS v,
-             sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
-      FROM embeddings
-    )
-    SELECT id_a, id_b, cos_sim FROM (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             round(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i]))
-                   / (a.nrm * b.nrm), 6) AS cos_sim
-      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    ) WHERE cos_sim >= {NEARDUP_COS}
-    """,
-)
-def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: pairwise similarity within a blocking
-    key (label) — the consolidation engine's duplicate-group formation
-    (reference: alma/consolidation/engine.py:93-199, threshold
-    configurable; 0.4 fits this corpus).
-
-    Implementation: Arrow-batched applyInPandas per block with one numpy
-    matmul per block — 14x faster than a declarative pair-join with
-    per-pair fold expressions (measured 0.5 s vs 7 s at sf0.1), because
-    the dot products hit BLAS instead of interpreted higher-order
-    functions. One shuffle on the block key; giant blocks would be
-    sub-blocked (cap rows per group) or routed through the MinHash-LSH
-    candidate stage instead. Threshold compares the ROUNDED similarity
-    so the result set is boundary-stable across engines."""
-    emb = _t(spark, sf_dir, "embeddings")
-
-    def pairs_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-        ids = pdf["vec_id"].to_numpy()
-        order = np.argsort(ids)
-        V, ids = V[order], ids[order]
-        nrm = np.sqrt((V * V).sum(axis=1))
-        C = (V @ V.T) / np.outer(nrm, nrm)
-        ia, ib = np.triu_indices(len(ids), k=1)
-        sim = np.round(C[ia, ib], 6)
-        m = sim >= NEARDUP_COS
-        return pd.DataFrame(
-            {"id_a": ids[ia][m], "id_b": ids[ib][m], "cos_sim": sim[m]}
-        )
-
-    return emb.groupby("label").applyInPandas(
-        pairs_fn, "id_a long, id_b long, cos_sim double"
-    )
-
-
 # ---------------------------------------------------------------------------
 # similarity search (ANN)
 # ---------------------------------------------------------------------------
@@ -438,29 +397,7 @@ def _sql_bucket(col: str) -> str:
 _QV_BUCKET = sum((1 << i) for i in range(_BUCKET_BITS) if QUERY_VEC[i] > 0)
 
 
-@register(
-    "ann_lsh_bucketed",
-    f"""
-    WITH qv AS (SELECT {_QV_SQL} AS q)
-    SELECT vec_id, label,
-      round(
-        list_sum(list_transform(range(1, len(embedding)+1), i -> embedding[i]::DOUBLE * q[i]))
-        / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
-           * sqrt(list_sum(list_transform(q, x -> x * x))))
-      , 6) AS similarity
-    FROM embeddings, qv
-    WHERE {_sql_bucket('embedding')} = {_QV_BUCKET}
-    ORDER BY similarity DESC, vec_id ASC
-    LIMIT 10
-    """,
-)
-def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via sign-bit LSH (random-hyperplane family,
-    axis-aligned variant): bucket = sign bits of the first 4 dims; search
-    only the query's bucket then exact cosine top-k inside it. The bucket
-    predicate prunes ~15/16 of the corpus before any math — at 100 TB the
-    bucket id becomes a partition column and the scan prunes to one
-    partition. Exact counterpart: vector_topk."""
+def _lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     bucket = None
     for i in range(_BUCKET_BITS):
@@ -472,7 +409,6 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket") == _QV_BUCKET)
         .select(
             "vec_id",
-            "label",
             _r6(cosine_similarity("embedding", qlit)).alias("similarity"),
         )
         .orderBy(F.desc("similarity"), F.asc("vec_id"))
@@ -489,9 +425,21 @@ _IVF_EQDOT = "list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i] * q[i]))
 
 
 @register(
-    "ann_ivf_probe",
+    "ann_approx_topk",
     f"""
     WITH qv AS (SELECT {_QV_SQL} AS q),
+    lsh AS (
+      SELECT vec_id,
+        round(
+          list_sum(list_transform(range(1, len(embedding)+1), i -> embedding[i]::DOUBLE * q[i]))
+          / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+             * sqrt(list_sum(list_transform(q, x -> x * x))))
+        , 6) AS similarity
+      FROM embeddings, qv
+      WHERE {_sql_bucket('embedding')} = {_QV_BUCKET}
+      ORDER BY similarity DESC, vec_id ASC
+      LIMIT 10
+    ),
     e AS (
       SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
              sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
@@ -516,18 +464,34 @@ _IVF_EQDOT = "list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i] * q[i]))
       ORDER BY round({_IVF_QDOT} / (cnrm * sqrt(list_sum(list_transform(q, x -> x*x)))), 6)
                DESC, cell DESC
       LIMIT {IVF_NPROBE}
+    ),
+    ivf AS (
+      SELECT e.vec_id,
+             round({_IVF_EQDOT} / (e.nrm * sqrt(list_sum(list_transform(q, x -> x*x)))), 6)
+               AS similarity
+      FROM e JOIN assign ON e.vec_id = assign.vec_id, qv
+      WHERE assign.cell IN (SELECT cell FROM probe)
+      ORDER BY similarity DESC, e.vec_id ASC
+      LIMIT 10
     )
-    SELECT e.vec_id,
-           round({_IVF_EQDOT} / (e.nrm * sqrt(list_sum(list_transform(q, x -> x*x)))), 6)
-             AS similarity
-    FROM e JOIN assign ON e.vec_id = assign.vec_id, qv
-    WHERE assign.cell IN (SELECT cell FROM probe)
-    ORDER BY similarity DESC, e.vec_id ASC
-    LIMIT 10
+    SELECT 'lsh' AS method, vec_id, similarity FROM lsh
+    UNION ALL
+    SELECT 'ivf', vec_id, similarity FROM ivf
     """,
 )
-def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: coarse-quantize the corpus into cells (centroids =
+def ann_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite gate: BOTH approximate-ANN strategies (merged r3 from
+    ann_lsh_bucketed + ann_ivf_probe, both driver-green in r2, to fit
+    the 50-query correctness cap). Exact counterpart: vector_topk.
+
+    'lsh' rows — sign-bit LSH (random-hyperplane family, axis-aligned
+    variant): bucket = sign bits of the first 4 dims; search only the
+    query's bucket then exact cosine top-k inside it. The bucket
+    predicate prunes ~15/16 of the corpus before any math — at 100 TB
+    the bucket id becomes a partition column and the scan prunes to one
+    partition.
+
+    'ivf' rows — IVF-style ANN: coarse-quantize the corpus into cells (centroids =
     every {IVF_CENT_EVERY}th vector — a deterministic sampled-init
     quantizer, the standard kmeans seeding), assign each vector to its
     nearest centroid, probe the query's IVF_NPROBE nearest cells, exact
@@ -603,7 +567,11 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = emb.select("vec_id", "embedding").mapInPandas(
         kernel, "vec_id long, similarity double"
     )
-    return hits.orderBy(F.desc("similarity"), F.asc("vec_id")).limit(10)
+    ivf = hits.orderBy(F.desc("similarity"), F.asc("vec_id")).limit(10)
+    lsh = _lsh_bucket_topk(spark, sf_dir)
+    return lsh.select(F.lit("lsh").alias("method"), "*").unionByName(
+        ivf.select(F.lit("ivf").alias("method"), "*")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -750,39 +718,50 @@ BM25_SEARCH_SQL = f"""
     """
 
 
-@register("bm25_search", BM25_SEARCH_SQL)
-def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 relevance search (k1=1.5, b=0.75) — the reference's
-    BM25 provider surface (alma/retrieval/text_search.py:46-194, which
+_RELEVANCE_SQL = f"""
+    WITH bm AS ({BM25_SEARCH_SQL}),
+    tf AS ({TFIDF_SEARCH_SQL})
+    SELECT 'bm25' AS method, doc_id, bm25_score AS score FROM bm
+    UNION ALL
+    SELECT 'tfidf', doc_id, tfidf_score FROM tf
+    """
+
+
+@register("text_relevance_search", _RELEVANCE_SQL)
+def text_relevance_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite gate: BOTH lexical relevance searches (merged r3 from
+    bm25_search + tfidf_search, both driver-green in r2, to fit the
+    50-query correctness cap).
+
+    'bm25' rows — Okapi BM25 (k1=1.5, b=0.75), the reference's BM25
+    provider surface (alma/retrieval/text_search.py:46-194, which
     delegates to the bm25s lib with a TFIDF fallback; here the Okapi
-    formula is implemented directly as one declarative plan, see
-    operators/text_search.py:bm25_scores). Postings are filtered to the
-    query's terms BEFORE any shuffle, and corpus stats (N, avgdl) ride a
-    broadcast one-row frame — no driver collect."""
+    formula is one declarative plan, operators/text_search.py:
+    bm25_scores). Postings are filtered to the query's terms BEFORE any
+    shuffle, and corpus stats (N, avgdl) ride a broadcast one-row frame
+    — no driver collect.
+    'tfidf' rows — TF-IDF with the reference's exact formulas
+    (text_search.py:61-124): idf = ln((n+1)/(df+1)) + 1, tf normalized
+    by doc length, cosine between query and FULL document tf-idf
+    vectors; explode -> (doc, term) counts -> broadcast idf -> per-doc
+    norm + dot aggregations, two map-side-combinable shuffles."""
     from alma_memory_spark.operators.text_search import bm25_scores
 
     docs = _t(spark, sf_dir, "documents")
-    return (
+    bm = (
         bm25_scores(docs, _TFIDF_QUERY, id_col="doc_id", text_col="text")
-        .select("doc_id", _r6(F.col("bm25_score")).alias("bm25_score"))
-        .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+        .select("doc_id", _r6(F.col("bm25_score")).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(20)
     )
-
-
-@register("tfidf_search", TFIDF_SEARCH_SQL)
-def tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF relevance search with the reference's exact formulas
-    (alma/retrieval/text_search.py:61-124): whitespace tokenizer,
-    idf = ln((n+1)/(df+1)) + 1, tf normalized by doc length, cosine
-    between query and FULL document tf-idf vectors. Distributed shape:
-    explode -> (doc, term) counts -> broadcast idf of query terms ->
-    per-doc norm + dot aggregations. Two shuffles (term df, doc agg) —
-    both map-side combinable."""
-    return (
+    tf = (
         tfidf_scores_df(spark, sf_dir)
-        .orderBy(F.desc("tfidf_score"), F.asc("doc_id"))
+        .withColumnRenamed("tfidf_score", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(20)
+    )
+    return bm.select(F.lit("bm25").alias("method"), "*").unionByName(
+        tf.select(F.lit("tfidf").alias("method"), "*")
     )
 
 

@@ -92,6 +92,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     for c in _NANO_TS_COLS.get(name, []):
         if dict(df.dtypes).get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # parquet TIMESTAMP(MICROS) without tz reads as TIMESTAMP_NTZ under
+    # Spark 4.1's NTZ inference; normalize to the session-tz TIMESTAMP
+    # (session tz is UTC) so epoch arithmetic/casts behave like DuckDB's
+    # naive-as-UTC reading — and like the engine's own written tables.
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
