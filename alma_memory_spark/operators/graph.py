@@ -54,6 +54,13 @@ def k_hop_neighbors(
     spark = relationships.sparkSession
     frontier = spark.createDataFrame([(i,) for i in start_ids], "id string")
     visited = frontier.withColumn("hop", F.lit(0))
+    # Fixed-depth expansion with NO per-hop driver round-trip: max_hops
+    # is a small contract bound (reference default 2), and an exhausted
+    # frontier simply yields empty joins for the remaining hops — the
+    # whole traversal stays ONE lazily-built plan executed by the
+    # caller's single action. The per-hop cache marks each frontier for
+    # reuse (it feeds both the visited union and the next hop's join)
+    # without forcing a job of its own.
     for hop in range(1, max_hops + 1):
         nxt = (
             e.join(frontier, e.src == frontier.id)
@@ -63,8 +70,6 @@ def k_hop_neighbors(
             .withColumn("hop", F.lit(hop))
             .cache()
         )
-        if nxt.limit(1).count() == 0:
-            break
         visited = visited.unionByName(nxt)
         frontier = nxt.select("id")
     return visited.filter(F.col("hop") > 0)

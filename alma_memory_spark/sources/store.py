@@ -21,7 +21,9 @@ one directory.
 
 from __future__ import annotations
 
+import contextlib
 import functools
+import hashlib
 import operator
 import os
 import shutil
@@ -51,9 +53,43 @@ class ParquetStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        self._held_locks: set[tuple] = set()
 
     def _path(self, table: str) -> str:
         return os.path.join(self.root, table)
+
+    @contextlib.contextmanager
+    def _table_lock(self, table: str):
+        """Advisory per-table writer lock (fcntl flock on `<table>.lock`).
+
+        The directory-rename swap protocol is single-writer-per-table by
+        design (the reference is too: one SQLite connection). The lock
+        makes that contract ENFORCED on one host instead of assumed —
+        two processes upserting the same table serialize their swaps
+        rather than interleaving them. Cross-host deployments need a
+        transactional table format (Delta/Iceberg) instead; see
+        SCALE.md. Reentrant within a process via a held-lock registry
+        (delete() takes the lock and calls overwrite(), which takes it
+        again)."""
+        lock_path = self._path(table) + ".lock"
+        os.makedirs(self.root, exist_ok=True)
+        key = (os.path.abspath(lock_path),)
+        if key in self._held_locks:
+            yield
+            return
+        import fcntl
+
+        fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            self._held_locks.add(key)
+            try:
+                yield
+            finally:
+                self._held_locks.discard(key)
+                fcntl.flock(fd, fcntl.LOCK_UN)
+        finally:
+            os.close(fd)
 
     def _recover(self, table: str) -> None:
         """Crash recovery: if a prior overwrite() renamed the live dir
@@ -98,11 +134,12 @@ class ParquetStore:
         return self.spark.read.parquet(self._path(table))
 
     def append(self, table: str, df: DataFrame) -> None:
-        self._recover(table)
-        writer = df.write.mode("append")
-        if table in schemas.PARTITIONED_BY_PROJECT_AGENT:
-            writer = writer.partitionBy("project_id", "agent")
-        writer.parquet(self._path(table))
+        with self._table_lock(table):
+            self._recover(table)
+            writer = df.write.mode("append")
+            if table in schemas.PARTITIONED_BY_PROJECT_AGENT:
+                writer = writer.partitionBy("project_id", "agent")
+            writer.parquet(self._path(table))
 
     def overwrite(self, table: str, df: DataFrame) -> None:
         """Crash-safe overwrite of a path the plan may be reading from.
@@ -117,19 +154,20 @@ class ParquetStore:
         (Delta/Iceberg MERGE/replace) — this is the zero-dep local
         equivalent of the reference's SQLite transaction
         (sqlite_local.py:644-813)."""
-        self._recover(table)
-        path = self._path(table)
-        staging, old = path + ".staging", path + ".old"
-        shutil.rmtree(staging, ignore_errors=True)
-        writer = df.write.mode("overwrite")
-        if table in schemas.PARTITIONED_BY_PROJECT_AGENT:
-            writer = writer.partitionBy("project_id", "agent")
-        writer.parquet(staging)
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.isdir(path):
-            os.rename(path, old)
-        os.rename(staging, path)
-        shutil.rmtree(old, ignore_errors=True)
+        with self._table_lock(table):
+            self._recover(table)
+            path = self._path(table)
+            staging, old = path + ".staging", path + ".old"
+            shutil.rmtree(staging, ignore_errors=True)
+            writer = df.write.mode("overwrite")
+            if table in schemas.PARTITIONED_BY_PROJECT_AGENT:
+                writer = writer.partitionBy("project_id", "agent")
+            writer.parquet(staging)
+            shutil.rmtree(old, ignore_errors=True)
+            if os.path.isdir(path):
+                os.rename(path, old)
+            os.rename(staging, path)
+            shutil.rmtree(old, ignore_errors=True)
 
     # ---- partition-scoped rewrites (the plain-Parquet MERGE) ----------
     #
@@ -164,10 +202,22 @@ class ParquetStore:
     def _swap_partitions(self, table: str, staging: str, touched: list[tuple]) -> None:
         """Move staged partition dirs into the live table; a touched pair
         with no staged output (all its rows deleted) has its live dir
-        removed. Each swap is rename-aside -> rename-in, recoverable by
-        _recover()."""
+        removed.
+
+        Two-phase commit under the table lock: phase A renames EVERY
+        affected live dir aside (swapped AND emptied partitions alike),
+        phase B renames the staged dirs in, then the asides are dropped.
+        A crash during phase A leaves only asides, which _recover()
+        renames back (no live dir vanished yet, so the whole logical
+        write rolls BACK); a crash during phase B rolls the not-yet-
+        swapped partitions back and keeps the swapped ones — the torn
+        window is the B loop only, a few renames instead of a write+
+        rename per partition. Emptied partitions get the same
+        rename-aside treatment so no crash point can lose one
+        unrecoverably."""
         path = self._path(table)
-        staged: set[tuple] = set()
+        staged: list[tuple[str, str]] = []  # (src, dst)
+        asides: list[tuple[str, str]] = []  # (live, aside)
         for proj_dir in os.listdir(staging):
             spd = os.path.join(staging, proj_dir)
             if not (proj_dir.startswith("project_id=") and os.path.isdir(spd)):
@@ -176,46 +226,66 @@ class ParquetStore:
                 src = os.path.join(spd, agent_dir)
                 if not (agent_dir.startswith("agent=") and os.path.isdir(src)):
                     continue
-                staged.add((_decode_part(proj_dir), _decode_part(agent_dir)))
                 dst_parent = os.path.join(path, proj_dir)
                 os.makedirs(dst_parent, exist_ok=True)
                 dst = os.path.join(dst_parent, agent_dir)
-                aside = os.path.join(dst_parent, "." + agent_dir + ".old")
-                shutil.rmtree(aside, ignore_errors=True)
+                staged.append((src, dst))
                 if os.path.isdir(dst):
-                    os.rename(dst, aside)
-                os.rename(src, dst)
-                shutil.rmtree(aside, ignore_errors=True)
-        # touched pairs that produced zero rows: drop their live dirs
-        for pair in touched:
-            if pair in staged:
+                    asides.append(
+                        (dst, os.path.join(dst_parent, "." + agent_dir + ".old"))
+                    )
+        staged_pairs = {
+            (
+                _decode_part(os.path.basename(os.path.dirname(dst))),
+                _decode_part(os.path.basename(dst)),
+            )
+            for _, dst in staged
+        }
+        # touched pairs with zero staged rows: their live dirs go aside too
+        for proj_dir in os.listdir(path) if os.path.isdir(path) else []:
+            pd = os.path.join(path, proj_dir)
+            if not (proj_dir.startswith("project_id=") and os.path.isdir(pd)):
                 continue
-            for proj_dir in os.listdir(path):
-                pd = os.path.join(path, proj_dir)
-                if not (proj_dir.startswith("project_id=") and os.path.isdir(pd)):
+            for agent_dir in os.listdir(pd):
+                apd = os.path.join(pd, agent_dir)
+                if not (agent_dir.startswith("agent=") and os.path.isdir(apd)):
                     continue
-                if _decode_part(proj_dir) != pair[0]:
-                    continue
-                for agent_dir in os.listdir(pd):
-                    apd = os.path.join(pd, agent_dir)
-                    if (
-                        agent_dir.startswith("agent=")
-                        and os.path.isdir(apd)
-                        and _decode_part(agent_dir) == pair[1]
-                    ):
-                        shutil.rmtree(apd)
+                pair = (_decode_part(proj_dir), _decode_part(agent_dir))
+                if pair in touched and pair not in staged_pairs:
+                    asides.append(
+                        (apd, os.path.join(pd, "." + agent_dir + ".old"))
+                    )
+        # phase A: all rename-asides
+        for live, aside in asides:
+            shutil.rmtree(aside, ignore_errors=True)
+            os.rename(live, aside)
+        # phase B: all rename-ins
+        for src, dst in staged:
+            os.rename(src, dst)
+        # commit: drop asides + staging
+        for _, aside in asides:
+            shutil.rmtree(aside, ignore_errors=True)
         shutil.rmtree(staging, ignore_errors=True)
 
     def _rewrite_partitions(self, table: str, touched: list[tuple], content: DataFrame) -> None:
         """Write `content` (the full new contents of the touched
         partitions) to staging and swap those partition dirs in."""
-        path = self._path(table)
-        staging = path + ".staging"
-        shutil.rmtree(staging, ignore_errors=True)
-        content.write.mode("overwrite").partitionBy("project_id", "agent").parquet(staging)
-        self._swap_partitions(table, staging, touched)
+        with self._table_lock(table):
+            path = self._path(table)
+            staging = path + ".staging"
+            shutil.rmtree(staging, ignore_errors=True)
+            content.write.mode("overwrite").partitionBy("project_id", "agent").parquet(
+                staging
+            )
+            self._swap_partitions(table, staging, touched)
 
-    def upsert(self, table: str, new_rows: DataFrame, key: str = "id") -> None:
+    def upsert(
+        self,
+        table: str,
+        new_rows: DataFrame,
+        key: str = "id",
+        verify_scope: bool = False,
+    ) -> None:
         """INSERT OR REPLACE by key: keep the newest version of each key.
 
         Implemented as union + row_number window keep-first. On Delta this
@@ -226,7 +296,9 @@ class ParquetStore:
         key never changes partition (a memory's project/agent identity
         is fixed at save time in the reference — save_* writes carry the
         row's own scope, sqlite_local.py:644-813), so the old version is
-        always found inside the touched partitions.
+        always found inside the touched partitions. Pass
+        verify_scope=True in debug runs to assert that contract (full
+        anti-scan — not for the hot path).
         """
         if not self.exists(table):
             self.append(table, new_rows)
@@ -237,6 +309,24 @@ class ParquetStore:
         if scoped:
             if not touched:
                 return
+            if verify_scope:
+                # debug guard for the 'a key never changes partition'
+                # contract: an incoming id already stored under an
+                # UNTOUCHED (project_id, agent) would silently survive
+                # as a duplicate. Full-scan semi-join — debug runs only.
+                strays = (
+                    self.read(table)
+                    .filter(~self._pairs_predicate(touched))
+                    .join(new_rows.select(key).distinct(), key, "left_semi")
+                    .limit(5)
+                    .collect()
+                )
+                if strays:
+                    ids = [r[key] for r in strays]
+                    raise ValueError(
+                        f"upsert({table}): incoming keys exist under other "
+                        f"partitions (key changed scope?): {ids}"
+                    )
             existing = existing.filter(self._pairs_predicate(touched))
         existing = existing.withColumn("_v", F.lit(0))
         incoming = new_rows.withColumn("_v", F.lit(1))
@@ -400,9 +490,14 @@ class ParquetStore:
         Returns the catalog table name (bucketing metadata lives in the
         session catalog, not the parquet files, so readers go through
         spark.table())."""
-        name = f"alma_bucketed_{os.path.basename(self.root)}_{table}".replace(
-            "-", "_"
-        )
+        # catalog names are session-global: include a digest of the full
+        # root path so two stores whose roots share a basename (e.g.
+        # both '.../store') cannot collide and clobber each other's
+        # bucketed table via mode('overwrite')
+        digest = hashlib.sha1(os.path.abspath(self.root).encode()).hexdigest()[:8]
+        name = (
+            f"alma_bucketed_{os.path.basename(self.root)}_{digest}_{table}"
+        ).replace("-", "_")
         writer = (
             df.write.mode("overwrite")
             .format("parquet")

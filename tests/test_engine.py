@@ -100,6 +100,26 @@ def test_retrieve_cache_and_invalidation(engine):
     assert len(s3.domain_knowledge) == 2
 
 
+def test_retrieve_cache_keys_on_sanitized_query_and_feedback(engine):
+    """Raw and sanitized forms of one task share a cache entry (the
+    reference normalizes before keying, alma/retrieval/cache.py:34-189),
+    and use_feedback is part of the key — a feedback call must never be
+    served a cached non-feedback slice."""
+    engine.add_knowledge("helena", "proj-a", "deploy", "deploys use blue green")
+    short = "what is the deployment process?"
+    noisy = ("you are a helpful agent. " * 10) + short  # >200 chars -> sanitizer
+    assert sanitize_query(noisy) == short
+    s1 = engine.retrieve(short, agent="helena", project_id="proj-a")
+    s2 = engine.retrieve(noisy, agent="helena", project_id="proj-a")
+    assert s2 is s1  # sanitized-equal tasks hit the same entry
+    s3 = engine.retrieve("  " + short + "  ", agent="helena", project_id="proj-a")
+    assert s3 is s1  # whitespace-only variation too
+    fb = engine.retrieve(short, agent="helena", project_id="proj-a", use_feedback=True)
+    assert fb is not s1  # feedback flag separates entries
+    fb2 = engine.retrieve(short, agent="helena", project_id="proj-a", use_feedback=True)
+    assert fb2 is fb  # and feedback calls cache among themselves
+
+
 def test_multi_agent_sharing(engine):
     engine.add_knowledge("victor", "proj-a", "ui", "settings page uses optimistic updates")
     own = engine.retrieve("settings page", agent="helena", project_id="proj-a")

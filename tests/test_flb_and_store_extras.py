@@ -213,3 +213,111 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {tl}")
         spark.sql(f"DROP TABLE IF EXISTS {tr}")
+
+
+def test_concurrent_upserts_different_partitions(spark, tmp_path):
+    """Single-writer-per-table contract, enforced: two threads upserting
+    DIFFERENT partitions of one table serialize on the per-table lock
+    and both land (no torn swap, no lost update, no duplicate ids)."""
+    import threading
+
+    root = str(tmp_path / "cc")
+    store = ParquetStore(spark, root)
+    seed = FX.seed_heuristics(spark)
+    store.append("heuristics", seed)
+    n = store.read("heuristics").count()
+    pairs = [
+        (r["project_id"], r["agent"])
+        for r in seed.select("project_id", "agent").distinct().collect()
+    ]
+    assert len(pairs) >= 2
+    errs = []
+
+    def bump(pair, conf):
+        try:
+            upd = seed.filter(
+                (F.col("project_id") == pair[0]) & (F.col("agent") == pair[1])
+            ).withColumn("confidence", F.lit(conf))
+            # each thread its OWN store handle = own lock registry,
+            # like two processes sharing the filesystem
+            ParquetStore(spark, root).upsert("heuristics", upd)
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    t1 = threading.Thread(target=bump, args=(pairs[0], 0.91))
+    t2 = threading.Thread(target=bump, args=(pairs[1], 0.92))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    got = store.read("heuristics")
+    assert got.count() == n  # replaced in place, nothing lost/duplicated
+    assert got.select("id").distinct().count() == n
+    for pair, conf in [(pairs[0], 0.91), (pairs[1], 0.92)]:
+        part = got.filter(
+            (F.col("project_id") == pair[0]) & (F.col("agent") == pair[1])
+        )
+        assert part.count() == part.filter(F.col("confidence") == conf).count()
+
+
+def test_emptied_partition_crash_leaves_aside_not_loss(spark, tmp_path):
+    """A crash while committing a delete-that-empties-a-partition must
+    never lose the partition unrecoverably: the swap renames it aside
+    first, so the simulated crash state (aside present, live gone)
+    rolls BACK via _recover instead of losing data."""
+    import os
+
+    root = str(tmp_path / "ec")
+    store = ParquetStore(spark, root)
+    store.append("heuristics", FX.seed_heuristics(spark))
+    n = store.read("heuristics").count()
+    base = os.path.join(root, "heuristics")
+    proj = next(d for d in os.listdir(base) if d.startswith("project_id="))
+    pd_ = os.path.join(base, proj)
+    agent = next(d for d in os.listdir(pd_) if d.startswith("agent="))
+    # simulate phase-A crash of an emptying swap: live dir went aside
+    os.rename(os.path.join(pd_, agent), os.path.join(pd_, "." + agent + ".old"))
+    assert store.read("heuristics").count() == n  # rolled back, not lost
+    assert os.path.isdir(os.path.join(pd_, agent))
+
+
+def test_upsert_verify_scope_catches_partition_change(spark, tmp_path):
+    """The debug guard refuses an upsert whose key already lives in an
+    UNTOUCHED partition (the 'key never changes partition' contract)."""
+    import pytest
+
+    root = str(tmp_path / "vs")
+    store = ParquetStore(spark, root)
+    seed = FX.seed_heuristics(spark)
+    store.append("heuristics", seed)
+    row = seed.orderBy("id").limit(1)
+    moved = row.withColumn("agent", F.concat(F.col("agent"), F.lit("_other")))
+    with pytest.raises(ValueError, match="other partitions"):
+        store.upsert("heuristics", moved, verify_scope=True)
+    # without the flag the stale twin survives silently — the guard is
+    # exactly what detects that (documented contract)
+    store2 = ParquetStore(spark, str(tmp_path / "vs2"))
+    store2.append("heuristics", seed)
+    store2.upsert("heuristics", moved)
+    assert (
+        store2.read("heuristics")
+        .filter(F.col("id") == row.first()["id"])
+        .count()
+        == 2
+    )
+
+
+def test_bucketed_table_names_distinct_across_roots(spark, tmp_path):
+    """Two stores whose roots share a basename must not collide in the
+    session catalog (mode('overwrite') would clobber the other store)."""
+    a = ParquetStore(spark, str(tmp_path / "a" / "store"))
+    b = ParquetStore(spark, str(tmp_path / "b" / "store"))
+    df_a = spark.range(10).select(F.col("id").cast("string").alias("id"))
+    df_b = spark.range(20).select(F.col("id").cast("string").alias("id"))
+    ta = a.write_bucketed("t", df_a, buckets=4)
+    tb = b.write_bucketed("t", df_b, buckets=4)
+    try:
+        assert ta != tb
+        assert spark.table(ta).count() == 10
+        assert spark.table(tb).count() == 20
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
