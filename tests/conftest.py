@@ -18,3 +18,11 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "realdata: needs a real LongMemEval/LoCoMo file "
+        "(ALMA_REALDATA_LONGMEM / ALMA_REALDATA_LOCOMO); skipped otherwise",
+    )

@@ -10,17 +10,19 @@ from alma_memory_spark.testing import fixtures as FX
 
 
 def test_feedback_learning_uplift(spark):
-    # the COVERAGE.md regime (LongMemEval-shaped geometry: salted
-    # per-question vocabulary, multi-gold multi-session questions)
+    # the COVERAGE.md r3 regime (LongMemEval-shaped geometry: salted
+    # per-question vocabulary, multi-gold multi-session questions,
+    # corpus sized so base R@5 ~ 0.27 like the reference's 0.258
+    # operating point — 96 x 72 = 6912 sessions)
     corpus = generate_corpus(
-        spark, n_questions=96, sessions_per_question=24, n_salt=3, multi_gold=4
+        spark, n_questions=96, sessions_per_question=72, n_salt=3, multi_gold=4
     )
     rounds = run_feedback_learning(spark, corpus, rounds=3)
     assert len(rounds) == 4
     base, final = rounds[0].recall_at_5, rounds[-1].recall_at_5
     # weakened retriever leaves headroom; accurate-ish feedback must help
-    assert base < 0.6
-    assert final - base >= 0.05  # well below the measured +0.084..+0.146
+    assert base < 0.45
+    assert final - base >= 0.10  # measured +0.115..+0.219 over 5 seeds
 
 
 def test_store_migrate_adds_missing_columns(spark, tmp_path):
