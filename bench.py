@@ -39,6 +39,51 @@ def main() -> None:
         ).count()
     except Exception:
         pass  # warmup must never cost the round
+    # Also warm the parquet-write commit protocol and the Structured
+    # Streaming micro-batch machinery (state store provider, memory
+    # sink): the registry now runs the store-write and streaming gates
+    # FIRST (priority order for the correctness harness), so without
+    # this the first gates absorb those cold starts and their numbers
+    # mislead by several seconds each.
+    try:
+        import shutil
+        import tempfile
+
+        wdir = tempfile.mkdtemp(prefix="bench_warm_")
+        spark.range(100).write.mode("overwrite").parquet(wdir + "/w")
+        sdf = spark.readStream.schema("id long").parquet(wdir + "/w")
+        q = (
+            sdf.groupBy("id")
+            .count()
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("bench_warm_stream")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        shutil.rmtree(wdir, ignore_errors=True)
+    except Exception:
+        pass  # warmup must never cost the round
+    # Warm the facade serving plan (union of per-type window/top-k
+    # branches + broadcast joins) and the partitioned store write +
+    # swap path on a 2-row corpus — first-run codegen/commit-protocol
+    # setup for these shapes costs seconds and belongs to the session,
+    # not to whichever gate happens to run first.
+    try:
+        import shutil
+        import tempfile
+
+        from alma_memory_spark.engine import AlmaSpark
+
+        wdir = tempfile.mkdtemp(prefix="bench_warm_eng_")
+        eng = AlmaSpark(spark, wdir)
+        eng.add_knowledge("w", "p", "d", "warmup fact one")
+        eng.add_knowledge("w", "p", "d", "warmup fact two")
+        eng.retrieve("warmup", agent="w", project_id="p", top_k=2)
+        shutil.rmtree(wdir, ignore_errors=True)
+    except Exception:
+        pass  # warmup must never cost the round
 
     for name, spec in QUERIES.items():
         t0 = time.perf_counter()
@@ -47,6 +92,18 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 4)
         except Exception as e:  # one broken query must not cost the round
             errors[name] = str(e)[:200]
+        # gates cache intermediates for within-query reuse; dropping them
+        # between queries keeps 49 queries' caches from accumulating into
+        # GC/eviction pressure that randomly taxes later queries. The
+        # gc.collect() releases py4j references so Spark's ContextCleaner
+        # can actually reclaim the dropped RDDs + shuffle files.
+        try:
+            spark.catalog.clearCache()
+            import gc
+
+            gc.collect()
+        except Exception:
+            pass
 
     total = round(sum(timings.values()), 4)
     payload = {
