@@ -26,6 +26,14 @@ from pyspark.sql import functions as F
 TOKEN_RE = "[^a-z0-9]+"  # alphanumeric tokenizer
 WS_RE = r"\s+"  # reference tokenizer: lowercase + whitespace split
 HEX = "0123456789abcdef"
+# BPE-ish pre-tokenizer (the GPT-2 pre-tokenization shape simplified to
+# the Java-regex/RE2 common subset — letter runs, digit runs, punct runs,
+# each absorbing one leading space). \s is avoided deliberately: Java's
+# \s includes \x0B, RE2's does not — the explicit class is identical in
+# both engines.
+BPE_TOKEN_RE = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n\r\f]+"
+WINNOW_K = 5  # winnowing shingle length (chars)
+WINNOW_W = 4  # winnowing window (shingle hashes per window)
 MINHASH_PRIME = 2147483647  # 2^31 - 1
 # Fixed odd multipliers / offsets for MinHash permutations (seeded once).
 MINHASH_A = [
@@ -71,6 +79,14 @@ def token_estimate(col: Column | str) -> Column:
     return F.floor(F.length(_c(col)) / F.lit(4)).cast("long")
 
 
+def bpe_token_count(col: Column | str) -> Column:
+    """BPE-ish token count: matches of the GPT-2-shaped pre-tokenizer
+    regex (letter/digit/punctuation runs with an absorbed leading
+    space). A far better LLM-token estimate than len/4 on code and
+    punctuation-heavy text; pure JVM regex — scan-speed at any scale."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(BPE_TOKEN_RE), 0)).cast("long")
+
+
 def fingerprint(col: Column | str) -> Column:
     """Document fingerprint: md5 over whitespace-normalized lowercase text
     — exact-dedup canonical key."""
@@ -92,6 +108,21 @@ def shingles(col: Column | str, n: int = 3) -> Column:
         F.sequence(F.lit(1), F.greatest(F.length(norm) - F.lit(n - 1), F.lit(1))),
         lambda i: norm.substr(i, F.lit(n)),
     )
+
+
+def shingle_hashes(col: Column | str, k: int = WINNOW_K) -> Column:
+    """Hash of every k-char shingle of the normalized text — the input
+    stream for winnowing. One linear pass per row (JVM md5 per shingle).
+
+    NOTE: do NOT express the winnow window-min step as nested
+    higher-order functions over this array — Catalyst inlines the array
+    expression into every window reference (no CSE across lambda
+    scopes), turning the linear pass quadratic (measured: hangs at 500
+    rows x ~300 shingles). The window-min runs as a vectorized Arrow
+    kernel instead (numpy sliding_window_view — see the
+    doc_fingerprints gate), the same fused-kernel pattern SCALE.md
+    documents for the pair-matmul operators."""
+    return F.transform(shingles(col, k), lambda s: hash32(s))
 
 
 def hash32(col: Column) -> Column:
@@ -240,6 +271,25 @@ def sql_shingles(expr: str, n: int = 3) -> str:
     return (
         f"list_transform(range(1, greatest(length({norm}) - {n - 1}, 1) + 1), "
         f"i -> substr({norm}, i, {n}))"
+    )
+
+
+def sql_bpe_token_count(expr: str) -> str:
+    # the pattern is embedded with REAL tab/newline characters (DuckDB
+    # plain string literals do not process backslash escapes)
+    return f"len(regexp_extract_all({expr}, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n\r\f]+'))"
+
+
+def sql_winnow_mins(hashes_expr: str, w: int = WINNOW_W) -> str:
+    """Winnow window-minima over a PRE-COMPUTED shingle-hash list column
+    (pass the hashes via a CTE — the expression references it several
+    times). DuckDB list slicing l[i:j] is 1-based inclusive, so
+    l[i:i+w-1] is Spark's slice(l, i, w)."""
+    h = hashes_expr
+    return (
+        f"list_sort(list_distinct(CASE WHEN len({h}) >= {w} THEN "
+        f"list_transform(range(1, len({h}) - {w} + 2), i -> list_min(({h})[i:i+{w - 1}])) "
+        f"ELSE [list_min({h})] END))"
     )
 
 

@@ -46,7 +46,10 @@ def _sha_byte(i: int) -> str:
            CAST(ceil((64 + {_sha_byte(1)} % 192)
                 * least(1.0, 128.0 / greatest(64 + {_sha_byte(0)} % 192,
                                               64 + {_sha_byte(1)} % 192))) AS INT)
-             AS target_h
+             AS target_h,
+           CAST(least(4, greatest(1, octet_length(encode(text)) // 10)) AS BIGINT)
+             AS n_frames,
+           CAST(least(10, octet_length(encode(text))) AS INT) AS frame0_len
     FROM documents
     """,
 )
@@ -62,6 +65,7 @@ def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from alma_memory_spark.operators.multimodal import (
         decode_image_features,
         resize_stage,
+        sample_frames,
     )
     from alma_memory_spark.session import ensure_package_shipped
 
@@ -74,7 +78,20 @@ def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.create_map().cast("map<string,string>").alias("meta"),
     )
     feats = resize_stage(decode_image_features(media, fake=True))
-    return feats.select(
+    # frame-sampling plumbing: the REAL mapInPandas explode stage
+    # (every_n=10 bytes/frame stand-in, max 4 frames); the oracle
+    # re-derives frame count + first-frame byte length from text bytes
+    frames = (
+        sample_frames(media, every_n=10, max_frames=4)
+        .groupBy("media_id")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.max(
+                F.when(F.col("frame_idx") == 0, F.octet_length("frame_payload"))
+            ).alias("frame0_len"),
+        )
+    )
+    return feats.join(frames, "media_id").select(
         "media_id",
         "mime",
         "width",
@@ -84,6 +101,8 @@ def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("scale")).alias("scale"),
         "target_w",
         "target_h",
+        "n_frames",
+        "frame0_len",
     )
 
 

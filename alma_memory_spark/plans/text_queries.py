@@ -47,6 +47,7 @@ LSH_BUCKET_CAP = 100  # drop degenerate mega-buckets (standard LSH-dedup guard)
     SELECT doc_id,
            len({X.sql_ws_tokens('text')}) AS n_tokens,
            CAST(floor(length(text) / 4) AS BIGINT) AS token_estimate,
+           {X.sql_bpe_token_count('text')} AS n_bpe_tokens,
            length(text) AS n_chars_actual,
            {X.sql_lang_id('text')} AS pred_lang,
            round({X.sql_quality_score('text')}, 6) AS quality
@@ -61,18 +62,21 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     consume many).
 
     Token counting: whitespace tokenizer (reference tokenizer,
-    text_search.py:129-132) + the len/4 estimation heuristic
-    (budget.py:131-195). Language-ID: CJK-char detection + per-language
-    stopword-hit voting (the pipeline analog of fastText lang-id when
-    model libs are unavailable). Quality: length / punctuation /
-    stopword / token-shape signals (C4/Gopher-style heuristics). All
-    pure column expressions — one scan, whole-stage codegen, no
-    shuffle at any scale."""
+    text_search.py:129-132), the len/4 estimation heuristic
+    (budget.py:131-195), AND the BPE-ish pre-tokenizer regex count
+    (GPT-2 pre-tokenization shape — the better LLM-token estimate on
+    code/punctuation-heavy text). Language-ID: CJK-char detection +
+    per-language stopword-hit voting (the pipeline analog of fastText
+    lang-id when model libs are unavailable). Quality: length /
+    punctuation / stopword / token-shape signals (C4/Gopher-style
+    heuristics). All pure column expressions — one scan, whole-stage
+    codegen, no shuffle at any scale."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         X.token_count("text").cast("long").alias("n_tokens"),
         X.token_estimate("text").alias("token_estimate"),
+        X.bpe_token_count("text").alias("n_bpe_tokens"),
         F.length("text").cast("long").alias("n_chars_actual"),
         X.lang_id("text").alias("pred_lang"),
         _r6(X.quality_score("text")).alias("quality"),
@@ -111,20 +115,31 @@ def _sql_minhash_cols() -> str:
 @register(
     "doc_fingerprints",
     f"""
-    WITH toks AS (
-      SELECT doc_id, {X.sql_ws_tokens('text')} AS ws FROM documents
+    WITH base AS (
+      SELECT doc_id, {X.sql_ws_tokens('text')} AS ws,
+             list_transform({X.sql_shingles('text', X.WINNOW_K)},
+                            t -> {X.sql_hash32('t')}) AS hs
+      FROM documents
+    ),
+    winnowed AS (
+      SELECT doc_id, ws, list_distinct(ws) AS ts,
+             {X.sql_winnow_mins('hs')} AS wm
+      FROM base
     )
     SELECT doc_id,
            CAST({X.sql_simhash32('ws')} AS BIGINT) AS simhash,
-           {_sql_minhash_cols()}
-    FROM (SELECT doc_id, ws, list_distinct(ws) AS ts FROM toks)
+           {_sql_minhash_cols()},
+           len(wm) AS n_winnow,
+           wm[1] AS winnow_min,
+           wm[-1] AS winnow_max
+    FROM winnowed
     """,
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite gate: BOTH near-dup fingerprints per document from one
-    tokenize pass (merged r3 from simhash_fingerprint +
-    minhash_signatures, both driver-green in r2, to fit the 50-query
-    correctness cap).
+    """Composite gate: ALL THREE near-dup fingerprints per document
+    (merged r3 from simhash_fingerprint + minhash_signatures, both
+    driver-green in r2, to fit the 50-query correctness cap; winnowing
+    added r3).
 
     SimHash (32-bit, Charikar 2002): hamming distance approximates
     token-multiset difference. Token hashes are materialized JVM-side
@@ -132,6 +147,9 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow batch in numpy — 32 interpreted higher-order folds per row
     measured ~4x slower. MinHash (k=8 permutations, Broder 1997):
     per-row fold over the DISTINCT token hashes, feeds LSH banding.
+    Winnowing (rolling-hash fingerprinting, Schleimer et al. SIGMOD
+    2003): k=5 char-shingle hashes -> min per w=4 window -> distinct
+    minima; checked via count + min + max of the fingerprint set.
     Exact int64 math, bit-identical to the oracle; per-row map,
     shuffle-free at any scale."""
     from pyspark.sql.functions import pandas_udf
@@ -150,17 +168,40 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             out[i] = ((votes > 0).astype(np.int64) << shifts).sum()
         return pd.Series(out)
 
+    # winnow window-min as a vectorized Arrow kernel over the JVM-hashed
+    # shingle stream (the declarative nested-lambda form goes quadratic —
+    # see functions/text.py:shingle_hashes)
+    @pandas_udf("n long, mn long, mx long")
+    def winnow_np(sh: pd.Series) -> pd.DataFrame:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        w = X.WINNOW_W
+        rows = []
+        for h in sh:
+            a = np.asarray(h, dtype=np.int64)
+            mins = sliding_window_view(a, w).min(axis=1) if len(a) >= w else a.min(
+                keepdims=True
+            )
+            u = np.unique(mins)  # sorted distinct
+            rows.append((len(u), int(u[0]), int(u[-1])))
+        return pd.DataFrame(rows, columns=["n", "mn", "mx"])
+
     docs = _t(spark, sf_dir, "documents")
     hashed = docs.select(
         "doc_id",
         F.transform(X.ws_tokens("text"), X.hash32).alias("hs"),
         F.transform(F.array_distinct(X.ws_tokens("text")), X.hash32).alias("dhs"),
+        X.shingle_hashes("text").alias("sh"),
     )
     sig = X.minhash_signature(F.col("dhs"), MINHASH_K, hashed=True)
-    return hashed.select(
+    out = hashed.withColumn("win", winnow_np(F.col("sh")))
+    return out.select(
         "doc_id",
         simhash_np(F.col("hs")).alias("simhash"),
         *[sig[j].alias(f"mh{j}") for j in range(MINHASH_K)],
+        F.col("win.n").alias("n_winnow"),
+        F.col("win.mn").alias("winnow_min"),
+        F.col("win.mx").alias("winnow_max"),
     )
 
 

@@ -249,3 +249,53 @@ def test_consolidate_merges_near_duplicates(spark):
     assert row["id"] == "h1"  # highest confidence wins
     assert row["occurrence_count"] == 4  # 2 + 2
     assert row["metadata"]["merged_from"] == "h2"
+
+
+def test_bpe_token_count_matches_pretokenizer(spark):
+    from alma_memory_spark.functions import text as X
+
+    df = spark.createDataFrame(
+        [("hello  world42, ok!",), ("",), ("df.groupBy('k').agg(F.sum)",)],
+        "t string",
+    )
+    got = [r[0] for r in df.select(X.bpe_token_count("t")).collect()]
+    # 'hello',' world','42',',',' ok','!' / none / code splits on punct runs
+    assert got[0] == 6
+    assert got[1] == 0
+    assert got[2] > 6  # punctuation-heavy code yields more tokens than words
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing property (SIGMOD 2003): two documents sharing a
+    substring of length >= k + w - 1 MUST share at least one
+    fingerprint. Exercised through the real Spark shingle-hash
+    expressions + the same numpy window-min kernel the gate uses."""
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from alma_memory_spark.functions import text as X
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [
+            ("a", f"completely unrelated prefix alpha {shared} suffix one"),
+            ("b", f"different beginning text here {shared} other ending"),
+            ("c", "no overlap with anything else at all in this row"),
+        ],
+        "id string, text string",
+    )
+    rows = {
+        r["id"]: np.asarray(r["sh"], dtype=np.int64)
+        for r in df.select("id", X.shingle_hashes("text").alias("sh")).collect()
+    }
+
+    def winnow(a):
+        w = X.WINNOW_W
+        mins = sliding_window_view(a, w).min(axis=1) if len(a) >= w else a.min(
+            keepdims=True
+        )
+        return set(np.unique(mins).tolist())
+
+    fa, fb, fc = winnow(rows["a"]), winnow(rows["b"]), winnow(rows["c"])
+    assert fa & fb, "docs sharing a long substring must share a fingerprint"
+    assert not (fa & fc) or len(fa & fc) < len(fa & fb)
