@@ -35,6 +35,8 @@ LSH_BANDS = 2  # 2 bands x 4 rows (stricter banding: fewer, better candidates)
 LSH_ROWS = 4
 LSH_VERIFY_T = 0.9
 LSH_BUCKET_CAP = 100  # drop degenerate mega-buckets (standard LSH-dedup guard)
+WINNOW_POST_CAP = 50  # drop stop-phrase fingerprints posted by >cap docs
+WINNOW_CONTAIN_T = 0.4  # winnow containment threshold for this corpus
 
 
 # ---------------------------------------------------------------------------
@@ -115,11 +117,14 @@ def _sql_minhash_cols() -> str:
 @register(
     "doc_fingerprints",
     f"""
-    WITH base AS (
+    WITH normed AS (
       SELECT doc_id, {X.sql_ws_tokens('text')} AS ws,
-             list_transform({X.sql_shingles('text', X.WINNOW_K)},
-                            t -> {X.sql_hash32('t')}) AS hs
+             {X.sql_winnow_norm('text')} AS nm
       FROM documents
+    ),
+    base AS (
+      SELECT doc_id, ws, {X.sql_rolling_shingle_hashes('nm')} AS hs
+      FROM normed
     ),
     winnowed AS (
       SELECT doc_id, ws, list_distinct(ws) AS ts,
@@ -168,17 +173,18 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             out[i] = ((votes > 0).astype(np.int64) << shifts).sum()
         return pd.Series(out)
 
-    # winnow window-min as a vectorized Arrow kernel over the JVM-hashed
-    # shingle stream (the declarative nested-lambda form goes quadratic —
-    # see functions/text.py:shingle_hashes)
+    # winnowing as a fully-vectorized Arrow kernel: Rabin-Karp rolling
+    # shingle hashes (numpy, from the JVM-normalized text) + window-min
+    # (the md5-per-shingle + nested-lambda forms are both measured
+    # scale-killers — see functions/text.py:rolling_shingle_hashes)
     @pandas_udf("n long, mn long, mx long")
-    def winnow_np(sh: pd.Series) -> pd.DataFrame:
+    def winnow_np(nm: pd.Series) -> pd.DataFrame:
         from numpy.lib.stride_tricks import sliding_window_view
 
         w = X.WINNOW_W
         rows = []
-        for h in sh:
-            a = np.asarray(h, dtype=np.int64)
+        for s in nm:
+            a = X.rolling_shingle_hashes(s.encode("ascii"))
             mins = sliding_window_view(a, w).min(axis=1) if len(a) >= w else a.min(
                 keepdims=True
             )
@@ -191,10 +197,10 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.transform(X.ws_tokens("text"), X.hash32).alias("hs"),
         F.transform(F.array_distinct(X.ws_tokens("text")), X.hash32).alias("dhs"),
-        X.shingle_hashes("text").alias("sh"),
+        X.winnow_norm("text").alias("nm"),
     )
     sig = X.minhash_signature(F.col("dhs"), MINHASH_K, hashed=True)
-    out = hashed.withColumn("win", winnow_np(F.col("sh")))
+    out = hashed.withColumn("win", winnow_np(F.col("nm")))
     return out.select(
         "doc_id",
         simhash_np(F.col("hs")).alias("simhash"),
@@ -202,6 +208,112 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("win.n").alias("n_winnow"),
         F.col("win.mn").alias("winnow_min"),
         F.col("win.mx").alias("winnow_max"),
+    )
+
+
+@register(
+    "winnow_neardup_pairs",
+    f"""
+    WITH normed AS (
+      SELECT doc_id, {X.sql_winnow_norm('text')} AS nm FROM documents
+    ),
+    base AS (
+      SELECT doc_id, {X.sql_rolling_shingle_hashes('nm')} AS hs FROM normed
+    ),
+    winnowed AS (SELECT doc_id, {X.sql_winnow_mins('hs')} AS wm FROM base),
+    nsets AS (SELECT doc_id, wm, len(wm) AS n FROM winnowed),
+    posts AS (SELECT doc_id, n, unnest(wm) AS fp FROM nsets),
+    sized AS (SELECT *, count(*) OVER (PARTITION BY fp) AS nd FROM posts),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared,
+             any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM sized a JOIN sized b
+        ON a.fp = b.fp AND a.doc_id < b.doc_id
+       AND a.nd <= {WINNOW_POST_CAP} AND b.nd <= {WINNOW_POST_CAP}
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, n_shared,
+           round(n_shared * 1.0 / least(na, nb), 6) AS containment
+    FROM pairs
+    WHERE round(n_shared * 1.0 / least(na, nb), 6) >= {WINNOW_CONTAIN_T}
+    """,
+)
+def winnow_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-based near-dup detection — the rolling-hash dedup path
+    (Schleimer et al. SIGMOD 2003; the MOSS architecture): each doc's
+    winnow fingerprint set explodes into a (fingerprint -> doc) POSTING
+    table; stop-phrase fingerprints posted by more than
+    {WINNOW_POST_CAP} docs are dropped (the idf-style guard — same role
+    as the LSH mega-bucket cap); the posting self-join yields candidate
+    pairs scored by shared-fingerprint CONTAINMENT
+    n_shared / min(|A|, |B|), kept at >= {WINNOW_CONTAIN_T}.
+
+    Spark shape: per-row Arrow kernel for the fingerprint sets (see
+    doc_fingerprints), then ONE shuffle on the fingerprint key — never
+    O(n^2). This is the third scalable near-dup geometry alongside
+    MinHash-LSH (band keys) and blocked cosine (block keys); winnowing
+    is the one with the shared-substring GUARANTEE (any common run of
+    k+w-1 chars forces a shared fingerprint), which probabilistic
+    MinHash cannot give. Threshold compares the ROUNDED containment so
+    the result set is boundary-stable across engines."""
+    from pyspark.sql.functions import pandas_udf
+
+    from alma_memory_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+
+    @pandas_udf("array<long>")
+    def winnow_set(nm: pd.Series) -> pd.Series:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        w = X.WINNOW_W
+        out = []
+        for s in nm:
+            a = X.rolling_shingle_hashes(s.encode("ascii"))
+            mins = sliding_window_view(a, w).min(axis=1) if len(a) >= w else a.min(
+                keepdims=True
+            )
+            out.append(np.unique(mins))
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents")
+    sets = docs.select("doc_id", X.winnow_norm("text").alias("nm")).select(
+        "doc_id", winnow_set(F.col("nm")).alias("wm")
+    )
+    posts = (
+        sets.select("doc_id", F.size("wm").alias("n"), F.explode("wm").alias("fp"))
+        .withColumn("nd", F.count("*").over(W.partitionBy("fp")))
+        .filter(F.col("nd") <= WINNOW_POST_CAP)
+        # both sides of the posting self-join read this; without a cache
+        # the Arrow winnow kernel + fp-count window run TWICE (measured
+        # 33 s -> ~4 s at sf0.1). Tiny table: ~90 posts/doc.
+        .cache()
+    )
+    a, b = posts.alias("a"), posts.alias("b")
+    pairs = (
+        # the capped posting table is small relative to the corpus
+        # (~len(wm)/doc rows minus stop-phrase prints) — broadcasting
+        # one side turns the candidate join shuffle-free; at 100 TB
+        # this becomes a shuffle hash join on fp, still never O(n^2)
+        a.join(
+            F.broadcast(b),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.first(F.col("a.n")).alias("na"),
+            F.first(F.col("b.n")).alias("nb"),
+        )
+    )
+    contain = _r6(F.col("n_shared") * F.lit(1.0) / F.least("na", "nb"))
+    return (
+        pairs.withColumn("containment", contain)
+        .filter(F.col("containment") >= WINNOW_CONTAIN_T)
+        .select("id_a", "id_b", "n_shared", "containment")
     )
 
 

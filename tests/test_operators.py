@@ -285,8 +285,8 @@ def test_winnowing_shared_substring_guarantee(spark):
         "id string, text string",
     )
     rows = {
-        r["id"]: np.asarray(r["sh"], dtype=np.int64)
-        for r in df.select("id", X.shingle_hashes("text").alias("sh")).collect()
+        r["id"]: X.rolling_shingle_hashes(r["nm"].encode("ascii"))
+        for r in df.select("id", X.winnow_norm("text").alias("nm")).collect()
     }
 
     def winnow(a):
