@@ -161,6 +161,12 @@ class AlmaSpark:
         frames: list[DataFrame] = []
         colsets: dict[str, list[str]] = {}
         for t in type_list:
+            # a memory type that has never been written contributes an
+            # empty result either way — skipping it drops its window +
+            # sort + union stages from the one-job plan (the common case
+            # for fresh/sparse stores: only domain_knowledge populated)
+            if not self.store.exists(t):
+                continue
             df = self.store.read(t)
             scored = retrieve_type(
                 df,
@@ -192,11 +198,15 @@ class AlmaSpark:
             colsets["preferences"] = list(pdf.columns)
             frames.append(pdf.withColumn("memory_type", F.lit("preferences")))
 
-        unioned = frames[0]
-        for f in frames[1:]:
-            unioned = unioned.unionByName(f, allowMissingColumns=True)
-        by_type: dict[str, list[dict]] = {t: [] for t in colsets}
-        for r in unioned.collect():
+        by_type: dict[str, list[dict]] = {t: [] for t in type_list}
+        by_type.update({t: [] for t in colsets})
+        rows_iter: list = []
+        if frames:
+            unioned = frames[0]
+            for f in frames[1:]:
+                unioned = unioned.unionByName(f, allowMissingColumns=True)
+            rows_iter = unioned.collect()
+        for r in rows_iter:
             d = r.asDict(recursive=True)
             t = d.pop("memory_type")
             # drop the union's null-filled columns foreign to this type
@@ -209,7 +219,7 @@ class AlmaSpark:
             # type's <= fetch_k rows driver-side with the SAME keys the
             # plan used; the tiebreak comes from the branch's column set
             # (rows[0] membership could disagree at the k boundary)
-            if "ann_rank" in colsets[t]:
+            if "ann_rank" in colsets.get(t, []):
                 rows.sort(key=lambda d: (-(d.get("score") or 0.0), d.get("ann_rank") or 0))
             else:
                 rows.sort(key=lambda d: (-(d.get("score") or 0.0), d.get("id") or ""))
