@@ -303,3 +303,60 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError, match="Pillow"):
         decode_image_features(media, fake=False)
+
+
+def test_maintenance_scheduler_runs_due_jobs(spark, tmp_path):
+    """CleanupScheduler parity (reference forgetting.py:1239-1477) on
+    the batch model: jobs become due by interval, a run prunes through
+    the audited forget path, updates next_run, records bounded history,
+    and dry_run counts without deleting."""
+    from datetime import datetime, timedelta, timezone
+
+    from alma_memory_spark.engine import AlmaSpark
+    from alma_memory_spark.operators.maintenance import (
+        MaintenanceJob,
+        MaintenanceScheduler,
+    )
+
+    now = [datetime(2024, 2, 15, tzinfo=timezone.utc)]
+    eng = AlmaSpark(spark, str(tmp_path / "m"), clock=lambda: now[0])
+    old = now[0] - timedelta(days=400)
+    for i in range(6):
+        eng.add_knowledge("a1", "p1", "d", f"fact {i}", confidence=0.9)
+    # age out half of them
+    dk = eng.store.read("domain_knowledge")
+    aged = dk.limit(3).withColumn(
+        "last_verified", F.lit(old).cast("timestamp")
+    )
+    eng.store.upsert("domain_knowledge", aged)
+
+    sched = MaintenanceScheduler(eng, clock=lambda: now[0])
+    sched.register_job(
+        MaintenanceJob(
+            name="nightly",
+            project_id="p1",
+            interval_hours=24,
+            tables=["domain_knowledge"],
+            max_age_days=365,
+        )
+    )
+    assert sched.run_all_due() == []  # not due yet
+
+    now[0] += timedelta(hours=25)
+    dry = sched.run_job("nightly", dry_run=True)
+    assert dry.deleted["domain_knowledge"] == 3
+    assert eng.store.read("domain_knowledge").count() == 6  # untouched
+
+    results = sched.run_all_due()
+    assert len(results) == 1 and results[0].success
+    assert results[0].deleted["domain_knowledge"] == 3
+    assert results[0].decay_at_read  # decay is computed at read, never stored
+    assert eng.store.read("domain_knowledge").count() == 3
+    # audit-before-delete went through the real forget path
+    audits = eng.store.read("forget_audit")
+    assert audits.filter(F.col("reason") == "maintenance:nightly").count() == 3
+    # job rescheduled; immediately re-running finds nothing due
+    assert sched.run_all_due() == []
+    assert len(sched.history) == 2  # dry-run + real run
+    assert sched.unregister_job("nightly")
+    assert not sched.unregister_job("nightly")
