@@ -113,76 +113,96 @@ def store_write_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
     _schemas.ALL_TABLES["_mig_gate"] = mig_schema
     _schemas.ALL_TABLES["_json_gate"] = json_schema
     try:
-        # --- upsert ---
-        live = _seed_frame(spark, sf_dir, F.col("user_id") <= 3)
-        up_store = ParquetStore(spark, root + "/upsert")
-        up_store.append("domain_knowledge", live)
-        updates = live.filter(F.col("id").cast("long") % 3 == 0).withColumn(
-            "value", F.col("value") + 1000.0
-        )
-        up_store.upsert("domain_knowledge", updates)
-        upsert_out = up_store.read("domain_knowledge").select(
-            F.lit("upsert").alias("stage"),
-            "id",
-            "agent",
-            _r6(F.col("value")).alias("value"),
-            F.lit(None).cast("string").alias("tag"),
-            F.lit(None).cast("double").alias("ts_epoch"),
-        )
+        def upsert_stage() -> DataFrame:
+            live = _seed_frame(spark, sf_dir, F.col("user_id") <= 3)
+            up_store = ParquetStore(spark, root + "/upsert")
+            up_store.append("domain_knowledge", live)
+            updates = live.filter(F.col("id").cast("long") % 3 == 0).withColumn(
+                "value", F.col("value") + 1000.0
+            )
+            up_store.upsert("domain_knowledge", updates)
+            return up_store.read("domain_knowledge").select(
+                F.lit("upsert").alias("stage"),
+                "id",
+                "agent",
+                _r6(F.col("value")).alias("value"),
+                F.lit(None).cast("string").alias("tag"),
+                F.lit(None).cast("double").alias("ts_epoch"),
+            )
 
-        # --- audit-before-delete ---
-        fg_store = ParquetStore(spark, root + "/forget")
-        fg_store.append(
-            "domain_knowledge", _seed_frame(spark, sf_dir, F.col("user_id") == 9)
-        )
-        fg_store.delete(
-            "domain_knowledge",
-            F.col("ts") < F.to_timestamp(F.lit(_CUTOFF)),
-            reason="expired",
-            memory_type="domain_knowledge",
-        )
-        audit_out = fg_store.read("forget_audit").select(
-            F.lit("audit").alias("stage"),
-            "id",
-            "agent",
-            F.lit(None).cast("double").alias("value"),
-            F.concat_ws(
-                "/", "memory_id", "memory_type", "project_id", "reason"
-            ).alias("tag"),
-            F.lit(None).cast("double").alias("ts_epoch"),
-        )
+        def audit_stage() -> DataFrame:
+            fg_store = ParquetStore(spark, root + "/forget")
+            fg_store.append(
+                "domain_knowledge", _seed_frame(spark, sf_dir, F.col("user_id") == 9)
+            )
+            fg_store.delete(
+                "domain_knowledge",
+                F.col("ts") < F.to_timestamp(F.lit(_CUTOFF)),
+                reason="expired",
+                memory_type="domain_knowledge",
+            )
+            return fg_store.read("forget_audit").select(
+                F.lit("audit").alias("stage"),
+                "id",
+                "agent",
+                F.lit(None).cast("double").alias("value"),
+                F.concat_ws(
+                    "/", "memory_id", "memory_type", "project_id", "reason"
+                ).alias("tag"),
+                F.lit(None).cast("double").alias("ts_epoch"),
+            )
 
-        # --- migration ---
-        mig_store = ParquetStore(spark, root + "/migrate")
-        mig_store.append(
-            "_mig_gate", _seed_frame(spark, sf_dir, F.col("user_id") == 13).drop("ts")
-        )
-        added = mig_store.migrate("_mig_gate")
-        assert added == ["verification_status", "strength"], added
-        assert mig_store.migrate("_mig_gate") == []  # idempotent
-        mig_out = mig_store.read("_mig_gate").select(
-            F.lit("migrate").alias("stage"),
-            "id",
-            "agent",
-            _r6(F.col("value")).alias("value"),
-            F.col("verification_status").alias("tag"),
-            F.col("strength").alias("ts_epoch"),
-        )
+        def migrate_stage() -> DataFrame:
+            mig_store = ParquetStore(spark, root + "/migrate")
+            mig_store.append(
+                "_mig_gate",
+                _seed_frame(spark, sf_dir, F.col("user_id") == 13).drop("ts"),
+            )
+            added = mig_store.migrate("_mig_gate")
+            assert added == ["verification_status", "strength"], added
+            assert mig_store.migrate("_mig_gate") == []  # idempotent
+            return mig_store.read("_mig_gate").select(
+                F.lit("migrate").alias("stage"),
+                "id",
+                "agent",
+                _r6(F.col("value")).alias("value"),
+                F.col("verification_status").alias("tag"),
+                F.col("strength").alias("ts_epoch"),
+            )
 
-        # --- JSON export/import ---
-        src = ParquetStore(spark, root + "/json_a")
-        dst = ParquetStore(spark, root + "/json_b")
-        src.append("_json_gate", _seed_frame(spark, sf_dir, F.col("user_id") == 11))
-        src.export_json("_json_gate", root + "/export")
-        dst.import_json("_json_gate", root + "/export")
-        json_out = dst.read("_json_gate").select(
-            F.lit("json").alias("stage"),
-            "id",
-            "agent",
-            _r6(F.col("value")).alias("value"),
-            F.lit(None).cast("string").alias("tag"),
-            _r6(F.col("ts").cast("double")).alias("ts_epoch"),
-        )
+        def json_stage() -> DataFrame:
+            src = ParquetStore(spark, root + "/json_a")
+            dst = ParquetStore(spark, root + "/json_b")
+            src.append(
+                "_json_gate", _seed_frame(spark, sf_dir, F.col("user_id") == 11)
+            )
+            src.export_json("_json_gate", root + "/export")
+            dst.import_json("_json_gate", root + "/export")
+            return dst.read("_json_gate").select(
+                F.lit("json").alias("stage"),
+                "id",
+                "agent",
+                _r6(F.col("value")).alias("value"),
+                F.lit(None).cast("string").alias("tag"),
+                _r6(F.col("ts").cast("double")).alias("ts_epoch"),
+            )
+
+        # the four roundtrips touch disjoint roots and disjoint tables —
+        # run them as CONCURRENT Spark jobs (thread-per-stage is the
+        # documented way to overlap independent jobs on one session);
+        # the result union keeps a fixed stage order regardless of
+        # completion order, so the gate stays deterministic
+        from concurrent.futures import ThreadPoolExecutor
+
+        from alma_memory_spark.session import ensure_package_shipped
+
+        ensure_package_shipped(spark)  # once, before the stage threads
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futures = [
+                pool.submit(fn)
+                for fn in (upsert_stage, audit_stage, migrate_stage, json_stage)
+            ]
+            upsert_out, audit_out, mig_out, json_out = [f.result() for f in futures]
 
         out = (
             upsert_out.unionByName(audit_out)

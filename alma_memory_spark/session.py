@@ -53,6 +53,7 @@ _NANO_TS_COLS = {
 
 
 _SHIPPED_SESSIONS: set[int] = set()
+_SHIP_LOCK = None  # created lazily to keep module import light
 
 
 def ensure_package_shipped(spark: SparkSession) -> None:
@@ -67,22 +68,36 @@ def ensure_package_shipped(spark: SparkSession) -> None:
     key = id(spark.sparkContext)
     if key in _SHIPPED_SESSIONS:
         return
-    import tempfile
-    import zipfile
+    # gates run concurrent Spark jobs from threads (e.g. the four
+    # store roundtrips) — without the lock two threads race on the
+    # check-then-ship, one addPyFile-ing a zip the other is still
+    # writing (observed as an intermittent executor import failure)
+    global _SHIP_LOCK
+    import threading
 
-    pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zpath = os.path.join(
-        tempfile.gettempdir(), f"alma_memory_spark_pkg_{os.getpid()}.zip"
-    )
-    with zipfile.ZipFile(zpath, "w") as z:
-        for root, _, files in os.walk(pkg_dir):
-            for f in files:
-                if f.endswith(".py"):
-                    full = os.path.join(root, f)
-                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                    z.write(full, rel)
-    spark.sparkContext.addPyFile(zpath)
-    _SHIPPED_SESSIONS.add(key)
+    if _SHIP_LOCK is None:
+        _SHIP_LOCK = threading.Lock()
+    with _SHIP_LOCK:
+        if key in _SHIPPED_SESSIONS:
+            return
+        import tempfile
+        import zipfile
+
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        zpath = os.path.join(
+            tempfile.gettempdir(), f"alma_memory_spark_pkg_{os.getpid()}.zip"
+        )
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for root, _, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        z.write(full, rel)
+        os.replace(tmp, zpath)  # atomic: addPyFile never sees a partial zip
+        spark.sparkContext.addPyFile(zpath)
+        _SHIPPED_SESSIONS.add(key)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):
