@@ -17,6 +17,7 @@ with epoch-based invalidation on writes.
 
 from __future__ import annotations
 
+import threading
 import time
 import uuid
 from collections import OrderedDict
@@ -69,6 +70,11 @@ class AlmaSpark:
         self.embedder = embedder or HashEmbedder()
         self.feedback_weight = feedback_weight
         self._cache: OrderedDict[tuple, tuple[float, int, MemorySlice]] = OrderedDict()
+        # retrieve() is a pure read and safe to call from several
+        # threads (concurrent Spark jobs); the cache bookkeeping is the
+        # one shared mutable structure, guarded like the reference's
+        # thread-safe cache (alma/retrieval/cache.py uses an RLock)
+        self._cache_lock = threading.RLock()
         self._epoch = 0
         self._clock = clock
 
@@ -121,13 +127,14 @@ class AlmaSpark:
             tuple(inherit_from or ()),
             use_feedback,
         )
-        hit = self._cache.get(key)
-        if hit is not None:
-            ts, epoch, sl = hit
-            if epoch == self._epoch and time.perf_counter() - ts < CACHE_TTL_SECONDS:
-                self._cache.move_to_end(key)
-                return sl
-            del self._cache[key]
+        with self._cache_lock:
+            hit = self._cache.get(key)
+            if hit is not None:
+                ts, epoch, sl = hit
+                if epoch == self._epoch and time.perf_counter() - ts < CACHE_TTL_SECONDS:
+                    self._cache.move_to_end(key)
+                    return sl
+                del self._cache[key]
 
         mode_name = mode if mode in MODES else (infer_mode(task) if mode == "auto" else None)
         cfg: ModeConfig | None = MODES.get(mode_name) if mode_name else None
@@ -241,9 +248,10 @@ class AlmaSpark:
             retrieval_time_ms=(time.perf_counter() - t0) * 1000.0,
             mode=mode_name,
         )
-        self._cache[key] = (time.perf_counter(), self._epoch, sl)
-        while len(self._cache) > CACHE_MAX_ENTRIES:
-            self._cache.popitem(last=False)
+        with self._cache_lock:
+            self._cache[key] = (time.perf_counter(), self._epoch, sl)
+            while len(self._cache) > CACHE_MAX_ENTRIES:
+                self._cache.popitem(last=False)
         return sl
 
     def retrieve_with_budget(

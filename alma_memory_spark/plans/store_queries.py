@@ -705,25 +705,43 @@ def engine_retrieve_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         eng = AlmaSpark(spark, root, clock=lambda: anchor)
         eng.store.append("domain_knowledge", rows_df)
         eng.store.append("retrieval_feedback", fb_df)
-        out = []
+
+        # the cache-separation property (mode/top_k/use_feedback in the
+        # key) is proven through ONE engine: the e2e call populates the
+        # cache, then recall + feedback must MISS it
         sl = eng.retrieve(QUERY_TEXT, agent="helena", project_id="p", top_k=20)
-        out += [
+        e2e_rows = [
             ("e2e", r["id"], round(float(r["score"]), 6)) for r in sl.domain_knowledge
         ]
-        sl = eng.retrieve(
-            QUERY_TEXT, agent="helena", project_id="p", top_k=15, mode="recall"
-        )
-        out += [
-            ("recall", r["id"], round(float(r["score"]), 6))
-            for r in sl.domain_knowledge
-        ]
-        sl = eng.retrieve(
-            QUERY_TEXT, agent="helena", project_id="p", top_k=20, use_feedback=True
-        )
-        out += [
-            ("feedback", r["id"], round(float(r["score"]), 6))
-            for r in sl.domain_knowledge
-        ]
+
+        # the two remaining read-only variants run as concurrent Spark
+        # jobs on the SAME cached-cold engine (retrieve() is a pure
+        # read; thread-per-variant overlaps the two one-job plans)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def recall_call():
+            s = eng.retrieve(
+                QUERY_TEXT, agent="helena", project_id="p", top_k=15, mode="recall"
+            )
+            return [
+                ("recall", r["id"], round(float(r["score"]), 6))
+                for r in s.domain_knowledge
+            ]
+
+        def feedback_call():
+            s = eng.retrieve(
+                QUERY_TEXT, agent="helena", project_id="p", top_k=20,
+                use_feedback=True,
+            )
+            return [
+                ("feedback", r["id"], round(float(r["score"]), 6))
+                for r in s.domain_knowledge
+            ]
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f1 = pool.submit(recall_call)
+            f2 = pool.submit(feedback_call)
+            out = e2e_rows + f1.result() + f2.result()
         return spark.createDataFrame(out, "variant string, id string, score double")
     finally:
         shutil.rmtree(root, ignore_errors=True)

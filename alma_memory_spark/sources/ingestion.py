@@ -179,14 +179,23 @@ def normalize_file(spark: SparkSession, path: str) -> DataFrame:
 
 def normalize_directory(spark: SparkSession, directory: str) -> DataFrame:
     """Normalize every file in a directory; per-file format dispatch,
-    unioned into one transcript DataFrame."""
-    parts = []
-    for name in sorted(os.listdir(directory)):
-        p = os.path.join(directory, name)
-        if os.path.isfile(p):
-            parts.append(normalize_file(spark, p))
-    if not parts:
+    unioned into one transcript DataFrame.
+
+    The per-format readers trigger a schema-inference job each at
+    plan-build time, so the dispatch runs them as concurrent Spark jobs
+    (thread per file); `pool.map` preserves the sorted file order, so
+    the union — and the result — is identical to the sequential form."""
+    files = [
+        os.path.join(directory, name)
+        for name in sorted(os.listdir(directory))
+        if os.path.isfile(os.path.join(directory, name))
+    ]
+    if not files:
         return spark.createDataFrame([], TRANSCRIPT_SCHEMA)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, len(files))) as pool:
+        parts = list(pool.map(lambda p: normalize_file(spark, p), files))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
