@@ -62,12 +62,21 @@ def streaming_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     qname = "stream_win_" + uuid.uuid4().hex[:8]
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(qname)
-        .start()
-    )
+    # state-store sizing: the stream has ~150 (window, type) keys; the
+    # session default of 32 shuffle partitions means 32 HDFS-backed
+    # state stores, each with per-batch snapshot overhead (same lesson
+    # as the stateful-totals gate — see SCALE.md)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     try:
         q.processAllAvailable()
         out = (
