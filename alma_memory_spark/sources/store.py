@@ -71,9 +71,15 @@ class ParquetStore:
         SCALE.md. Reentrant within a process via a held-lock registry
         (delete() takes the lock and calls overwrite(), which takes it
         again)."""
+        import threading
+
         lock_path = self._path(table) + ".lock"
         os.makedirs(self.root, exist_ok=True)
-        key = (os.path.abspath(lock_path),)
+        # reentrance is PER-THREAD: keyed by (thread, path), so one
+        # thread's delete()->overwrite() nesting re-enters, but a
+        # second thread on the same store handle still blocks on the
+        # flock instead of slipping through the held-set
+        key = (threading.get_ident(), os.path.abspath(lock_path))
         if key in self._held_locks:
             yield
             return

@@ -323,3 +323,43 @@ def test_bucketed_table_names_distinct_across_roots(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_concurrent_upserts_shared_handle(spark, tmp_path):
+    """Same contract as test_concurrent_upserts_different_partitions but
+    through ONE shared store handle: the per-thread reentrance key must
+    not let a second thread slip past the table lock."""
+    import threading
+
+    root = str(tmp_path / "cs")
+    store = ParquetStore(spark, root)
+    seed = FX.seed_heuristics(spark)
+    store.append("heuristics", seed)
+    n = store.read("heuristics").count()
+    pairs = [
+        (r["project_id"], r["agent"])
+        for r in seed.select("project_id", "agent").distinct().collect()
+    ]
+    errs = []
+
+    def bump(pair, conf):
+        try:
+            upd = seed.filter(
+                (F.col("project_id") == pair[0]) & (F.col("agent") == pair[1])
+            ).withColumn("confidence", F.lit(conf))
+            store.upsert("heuristics", upd)  # SHARED handle
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=bump, args=(pairs[i], 0.8 + i / 100))
+        for i in range(2)
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    got = store.read("heuristics")
+    assert got.count() == n
+    assert got.select("id").distinct().count() == n
