@@ -2,6 +2,11 @@
 the Spark-side plumbing for decode / feature-extract / resize /
 frame-sample stages.
 
+Provenance: this module is a BEYOND-THE-REFERENCE capability — the
+reference engine (text-only agent memory) has no media surface; these
+are the large-scale training-data-pipeline operators the build brief
+names as first-class alongside the reference's own inventory.
+
 A 100 TB training-data pipeline treats images/audio/video as `binary`
 columns plus typed metadata (mime, width, height, duration, ...) and
 runs media ops as Arrow-batched pandas stages over `mapInPandas`. The
