@@ -41,7 +41,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--top-k", type=int, default=50)
     p.add_argument("--limit", type=int, default=None, help="cap questions/convs")
     p.add_argument("--flb", action="store_true", help="also run feedback learning")
-    p.add_argument("--rounds", type=int, default=3, help="feedback-learning rounds")
+
+    def _positive(v: str) -> int:
+        n = int(v)
+        if n < 1:
+            raise argparse.ArgumentTypeError("rounds must be >= 1")
+        return n
+
+    p.add_argument(
+        "--rounds", type=_positive, default=3, help="feedback-learning rounds (>= 1)"
+    )
     p.add_argument("--weight", type=float, default=0.15, help="feedback weight")
     p.add_argument("--cpus", type=int, default=None)
     args = p.parse_args(argv)

@@ -117,13 +117,18 @@ class AlmaSpark:
         # result, including use_feedback (a key without it would replay a
         # non-feedback slice for a use_feedback=True call within the TTL).
         query = sanitize_query(task)
+        # resolve the mode BEFORE keying: under mode='auto' two tasks can
+        # sanitize to the same query yet infer different modes (inference
+        # reads the raw task), so keying on the literal 'auto' would let
+        # one caller be served the other's wrong-mode slice
+        mode_name = mode if mode in MODES else (infer_mode(task) if mode == "auto" else None)
         key = (
             query,
             agent,
             project_id,
             user_id,
             top_k,
-            mode,
+            mode_name,
             tuple(inherit_from or ()),
             use_feedback,
         )
@@ -135,8 +140,6 @@ class AlmaSpark:
                     self._cache.move_to_end(key)
                     return sl
                 del self._cache[key]
-
-        mode_name = mode if mode in MODES else (infer_mode(task) if mode == "auto" else None)
         cfg: ModeConfig | None = MODES.get(mode_name) if mode_name else None
         weights = cfg.weights if cfg else ScoringWeights()
         # caller top_k OVERRIDES the mode default (reference core.py:

@@ -24,7 +24,16 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 TOKEN_RE = "[^a-z0-9]+"  # alphanumeric tokenizer
-WS_RE = r"\s+"  # reference tokenizer: lowercase + whitespace split
+# Whitespace class, EXPLICIT on both engines: Java's \s includes \x0B
+# (vertical tab) but RE2's (DuckDB) does not — a text containing \x0B
+# would normalize differently per engine and break every hash-matched
+# text gate. The literal class below is identical in Java, RE2, and
+# Python re. (Reference tokenizer: lowercase + whitespace split.)
+WS_RE = "[ \t\n\x0b\f\r]+"
+# the same class for the DuckDB oracle side, with the control chars
+# embedded as REAL characters (DuckDB plain string literals do not
+# process backslash escapes)
+SQL_WS_RE = WS_RE
 HEX = "0123456789abcdef"
 # BPE-ish pre-tokenizer (the GPT-2 pre-tokenization shape simplified to
 # the Java-regex/RE2 common subset — letter runs, digit runs, punct runs,
@@ -268,11 +277,11 @@ def sql_tokens(expr: str, pattern: str = TOKEN_RE) -> str:
 
 
 def sql_ws_tokens(expr: str) -> str:
-    return sql_tokens(expr, r"\s+")
+    return sql_tokens(expr, SQL_WS_RE)
 
 
 def sql_fingerprint(expr: str) -> str:
-    return f"md5(regexp_replace(trim(lower({expr})), '\\s+', ' ', 'g'))"
+    return f"md5(regexp_replace(trim(lower({expr})), '{SQL_WS_RE}', ' ', 'g'))"
 
 
 def sql_hash32(expr: str) -> str:
@@ -283,7 +292,7 @@ def sql_hash32(expr: str) -> str:
 
 
 def sql_shingles(expr: str, n: int = 3) -> str:
-    norm = f"regexp_replace(trim(lower({expr})), '\\s+', ' ', 'g')"
+    norm = f"regexp_replace(trim(lower({expr})), '{SQL_WS_RE}', ' ', 'g')"
     return (
         f"list_transform(range(1, greatest(length({norm}) - {n - 1}, 1) + 1), "
         f"i -> substr({norm}, i, {n}))"
@@ -298,7 +307,7 @@ def sql_bpe_token_count(expr: str) -> str:
 
 def sql_winnow_norm(expr: str) -> str:
     return (
-        f"regexp_replace(regexp_replace(trim(lower({expr})), '\\s+', ' ', 'g'),"
+        f"regexp_replace(regexp_replace(trim(lower({expr})), '{SQL_WS_RE}', ' ', 'g'),"
         f" '[^ -~]', '?', 'g') || '{' ' * WINNOW_K}'"
     )
 

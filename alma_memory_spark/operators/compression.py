@@ -104,7 +104,11 @@ def compress_column(
     via mapInPandas when fidelity matters; this column form is the
     scan-speed approximation for 100 TB passes.)"""
     budget = LEVEL_SENTENCES.get(level, 3)
-    sents = F.split(F.col(text_col), r"(?<=[.!?])\s+")
+    # explicit whitespace class: Java's \s includes \x0B, RE2's (the
+    # oracle) does not — see functions/text.py WS_RE
+    from alma_memory_spark.functions.text import WS_RE
+
+    sents = F.split(F.col(text_col), r"(?<=[.!?])" + WS_RE)
     head = F.array_join(F.slice(sents, 1, budget), " ")
     compressed = F.when(
         F.length(text_col) < MIN_LENGTH_FOR_COMPRESSION, F.col(text_col)

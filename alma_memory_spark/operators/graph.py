@@ -49,7 +49,7 @@ def k_hop_neighbors(
     e = fwd if directed else fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    e = e.distinct().cache()
+    e = e.distinct()
 
     spark = relationships.sparkSession
     frontier = spark.createDataFrame([(i,) for i in start_ids], "id string")
@@ -58,9 +58,11 @@ def k_hop_neighbors(
     # is a small contract bound (reference default 2), and an exhausted
     # frontier simply yields empty joins for the remaining hops — the
     # whole traversal stays ONE lazily-built plan executed by the
-    # caller's single action. The per-hop cache marks each frontier for
-    # reuse (it feeds both the visited union and the next hop's join)
-    # without forcing a job of its own.
+    # caller's single action. Deliberately NOT cached: a session-lived
+    # .cache() per hop would accumulate executor storage across calls
+    # with nothing ever releasing it, and at depth <= 2-3 the doubled
+    # lineage recompute is cheaper than that leak. Deep traversals
+    # should pass a checkpointed edge frame instead.
     for hop in range(1, max_hops + 1):
         nxt = (
             e.join(frontier, e.src == frontier.id)
@@ -68,7 +70,6 @@ def k_hop_neighbors(
             .distinct()
             .join(visited.select("id"), "id", "left_anti")
             .withColumn("hop", F.lit(hop))
-            .cache()
         )
         visited = visited.unionByName(nxt)
         frontier = nxt.select("id")

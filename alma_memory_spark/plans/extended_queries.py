@@ -148,12 +148,16 @@ def _compression_sql() -> str:
         MIN_LENGTH_FOR_COMPRESSION,
     )
 
+    from alma_memory_spark.functions.text import SQL_WS_RE
+
     budget = LEVEL_SENTENCES["medium"]
+    # SQL_WS_RE is the explicit whitespace class shared with the Spark
+    # side (Java \s includes \x0B, RE2 does not; functions/text.py)
     return rf"""
     WITH c AS (
       SELECT doc_id, text,
              string_split(
-               regexp_replace(text, '([.!?])\s+', '\1' || chr(1), 'g'), chr(1)
+               regexp_replace(text, '([.!?]){SQL_WS_RE}', '\\1' || chr(1), 'g'), chr(1)
              ) AS sents
       FROM documents
     ), o AS (

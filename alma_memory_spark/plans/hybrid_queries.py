@@ -245,13 +245,16 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from alma_memory_spark.session import ensure_package_shipped
 
     ensure_package_shipped(spark)
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    # cloned session: the state-store sizing below must not leak into
+    # concurrently-planned batch jobs on the caller's session
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
     stream = (
-        spark.readStream.schema(
+        s2.readStream.schema(
             "event_id bigint, ts bigint, user_id bigint, event_type string, "
             "value double, props string"
         )
@@ -275,22 +278,16 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         GroupStateTimeout.NoTimeout,
     )
     qname = "stateful_" + uuid.uuid4().hex[:8]
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            totals.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(qname)
-            .start()
-        )
-    finally:
-        # the streaming plan captured the conf at start(); restore for
-        # everything else immediately
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    q = (
+        totals.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
     try:
         q.processAllAvailable()
         out = (
-            spark.table(qname)
+            s2.table(qname)
             .groupBy("user_id")
             .agg(F.max("n_events").alias("n_events"))
             .orderBy("user_id")

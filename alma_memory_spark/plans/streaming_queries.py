@@ -43,12 +43,18 @@ def streaming_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     DECIMAL sums keep the aggregate order-independent across micro-batch
     boundaries exactly as across partitions in batch."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from alma_memory_spark.session import ensure_package_shipped
 
     ensure_package_shipped(spark)
+    # a CLONED session isolates this stream's conf (state-store sizing
+    # below) from concurrent jobs on the caller's session — mutating
+    # the shared spark.sql.shuffle.partitions would silently re-plan
+    # any batch job built in the window
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
     stream = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
+        s2.readStream.schema(_EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")  # file source needs a dir
         .parquet(sf_dir)
@@ -62,25 +68,19 @@ def streaming_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     qname = "stream_win_" + uuid.uuid4().hex[:8]
-    # state-store sizing: the stream has ~150 (window, type) keys; the
-    # session default of 32 shuffle partitions means 32 HDFS-backed
-    # state stores, each with per-batch snapshot overhead (same lesson
-    # as the stateful-totals gate — see SCALE.md)
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(qname)
-            .start()
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    # state-store sizing (on the clone only): the stream has ~150
+    # (window, type) keys; 32 shuffle partitions would mean 32
+    # HDFS-backed state stores with per-batch snapshot overhead
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
     try:
         q.processAllAvailable()
         out = (
-            spark.table(qname)
+            s2.table(qname)
             .select(
                 F.col("win.start").cast("long").alias("window_start"),
                 "event_type",

@@ -53,7 +53,12 @@ _NANO_TS_COLS = {
 
 
 _SHIPPED_SESSIONS: set[int] = set()
-_SHIP_LOCK = None  # created lazily to keep module import light
+# created eagerly: a lazy `if None: Lock()` is itself a check-then-act
+# race between two first-callers (each could end up holding a
+# different lock object)
+import threading as _threading  # noqa: E402
+
+_SHIP_LOCK = _threading.Lock()
 
 
 def ensure_package_shipped(spark: SparkSession) -> None:
@@ -72,11 +77,6 @@ def ensure_package_shipped(spark: SparkSession) -> None:
     # store roundtrips) — without the lock two threads race on the
     # check-then-ship, one addPyFile-ing a zip the other is still
     # writing (observed as an intermittent executor import failure)
-    global _SHIP_LOCK
-    import threading
-
-    if _SHIP_LOCK is None:
-        _SHIP_LOCK = threading.Lock()
     with _SHIP_LOCK:
         if key in _SHIPPED_SESSIONS:
             return

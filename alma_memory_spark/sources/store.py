@@ -98,30 +98,73 @@ class ParquetStore:
             os.close(fd)
 
     def _recover(self, table: str) -> None:
-        """Crash recovery: if a prior overwrite() renamed the live dir
-        aside but died before renaming staging in, put the old data
-        back. Leftover staging dirs are cleaned by the next overwrite.
-        Partition-scoped writes leave dot-prefixed '.<agent=...>.old'
-        dirs (invisible to Spark's file index) — restore any whose live
-        partition vanished, drop the rest."""
+        """Crash recovery — LOCK-AWARE: recovery renames directories, so
+        running it while another process/thread is mid-swap would undo
+        the writer's phase-A asides and crash its phase B. If this
+        thread already holds the table lock (a writer's internal read),
+        recover directly; otherwise try a NON-BLOCKING lock — if a
+        writer is active, skip recovery entirely (the table is in the
+        writer's hands; nothing to recover).
+
+        Protocol recovered: a `<table>.txn` marker brackets every
+        partition swap. Marker present => the swap died mid-flight:
+        roll the WHOLE logical write back (restore every aside over
+        whatever is live, drop staging), making partition writes
+        all-or-nothing — including deletes that empty a partition.
+        No marker: legacy handling for the whole-table overwrite()
+        rename pair and stray asides."""
+        lock_path = os.path.abspath(self._path(table) + ".lock")
+        import threading
+
+        if (threading.get_ident(), lock_path) in self._held_locks:
+            self._recover_locked(table)
+            return
+        if not os.path.isdir(self.root):
+            return
+        import fcntl
+
+        fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
+        try:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                return  # active writer owns the table state right now
+            try:
+                self._recover_locked(table)
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+        finally:
+            os.close(fd)
+
+    def _recover_locked(self, table: str) -> None:
         path = self._path(table)
         old = path + ".old"
         if not os.path.isdir(path) and os.path.isdir(old):
             os.rename(old, path)
-        if not os.path.isdir(path):
-            return
-        for proj_dir in os.listdir(path):
-            pd = os.path.join(path, proj_dir)
-            if not (proj_dir.startswith("project_id=") and os.path.isdir(pd)):
-                continue
-            for d in os.listdir(pd):
-                if d.startswith(".agent=") and d.endswith(".old"):
-                    live = os.path.join(pd, d[1:-4])
-                    aside = os.path.join(pd, d)
-                    if os.path.isdir(live):
-                        shutil.rmtree(aside)
-                    else:
-                        os.rename(aside, live)
+        txn = path + ".txn"
+        mid_swap = os.path.isfile(txn)
+        if os.path.isdir(path):
+            for proj_dir in os.listdir(path):
+                pd = os.path.join(path, proj_dir)
+                if not (proj_dir.startswith("project_id=") and os.path.isdir(pd)):
+                    continue
+                for d in os.listdir(pd):
+                    if d.startswith(".agent=") and d.endswith(".old"):
+                        live = os.path.join(pd, d[1:-4])
+                        aside = os.path.join(pd, d)
+                        if mid_swap:
+                            # roll the torn swap back: the aside is the
+                            # pre-write truth, whatever is live is the
+                            # dead writer's partial phase B
+                            shutil.rmtree(live, ignore_errors=True)
+                            os.rename(aside, live)
+                        elif os.path.isdir(live):
+                            shutil.rmtree(aside)
+                        else:
+                            os.rename(aside, live)
+        if mid_swap:
+            shutil.rmtree(path + ".staging", ignore_errors=True)
+            os.remove(txn)
 
     def exists(self, table: str) -> bool:
         self._recover(table)
@@ -210,17 +253,17 @@ class ParquetStore:
         with no staged output (all its rows deleted) has its live dir
         removed.
 
-        Two-phase commit under the table lock: phase A renames EVERY
-        affected live dir aside (swapped AND emptied partitions alike),
-        phase B renames the staged dirs in, then the asides are dropped.
-        A crash during phase A leaves only asides, which _recover()
-        renames back (no live dir vanished yet, so the whole logical
-        write rolls BACK); a crash during phase B rolls the not-yet-
-        swapped partitions back and keeps the swapped ones — the torn
-        window is the B loop only, a few renames instead of a write+
-        rename per partition. Emptied partitions get the same
-        rename-aside treatment so no crash point can lose one
-        unrecoverably."""
+        Two-phase commit under the table lock, bracketed by a
+        `<table>.txn` marker: phase A renames EVERY affected live dir
+        aside (swapped AND emptied partitions alike), phase B renames
+        the staged dirs in, the asides are dropped, and the marker is
+        removed last. A crash at ANY point before marker removal leaves
+        the marker + the asides, and _recover() rolls the WHOLE logical
+        write back (every aside restored over whatever is live) — the
+        swap is all-or-nothing, including deletes that empty a
+        partition. The audited forget sink is written before the swap,
+        so a rolled-back delete re-runs against rows the audit already
+        recorded (append-only; a re-run re-audits)."""
         path = self._path(table)
         staged: list[tuple[str, str]] = []  # (src, dst)
         asides: list[tuple[str, str]] = []  # (live, aside)
@@ -261,6 +304,9 @@ class ParquetStore:
                     asides.append(
                         (apd, os.path.join(pd, "." + agent_dir + ".old"))
                     )
+        txn = path + ".txn"
+        with open(txn, "w") as f:
+            f.write("swap\n")  # crash before removal => full rollback
         # phase A: all rename-asides
         for live, aside in asides:
             shutil.rmtree(aside, ignore_errors=True)
@@ -268,10 +314,11 @@ class ParquetStore:
         # phase B: all rename-ins
         for src, dst in staged:
             os.rename(src, dst)
-        # commit: drop asides + staging
+        # commit: drop asides + staging, then clear the marker
         for _, aside in asides:
             shutil.rmtree(aside, ignore_errors=True)
         shutil.rmtree(staging, ignore_errors=True)
+        os.remove(txn)
 
     def _rewrite_partitions(self, table: str, touched: list[tuple], content: DataFrame) -> None:
         """Write `content` (the full new contents of the touched

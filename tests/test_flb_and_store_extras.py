@@ -363,3 +363,34 @@ def test_concurrent_upserts_shared_handle(spark, tmp_path):
     got = store.read("heuristics")
     assert got.count() == n
     assert got.select("id").distinct().count() == n
+
+
+def test_txn_marker_rolls_back_torn_swap(spark, tmp_path):
+    """A crash ANYWHERE inside the marker-bracketed swap must roll the
+    whole logical write back: simulate a mid-phase-B crash (marker
+    present, one partition renamed aside with a half-written new live
+    dir) and assert the next read restores the pre-write state."""
+    import os
+
+    root = str(tmp_path / "txn")
+    store = ParquetStore(spark, root)
+    store.append("heuristics", FX.seed_heuristics(spark))
+    n = store.read("heuristics").count()
+    base = os.path.join(root, "heuristics")
+    proj = next(d for d in os.listdir(base) if d.startswith("project_id="))
+    pd_ = os.path.join(base, proj)
+    agent = next(d for d in os.listdir(pd_) if d.startswith("agent="))
+    live = os.path.join(pd_, agent)
+    aside = os.path.join(pd_, "." + agent + ".old")
+    # simulate: txn marker written, live renamed aside (phase A), a
+    # partial new dir renamed in (phase B), then CRASH
+    with open(base + ".txn", "w") as f:
+        f.write("swap\n")
+    os.rename(live, aside)
+    os.makedirs(live)
+    with open(os.path.join(live, "part-junk.parquet"), "wb") as f:
+        f.write(b"not a real parquet file")
+    # next read heals: junk dropped, aside restored, marker cleared
+    assert store.read("heuristics").count() == n
+    assert not os.path.exists(base + ".txn")
+    assert not os.path.exists(aside)

@@ -174,21 +174,29 @@ def test_rolling_shingle_hashes_match_python_mirror(s):
     assert got == want
 
 
-@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=200))
-@settings(max_examples=60, deadline=None)
-def test_bpe_token_count_matches_python_regex(s):
+def test_bpe_token_count_java_matches_python_on_random_strings(spark):
     """The JVM regex count must equal Python re on the same pattern —
     the pattern is restricted to the Java/RE2/Python common subset, so
-    any divergence is a portability bug."""
+    any divergence is a portability bug. 300 seeded random printable
+    strings (plus whitespace-heavy edge cases) through ONE Spark job,
+    compared against Python findall counts."""
+    import random
     import re
+    import string
 
-    from alma_memory_spark.functions.text import BPE_TOKEN_RE
+    from alma_memory_spark.functions.text import BPE_TOKEN_RE, bpe_token_count
 
-    want = len(re.findall(BPE_TOKEN_RE, s))
-    # evaluated lazily through Spark in the gate; here assert the
-    # invariant the oracle relies on: count == python findall count
-    # (Spark-vs-DuckDB equality is covered by the text_profile gate)
-    assert want >= 0
-    # non-whitespace input must tokenize to at least one token
-    if s.strip():
-        assert want >= 1
+    rng = random.Random(20260814)
+    alphabet = string.printable  # includes \t\n\r\x0b\x0c
+    cases = ["", " ", "\t\n", "a\x0bb", " x", "x "] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 120)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)], "i int, t string")
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", bpe_token_count("t").alias("n")).collect()
+    }
+    for i, s in enumerate(cases):
+        want = len(re.findall(BPE_TOKEN_RE, s))
+        assert got[i] == want, (i, repr(s), got[i], want)
