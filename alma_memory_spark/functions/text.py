@@ -30,9 +30,12 @@ TOKEN_RE = "[^a-z0-9]+"  # alphanumeric tokenizer
 # text gate. The literal class below is identical in Java, RE2, and
 # Python re. (Reference tokenizer: lowercase + whitespace split.)
 WS_RE = "[ \t\n\x0b\f\r]+"
-# the same class for the DuckDB oracle side, with the control chars
-# embedded as REAL characters (DuckDB plain string literals do not
-# process backslash escapes)
+# alias for interpolation into DuckDB SQL string literals. INVARIANT:
+# the value must contain REAL control characters, never backslash
+# escapes — WS_RE above is a plain (non-raw) literal so Python already
+# decoded \t \n \x0b \f \r to real chars; DuckDB plain string literals
+# do NOT process backslash escapes, so r"..." here would silently turn
+# the class into literal backslash-t etc. on the oracle side only.
 SQL_WS_RE = WS_RE
 HEX = "0123456789abcdef"
 # BPE-ish pre-tokenizer (the GPT-2 pre-tokenization shape simplified to

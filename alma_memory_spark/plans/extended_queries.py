@@ -157,7 +157,7 @@ def _compression_sql() -> str:
     WITH c AS (
       SELECT doc_id, text,
              string_split(
-               regexp_replace(text, '([.!?]){SQL_WS_RE}', '\\1' || chr(1), 'g'), chr(1)
+               regexp_replace(text, '([.!?]){SQL_WS_RE}', '\1' || chr(1), 'g'), chr(1)
              ) AS sents
       FROM documents
     ), o AS (

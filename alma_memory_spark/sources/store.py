@@ -97,44 +97,52 @@ class ParquetStore:
         finally:
             os.close(fd)
 
+    def _dirty(self, table: str) -> bool:
+        """Does the table carry any crash residue worth recovering?"""
+        path = self._path(table)
+        if os.path.isfile(path + ".txn") or os.path.isdir(path + ".old"):
+            return True
+        if not os.path.isdir(path):
+            return False
+        for proj_dir in os.listdir(path):
+            pd = os.path.join(path, proj_dir)
+            if not (proj_dir.startswith("project_id=") and os.path.isdir(pd)):
+                continue
+            for d in os.listdir(pd):
+                if d.startswith(".agent=") and (
+                    d.endswith(".old") or d.endswith(".dropped")
+                ):
+                    return True
+        return False
+
     def _recover(self, table: str) -> None:
-        """Crash recovery — LOCK-AWARE: recovery renames directories, so
-        running it while another process/thread is mid-swap would undo
-        the writer's phase-A asides and crash its phase B. If this
-        thread already holds the table lock (a writer's internal read),
-        recover directly; otherwise try a NON-BLOCKING lock — if a
-        writer is active, skip recovery entirely (the table is in the
-        writer's hands; nothing to recover).
+        """Crash recovery — DIRTY-GATED and LOCK-AWARE.
 
-        Protocol recovered: a `<table>.txn` marker brackets every
-        partition swap. Marker present => the swap died mid-flight:
-        roll the WHOLE logical write back (restore every aside over
-        whatever is live, drop staging), making partition writes
-        all-or-nothing — including deletes that empty a partition.
-        No marker: legacy handling for the whole-table overwrite()
-        rename pair and stray asides."""
-        lock_path = os.path.abspath(self._path(table) + ".lock")
-        import threading
+        Fast path: a clean table (no marker, no asides, no table-level
+        .old) needs nothing; reads stay lock-free and work on read-only
+        mounts. A dirty table takes the BLOCKING table lock before
+        repairing — so recovery never races an active writer's renames,
+        and a second reader arriving mid-recovery waits for the first
+        instead of reading a half-repaired directory. If the lock file
+        cannot be created (read-only store), the torn state is read
+        as-is: nothing else is possible without write access.
 
-        if (threading.get_ident(), lock_path) in self._held_locks:
-            self._recover_locked(table)
+        Protocol recovered: every partition swap writes a `<table>.txn`
+        PLAN (staged dirs, asides, dropped partitions) whose removal is
+        the single commit point. Marker present => roll the WHOLE
+        logical write back: remove every planned destination that made
+        it live (including brand-new partitions with no aside), restore
+        every aside — so swaps are all-or-nothing. No marker: the swap
+        committed; stray `.old` asides with a live dir and `.dropped`
+        asides are post-commit leftovers to drop, and a lone `.old`
+        with no live dir is the overwrite() rename pair to restore."""
+        if not self._dirty(table):
             return
-        if not os.path.isdir(self.root):
-            return
-        import fcntl
-
-        fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
         try:
-            try:
-                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-            except OSError:
-                return  # active writer owns the table state right now
-            try:
+            with self._table_lock(table):
                 self._recover_locked(table)
-            finally:
-                fcntl.flock(fd, fcntl.LOCK_UN)
-        finally:
-            os.close(fd)
+        except OSError:
+            return  # read-only store: cannot lock or repair
 
     def _recover_locked(self, table: str) -> None:
         path = self._path(table)
@@ -142,29 +150,47 @@ class ParquetStore:
         if not os.path.isdir(path) and os.path.isdir(old):
             os.rename(old, path)
         txn = path + ".txn"
-        mid_swap = os.path.isfile(txn)
-        if os.path.isdir(path):
-            for proj_dir in os.listdir(path):
-                pd = os.path.join(path, proj_dir)
-                if not (proj_dir.startswith("project_id=") and os.path.isdir(pd)):
-                    continue
-                for d in os.listdir(pd):
-                    if d.startswith(".agent=") and d.endswith(".old"):
-                        live = os.path.join(pd, d[1:-4])
-                        aside = os.path.join(pd, d)
-                        if mid_swap:
-                            # roll the torn swap back: the aside is the
-                            # pre-write truth, whatever is live is the
-                            # dead writer's partial phase B
-                            shutil.rmtree(live, ignore_errors=True)
-                            os.rename(aside, live)
-                        elif os.path.isdir(live):
-                            shutil.rmtree(aside)
-                        else:
-                            os.rename(aside, live)
-        if mid_swap:
+        if os.path.isfile(txn):
+            import json
+
+            try:
+                with open(txn) as f:
+                    plan = json.load(f)
+            except (OSError, ValueError):
+                plan = {}
+            # ROLLBACK: drop every planned destination that went live
+            # (covers brand-new partitions that have no aside) ...
+            for rel in plan.get("dsts", []):
+                shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
+            # ... then restore every aside (swapped and dropped alike)
+            for rel in plan.get("asides", []) + plan.get("dropped", []):
+                aside = os.path.join(path, rel)
+                if os.path.isdir(aside):
+                    base = os.path.basename(aside)
+                    live_name = base[1:].rsplit(".", 1)[0]  # strip '.'+suffix
+                    live = os.path.join(os.path.dirname(aside), live_name)
+                    shutil.rmtree(live, ignore_errors=True)
+                    os.rename(aside, live)
             shutil.rmtree(path + ".staging", ignore_errors=True)
             os.remove(txn)
+            return
+        if not os.path.isdir(path):
+            return
+        # no marker: post-commit leftovers / legacy overwrite residue
+        for proj_dir in os.listdir(path):
+            pd = os.path.join(path, proj_dir)
+            if not (proj_dir.startswith("project_id=") and os.path.isdir(pd)):
+                continue
+            for d in os.listdir(pd):
+                aside = os.path.join(pd, d)
+                if d.startswith(".agent=") and d.endswith(".dropped"):
+                    shutil.rmtree(aside)  # delete committed at marker removal
+                elif d.startswith(".agent=") and d.endswith(".old"):
+                    live = os.path.join(pd, d[1:-4])
+                    if os.path.isdir(live):
+                        shutil.rmtree(aside)
+                    else:
+                        os.rename(aside, live)
 
     def exists(self, table: str) -> bool:
         self._recover(table)
@@ -254,19 +280,30 @@ class ParquetStore:
         removed.
 
         Two-phase commit under the table lock, bracketed by a
-        `<table>.txn` marker: phase A renames EVERY affected live dir
-        aside (swapped AND emptied partitions alike), phase B renames
-        the staged dirs in, the asides are dropped, and the marker is
-        removed last. A crash at ANY point before marker removal leaves
-        the marker + the asides, and _recover() rolls the WHOLE logical
-        write back (every aside restored over whatever is live) — the
-        swap is all-or-nothing, including deletes that empty a
-        partition. The audited forget sink is written before the swap,
-        so a rolled-back delete re-runs against rows the audit already
+        `<table>.txn` PLAN marker whose removal (an atomic unlink,
+        right after phase B) is the single commit point:
+
+        - the marker records the planned destinations, the `.old`
+          asides of swapped partitions, and the `.dropped` asides of
+          emptied partitions;
+        - phase A renames every affected live dir aside, phase B
+          renames the staged dirs in, the marker is removed (COMMIT),
+          then asides and staging are cleaned up;
+        - crash BEFORE marker removal: _recover() rolls the whole
+          logical write back from the plan — planned destinations are
+          removed even when brand-new (no aside existed), every aside
+          is restored. All-or-nothing.
+        - crash AFTER marker removal: leftovers are unambiguous —
+          `.old` asides with live dirs and `.dropped` asides are
+          post-commit debris to delete.
+
+        The audited forget sink is written before the swap, so a
+        rolled-back delete re-runs against rows the audit already
         recorded (append-only; a re-run re-audits)."""
         path = self._path(table)
         staged: list[tuple[str, str]] = []  # (src, dst)
-        asides: list[tuple[str, str]] = []  # (live, aside)
+        asides: list[tuple[str, str]] = []  # (live, aside) — swapped
+        dropped: list[tuple[str, str]] = []  # (live, aside) — emptied
         for proj_dir in os.listdir(staging):
             spd = os.path.join(staging, proj_dir)
             if not (proj_dir.startswith("project_id=") and os.path.isdir(spd)):
@@ -301,24 +338,34 @@ class ParquetStore:
                     continue
                 pair = (_decode_part(proj_dir), _decode_part(agent_dir))
                 if pair in touched and pair not in staged_pairs:
-                    asides.append(
-                        (apd, os.path.join(pd, "." + agent_dir + ".old"))
+                    dropped.append(
+                        (apd, os.path.join(pd, "." + agent_dir + ".dropped"))
                     )
+        import json
+
         txn = path + ".txn"
+        plan = {
+            "dsts": [os.path.relpath(dst, path) for _, dst in staged],
+            "asides": [os.path.relpath(a, path) for _, a in asides],
+            "dropped": [os.path.relpath(a, path) for _, a in dropped],
+        }
         with open(txn, "w") as f:
-            f.write("swap\n")  # crash before removal => full rollback
+            json.dump(plan, f)
+            f.flush()
+            os.fsync(f.fileno())
         # phase A: all rename-asides
-        for live, aside in asides:
+        for live, aside in asides + dropped:
             shutil.rmtree(aside, ignore_errors=True)
             os.rename(live, aside)
         # phase B: all rename-ins
         for src, dst in staged:
             os.rename(src, dst)
-        # commit: drop asides + staging, then clear the marker
-        for _, aside in asides:
+        os.remove(txn)  # COMMIT POINT (atomic unlink)
+        # post-commit cleanup; a crash here leaves unambiguous debris
+        # that the no-marker recovery path deletes
+        for _, aside in asides + dropped:
             shutil.rmtree(aside, ignore_errors=True)
         shutil.rmtree(staging, ignore_errors=True)
-        os.remove(txn)
 
     def _rewrite_partitions(self, table: str, touched: list[tuple], content: DataFrame) -> None:
         """Write `content` (the full new contents of the touched

@@ -360,3 +360,33 @@ def test_maintenance_scheduler_runs_due_jobs(spark, tmp_path):
     assert len(sched.history) == 2  # dry-run + real run
     assert sched.unregister_job("nightly")
     assert not sched.unregister_job("nightly")
+
+
+def test_compression_oracle_agrees_on_punctuated_text(spark):
+    """The synthetic corpus contains no sentence punctuation, so the
+    compression gate cannot catch a broken oracle capture-group (a '\\1'
+    escaping bug shipped exactly that way once): compare Spark and the
+    DuckDB oracle directly on punctuated multi-sentence text."""
+    import duckdb
+
+    from alma_memory_spark.operators.compression import compress_column
+    from alma_memory_spark.plans.registry import QUERIES
+
+    text = (
+        "First sentence is long enough to matter. Second one follows! "
+        "Third is here too? Fourth keeps going. Fifth ends it. " * 3
+    )
+    docs = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    got = compress_column(docs, "text", "medium").select(
+        "doc_id", "compressed", "compression_ratio"
+    ).collect()[0]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id INT, text VARCHAR)")
+    con.execute("INSERT INTO documents VALUES (1, ?)", [text])
+    sql = QUERIES["compression_stats"].oracle
+    want = con.sql(sql).fetchall()[0]
+    assert got["compressed"] == want[1]
+    assert abs(got["compression_ratio"] - want[2]) < 1e-9
+    # sanity: punctuation must survive compression
+    assert got["compressed"].endswith(("." , "!", "?"))

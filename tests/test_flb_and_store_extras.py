@@ -382,15 +382,66 @@ def test_txn_marker_rolls_back_torn_swap(spark, tmp_path):
     agent = next(d for d in os.listdir(pd_) if d.startswith("agent="))
     live = os.path.join(pd_, agent)
     aside = os.path.join(pd_, "." + agent + ".old")
-    # simulate: txn marker written, live renamed aside (phase A), a
-    # partial new dir renamed in (phase B), then CRASH
+    # simulate: txn PLAN written, live renamed aside (phase A), a
+    # partial new dir renamed in for it (phase B), plus a BRAND-NEW
+    # partition (no aside) also renamed in — then CRASH
+    import json
+
+    new_proj = os.path.join(base, "project_id=brand_new")
+    os.makedirs(os.path.join(new_proj, "agent=fresh"))
     with open(base + ".txn", "w") as f:
-        f.write("swap\n")
+        json.dump(
+            {
+                "dsts": [
+                    os.path.join(proj, agent),
+                    os.path.join("project_id=brand_new", "agent=fresh"),
+                ],
+                "asides": [os.path.join(proj, "." + agent + ".old")],
+                "dropped": [],
+            },
+            f,
+        )
     os.rename(live, aside)
     os.makedirs(live)
     with open(os.path.join(live, "part-junk.parquet"), "wb") as f:
         f.write(b"not a real parquet file")
-    # next read heals: junk dropped, aside restored, marker cleared
+    # next read heals: junk dropped, aside restored, the brand-new
+    # partition (which has no aside to roll back to) removed, marker
+    # cleared — the WHOLE logical write rolled back
     assert store.read("heuristics").count() == n
     assert not os.path.exists(base + ".txn")
     assert not os.path.exists(aside)
+    assert not os.path.exists(os.path.join(new_proj, "agent=fresh"))
+
+
+def test_post_commit_crash_drops_debris_not_data(spark, tmp_path):
+    """A crash AFTER marker removal (mid-cleanup) leaves .old/.dropped
+    asides with the new data already live: recovery must delete the
+    debris and keep the committed state — never resurrect a dropped
+    partition."""
+    import os
+
+    root = str(tmp_path / "pcc")
+    store = ParquetStore(spark, root)
+    seed = FX.seed_heuristics(spark)
+    store.append("heuristics", seed)
+    base = os.path.join(root, "heuristics")
+    proj = next(d for d in os.listdir(base) if d.startswith("project_id="))
+    pd_ = os.path.join(base, proj)
+    agents = [d for d in os.listdir(pd_) if d.startswith("agent=")]
+    assert len(agents) >= 2
+    # simulate post-commit debris: one swapped partition's .old aside
+    # (live present) and one partition fully renamed to .dropped (its
+    # delete committed at marker removal)
+    a_swap, a_drop = agents[0], agents[1]
+    import shutil as _sh
+
+    _sh.copytree(
+        os.path.join(pd_, a_swap), os.path.join(pd_, "." + a_swap + ".old")
+    )
+    os.rename(os.path.join(pd_, a_drop), os.path.join(pd_, "." + a_drop + ".dropped"))
+    df = store.read("heuristics")  # triggers recovery
+    assert not os.path.exists(os.path.join(pd_, "." + a_swap + ".old"))
+    assert not os.path.exists(os.path.join(pd_, "." + a_drop + ".dropped"))
+    assert not os.path.exists(os.path.join(pd_, a_drop))  # stays deleted
+    assert df.filter(F.col("agent") == a_swap.split("=", 1)[1]).count() > 0
