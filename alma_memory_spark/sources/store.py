@@ -158,19 +158,33 @@ class ParquetStore:
                     plan = json.load(f)
             except (OSError, ValueError):
                 plan = {}
-            # ROLLBACK: drop every planned destination that went live
-            # (covers brand-new partitions that have no aside) ...
+
+            def _live_rel(aside_rel: str) -> str:
+                base = os.path.basename(aside_rel)
+                live_name = base[1:].rsplit(".", 1)[0]  # strip '.'+suffix
+                return os.path.join(os.path.dirname(aside_rel), live_name)
+
+            planned_asides = plan.get("asides", []) + plan.get("dropped", [])
+            has_aside = {_live_rel(r) for r in planned_asides}
+            # ROLLBACK. Ordering is load-bearing: a crash can land
+            # BEFORE phase A, when the planned destinations still hold
+            # the ORIGINAL data and no aside exists yet — blindly
+            # removing every dst would destroy it. A dst is removed
+            # only when (a) the plan has no aside for it (brand-new
+            # partition: pre-phase-B it doesn't exist, post-rename it
+            # must go), or (b) its aside exists on disk (phase A
+            # renamed the original away; live is writer debris).
             for rel in plan.get("dsts", []):
-                shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
-            # ... then restore every aside (swapped and dropped alike)
-            for rel in plan.get("asides", []) + plan.get("dropped", []):
+                if rel not in has_aside:
+                    shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
+            for rel in planned_asides:
                 aside = os.path.join(path, rel)
                 if os.path.isdir(aside):
-                    base = os.path.basename(aside)
-                    live_name = base[1:].rsplit(".", 1)[0]  # strip '.'+suffix
-                    live = os.path.join(os.path.dirname(aside), live_name)
+                    live = os.path.join(path, _live_rel(rel))
                     shutil.rmtree(live, ignore_errors=True)
                     os.rename(aside, live)
+                # aside missing => phase A never reached it: the live
+                # dir still holds the original data — leave it alone
             shutil.rmtree(path + ".staging", ignore_errors=True)
             os.remove(txn)
             return

@@ -445,3 +445,35 @@ def test_post_commit_crash_drops_debris_not_data(spark, tmp_path):
     assert not os.path.exists(os.path.join(pd_, "." + a_drop + ".dropped"))
     assert not os.path.exists(os.path.join(pd_, a_drop))  # stays deleted
     assert df.filter(F.col("agent") == a_swap.split("=", 1)[1]).count() > 0
+
+
+def test_pre_phase_a_crash_preserves_original_data(spark, tmp_path):
+    """A crash immediately after writing the txn plan — before ANY
+    rename — leaves the original data in the planned destinations with
+    no asides. Rollback must NOT remove those destinations (an early
+    version rmtree'd every planned dst and destroyed the table)."""
+    import json
+    import os
+
+    root = str(tmp_path / "ppa")
+    store = ParquetStore(spark, root)
+    seed = FX.seed_heuristics(spark)
+    store.append("heuristics", seed)
+    n = store.read("heuristics").count()
+    base = os.path.join(root, "heuristics")
+    proj = next(d for d in os.listdir(base) if d.startswith("project_id="))
+    pd_ = os.path.join(base, proj)
+    agent = next(d for d in os.listdir(pd_) if d.startswith("agent="))
+    # marker written with a full plan, then crash before phase A
+    with open(base + ".txn", "w") as f:
+        json.dump(
+            {
+                "dsts": [os.path.join(proj, agent)],
+                "asides": [os.path.join(proj, "." + agent + ".old")],
+                "dropped": [],
+            },
+            f,
+        )
+    assert store.read("heuristics").count() == n  # nothing lost
+    assert not os.path.exists(base + ".txn")
+    assert os.path.isdir(os.path.join(pd_, agent))
