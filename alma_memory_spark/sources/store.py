@@ -148,7 +148,12 @@ class ParquetStore:
         path = self._path(table)
         old = path + ".old"
         if not os.path.isdir(path) and os.path.isdir(old):
-            os.rename(old, path)
+            os.rename(old, path)  # overwrite() died between its renames
+        elif os.path.isdir(path) and os.path.isdir(old):
+            # overwrite() committed (staging renamed in) but died before
+            # dropping the old copy — debris; without this, _dirty stays
+            # true and every read pays the lock until the next overwrite
+            shutil.rmtree(old, ignore_errors=True)
         txn = path + ".txn"
         if os.path.isfile(txn):
             import json

@@ -477,3 +477,22 @@ def test_pre_phase_a_crash_preserves_original_data(spark, tmp_path):
     assert store.read("heuristics").count() == n  # nothing lost
     assert not os.path.exists(base + ".txn")
     assert os.path.isdir(os.path.join(pd_, agent))
+
+
+def test_overwrite_post_commit_old_debris_cleaned(spark, tmp_path):
+    """overwrite() crash after the staging rename-in leaves the new data
+    live plus a stale <table>.old: recovery must drop the debris (and
+    keep the new data), or every subsequent read stays on the slow
+    dirty path forever."""
+    import os
+    import shutil as _sh
+
+    root = str(tmp_path / "od")
+    store = ParquetStore(spark, root)
+    store.append("heuristics", FX.seed_heuristics(spark))
+    n = store.read("heuristics").count()
+    live = os.path.join(root, "heuristics")
+    _sh.copytree(live, live + ".old")  # simulate the undropped old copy
+    assert store.read("heuristics").count() == n
+    assert not os.path.isdir(live + ".old")
+    assert not store._dirty("heuristics")  # fast path restored
