@@ -98,22 +98,30 @@ class ParquetStore:
             os.close(fd)
 
     def _dirty(self, table: str) -> bool:
-        """Does the table carry any crash residue worth recovering?"""
+        """Does the table carry any crash residue worth recovering?
+
+        The scan is lock-free, so it can race a concurrent writer's
+        directory renames (listdir on a dir that just moved). Any scan
+        error conservatively reports dirty: the caller then takes the
+        table lock, waits out the writer, and re-checks."""
         path = self._path(table)
-        if os.path.isfile(path + ".txn") or os.path.isdir(path + ".old"):
-            return True
-        if not os.path.isdir(path):
+        try:
+            if os.path.isfile(path + ".txn") or os.path.isdir(path + ".old"):
+                return True
+            if not os.path.isdir(path):
+                return False
+            for proj_dir in os.listdir(path):
+                pd = os.path.join(path, proj_dir)
+                if not (proj_dir.startswith("project_id=") and os.path.isdir(pd)):
+                    continue
+                for d in os.listdir(pd):
+                    if d.startswith(".agent=") and (
+                        d.endswith(".old") or d.endswith(".dropped")
+                    ):
+                        return True
             return False
-        for proj_dir in os.listdir(path):
-            pd = os.path.join(path, proj_dir)
-            if not (proj_dir.startswith("project_id=") and os.path.isdir(pd)):
-                continue
-            for d in os.listdir(pd):
-                if d.startswith(".agent=") and (
-                    d.endswith(".old") or d.endswith(".dropped")
-                ):
-                    return True
-        return False
+        except OSError:
+            return True  # racing a writer's rename — settle under the lock
 
     def _recover(self, table: str) -> None:
         """Crash recovery — DIRTY-GATED and LOCK-AWARE.
@@ -138,11 +146,20 @@ class ParquetStore:
         with no live dir is the overwrite() rename pair to restore."""
         if not self._dirty(table):
             return
+        # only LOCK ACQUISITION failures are swallowed (read-only store:
+        # nothing can be repaired without write access); errors during
+        # the repair itself must surface, not leave a silent half-repair
+        cm = self._table_lock(table)
         try:
-            with self._table_lock(table):
-                self._recover_locked(table)
+            cm.__enter__()
         except OSError:
-            return  # read-only store: cannot lock or repair
+            return
+        try:
+            # the writer we waited on may have finished cleanly
+            if self._dirty(table):
+                self._recover_locked(table)
+        finally:
+            cm.__exit__(None, None, None)
 
     def _recover_locked(self, table: str) -> None:
         path = self._path(table)
@@ -161,8 +178,21 @@ class ParquetStore:
             try:
                 with open(txn) as f:
                     plan = json.load(f)
+                if not isinstance(plan, dict):
+                    plan = None
             except (OSError, ValueError):
-                plan = {}
+                plan = None
+            if plan is None:
+                # unreadable/legacy marker (e.g. the v1 'swap' text):
+                # fall back to the DISK-SCAN rollback — restore every
+                # on-disk aside over whatever is live. Removing the
+                # marker without rolling back would let the no-marker
+                # debris path DELETE those asides (the pre-crash
+                # originals) on the next read.
+                self._rollback_from_disk(table)
+                shutil.rmtree(path + ".staging", ignore_errors=True)
+                os.remove(txn)
+                return
 
             def _live_rel(aside_rel: str) -> str:
                 base = os.path.basename(aside_rel)
@@ -181,7 +211,12 @@ class ParquetStore:
             # renamed the original away; live is writer debris).
             for rel in plan.get("dsts", []):
                 if rel not in has_aside:
-                    shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
+                    dst = os.path.join(path, rel)
+                    shutil.rmtree(dst, ignore_errors=True)
+                    try:  # drop the empty project dir makedirs created
+                        os.rmdir(os.path.dirname(dst))
+                    except OSError:
+                        pass
             for rel in planned_asides:
                 aside = os.path.join(path, rel)
                 if os.path.isdir(aside):
@@ -210,6 +245,30 @@ class ParquetStore:
                         shutil.rmtree(aside)
                     else:
                         os.rename(aside, live)
+
+    def _rollback_from_disk(self, table: str) -> None:
+        """Plan-less rollback (legacy/corrupt marker): every on-disk
+        aside is the pre-crash original — restore it over whatever is
+        live. Brand-new partitions cannot be identified without a plan
+        and are left in place (extra data, never lost data)."""
+        path = self._path(table)
+        if not os.path.isdir(path):
+            return
+        for proj_dir in os.listdir(path):
+            pd = os.path.join(path, proj_dir)
+            if not (proj_dir.startswith("project_id=") and os.path.isdir(pd)):
+                continue
+            for d in os.listdir(pd):
+                if not d.startswith(".agent="):
+                    continue
+                if d.endswith(".old"):
+                    live = os.path.join(pd, d[1:-4])
+                elif d.endswith(".dropped"):
+                    live = os.path.join(pd, d[1:-8])
+                else:
+                    continue
+                shutil.rmtree(live, ignore_errors=True)
+                os.rename(os.path.join(pd, d), live)
 
     def exists(self, table: str) -> bool:
         self._recover(table)
@@ -249,10 +308,12 @@ class ParquetStore:
         equivalent of the reference's SQLite transaction
         (sqlite_local.py:644-813)."""
         with self._table_lock(table):
-            self._recover(table)
+            self._recover_locked(table)
             path = self._path(table)
             staging, old = path + ".staging", path + ".old"
+            trash = path + ".trash"
             shutil.rmtree(staging, ignore_errors=True)
+            shutil.rmtree(trash, ignore_errors=True)  # prior crash leftover
             writer = df.write.mode("overwrite")
             if table in schemas.PARTITIONED_BY_PROJECT_AGENT:
                 writer = writer.partitionBy("project_id", "agent")
@@ -261,7 +322,13 @@ class ParquetStore:
             if os.path.isdir(path):
                 os.rename(path, old)
             os.rename(staging, path)
-            shutil.rmtree(old, ignore_errors=True)
+            # renaming .old to .trash BEFORE the (potentially long)
+            # rmtree shrinks the dirty-visible window to one rename —
+            # concurrent readers otherwise block on the table lock for
+            # the whole delete of the old copy
+            if os.path.isdir(old):
+                os.rename(old, trash)
+            shutil.rmtree(trash, ignore_errors=True)
 
     # ---- partition-scoped rewrites (the plain-Parquet MERGE) ----------
     #
@@ -390,6 +457,12 @@ class ParquetStore:
         """Write `content` (the full new contents of the touched
         partitions) to staging and swap those partition dirs in."""
         with self._table_lock(table):
+            # a previous writer may have died mid-swap AFTER this
+            # writer's pre-lock reads; repair its torn state BEFORE
+            # writing a new txn plan — open(txn, 'w') would otherwise
+            # truncate the dead writer's plan and orphan its asides
+            # (which the debris path would then delete: data loss)
+            self._recover_locked(table)
             path = self._path(table)
             staging = path + ".staging"
             shutil.rmtree(staging, ignore_errors=True)

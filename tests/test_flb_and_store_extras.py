@@ -496,3 +496,102 @@ def test_overwrite_post_commit_old_debris_cleaned(spark, tmp_path):
     assert store.read("heuristics").count() == n
     assert not os.path.isdir(live + ".old")
     assert not store._dirty("heuristics")  # fast path restored
+
+
+def test_legacy_v1_marker_rolls_back_from_disk(spark, tmp_path):
+    """An unparseable/legacy txn marker (the v1 'swap' text) must fall
+    back to the disk-scan rollback — restoring every on-disk aside —
+    never just unlink the marker (the debris path would then delete the
+    pre-crash originals)."""
+    import os
+
+    root = str(tmp_path / "v1")
+    store = ParquetStore(spark, root)
+    store.append("heuristics", FX.seed_heuristics(spark))
+    n = store.read("heuristics").count()
+    base = os.path.join(root, "heuristics")
+    proj = next(d for d in os.listdir(base) if d.startswith("project_id="))
+    pd_ = os.path.join(base, proj)
+    agent = next(d for d in os.listdir(pd_) if d.startswith("agent="))
+    live = os.path.join(pd_, agent)
+    os.rename(live, os.path.join(pd_, "." + agent + ".old"))
+    os.makedirs(live)
+    with open(os.path.join(live, "part-junk.parquet"), "wb") as f:
+        f.write(b"junk")
+    with open(base + ".txn", "w") as f:
+        f.write("swap\n")  # v1 format
+    assert store.read("heuristics").count() == n  # originals restored
+    assert not os.path.exists(base + ".txn")
+
+
+def test_upsert_recovers_dead_writers_torn_state_first(spark, tmp_path):
+    """A writer that starts a swap over a table carrying a dead writer's
+    marker must repair that state BEFORE writing its own plan —
+    otherwise the old plan is truncated and the dead writer's asides
+    become deletable debris."""
+    import json
+    import os
+
+    root = str(tmp_path / "dw")
+    store = ParquetStore(spark, root)
+    seed = FX.seed_heuristics(spark)
+    store.append("heuristics", seed)
+    n = store.read("heuristics").count()
+    base = os.path.join(root, "heuristics")
+    proj = next(d for d in os.listdir(base) if d.startswith("project_id="))
+    pd_ = os.path.join(base, proj)
+    agent = next(d for d in os.listdir(pd_) if d.startswith("agent="))
+    live = os.path.join(pd_, agent)
+    # dead writer: plan + aside + junk live
+    with open(base + ".txn", "w") as f:
+        json.dump(
+            {
+                "dsts": [os.path.join(proj, agent)],
+                "asides": [os.path.join(proj, "." + agent + ".old")],
+                "dropped": [],
+            },
+            f,
+        )
+    os.rename(live, os.path.join(pd_, "." + agent + ".old"))
+    os.makedirs(live)
+    with open(os.path.join(live, "junk.parquet"), "wb") as f:
+        f.write(b"junk")
+    # a NEW writer upserts one row of a DIFFERENT partition: the dead
+    # writer's state must be rolled back, then the upsert applied
+    pair = (
+        seed.filter(F.col("agent") != agent.split("=", 1)[1])
+        .select("project_id", "agent")
+        .first()
+    )
+    upd = seed.filter(
+        (F.col("project_id") == pair["project_id"]) & (F.col("agent") == pair["agent"])
+    ).withColumn("confidence", F.lit(0.97))
+    store.upsert("heuristics", upd)
+    got = store.read("heuristics")
+    assert got.count() == n
+    assert not os.path.exists(base + ".txn")
+    assert not store._dirty("heuristics")
+    # the dead writer's partition is back to its original rows
+    assert (
+        got.filter(F.col("agent") == agent.split("=", 1)[1]).count()
+        == seed.filter(F.col("agent") == agent.split("=", 1)[1]).count()
+    )
+
+
+def test_overwrite_cleans_trash_and_stays_clean(spark, tmp_path):
+    """overwrite() renames the old copy to .trash before deleting it
+    (shrinking the reader-blocking window); leftover trash from a crash
+    is swept by the next overwrite and never flags the table dirty."""
+    import os
+
+    root = str(tmp_path / "tr")
+    store = ParquetStore(spark, root)
+    store.append("heuristics", FX.seed_heuristics(spark))
+    live = os.path.join(root, "heuristics")
+    os.makedirs(live + ".trash")  # simulate crash between rename and rmtree
+    assert not store._dirty("heuristics")  # trash is not dirty residue
+    n = store.read("heuristics").count()
+    store.overwrite("heuristics", store.read("heuristics"))
+    assert store.read("heuristics").count() == n
+    assert not os.path.isdir(live + ".trash")
+    assert not os.path.isdir(live + ".old")
