@@ -22,6 +22,17 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
+    # The harness parses stdout for ONE JSON line. The JVM and various
+    # libraries occasionally write to fd 1 (e.g. "WARNING: Using
+    # incubator modules", Ivy resolution notes) — the round-2 run had a
+    # stray second stdout line that broke the harness parse. Redirect
+    # fd 1 to stderr for the whole run and keep a private dup of the
+    # real stdout for the final payload, so exactly one line can ever
+    # reach the parser.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = sys.stderr
+
     spark = get_spark("alma-bench", cpus=cpus)
 
     from alma_memory_spark.plans.registry import QUERIES
@@ -127,7 +138,12 @@ def main() -> None:
     }
     if errors:
         payload["errors"] = errors
-    print(json.dumps(payload))
+    # Compact separators keep the line well under harness capture
+    # limits (the round-2 tail capture was ~2 KB); write to the saved
+    # real stdout so this is the process's only fd-1 line.
+    line = json.dumps(payload, separators=(",", ":")) + "\n"
+    os.write(real_stdout, line.encode())
+    os.close(real_stdout)
     spark.stop()
 
 
