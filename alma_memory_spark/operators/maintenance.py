@@ -44,6 +44,8 @@ class MaintenanceJob:
     min_confidence: float | None = None
     quota: int | None = None
     apply_decay: bool = True  # decay-at-read: reported, never a rewrite
+    compact: bool = False  # run store.compact() after pruning (OPTIMIZE)
+    compact_target_bytes: int = 128 << 20
     enabled: bool = True
     last_run: datetime | None = None
     next_run: datetime | None = None
@@ -58,6 +60,7 @@ class MaintenanceResult:
     started_at: datetime
     completed_at: datetime
     deleted: dict[str, int] = field(default_factory=dict)
+    compacted: dict[str, dict] = field(default_factory=dict)
     decay_at_read: bool = True
     alerts: list[str] = field(default_factory=list)
     success: bool = True
@@ -124,6 +127,16 @@ class MaintenanceScheduler:
                     quota=job.quota,
                     reason=f"maintenance:{job.name}",
                 )
+            if job.compact and not dry_run:
+                # post-prune OPTIMIZE: deletes just rewrote partitions
+                # into fresh small files; fold them together while the
+                # table lock traffic is already maintenance-owned
+                for table in job.tables or MEMORY_TABLES:
+                    rep = self.engine.store.compact(
+                        table, target_file_bytes=job.compact_target_bytes
+                    )
+                    if rep:
+                        result.compacted[table] = rep
             result.alerts = self._health_alerts(job.project_id)
             if not dry_run:  # a preview must not consume the schedule
                 now = self._now()

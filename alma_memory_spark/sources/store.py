@@ -659,6 +659,156 @@ class ParquetStore:
             self.overwrite(table, df)
         return added
 
+    # ---- compaction (the small-file answer for incremental learn) ----
+    #
+    # Every incremental learn()/upsert appends or rewrites a handful of
+    # rows, and each Spark write commits at least one file per task —
+    # at 100 TB with thousands of learn() calls a partition degrades
+    # into thousands of KB-sized files, and scan cost becomes file-open
+    # cost (footer reads, task scheduling) instead of byte cost. Delta
+    # calls the fix OPTIMIZE; this is the zero-dep equivalent on the
+    # same crash-safe swap protocol as upsert/delete.
+
+    # preferred sort order inside compacted files: serving-path
+    # predicates filter on type-ish and recency-ish columns, so sorting
+    # by them gives parquet min/max row-group pruning on exactly those
+    # scans. Per-table first-match from this list.
+    _COMPACT_SORT_PREFERENCE = (
+        "memory_type",
+        "type",
+        "category",
+        "created_at",
+        "timestamp",
+        "last_validated",
+        "id",
+    )
+
+    def _partition_file_stats(self, table: str) -> dict[tuple, tuple[int, int]]:
+        """(project, agent) -> (n_files, total_bytes), from a driver-side
+        walk of the hive layout (bounded by #projects x #agents, never
+        data-sized)."""
+        path = self._path(table)
+        out: dict[tuple, tuple[int, int]] = {}
+        if not os.path.isdir(path):
+            return out
+        for proj_dir in os.listdir(path):
+            pd = os.path.join(path, proj_dir)
+            if not (proj_dir.startswith("project_id=") and os.path.isdir(pd)):
+                continue
+            for agent_dir in os.listdir(pd):
+                apd = os.path.join(pd, agent_dir)
+                if not (agent_dir.startswith("agent=") and os.path.isdir(apd)):
+                    continue
+                files = [
+                    os.path.join(apd, f)
+                    for f in os.listdir(apd)
+                    if f.endswith(".parquet")
+                ]
+                pair = (_decode_part(proj_dir), _decode_part(agent_dir))
+                out[pair] = (len(files), sum(os.path.getsize(f) for f in files))
+        return out
+
+    def _flat_file_stats(self, table: str) -> tuple[int, int]:
+        path = self._path(table)
+        n = b = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n += 1
+                    b += os.path.getsize(os.path.join(root, f))
+        return n, b
+
+    def compact(
+        self,
+        table: str,
+        target_file_bytes: int = 128 << 20,
+        min_files: int = 2,
+        sort_columns: list[str] | None = None,
+    ) -> dict:
+        """Coalesce small files; returns a per-partition report.
+
+        A partition is compacted when its file count exceeds
+        max(min_files, ceil(bytes / target_file_bytes)) — i.e. it has
+        more files than its data volume justifies. Only those
+        partitions are read and rewritten (same partition pruning as
+        upsert); each is re-bucketed to ~ceil(bytes/target) output
+        files via a per-pair bucket column, and rows are sorted within
+        files by the serving predicates' columns so parquet min/max
+        pruning works on the compacted files. The rewrite goes through
+        `_rewrite_partitions`, so it is locked, crash-recoverable and
+        all-or-nothing like every other store write."""
+        if not self.exists(table):
+            return {}
+        report: dict = {}
+        if table not in schemas.PARTITIONED_BY_PROJECT_AGENT:
+            n, b = self._flat_file_stats(table)
+            want = max(1, -(-b // target_file_bytes))
+            if n <= max(min_files, want):
+                return {}
+            df = self.read(table)
+            df = df.repartition(int(want))
+            sort_cols = sort_columns or [
+                c for c in self._COMPACT_SORT_PREFERENCE if c in df.columns
+            ]
+            if sort_cols:
+                df = df.sortWithinPartitions(*sort_cols)
+            self.overwrite(table, df)
+            after, _ = self._flat_file_stats(table)
+            return {"<table>": {"files_before": n, "files_after": after, "bytes": b}}
+
+        stats = self._partition_file_stats(table)
+        plan: list[tuple[tuple, int]] = []  # (pair, target_file_count)
+        for pair, (n, b) in stats.items():
+            want = max(1, -(-b // target_file_bytes))
+            if n > max(min_files, want):
+                plan.append((pair, int(want)))
+        if not plan:
+            return {}
+        touched = [pair for pair, _ in plan]
+        content = self.read(table).filter(self._pairs_predicate(touched))
+        # partition discovery infers VOID for a partition column whose
+        # every directory is the hive NULL marker; writing that back
+        # with partitionBy fails — pin the declared string type
+        content = content.withColumn(
+            "project_id", F.col("project_id").cast("string")
+        ).withColumn("agent", F.col("agent").cast("string"))
+        # per-pair bucket count via a broadcast of the (tiny) plan; the
+        # repartition on (project_id, agent, _bucket) gives each bucket
+        # its own task, so each partition dir lands ~_k output files.
+        # Join on null-coalesced surrogates: a plain equi-join would
+        # silently DROP rows of a NULL-keyed partition (hive
+        # __HIVE_DEFAULT_PARTITION__), losing that partition on rewrite.
+        null_tag = "\x00null"
+        pairs_df = self.spark.createDataFrame(
+            [(p if p is not None else null_tag, a if a is not None else null_tag, k)
+             for (p, a), k in plan],
+            "_pj string, _ag string, _k int",
+        )
+        total_k = max(1, sum(k for _, k in plan))
+        content = (
+            content.withColumn("_pj", F.coalesce(F.col("project_id"), F.lit(null_tag)))
+            .withColumn("_ag", F.coalesce(F.col("agent"), F.lit(null_tag)))
+            .join(F.broadcast(pairs_df), ["_pj", "_ag"])
+            .withColumn("_bucket", F.pmod(F.xxhash64("id"), F.col("_k")))
+            .repartition(total_k, "project_id", "agent", "_bucket")
+            .drop("_pj", "_ag", "_k", "_bucket")
+        )
+        sort_cols = sort_columns or [
+            c for c in self._COMPACT_SORT_PREFERENCE if c in content.columns
+        ]
+        if sort_cols:
+            content = content.sortWithinPartitions(*sort_cols)
+        self._rewrite_partitions(table, touched, content)
+        after = self._partition_file_stats(table)
+        for pair, k in plan:
+            n, b = stats[pair]
+            report[f"{pair[0]}/{pair[1]}"] = {
+                "files_before": n,
+                "files_after": after.get(pair, (0, 0))[0],
+                "bytes": b,
+            }
+        return report
+
     # Spark's default JSON timestampFormat keeps only milliseconds;
     # full-microsecond format so export -> import is lossless (the gate
     # query json_store_roundtrip hash-checks this against the source)

@@ -595,3 +595,122 @@ def test_overwrite_cleans_trash_and_stays_clean(spark, tmp_path):
     assert store.read("heuristics").count() == n
     assert not os.path.isdir(live + ".trash")
     assert not os.path.isdir(live + ".old")
+
+
+def _pair_file_counts(root, table):
+    import os
+
+    out = {}
+    path = os.path.join(root, table)
+    for proj in os.listdir(path):
+        pd = os.path.join(path, proj)
+        if not (proj.startswith("project_id=") and os.path.isdir(pd)):
+            continue
+        for ag in os.listdir(pd):
+            apd = os.path.join(pd, ag)
+            if ag.startswith("agent=") and os.path.isdir(apd):
+                out[(proj, ag)] = len(
+                    [f for f in os.listdir(apd) if f.endswith(".parquet")]
+                )
+    return out
+
+
+def test_compact_merges_small_files_preserving_content(spark, tmp_path):
+    """Repeated appends degrade a partition into many small files;
+    compact() folds each partition back to ~1 file (tiny data, 128 MB
+    target) without changing a single row — the OPTIMIZE equivalent on
+    the swap protocol."""
+    root = str(tmp_path / "cp")
+    store = ParquetStore(spark, root)
+    seed = FX.seed_heuristics(spark)
+    for _ in range(4):
+        store.append("heuristics", seed.limit(0))  # footer-only files
+    store.append("heuristics", seed)
+    store.append("heuristics", seed.withColumn("id", F.concat(F.lit("b_"), F.col("id"))))
+    before_rows = sorted(
+        (r["id"], r["confidence"]) for r in store.read("heuristics").collect()
+    )
+    before = _pair_file_counts(root, "heuristics")
+    assert max(before.values()) >= 2, "setup must produce multiple files"
+    report = store.compact("heuristics")
+    assert report, "compaction must trigger on multi-file partitions"
+    after = _pair_file_counts(root, "heuristics")
+    for key, n in after.items():
+        assert n <= 2, f"{key} still has {n} files after compaction"
+    after_rows = sorted(
+        (r["id"], r["confidence"]) for r in store.read("heuristics").collect()
+    )
+    assert after_rows == before_rows
+    for rep in report.values():
+        assert rep["files_after"] < rep["files_before"]
+    # second run is a no-op: everything already within budget
+    assert store.compact("heuristics") == {}
+
+
+def test_compact_flat_table(spark, tmp_path):
+    """Non-partitioned tables compact via the crash-safe overwrite."""
+    root = str(tmp_path / "cf")
+    store = ParquetStore(spark, root)
+    fb = FX.seed_feedback(spark)
+    for _ in range(3):
+        store.append("feedback", fb.limit(0))
+    store.append("feedback", fb)
+    before_rows = store.read("feedback").count()
+    report = store.compact("feedback")
+    assert report and "<table>" in report
+    n_after, _ = store._flat_file_stats("feedback")
+    assert n_after <= 2
+    assert store.read("feedback").count() == before_rows
+
+
+def test_compact_preserves_null_keyed_partition(spark, tmp_path):
+    """A hive NULL partition (__HIVE_DEFAULT_PARTITION__) must survive
+    compaction — a plain equi-join against the plan would drop it."""
+    root = str(tmp_path / "cn")
+    store = ParquetStore(spark, root)
+    seed = FX.seed_heuristics(spark).limit(6).withColumn(
+        "agent", F.lit(None).cast("string")
+    )
+    n = 0
+    for tag in ("a", "b", "c"):
+        store.append(
+            "heuristics", seed.withColumn("id", F.concat(F.lit(tag), F.col("id")))
+        )
+        n += 6
+    report = store.compact("heuristics")
+    assert report, "null-keyed partition should have been compacted"
+    assert store.read("heuristics").count() == n
+    assert store.read("heuristics").filter(F.col("agent").isNull()).count() == n
+
+
+def test_maintenance_compact_job(spark, tmp_path):
+    """A scheduler job with compact=True reports per-table compaction."""
+    from datetime import datetime, timezone
+
+    from alma_memory_spark.engine import AlmaSpark
+    from alma_memory_spark.operators.maintenance import (
+        MaintenanceJob,
+        MaintenanceScheduler,
+    )
+
+    eng = AlmaSpark(spark, str(tmp_path / "cm"))
+    seed = FX.seed_heuristics(spark)
+    for tag in ("a", "b", "c"):
+        eng.store.append(
+            "heuristics", seed.withColumn("id", F.concat(F.lit(tag), F.col("id")))
+        )
+    sched = MaintenanceScheduler(
+        eng, clock=lambda: datetime(2026, 1, 1, tzinfo=timezone.utc)
+    )
+    sched.register_job(
+        MaintenanceJob(
+            name="opt",
+            project_id="proj_alpha",
+            interval_hours=24,
+            tables=["heuristics"],
+            compact=True,
+        )
+    )
+    res = sched.run_job("opt")
+    assert res.success, res.error
+    assert "heuristics" in res.compacted and res.compacted["heuristics"]
