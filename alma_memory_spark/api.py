@@ -52,6 +52,7 @@ class AlmaToolSurface:
             "alma_cleanup_checkpoints": self._cleanup_checkpoints,
             "alma_stats": self._stats,
             "alma_health": self._health,
+            "alma_optimize": self._optimize,
             "alma_store_trust_pattern": self._store_trust_pattern,
             "alma_get_trust_warnings": self._get_trust_warnings,
         }
@@ -196,6 +197,11 @@ class AlmaToolSurface:
 
     def _health(self) -> dict[str, Any]:
         return self.engine.health()
+
+    def _optimize(self, tables: list[str] | None = None,
+                  target_file_bytes: int = 128 << 20) -> dict[str, Any]:
+        """Compact small files (Delta OPTIMIZE analog; beyond reference)."""
+        return {"compacted": self.engine.optimize(tables, target_file_bytes)}
 
     # -- extended surface (remaining reference tools) -----------------
 

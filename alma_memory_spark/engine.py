@@ -602,6 +602,22 @@ class AlmaSpark:
         tables = {t: self.store.read(t) for t in schemas.MEMORY_TABLES}
         return LC.health_metrics(tables, self._now())
 
+    def optimize(
+        self, tables: list[str] | None = None, target_file_bytes: int = 128 << 20
+    ) -> dict[str, dict]:
+        """Compact small files across memory tables (Delta OPTIMIZE
+        analog; see ParquetStore.compact). Returns per-table reports
+        for tables that needed work. Beyond the reference (SQLite has
+        no file-granularity problem); essential for the incremental
+        learn() write pattern at scale."""
+        out: dict[str, dict] = {}
+        for t in tables or list(schemas.MEMORY_TABLES):
+            rep = self.store.compact(t, target_file_bytes=target_file_bytes)
+            if rep:
+                out[t] = rep
+        self._invalidate_cache()
+        return out
+
     # ------------------------------------------------------------------
     # strength / artifacts / trust / verification / batch-learning
     # (reference: the remaining MCP tool surface, mcp/tools/__init__.py)

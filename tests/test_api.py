@@ -156,7 +156,10 @@ def test_extended_tool_surface(surface):
     )
     assert isinstance(lv["items"], list)
 
-    assert len(surface.tools()) >= 32
+    opt = surface.call("alma_optimize", tables=["domain_knowledge"])
+    assert "compacted" in opt  # may be {} on an already-compact store
+
+    assert len(surface.tools()) >= 33
 
 
 def test_reranker_kinds():
