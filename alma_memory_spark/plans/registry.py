@@ -235,24 +235,73 @@ def retention_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, row_number() OVER (ORDER BY md5(text) ASC, doc_id ASC) AS rank_b
       FROM documents
       ORDER BY rank_b LIMIT 100
+    ), fusion AS (
+      SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+             round(coalesce(0.5 / (60 + rank_a), 0.0)
+                   + coalesce(0.5 / (60 + rank_b), 0.0), 6) AS score
+      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+      ORDER BY score DESC, doc_id ASC
+      LIMIT 50
+    ), ranked AS (
+      SELECT doc_id % 20 AS qid,
+             CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END AS rel,
+             row_number() OVER (PARTITION BY doc_id % 20
+                                ORDER BY md5(text) ASC, doc_id ASC) AS rnk
+      FROM documents
+    ), cut AS (
+      SELECT * FROM ranked WHERE rnk <= 50
+    ), gold AS (
+      SELECT doc_id % 20 AS qid, count(*) AS n_gold
+      FROM documents WHERE doc_id % 13 = 0 GROUP BY 1
+    ), idcg AS (
+      SELECT qid, sum(1.0 / log2(i + 1.0)) AS idcg10
+      FROM (SELECT qid, unnest(range(1, least(n_gold, 10) + 1)) AS i FROM gold)
+      GROUP BY qid
+    ), per_q AS (
+      SELECT c.qid,
+             max(CASE WHEN rel = 1 AND rnk <= 5 THEN 1 ELSE 0 END) AS hit5,
+             max(CASE WHEN rel = 1 AND rnk <= 10 THEN 1 ELSE 0 END) AS hit10,
+             sum(CASE WHEN rnk <= 10 THEN rel ELSE 0 END) / 10.0 AS p10,
+             coalesce(1.0 / min(CASE WHEN rel = 1 THEN rnk END), 0.0) AS rr,
+             sum(CASE WHEN rnk <= 10 THEN rel / log2(rnk + 1.0) ELSE 0 END) AS dcg10
+      FROM cut c GROUP BY c.qid
+    ), per_q_n AS (
+      SELECT p.*, coalesce(i.idcg10, 0.0) AS idcg10 FROM per_q p
+      LEFT JOIN idcg i ON p.qid = i.qid
+    ), summary AS (
+      SELECT round(avg(hit5), 6) AS r5, round(avg(hit10), 6) AS r10,
+             round(avg(p10), 6) AS p10, round(avg(rr), 6) AS mrr,
+             round(avg(CASE WHEN idcg10 > 0 THEN dcg10 / idcg10 ELSE 0 END), 6) AS ndcg10
+      FROM per_q_n
     )
-    SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
-           round(coalesce(0.5 / (60 + rank_a), 0.0)
-                 + coalesce(0.5 / (60 + rank_b), 0.0), 6) AS rrf_score
-    FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
-    ORDER BY rrf_score DESC, doc_id ASC
-    LIMIT 50
+    SELECT 'fusion' AS shape, CAST(doc_id AS VARCHAR) AS key, score FROM fusion
+    UNION ALL
+    SELECT 'metric', m.key, m.score FROM summary,
+      LATERAL (VALUES ('R@5', r5), ('R@10', r10), ('P@10', p10),
+                      ('MRR', mrr), ('NDCG@10', ndcg10)) AS m(key, score)
     """,
 )
 def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reciprocal-rank fusion of two bounded retrieval lists:
-    score = sum w * 1/(60+rank), absent list contributes 0 (reference:
-    hybrid vector+text fusion, alma/retrieval/hybrid.py:113-178, k=60 —
-    the fused inputs are top-N retrieval outputs, never whole-corpus
-    rankings). Each side is cut via orderBy().limit() =
-    TakeOrderedAndProject BEFORE ranking, so no global-window
-    single-partition sort; the 100-row lists broadcast into the fusion
-    join."""
+    """Composite gate: rank fusion + distributed IR benchmark metrics.
+
+    'fusion' rows — reciprocal-rank fusion of two bounded retrieval
+    lists: score = sum w * 1/(60+rank), absent list contributes 0
+    (reference: hybrid vector+text fusion,
+    alma/retrieval/hybrid.py:113-178, k=60 — the fused inputs are
+    top-N retrieval outputs, never whole-corpus rankings). Each side
+    is cut via orderBy().limit() = TakeOrderedAndProject BEFORE
+    ranking, so no global-window single-partition sort; the 100-row
+    lists broadcast into the fusion join.
+
+    'metric' rows — the reference's benchmark harness metrics
+    (benchmarks/longmemeval/metrics.py:20-120: R@K = any-gold-in-top-K,
+    P@K, MRR = mean 1/first-hit-rank, NDCG@K with binary relevance vs
+    ideal DCG) computed DISTRIBUTED over 20 synthetic questions
+    (qid = doc_id % 20, gold = doc_id % 13 == 0, ranking = md5(text)):
+    one window partitioned by qid + one groupBy on the same key (no
+    second shuffle), then a 20-row mean. At 100 TB this is the shape
+    for metrics over millions of questions in one job; real rankings
+    arrive pre-cut to top-k from retrieval, as here (rnk <= 50)."""
     docs = _t(spark, sf_dir, "documents")
     a = (
         docs.select("doc_id", "n_chars")
@@ -273,18 +322,85 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "rank_b")
     )
-    return (
+    fusion = (
         a.join(b, "doc_id", "full_outer")
         .select(
             "doc_id",
             _r6(
                 F.coalesce(F.lit(0.5) / (F.lit(60) + F.col("rank_a")), F.lit(0.0))
                 + F.coalesce(F.lit(0.5) / (F.lit(60) + F.col("rank_b")), F.lit(0.0))
-            ).alias("rrf_score"),
+            ).alias("score"),
         )
-        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(50)
+        .select(
+            F.lit("fusion").alias("shape"),
+            F.col("doc_id").cast("string").alias("key"),
+            "score",
+        )
     )
+
+    qid = F.col("doc_id") % 20
+    rel = F.when(F.col("doc_id") % 13 == 0, 1).otherwise(0)
+    wq = W.partitionBy(qid).orderBy(F.md5(F.col("text")).asc(), F.col("doc_id").asc())
+    ranked = docs.select(
+        qid.alias("qid"), rel.alias("rel"), F.row_number().over(wq).alias("rnk")
+    )
+    cut = ranked.filter(F.col("rnk") <= 50)
+    per_q = cut.groupBy("qid").agg(
+        F.max(F.when((F.col("rel") == 1) & (F.col("rnk") <= 5), 1).otherwise(0)).alias("hit5"),
+        F.max(F.when((F.col("rel") == 1) & (F.col("rnk") <= 10), 1).otherwise(0)).alias("hit10"),
+        (F.sum(F.when(F.col("rnk") <= 10, F.col("rel")).otherwise(0)) / F.lit(10.0)).alias("p10"),
+        F.coalesce(
+            F.lit(1.0) / F.min(F.when(F.col("rel") == 1, F.col("rnk"))), F.lit(0.0)
+        ).alias("rr"),
+        F.sum(
+            F.when(
+                F.col("rnk") <= 10, F.col("rel") / F.log2(F.col("rnk") + F.lit(1.0))
+            ).otherwise(F.lit(0.0))
+        ).alias("dcg10"),
+    )
+    # ideal DCG from the FULL gold count per question (reference:
+    # ideal = [1]*min(len(correct_ids), k)); sequence(1, 0) in Spark
+    # is a DESCENDING list, so n_gold = 0 must short-circuit to 0
+    gold = (
+        docs.filter(F.col("doc_id") % 13 == 0)
+        .groupBy((F.col("doc_id") % 20).alias("qid"))
+        .agg(F.count("*").alias("n_gold"))
+    )
+    idcg = gold.select(
+        "qid",
+        F.when(
+            F.col("n_gold") > 0,
+            F.expr(
+                "aggregate(sequence(1, int(least(n_gold, 10))), 0D,"
+                " (acc, i) -> acc + 1.0 / log2(i + 1.0))"
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("idcg10"),
+    )
+    per_qn = per_q.join(idcg, "qid", "left").withColumn(
+        "idcg10", F.coalesce(F.col("idcg10"), F.lit(0.0))
+    )
+    summary = per_qn.agg(
+        _r6(F.avg("hit5")).alias("r5"),
+        _r6(F.avg("hit10")).alias("r10"),
+        _r6(F.avg("p10")).alias("p10"),
+        _r6(F.avg("rr")).alias("mrr"),
+        _r6(
+            F.avg(
+                F.when(
+                    F.col("idcg10") > 0, F.col("dcg10") / F.col("idcg10")
+                ).otherwise(F.lit(0.0))
+            )
+        ).alias("ndcg10"),
+    )
+    metrics = summary.selectExpr(
+        "stack(5, 'R@5', r5, 'R@10', r10, 'P@10', p10, 'MRR', mrr,"
+        " 'NDCG@10', ndcg10) AS (key, score)"
+    ).select(F.lit("metric").alias("shape"), "key", "score")
+    return fusion.unionByName(metrics)
 
 
 # ---------------------------------------------------------------------------
