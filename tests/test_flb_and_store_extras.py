@@ -714,3 +714,42 @@ def test_maintenance_compact_job(spark, tmp_path):
     res = sched.run_job("opt")
     assert res.success, res.error
     assert "heuristics" in res.compacted and res.compacted["heuristics"]
+
+
+def test_compact_crash_at_commit_rolls_back(spark, tmp_path, monkeypatch):
+    """Compaction rides the same .txn-bracketed swap as upsert: a crash
+    at the commit point (marker unlink) must roll the WHOLE rewrite
+    back — original small files restored, no row lost — and a clean
+    retry must then succeed."""
+    import os as _os
+
+    import pytest
+
+    root = str(tmp_path / "cc")
+    store = ParquetStore(spark, root)
+    seed = FX.seed_heuristics(spark)
+    for tag in ("a", "b", "c"):
+        store.append(
+            "heuristics", seed.withColumn("id", F.concat(F.lit(tag), F.col("id")))
+        )
+    rows_before = sorted(r["id"] for r in store.read("heuristics").collect())
+    files_before = _pair_file_counts(root, "heuristics")
+
+    real_remove = _os.remove
+
+    def boom(p, *a, **k):
+        if str(p).endswith(".txn"):
+            raise OSError("simulated crash at commit point")
+        return real_remove(p, *a, **k)
+
+    monkeypatch.setattr("alma_memory_spark.sources.store.os.remove", boom)
+    with pytest.raises(OSError, match="simulated crash"):
+        store.compact("heuristics")
+    monkeypatch.undo()
+
+    # marker still present -> the next read rolls the swap back
+    assert sorted(r["id"] for r in store.read("heuristics").collect()) == rows_before
+    assert _pair_file_counts(root, "heuristics") == files_before
+    report = store.compact("heuristics")
+    assert report, "retry after rollback must compact"
+    assert sorted(r["id"] for r in store.read("heuristics").collect()) == rows_before
