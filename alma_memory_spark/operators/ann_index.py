@@ -1,0 +1,167 @@
+"""Persisted IVF ANN index: build once at ingest, partition-pruned
+probes at query time.
+
+The registry's `ann_approx_topk` gate proves the IVF math (stride-
+sampled coarse quantizer, nearest-cell assignment, nprobe cells
+searched exactly); this module materializes the index that gate's
+docstring promises at scale: assignment runs ONCE, `cell` becomes a
+hive partition column, and every query scans only its nprobe
+partitions — ANN as PartitionFilters, not data filtering. The
+inverted lists of a FAISS IVF index (the reference's vector stage,
+alma/storage/sqlite_local.py:555-640 builds exactly this shape with
+faiss.IndexIVFFlat) ARE parquet partitions here.
+
+Layout on disk:
+    <path>/centroids/   tiny parquet: (cell bigint, cvec array<double>)
+    <path>/lists/       parquet partitioned by cell: (id, embedding)
+
+Determinism matches the gate: cosines round to 6dp BEFORE every
+argmax/probe cut; assignment ties break toward the LARGER cell id;
+top-k ties break on id ASC.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class IVFIndex:
+    """Handle over a built index: tiny driver-side quantizer + the
+    cell-partitioned lists path."""
+
+    def __init__(self, spark: SparkSession, path: str, cells, Cn):
+        self.spark = spark
+        self.path = path
+        self.cells = cells  # np.int64 cell ids, sorted DESC
+        self.Cn = Cn  # L2-normalized centroid matrix, rows follow cells
+
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def build(
+        spark: SparkSession,
+        df: DataFrame,
+        path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        cent_every: int = 50,
+    ) -> "IVFIndex":
+        """One-time index build: stride-sample centroids (deterministic
+        kmeans seeding — every cent_every-th id), assign every vector
+        to its nearest centroid with one fused Arrow-batched kernel
+        (per-batch BLAS matmul against the broadcast centroid matrix),
+        and write the lists partitioned by cell. No shuffle: the
+        assignment is a narrow map, and partitionBy on write splits
+        files by cell within each task."""
+        import numpy as np
+        import pandas as pd
+
+        from alma_memory_spark.session import ensure_package_shipped
+
+        ensure_package_shipped(spark)
+        cent_rows = sorted(
+            df.filter(F.pmod(F.col(id_col), F.lit(cent_every)) == 0)
+            .select(id_col, vec_col)
+            .collect(),
+            key=lambda r: -r[id_col],
+        )
+        if not cent_rows:
+            raise ValueError("no centroids: corpus has no id % cent_every == 0 rows")
+        cells = np.array([r[id_col] for r in cent_rows], dtype=np.int64)
+        C = np.array([r[vec_col] for r in cent_rows], dtype=np.float64)
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+        b = spark.sparkContext.broadcast((cells, Cn))
+
+        def assign(it):
+            cells_, Cn_ = b.value
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+                csims = np.round(Vn @ Cn_.T, 6)
+                # first max along the DESC-sorted cell axis = larger cell
+                yield pd.DataFrame(
+                    {
+                        "id": pdf[id_col].to_numpy(),
+                        "embedding": pdf[vec_col],
+                        "cell": cells_[np.argmax(csims, axis=1)],
+                    }
+                )
+
+        assigned = df.select(id_col, vec_col).mapInPandas(
+            assign, "id long, embedding array<double>, cell long"
+        )
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(path, "lists")
+        )
+        spark.createDataFrame(
+            [(int(c), [float(x) for x in Cn[i]]) for i, c in enumerate(cells)],
+            "cell long, cvec array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+        return IVFIndex(spark, path, cells, Cn)
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "IVFIndex":
+        """Re-open a built index: the quantizer is a tiny collect
+        (~n/cent_every rows), the lists stay on disk."""
+        import numpy as np
+
+        rows = sorted(
+            spark.read.parquet(os.path.join(path, "centroids")).collect(),
+            key=lambda r: -r["cell"],
+        )
+        cells = np.array([r["cell"] for r in rows], dtype=np.int64)
+        Cn = np.array([r["cvec"] for r in rows], dtype=np.float64)
+        return IVFIndex(spark, path, cells, Cn)
+
+    # ------------------------------------------------------------------
+
+    def probe_cells(self, query_vec, nprobe: int = 3):
+        """Driver-side quantizer probe: nprobe nearest centroids
+        (cosine DESC, cell DESC on 6dp ties) — a ~us-scale matmul."""
+        import numpy as np
+
+        q = np.array(query_vec, dtype=np.float64)
+        qn = q / max(np.linalg.norm(q), 1e-300)
+        qsims = np.round(self.Cn @ qn, 6)
+        order = np.lexsort((-self.cells, -qsims))
+        return self.cells[order[:nprobe]].tolist(), qn
+
+    def search(self, query_vec, k: int = 10, nprobe: int = 3) -> DataFrame:
+        """Exact cosine top-k inside the nprobe probed cells only.
+
+        The `cell isin probed` predicate lands in the scan's
+        PartitionFilters (cell is a partition column), so the job reads
+        nprobe directories out of n_cells — the plan shape is a pruned
+        narrow scan -> fused Arrow kernel -> TakeOrderedAndProject.
+        Returns (id, similarity) sorted DESC with id ASC tiebreak."""
+        import numpy as np
+        import pandas as pd
+
+        from alma_memory_spark.session import ensure_package_shipped
+
+        ensure_package_shipped(self.spark)
+        probed, qn = self.probe_cells(query_vec, nprobe)
+        lists = self.spark.read.parquet(os.path.join(self.path, "lists"))
+        pruned = lists.filter(F.col("cell").isin(probed))
+        b = self.spark.sparkContext.broadcast(qn)
+
+        def score(it):
+            qn_ = b.value
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+                yield pd.DataFrame(
+                    {"id": pdf["id"].to_numpy(), "similarity": np.round(Vn @ qn_, 6)}
+                )
+
+        hits = pruned.select("id", "embedding").mapInPandas(
+            score, "id long, similarity double"
+        )
+        return hits.orderBy(F.desc("similarity"), F.asc("id")).limit(k)
