@@ -1,0 +1,235 @@
+"""Persisted inverted text index: build once at ingest, postings-sized
+BM25 queries forever after.
+
+The registry's `text_relevance_search` gate proves the BM25 math over a
+raw corpus scan (operators/text_search.py:bm25_scores re-tokenizes every
+document per query). That shape is correct but corpus-sized: at 100 TB a
+query would re-read and re-explode every document. This module
+materializes what the reference's text stage builds in memory (the
+reference delegates to the `bm25s` library, which constructs an in-RAM
+inverted index per corpus — alma/retrieval/text_search.py:46-194); here
+the inverted index is a term-bucketed parquet table, so a query reads
+only the bucket partitions its terms hash into:
+
+    <path>/postings/   parquet partitioned by bucket:
+                       (term, doc, tf, dl) — one row per (doc, term),
+                       sorted by term inside each file so parquet
+                       row-group min/max stats prune non-matching terms
+                       even within a probed bucket
+    <path>/stats/      one-row parquet: (n_docs, sum_dl, n_buckets,
+                       id_col) — corpus size + total token count; avgdl
+                       derives exactly as sum_dl / n_docs
+
+Query shape: `bucket IN (hash(q-terms))` lands in PartitionFilters
+(bucket is a hive partition column) and `term IN (q-terms)` in
+PushedFilters — the scan touches |q-terms| directories out of
+n_buckets and skips non-matching row groups inside them. Everything
+downstream (df, idf, the Okapi sum) runs on postings that already
+matched the query, exactly like bm25_scores' post-filter plan, so the
+scores are identical — the index changes WHERE the postings come from,
+not what they are.
+
+Per-term document frequency is NOT stored: all postings of a term live
+in that term's bucket, so df = count(rows per term) over the pruned
+scan. That keeps `add()` (incremental append of new documents) a pure
+postings append + O(1) stats merge with no read-modify-write of any
+per-term row.
+
+The bucket hash must agree between the Python driver (query side) and
+the JVM (build side): both use the first 8 hex digits of md5(term) mod
+n_buckets — a hash both sides can compute exactly.
+
+The index is DERIVED data: a crash between the postings append and the
+stats rewrite in add() leaves a rebuildable index, not a corrupted
+store (rebuild() re-derives everything from the source table). The
+canonical corpus stays the ParquetStore.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from alma_memory_spark.functions.text import ws_tokens
+from alma_memory_spark.operators.text_search import BM25_B, BM25_K1
+
+
+def _bucket_col(term: F.Column, n_buckets: int) -> F.Column:
+    """JVM-side bucket id: first 8 hex digits of md5 mod n_buckets."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(term), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+
+
+def _bucket_py(term: str, n_buckets: int) -> int:
+    """Driver-side twin of _bucket_col — must agree bit-for-bit."""
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
+
+
+class InvertedTextIndex:
+    """Handle over a built index: the postings path + tiny cached stats."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        n_docs: int,
+        sum_dl: int,
+        n_buckets: int,
+        id_col: str,
+    ):
+        self.spark = spark
+        self.path = path
+        self.n_docs = n_docs
+        self.sum_dl = sum_dl
+        self.n_buckets = n_buckets
+        self.id_col = id_col
+
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _postings(docs: DataFrame, id_col: str, text_col: str, n_buckets: int) -> DataFrame:
+        toks = docs.select(
+            F.col(id_col).alias("doc"), ws_tokens(text_col).alias("_toks")
+        ).withColumn("dl", F.size("_toks"))
+        return (
+            toks.select("doc", "dl", F.explode("_toks").alias("term"))
+            .groupBy("doc", "dl", "term")
+            .agg(F.count("*").alias("tf"))
+            .withColumn("bucket", _bucket_col(F.col("term"), n_buckets))
+        )
+
+    @staticmethod
+    def build(
+        spark: SparkSession,
+        docs: DataFrame,
+        path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n_buckets: int = 64,
+    ) -> "InvertedTextIndex":
+        """One-time index build: tokenize -> (doc, term, tf, dl) postings
+        -> ONE shuffle on bucket -> term-sorted bucket-partitioned
+        parquet. The shuffle that bm25_scores pays per QUERY is paid
+        once per BUILD here."""
+        postings = InvertedTextIndex._postings(docs, id_col, text_col, n_buckets)
+        # repartition by bucket so each task owns whole buckets (one
+        # file per bucket, not one per task x bucket), then sort so the
+        # writer emits term-ordered row groups inside each file.
+        (
+            postings.repartition(min(n_buckets, 32), "bucket")
+            .sortWithinPartitions("bucket", "term", "doc")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(path, "postings"))
+        )
+        n, sdl = InvertedTextIndex._delta_stats(docs, text_col)
+        InvertedTextIndex._write_stats(spark, path, n, sdl, n_buckets, id_col)
+        return InvertedTextIndex(spark, path, n, sdl, n_buckets, id_col)
+
+    @staticmethod
+    def _delta_stats(docs: DataFrame, text_col: str):
+        """(n_docs, total token count) over ALL docs — including
+        zero-token docs, which produce no postings rows but DO count
+        toward N and avgdl in bm25_scores' corpus stats."""
+        row = docs.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.size(ws_tokens(text_col))), F.lit(0)).alias("sdl"),
+        ).collect()[0]
+        return int(row["n"]), int(row["sdl"])
+
+    @staticmethod
+    def _write_stats(spark, path, n, sdl, n_buckets, id_col) -> None:
+        spark.createDataFrame(
+            [(n, sdl, n_buckets, id_col)],
+            "n_docs long, sum_dl long, n_buckets int, id_col string",
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "stats"))
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "InvertedTextIndex":
+        r = spark.read.parquet(os.path.join(path, "stats")).collect()[0]
+        return InvertedTextIndex(
+            spark, path, r["n_docs"], r["sum_dl"], r["n_buckets"], r["id_col"]
+        )
+
+    # ------------------------------------------------------------------
+
+    def add(self, docs: DataFrame, text_col: str = "text") -> "InvertedTextIndex":
+        """Incremental ingest: append the new documents' postings into
+        their bucket partitions and merge corpus stats exactly
+        (n + Δn, sum_dl + Δsum_dl — integers, so the merge is
+        associative and lossless). No per-term read-modify-write: df is
+        derived from postings at query time, so appended postings are
+        immediately visible and exactly correct. Assumes doc ids are
+        new (append-only corpus); replacing a doc = rebuild its rows,
+        same as the store's partition-scoped upsert contract."""
+        postings = self._postings(docs, self.id_col, text_col, self.n_buckets)
+        dn, dsdl = self._delta_stats(docs, text_col)
+        (
+            postings.repartition(min(self.n_buckets, 32), "bucket")
+            .sortWithinPartitions("bucket", "term", "doc")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(os.path.join(self.path, "postings"))
+        )
+        self.n_docs += dn
+        self.sum_dl += dsdl
+        self._write_stats(
+            self.spark, self.path, self.n_docs, self.sum_dl, self.n_buckets, self.id_col
+        )
+        return self
+
+    # ------------------------------------------------------------------
+
+    def search_bm25(
+        self, query: str, k: int = 20, k1: float = BM25_K1, b: float = BM25_B
+    ) -> DataFrame:
+        """Okapi BM25 top-k over the PERSISTED postings — identical
+        formula and identical scores to operators/text_search.py:
+        bm25_scores, but the scan reads |query-term buckets| partition
+        directories instead of the corpus:
+
+            bucket IN (...)  -> PartitionFilters  (directory pruning)
+            term IN (...)    -> PushedFilters     (row-group pruning via
+                                                   the term-sorted files)
+
+        df per term = count over the pruned postings (each term's rows
+        all live in its bucket); N and avgdl come from the 1-row stats
+        table and ride the plan as literals. Ends in
+        TakeOrderedAndProject (per-partition top-k, k-row reduce)."""
+        qterms = sorted(set(query.lower().split()))
+        if not qterms or self.n_docs == 0:
+            return self.spark.createDataFrame([], f"{self.id_col} string, bm25_score double")
+        buckets = sorted({_bucket_py(t, self.n_buckets) for t in qterms})
+        n = float(self.n_docs)
+        avgdl = (self.sum_dl / self.n_docs) if self.n_docs else 1.0
+
+        hits = (
+            self.spark.read.parquet(os.path.join(self.path, "postings"))
+            .filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term").isin(qterms))
+        )
+        df_ = hits.groupBy("term").agg(F.count("*").alias("df"))
+        idf = df_.select(
+            "term",
+            F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0).alias(
+                "idf"
+            ),
+        )
+        contrib = F.col("idf") * (
+            F.col("tf") * (k1 + 1.0)
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+        )
+        return (
+            hits.join(F.broadcast(idf), "term")
+            .withColumn("_c", contrib)
+            .groupBy("doc")
+            .agg(F.sum("_c").alias("bm25_score"))
+            .select(F.col("doc").alias(self.id_col), "bm25_score")
+            .orderBy(F.desc("bm25_score"), F.asc(self.id_col))
+            .limit(k)
+        )

@@ -876,6 +876,8 @@ _RELEVANCE_SQL = f"""
     tf AS ({TFIDF_SEARCH_SQL})
     SELECT 'bm25' AS method, doc_id, bm25_score AS score FROM bm
     UNION ALL
+    SELECT 'bm25_indexed', doc_id, bm25_score FROM bm
+    UNION ALL
     SELECT 'tfidf', doc_id, tfidf_score FROM tf
     """
 
@@ -897,7 +899,19 @@ def text_relevance_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (text_search.py:61-124): idf = ln((n+1)/(df+1)) + 1, tf normalized
     by doc length, cosine between query and FULL document tf-idf
     vectors; explode -> (doc, term) counts -> broadcast idf -> per-doc
-    norm + dot aggregations, two map-side-combinable shuffles."""
+    norm + dot aggregations, two map-side-combinable shuffles.
+    'bm25_indexed' rows — the SAME top-20 answered from a PERSISTED
+    inverted index (operators/text_index.py): postings built once into
+    term-bucketed parquet, then the query reads only the bucket
+    partitions its terms hash into (bucket IN -> PartitionFilters,
+    term IN -> PushedFilters on term-sorted row groups). The oracle
+    duplicates the bm25 CTE — if the indexed path dropped a posting,
+    mis-merged corpus stats, or mis-bucketed a term, its hash would
+    split from the scan path's."""
+    import shutil
+    import tempfile
+
+    from alma_memory_spark.operators.text_index import InvertedTextIndex
     from alma_memory_spark.operators.text_search import bm25_scores
 
     docs = _t(spark, sf_dir, "documents")
@@ -913,9 +927,23 @@ def text_relevance_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(20)
     )
-    return bm.select(F.lit("bm25").alias("method"), "*").unionByName(
-        tf.select(F.lit("tfidf").alias("method"), "*")
-    )
+    ixroot = tempfile.mkdtemp(prefix="alma_text_index_gate_")
+    try:
+        idx = InvertedTextIndex.build(
+            spark, docs, ixroot, id_col="doc_id", n_buckets=32
+        )
+        bi = idx.search_bm25(_TFIDF_QUERY, k=20).select(
+            "doc_id", _r6(F.col("bm25_score")).alias("score")
+        )
+        out = (
+            bm.select(F.lit("bm25").alias("method"), "*")
+            .unionByName(bi.select(F.lit("bm25_indexed").alias("method"), "*"))
+            .unionByName(tf.select(F.lit("tfidf").alias("method"), "*"))
+        )
+        rows = out.collect()  # materialize before the temp index vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(ixroot, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,122 @@
+"""Persisted inverted text index: score parity with the scan-based
+BM25, incremental add identity, build/load round-trip, and the
+partition-pruning plan contract."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from alma_memory_spark.operators.text_index import (
+    InvertedTextIndex,
+    _bucket_py,
+)
+from alma_memory_spark.operators.text_search import bm25_scores
+from alma_memory_spark.session import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+QUERY = "spark query engine fast join"
+
+
+def _scores(df, id_col="doc_id", score_col="bm25_score"):
+    return {
+        r[id_col]: round(r[score_col], 6)
+        for r in df.collect()
+    }
+
+
+def test_index_matches_scan_bm25(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents")
+    idx = InvertedTextIndex.build(
+        spark, docs, str(tmp_path / "tix"), id_col="doc_id", n_buckets=16
+    )
+    # hive partition dirs exist
+    parts = [
+        d
+        for d in os.listdir(os.path.join(str(tmp_path / "tix"), "postings"))
+        if d.startswith("bucket=")
+    ]
+    assert len(parts) >= 2
+
+    got = _scores(idx.search_bm25(QUERY, k=1000))
+    want_df = bm25_scores(docs, QUERY, id_col="doc_id", text_col="text")
+    want = _scores(want_df)
+    assert got == want  # identical doc set AND identical 6dp scores
+
+
+def test_load_roundtrip_and_empty_query(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    path = str(tmp_path / "tix2")
+    idx = InvertedTextIndex.build(spark, docs, path, id_col="doc_id", n_buckets=8)
+    idx2 = InvertedTextIndex.load(spark, path)
+    assert (idx2.n_docs, idx2.sum_dl, idx2.n_buckets, idx2.id_col) == (
+        idx.n_docs,
+        idx.sum_dl,
+        idx.n_buckets,
+        idx.id_col,
+    )
+    assert idx2.search_bm25("", k=5).count() == 0
+    top = idx2.search_bm25(QUERY, k=5).collect()
+    assert len(top) <= 5
+    scores = [r["bm25_score"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_incremental_add_equals_full_build(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents")
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+
+    full = InvertedTextIndex.build(
+        spark, docs, str(tmp_path / "full"), id_col="doc_id", n_buckets=16
+    )
+    inc = InvertedTextIndex.build(
+        spark, half_a, str(tmp_path / "inc"), id_col="doc_id", n_buckets=16
+    ).add(half_b)
+
+    assert (inc.n_docs, inc.sum_dl) == (full.n_docs, full.sum_dl)
+    # and a reloaded handle sees the merged stats (the stats rewrite landed)
+    re = InvertedTextIndex.load(spark, str(tmp_path / "inc"))
+    assert (re.n_docs, re.sum_dl) == (full.n_docs, full.sum_dl)
+
+    assert _scores(inc.search_bm25(QUERY, k=1000)) == _scores(
+        full.search_bm25(QUERY, k=1000)
+    )
+
+
+def test_zero_token_docs_count_toward_stats(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "spark join fast"), (2, ""), (3, "query engine")],
+        "doc_id long, text string",
+    )
+    idx = InvertedTextIndex.build(spark, docs, str(tmp_path / "z"), n_buckets=4)
+    assert idx.n_docs == 3  # the empty doc counts toward N / avgdl
+    assert idx.sum_dl == 5
+    got = _scores(idx.search_bm25("spark query", k=10))
+    want = _scores(bm25_scores(docs, "spark query", id_col="doc_id", text_col="text"))
+    assert got == want
+
+
+def test_bucket_hash_driver_jvm_agreement(spark):
+    terms = ["spark", "query", "engine", "fast", "join", "zebra", "μtoken"]
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    from alma_memory_spark.operators.text_index import _bucket_col
+
+    jvm = {
+        r["term"]: r["b"]
+        for r in df.select("term", _bucket_col(F.col("term"), 64).alias("b")).collect()
+    }
+    for t in terms:
+        assert _bucket_py(t, 64) == jvm[t], t
+
+
+def test_partition_pruning_plan_contract(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents")
+    idx = InvertedTextIndex.build(
+        spark, docs, str(tmp_path / "pp"), id_col="doc_id", n_buckets=64
+    )
+    plan = idx.search_bm25(QUERY, k=20)._jdf.queryExecution().executedPlan().toString()
+    # bucket IN (...) prunes partitions; term IN (...) is pushed to the scan
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters", 1)[1][:300]
+    assert "PushedFilters" in plan
+    assert "In(term" in plan.split("PushedFilters", 1)[1][:400]
