@@ -53,6 +53,8 @@ class AlmaToolSurface:
             "alma_stats": self._stats,
             "alma_health": self._health,
             "alma_optimize": self._optimize,
+            "alma_index_text": self._index_text,
+            "alma_search_hybrid": self._search_hybrid,
             "alma_store_trust_pattern": self._store_trust_pattern,
             "alma_get_trust_warnings": self._get_trust_warnings,
         }
@@ -202,6 +204,27 @@ class AlmaToolSurface:
                   target_file_bytes: int = 128 << 20) -> dict[str, Any]:
         """Compact small files (Delta OPTIMIZE analog; beyond reference)."""
         return {"compacted": self.engine.optimize(tables, target_file_bytes)}
+
+    def _index_text(self, table: str = "domain_knowledge",
+                    n_buckets: int = 64) -> dict[str, Any]:
+        """Build/rebuild the persisted keyword index (reference:
+        HybridSearchEngine.index_corpus, hybrid.py:86-97)."""
+        return self.engine.index_text(table, n_buckets)
+
+    def _search_hybrid(self, task: str, agent: str,
+                       project_id: str | None = None,
+                       table: str = "domain_knowledge", top_k: int = 5,
+                       vector_weight: float = 0.5,
+                       text_weight: float = 0.5) -> dict[str, Any]:
+        """Weighted-RRF hybrid retrieval (reference:
+        HybridSearchEngine.fuse, hybrid.py:113-178)."""
+        return {
+            "results": self.engine.search_hybrid(
+                task, agent, project_id=project_id, table=table,
+                top_k=top_k, vector_weight=vector_weight,
+                text_weight=text_weight,
+            )
+        }
 
     # -- extended surface (remaining reference tools) -----------------
 

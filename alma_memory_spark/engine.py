@@ -17,6 +17,7 @@ with epoch-based invalidation on writes.
 
 from __future__ import annotations
 
+import os
 import threading
 import time
 import uuid
@@ -617,6 +618,144 @@ class AlmaSpark:
                 out[t] = rep
         self._invalidate_cache()
         return out
+
+    # ------------------------------------------------------------------
+    # hybrid search (reference: alma/retrieval/hybrid.py —
+    # HybridSearchEngine.index_corpus / text_search / fuse)
+    # ------------------------------------------------------------------
+
+    #: text expression indexed per memory table (the reference indexes
+    #: `[h.strategy for h in heuristics]`-style projections of each type;
+    #: hybrid.py:57-60)
+    TEXT_EXPRS: dict[str, Any] = {
+        "heuristics": ("condition", "strategy"),
+        "outcomes": ("task_description",),
+        "domain_knowledge": ("fact",),
+        "anti_patterns": ("pattern", "better_alternative"),
+        "preferences": ("preference",),
+    }
+
+    def _text_index_path(self, table: str) -> str:
+        return os.path.join(self.store.root, "_indexes", "text", table)
+
+    def _text_expr(self, table: str) -> F.Column:
+        cols = self.TEXT_EXPRS[table]
+        return F.concat_ws(" ", *[F.coalesce(F.col(c), F.lit("")) for c in cols])
+
+    def index_text(self, table: str = "domain_knowledge", n_buckets: int = 64) -> dict[str, Any]:
+        """Build (or rebuild) the persisted keyword index for a memory
+        table — the reference's HybridSearchEngine.index_corpus
+        (hybrid.py:86-97), except the index is term-bucketed parquet
+        (operators/text_index.py) instead of an in-RAM bm25s object, so
+        it survives the session and prunes partitions at query time.
+        Matches the reference's staleness contract verbatim: 'the text
+        index must be rebuilt when the corpus changes' (hybrid.py:53) —
+        call this from the maintenance cycle after heavy writes."""
+        from alma_memory_spark.operators.text_index import InvertedTextIndex
+
+        if table not in self.TEXT_EXPRS:
+            raise ValueError(f"no text projection for table: {table}")
+        if not self.store.exists(table):
+            return {"table": table, "n_docs": 0, "indexed": False}
+        docs = self.store.read(table).select(
+            "id", self._text_expr(table).alias("_text")
+        )
+        idx = InvertedTextIndex.build(
+            self.spark,
+            docs,
+            self._text_index_path(table),
+            id_col="id",
+            text_col="_text",
+            n_buckets=n_buckets,
+        )
+        return {"table": table, "n_docs": idx.n_docs, "indexed": True}
+
+    def search_hybrid(
+        self,
+        task: str,
+        agent: str,
+        project_id: str | None = None,
+        table: str = "domain_knowledge",
+        top_k: int = 5,
+        vector_weight: float = 0.5,
+        text_weight: float = 0.5,
+        rrf_k: int = 60,
+    ) -> list[dict[str, Any]]:
+        """Vector + keyword retrieval fused by weighted RRF — the
+        reference's HybridSearchEngine.fuse (hybrid.py:113-178: score =
+        Σ weight / (rrf_k + rank), absent side contributes 0), with the
+        same weight normalization as HybridSearchConfig.__post_init__.
+
+        The keyword side serves from the PERSISTED index when
+        index_text() has run (partition-pruned postings scan; global
+        corpus stats), over-fetching 4x before the scope semi-join so a
+        scoped hit below the global top stays in the list; without an
+        index it falls back to the scan-based bm25_scores over the
+        already-scoped rows — same formula, corpus-sized read. Both
+        rankings are top-few-dozen rows, so the fuse join broadcasts."""
+        from alma_memory_spark.functions.vector import cosine_similarity
+        from alma_memory_spark.operators.fusion import rrf_fuse
+        from alma_memory_spark.operators.text_index import InvertedTextIndex
+        from alma_memory_spark.operators.text_search import bm25_scores
+
+        total = vector_weight + text_weight
+        if total > 0 and abs(total - 1.0) > 0.01:
+            vector_weight, text_weight = vector_weight / total, text_weight / total
+        if not self.store.exists(table):
+            return []
+        query = sanitize_query(task)
+        qvec = self.embedder.encode(query)
+        df = self.store.read(table)
+        if "project_id" in df.columns and project_id is not None:
+            df = df.filter(F.col("project_id") == project_id)
+        if "agent" in df.columns:
+            df = df.filter(F.col("agent") == agent)
+        fetch = max(2 * top_k, 10)
+
+        qlit = F.array(*[F.lit(float(x)) for x in qvec])
+        vec = (
+            df.filter(F.col("embedding").isNotNull())
+            .select(
+                "id",
+                F.round(cosine_similarity("embedding", qlit), 6).alias("similarity"),
+            )
+            .orderBy(F.desc("similarity"), F.asc("id"))
+            .limit(fetch)
+        )
+
+        ixpath = self._text_index_path(table)
+        if os.path.isdir(os.path.join(ixpath, "stats")):
+            idx = InvertedTextIndex.load(self.spark, ixpath)
+            txt = (
+                idx.search_bm25(query, k=4 * fetch)
+                .join(df.select("id"), "id", "left_semi")
+                .orderBy(F.desc("bm25_score"), F.asc("id"))
+                .limit(fetch)
+            )
+        else:
+            txt = (
+                bm25_scores(
+                    df.select("id", self._text_expr(table).alias("_text")),
+                    query,
+                    id_col="id",
+                    text_col="_text",
+                )
+                .orderBy(F.desc("bm25_score"), F.asc("id"))
+                .limit(fetch)
+            )
+
+        fused = rrf_fuse(
+            vec,
+            txt.withColumnRenamed("bm25_score", "text_score"),
+            id_col="id",
+            vector_weight=vector_weight,
+            text_weight=text_weight,
+            rrf_k=rrf_k,
+        ).limit(top_k)
+        out = fused.join(df, "id", "left").orderBy(
+            F.desc("rrf_score"), F.asc("id")
+        )
+        return [r.asDict(recursive=True) for r in out.collect()]
 
     # ------------------------------------------------------------------
     # strength / artifacts / trust / verification / batch-learning

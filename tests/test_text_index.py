@@ -120,3 +120,56 @@ def test_partition_pruning_plan_contract(spark, tmp_path):
     assert "bucket" in plan.split("PartitionFilters", 1)[1][:300]
     assert "PushedFilters" in plan
     assert "In(term" in plan.split("PushedFilters", 1)[1][:400]
+
+
+def test_engine_hybrid_search_indexed_vs_scan_identity(spark, tmp_path):
+    """search_hybrid through the facade: the persisted-index path and
+    the scan-fallback path return the SAME fused ranking (same docs,
+    same rrf scores) — and both respect scope filters."""
+    from alma_memory_spark.engine import AlmaSpark
+
+    eng = AlmaSpark(spark, str(tmp_path / "store"))
+    facts = [
+        "spark joins are fast with broadcast",
+        "use indexes for query speed",
+        "the engine optimizes join order",
+        "cats are unrelated to databases",
+        "fast query engines use columnar formats",
+        "spark query planning is declarative",
+    ]
+    for i, f in enumerate(facts):
+        eng.add_knowledge("helena", "proj-a", "perf", f)
+    eng.add_knowledge("other-agent", "proj-a", "perf", "spark spark spark query join fast")
+
+    # scan-fallback first (no index on disk yet)
+    scan = eng.search_hybrid("fast spark query join", agent="helena",
+                             project_id="proj-a", top_k=5)
+    assert scan, "scan path returned nothing"
+    assert all(r["agent"] == "helena" for r in scan)
+
+    rep = eng.index_text("domain_knowledge", n_buckets=8)
+    assert rep["indexed"] and rep["n_docs"] == 7
+
+    ixed = eng.search_hybrid("fast spark query join", agent="helena",
+                             project_id="proj-a", top_k=5)
+    assert [(r["id"], round(r["rrf_score"], 9)) for r in ixed] == [
+        (r["id"], round(r["rrf_score"], 9)) for r in scan
+    ]
+    assert all(r["agent"] == "helena" for r in ixed)
+
+
+def test_api_hybrid_tools(spark, tmp_path):
+    from alma_memory_spark.api import AlmaToolSurface
+    from alma_memory_spark.engine import AlmaSpark
+
+    eng = AlmaSpark(spark, str(tmp_path / "store"))
+    tools = AlmaToolSurface(eng)
+    assert "alma_index_text" in tools.tools()
+    assert "alma_search_hybrid" in tools.tools()
+    eng.add_knowledge("a1", "p", "d", "spark is a fast query engine")
+    out = tools.call("alma_index_text", table="domain_knowledge", n_buckets=4)
+    assert out["indexed"] and out["n_docs"] == 1
+    res = tools.call("alma_search_hybrid", task="fast query", agent="a1",
+                     project_id="p", top_k=3)
+    assert len(res["results"]) == 1
+    assert res["results"][0]["fact"] == "spark is a fast query engine"
