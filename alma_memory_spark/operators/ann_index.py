@@ -120,6 +120,48 @@ class IVFIndex:
 
     # ------------------------------------------------------------------
 
+    def add(self, df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> "IVFIndex":
+        """Incremental ingest: assign new vectors against the STORED
+        quantizer (standard IVF semantics — FAISS `add` never moves
+        centroids either; recall drifts only if the data distribution
+        does, at which point you rebuild) and append them to their cell
+        partitions. No shuffle, no read-modify-write: the narrow
+        assignment map appends files under the matching cell=
+        directories, and df/probe math is unchanged because the
+        centroid table is untouched. Assumes ids are new (append-only),
+        same as the store's partition-scoped upsert contract."""
+        import numpy as np
+        import pandas as pd
+
+        from alma_memory_spark.session import ensure_package_shipped
+
+        ensure_package_shipped(self.spark)
+        b = self.spark.sparkContext.broadcast((self.cells, self.Cn))
+
+        def assign(it):
+            cells_, Cn_ = b.value
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+                csims = np.round(Vn @ Cn_.T, 6)
+                yield pd.DataFrame(
+                    {
+                        "id": pdf[id_col].to_numpy(),
+                        "embedding": pdf[vec_col],
+                        "cell": cells_[np.argmax(csims, axis=1)],
+                    }
+                )
+
+        assigned = df.select(id_col, vec_col).mapInPandas(
+            assign, "id long, embedding array<double>, cell long"
+        )
+        assigned.write.mode("append").partitionBy("cell").parquet(
+            os.path.join(self.path, "lists")
+        )
+        return self
+
     def probe_cells(self, query_vec, nprobe: int = 3):
         """Driver-side quantizer probe: nprobe nearest centroids
         (cosine DESC, cell DESC on 6dp ties) — a ~us-scale matmul."""

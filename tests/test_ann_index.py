@@ -97,3 +97,45 @@ def test_ivf_search_prunes_partitions(spark, tmp_path):
     )
     assert n_cells > 2
     assert num_files is not None and num_files < total_files
+
+
+def test_ivf_incremental_add_matches_brute_force(spark, tmp_path):
+    """add() assigns with the STORED quantizer and appends to cell
+    partitions: after adding the second half of the corpus, search over
+    the probed cells equals the driver-side brute force over exactly the
+    vectors whose nearest stored centroid is a probed cell."""
+    import numpy as np
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    half_a = emb.filter("vec_id % 2 = 0")
+    half_b = emb.filter("vec_id % 2 = 1")
+    path = str(tmp_path / "ivf_inc")
+    idx = IVFIndex.build(spark, half_a, path, cent_every=50)
+    cells_before = (idx.cells.copy(), idx.Cn.copy())
+    idx.add(half_b)
+    # quantizer untouched by add
+    assert (idx.cells == cells_before[0]).all()
+    assert np.allclose(idx.Cn, cells_before[1])
+
+    probed, qn = idx.probe_cells(QUERY_VEC, nprobe=3)
+    top = idx.search(QUERY_VEC, k=10, nprobe=3).collect()
+
+    # driver-side replica: assign EVERY vector (both halves) to its
+    # nearest stored centroid, keep those landing in probed cells
+    expect = []
+    for r in emb.select("vec_id", "embedding").collect():
+        v = np.array(r["embedding"], dtype=np.float64)
+        vn = v / max(np.linalg.norm(v), 1e-300)
+        csims = np.round(idx.Cn @ vn, 6)
+        cell = int(idx.cells[int(np.argmax(csims))])
+        if cell in probed:
+            expect.append((r["vec_id"], round(float(vn @ qn), 6)))
+    expect.sort(key=lambda t: (-t[1], t[0]))
+    got = [(r["id"], r["similarity"]) for r in top]
+    assert got == expect[:10]
+    # ids from BOTH halves are present in the index lists
+    ids = {
+        r["id"]
+        for r in spark.read.parquet(os.path.join(path, "lists")).select("id").collect()
+    }
+    assert any(i % 2 == 0 for i in ids) and any(i % 2 == 1 for i in ids)
