@@ -46,6 +46,11 @@ class MaintenanceJob:
     apply_decay: bool = True  # decay-at-read: reported, never a rewrite
     compact: bool = False  # run store.compact() after pruning (OPTIMIZE)
     compact_target_bytes: int = 128 << 20
+    # rebuild persisted keyword indexes after pruning — the reference's
+    # staleness contract ("the text index must be rebuilt when the
+    # corpus changes", alma/retrieval/hybrid.py:53) made operational:
+    # the maintenance cycle is where rebuilds belong at scale
+    reindex_text: bool = False
     enabled: bool = True
     last_run: datetime | None = None
     next_run: datetime | None = None
@@ -61,6 +66,7 @@ class MaintenanceResult:
     completed_at: datetime
     deleted: dict[str, int] = field(default_factory=dict)
     compacted: dict[str, dict] = field(default_factory=dict)
+    reindexed: dict[str, int] = field(default_factory=dict)
     decay_at_read: bool = True
     alerts: list[str] = field(default_factory=list)
     success: bool = True
@@ -137,6 +143,20 @@ class MaintenanceScheduler:
                     )
                     if rep:
                         result.compacted[table] = rep
+            if job.reindex_text and not dry_run:
+                # prunes just removed rows the postings still reference;
+                # rebuild each table's index that exists on disk (or is
+                # explicitly scoped by the job's table list)
+                import os as _os
+
+                for table in job.tables or MEMORY_TABLES:
+                    if table not in self.engine.TEXT_EXPRS:
+                        continue
+                    if not _os.path.isdir(self.engine._text_index_path(table)):
+                        continue
+                    rep = self.engine.index_text(table)
+                    if rep.get("indexed"):
+                        result.reindexed[table] = rep["n_docs"]
             result.alerts = self._health_alerts(job.project_id)
             if not dry_run:  # a preview must not consume the schedule
                 now = self._now()

@@ -390,3 +390,47 @@ def test_compression_oracle_agrees_on_punctuated_text(spark):
     assert abs(got["compression_ratio"] - want[2]) < 1e-9
     # sanity: punctuation must survive compression
     assert got["compressed"].endswith(("." , "!", "?"))
+
+
+def test_maintenance_reindexes_text_after_prune(spark, tmp_path):
+    """reindex_text job flag: after the prune deletes rows, the
+    persisted keyword index is rebuilt so postings stop referencing
+    forgotten memories (the reference's rebuild-on-change contract,
+    hybrid.py:53, run from the maintenance cycle)."""
+    from datetime import datetime, timedelta, timezone
+
+    from alma_memory_spark.engine import AlmaSpark
+    from alma_memory_spark.operators.maintenance import (
+        MaintenanceJob,
+        MaintenanceScheduler,
+    )
+    from alma_memory_spark.operators.text_index import InvertedTextIndex
+
+    now = [datetime(2024, 2, 15, tzinfo=timezone.utc)]
+    eng = AlmaSpark(spark, str(tmp_path / "m"), clock=lambda: now[0])
+    for i in range(4):
+        eng.add_knowledge("a1", "p1", "d", f"searchable fact number {i}")
+    eng.index_text("domain_knowledge", n_buckets=4)
+    assert InvertedTextIndex.load(spark, eng._text_index_path("domain_knowledge")).n_docs == 4
+
+    old = now[0] - timedelta(days=400)
+    dk = eng.store.read("domain_knowledge")
+    aged = dk.limit(2).withColumn("last_verified", F.lit(old).cast("timestamp"))
+    eng.store.upsert("domain_knowledge", aged)
+
+    sched = MaintenanceScheduler(eng, clock=lambda: now[0])
+    sched.register_job(
+        MaintenanceJob(
+            name="nightly",
+            project_id="p1",
+            interval_hours=1,
+            tables=["domain_knowledge"],
+            max_age_days=365,
+            reindex_text=True,
+        )
+    )
+    now[0] += timedelta(hours=2)
+    (res,) = sched.run_all_due()
+    assert res.success and res.deleted["domain_knowledge"] == 2
+    assert res.reindexed == {"domain_knowledge": 2}
+    assert InvertedTextIndex.load(spark, eng._text_index_path("domain_knowledge")).n_docs == 2
