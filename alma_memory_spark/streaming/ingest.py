@@ -158,3 +158,46 @@ def running_success_rate(
     return stream.groupBy("agent").applyInPandasWithState(
         update, out_schema, state_schema, "update", timeout
     )
+
+
+def stream_documents_into_indexes(
+    stream: DataFrame,
+    text_index=None,
+    ivf_index=None,
+    checkpoint: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    on_batch=None,
+):
+    """Continuous index maintenance: each micro-batch of new documents
+    is appended INCREMENTALLY into the persisted search indexes —
+    `InvertedTextIndex.add` (postings append + O(1) stats merge) and/or
+    `IVFIndex.add` (stored-quantizer assignment + cell append). This is
+    the streaming form of the reference's rebuild-on-change contract
+    (alma/retrieval/hybrid.py:53): instead of rebuilding when the corpus
+    changes, the corpus change IS the index delta. Exactly-once per
+    batch comes from the checkpointed file source; both adds are
+    append-only so a replayed batch after a crash is the only
+    duplication risk (same as any foreachBatch sink without txn ids —
+    dedupe on id at read or re-run maintenance reindex to settle).
+
+    Cost per batch is O(batch), not O(index): neither add reads
+    existing postings/lists. Returns the StreamingQuery."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if text_index is not None:
+            text_index.add(
+                batch_df.select(F.col(id_col), F.col(text_col)), text_col=text_col
+            )
+        if ivf_index is not None:
+            ivf_index.add(batch_df, id_col=id_col, vec_col=vec_col)
+        if on_batch is not None:
+            on_batch(epoch_id)
+
+    writer = stream.writeStream.foreachBatch(_sink)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -173,3 +173,69 @@ def test_api_hybrid_tools(spark, tmp_path):
                      project_id="p", top_k=3)
     assert len(res["results"]) == 1
     assert res["results"][0]["fact"] == "spark is a fast query engine"
+
+
+def test_streaming_index_maintenance_matches_batch(spark, tmp_path):
+    """stream_documents_into_indexes: after replaying the second half of
+    the corpus through the file stream in micro-batches, BOTH persisted
+    indexes (text + IVF) answer identically to indexes built in one
+    batch over the full corpus (text: 6dp score identity; IVF: search
+    equals the batch-built index with the same quantizer)."""
+    from alma_memory_spark.operators.ann_index import IVFIndex
+    from alma_memory_spark.plans.registry import QUERY_VEC
+    from alma_memory_spark.streaming.ingest import stream_documents_into_indexes
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    # align: use vec_id as doc key for the joint stream frame
+    joint = docs.join(
+        emb.withColumnRenamed("vec_id", "doc_id"), "doc_id", "inner"
+    ).select("doc_id", "text", "embedding")
+    half_a = joint.filter(F.col("doc_id") % 2 == 0)
+    half_b = joint.filter(F.col("doc_id") % 2 == 1)
+
+    tix = InvertedTextIndex.build(
+        spark, half_a, str(tmp_path / "tix"), id_col="doc_id", n_buckets=8
+    )
+    ivf = IVFIndex.build(
+        spark, half_a, str(tmp_path / "ivf"), id_col="doc_id", vec_col="embedding",
+        cent_every=50,
+    )
+
+    inbox = str(tmp_path / "inbox")
+    half_b.repartition(4).write.parquet(inbox)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, embedding array<double>")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(inbox)
+    )
+    batches = []
+    q = stream_documents_into_indexes(
+        stream, text_index=tix, ivf_index=ivf,
+        checkpoint=str(tmp_path / "ckpt"), id_col="doc_id",
+        on_batch=batches.append,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(batches) >= 2  # really went through multiple micro-batches
+
+    # text index: identical to a one-shot batch build over everything
+    full_t = InvertedTextIndex.build(
+        spark, joint, str(tmp_path / "tix_full"), id_col="doc_id", n_buckets=8
+    )
+    assert (tix.n_docs, tix.sum_dl) == (full_t.n_docs, full_t.sum_dl)
+    assert _scores(tix.search_bm25(QUERY, k=1000)) == _scores(
+        full_t.search_bm25(QUERY, k=1000)
+    )
+
+    # IVF: same quantizer as the half-a build, so compare against a
+    # batch-built index seeded with the SAME centroids via add()
+    ivf_ref = IVFIndex.build(
+        spark, half_a, str(tmp_path / "ivf_ref"), id_col="doc_id",
+        vec_col="embedding", cent_every=50,
+    ).add(half_b, id_col="doc_id", vec_col="embedding")
+    got = [(r["id"], r["similarity"]) for r in ivf.search(QUERY_VEC, k=10).collect()]
+    want = [(r["id"], r["similarity"]) for r in ivf_ref.search(QUERY_VEC, k=10).collect()]
+    assert got == want
