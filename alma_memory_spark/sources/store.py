@@ -286,10 +286,38 @@ class ParquetStore:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(self._path(table))
 
+    #: per-table event-time column, used to lay rows out time-sorted
+    #: inside every written file: parquet keeps min/max stats per row
+    #: group, so temporal predicates (forget's max_age_days cutoff,
+    #: as-of reads, retention scans) skip whole row groups of a sorted
+    #: file instead of decoding them. Costs one per-task in-memory sort
+    #: at write; changes row ORDER only, never content (row order is
+    #: not semantic anywhere in the store contract).
+    TIME_SORT_COLS = {
+        "heuristics": "last_validated",
+        "outcomes": "timestamp",
+        "domain_knowledge": "last_verified",
+        "anti_patterns": "last_seen",
+        "workflow_outcomes": "timestamp",
+        "retrieval_feedback": "timestamp",
+        "forget_audit": "deleted_at",
+    }
+
+    def _time_sorted(self, table: str, df: DataFrame) -> DataFrame:
+        ts = self.TIME_SORT_COLS.get(table)
+        if ts is None or ts not in df.columns:
+            return df
+        if table in schemas.PARTITIONED_BY_PROJECT_AGENT:
+            # leading partition cols keep the writer's required
+            # clustering satisfied, so FileFormatWriter adds no second
+            # sort on top of this one
+            return df.sortWithinPartitions("project_id", "agent", ts)
+        return df.sortWithinPartitions(ts)
+
     def append(self, table: str, df: DataFrame) -> None:
         with self._table_lock(table):
             self._recover(table)
-            writer = df.write.mode("append")
+            writer = self._time_sorted(table, df).write.mode("append")
             if table in schemas.PARTITIONED_BY_PROJECT_AGENT:
                 writer = writer.partitionBy("project_id", "agent")
             writer.parquet(self._path(table))
@@ -314,7 +342,7 @@ class ParquetStore:
             trash = path + ".trash"
             shutil.rmtree(staging, ignore_errors=True)
             shutil.rmtree(trash, ignore_errors=True)  # prior crash leftover
-            writer = df.write.mode("overwrite")
+            writer = self._time_sorted(table, df).write.mode("overwrite")
             if table in schemas.PARTITIONED_BY_PROJECT_AGENT:
                 writer = writer.partitionBy("project_id", "agent")
             writer.parquet(staging)
@@ -466,9 +494,9 @@ class ParquetStore:
             path = self._path(table)
             staging = path + ".staging"
             shutil.rmtree(staging, ignore_errors=True)
-            content.write.mode("overwrite").partitionBy("project_id", "agent").parquet(
-                staging
-            )
+            self._time_sorted(table, content).write.mode("overwrite").partitionBy(
+                "project_id", "agent"
+            ).parquet(staging)
             self._swap_partitions(table, staging, touched)
 
     def upsert(

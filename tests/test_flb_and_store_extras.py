@@ -753,3 +753,52 @@ def test_compact_crash_at_commit_rolls_back(spark, tmp_path, monkeypatch):
     report = store.compact("heuristics")
     assert report, "retry after rollback must compact"
     assert sorted(r["id"] for r in store.read("heuristics").collect()) == rows_before
+
+
+def test_writes_are_time_sorted_within_files(spark, tmp_path):
+    """Data-skipping layout: every parquet file the store writes holds
+    its rows in event-time order (leading partition cols keep the
+    partitionBy writer from re-sorting), so parquet row-group min/max
+    stats prune temporal predicates at scale. Verified on the physical
+    files with pyarrow, for both the append and the partition-swap
+    (upsert) write paths."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from alma_memory_spark import schemas
+    from alma_memory_spark.sources.store import ParquetStore
+
+    import random
+    from datetime import datetime, timedelta, timezone
+
+    store = ParquetStore(spark, str(tmp_path / "s"))
+    rng = random.Random(7)
+    base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    days = list(range(200))
+    rng.shuffle(days)  # arrival order deliberately != event-time order
+    rows = [
+        {
+            "id": f"o{i}",
+            "agent": f"a{i % 2 + 1}",
+            "project_id": "p",
+            "task_type": "t",
+            "success": True,
+            "timestamp": base + timedelta(days=d),
+        }
+        for i, d in enumerate(days)
+    ]
+    df = spark.createDataFrame(rows, schemas.OUTCOMES).repartition(4)
+    store.append("outcomes", df)
+    store.upsert("outcomes", df.limit(40))
+
+    files = glob.glob(str(tmp_path / "s" / "outcomes" / "**" / "*.parquet"),
+                      recursive=True)
+    assert files
+    checked = 0
+    for f in files:
+        ts = pq.read_table(f, columns=["timestamp"]).column("timestamp").to_pylist()
+        if len(ts) > 1:
+            assert ts == sorted(ts), f
+            checked += 1
+    assert checked > 0
