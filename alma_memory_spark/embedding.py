@@ -71,6 +71,78 @@ class HashEmbedder:
         return [hash_embed(t, self.dim) for t in texts]
 
 
+class CachedEmbedder:
+    """LRU-cached wrapper around any embedding provider — the
+    reference's EmbeddingCache + BatchedEmbeddingProcessor
+    (alma/retrieval/embeddings_optimized.py:24-209): keys are
+    md5(text), eviction is LRU at max_size, batch encode runs the
+    underlying provider ONLY on cache misses and stitches results back
+    in input order. Matters for real-model providers (the reference
+    reports 10-100x on repeat queries); the driver-side retrieve()
+    query-encode path is the intended seat."""
+
+    def __init__(self, inner=None, max_size: int = 10000):
+        import hashlib
+        from collections import OrderedDict
+
+        self.inner = inner or HashEmbedder()
+        self.dim = self.inner.dim
+        self.max_size = max_size
+        self._od: "OrderedDict[str, list[float]]" = OrderedDict()
+        self._hash = lambda t: hashlib.md5(t.encode("utf-8")).hexdigest()
+        self.hits = 0
+        self.misses = 0
+
+    def encode(self, text: str) -> list[float]:
+        return self.encode_batch([text])[0]
+
+    def encode_batch(self, texts: list[str]) -> list[list[float]]:
+        keys = [self._hash(t) for t in texts]
+        out: list = [None] * len(texts)
+        miss_idx: dict[str, list[int]] = {}
+        for i, k in enumerate(keys):
+            got = self._od.get(k)
+            if got is not None:
+                self._od.move_to_end(k)
+                self.hits += 1
+                out[i] = got
+            elif k in miss_idx:
+                # intra-batch duplicate of a pending miss: one encode
+                # serves both; count the duplicate as a hit
+                self.hits += 1
+                miss_idx[k].append(i)
+            else:
+                self.misses += 1
+                miss_idx[k] = [i]
+        if miss_idx:
+            # one underlying batch over UNIQUE misses, original order
+            uniq = list(miss_idx)
+            first_text = {k: texts[ix[0]] for k, ix in miss_idx.items()}
+            encoded = self.inner.encode_batch([first_text[k] for k in uniq])
+            for k, vec in zip(uniq, encoded):
+                for i in miss_idx[k]:
+                    out[i] = vec
+                self._od[k] = vec
+                if len(self._od) > self.max_size:
+                    self._od.popitem(last=False)
+        return out
+
+    def get_stats(self) -> dict[str, int]:
+        total = self.hits + self.misses
+        return {
+            "size": len(self._od),
+            "max_size": self.max_size,
+            "hits": self.hits,
+            "misses": self.misses,
+            "hit_rate_pct": int(100 * self.hits / total) if total else 0,
+        }
+
+    def clear(self) -> None:
+        self._od.clear()
+        self.hits = 0
+        self.misses = 0
+
+
 def encode_udf(dim: int = DEFAULT_DIM):
     """pandas UDF: string column -> ArrayType(FloatType) embedding column.
 

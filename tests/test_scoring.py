@@ -209,3 +209,40 @@ def test_infer_mode():
     assert infer_mode("implement the api endpoint") == "precise"
     assert infer_mode("consolidate similar memories") == "learning"
     assert infer_mode("completely unrelated text") == "precise"
+
+
+def test_cached_embedder_lru_and_batch_semantics():
+    """EmbeddingCache parity (reference embeddings_optimized.py:24-209):
+    md5-keyed LRU, batch encode hits the provider only for unique
+    misses, stats/clear surface, identical vectors to the inner
+    provider."""
+    from alma_memory_spark.embedding import CachedEmbedder, HashEmbedder
+
+    calls = []
+
+    class Spy(HashEmbedder):
+        def encode_batch(self, texts):
+            calls.append(list(texts))
+            return super().encode_batch(texts)
+
+    ce = CachedEmbedder(Spy(), max_size=3)
+    plain = HashEmbedder()
+
+    out = ce.encode_batch(["a", "b", "a", "c"])
+    assert out == plain.encode_batch(["a", "b", "a", "c"])
+    assert calls == [["a", "b", "c"]]  # unique misses only, input order
+    assert ce.get_stats()["hits"] == 1 and ce.get_stats()["misses"] == 3
+
+    assert ce.encode("b") == plain.encode("b")
+    assert calls == [["a", "b", "c"]]  # served from cache
+    assert ce.get_stats()["hits"] == 2
+
+    ce.encode("d")  # evicts the LRU entry ("a": c/b were touched later)
+    assert ce.get_stats()["size"] == 3
+    ce.encode("a")
+    assert calls[-1] == ["a"]  # "a" was evicted, re-encoded
+
+    ce.clear()
+    assert ce.get_stats() == {
+        "size": 0, "max_size": 3, "hits": 0, "misses": 0, "hit_rate_pct": 0,
+    }
