@@ -55,6 +55,8 @@ class AlmaToolSurface:
             "alma_optimize": self._optimize,
             "alma_index_text": self._index_text,
             "alma_search_hybrid": self._search_hybrid,
+            "alma_assess_strategy": self._assess_strategy,
+            "alma_rank_strategies": self._rank_strategies,
             "alma_store_trust_pattern": self._store_trust_pattern,
             "alma_get_trust_warnings": self._get_trust_warnings,
         }
@@ -223,6 +225,20 @@ class AlmaToolSurface:
                 task, agent, project_id=project_id, table=table,
                 top_k=top_k, vector_weight=vector_weight,
                 text_weight=text_weight,
+            )
+        }
+
+    def _assess_strategy(self, strategy: str, context: str, agent: str,
+                         project_id: str | None = None) -> dict[str, Any]:
+        """ConfidenceEngine.assess_strategy (confidence/engine.py:70-150)."""
+        return self.engine.assess_strategy(strategy, context, agent, project_id)
+
+    def _rank_strategies(self, strategies: list[str], context: str, agent: str,
+                         project_id: str | None = None) -> dict[str, Any]:
+        """ConfidenceEngine.rank_strategies (confidence/engine.py:152-182)."""
+        return {
+            "ranked": self.engine.rank_strategies(
+                strategies, context, agent, project_id
             )
         }
 

@@ -758,6 +758,54 @@ class AlmaSpark:
         return [r.asDict(recursive=True) for r in out.collect()]
 
     # ------------------------------------------------------------------
+    # forward-looking confidence (reference: alma/confidence/engine.py)
+    # ------------------------------------------------------------------
+
+    def rank_strategies(
+        self,
+        strategies: list[str],
+        context: str,
+        agent: str,
+        project_id: str | None = None,
+    ) -> list[dict[str, Any]]:
+        """ConfidenceEngine.rank_strategies (engine.py:152-182) as ONE
+        Spark job: every candidate strategy is assessed in a single
+        batch plan (operators/confidence.py) instead of the reference's
+        per-strategy retrieve loop, then sorted by confidence_score
+        desc. Returns the full signal row per strategy."""
+        from alma_memory_spark.operators.confidence import assess_strategies
+
+        def scoped(table: str) -> DataFrame:
+            df = self.store.read(table)
+            if project_id is not None and "project_id" in df.columns:
+                df = df.filter(F.col("project_id") == project_id)
+            if "agent" in df.columns:
+                df = df.filter(F.col("agent") == agent)
+            return df
+
+        out = assess_strategies(
+            self.spark,
+            strategies,
+            context,
+            heuristics=scoped("heuristics"),
+            anti_patterns=scoped("anti_patterns"),
+            outcomes=scoped("outcomes"),
+            embedder=self.embedder,
+        ).orderBy(F.desc("confidence_score"), F.asc("sid"))
+        return [r.asDict() for r in out.collect()]
+
+    def assess_strategy(
+        self,
+        strategy: str,
+        context: str,
+        agent: str,
+        project_id: str | None = None,
+    ) -> dict[str, Any]:
+        """Single-strategy form (reference engine.py:70-150) — the
+        batch of one."""
+        return self.rank_strategies([strategy], context, agent, project_id)[0]
+
+    # ------------------------------------------------------------------
     # strength / artifacts / trust / verification / batch-learning
     # (reference: the remaining MCP tool surface, mcp/tools/__init__.py)
     # ------------------------------------------------------------------

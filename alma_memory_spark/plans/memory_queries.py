@@ -18,7 +18,43 @@ from alma_memory_spark.plans.registry import (
     _t,
     register,
 )
+from alma_memory_spark.functions import text as X
 from alma_memory_spark.functions.vector import cosine_similarity
+
+# -- confidence stage of blend_scoring (reference alma/confidence/) --------
+
+CONF_CONTEXT = "synthetic event handling"
+CONF_STRATEGIES = [
+    "process purchase events quickly",  # exact match to a heuristic
+    "process error events",  # substring match
+    "quickly process signup events",  # jaccard == 1.0 match
+    "delete all caches and retry",  # risky pattern 0.8 -> avoid
+    "complete rescan of every shard",  # 2 complexity keywords -> 0.4
+    "validate inputs early",  # best practice 0.5
+    "try a brand new idea",  # novel: no signals
+    "force sleep in production",  # max(0.5, 0.6, 0.7) risk -> caution
+]
+
+
+def _sql_is_similar(a: str, b: str) -> str:
+    """DuckDB twin of operators/confidence.is_similar_expr."""
+    ta = f"list_distinct({X.sql_ws_tokens(a)})"
+    tb = f"list_distinct({X.sql_ws_tokens(b)})"
+    return (
+        f"(trim(lower({a})) = trim(lower({b}))"
+        f" OR contains(trim(lower({a})), trim(lower({b})))"
+        f" OR contains(trim(lower({b})), trim(lower({a})))"
+        f" OR (len(list_distinct(list_intersect({ta}, {tb}))) * 1.0"
+        f"     / nullif(len(list_distinct(list_concat({ta}, {tb}))), 0)) >= 0.5)"
+    )
+
+
+def _sql_greatest_patterns(col: str, patterns: list[tuple[str, float]]) -> str:
+    cases = ", ".join(
+        f"CASE WHEN contains(lower({col}), '{p}') THEN {s} ELSE 0.0 END"
+        for p, s in patterns
+    )
+    return f"greatest({cases})"
 
 
 @register(
@@ -49,6 +85,76 @@ def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+from alma_memory_spark.operators.confidence import (  # noqa: E402
+    BEST_PRACTICES,
+    COMPLEXITY_KEYWORDS,
+    RISKY_PATTERNS,
+)
+
+_CONF_VALUES = ", ".join(f"('{s}')" for s in CONF_STRATEGIES)
+_CONF_COMPLEX_HITS = " + ".join(
+    f"CASE WHEN contains(lower(strategy), '{kw}') THEN 1 ELSE 0 END"
+    for kw in COMPLEXITY_KEYWORDS
+)
+
+_CONF_SQL = f"""
+    WITH conf_h AS (
+      SELECT event_type AS hid,
+             'process ' || event_type || ' events quickly' AS h_strategy,
+             count(*) AS occ,
+             count(*) FILTER (WHERE value > 30.0) AS succ
+      FROM events GROUP BY event_type
+    ),
+    conf_s AS (SELECT * FROM (VALUES {_CONF_VALUES}) AS t(strategy)),
+    conf_match AS (
+      SELECT s.strategy, h.occ, h.succ,
+             row_number() OVER (PARTITION BY s.strategy
+                                ORDER BY h.occ DESC, h.hid ASC) AS rn
+      FROM conf_s s JOIN conf_h h
+        ON {_sql_is_similar("s.strategy", "h.h_strategy")}
+    ),
+    conf_base AS (
+      SELECT s.strategy,
+             coalesce(m.occ, 0) AS occ,
+             coalesce(CASE WHEN m.occ > 0 THEN m.succ * 1.0 / m.occ END, 0.0) AS rate
+      FROM conf_s s
+      LEFT JOIN (SELECT strategy, occ, succ FROM conf_match WHERE rn = 1) m
+        USING (strategy)
+    ),
+    conf_sig AS (
+      SELECT strategy, occ, rate,
+             0.4 * ((0.3 * CASE WHEN rate > 0 THEN rate ELSE 0.5 END)
+                    + (1.0 - 0.3) * 0.5) AS wpred,
+             least(1.0, ((CASE WHEN occ >= 10 THEN 0.1
+                               WHEN occ >= 5 THEN 0.3
+                               WHEN occ >= 2 THEN 0.5
+                               ELSE 0.8 END) + (1.0 - 0.3)) / 2.0) AS unc,
+             greatest(
+               CASE WHEN ({_CONF_COMPLEX_HITS}) >= 2 THEN 0.4 ELSE 0.0 END,
+               {_sql_greatest_patterns("strategy", RISKY_PATTERNS)}
+             ) AS risk,
+             {_sql_greatest_patterns("strategy", BEST_PRACTICES)} AS opp
+      FROM conf_base
+    ),
+    conf AS (
+      SELECT strategy, risk,
+             round(greatest(0.0, least(1.0,
+               0.3 * rate + wpred + 0.15 * 0.3
+               + 0.15 * (1.0 - unc) - 0.2 * risk + 0.2 * opp)), 6) AS score
+      FROM conf_sig
+    )
+    SELECT 'confidence:' ||
+           (CASE WHEN risk >= 0.8 THEN 'avoid'
+                 WHEN risk >= 0.6 THEN 'caution'
+                 WHEN score >= 0.8 THEN 'strong_yes'
+                 WHEN score >= 0.6 THEN 'yes'
+                 WHEN score >= 0.4 THEN 'neutral'
+                 WHEN score >= 0.2 THEN 'caution'
+                 ELSE 'avoid' END) AS method,
+           strategy AS item_id, score
+    FROM conf
+    """
 
 _BLEND_SQL = f"""
     WITH scores AS (
@@ -81,7 +187,7 @@ _BLEND_SQL = f"""
            * sqrt(list_sum(list_transform(q, x -> x * x)))) AS sim
       FROM embeddings, qv
     )
-    SELECT 'feedback' AS method, item_id, score FROM (
+    SELECT 'feedback' AS method, CAST(item_id AS VARCHAR) AS item_id, score FROM (
       SELECT s.event_id AS item_id,
              round(CASE WHEN f.feedback_score IS NOT NULL
                    THEN 0.85 * s.score + 0.15 * (f.feedback_score + 1.0) / 2.0
@@ -91,7 +197,7 @@ _BLEND_SQL = f"""
       LIMIT 100
     )
     UNION ALL
-    SELECT 'trust', item_id, score FROM (
+    SELECT 'trust', CAST(item_id AS VARCHAR), score FROM (
       SELECT s.event_id AS item_id,
              round(0.35 * 1.0 + 0.25 * s.recency + 0.15 * 1.0 + 0.10 * 1.0
                    + 0.15 * coalesce(t.trust, 0.5), 6) AS score
@@ -100,7 +206,7 @@ _BLEND_SQL = f"""
       LIMIT 100
     )
     UNION ALL
-    SELECT 'mode_boost', item_id, score FROM (
+    SELECT 'mode_boost', CAST(item_id AS VARCHAR), score FROM (
       SELECT vec_id AS item_id,
              round(CASE WHEN sim > 0.35 THEN sim * 2.0
                         WHEN sim > 0.25 THEN sim * 1.5
@@ -109,6 +215,8 @@ _BLEND_SQL = f"""
       ORDER BY score DESC, vec_id ASC
       LIMIT 50
     )
+    UNION ALL
+    SELECT method, item_id, score FROM ({_CONF_SQL})
     """
 
 
@@ -132,7 +240,18 @@ def blend_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     'mode_boost' rows — mode-dependent exact-match boosts: sim above
     the high threshold x B, above the mid threshold x (1+(B-1)/2)
     (reference: engine.py:754-802, thresholds scaled to this corpus).
-    when/otherwise column multipliers — no extra pass."""
+    when/otherwise column multipliers — no extra pass.
+    'confidence:<recommendation>' rows — the REAL batch ConfidenceEngine
+    operator (operators/confidence.py; reference alma/confidence/
+    engine.py + types.py) over heuristics derived from events: the
+    is_similar match (exact|substring|Jaccard>=0.5), best-heuristic
+    historical rate, the 0.3/0.4/0.15/0.15 score blend with +-0.2
+    risk/opportunity adjustment, keyword risk/best-practice signals,
+    and the recommendation cascade — all hash-checked against a full
+    SQL re-derivation. The embedding candidate stages run empty here
+    (the frames carry NULL embeddings) so the sim tier exercises its
+    0.3 novel-context floor; the cosine top-k join shape is
+    driver-attested by the ANN gates."""
     ev = _t(spark, sf_dir, "events")
     past = ev.filter(F.col("ts") <= _now())
     age = (_now().cast("double") - F.col("ts").cast("double")) / 86400.0
@@ -190,10 +309,47 @@ def blend_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("item_id"))
         .limit(50)
     )
+
+    from alma_memory_spark import schemas as _sch
+    from alma_memory_spark.embedding import HashEmbedder
+    from alma_memory_spark.operators.confidence import assess_strategies
+
+    heur = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("occurrence_count"),
+            F.count(F.when(F.col("value") > 30.0, 1)).alias("success_count"),
+        )
+        .select(
+            F.col("event_type").alias("id"),
+            F.concat(
+                F.lit("process "), F.col("event_type"), F.lit(" events quickly")
+            ).alias("strategy"),
+            "occurrence_count",
+            "success_count",
+            F.lit(None).cast(_sch.EMBEDDING).alias("embedding"),
+        )
+    )
+    out_empty = spark.createDataFrame(
+        [], "id string, strategy_used string, success boolean, embedding array<float>"
+    )
+    ap_empty = spark.createDataFrame(
+        [], "id string, pattern string, embedding array<float>"
+    )
+    conf = assess_strategies(
+        spark, CONF_STRATEGIES, CONF_CONTEXT, heur, ap_empty, out_empty, HashEmbedder()
+    ).select(
+        F.concat(F.lit("confidence:"), F.col("recommendation")).alias("method"),
+        F.col("strategy").alias("item_id"),
+        F.col("confidence_score").alias("score"),
+    )
+
+    cast_id = lambda df: df.withColumn("item_id", F.col("item_id").cast("string"))  # noqa: E731
     return (
-        feedback.select(F.lit("feedback").alias("method"), "*")
-        .unionByName(trusted.select(F.lit("trust").alias("method"), "*"))
-        .unionByName(boosted.select(F.lit("mode_boost").alias("method"), "*"))
+        cast_id(feedback).select(F.lit("feedback").alias("method"), "*")
+        .unionByName(cast_id(trusted).select(F.lit("trust").alias("method"), "*"))
+        .unionByName(cast_id(boosted).select(F.lit("mode_boost").alias("method"), "*"))
+        .unionByName(conf)
     )
 
 
