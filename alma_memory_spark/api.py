@@ -57,6 +57,12 @@ class AlmaToolSurface:
             "alma_search_hybrid": self._search_hybrid,
             "alma_assess_strategy": self._assess_strategy,
             "alma_rank_strategies": self._rank_strategies,
+            "alma_create_work_item": self._create_work_item,
+            "alma_update_work_item": self._update_work_item,
+            "alma_get_work_items": self._get_work_items,
+            "alma_get_next_work_item": self._get_next_work_item,
+            "alma_progress_summary": self._progress_summary,
+            "alma_log_progress": self._log_progress,
             "alma_store_trust_pattern": self._store_trust_pattern,
             "alma_get_trust_warnings": self._get_trust_warnings,
         }
@@ -241,6 +247,31 @@ class AlmaToolSurface:
                 strategies, context, agent, project_id
             )
         }
+
+    def _create_work_item(self, project_id: str, title: str, **kw) -> dict[str, Any]:
+        """ProgressTracker.create_work_item (progress/tracker.py:58-95)."""
+        return self.engine.create_work_item(project_id, title, **kw)
+
+    def _update_work_item(self, item_id: str, status: str, **kw) -> dict[str, Any]:
+        """ProgressTracker.update_status (progress/tracker.py:139-186)."""
+        return self.engine.update_work_item_status(item_id, status, **kw) or {
+            "error": f"work item not found: {item_id}"
+        }
+
+    def _get_work_items(self, **kw) -> dict[str, Any]:
+        return {"items": self.engine.get_work_items(**kw)}
+
+    def _get_next_work_item(self, agent: str | None = None,
+                            strategy: str = "priority") -> dict[str, Any]:
+        """ProgressTracker.get_next_item (progress/tracker.py:292-334)."""
+        return {"next": self.engine.get_next_work_item(agent, strategy)}
+
+    def _progress_summary(self, agent: str | None = None) -> dict[str, Any]:
+        return self.engine.get_progress_summary(agent)
+
+    def _log_progress(self, agent: str, session_id: str,
+                      current_action: str = "") -> dict[str, Any]:
+        return self.engine.log_progress(agent, session_id, current_action)
 
     # -- extended surface (remaining reference tools) -----------------
 

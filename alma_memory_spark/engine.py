@@ -806,6 +806,219 @@ class AlmaSpark:
         return self.rank_strategies([strategy], context, agent, project_id)[0]
 
     # ------------------------------------------------------------------
+    # progress tracking (reference: alma/progress/tracker.py + types.py)
+    # ------------------------------------------------------------------
+
+    def create_work_item(
+        self,
+        project_id: str,
+        title: str,
+        description: str = "",
+        item_type: str = "task",
+        agent: str | None = None,
+        priority: int = 50,
+        parent_id: str | None = None,
+        blocked_by: list[str] | None = None,
+        acceptance_criteria: list[str] | None = None,
+    ) -> dict[str, Any]:
+        """WorkItem.create (progress/types.py:66-88): status 'pending',
+        zero time/attempts."""
+        now = self._now()
+        row = {
+            "id": str(uuid.uuid4()),
+            "project_id": project_id,
+            "agent": agent,
+            "title": title,
+            "description": description,
+            "item_type": item_type,
+            "status": "pending",
+            "priority": priority,
+            "time_spent_ms": 0,
+            "attempt_count": 0,
+            "parent_id": parent_id,
+            "blocks": [],
+            "blocked_by": blocked_by or [],
+            "tests": [],
+            "tests_passing": False,
+            "acceptance_criteria": acceptance_criteria or [],
+            "created_at": now,
+            "updated_at": now,
+        }
+        self.store.append(
+            "work_items",
+            self.spark.createDataFrame([row], schemas.WORK_ITEMS),
+        )
+        return row
+
+    def update_work_item_status(
+        self,
+        item_id: str,
+        status: str,
+        notes: str | None = None,
+        tests_passing: bool = True,
+        blocked_by: str | None = None,
+    ) -> dict[str, Any] | None:
+        """Status transition with the reference's side effects
+        (progress/types.py:90-122, tracker.py:139-186):
+        -> in_progress stamps started_at and bumps attempt_count (only
+        on a real transition); -> done stamps completed_at, accumulates
+        time_spent_ms from started_at, records tests_passing;
+        -> blocked appends blocked_by + block_reason; -> failed records
+        failure_reason. The note lands in metadata (map<string,string>,
+        so the last note per kind is kept — the reference appends to a
+        JSON list, a deviation documented here)."""
+        rows = (
+            self.store.read("work_items").filter(F.col("id") == item_id).limit(1).collect()
+        )
+        if not rows:
+            return None
+        item = rows[0].asDict(recursive=True)
+        old = item["status"]
+        now = self._now()
+        item["status"] = status
+        item["updated_at"] = now
+        meta = dict(item.get("metadata") or {})
+        if status == "in_progress" and old != "in_progress":
+            item["started_at"] = now
+            item["attempt_count"] = (item.get("attempt_count") or 0) + 1
+        elif status == "done":
+            item["completed_at"] = now
+            item["tests_passing"] = tests_passing
+            if item.get("started_at") is not None:
+                # collect() returns session-local NAIVE datetimes;
+                # interpret in the local zone to subtract from the
+                # aware clock
+                started = item["started_at"]
+                if started.tzinfo is None:
+                    started = started.astimezone()
+                item["time_spent_ms"] = (item.get("time_spent_ms") or 0) + int(
+                    (now - started).total_seconds() * 1000
+                )
+        elif status == "blocked":
+            if blocked_by:
+                item["blocked_by"] = list(item.get("blocked_by") or []) + [blocked_by]
+            if notes:
+                meta["block_reason"] = notes
+        elif status == "failed":
+            if notes:
+                meta["failure_reason"] = notes
+        if notes:
+            meta["status_note"] = f"{old}->{status}: {notes}"
+        item["metadata"] = meta or None
+        self.store.upsert(
+            "work_items", self.spark.createDataFrame([item], schemas.WORK_ITEMS)
+        )
+        return item
+
+    def unblock_work_item(self, item_id: str) -> dict[str, Any] | None:
+        """blocked -> pending with blocked_by cleared (tracker.py:215-222)."""
+        rows = (
+            self.store.read("work_items").filter(F.col("id") == item_id).limit(1).collect()
+        )
+        if not rows or rows[0]["status"] != "blocked":
+            return None
+        item = rows[0].asDict(recursive=True)
+        item.update(status="pending", blocked_by=[], updated_at=self._now())
+        self.store.upsert(
+            "work_items", self.spark.createDataFrame([item], schemas.WORK_ITEMS)
+        )
+        return item
+
+    def get_work_items(
+        self,
+        project_id: str | None = None,
+        status: str | None = None,
+        agent: str | None = None,
+        item_type: str | None = None,
+        parent_id: str | None = None,
+    ) -> list[dict[str, Any]]:
+        df = self.store.read("work_items")
+        for col, val in (
+            ("project_id", project_id),
+            ("status", status),
+            ("agent", agent),
+            ("item_type", item_type),
+            ("parent_id", parent_id),
+        ):
+            if val is not None:
+                df = df.filter(F.col(col) == val)
+        return [r.asDict(recursive=True) for r in df.orderBy("created_at", "id").collect()]
+
+    def get_next_work_item(
+        self, agent: str | None = None, strategy: str = "priority"
+    ) -> dict[str, Any] | None:
+        from alma_memory_spark.operators import progress as PG
+
+        rows = PG.next_item(self.store.read("work_items"), agent, strategy).collect()
+        return rows[0].asDict(recursive=True) if rows else None
+
+    def get_progress_summary(self, agent: str | None = None) -> dict[str, Any]:
+        """ProgressSummary (tracker.py:338-395): the counts come from
+        ONE aggregation job; current/next/blockers are bounded
+        follow-ups (top-1 cuts and the blocked subset)."""
+        from alma_memory_spark.operators import progress as PG
+
+        items = self.store.read("work_items")
+        summary = PG.progress_summary(items, agent).collect()[0].asDict()
+        current = (
+            PG.for_agent(items, agent)
+            .filter(F.col("status") == "in_progress")
+            .orderBy("created_at", "id")
+            .limit(1)
+            .collect()
+        )
+        summary["current_item"] = current[0].asDict(recursive=True) if current else None
+        summary["next_suggested"] = self.get_next_work_item(agent)
+        summary["blockers"] = [
+            r.asDict(recursive=True)
+            for r in PG.for_agent(items, agent)
+            .filter(F.col("status") == "blocked")
+            .orderBy("created_at", "id")
+            .collect()
+        ]
+        return summary
+
+    def log_progress(
+        self, agent: str, session_id: str, current_action: str = "", project_id: str = ""
+    ) -> dict[str, Any]:
+        """Progress snapshot append (tracker.py:399-434)."""
+        s = self.get_progress_summary(agent)
+        row = {
+            "id": str(uuid.uuid4()),
+            "project_id": project_id,
+            "agent": agent,
+            "session_id": session_id,
+            "items_total": s["total"],
+            "items_done": s["done"],
+            "items_in_progress": s["in_progress"],
+            "items_blocked": s["blocked"],
+            "items_pending": s["pending"],
+            "current_item_id": (s["current_item"] or {}).get("id"),
+            "current_action": current_action,
+            "created_at": self._now(),
+        }
+        self.store.append(
+            "progress_logs", self.spark.createDataFrame([row], schemas.PROGRESS_LOGS)
+        )
+        return row
+
+    def get_progress_history(
+        self,
+        agent: str | None = None,
+        session_id: str | None = None,
+        limit: int = 10,
+    ) -> list[dict[str, Any]]:
+        df = self.store.read("progress_logs")
+        if agent is not None:
+            df = df.filter(F.col("agent") == agent)
+        if session_id is not None:
+            df = df.filter(F.col("session_id") == session_id)
+        return [
+            r.asDict(recursive=True)
+            for r in df.orderBy(F.desc("created_at"), F.asc("id")).limit(limit).collect()
+        ]
+
+    # ------------------------------------------------------------------
     # strength / artifacts / trust / verification / batch-learning
     # (reference: the remaining MCP tool surface, mcp/tools/__init__.py)
     # ------------------------------------------------------------------

@@ -156,6 +156,54 @@ _CONF_SQL = f"""
     FROM conf
     """
 
+# events -> work_items mapping shared by the Spark gate and the oracle
+_WI_STATUS_SQL = """CASE event_type WHEN 'purchase' THEN 'done'
+         WHEN 'error' THEN 'failed' WHEN 'click' THEN 'in_progress'
+         WHEN 'signup' THEN 'blocked' ELSE 'pending' END"""
+
+_PROGRESS_SQL = f"""
+    WITH wi AS (
+      SELECT CAST(event_id AS VARCHAR) AS id,
+             {_WI_STATUS_SQL} AS status,
+             CAST(floor(value * 1000) AS BIGINT) AS time_spent_ms,
+             CAST(event_id % 100 AS INT) AS priority,
+             ts AS created_at
+      FROM events
+    ),
+    s AS (
+      SELECT count(*) AS total,
+             count(*) FILTER (WHERE status = 'done') AS done,
+             count(*) FILTER (WHERE status = 'in_progress') AS in_progress,
+             count(*) FILTER (WHERE status = 'blocked') AS blocked,
+             count(*) FILTER (WHERE status = 'pending') AS pending,
+             count(*) FILTER (WHERE status = 'failed') AS failed,
+             sum(time_spent_ms) AS total_time_ms
+      FROM wi
+    )
+    SELECT 'progress' AS method, item_id, round(score, 6) AS score FROM (
+      SELECT 'total' AS item_id, total * 1.0 AS score FROM s
+      UNION ALL SELECT 'done', done * 1.0 FROM s
+      UNION ALL SELECT 'in_progress', in_progress * 1.0 FROM s
+      UNION ALL SELECT 'blocked', blocked * 1.0 FROM s
+      UNION ALL SELECT 'pending', pending * 1.0 FROM s
+      UNION ALL SELECT 'failed', failed * 1.0 FROM s
+      UNION ALL SELECT 'completion_rate',
+        CASE WHEN total > 0 THEN done / total ELSE 0.0 END FROM s
+      UNION ALL SELECT 'success_rate',
+        CASE WHEN done + failed > 0 THEN done / (done + failed) ELSE 0.0 END FROM s
+      UNION ALL SELECT 'total_time_ms', coalesce(total_time_ms, 0) * 1.0 FROM s
+      UNION ALL SELECT 'avg_time_per_item_ms',
+        CASE WHEN done > 0 THEN coalesce(total_time_ms, 0) / done ELSE 0.0 END FROM s
+    )
+    UNION ALL
+    SELECT 'progress:next', id, round(priority * 1.0, 6) FROM (
+      SELECT id, priority FROM wi
+      WHERE status IN ('pending', 'in_progress')
+      ORDER BY priority DESC, created_at ASC, id ASC
+      LIMIT 1
+    )
+    """
+
 _BLEND_SQL = f"""
     WITH scores AS (
       SELECT event_id, user_id,
@@ -217,6 +265,8 @@ _BLEND_SQL = f"""
     )
     UNION ALL
     SELECT method, item_id, score FROM ({_CONF_SQL})
+    UNION ALL
+    SELECT method, item_id, score FROM ({_PROGRESS_SQL})
     """
 
 
@@ -251,7 +301,15 @@ def blend_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL re-derivation. The embedding candidate stages run empty here
     (the frames carry NULL embeddings) so the sim tier exercises its
     0.3 novel-context floor; the cosine top-k join shape is
-    driver-attested by the ANN gates."""
+    driver-attested by the ANN gates.
+    'progress' / 'progress:next' rows — the REAL ProgressTracker
+    operators (operators/progress.py; reference alma/progress/
+    tracker.py:292-395) over work items derived from events: the
+    one-pass summary aggregation (per-status counts, completion and
+    success rates, time accounting) pivoted to (field, value) rows,
+    and the priority-strategy next-item selection (actionable filter +
+    TakeOrderedAndProject top-1), hash-checked against the SQL
+    re-derivation."""
     ev = _t(spark, sf_dir, "events")
     past = ev.filter(F.col("ts") <= _now())
     age = (_now().cast("double") - F.col("ts").cast("double")) / 86400.0
@@ -344,12 +402,48 @@ def blend_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("confidence_score").alias("score"),
     )
 
+    from alma_memory_spark.operators import progress as PG
+
+    wi = ev.select(
+        F.col("event_id").cast("string").alias("id"),
+        F.expr(_WI_STATUS_SQL).alias("status"),
+        F.floor(F.col("value") * 1000).cast("long").alias("time_spent_ms"),
+        (F.col("event_id") % 100).cast("int").alias("priority"),
+        F.col("ts").alias("created_at"),
+        F.col("ts").alias("updated_at"),
+        F.lit(None).cast("string").alias("agent"),
+        F.array().cast("array<string>").alias("blocked_by"),
+        F.array().cast("array<string>").alias("acceptance_criteria"),
+    )
+    summary_fields = [
+        "total", "done", "in_progress", "blocked", "pending", "failed",
+        "completion_rate", "success_rate", "total_time_ms",
+        "avg_time_per_item_ms",
+    ]
+    stack_args = ", ".join(
+        f"'{k}', CAST({k} AS DOUBLE)" for k in summary_fields
+    )
+    prog = (
+        PG.progress_summary(wi)
+        .selectExpr(f"stack({len(summary_fields)}, {stack_args}) AS (item_id, score)")
+        .select(
+            F.lit("progress").alias("method"), "item_id", _r6(F.col("score")).alias("score")
+        )
+    )
+    nxt = PG.next_item(wi, strategy="priority").select(
+        F.lit("progress:next").alias("method"),
+        F.col("id").alias("item_id"),
+        _r6(F.col("priority") * 1.0).alias("score"),
+    )
+
     cast_id = lambda df: df.withColumn("item_id", F.col("item_id").cast("string"))  # noqa: E731
     return (
         cast_id(feedback).select(F.lit("feedback").alias("method"), "*")
         .unionByName(cast_id(trusted).select(F.lit("trust").alias("method"), "*"))
         .unionByName(cast_id(boosted).select(F.lit("mode_boost").alias("method"), "*"))
         .unionByName(conf)
+        .unionByName(prog)
+        .unionByName(nxt)
     )
 
 

@@ -259,6 +259,51 @@ AGENT_TRUST = T.StructType(
     ]
 )
 
+# Progress tracking (reference: alma/progress/types.py WorkItem /
+# ProgressLog — the trackable-work-unit surface)
+WORK_ITEMS = T.StructType(
+    [
+        _f("id", T.StringType(), False),
+        _f("project_id", T.StringType(), False),
+        _f("agent", T.StringType()),
+        _f("title", T.StringType()),
+        _f("description", T.StringType()),
+        _f("item_type", T.StringType()),
+        _f("status", T.StringType()),  # pending|in_progress|blocked|review|done|failed
+        _f("priority", T.IntegerType()),  # 0-100
+        _f("started_at", T.TimestampType()),
+        _f("completed_at", T.TimestampType()),
+        _f("time_spent_ms", T.LongType()),
+        _f("attempt_count", T.IntegerType()),
+        _f("parent_id", T.StringType()),
+        _f("blocks", T.ArrayType(T.StringType())),
+        _f("blocked_by", T.ArrayType(T.StringType())),
+        _f("tests", T.ArrayType(T.StringType())),
+        _f("tests_passing", T.BooleanType()),
+        _f("acceptance_criteria", T.ArrayType(T.StringType())),
+        _f("created_at", T.TimestampType()),
+        _f("updated_at", T.TimestampType()),
+        _f("metadata", METADATA),
+    ]
+)
+
+PROGRESS_LOGS = T.StructType(
+    [
+        _f("id", T.StringType(), False),
+        _f("project_id", T.StringType(), False),
+        _f("agent", T.StringType()),
+        _f("session_id", T.StringType()),
+        _f("items_total", T.IntegerType()),
+        _f("items_done", T.IntegerType()),
+        _f("items_in_progress", T.IntegerType()),
+        _f("items_blocked", T.IntegerType()),
+        _f("items_pending", T.IntegerType()),
+        _f("current_item_id", T.StringType()),
+        _f("current_action", T.StringType()),
+        _f("created_at", T.TimestampType()),
+    ]
+)
+
 MEMORY_TABLES = {
     "heuristics": HEURISTICS,
     "outcomes": OUTCOMES,
@@ -280,6 +325,8 @@ ALL_TABLES = {
     "forget_audit": FORGET_AUDIT,
     "agent_trust": AGENT_TRUST,
     "artifacts": ARTIFACTS,
+    "work_items": WORK_ITEMS,
+    "progress_logs": PROGRESS_LOGS,
 }
 
 # Tables partitioned by (project_id, agent) on disk — the reference's two

@@ -1,0 +1,119 @@
+"""ProgressTracker parity (reference alma/progress/tracker.py +
+types.py): transition side effects, actionable semantics, the four
+next-item strategies, the summary aggregation, and progress logs."""
+
+from datetime import datetime, timedelta, timezone
+
+import pytest
+
+from alma_memory_spark.engine import AlmaSpark
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    now = [datetime(2024, 2, 15, tzinfo=timezone.utc)]
+    e = AlmaSpark(spark, str(tmp_path / "store"), clock=lambda: now[0])
+    e._test_now = now  # let tests advance the clock
+    return e
+
+
+def test_transitions_and_time_accounting(eng):
+    it = eng.create_work_item("p1", "implement parser", agent="a1", priority=80)
+    assert it["status"] == "pending" and it["attempt_count"] == 0
+
+    got = eng.update_work_item_status(it["id"], "in_progress")
+    assert got["attempt_count"] == 1 and got["started_at"] is not None
+    # repeated in_progress does NOT re-bump (types.py start() fires on
+    # transition only, tracker.py:164)
+    got = eng.update_work_item_status(it["id"], "in_progress")
+    assert got["attempt_count"] == 1
+
+    eng._test_now[0] += timedelta(seconds=90)
+    got = eng.update_work_item_status(it["id"], "done", tests_passing=True)
+    assert got["status"] == "done"
+    assert got["time_spent_ms"] == 90_000
+    assert got["tests_passing"] is True
+    assert got["completed_at"] is not None
+
+    assert eng.update_work_item_status("nope", "done") is None
+
+
+def test_block_unblock_and_actionable(eng):
+    a = eng.create_work_item("p1", "a", agent="a1")
+    b = eng.create_work_item("p1", "b", agent="a1")
+    eng.update_work_item_status(b["id"], "blocked", notes="waiting on a",
+                                blocked_by=a["id"])
+    items = {i["title"]: i for i in eng.get_work_items(project_id="p1")}
+    assert items["b"]["status"] == "blocked"
+    assert items["b"]["blocked_by"] == [a["id"]]
+    assert items["b"]["metadata"]["block_reason"] == "waiting on a"
+
+    # actionable excludes blocked (types.py:124-127)
+    nxt = eng.get_next_work_item(agent="a1")
+    assert nxt["id"] == a["id"]
+
+    assert eng.unblock_work_item(b["id"])["status"] == "pending"
+    assert eng.unblock_work_item(a["id"]) is None  # only blocked items
+
+
+def test_next_item_strategies(eng):
+    lo = eng.create_work_item("p1", "low", priority=10)
+    eng._test_now[0] += timedelta(seconds=1)
+    hi = eng.create_work_item("p1", "high", priority=90,
+                              acceptance_criteria=["x", "y", "z"])
+    eng._test_now[0] += timedelta(seconds=1)
+    quick = eng.create_work_item("p1", "quick", priority=50)
+    # 'low' blocks two other items -> wins blocked_unblock
+    eng.create_work_item("p1", "dep1", blocked_by=[lo["id"]])
+    eng.create_work_item("p1", "dep2", blocked_by=[lo["id"]])
+
+    assert eng.get_next_work_item(strategy="priority")["id"] == hi["id"]
+    assert eng.get_next_work_item(strategy="fifo")["id"] == lo["id"]
+    assert eng.get_next_work_item(strategy="blocked_unblock")["id"] == lo["id"]
+    # quick_win: fewest acceptance criteria, created_at tiebreak -> 'low'
+    assert eng.get_next_work_item(strategy="quick_win")["id"] == lo["id"]
+    with pytest.raises(ValueError, match="unknown strategy"):
+        eng.get_next_work_item(strategy="bogus")
+
+
+def test_summary_and_logs(eng):
+    a = eng.create_work_item("p1", "t1", agent="a1")
+    b = eng.create_work_item("p1", "t2", agent="a1")
+    c = eng.create_work_item("p1", "t3", agent="a1")
+    eng.create_work_item("p1", "other-agent", agent="zz")
+    eng.update_work_item_status(a["id"], "in_progress")
+    eng._test_now[0] += timedelta(seconds=10)
+    eng.update_work_item_status(a["id"], "done")
+    eng.update_work_item_status(b["id"], "failed", notes="flaky env")
+    eng.update_work_item_status(c["id"], "blocked", notes="infra")
+
+    s = eng.get_progress_summary(agent="a1")
+    assert (s["total"], s["done"], s["failed"], s["blocked"], s["pending"]) == (
+        3, 1, 1, 1, 0,
+    )
+    assert s["completion_rate"] == pytest.approx(1 / 3)
+    assert s["success_rate"] == pytest.approx(0.5)  # done/(done+failed)
+    assert s["total_time_ms"] == 10_000
+    assert s["avg_time_per_item_ms"] == pytest.approx(10_000.0)
+    assert s["current_item"] is None  # 'a' moved past in_progress
+    assert len(s["blockers"]) == 1 and s["blockers"][0]["id"] == c["id"]
+
+    log = eng.log_progress("a1", "sess-1", current_action="reviewing")
+    hist = eng.get_progress_history(agent="a1", session_id="sess-1")
+    assert len(hist) == 1
+    assert hist[0]["items_total"] == 3 and hist[0]["items_done"] == 1
+    assert log["current_action"] == "reviewing"
+
+
+def test_progress_tools(eng):
+    from alma_memory_spark.api import AlmaToolSurface
+
+    tools = AlmaToolSurface(eng)
+    it = tools.call("alma_create_work_item", project_id="p", title="w1",
+                    priority=70)
+    tools.call("alma_update_work_item", item_id=it["id"], status="in_progress")
+    out = tools.call("alma_get_next_work_item")
+    assert out["next"]["id"] == it["id"]
+    s = tools.call("alma_progress_summary")
+    assert s["in_progress"] == 1
+    assert "error" in tools.call("alma_update_work_item", item_id="x", status="done")
