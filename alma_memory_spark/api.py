@@ -57,6 +57,8 @@ class AlmaToolSurface:
             "alma_search_hybrid": self._search_hybrid,
             "alma_assess_strategy": self._assess_strategy,
             "alma_rank_strategies": self._rank_strategies,
+            "alma_start_session": self._start_session,
+            "alma_end_session": self._end_session,
             "alma_create_work_item": self._create_work_item,
             "alma_update_work_item": self._update_work_item,
             "alma_get_work_items": self._get_work_items,
@@ -247,6 +249,18 @@ class AlmaToolSurface:
                 strategies, context, agent, project_id
             )
         }
+
+    def _start_session(self, agent: str, project_id: str,
+                       goal: str | None = None,
+                       session_id: str | None = None) -> dict[str, Any]:
+        """SessionManager.start_session (session/manager.py:74-141)."""
+        return self.engine.start_session(agent, project_id, goal, session_id)
+
+    def _end_session(self, agent: str, project_id: str, last_action: str,
+                     **kw) -> dict[str, Any]:
+        """SessionManager.create_handoff at end (session/manager.py:214-273)."""
+        return {"handoff_id": self.engine.end_session(agent, project_id,
+                                                      last_action, **kw)}
 
     def _create_work_item(self, project_id: str, title: str, **kw) -> dict[str, Any]:
         """ProgressTracker.create_work_item (progress/tracker.py:58-95)."""

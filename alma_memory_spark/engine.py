@@ -1391,6 +1391,66 @@ class AlmaSpark:
         )
         return rows[0].asDict() if rows else None
 
+    def start_session(
+        self,
+        agent: str,
+        project_id: str,
+        goal: str | None = None,
+        session_id: str | None = None,
+    ) -> dict[str, Any]:
+        """SessionManager.start_session (reference alma/session/
+        manager.py:74-141): assemble the orientation context — previous
+        handoff, progress summary, recent outcomes, top heuristics —
+        and carry blockers forward. The reference's enricher hooks
+        (git status etc.) are serving-layer callables outside the
+        engine; the data assembly below is the Spark part."""
+        previous = self.get_latest_handoff(agent)
+        outcomes = (
+            self.store.read("outcomes")
+            .filter((F.col("agent") == agent) & (F.col("project_id") == project_id))
+            .orderBy(F.desc("timestamp"), F.asc("id"))
+            .limit(5)
+            .collect()
+        )
+        heuristics = (
+            self.store.read("heuristics")
+            .filter((F.col("agent") == agent) & (F.col("project_id") == project_id))
+            .orderBy(F.desc("confidence"), F.asc("id"))
+            .limit(5)
+            .collect()
+        )
+        return {
+            "project_id": project_id,
+            "agent": agent,
+            "session_id": session_id or str(uuid.uuid4()),
+            "previous_handoff": previous,
+            "current_goal": goal
+            or (previous or {}).get("last_action")
+            or "Unknown",
+            "carried_blockers": list((previous or {}).get("blockers") or []),
+            "progress": self.get_progress_summary(agent),
+            "recent_outcomes": [r.asDict(recursive=True) for r in outcomes],
+            "relevant_heuristics": [r.asDict(recursive=True) for r in heuristics],
+        }
+
+    def end_session(
+        self,
+        agent: str,
+        project_id: str,
+        last_action: str,
+        session_id: str | None = None,
+        **handoff_kwargs: Any,
+    ) -> str:
+        """SessionManager.create_handoff at session end
+        (manager.py:214-273): persist the compressed continuation state
+        and snapshot progress for the session."""
+        hid = self.save_handoff(agent, project_id, last_action, **handoff_kwargs)
+        if session_id is not None:
+            self.log_progress(
+                agent, session_id, current_action=last_action, project_id=project_id
+            )
+        return hid
+
     def record_workflow_outcome(
         self,
         workflow_id: str,

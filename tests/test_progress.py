@@ -117,3 +117,43 @@ def test_progress_tools(eng):
     s = tools.call("alma_progress_summary")
     assert s["in_progress"] == 1
     assert "error" in tools.call("alma_update_work_item", item_id="x", status="done")
+
+
+def test_session_lifecycle(eng):
+    """SessionManager parity (session/manager.py:74-273): start loads
+    the previous handoff, carries blockers, snapshots progress and
+    recent memories; end persists a handoff + progress log."""
+    # session 1: do work, end with a handoff carrying a blocker
+    it = eng.create_work_item("p1", "migration", agent="a1")
+    eng.update_work_item_status(it["id"], "in_progress")
+    eng.learn(agent="a1", task="run migration", outcome=True, project_id="p1",
+              strategy_used="run in batches", task_type="migration")
+    hid = eng.end_session(
+        "a1", "p1", last_action="paused migration", session_id="s1",
+        blockers=["waiting on dba approval"], next_steps=["resume batch 3"],
+    )
+    assert hid
+
+    # session 2: orientation context
+    ctx = eng.start_session("a1", "p1", session_id="s2")
+    assert ctx["previous_handoff"]["id"] == hid
+    assert ctx["carried_blockers"] == ["waiting on dba approval"]
+    assert ctx["current_goal"] == "paused migration"  # goal defaults to last action
+    assert ctx["progress"]["in_progress"] == 1
+    assert len(ctx["recent_outcomes"]) == 1
+    assert ctx["recent_outcomes"][0]["strategy_used"] == "run in batches"
+    # explicit goal wins
+    assert eng.start_session("a1", "p1", goal="finish it")["current_goal"] == "finish it"
+    # progress log was snapshotted at end_session
+    assert len(eng.get_progress_history(agent="a1", session_id="s1")) == 1
+
+
+def test_session_tools(eng):
+    from alma_memory_spark.api import AlmaToolSurface
+
+    tools = AlmaToolSurface(eng)
+    out = tools.call("alma_end_session", agent="a1", project_id="p",
+                     last_action="done for today")
+    assert out["handoff_id"]
+    ctx = tools.call("alma_start_session", agent="a1", project_id="p")
+    assert ctx["previous_handoff"]["last_action"] == "done for today"
