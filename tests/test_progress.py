@@ -157,3 +157,47 @@ def test_session_tools(eng):
     assert out["handoff_id"]
     ctx = tools.call("alma_start_session", agent="a1", project_id="p")
     assert ctx["previous_handoff"]["last_action"] == "done for today"
+
+
+def test_memory_stack_layers(eng, tmp_path):
+    """MemoryStack parity (context/memory_stack.py): wake_up = L0+L1,
+    recall auto-selection, budget-ordered to_prompt, token usage."""
+    from alma_memory_spark.context import MemoryStack
+
+    for i in range(3):
+        eng.add_knowledge("a1", "p1", "spark", f"broadcast joins beat shuffles {i}")
+    eng.add_preference("u1", "style", "prefer concise answers")
+
+    ident = tmp_path / "identity.txt"
+    ident.write_text("I am Helena, a careful QA agent.")
+    stack = MemoryStack(eng, agent="a1", project_id="p1",
+                        identity_path=str(ident))
+
+    out = stack.wake_up(domain="broadcast joins")
+    assert "## Identity" in out and "Helena" in out
+    assert "## Essential Story" in out
+    assert "[Domain Knowledge]" in out
+    assert "broadcast joins beat shuffles" in out
+
+    # default identity when no file
+    assert "No identity configured" in MemoryStack(eng, agent="a1").identity
+
+    # auto-selection: short query -> L2 on-demand header; long -> L3
+    l2 = stack.recall("broadcast joins", top_k=3)
+    assert l2.startswith("## On-Demand")
+    l3 = stack.recall(
+        "how should very large fact to fact joins be planned for skew", top_k=3
+    )
+    assert not l3.startswith("## On-Demand")
+
+    prompt = stack.to_prompt(max_tokens=2000)
+    assert prompt.index("## Identity") < prompt.index("## Essential Story")
+    assert "## On-Demand" in prompt
+
+    usage = stack.token_usage
+    assert usage["L0_identity"] > 0 and usage["L1_essential_story"] > 0
+    assert usage["total"] >= usage["L0_identity"] + usage["active_recalls"]
+
+    # tight budget: L0 always survives
+    tight = stack.to_prompt(max_tokens=usage["L0_identity"] + 5)
+    assert "## Identity" in tight and "## Essential Story" not in tight
