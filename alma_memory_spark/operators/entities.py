@@ -70,3 +70,62 @@ def detect_entities(
         .otherwise("concept")
     )
     return scored.withColumn("entity_type", etype)
+
+
+def extract_graph(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    entity_re: str = "[A-Z][a-z]+",
+    relation_type: str = "RELATED_TO",
+) -> tuple[DataFrame, DataFrame]:
+    """Text -> property graph: the deterministic batch form of the
+    reference's EntityExtractor (alma/graph/extraction.py:86-183). The
+    reference prompts an LLM per text and parses (entities,
+    relationships) JSON; that path stays env-gated like every LLM stage
+    here, and the scalable default derives the same graph shape from
+    sentence co-occurrence:
+
+        sentence split -> per-sentence entity sets (pattern entities,
+        entity_detector-style) -> unordered within-sentence pairs ->
+        relationship rows with co-occurrence weight.
+
+    Returns (entities, relationships):
+        entities:      (name, frequency)
+        relationships: (source, target, relation_type, weight, n_docs)
+    with source < target (unordered pairs, deterministic orientation).
+
+    Scale shape: two narrow explodes (sentence entity sets are tiny)
+    and two map-side-combinable aggregations — no joins, no windows;
+    the output feeds the graph store's vertices/edges tables
+    (operators/graph.py) directly.
+    """
+    sents = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(F.split(F.col(text_col), "[.!?]")).alias("sent"),
+    )
+    ents = sents.select(
+        "_doc",
+        F.array_distinct(
+            F.regexp_extract_all(F.col("sent"), F.lit(entity_re), 0)
+        ).alias("es"),
+    ).filter(F.size("es") > 0)
+    entities = (
+        ents.select(F.explode("es").alias("name"))
+        .groupBy("name")
+        .agg(F.count("*").alias("frequency"))
+    )
+    pairs = (
+        ents.select("_doc", F.explode("es").alias("source"), "es")
+        .select("_doc", "source", F.explode("es").alias("target"))
+        .filter(F.col("source") < F.col("target"))
+    )
+    relationships = (
+        pairs.groupBy("source", "target")
+        .agg(
+            F.count("*").alias("weight"),
+            F.countDistinct("_doc").alias("n_docs"),
+        )
+        .withColumn("relation_type", F.lit(relation_type))
+    )
+    return entities, relationships

@@ -443,6 +443,32 @@ def archive_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT 'Database', n5, CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'concept' FROM n
     )
+    UNION ALL
+    SELECT 'graph', source || '->' || target, weight, n_docs,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), 'RELATED_TO'
+    FROM (
+      SELECT p.a AS source, p.b AS target,
+             count(*) AS weight, count(DISTINCT doc_id) AS n_docs
+      FROM (
+        SELECT ge.doc_id, ua.a, ub.b
+        FROM (
+          SELECT doc_id,
+                 list_distinct(regexp_extract_all(sent, '{ENTITY_RE}')) AS es
+          FROM (
+            SELECT doc_id, unnest(string_split_regex(
+              text
+              || CASE WHEN doc_id % 3 = 0 THEN ' Helena said hello' ELSE '' END
+              || CASE WHEN doc_id % 4 = 0 THEN ' please use Spark version two' ELSE '' END
+              || CASE WHEN doc_id % 5 = 0 THEN ' about Vector Database design' ELSE '' END,
+              '[.!?]')) AS sent
+            FROM documents
+          )
+          WHERE len(regexp_extract_all(sent, '{ENTITY_RE}')) > 0
+        ) ge, LATERAL unnest(ge.es) AS ua(a), LATERAL unnest(ge.es) AS ub(b)
+        WHERE ua.a < ub.b
+      ) p
+      GROUP BY p.a, p.b
+    )
     """,
 )
 def entity_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -513,4 +539,22 @@ def entity_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("project_signals").cast("long").alias("project_signals"),
         "entity_type",
     )
-    return candidates.unionByName(full)
+    # 'graph' rows — text -> property-graph extraction over the same
+    # injected corpus (reference: alma/graph/extraction.py:86-183, the
+    # LLM provider env-gated; deterministic sentence co-occurrence is
+    # the batch default): within-sentence entity pairs become
+    # RELATED_TO edges with co-occurrence weight + doc reach, oracled
+    # by the same unnest derivation in DuckDB.
+    from alma_memory_spark.operators.entities import extract_graph
+
+    _, rels = extract_graph(docs.select("doc_id", text2.alias("text")))
+    graph = rels.select(
+        F.lit("graph").alias("stage"),
+        F.concat(F.col("source"), F.lit("->"), F.col("target")).alias("name"),
+        F.col("weight").cast("long").alias("frequency"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.lit(None).cast("long").alias("person_signals"),
+        F.lit(None).cast("long").alias("project_signals"),
+        F.col("relation_type").alias("entity_type"),
+    )
+    return candidates.unionByName(full).unionByName(graph)

@@ -434,3 +434,34 @@ def test_maintenance_reindexes_text_after_prune(spark, tmp_path):
     assert res.success and res.deleted["domain_knowledge"] == 2
     assert res.reindexed == {"domain_knowledge": 2}
     assert InvertedTextIndex.load(spark, eng._text_index_path("domain_knowledge")).n_docs == 2
+
+
+def test_extract_graph_cooccurrence(spark):
+    """extract_graph: sentence-scoped co-occurrence (entities in
+    DIFFERENT sentences of one doc must NOT pair), deterministic
+    source<target orientation, weight and doc-reach counts."""
+    from alma_memory_spark.operators.entities import extract_graph
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Helena met Victor. Spark was mentioned alone."),
+            (2, "Helena met Victor again! later Helena praised Spark."),
+            (3, "nothing capitalized here."),
+        ],
+        "doc_id long, text string",
+    )
+    entities, rels = extract_graph(docs)
+    e = {r["name"]: r["frequency"] for r in entities.collect()}
+    # Helena: doc1 s1, doc2 s1, doc2 s2 -> 3 sentence appearances
+    assert e == {"Helena": 3, "Victor": 2, "Spark": 2}
+
+    r = {
+        (x["source"], x["target"]): (x["weight"], x["n_docs"], x["relation_type"])
+        for x in rels.collect()
+    }
+    # Helena-Victor co-occur in doc1 s1 and doc2 s1; Helena-Spark only
+    # in doc2 s2; Victor-Spark NEVER share a sentence
+    assert r == {
+        ("Helena", "Victor"): (2, 2, "RELATED_TO"),
+        ("Helena", "Spark"): (1, 1, "RELATED_TO"),
+    }
