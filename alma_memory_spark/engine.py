@@ -78,6 +78,12 @@ class AlmaSpark:
         self._cache_lock = threading.RLock()
         self._epoch = 0
         self._clock = clock
+        # memory event system (reference alma/events/): write paths
+        # emit typed events; the zero-subscriber fast path is one dict
+        # lookup (storage_mixin.py:68-89)
+        from alma_memory_spark.events import EventEmitter
+
+        self.events = EventEmitter()
 
     # ------------------------------------------------------------------
     # helpers
@@ -394,7 +400,41 @@ class AlmaSpark:
                 adf = self._anti_pattern_rows(arows)
                 self.store.upsert("anti_patterns", adf)
                 result["anti_patterns"] = [r["id"] for r in arows]
+        self._emit("OUTCOME_RECORDED", agent, project_id, "outcomes", row["id"],
+                   {"success": outcome, "task_type": row["task_type"]})
+        for hid in result.get("heuristics", []):
+            self._emit("HEURISTIC_FORMED", agent, project_id, "heuristics", hid)
+        for aid in result.get("anti_patterns", []):
+            self._emit("ANTIPATTERN_DETECTED", agent, project_id, "anti_patterns", aid)
         return result
+
+    def _emit(
+        self,
+        kind: str,
+        agent: str,
+        project_id: str | None,
+        memory_type: str | None = None,
+        memory_id: str | None = None,
+        payload: dict[str, Any] | None = None,
+    ) -> None:
+        """Emit a memory event if anyone is listening (the reference's
+        _should_emit guard, storage_mixin.py:68-89)."""
+        from alma_memory_spark.events import MemoryEvent, MemoryEventType
+
+        et = MemoryEventType[kind]
+        if not self.events.has_subscribers(et):
+            return
+        self.events.emit(
+            MemoryEvent(
+                event_type=et,
+                agent=agent,
+                project_id=project_id or "",
+                memory_type=memory_type,
+                memory_id=memory_id,
+                timestamp=self._now(),
+                payload=payload or {},
+            )
+        )
 
     def _heuristic_rows(self, rows) -> DataFrame:
         now = self._now()
@@ -491,6 +531,8 @@ class AlmaSpark:
             ),
         )
         self._invalidate_cache()
+        self._emit("KNOWLEDGE_ADDED", agent, project_id, "domain_knowledge", kid,
+                   {"domain": domain})
         return kid
 
     def add_preference(
@@ -518,6 +560,8 @@ class AlmaSpark:
             ),
         )
         self._invalidate_cache()
+        self._emit("PREFERENCE_ADDED", user_id, None, "preferences", pid,
+                   {"category": category})
         return pid
 
     def record_feedback(
@@ -583,6 +627,8 @@ class AlmaSpark:
             return 0
         n = self.store.delete(table, F.col("id").isin(ids), reason=reason, memory_type=table)
         self._invalidate_cache()
+        self._emit("DELETED", "", project_id, table, None,
+                   {"count": n, "reason": reason})
         return n
 
     def consolidate(self, table: str, project_id: str, threshold: float = 0.85) -> int:
@@ -594,6 +640,8 @@ class AlmaSpark:
             new = rest.unionByName(survivors).unionByName(merged)
             self.store.overwrite(table, new)
             self._invalidate_cache()
+            self._emit("CONSOLIDATED", "", project_id, table, None,
+                       {"merged": n_merged})
         return n_merged
 
     def stats(self, project_id: str | None = None) -> dict[str, int]:
