@@ -57,6 +57,7 @@ class AlmaToolSurface:
             "alma_search_hybrid": self._search_hybrid,
             "alma_assess_strategy": self._assess_strategy,
             "alma_rank_strategies": self._rank_strategies,
+            "alma_learn_from_conversation": self._learn_from_conversation,
             "alma_start_session": self._start_session,
             "alma_end_session": self._end_session,
             "alma_create_work_item": self._create_work_item,
@@ -248,6 +249,21 @@ class AlmaToolSurface:
             "ranked": self.engine.rank_strategies(
                 strategies, context, agent, project_id
             )
+        }
+
+    def _learn_from_conversation(self, messages: list, agent: str,
+                                 project_id: str,
+                                 user_id: str | None = None,
+                                 commit: bool = True) -> dict[str, Any]:
+        """AutoLearner.learn_from_conversation (auto_learner.py:68-173)."""
+        out = self.engine.learn_from_conversation(
+            messages, agent, project_id, user_id=user_id, commit=commit
+        )
+        # fact rows are plain dicts already; trim to the summary shape
+        return {k: out[k] for k in
+                ("extracted_count", "valid_count", "committed_count",
+                 "rejected_count")} | {
+            "committed_ids": [c["id"] for c in out["committed"]]
         }
 
     def _start_session(self, agent: str, project_id: str,

@@ -854,6 +854,134 @@ class AlmaSpark:
         return self.rank_strategies([strategy], context, agent, project_id)[0]
 
     # ------------------------------------------------------------------
+    # automatic conversation learning (reference: alma/extraction/
+    # auto_learner.py + extractor.py + types.py MemoryScope)
+    # ------------------------------------------------------------------
+
+    def learn_from_conversation(
+        self,
+        messages: list[dict[str, str]],
+        agent: str,
+        project_id: str,
+        user_id: str | None = None,
+        scope: Any | None = None,
+        commit: bool = True,
+        min_confidence: float = 0.5,
+    ) -> dict[str, Any]:
+        """AutoLearner.learn_from_conversation (auto_learner.py:68-173)
+        on the rule-based extractor (the LLM extractor stays env-gated):
+        extract -> confidence + scope filter -> per-fact-type commit
+        routing (heuristic -> heuristics upsert, anti_pattern ->
+        anti_patterns, preference -> add_preference when user_id given,
+        domain_knowledge/outcome -> add_knowledge). The extraction runs
+        the SAME batch operator used for corpus-scale chat mining
+        (operators/auto_learn.py) on a frame of this conversation."""
+        from alma_memory_spark.operators.auto_learn import (
+            extract_facts,
+            filter_by_scope,
+        )
+
+        mdf = self.spark.createDataFrame(
+            [
+                (i, m.get("role", "user"), m.get("content", ""))
+                for i, m in enumerate(messages)
+            ],
+            "msg_idx int, role string, content string",
+        )
+        facts = extract_facts(mdf)
+        valid_df, rejected_df = filter_by_scope(facts, scope, min_confidence)
+        valid = [r.asDict() for r in valid_df.orderBy("msg_idx", "fact_type").collect()]
+        rejected = [
+            r.asDict() for r in rejected_df.orderBy("msg_idx", "fact_type").collect()
+        ]
+
+        committed: list[dict[str, Any]] = []
+        if commit:
+            now = self._now()
+            for f in valid:
+                fid = None
+                if f["fact_type"] == "heuristic":
+                    fid = self._new_id("heur")
+                    self.store.upsert(
+                        "heuristics",
+                        self._rows_df(
+                            "heuristics",
+                            [
+                                {
+                                    "id": fid,
+                                    "agent": agent,
+                                    "project_id": project_id,
+                                    "condition": f["fact_content"],
+                                    "strategy": f["fact_content"],
+                                    "confidence": f["confidence"],
+                                    "occurrence_count": 1,
+                                    "success_count": 1,
+                                    "last_validated": now,
+                                    "created_at": now,
+                                    "verification_status": None,
+                                    "embedding": self.embedder.encode(
+                                        f["fact_content"]
+                                    ),
+                                    "metadata": {"source": "auto_extraction"},
+                                }
+                            ],
+                        ),
+                    )
+                elif f["fact_type"] == "anti_pattern":
+                    fid = self._new_id("ap")
+                    self.store.upsert(
+                        "anti_patterns",
+                        self._rows_df(
+                            "anti_patterns",
+                            [
+                                {
+                                    "id": fid,
+                                    "agent": agent,
+                                    "project_id": project_id,
+                                    "pattern": f["fact_content"],
+                                    "why_bad": None,
+                                    "better_alternative": None,
+                                    "occurrence_count": 1,
+                                    "last_seen": now,
+                                    "created_at": now,
+                                    "verification_status": None,
+                                    "embedding": self.embedder.encode(
+                                        f["fact_content"]
+                                    ),
+                                    "metadata": {"source": "auto_extraction"},
+                                }
+                            ],
+                        ),
+                    )
+                elif f["fact_type"] == "preference":
+                    if user_id:
+                        fid = self.add_preference(
+                            user_id, "general", f["fact_content"],
+                            source="auto_extraction",
+                        )
+                else:  # domain_knowledge / outcome fall back to knowledge
+                    fid = self.add_knowledge(
+                        agent,
+                        project_id,
+                        f.get("inferred_domain") or "general",
+                        f["fact_content"],
+                        source="auto_extraction",
+                    )
+                if fid:
+                    committed.append({"fact": f, "id": fid})
+            if committed:
+                self._invalidate_cache()
+        return {
+            "extracted_count": len(valid) + len(rejected),
+            "valid_count": len(valid),
+            "committed_count": len(committed),
+            "rejected_count": len(rejected),
+            "committed": committed,
+            "rejected": rejected,
+            "valid_facts": valid,
+        }
+
+    # ------------------------------------------------------------------
     # progress tracking (reference: alma/progress/tracker.py + types.py)
     # ------------------------------------------------------------------
 
