@@ -587,6 +587,41 @@ class AlmaSpark:
             ),
         )
 
+    def record_usage(
+        self,
+        retrieved_memory_ids: list[str],
+        used_memory_ids: list[str],
+        memory_type: str,
+        agent: str,
+        query: str = "",
+        project_id: str | None = None,
+    ) -> list[str]:
+        """Mark each retrieved memory USED or IGNORED (reference
+        core.py:1325-1368). ONE batch append instead of the reference's
+        per-id save loop — usage marking after a top-k retrieval is a
+        k-row write, and at stream scale the same frame shape feeds the
+        foreachBatch sink."""
+        used = set(used_memory_ids)
+        now = self._now()
+        rows = [
+            {
+                "id": self._new_id("fb"),
+                "memory_id": mid,
+                "memory_type": memory_type,
+                "query": query,
+                "agent": agent,
+                "project_id": project_id,
+                "signal": "used" if mid in used else "ignored",
+                "timestamp": now,
+            }
+            for mid in retrieved_memory_ids
+        ]
+        if rows:
+            self.store.append(
+                "retrieval_feedback", self._rows_df("retrieval_feedback", rows)
+            )
+        return [r["id"] for r in rows]
+
     # ------------------------------------------------------------------
     # lifecycle
     # ------------------------------------------------------------------
@@ -1193,6 +1228,128 @@ class AlmaSpark:
             r.asDict(recursive=True)
             for r in df.orderBy(F.desc("created_at"), F.asc("id")).limit(limit).collect()
         ]
+
+    # ------------------------------------------------------------------
+    # reference-facade parity: constructors, aliases, scoped retrieval
+    # (alma/core.py public surface — a reference user's call sites work
+    # verbatim against this engine)
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def quickstart(
+        cls,
+        project_id: str = "my-project",
+        storage_dir: str = ".alma",
+        agent: str | None = None,
+        spark: SparkSession | None = None,
+    ) -> "AlmaSpark":
+        """Zero-config constructor (core.py:93-163): local store dir +
+        the deterministic hash embedder; the SQLite file becomes a
+        ParquetStore under storage_dir. `agent` is accepted for
+        signature parity (scoping here is per-call)."""
+        from alma_memory_spark.session import get_spark
+
+        eng = cls(spark or get_spark("alma-quickstart"), os.path.join(storage_dir, "store"))
+        eng.default_project_id = project_id
+        eng.default_agent = agent
+        return eng
+
+    @classmethod
+    def from_config(
+        cls, config_path: str, spark: SparkSession | None = None
+    ) -> "AlmaSpark":
+        """Config-file constructor (core.py:165-231 + config/loader.py):
+        reads the reference's .alma/config.yaml shape — project_id,
+        storage.path, retrieval.feedback_weight — and env-gates the
+        real-model embedding providers exactly like the runtime does."""
+        import yaml
+
+        from alma_memory_spark.session import get_spark
+
+        with open(config_path, encoding="utf-8") as f:
+            cfg = yaml.safe_load(f) or {}
+        storage = cfg.get("storage") or {}
+        root = storage.get("path") or os.path.join(
+            os.path.dirname(os.path.abspath(config_path)), "store"
+        )
+        retrieval = cfg.get("retrieval") or {}
+        eng = cls(
+            spark or get_spark(cfg.get("project_id", "alma")),
+            root,
+            feedback_weight=float(retrieval.get("feedback_weight", 0.15)),
+        )
+        eng.default_project_id = cfg.get("project_id")
+        return eng
+
+    def add_domain_knowledge(self, agent: str, domain: str, fact: str,
+                             source: str = "user_stated", confidence: float = 0.9,
+                             project_id: str | None = None) -> str:
+        """core.py name for add_knowledge (project defaults to the
+        constructor-bound one when present)."""
+        return self.add_knowledge(
+            agent,
+            project_id or getattr(self, "default_project_id", None) or "default",
+            domain, fact, source, confidence,
+        )
+
+    def add_user_preference(self, user_id: str, category: str, preference: str,
+                            source: str = "explicit_instruction") -> str:
+        """core.py name for add_preference."""
+        return self.add_preference(user_id, category, preference, source)
+
+    def get_stats(self, project_id: str | None = None) -> dict[str, int]:
+        """core.py name for stats()."""
+        return self.stats(project_id)
+
+    def get_resume_point(
+        self, run_id: str, branch_id: str | None = None
+    ) -> dict[str, Any] | None:
+        """core.py:600-616 name for resume()."""
+        return self.resume(run_id, branch_id)
+
+    def learn_from_workflow(self, workflow_id: str, run_id: str, agent: str,
+                            project_id: str, result: str, **kw: Any) -> str:
+        """core.py name for record_workflow_outcome."""
+        return self.record_workflow_outcome(
+            workflow_id, run_id, agent, project_id, result, **kw
+        )
+
+    def retrieve_with_scope(
+        self,
+        task: str,
+        agent: str,
+        context: dict[str, Any],
+        scope: str = "agent",
+        user_id: str | None = None,
+        top_k: int = 5,
+        project_id: str | None = None,
+    ) -> MemorySlice:
+        """core.py:851-925: retrieve + workflow-scope annotation. The
+        reference's storage scope filter is a documented no-op for
+        memory tables (sqlite_local.py:1971-1995 — only
+        workflow_outcomes carries the columns; get_workflow_outcomes
+        applies the real cascade there), so the slice here carries the
+        same metadata the reference attaches: the scope level and the
+        ScopeFilter derived from the WorkflowContext dict
+        (workflow/context.py:128-158 cascade)."""
+        filt: dict[str, Any] = {}
+        if scope != "global":
+            filt["tenant_id"] = context.get("tenant_id")
+        if scope in ("workflow", "run", "node"):
+            filt["workflow_id"] = context.get("workflow_id")
+        if scope in ("run", "node"):
+            filt["run_id"] = context.get("run_id")
+        if scope == "node":
+            filt["node_id"] = context.get("node_id")
+        sl = self.retrieve(
+            task,
+            agent,
+            project_id or getattr(self, "default_project_id", None),
+            user_id=user_id,
+            top_k=top_k,
+        )
+        sl.metadata = {"scope": scope, "scope_filter": filt, "context": dict(context)}
+        return sl
 
     # ------------------------------------------------------------------
     # strength / artifacts / trust / verification / batch-learning

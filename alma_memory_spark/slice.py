@@ -59,6 +59,7 @@ class MemorySlice:
     agent: str = ""
     retrieval_time_ms: float = 0.0
     mode: str | None = None
+    metadata: dict[str, Any] | None = None  # scope annotations etc.
 
     def total(self) -> int:
         return (

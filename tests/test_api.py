@@ -188,3 +188,60 @@ def test_embedding_dim_validation(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="dimension mismatch"):
         eng.validate_embedding_dim(bad)
+
+
+def test_reference_facade_parity_aliases(spark, tmp_path):
+    """A reference user's core.py call sites work verbatim: quickstart /
+    from_config constructors, name aliases, record_usage batch marking,
+    retrieve_with_scope metadata annotation (core.py:93-1368)."""
+    from datetime import datetime, timezone
+
+    from alma_memory_spark.engine import AlmaSpark
+
+    eng = AlmaSpark.quickstart(
+        project_id="proj-q", storage_dir=str(tmp_path / "qs"), spark=spark
+    )
+    kid = eng.add_domain_knowledge("a1", "perf", "caching helps latency")
+    assert kid and eng.default_project_id == "proj-q"
+    # default_project_id flows into the alias
+    assert eng.store.read("domain_knowledge").collect()[0]["project_id"] == "proj-q"
+    pid = eng.add_user_preference("u1", "style", "be terse")
+    assert pid
+    assert eng.get_stats()["domain_knowledge"] == 1
+
+    cfg = tmp_path / "config.yaml"
+    cfg.write_text(
+        "project_id: proj-c\n"
+        f"storage:\n  path: {tmp_path / 'cfg_store'}\n"
+        "retrieval:\n  feedback_weight: 0.25\n"
+    )
+    eng2 = AlmaSpark.from_config(str(cfg), spark=spark)
+    assert eng2.feedback_weight == 0.25
+    assert eng2.default_project_id == "proj-c"
+
+    # record_usage: one batch append, used/ignored split
+    ids = eng.record_usage(
+        ["m1", "m2", "m3"], ["m2"], memory_type="heuristics", agent="a1",
+        query="q", project_id="proj-q",
+    )
+    assert len(ids) == 3
+    fb = {r["memory_id"]: r["signal"] for r in eng.store.read("retrieval_feedback").collect()}
+    assert fb == {"m1": "ignored", "m2": "used", "m3": "ignored"}
+
+    # checkpoint alias
+    eng.checkpoint("r1", "n1", '{"x": 1}', sequence_number=1)
+    assert eng.get_resume_point("r1")["node_id"] == "n1"
+
+    # workflow alias
+    wid = eng.learn_from_workflow("wf1", "r1", "a1", "proj-q", "success")
+    assert wid
+
+    # scoped retrieval carries the cascade metadata
+    ctx = {"tenant_id": "t1", "workflow_id": "wf1", "run_id": "r1", "node_id": "n1"}
+    sl = eng.retrieve_with_scope("caching question", "a1", ctx, scope="run")
+    assert sl.metadata["scope"] == "run"
+    assert sl.metadata["scope_filter"] == {
+        "tenant_id": "t1", "workflow_id": "wf1", "run_id": "r1",
+    }
+    assert eng.retrieve_with_scope("q", "a1", ctx, scope="global").metadata[
+        "scope_filter"] == {}
