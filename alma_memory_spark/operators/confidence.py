@@ -110,20 +110,30 @@ def _complexity_flag(col: F.Column) -> F.Column:
     return F.when(hits >= 2, F.lit(0.4)).otherwise(F.lit(0.0))
 
 
-def _topk_per_strategy(
-    strategies: DataFrame, table: DataFrame, qvec_col: str, k: int
-) -> DataFrame:
-    """Per-strategy cosine top-k against one memory table: broadcast the
-    strategy list, rank per sid. Returns table columns + (sid, strategy,
-    _rank)."""
-    joined = (
-        table.filter(F.col("embedding").isNotNull())
-        .crossJoin(F.broadcast(strategies))
-        .withColumn("_sim", cosine_similarity("embedding", F.col(qvec_col)))
+def _sim_ranks(table: DataFrame, strategies: DataFrame) -> DataFrame:
+    """One crossJoin of a memory table against the broadcast strategy
+    list, with BOTH retrieval rankings attached: `rq` ranks by cosine to
+    the strategy+context query vector, `rc` by cosine to the context
+    vector. The two row_numbers share the `sid` partition key, so this
+    is ONE shuffle per table no matter how many signals read the ranks.
+    Null-embedding rows sort last, so `r* <= k AND sim_* IS NOT NULL`
+    selects exactly the top-k embedded rows (the reference retrieves
+    per strategy; this is the batch equivalent)."""
+    j = table.crossJoin(F.broadcast(strategies)).select(
+        "*",
+        F.when(
+            F.col("embedding").isNotNull(),
+            cosine_similarity("embedding", F.col("qvec")),
+        ).alias("_sq"),
+        F.when(
+            F.col("embedding").isNotNull(),
+            cosine_similarity("embedding", F.col("cvec")),
+        ).alias("_sc"),
     )
-    w = W.partitionBy("sid").orderBy(F.desc("_sim"), F.asc("id"))
-    return joined.withColumn("_rank", F.row_number().over(w)).filter(
-        F.col("_rank") <= k
+    wq = W.partitionBy("sid").orderBy(F.desc_nulls_last("_sq"), F.asc("id"))
+    wc = W.partitionBy("sid").orderBy(F.desc_nulls_last("_sc"), F.asc("id"))
+    return j.withColumn("rq", F.row_number().over(wq)).withColumn(
+        "rc", F.row_number().over(wc)
     )
 
 
@@ -149,99 +159,84 @@ def assess_strategies(
         rows, "sid int, strategy string, qvec array<float>, cvec array<float>"
     )
 
-    # --- historical: best is_similar heuristic by occurrence_count ----
-    # (rename the table's strategy column first: it collides with the
-    # candidate strategy column)
+    # ONE pass per memory table: each crossJoin carries both retrieval
+    # rankings (shared sid shuffle) and every signal that table feeds
+    # comes out of a single groupBy — 3 sub-plans instead of 6, and the
+    # per-strategy aggregates (bounded by the driver-provided strategy
+    # list at ANY corpus scale) broadcast into the assembly.
+
+    # --- heuristics: historical best-match + context match + proven ---
     h = heuristics.withColumnRenamed("strategy", "h_strategy")
-    h_match = (
-        h.crossJoin(F.broadcast(sdf.select("sid", "strategy")))
-        .filter(is_similar_expr(F.col("strategy"), F.col("h_strategy")))
+    hj = _sim_ranks(h, sdf)
+    hm = is_similar_expr(F.col("strategy"), F.col("h_strategy"))
+    # best is_similar heuristic by occurrence_count, id-asc tiebreak
+    wb = W.partitionBy("sid").orderBy(
+        F.desc(hm.cast("int")), F.desc("occurrence_count"), F.asc("id")
     )
-    w_best = W.partitionBy("sid").orderBy(F.desc("occurrence_count"), F.asc("id"))
-    hist = (
-        h_match.withColumn("_r", F.row_number().over(w_best))
-        .filter(F.col("_r") == 1)
-        .select(
-            "sid",
-            F.col("occurrence_count").alias("occurrences"),
+    hj = hj.withColumn("rb", F.row_number().over(wb))
+    rate = F.col("success_count") / F.col("occurrence_count")
+    h_sig = hj.groupBy("sid").agg(
+        F.max(
+            F.when(hm & (F.col("rb") == 1), F.col("occurrence_count"))
+        ).alias("occurrences"),
+        F.max(
             F.when(
-                F.col("occurrence_count") > 0,
-                F.col("success_count") / F.col("occurrence_count"),
+                hm & (F.col("rb") == 1) & (F.col("occurrence_count") > 0), rate
             )
-            .otherwise(F.lit(0.0))
-            .alias("historical_rate"),
-        )
-    )
-
-    # --- context retrieve (top-5 on the CONTEXT query, engine.py:384) --
-    out_top5 = _topk_per_strategy(
-        sdf.select("sid", "strategy", F.col("cvec").alias("q")),
-        outcomes.withColumnRenamed("strategy_used", "o_strategy"),
-        "q",
-        5,
-    )
-    heu_top5 = _topk_per_strategy(
-        sdf.select("sid", "strategy", F.col("cvec").alias("q")), h, "q", 5
-    )
-    sim_o = out_top5.groupBy("sid").agg(
+        ).alias("historical_rate"),
         F.max(
-            F.when(is_similar_expr(F.col("strategy"), F.col("o_strategy")), 1).otherwise(0)
-        ).alias("o_match"),
-        F.count("*").alias("o_n"),
-    )
-    sim_h = heu_top5.groupBy("sid").agg(
-        F.max(
-            F.when(is_similar_expr(F.col("strategy"), F.col("h_strategy")), 1).otherwise(0)
+            F.when((F.col("rc") <= 5) & F.col("_sc").isNotNull() & hm, 1).otherwise(0)
         ).alias("h_match"),
-        F.count("*").alias("h_n"),
+        F.count(
+            F.when((F.col("rc") <= 5) & F.col("_sc").isNotNull(), 1)
+        ).alias("h_n"),
+        F.max(
+            F.when(
+                (F.col("rq") <= 3)
+                & F.col("_sq").isNotNull()
+                & (F.col("occurrence_count") >= MIN_OCC_FOR_CONFIDENCE)
+                & (rate >= PROVEN_RATE),
+                F.least(F.lit(0.9), rate),
+            ).otherwise(0.0)
+        ).alias("proven_opp"),
     )
 
-    # --- strategy-query retrieve (top-k on strategy + context) --------
-    ap_top = _topk_per_strategy(
-        sdf.select("sid", "strategy", F.col("qvec").alias("q")), anti_patterns, "q", 3
-    )
-    risk_ap = ap_top.groupBy("sid").agg(
+    # --- outcomes: context match + recent successes -------------------
+    oj = _sim_ranks(outcomes.withColumnRenamed("strategy_used", "o_strategy"), sdf)
+    om = is_similar_expr(F.col("strategy"), F.col("o_strategy"))
+    o_sig = oj.groupBy("sid").agg(
         F.max(
-            F.when(is_similar_expr(F.col("strategy"), F.col("pattern")), 0.7).otherwise(0.0)
+            F.when((F.col("rc") <= 5) & F.col("_sc").isNotNull() & om, 1).otherwise(0)
+        ).alias("o_match"),
+        F.count(
+            F.when((F.col("rc") <= 5) & F.col("_sc").isNotNull(), 1)
+        ).alias("o_n"),
+        F.max(
+            F.when(
+                (F.col("rq") <= top_k) & F.col("_sq").isNotNull() & F.col("success"),
+                0.6,
+            ).otherwise(0.0)
+        ).alias("recent_opp"),
+    )
+
+    # --- anti-patterns: similar-failure risk --------------------------
+    aj = _sim_ranks(anti_patterns, sdf)
+    a_sig = aj.groupBy("sid").agg(
+        F.max(
+            F.when(
+                (F.col("rq") <= 3)
+                & F.col("_sq").isNotNull()
+                & is_similar_expr(F.col("strategy"), F.col("pattern")),
+                0.7,
+            ).otherwise(0.0)
         ).alias("ap_risk")
     )
-    heu_topq = _topk_per_strategy(
-        sdf.select("sid", "strategy", F.col("qvec").alias("q")), h, "q", 3
-    )
-    opp_proven = heu_topq.groupBy("sid").agg(
-        F.max(
-            F.when(
-                (F.col("occurrence_count") >= MIN_OCC_FOR_CONFIDENCE)
-                & (
-                    F.col("success_count") / F.col("occurrence_count")
-                    >= PROVEN_RATE
-                ),
-                F.least(
-                    F.lit(0.9),
-                    F.col("success_count") / F.col("occurrence_count"),
-                ),
-            ).otherwise(0.0)
-        ).alias("proven_opp")
-    )
-    out_topq = _topk_per_strategy(
-        sdf.select("sid", "strategy", F.col("qvec").alias("q")),
-        outcomes.withColumnRenamed("strategy_used", "o_strategy"),
-        "q",
-        top_k,
-    )
-    opp_recent = out_topq.groupBy("sid").agg(
-        F.max(F.when(F.col("success"), 0.6).otherwise(0.0)).alias("recent_opp")
-    )
 
-    # --- assemble: every signal a column over one row per strategy ----
     base = (
         sdf.select("sid", "strategy")
-        .join(hist, "sid", "left")
-        .join(sim_o, "sid", "left")
-        .join(sim_h, "sid", "left")
-        .join(risk_ap, "sid", "left")
-        .join(opp_proven, "sid", "left")
-        .join(opp_recent, "sid", "left")
+        .join(F.broadcast(h_sig), "sid", "left")
+        .join(F.broadcast(o_sig), "sid", "left")
+        .join(F.broadcast(a_sig), "sid", "left")
         .fillna(
             {
                 "occurrences": 0,
