@@ -834,6 +834,7 @@ class AlmaSpark:
             vector_weight=vector_weight,
             text_weight=text_weight,
             rrf_k=rrf_k,
+            keep_scores=True,
         ).limit(top_k)
         out = fused.join(df, "id", "left").orderBy(
             F.desc("rrf_score"), F.asc("id")

@@ -239,3 +239,22 @@ def test_streaming_index_maintenance_matches_batch(spark, tmp_path):
     got = [(r["id"], r["similarity"]) for r in ivf.search(QUERY_VEC, k=10).collect()]
     want = [(r["id"], r["similarity"]) for r in ivf_ref.search(QUERY_VEC, k=10).collect()]
     assert got == want
+
+
+def test_hybrid_results_carry_provenance_scores(spark, tmp_path):
+    """HybridResult provenance parity (reference hybrid.py:37-47):
+    fused rows expose vector_score / text_score with 0.0 for the side
+    that didn't return the item."""
+    from alma_memory_spark.engine import AlmaSpark
+
+    eng = AlmaSpark(spark, str(tmp_path / "store"))
+    eng.add_knowledge("a", "p", "d", "spark joins are fast")
+    eng.add_knowledge("a", "p", "d", "zebra facts entirely unrelated")
+    res = eng.search_hybrid("fast spark joins", agent="a", project_id="p", top_k=2)
+    assert all("vector_score" in r and "text_score" in r for r in res)
+    top = res[0]
+    assert top["fact"] == "spark joins are fast"
+    assert top["text_score"] > 0 and top["vector_score"] != 0.0
+    # the unrelated doc gets no text hits -> text_score exactly 0.0
+    other = res[1]
+    assert other["text_score"] == 0.0
