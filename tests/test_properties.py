@@ -200,3 +200,82 @@ def test_bpe_token_count_java_matches_python_on_random_strings(spark):
     for i, s in enumerate(cases):
         want = len(re.findall(BPE_TOKEN_RE, s))
         assert got[i] == want, (i, repr(s), got[i], want)
+
+
+def test_text_index_bucket_hash_cross_engine_on_random_strings(spark):
+    """The Python driver and the JVM MUST bucket every term identically
+    (md5-hex-prefix mod n) — a single divergent bucket silently loses
+    postings at query time. 400 seeded random unicode-ish strings
+    through ONE Spark job vs the Python twin, at two bucket counts."""
+    import random
+    import string
+
+    from pyspark.sql import functions as F
+
+    from alma_memory_spark.operators.text_index import _bucket_col, _bucket_py
+
+    rng = random.Random(20260814)
+    alphabet = string.printable + "äöüßμλ中文字"
+    cases = ["", "a", " ", "μtoken"] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 40)))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)], "i int, t string")
+    for n_buckets in (16, 64):
+        got = {
+            r["i"]: r["b"]
+            for r in df.select(
+                "i", _bucket_col(F.col("t"), n_buckets).alias("b")
+            ).collect()
+        }
+        for i, s in enumerate(cases):
+            assert got[i] == _bucket_py(s, n_buckets), (repr(s), n_buckets)
+
+
+def test_is_similar_symmetric_and_reflexive(spark):
+    """is_similar (confidence engine) is symmetric (every branch —
+    exact, substring-either-way, Jaccard — is) and reflexive for
+    non-empty strings; empty/null never match (engine.py:474-500)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from alma_memory_spark.operators.confidence import is_similar_expr
+
+    rng = random.Random(7)
+    words = "alpha beta gamma delta spark join query fast slow test".split()
+    pairs = [("", ""), ("x", ""), ("", "x")] + [
+        (
+            " ".join(rng.choices(words, k=rng.randrange(1, 6))),
+            " ".join(rng.choices(words, k=rng.randrange(1, 6))),
+        )
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    rows = df.select(
+        "a",
+        "b",
+        is_similar_expr(F.col("a"), F.col("b")).alias("ab"),
+        is_similar_expr(F.col("b"), F.col("a")).alias("ba"),
+        is_similar_expr(F.col("a"), F.col("a")).alias("aa"),
+    ).collect()
+    for r in rows:
+        assert r["ab"] == r["ba"], (r["a"], r["b"])
+        assert r["aa"] == (len(r["a"].strip()) > 0), r["a"]
+
+
+@given(st.lists(TEXT, min_size=0, max_size=30))
+@settings(max_examples=60, suppress_health_check=[HealthCheck.too_slow])
+def test_cached_embedder_transparent_and_bounded(texts):
+    """The cache wrapper must be semantically invisible (identical
+    vectors to the inner provider, any order, any duplication) and its
+    size must never exceed max_size."""
+    from alma_memory_spark.embedding import CachedEmbedder, HashEmbedder
+
+    ce = CachedEmbedder(HashEmbedder(), max_size=8)
+    plain = HashEmbedder()
+    assert ce.encode_batch(texts) == plain.encode_batch(texts)
+    # second pass (mixed singles) still identical
+    for t in texts[:5]:
+        assert ce.encode(t) == plain.encode(t)
+    assert ce.get_stats()["size"] <= 8
