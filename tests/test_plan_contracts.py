@@ -70,3 +70,79 @@ def test_pricing_agg_is_partial_aggregated(spark):
 def test_scan_bound_gates_have_no_join(spark, name):
     plan = _plan(spark, name)
     assert "Join" not in plan
+
+
+def test_extract_facts_is_shuffle_free(spark):
+    """Chat mining must stay a narrow map: rlike families + substring
+    add NO Exchange — the 100 TB scan parallelizes embarrassingly."""
+    from pyspark.sql import functions as F
+
+    from alma_memory_spark.operators.auto_learn import extract_facts
+    from alma_memory_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        F.col("doc_id").alias("msg_idx"), F.col("text").alias("content")
+    )
+    plan = (
+        extract_facts(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_progress_summary_is_one_partial_final_agg(spark):
+    """The summary is ONE map-side-combined aggregation: exactly one
+    exchange (the 1-row final agg), partial + final HashAggregate."""
+    from pyspark.sql import functions as F
+
+    from alma_memory_spark.operators.progress import progress_summary
+    from alma_memory_spark.session import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    wi = ev.select(
+        F.col("event_id").cast("string").alias("id"),
+        F.lit("done").alias("status"),
+        F.lit(1).cast("long").alias("time_spent_ms"),
+        F.col("ts").alias("updated_at"),
+        F.lit(None).cast("string").alias("agent"),
+    )
+    plan = progress_summary(wi)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_ivf_add_is_narrow_append(spark, tmp_path):
+    """Incremental IVF ingest must not shuffle: assignment is a
+    mapInPandas over the input partitioning."""
+    from alma_memory_spark.operators.ann_index import IVFIndex
+    from alma_memory_spark.session import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = IVFIndex.build(spark, emb.filter("vec_id % 2 = 0"),
+                         str(tmp_path / "ivf"), cent_every=50)
+    # capture the write plan by building the assignment frame the same
+    # way add() does, without writing
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    b = spark.sparkContext.broadcast((idx.cells, idx.Cn))
+
+    def assign(it):
+        cells_, Cn_ = b.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+            yield pd.DataFrame({
+                "id": pdf["vec_id"].to_numpy(),
+                "embedding": pdf["embedding"],
+                "cell": cells_[np.argmax(np.round(Vn @ Cn_.T, 6), axis=1)],
+            })
+
+    assigned = emb.filter("vec_id % 2 = 1").select("vec_id", "embedding").mapInPandas(
+        assign, "id long, embedding array<double>, cell long"
+    )
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
