@@ -201,3 +201,27 @@ def stream_documents_into_indexes(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def dedup_document_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: the continuous form of the batch
+    `exact_dedup` operator (same md5-over-normalized-text fingerprint,
+    functions/text.py). `dropDuplicatesWithinWatermark` keeps ONE row
+    per fingerprint and expires its state once the watermark passes —
+    bounded state on an unbounded stream, which a plain
+    dropDuplicates (state grows forever) cannot give. This is the
+    training-data shape: a firehose of documents deduped before they
+    reach the corpus, with near-dup handled downstream by the
+    incremental index adds (stream_documents_into_indexes)."""
+    from alma_memory_spark.functions.text import fingerprint
+
+    return (
+        stream.withColumn("fingerprint", fingerprint(text_col))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )

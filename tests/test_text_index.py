@@ -258,3 +258,54 @@ def test_hybrid_results_carry_provenance_scores(spark, tmp_path):
     # the unrelated doc gets no text hits -> text_score exactly 0.0
     other = res[1]
     assert other["text_score"] == 0.0
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, tmp_path):
+    """dedup_document_stream: replaying a duplicated corpus through the
+    stream keeps exactly one row per fingerprint — identical SET of
+    fingerprints to the batch groupBy, across micro-batches (a dup
+    arriving in a LATER micro-batch must also be dropped)."""
+    from pyspark.sql import functions as F
+
+    from alma_memory_spark.functions.text import fingerprint
+    from alma_memory_spark.streaming.ingest import dedup_document_stream
+
+    docs = load_table(spark, SF_DIR, "documents").limit(60).select(
+        "doc_id", "text", F.to_timestamp(F.lit("2024-02-15 00:00:00")).alias("ts")
+    )
+    # duplicate every doc with a different id (content dup, id differs)
+    dupes = docs.withColumn("doc_id", F.col("doc_id") + 100000)
+    corpus = docs.unionByName(dupes)
+
+    inbox = str(tmp_path / "inbox")
+    # originals land in earlier files than the duplicates, so dups
+    # arrive across micro-batch boundaries
+    docs.coalesce(2).write.parquet(inbox)
+    dupes.coalesce(2).write.mode("append").parquet(inbox)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inbox)
+    )
+    q = (
+        dedup_document_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT fingerprint FROM dedup_stream_out").collect()
+    got_fps = sorted(r["fingerprint"] for r in got)
+    want_fps = sorted(
+        r["fingerprint"]
+        for r in corpus.select(fingerprint("text").alias("fingerprint"))
+        .distinct()
+        .collect()
+    )
+    assert got_fps == want_fps  # one row per distinct fingerprint, none lost
