@@ -147,14 +147,18 @@ class MemoryStack:
             text = f"## On-Demand ({total} items) — {query[:40]}"
             if body.strip():
                 text = f"{text}\n{body}"
+            base_name = "On-Demand"
         else:
             text = sl.to_prompt(max_tokens=DEFAULT_L2_MAX_TOKENS)
             if not text.strip():
                 text = f'No deep search results for: "{query}"'
-        rl = ContextLayer(layer, f"{self._layers[layer].name}: {query[:40]}")
+            base_name = "Deep Search"
+        # static base name (reading _layers[layer].name would compound
+        # 'On-Demand: q1: q2' across recalls); the layer lives ONLY in
+        # _active_recalls so token_usage counts it once
+        rl = ContextLayer(layer, f"{base_name}: {query[:40]}")
         rl.set_content(text)
         self._active_recalls.append(rl)
-        self._layers[layer] = rl
         return text
 
     def to_prompt(self, max_tokens: int = 2000) -> str:
@@ -187,12 +191,16 @@ class MemoryStack:
 
     @property
     def token_usage(self) -> dict[str, int]:
+        """Per-layer counts; L2/L3 recalls are counted ONCE (under
+        active_recalls — the reference counts them in both maps,
+        overstating the budget; we don't inherit that)."""
         usage: dict[str, int] = {}
         total = 0
         for level, layer in self._layers.items():
             key = f"L{level}_{layer.name.lower().replace(' ', '_').split(':')[0]}"
-            usage[key] = layer.token_count
-            total += layer.token_count
+            count = layer.token_count if level in (LAYER_IDENTITY, LAYER_ESSENTIAL) else 0
+            usage[key] = count
+            total += count
         recalls = sum(r.token_count for r in self._active_recalls)
         usage["active_recalls"] = recalls
         usage["total"] = total + recalls

@@ -387,24 +387,49 @@ class AlmaSpark:
             & (F.col("task_type") == row["task_type"])
         )
         result: dict[str, Any] = {"outcome_id": row["id"]}
+
+        def _existing_ids(table: str, ids: list[str]) -> set[str]:
+            # only consulted when someone subscribes: bounded id-filter
+            # read against the partition-pruned table
+            if not self.events.has_subscribers() or not self.store.exists(table):
+                return set()
+            return {
+                r["id"]
+                for r in self.store.read(table)
+                .filter(F.col("id").isin(ids))
+                .select("id")
+                .collect()
+            }
+
         heur = L.extract_heuristics(scope)
         hrows = heur.collect()
+        new_heur: list[str] = []
         if hrows:
+            ids = [r["id"] for r in hrows]
+            # extract_heuristics returns every qualifying cluster each
+            # call; FORMED must fire only for ids not already stored
+            # (the reference emits at create time, storage_mixin.py)
+            new_heur = [i for i in ids if i not in _existing_ids("heuristics", ids)]
             hdf = self._heuristic_rows(hrows)
             self.store.upsert("heuristics", hdf)
-            result["heuristics"] = [r["id"] for r in hrows]
+            result["heuristics"] = ids
+        new_aps: list[str] = []
         if not outcome and error_message:
             aps = L.extract_anti_patterns(scope)
             arows = aps.collect()
             if arows:
+                ids = [r["id"] for r in arows]
+                new_aps = [
+                    i for i in ids if i not in _existing_ids("anti_patterns", ids)
+                ]
                 adf = self._anti_pattern_rows(arows)
                 self.store.upsert("anti_patterns", adf)
-                result["anti_patterns"] = [r["id"] for r in arows]
+                result["anti_patterns"] = ids
         self._emit("OUTCOME_RECORDED", agent, project_id, "outcomes", row["id"],
                    {"success": outcome, "task_type": row["task_type"]})
-        for hid in result.get("heuristics", []):
+        for hid in new_heur:
             self._emit("HEURISTIC_FORMED", agent, project_id, "heuristics", hid)
-        for aid in result.get("anti_patterns", []):
+        for aid in new_aps:
             self._emit("ANTIPATTERN_DETECTED", agent, project_id, "anti_patterns", aid)
         return result
 
@@ -763,6 +788,7 @@ class AlmaSpark:
         vector_weight: float = 0.5,
         text_weight: float = 0.5,
         rrf_k: int = 60,
+        user_id: str | None = None,
     ) -> list[dict[str, Any]]:
         """Vector + keyword retrieval fused by weighted RRF — the
         reference's HybridSearchEngine.fuse (hybrid.py:113-178: score =
@@ -793,18 +819,27 @@ class AlmaSpark:
             df = df.filter(F.col("project_id") == project_id)
         if "agent" in df.columns:
             df = df.filter(F.col("agent") == agent)
+        if "user_id" in df.columns and user_id is not None:
+            df = df.filter(F.col("user_id") == user_id)
         fetch = max(2 * top_k, 10)
 
         qlit = F.array(*[F.lit(float(x)) for x in qvec])
-        vec = (
-            df.filter(F.col("embedding").isNotNull())
-            .select(
-                "id",
-                F.round(cosine_similarity("embedding", qlit), 6).alias("similarity"),
+        if "embedding" in df.columns:
+            vec = (
+                df.filter(F.col("embedding").isNotNull())
+                .select(
+                    "id",
+                    F.round(cosine_similarity("embedding", qlit), 6).alias(
+                        "similarity"
+                    ),
+                )
+                .orderBy(F.desc("similarity"), F.asc("id"))
+                .limit(fetch)
             )
-            .orderBy(F.desc("similarity"), F.asc("id"))
-            .limit(fetch)
-        )
+        else:
+            # tables without a vector column (preferences) are
+            # keyword-only: the fuse degenerates to the text ranking
+            vec = self.spark.createDataFrame([], "id string, similarity double")
 
         ixpath = self._text_index_path(table)
         if os.path.isdir(os.path.join(ixpath, "stats")):
@@ -934,60 +969,49 @@ class AlmaSpark:
         committed: list[dict[str, Any]] = []
         if commit:
             now = self._now()
+            # ONE batched upsert per fact type (a per-fact upsert would
+            # re-read and rewrite the table once per fact — quadratic
+            # in committed facts; record_usage already set the batch
+            # precedent)
+            heur_rows, ap_rows = [], []
             for f in valid:
                 fid = None
                 if f["fact_type"] == "heuristic":
                     fid = self._new_id("heur")
-                    self.store.upsert(
-                        "heuristics",
-                        self._rows_df(
-                            "heuristics",
-                            [
-                                {
-                                    "id": fid,
-                                    "agent": agent,
-                                    "project_id": project_id,
-                                    "condition": f["fact_content"],
-                                    "strategy": f["fact_content"],
-                                    "confidence": f["confidence"],
-                                    "occurrence_count": 1,
-                                    "success_count": 1,
-                                    "last_validated": now,
-                                    "created_at": now,
-                                    "verification_status": None,
-                                    "embedding": self.embedder.encode(
-                                        f["fact_content"]
-                                    ),
-                                    "metadata": {"source": "auto_extraction"},
-                                }
-                            ],
-                        ),
+                    heur_rows.append(
+                        {
+                            "id": fid,
+                            "agent": agent,
+                            "project_id": project_id,
+                            "condition": f["fact_content"],
+                            "strategy": f["fact_content"],
+                            "confidence": f["confidence"],
+                            "occurrence_count": 1,
+                            "success_count": 1,
+                            "last_validated": now,
+                            "created_at": now,
+                            "verification_status": None,
+                            "embedding": self.embedder.encode(f["fact_content"]),
+                            "metadata": {"source": "auto_extraction"},
+                        }
                     )
                 elif f["fact_type"] == "anti_pattern":
                     fid = self._new_id("ap")
-                    self.store.upsert(
-                        "anti_patterns",
-                        self._rows_df(
-                            "anti_patterns",
-                            [
-                                {
-                                    "id": fid,
-                                    "agent": agent,
-                                    "project_id": project_id,
-                                    "pattern": f["fact_content"],
-                                    "why_bad": None,
-                                    "better_alternative": None,
-                                    "occurrence_count": 1,
-                                    "last_seen": now,
-                                    "created_at": now,
-                                    "verification_status": None,
-                                    "embedding": self.embedder.encode(
-                                        f["fact_content"]
-                                    ),
-                                    "metadata": {"source": "auto_extraction"},
-                                }
-                            ],
-                        ),
+                    ap_rows.append(
+                        {
+                            "id": fid,
+                            "agent": agent,
+                            "project_id": project_id,
+                            "pattern": f["fact_content"],
+                            "why_bad": None,
+                            "better_alternative": None,
+                            "occurrence_count": 1,
+                            "last_seen": now,
+                            "created_at": now,
+                            "verification_status": None,
+                            "embedding": self.embedder.encode(f["fact_content"]),
+                            "metadata": {"source": "auto_extraction"},
+                        }
                     )
                 elif f["fact_type"] == "preference":
                     if user_id:
@@ -1005,6 +1029,14 @@ class AlmaSpark:
                     )
                 if fid:
                     committed.append({"fact": f, "id": fid})
+            if heur_rows:
+                self.store.upsert(
+                    "heuristics", self._rows_df("heuristics", heur_rows)
+                )
+            if ap_rows:
+                self.store.upsert(
+                    "anti_patterns", self._rows_df("anti_patterns", ap_rows)
+                )
             if committed:
                 self._invalidate_cache()
         return {
@@ -1096,13 +1128,17 @@ class AlmaSpark:
         elif status == "done":
             item["completed_at"] = now
             item["tests_passing"] = tests_passing
-            if item.get("started_at") is not None:
-                # collect() returns session-local NAIVE datetimes;
-                # interpret in the local zone to subtract from the
-                # aware clock
+            # accumulate only on the TRANSITION into done: a repeated
+            # 'done' update (idempotent retry, flipping tests_passing)
+            # must not re-add the whole duration (the reference's
+            # complete() actually re-adds — a bug we don't inherit)
+            if item.get("started_at") is not None and old != "done":
+                # the session timezone is pinned to UTC (session.py), so
+                # collect() returns naive UTC wall times — attach UTC,
+                # never the machine-local zone
                 started = item["started_at"]
                 if started.tzinfo is None:
-                    started = started.astimezone()
+                    started = started.replace(tzinfo=timezone.utc)
                 item["time_spent_ms"] = (item.get("time_spent_ms") or 0) + int(
                     (now - started).total_seconds() * 1000
                 )

@@ -145,11 +145,12 @@ class MaintenanceScheduler:
                         result.compacted[table] = rep
             if job.reindex_text and not dry_run:
                 # prunes just removed rows the postings still reference;
-                # rebuild each table's index that exists on disk (or is
-                # explicitly scoped by the job's table list)
+                # rebuild every indexed table the engine knows a text
+                # projection for (TEXT_EXPRS, not the prune table list —
+                # preferences is indexable but never pruned by default)
                 import os as _os
 
-                for table in job.tables or MEMORY_TABLES:
+                for table in job.tables or list(self.engine.TEXT_EXPRS):
                     if table not in self.engine.TEXT_EXPRS:
                         continue
                     if not _os.path.isdir(self.engine._text_index_path(table)):

@@ -81,6 +81,7 @@ class InvertedTextIndex:
         sum_dl: int,
         n_buckets: int,
         id_col: str,
+        id_type: str = "string",
     ):
         self.spark = spark
         self.path = path
@@ -88,6 +89,16 @@ class InvertedTextIndex:
         self.sum_dl = sum_dl
         self.n_buckets = n_buckets
         self.id_col = id_col
+        self.id_type = id_type
+
+    def _postings_df(self) -> DataFrame:
+        """Read postings with an EXPLICIT schema: inference-free, so an
+        index whose corpus produced zero postings (every doc tokenized
+        empty) still reads as an empty frame instead of failing with
+        'unable to infer schema'."""
+        return self.spark.read.schema(
+            f"doc {self.id_type}, dl int, term string, tf long, bucket long"
+        ).parquet(os.path.join(self.path, "postings"))
 
     # ------------------------------------------------------------------
 
@@ -117,6 +128,7 @@ class InvertedTextIndex:
         parquet. The shuffle that bm25_scores pays per QUERY is paid
         once per BUILD here."""
         postings = InvertedTextIndex._postings(docs, id_col, text_col, n_buckets)
+        id_type = postings.schema["doc"].dataType.simpleString()
         # repartition by bucket so each task owns whole buckets (one
         # file per bucket, not one per task x bucket), then sort so the
         # writer emits term-ordered row groups inside each file.
@@ -128,8 +140,8 @@ class InvertedTextIndex:
             .parquet(os.path.join(path, "postings"))
         )
         n, sdl = InvertedTextIndex._delta_stats(docs, text_col)
-        InvertedTextIndex._write_stats(spark, path, n, sdl, n_buckets, id_col)
-        return InvertedTextIndex(spark, path, n, sdl, n_buckets, id_col)
+        InvertedTextIndex._write_stats(spark, path, n, sdl, n_buckets, id_col, id_type)
+        return InvertedTextIndex(spark, path, n, sdl, n_buckets, id_col, id_type)
 
     @staticmethod
     def _delta_stats(docs: DataFrame, text_col: str):
@@ -143,17 +155,18 @@ class InvertedTextIndex:
         return int(row["n"]), int(row["sdl"])
 
     @staticmethod
-    def _write_stats(spark, path, n, sdl, n_buckets, id_col) -> None:
+    def _write_stats(spark, path, n, sdl, n_buckets, id_col, id_type) -> None:
         spark.createDataFrame(
-            [(n, sdl, n_buckets, id_col)],
-            "n_docs long, sum_dl long, n_buckets int, id_col string",
+            [(n, sdl, n_buckets, id_col, id_type)],
+            "n_docs long, sum_dl long, n_buckets int, id_col string, id_type string",
         ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "stats"))
 
     @staticmethod
     def load(spark: SparkSession, path: str) -> "InvertedTextIndex":
         r = spark.read.parquet(os.path.join(path, "stats")).collect()[0]
         return InvertedTextIndex(
-            spark, path, r["n_docs"], r["sum_dl"], r["n_buckets"], r["id_col"]
+            spark, path, r["n_docs"], r["sum_dl"], r["n_buckets"], r["id_col"],
+            r["id_type"],
         )
 
     # ------------------------------------------------------------------
@@ -179,7 +192,8 @@ class InvertedTextIndex:
         self.n_docs += dn
         self.sum_dl += dsdl
         self._write_stats(
-            self.spark, self.path, self.n_docs, self.sum_dl, self.n_buckets, self.id_col
+            self.spark, self.path, self.n_docs, self.sum_dl, self.n_buckets,
+            self.id_col, self.id_type,
         )
         return self
 
@@ -203,13 +217,15 @@ class InvertedTextIndex:
         TakeOrderedAndProject (per-partition top-k, k-row reduce)."""
         qterms = sorted(set(query.lower().split()))
         if not qterms or self.n_docs == 0:
-            return self.spark.createDataFrame([], f"{self.id_col} string, bm25_score double")
+            return self.spark.createDataFrame(
+                [], f"{self.id_col} {self.id_type}, bm25_score double"
+            )
         buckets = sorted({_bucket_py(t, self.n_buckets) for t in qterms})
         n = float(self.n_docs)
         avgdl = (self.sum_dl / self.n_docs) if self.n_docs else 1.0
 
         hits = (
-            self.spark.read.parquet(os.path.join(self.path, "postings"))
+            self._postings_df()
             .filter(F.col("bucket").isin(buckets))
             .filter(F.col("term").isin(qterms))
         )

@@ -100,3 +100,18 @@ def test_webhook_payload_and_signature():
     assert headers["X-ALMA-Signature"] == f"sha256={want}"
     body2, headers2 = WebhookFormatter().format(ev)
     assert body2 == body and "X-ALMA-Signature" not in headers2
+
+
+def test_heuristic_formed_fires_once_per_heuristic(spark, tmp_path):
+    """extract_heuristics returns every qualifying cluster on every
+    learn(); FORMED must fire only when the heuristic first appears."""
+    eng = AlmaSpark(
+        spark, str(tmp_path / "s"),
+        clock=lambda: datetime(2024, 2, 15, tzinfo=timezone.utc),
+    )
+    formed = []
+    eng.events.subscribe(MemoryEventType.HEURISTIC_FORMED, formed.append)
+    for i in range(5):
+        eng.learn(agent="a1", task=f"t {i}", outcome=True, project_id="p1",
+                  strategy_used="same steady strategy", task_type="tt")
+    assert len(formed) == 1  # formed at the 3rd learn, silent after

@@ -201,3 +201,16 @@ def test_memory_stack_layers(eng, tmp_path):
     # tight budget: L0 always survives
     tight = stack.to_prompt(max_tokens=usage["L0_identity"] + 5)
     assert "## Identity" in tight and "## Essential Story" not in tight
+
+
+def test_repeated_done_does_not_reaccumulate_time(eng):
+    it = eng.create_work_item("p1", "w", agent="a1")
+    eng.update_work_item_status(it["id"], "in_progress")
+    eng._test_now[0] += timedelta(seconds=30)
+    got = eng.update_work_item_status(it["id"], "done")
+    assert got["time_spent_ms"] == 30_000
+    eng._test_now[0] += timedelta(seconds=500)
+    # idempotent retry / flipping tests_passing must not re-add
+    got = eng.update_work_item_status(it["id"], "done", tests_passing=False)
+    assert got["time_spent_ms"] == 30_000
+    assert got["tests_passing"] is False

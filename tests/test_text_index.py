@@ -309,3 +309,26 @@ def test_streaming_dedup_matches_batch_distinct(spark, tmp_path):
         .collect()
     )
     assert got_fps == want_fps  # one row per distinct fingerprint, none lost
+
+
+def test_empty_query_preserves_id_type_and_empty_corpus_search(spark, tmp_path):
+    """The empty-query early return must carry the BUILT id type (a
+    long-id index returned string ids on that branch once), and an
+    index whose docs all tokenize empty must search to empty, not crash
+    on schema inference over a fileless postings dir."""
+    docs = spark.createDataFrame([(1, "spark fast"), (2, "query join")],
+                                 "doc_id long, text string")
+    idx = InvertedTextIndex.build(spark, docs, str(tmp_path / "t1"), n_buckets=4)
+    empty = idx.search_bm25("", k=5)
+    assert dict(empty.dtypes)["doc_id"] == "bigint"
+    # union with a real result must not type-clash
+    assert empty.unionByName(idx.search_bm25("spark", k=5)).count() == 1
+
+    blank = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id long, text string")
+    bidx = InvertedTextIndex.build(spark, blank, str(tmp_path / "t2"), n_buckets=4)
+    assert bidx.n_docs == 2  # stats count the docs...
+    assert bidx.search_bm25("anything", k=5).count() == 0  # ...search is empty
+    # and a reloaded handle behaves identically
+    assert InvertedTextIndex.load(spark, str(tmp_path / "t2")).search_bm25(
+        "anything", k=5
+    ).count() == 0
