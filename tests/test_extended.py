@@ -465,3 +465,51 @@ def test_extract_graph_cooccurrence(spark):
         ("Helena", "Victor"): (2, 2, "RELATED_TO"),
         ("Helena", "Spark"): (1, 1, "RELATED_TO"),
     }
+
+
+def test_maintenance_reindexes_preferences_index_by_default(spark, tmp_path):
+    """The reindex loop must cover EVERY indexable table (TEXT_EXPRS),
+    not just the prune list — a preferences index went permanently
+    stale under default jobs once."""
+    from datetime import datetime, timedelta, timezone
+
+    from alma_memory_spark.engine import AlmaSpark
+    from alma_memory_spark.operators.maintenance import (
+        MaintenanceJob,
+        MaintenanceScheduler,
+    )
+    from alma_memory_spark.operators.text_index import InvertedTextIndex
+
+    now = [datetime(2024, 2, 15, tzinfo=timezone.utc)]
+    eng = AlmaSpark(spark, str(tmp_path / "m"), clock=lambda: now[0])
+    eng.add_preference("u1", "style", "short answers please")
+    eng.index_text("preferences", n_buckets=4)
+    eng.add_preference("u1", "style", "and use examples")
+
+    sched = MaintenanceScheduler(eng, clock=lambda: now[0])
+    sched.register_job(
+        MaintenanceJob(name="n", project_id="p", interval_hours=1,
+                       tables=None, reindex_text=True)
+    )
+    now[0] += timedelta(hours=2)
+    (res,) = sched.run_all_due()
+    assert res.success
+    assert res.reindexed.get("preferences") == 2  # picked up the new row
+    assert InvertedTextIndex.load(
+        spark, eng._text_index_path("preferences")
+    ).n_docs == 2
+
+
+def test_search_hybrid_keyword_only_table(spark, tmp_path):
+    """preferences has no embedding column: search_hybrid must serve it
+    keyword-only (vector side empty) with user scoping."""
+    from alma_memory_spark.engine import AlmaSpark
+
+    eng = AlmaSpark(spark, str(tmp_path / "s"))
+    eng.add_preference("u1", "style", "prefer short answers")
+    eng.add_preference("u2", "style", "prefer long answers")
+    res = eng.search_hybrid("short answers", agent="any", table="preferences",
+                            top_k=5, user_id="u1")
+    assert len(res) == 1
+    assert res[0]["preference"] == "prefer short answers"
+    assert res[0]["vector_score"] == 0.0 and res[0]["text_score"] > 0
