@@ -30,6 +30,14 @@ def estimate_tokens(text: str) -> int:
     return len(text) // 4
 
 
+def sanitize_for_prompt(text: str) -> str:
+    """Escape curly braces before .format() templating (reference:
+    alma/utils/sanitize.py:8-21) — user-controlled text must never be
+    interpreted as format specifiers by the LLM prompt templates
+    (compression / verification / graph extraction)."""
+    return text.replace("{", "{{").replace("}", "}}")
+
+
 def sanitize_query(query: str) -> str:
     """Strip prepended system-prompt noise from an over-long query."""
     q = (query or "").strip()

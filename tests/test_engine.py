@@ -211,3 +211,13 @@ def test_to_prompt_budget():
     assert estimate_tokens(small) <= 120  # header slack only
     big = sl.to_prompt(max_tokens=100000)
     assert len(big) > len(small)
+
+
+def test_sanitize_for_prompt_escapes_format_specifiers():
+    from alma_memory_spark.slice import sanitize_for_prompt
+
+    raw = 'config {key} and {0} plus literal {{x}}'
+    out = sanitize_for_prompt(raw)
+    # a .format() over the sanitized text must be a no-op round-trip
+    assert out.format() == raw
+    assert sanitize_for_prompt("") == ""
