@@ -147,6 +147,11 @@ class AlmaSpark:
                     self._cache.move_to_end(key)
                     return sl
                 del self._cache[key]
+            # capture the epoch BEFORE any store read: a write landing
+            # mid-retrieve bumps _epoch, and stamping the post-write
+            # epoch on pre-write data would undo its invalidation and
+            # serve the stale slice for the full TTL
+            epoch_at_read = self._epoch
         cfg: ModeConfig | None = MODES.get(mode_name) if mode_name else None
         weights = cfg.weights if cfg else ScoringWeights()
         # caller top_k OVERRIDES the mode default (reference core.py:
@@ -259,7 +264,7 @@ class AlmaSpark:
             mode=mode_name,
         )
         with self._cache_lock:
-            self._cache[key] = (time.perf_counter(), self._epoch, sl)
+            self._cache[key] = (time.perf_counter(), epoch_at_read, sl)
             while len(self._cache) > CACHE_MAX_ENTRIES:
                 self._cache.popitem(last=False)
         return sl
@@ -651,15 +656,18 @@ class AlmaSpark:
     # lifecycle
     # ------------------------------------------------------------------
 
-    def forget(
+    def select_doomed_ids(
         self,
         table: str,
         project_id: str,
         max_age_days: float | None = None,
         min_confidence: float | None = None,
         quota: int | None = None,
-        reason: str = "maintenance",
-    ) -> int:
+    ) -> DataFrame | None:
+        """The forget policies' delete set as an id frame — the ONE
+        derivation shared by forget() and the maintenance dry-run, so a
+        policy change can never desynchronize preview counts from
+        actual deletes."""
         df = self.store.read(table).filter(F.col("project_id") == project_id)
         doomed_ids: DataFrame | None = None
         ts_col = {
@@ -680,9 +688,23 @@ class AlmaSpark:
         if quota is not None:
             sel = LC.select_over_quota(df, table, quota).select("id")
             doomed_ids = sel if doomed_ids is None else doomed_ids.unionByName(sel)
+        return None if doomed_ids is None else doomed_ids.distinct()
+
+    def forget(
+        self,
+        table: str,
+        project_id: str,
+        max_age_days: float | None = None,
+        min_confidence: float | None = None,
+        quota: int | None = None,
+        reason: str = "maintenance",
+    ) -> int:
+        doomed_ids = self.select_doomed_ids(
+            table, project_id, max_age_days, min_confidence, quota
+        )
         if doomed_ids is None:
             return 0
-        ids = [r[0] for r in doomed_ids.distinct().collect()]
+        ids = [r[0] for r in doomed_ids.collect()]
         if not ids:
             return 0
         n = self.store.delete(table, F.col("id").isin(ids), reason=reason, memory_type=table)

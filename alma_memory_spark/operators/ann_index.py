@@ -190,10 +190,13 @@ class IVFIndex:
         probed, qn = self.probe_cells(query_vec, nprobe)
         lists = self.spark.read.parquet(os.path.join(self.path, "lists"))
         pruned = lists.filter(F.col("cell").isin(probed))
-        b = self.spark.sparkContext.broadcast(qn)
+        # the query vector rides the task closure (tiny, auto-serialized);
+        # a per-query sparkContext.broadcast would leak one live
+        # broadcast per search() in a long-lived serving process (the
+        # returned DataFrame is lazy, so there is no safe destroy point)
+        qn_ = qn
 
         def score(it):
-            qn_ = b.value
             for pdf in it:
                 if not len(pdf):
                     continue

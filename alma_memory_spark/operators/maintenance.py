@@ -174,32 +174,17 @@ class MaintenanceScheduler:
         return result
 
     def _count_doomed(self, job: MaintenanceJob, table: str) -> int:
-        """Dry-run: size of the delete set without touching data."""
-        from alma_memory_spark.operators import lifecycle as LC
-
-        df = self.engine.store.read(table).filter(
-            F.col("project_id") == job.project_id
+        """Dry-run: size of the delete set without touching data — the
+        SAME derivation the real delete uses (engine.select_doomed_ids),
+        so the preview can never drift from the delete."""
+        doomed = self.engine.select_doomed_ids(
+            table,
+            job.project_id,
+            max_age_days=job.max_age_days,
+            min_confidence=job.min_confidence,
+            quota=job.quota,
         )
-        ts_col = {
-            "heuristics": "last_validated",
-            "outcomes": "timestamp",
-            "domain_knowledge": "last_verified",
-            "anti_patterns": "last_seen",
-        }[table]
-        doomed = None
-        if job.max_age_days is not None:
-            cutoff = datetime.fromtimestamp(
-                self._now().timestamp() - job.max_age_days * 86400, tz=timezone.utc
-            )
-            sel = LC.select_expired(df, ts_col, cutoff).select("id")
-            doomed = sel if doomed is None else doomed.unionByName(sel)
-        if job.min_confidence is not None and "confidence" in df.columns:
-            sel = LC.select_low_confidence(df, job.min_confidence).select("id")
-            doomed = sel if doomed is None else doomed.unionByName(sel)
-        if job.quota is not None:
-            sel = LC.select_over_quota(df, table, job.quota).select("id")
-            doomed = sel if doomed is None else doomed.unionByName(sel)
-        return 0 if doomed is None else doomed.distinct().count()
+        return 0 if doomed is None else doomed.count()
 
     def _health_alerts(self, project_id: str) -> list[str]:
         """Reference: health_monitor.check_health during each job

@@ -251,11 +251,14 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cloned session: the state-store sizing below must not leak into
     # concurrently-planned batch jobs on the caller's session
     s2 = spark.newSession()
-    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s2.conf.set("spark.sql.shuffle.partitions", "8")
     stream = (
+        # ts is TIMESTAMP(MICROS) since the r3 testdata regeneration;
+        # the old `ts bigint` + nanosAsLong pair only survived because
+        # this gate never projected ts — declare the real type so a
+        # future watermark on it cannot hit a bigint/timestamp clash
         s2.readStream.schema(
-            "event_id bigint, ts bigint, user_id bigint, event_type string, "
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, "
             "value double, props string"
         )
         .option("maxFilesPerTrigger", 1)

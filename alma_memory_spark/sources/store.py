@@ -520,6 +520,19 @@ class ParquetStore:
         verify_scope=True in debug runs to assert that contract (full
         anti-scan — not for the hot path).
         """
+        # the LOCK must cover the read: spark.read.parquet snapshots the
+        # file listing eagerly, so a plan built before lock acquisition
+        # can merge against a listing another (lock-holding) writer has
+        # since replaced — committing that plan drops the other writer's
+        # rows (lost update) or hits deleted files. The per-table lock
+        # is thread-reentrant, so the nested _rewrite_partitions /
+        # overwrite acquisition is free.
+        with self._table_lock(table):
+            self._upsert_locked(table, new_rows, key, verify_scope)
+
+    def _upsert_locked(
+        self, table: str, new_rows: DataFrame, key: str, verify_scope: bool
+    ) -> None:
         if not self.exists(table):
             self.append(table, new_rows)
             return
@@ -572,7 +585,15 @@ class ParquetStore:
     ) -> int:
         """Delete rows matching `predicate`; write forget-audit first
         (append-only, BEFORE the delete — reference ordering,
-        alma/learning/forgetting.py:306-330)."""
+        alma/learning/forgetting.py:306-330). Locked across the
+        read-plan-write (see upsert: a pre-lock listing races a
+        concurrent same-partition writer)."""
+        with self._table_lock(table):
+            return self._delete_locked(table, predicate, reason, audit, memory_type)
+
+    def _delete_locked(
+        self, table, predicate, reason, audit, memory_type
+    ) -> int:
         df = self.read(table)
         doomed = df.filter(predicate)
         n = doomed.count()
@@ -606,7 +627,12 @@ class ParquetStore:
 
     def archive(self, table: str, predicate, reason: str = "decay") -> int:
         """Soft-delete: move matching rows into archived_memories with the
-        full row JSON + embedding preserved, restorable later."""
+        full row JSON + embedding preserved, restorable later. Locked
+        across the read-plan-write like upsert/delete."""
+        with self._table_lock(table):
+            return self._archive_locked(table, predicate, reason)
+
+    def _archive_locked(self, table, predicate, reason) -> int:
         df = self.read(table)
         doomed = df.filter(predicate)
         n = doomed.count()
@@ -764,7 +790,15 @@ class ParquetStore:
         files by the serving predicates' columns so parquet min/max
         pruning works on the compacted files. The rewrite goes through
         `_rewrite_partitions`, so it is locked, crash-recoverable and
-        all-or-nothing like every other store write."""
+        all-or-nothing like every other store write. The LOCK covers
+        the stats walk + read too (see upsert: a pre-lock listing races
+        a concurrent same-partition writer)."""
+        with self._table_lock(table):
+            return self._compact_locked(table, target_file_bytes, min_files, sort_columns)
+
+    def _compact_locked(
+        self, table, target_file_bytes, min_files, sort_columns
+    ) -> dict:
         if not self.exists(table):
             return {}
         report: dict = {}

@@ -802,3 +802,47 @@ def test_writes_are_time_sorted_within_files(spark, tmp_path):
             assert ts == sorted(ts), f
             checked += 1
     assert checked > 0
+
+
+def test_concurrent_same_partition_upserts_lose_nothing(spark, tmp_path):
+    """The table lock must cover the READ too: a writer that lists
+    files before another writer's swap commits would merge against the
+    stale listing and silently drop the other's rows. Two threads
+    upserting different ids into the SAME (project, agent) partition,
+    several rounds — every id must survive."""
+    from concurrent.futures import ThreadPoolExecutor
+    from datetime import datetime, timezone
+
+    from alma_memory_spark import schemas
+    from alma_memory_spark.sources.store import ParquetStore
+
+    store = ParquetStore(spark, str(tmp_path / "s"))
+    now = datetime(2024, 2, 15, tzinfo=timezone.utc)
+
+    def row(i):
+        return {
+            "id": f"o{i}",
+            "agent": "a1",
+            "project_id": "p",
+            "task_type": "t",
+            "success": True,
+            "timestamp": now,
+        }
+
+    store.append("outcomes", spark.createDataFrame([row(0)], schemas.OUTCOMES))
+
+    def writer(base):
+        for i in range(3):
+            store.upsert(
+                "outcomes",
+                spark.createDataFrame([row(base + i)], schemas.OUTCOMES),
+            )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(writer, 100)
+        f2 = pool.submit(writer, 200)
+        f1.result()
+        f2.result()
+
+    ids = {r["id"] for r in store.read("outcomes").select("id").collect()}
+    assert ids == {"o0", "o100", "o101", "o102", "o200", "o201", "o202"}

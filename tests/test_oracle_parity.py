@@ -78,6 +78,10 @@ def test_query_matches_oracle(name, spark, duck):
     sdf = q(spark, SF_DIR)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
+    # gate functions may cache() intermediates for within-query reuse;
+    # the harness owns the session-level cleanup (same contract as
+    # bench.py), otherwise 51 gates' caches accumulate eviction pressure
+    spark.catalog.clearCache()
     if name not in oracles:
         assert len(srows) >= 0  # rows-only check, mirrors driver behavior
         return
