@@ -41,6 +41,67 @@ class IVFIndex:
     # ------------------------------------------------------------------
 
     @staticmethod
+    def _lloyd_refine(
+        df: DataFrame, id_col: str, vec_col: str, cells, Cn, iters: int
+    ):
+        """Distributed spherical k-means refinement of the seeded
+        centroids: each iteration assigns every vector to its nearest
+        centroid with the fused Arrow kernel and reduces per-cell
+        vector SUMS map-side (one small shuffle of n_cells x dim
+        partials per iteration — never the vectors themselves), then
+        re-normalizes the means driver-side. Seeds that lose all
+        members keep their previous position (standard empty-cluster
+        handling, deterministic)."""
+        import numpy as np
+        import pandas as pd
+
+        dim = Cn.shape[1]
+        for _ in range(iters):
+            cells_, Cn_ = cells, Cn
+
+            def partials(it):
+                for pdf in it:
+                    if not len(pdf):
+                        continue
+                    V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                    Vn = V / np.maximum(
+                        np.linalg.norm(V, axis=1, keepdims=True), 1e-300
+                    )
+                    asg = np.argmax(np.round(Vn @ Cn_.T, 6), axis=1)
+                    out = []
+                    for ci in np.unique(asg):
+                        m = asg == ci
+                        out.append(
+                            (int(cells_[ci]), int(m.sum()), Vn[m].sum(axis=0).tolist())
+                        )
+                    yield pd.DataFrame(out, columns=["cell", "n", "vsum"])
+
+            agg = (
+                df.select(id_col, vec_col)
+                .mapInPandas(partials, "cell long, n long, vsum array<double>")
+                .groupBy("cell")
+                .agg(
+                    F.sum("n").alias("n"),
+                    F.array(
+                        *[
+                            F.sum(F.col("vsum")[i]).alias(f"s{i}")
+                            for i in range(dim)
+                        ]
+                    ).alias("vsum"),
+                )
+                .collect()
+            )
+            newC = Cn.copy()
+            pos = {int(c): i for i, c in enumerate(cells)}
+            for r in agg:
+                v = np.array(r["vsum"], dtype=np.float64)
+                nrm = np.linalg.norm(v)
+                if nrm > 1e-300:
+                    newC[pos[r["cell"]]] = v / nrm
+            Cn = newC
+        return Cn
+
+    @staticmethod
     def build(
         spark: SparkSession,
         df: DataFrame,
@@ -48,14 +109,17 @@ class IVFIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         cent_every: int = 50,
+        kmeans_iters: int = 0,
     ) -> "IVFIndex":
-        """One-time index build: stride-sample centroids (deterministic
-        kmeans seeding — every cent_every-th id), assign every vector
-        to its nearest centroid with one fused Arrow-batched kernel
-        (per-batch BLAS matmul against the broadcast centroid matrix),
-        and write the lists partitioned by cell. No shuffle: the
-        assignment is a narrow map, and partitionBy on write splits
-        files by cell within each task."""
+        """One-time index build: stride-sample centroid seeds
+        (deterministic — every cent_every-th id), optionally refine
+        them with `kmeans_iters` distributed spherical-k-means passes
+        (recommended 2-3 for clustered embedding distributions; see
+        _lloyd_refine), assign every vector to its nearest centroid
+        with one fused Arrow-batched kernel (per-batch BLAS matmul
+        against the broadcast centroid matrix), and write the lists
+        partitioned by cell. The assignment is a narrow map, and
+        partitionBy on write splits files by cell within each task."""
         import numpy as np
         import pandas as pd
 
@@ -73,6 +137,8 @@ class IVFIndex:
         cells = np.array([r[id_col] for r in cent_rows], dtype=np.int64)
         C = np.array([r[vec_col] for r in cent_rows], dtype=np.float64)
         Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+        if kmeans_iters > 0:
+            Cn = IVFIndex._lloyd_refine(df, id_col, vec_col, cells, Cn, kmeans_iters)
         b = spark.sparkContext.broadcast((cells, Cn))
 
         def assign(it):

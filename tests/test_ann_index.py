@@ -139,3 +139,42 @@ def test_ivf_incremental_add_matches_brute_force(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(path, "lists")).select("id").collect()
     }
     assert any(i % 2 == 0 for i in ids) and any(i % 2 == 1 for i in ids)
+
+
+def test_kmeans_refined_build_stays_exact_and_improves_cells(spark, tmp_path):
+    """kmeans_iters refinement: centroids move (and stay unit-norm),
+    the exactness-within-probed-cells invariant is unchanged, and on a
+    corpus with obvious cluster structure the refined quantizer puts a
+    cluster's members into the probed cell of a query at that cluster's
+    center."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(4, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for k in range(4):
+        for p in centers[k] + 0.05 * rng.normal(size=(50, 16)):
+            rows.append((vid, [float(x) for x in p]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    seeded = IVFIndex.build(spark, emb, str(tmp_path / "a"), cent_every=50)
+    refined = IVFIndex.build(
+        spark, emb, str(tmp_path / "b"), cent_every=50, kmeans_iters=3
+    )
+    assert not np.allclose(seeded.Cn, refined.Cn)  # refinement moved them
+    assert np.allclose(np.linalg.norm(refined.Cn, axis=1), 1.0)
+
+    q = [float(x) for x in centers[1]]
+    # with tight clusters + refined centroids, nprobe=1 must recover the
+    # exact top-10 (all from cluster 1)
+    got = {r["id"] for r in refined.search(q, k=10, nprobe=1).collect()}
+    V = np.array([r[1] for r in rows])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    qn = np.array(q) / np.linalg.norm(q)
+    sims = np.round(Vn @ qn, 6)
+    order = np.lexsort((np.arange(len(rows)), -sims))
+    want = set(order[:10])
+    assert got == want
