@@ -332,3 +332,26 @@ def test_empty_query_preserves_id_type_and_empty_corpus_search(spark, tmp_path):
     assert InvertedTextIndex.load(spark, str(tmp_path / "t2")).search_bm25(
         "anything", k=5
     ).count() == 0
+
+
+def test_hybrid_staleness_contract_vector_side_covers_unindexed_docs(spark, tmp_path):
+    """The rebuild-on-change contract (reference hybrid.py:53) in
+    behavior: a doc added AFTER index_text() is invisible to the
+    keyword side until reindex, but the vector side reads the live
+    table — so hybrid still surfaces it, and a reindex restores full
+    keyword coverage."""
+    from alma_memory_spark.engine import AlmaSpark
+
+    eng = AlmaSpark(spark, str(tmp_path / "store"))
+    eng.add_knowledge("a", "p", "d", "spark joins are fast")
+    eng.index_text("domain_knowledge", n_buckets=4)
+    fresh = eng.add_knowledge("a", "p", "d", "spark shuffles are slow")
+
+    res = eng.search_hybrid("spark shuffles", agent="a", project_id="p", top_k=5)
+    by_id = {r["id"]: r for r in res}
+    assert fresh in by_id  # vector side found the un-indexed doc...
+    assert by_id[fresh]["text_score"] == 0.0  # ...keyword side hasn't
+
+    eng.index_text("domain_knowledge", n_buckets=4)  # rebuild-on-change
+    res2 = eng.search_hybrid("spark shuffles", agent="a", project_id="p", top_k=5)
+    assert {r["id"]: r for r in res2}[fresh]["text_score"] > 0.0
