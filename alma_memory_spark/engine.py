@@ -414,7 +414,8 @@ class AlmaSpark:
             # extract_heuristics returns every qualifying cluster each
             # call; FORMED must fire only for ids not already stored
             # (the reference emits at create time, storage_mixin.py)
-            new_heur = [i for i in ids if i not in _existing_ids("heuristics", ids)]
+            known = _existing_ids("heuristics", ids)
+            new_heur = [i for i in ids if i not in known]
             hdf = self._heuristic_rows(hrows)
             self.store.upsert("heuristics", hdf)
             result["heuristics"] = ids
@@ -424,9 +425,8 @@ class AlmaSpark:
             arows = aps.collect()
             if arows:
                 ids = [r["id"] for r in arows]
-                new_aps = [
-                    i for i in ids if i not in _existing_ids("anti_patterns", ids)
-                ]
+                known = _existing_ids("anti_patterns", ids)
+                new_aps = [i for i in ids if i not in known]
                 adf = self._anti_pattern_rows(arows)
                 self.store.upsert("anti_patterns", adf)
                 result["anti_patterns"] = ids
@@ -670,12 +670,7 @@ class AlmaSpark:
         actual deletes."""
         df = self.store.read(table).filter(F.col("project_id") == project_id)
         doomed_ids: DataFrame | None = None
-        ts_col = {
-            "heuristics": "last_validated",
-            "outcomes": "timestamp",
-            "domain_knowledge": "last_verified",
-            "anti_patterns": "last_seen",
-        }[table]
+        ts_col = LC.FORGET_TS_COLS[table]
         if max_age_days is not None:
             cutoff = datetime.fromtimestamp(
                 self._now().timestamp() - max_age_days * 86400, tz=timezone.utc

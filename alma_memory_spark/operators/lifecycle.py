@@ -25,6 +25,16 @@ from pyspark.sql import functions as F
 
 from alma_memory_spark.functions.temporal import strength_decay
 
+#: the prunable memory tables and their event-time column — THE single
+#: source for every forget/retention consumer (engine.select_doomed_ids,
+#: the maintenance scheduler's table loop and dry-run)
+FORGET_TS_COLS = {
+    "heuristics": "last_validated",
+    "outcomes": "timestamp",
+    "domain_knowledge": "last_verified",
+    "anti_patterns": "last_seen",
+}
+
 QUOTA_METRIC = {
     "heuristics": ("confidence", "desc"),
     "outcomes": ("timestamp", "desc"),

@@ -25,7 +25,11 @@ from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import functions as F
 
-MEMORY_TABLES = ["heuristics", "outcomes", "domain_knowledge", "anti_patterns"]
+from alma_memory_spark.operators.lifecycle import FORGET_TS_COLS
+
+#: prunable tables = exactly the ones the forget path knows a
+#: timestamp column for (single source: lifecycle.FORGET_TS_COLS)
+MEMORY_TABLES = list(FORGET_TS_COLS)
 MAX_HISTORY = 50
 WEAK_ALERT_RATIO = 0.5
 STALE_ALERT_RATIO = 0.5
