@@ -141,3 +141,28 @@ def test_engine_graph_and_handoffs(spark, tmp_path):
     assert eng.get_workflow_outcomes(workflow_id="wf-a").count() == 2
     assert eng.get_workflow_outcomes(tenant_id="t1").count() == 1
     assert eng.get_workflow_outcomes(run_id="run-1").count() == 1
+
+
+def test_every_reference_core_method_has_an_engine_counterpart():
+    """Living parity checklist: every public method of the reference's
+    ALMA facade (core.py) must exist on AlmaSpark under the same name
+    (async_* thin wrappers excluded — asyncio.to_thread glue). Skipped
+    when the reference checkout isn't present."""
+    import os
+    import re
+
+    import pytest
+
+    ref = "/root/reference/alma/core.py"
+    if not os.path.isfile(ref):
+        pytest.skip("reference checkout not available")
+    from alma_memory_spark.engine import AlmaSpark
+
+    src = open(ref, encoding="utf-8").read()
+    ref_methods = {
+        m
+        for m in re.findall(r"^    def ([a-z][a-zA-Z0-9_]*)\(", src, re.M)
+        if not m.startswith("async_")
+    }
+    missing = sorted(m for m in ref_methods if not hasattr(AlmaSpark, m))
+    assert not missing, f"reference facade methods without a counterpart: {missing}"
