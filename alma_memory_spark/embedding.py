@@ -143,6 +143,61 @@ class CachedEmbedder:
         self.misses = 0
 
 
+class SentenceTransformerEmbedder:
+    """Driver-side real-model provider (reference: LocalEmbedder,
+    alma/retrieval/embeddings.py:34-85 — all-MiniLM-L6-v2, 384-d).
+    Import-gated: the container has no model libs, so construction
+    raises the same declared environment boundary as
+    sentence_transformer_udf."""
+
+    def __init__(self, model_name: str = "all-MiniLM-L6-v2"):
+        try:
+            from sentence_transformers import SentenceTransformer
+        except ImportError as e:  # pragma: no cover - model libs absent here
+            raise NotImplementedError(
+                "sentence-transformers is not available in this environment; "
+                "use embedding provider 'hash'/'mock' instead"
+            ) from e
+        self._model = SentenceTransformer(model_name)  # pragma: no cover
+        self.dim = self._model.get_sentence_embedding_dimension()  # pragma: no cover
+
+    def encode(self, text: str) -> list[float]:  # pragma: no cover
+        return self.encode_batch([text])[0]
+
+    def encode_batch(self, texts: list[str]) -> list[list[float]]:  # pragma: no cover
+        vecs = self._model.encode(texts, normalize_embeddings=True)
+        return [np.asarray(v, dtype=np.float32).tolist() for v in vecs]
+
+
+def resolve_provider(name: str | None, dim: int | None = None, model: str | None = None):
+    """Config -> embedding provider (reference: RetrievalEngine
+    _get_embedder, engine.py:872-890 — 'local' is sentence-transformers,
+    'azure' requires AZURE_OPENAI_ENDPOINT/KEY env vars, 'mock' is the
+    deterministic test provider). 'hash' and 'mock' map to HashEmbedder
+    here (this repo's deterministic default); the real-model providers
+    stay env/import-gated with a clear boundary error."""
+    import os
+
+    name = (name or "hash").lower()
+    if name in ("hash", "mock", "default"):
+        return HashEmbedder(dim or DEFAULT_DIM)
+    if name in ("local", "sentence_transformers", "sentence-transformers"):
+        return SentenceTransformerEmbedder(model or "all-MiniLM-L6-v2")
+    if name == "azure":
+        if not (
+            os.environ.get("AZURE_OPENAI_ENDPOINT") and os.environ.get("AZURE_OPENAI_KEY")
+        ):
+            raise NotImplementedError(
+                "embedding provider 'azure' requires AZURE_OPENAI_ENDPOINT and "
+                "AZURE_OPENAI_KEY (reference: embeddings.py:106-122)"
+            )
+        raise NotImplementedError(  # pragma: no cover - no network here
+            "azure embedding calls need network access unavailable in this "
+            "environment"
+        )
+    raise ValueError(f"unknown embedding provider: {name}")
+
+
 def encode_udf(dim: int = DEFAULT_DIM):
     """pandas UDF: string column -> ArrayType(FloatType) embedding column.
 

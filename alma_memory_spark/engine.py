@@ -76,7 +76,24 @@ class AlmaSpark:
         # one shared mutable structure, guarded like the reference's
         # thread-safe cache (alma/retrieval/cache.py uses an RLock)
         self._cache_lock = threading.RLock()
-        self._epoch = 0
+        # SCOPED cache epochs (reference: RetrievalCache.invalidate
+        # keys entries per (agent, project) and flushes only that
+        # scope's slices on write, alma/retrieval/cache.py:564-625). A
+        # single global epoch — the r3 design — made every write a
+        # fleet-wide cache flush in multi-agent serving. Keys:
+        #   ("*",)                   global (unscoped writes)
+        #   ("agent", a, p)          write/read scoped to agent a in p
+        #   ("agentany", a)          agent a across projects (reads
+        #                            with project_id=None snapshot this)
+        #   ("proj", p)              project-wide writes (forget/
+        #                            consolidate)
+        #   ("anyproject",)         project-wide writes as seen by
+        #                            project_id=None reads
+        #   ("user", u)              preference writes for user u
+        # A read snapshots every key it depends on; a write bumps the
+        # narrowest keys that cover it. Values only grow, so a changed
+        # snapshot can never be confused with an unchanged one.
+        self._epochs: dict[tuple, int] = {}
         self._clock = clock
         # memory event system (reference alma/events/): write paths
         # emit typed events; the zero-subscriber fast path is one dict
@@ -99,8 +116,54 @@ class AlmaSpark:
     def _rows_df(self, table: str, rows: list[dict[str, Any]]) -> DataFrame:
         return self.spark.createDataFrame(rows, schemas.ALL_TABLES[table])
 
-    def _invalidate_cache(self) -> None:
-        self._epoch += 1
+    def _bump(self, *keys: tuple) -> None:
+        with self._cache_lock:
+            for k in keys:
+                self._epochs[k] = self._epochs.get(k, 0) + 1
+
+    def _invalidate_cache(
+        self,
+        agent: str | None = None,
+        project_id: str | None = None,
+        user_id: str | None = None,
+    ) -> None:
+        """Invalidate cached slices for the write's scope only.
+
+        (agent, project) write -> that agent's entries in that project
+        plus the agent's cross-project entries; project-only write ->
+        every agent's entries in that project; user write -> that
+        user's preference-bearing entries; no scope -> global flush
+        (the safe fallback for writes whose blast radius is unknown,
+        e.g. compaction or cross-project batch extraction)."""
+        if user_id is not None:
+            self._bump(("user", user_id))
+        elif agent is not None and project_id is not None:
+            self._bump(("agent", agent, project_id), ("agentany", agent))
+        elif project_id is not None:
+            self._bump(("proj", project_id), ("anyproject",))
+        else:
+            self._bump(("*",))
+
+    def _epoch_snapshot(
+        self,
+        agents: list[str],
+        project_id: str | None,
+        user_id: str | None,
+    ) -> tuple:
+        """Every epoch key this read depends on, as a value tuple. The
+        caller holds _cache_lock (snapshot must be atomic vs bumps)."""
+        keys: list[tuple] = [("*",)]
+        if project_id is not None:
+            keys.append(("proj", project_id))
+            keys.extend(("agent", a, project_id) for a in agents)
+        else:
+            # an unscoped read sees every project: depend on the
+            # project-wide channel and each agent's any-project channel
+            keys.append(("anyproject",))
+            keys.extend(("agentany", a) for a in agents)
+        if user_id is not None:
+            keys.append(("user", user_id))
+        return tuple(self._epochs.get(k, 0) for k in keys)
 
     # ------------------------------------------------------------------
     # retrieval (the hot path; reference core.py:246-307)
@@ -139,19 +202,21 @@ class AlmaSpark:
             tuple(inherit_from or ()),
             use_feedback,
         )
+        agents_for_epoch = [agent] + [a for a in (inherit_from or ()) if a != agent]
         with self._cache_lock:
             hit = self._cache.get(key)
+            current = self._epoch_snapshot(agents_for_epoch, project_id, user_id)
             if hit is not None:
                 ts, epoch, sl = hit
-                if epoch == self._epoch and time.perf_counter() - ts < CACHE_TTL_SECONDS:
+                if epoch == current and time.perf_counter() - ts < CACHE_TTL_SECONDS:
                     self._cache.move_to_end(key)
                     return sl
                 del self._cache[key]
-            # capture the epoch BEFORE any store read: a write landing
-            # mid-retrieve bumps _epoch, and stamping the post-write
-            # epoch on pre-write data would undo its invalidation and
-            # serve the stale slice for the full TTL
-            epoch_at_read = self._epoch
+            # capture the epoch snapshot BEFORE any store read: a write
+            # landing mid-retrieve bumps its scope keys, and stamping
+            # the post-write snapshot on pre-write data would undo its
+            # invalidation and serve the stale slice for the full TTL
+            epoch_at_read = current
         cfg: ModeConfig | None = MODES.get(mode_name) if mode_name else None
         weights = cfg.weights if cfg else ScoringWeights()
         # caller top_k OVERRIDES the mode default (reference core.py:
@@ -382,7 +447,7 @@ class AlmaSpark:
                 )
             new_df = allowed
         self.store.append("outcomes", new_df)
-        self._invalidate_cache()
+        self._invalidate_cache(agent, project_id)
 
         # inline heuristic / anti-pattern checks = incremental special
         # case of the batch extractors, scoped to this (agent, task_type)
@@ -560,7 +625,7 @@ class AlmaSpark:
                 ],
             ),
         )
-        self._invalidate_cache()
+        self._invalidate_cache(agent, project_id)
         self._emit("KNOWLEDGE_ADDED", agent, project_id, "domain_knowledge", kid,
                    {"domain": domain})
         return kid
@@ -589,7 +654,7 @@ class AlmaSpark:
                 ],
             ),
         )
-        self._invalidate_cache()
+        self._invalidate_cache(user_id=user_id)
         self._emit("PREFERENCE_ADDED", user_id, None, "preferences", pid,
                    {"category": category})
         return pid
@@ -703,7 +768,7 @@ class AlmaSpark:
         if not ids:
             return 0
         n = self.store.delete(table, F.col("id").isin(ids), reason=reason, memory_type=table)
-        self._invalidate_cache()
+        self._invalidate_cache(project_id=project_id)
         self._emit("DELETED", "", project_id, table, None,
                    {"count": n, "reason": reason})
         return n
@@ -716,7 +781,7 @@ class AlmaSpark:
         if n_merged:
             new = rest.unionByName(survivors).unionByName(merged)
             self.store.overwrite(table, new)
-            self._invalidate_cache()
+            self._invalidate_cache(project_id=project_id)
             self._emit("CONSOLIDATED", "", project_id, table, None,
                        {"merged": n_merged})
         return n_merged
@@ -858,17 +923,8 @@ class AlmaSpark:
             # keyword-only: the fuse degenerates to the text ranking
             vec = self.spark.createDataFrame([], "id string, similarity double")
 
-        ixpath = self._text_index_path(table)
-        if os.path.isdir(os.path.join(ixpath, "stats")):
-            idx = InvertedTextIndex.load(self.spark, ixpath)
-            txt = (
-                idx.search_bm25(query, k=4 * fetch)
-                .join(df.select("id"), "id", "left_semi")
-                .orderBy(F.desc("bm25_score"), F.asc("id"))
-                .limit(fetch)
-            )
-        else:
-            txt = (
+        def scan_bm25() -> DataFrame:
+            return (
                 bm25_scores(
                     df.select("id", self._text_expr(table).alias("_text")),
                     query,
@@ -878,6 +934,33 @@ class AlmaSpark:
                 .orderBy(F.desc("bm25_score"), F.asc("id"))
                 .limit(fetch)
             )
+
+        ixpath = self._text_index_path(table)
+        if os.path.isdir(os.path.join(ixpath, "stats")):
+            idx = InvertedTextIndex.load(self.spark, ixpath)
+            glob = idx.search_bm25(query, k=4 * fetch)
+            txt = (
+                glob.join(df.select("id"), "id", "left_semi")
+                .orderBy(F.desc("bm25_score"), F.asc("id"))
+                .limit(fetch)
+            )
+            # scope-selectivity guard: the index ranks over the GLOBAL
+            # corpus, so in a multi-agent store a scoped hit ranked
+            # below the global top-4*fetch would silently vanish from
+            # the text side. Detect the only case that can happen —
+            # the global cut was SATURATED (returned the full 4*fetch,
+            # i.e. more matches exist below it) AND the scope semi-join
+            # came back short of fetch — and fall back to the scan-BM25
+            # over the already-scoped rows (identical formula). When
+            # the global list is NOT saturated it already contains
+            # every matching doc, so a short scoped list just means the
+            # scoped corpus has few matches and the index answer is
+            # exact. Both counts run on index-pruned, already-top-cut
+            # frames (<= 4*fetch rows).
+            if txt.count() < fetch and glob.count() >= 4 * fetch:
+                txt = scan_bm25()
+        else:
+            txt = scan_bm25()
 
         fused = rrf_fuse(
             vec,
@@ -1037,10 +1120,19 @@ class AlmaSpark:
                             source="auto_extraction",
                         )
                 else:  # domain_knowledge / outcome fall back to knowledge
+                    # OUTCOME facts commit under the FIXED domain
+                    # 'outcomes' (reference _commit_fact routing,
+                    # auto_learner.py:223-229); only domain_knowledge
+                    # facts use the inferred domain
+                    domain = (
+                        "outcomes"
+                        if f["fact_type"] == "outcome"
+                        else f.get("inferred_domain") or "general"
+                    )
                     fid = self.add_knowledge(
                         agent,
                         project_id,
-                        f.get("inferred_domain") or "general",
+                        domain,
                         f["fact_content"],
                         source="auto_extraction",
                     )
@@ -1055,7 +1147,7 @@ class AlmaSpark:
                     "anti_patterns", self._rows_df("anti_patterns", ap_rows)
                 )
             if committed:
-                self._invalidate_cache()
+                self._invalidate_cache(agent, project_id)
         return {
             "extracted_count": len(valid) + len(rejected),
             "valid_count": len(valid),
@@ -1127,7 +1219,21 @@ class AlmaSpark:
         -> blocked appends blocked_by + block_reason; -> failed records
         failure_reason. The note lands in metadata (map<string,string>,
         so the last note per kind is kept — the reference appends to a
-        JSON list, a deviation documented here)."""
+        JSON list, a deviation documented here).
+
+        The table lock spans the read AND the upsert: two concurrent
+        status updates on the same item otherwise interleave their
+        read-modify-writes and one loses (a blocked_by append or time
+        accrual vanishes). The store's per-table lock is reentrant, so
+        the nested upsert acquisition is free."""
+        with self.store._table_lock("work_items"):
+            return self._update_work_item_locked(
+                item_id, status, notes, tests_passing, blocked_by
+            )
+
+    def _update_work_item_locked(
+        self, item_id, status, notes, tests_passing, blocked_by
+    ) -> dict[str, Any] | None:
         rows = (
             self.store.read("work_items").filter(F.col("id") == item_id).limit(1).collect()
         )
@@ -1176,18 +1282,23 @@ class AlmaSpark:
         return item
 
     def unblock_work_item(self, item_id: str) -> dict[str, Any] | None:
-        """blocked -> pending with blocked_by cleared (tracker.py:215-222)."""
-        rows = (
-            self.store.read("work_items").filter(F.col("id") == item_id).limit(1).collect()
-        )
-        if not rows or rows[0]["status"] != "blocked":
-            return None
-        item = rows[0].asDict(recursive=True)
-        item.update(status="pending", blocked_by=[], updated_at=self._now())
-        self.store.upsert(
-            "work_items", self.spark.createDataFrame([item], schemas.WORK_ITEMS)
-        )
-        return item
+        """blocked -> pending with blocked_by cleared (tracker.py:215-222).
+        Lock-covered read-modify-write like update_work_item_status."""
+        with self.store._table_lock("work_items"):
+            rows = (
+                self.store.read("work_items")
+                .filter(F.col("id") == item_id)
+                .limit(1)
+                .collect()
+            )
+            if not rows or rows[0]["status"] != "blocked":
+                return None
+            item = rows[0].asDict(recursive=True)
+            item.update(status="pending", blocked_by=[], updated_at=self._now())
+            self.store.upsert(
+                "work_items", self.spark.createDataFrame([item], schemas.WORK_ITEMS)
+            )
+            return item
 
     def get_work_items(
         self,
@@ -1314,10 +1425,15 @@ class AlmaSpark:
     ) -> "AlmaSpark":
         """Config-file constructor (core.py:165-231 + config/loader.py):
         reads the reference's .alma/config.yaml shape — project_id,
-        storage.path, retrieval.feedback_weight — and env-gates the
-        real-model embedding providers exactly like the runtime does."""
+        storage.path, retrieval.feedback_weight, and the embedding
+        provider (top-level `embedding_provider` like the reference
+        loader, or a nested `embedding: {provider, model, dim}` block).
+        'hash'/'mock' resolve to the deterministic HashEmbedder;
+        'local' (sentence-transformers) and 'azure' are env/import-
+        gated exactly like the runtime (embedding.resolve_provider)."""
         import yaml
 
+        from alma_memory_spark.embedding import resolve_provider
         from alma_memory_spark.session import get_spark
 
         with open(config_path, encoding="utf-8") as f:
@@ -1327,9 +1443,21 @@ class AlmaSpark:
             os.path.dirname(os.path.abspath(config_path)), "store"
         )
         retrieval = cfg.get("retrieval") or {}
+        emb_cfg = cfg.get("embedding") or {}
+        provider = emb_cfg.get("provider") or cfg.get("embedding_provider")
+        embedder = (
+            resolve_provider(
+                provider,
+                dim=emb_cfg.get("dim"),
+                model=emb_cfg.get("model"),
+            )
+            if provider or emb_cfg
+            else None  # no embedding config: the constructor default
+        )
         eng = cls(
             spark or get_spark(cfg.get("project_id", "alma")),
             root,
+            embedder=embedder,
             feedback_weight=float(retrieval.get("feedback_weight", 0.15)),
         )
         eng.default_project_id = cfg.get("project_id")
@@ -1572,7 +1700,7 @@ class AlmaSpark:
             for c in cand
         ]
         self.store.upsert("heuristics", self._rows_df("heuristics", rows))
-        self._invalidate_cache()
+        self._invalidate_cache(project_id=project_id)
         return len(rows)
 
     def compress_and_learn(

@@ -13,7 +13,18 @@ faiss.IndexIVFFlat) ARE parquet partitions here.
 
 Layout on disk:
     <path>/centroids/   tiny parquet: (cell bigint, cvec array<double>)
+    <path>/meta/        one-row parquet: (id_type, cent_every) — id_type
+                        lets memory-table string ids index too (cells
+                        then come from xxhash64(id) instead of the id)
     <path>/lists/       parquet partitioned by cell: (id, embedding)
+    <path>/tombstones/  optional parquet: (id) — ids forgotten since
+                        the last (re)build; search anti-joins them so a
+                        deleted vector is NEVER served stale (the
+                        reference marks the FAISS index dirty on delete
+                        and lazily rebuilds, sqlite_local.py:510-521 —
+                        tombstones give the same read-your-deletes
+                        contract without an immediate rebuild, and the
+                        maintenance reindex clears them)
 
 Determinism matches the gate: cosines round to 6dp BEFORE every
 argmax/probe cut; assignment ties break toward the LARGER cell id;
@@ -27,16 +38,19 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+_NUMERIC_ID_TYPES = {"bigint", "int", "smallint", "tinyint", "long"}
+
 
 class IVFIndex:
     """Handle over a built index: tiny driver-side quantizer + the
     cell-partitioned lists path."""
 
-    def __init__(self, spark: SparkSession, path: str, cells, Cn):
+    def __init__(self, spark: SparkSession, path: str, cells, Cn, id_type: str = "bigint"):
         self.spark = spark
         self.path = path
         self.cells = cells  # np.int64 cell ids, sorted DESC
         self.Cn = Cn  # L2-normalized centroid matrix, rows follow cells
+        self.id_type = id_type
 
     # ------------------------------------------------------------------
 
@@ -112,34 +126,65 @@ class IVFIndex:
         kmeans_iters: int = 0,
     ) -> "IVFIndex":
         """One-time index build: stride-sample centroid seeds
-        (deterministic — every cent_every-th id), optionally refine
-        them with `kmeans_iters` distributed spherical-k-means passes
-        (recommended 2-3 for clustered embedding distributions; see
-        _lloyd_refine), assign every vector to its nearest centroid
-        with one fused Arrow-batched kernel (per-batch BLAS matmul
-        against the broadcast centroid matrix), and write the lists
-        partitioned by cell. The assignment is a narrow map, and
-        partitionBy on write splits files by cell within each task."""
+        (deterministic — every cent_every-th id for numeric ids; for
+        string ids — memory-table ids like 'dk_ab12' — the sample key
+        and the cell id both come from xxhash64(id), keeping the same
+        1/cent_every sampling rate and a stable int64 cell id),
+        optionally refine them with `kmeans_iters` distributed
+        spherical-k-means passes (recommended 2-3 for clustered
+        embedding distributions; see _lloyd_refine), assign every
+        vector to its nearest centroid with one fused Arrow-batched
+        kernel (per-batch BLAS matmul against the broadcast centroid
+        matrix), and write the lists partitioned by cell. The
+        assignment is a narrow map, and partitionBy on write splits
+        files by cell within each task."""
         import numpy as np
         import pandas as pd
 
         from alma_memory_spark.session import ensure_package_shipped
 
         ensure_package_shipped(spark)
+        id_type = df.schema[id_col].dataType.simpleString()
+        if id_type in _NUMERIC_ID_TYPES:
+            cell_expr = F.col(id_col).cast("long")
+        else:
+            cell_expr = F.xxhash64(F.col(id_col))
         cent_rows = sorted(
-            df.filter(F.pmod(F.col(id_col), F.lit(cent_every)) == 0)
-            .select(id_col, vec_col)
+            df.filter(F.pmod(cell_expr, F.lit(cent_every)) == 0)
+            .select(cell_expr.alias("_cell"), F.col(vec_col))
             .collect(),
-            key=lambda r: -r[id_col],
+            key=lambda r: -r["_cell"],
         )
         if not cent_rows:
             raise ValueError("no centroids: corpus has no id % cent_every == 0 rows")
-        cells = np.array([r[id_col] for r in cent_rows], dtype=np.int64)
+        cells = np.array([r["_cell"] for r in cent_rows], dtype=np.int64)
         C = np.array([r[vec_col] for r in cent_rows], dtype=np.float64)
         Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
         if kmeans_iters > 0:
             Cn = IVFIndex._lloyd_refine(df, id_col, vec_col, cells, Cn, kmeans_iters)
-        b = spark.sparkContext.broadcast((cells, Cn))
+
+        idx = IVFIndex(spark, path, cells, Cn, id_type)
+        idx._write_lists(df, id_col, vec_col, mode="overwrite")
+        spark.createDataFrame(
+            [(int(c), [float(x) for x in Cn[i]]) for i, c in enumerate(cells)],
+            "cell long, cvec array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+        spark.createDataFrame(
+            [(id_type, cent_every)], "id_type string, cent_every int"
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+        # a rebuild supersedes every prior delete: clear tombstones
+        import shutil
+
+        shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
+        return idx
+
+    def _write_lists(self, df: DataFrame, id_col: str, vec_col: str, mode: str) -> None:
+        """Assign vectors to their nearest stored centroid (fused Arrow
+        kernel, narrow map) and write them under their cell partitions."""
+        import numpy as np
+        import pandas as pd
+
+        b = self.spark.sparkContext.broadcast((self.cells, self.Cn))
 
         def assign(it):
             cells_, Cn_ = b.value
@@ -159,16 +204,11 @@ class IVFIndex:
                 )
 
         assigned = df.select(id_col, vec_col).mapInPandas(
-            assign, "id long, embedding array<double>, cell long"
+            assign, f"id {self.id_type}, embedding array<double>, cell long"
         )
-        assigned.write.mode("overwrite").partitionBy("cell").parquet(
-            os.path.join(path, "lists")
+        assigned.write.mode(mode).partitionBy("cell").parquet(
+            os.path.join(self.path, "lists")
         )
-        spark.createDataFrame(
-            [(int(c), [float(x) for x in Cn[i]]) for i, c in enumerate(cells)],
-            "cell long, cvec array<double>",
-        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
-        return IVFIndex(spark, path, cells, Cn)
 
     @staticmethod
     def load(spark: SparkSession, path: str) -> "IVFIndex":
@@ -182,7 +222,11 @@ class IVFIndex:
         )
         cells = np.array([r["cell"] for r in rows], dtype=np.int64)
         Cn = np.array([r["cvec"] for r in rows], dtype=np.float64)
-        return IVFIndex(spark, path, cells, Cn)
+        id_type = "bigint"
+        meta_path = os.path.join(path, "meta")
+        if os.path.isdir(meta_path):
+            id_type = spark.read.parquet(meta_path).collect()[0]["id_type"]
+        return IVFIndex(spark, path, cells, Cn, id_type)
 
     # ------------------------------------------------------------------
 

@@ -245,3 +245,43 @@ def test_reference_facade_parity_aliases(spark, tmp_path):
     }
     assert eng.retrieve_with_scope("q", "a1", ctx, scope="global").metadata[
         "scope_filter"] == {}
+
+
+def test_from_config_honors_embedding_section(spark, tmp_path):
+    """from_config wires the configured embedding provider (reference:
+    ALMA.from_config -> RetrievalEngine(embedding_provider=...),
+    core.py:164-190): 'hash'/'mock' resolve to the deterministic
+    HashEmbedder with the configured dim; 'local' and 'azure' raise the
+    declared env/import boundary; unknown providers are rejected."""
+    import pytest as _pytest
+
+    from alma_memory_spark.embedding import HashEmbedder, resolve_provider
+    from alma_memory_spark.engine import AlmaSpark
+
+    cfg = tmp_path / "config.yaml"
+    cfg.write_text(
+        "project_id: proj-e\n"
+        f"storage:\n  path: {tmp_path / 'emb_store'}\n"
+        "embedding:\n  provider: hash\n  dim: 32\n"
+    )
+    eng = AlmaSpark.from_config(str(cfg), spark=spark)
+    assert isinstance(eng.embedder, HashEmbedder) and eng.embedder.dim == 32
+    assert len(eng.embedder.encode("x")) == 32
+
+    # top-level reference-loader shape works too
+    cfg2 = tmp_path / "config2.yaml"
+    cfg2.write_text(
+        "project_id: proj-e2\n"
+        f"storage:\n  path: {tmp_path / 'emb_store2'}\n"
+        "embedding_provider: mock\n"
+    )
+    eng2 = AlmaSpark.from_config(str(cfg2), spark=spark)
+    assert isinstance(eng2.embedder, HashEmbedder)
+
+    # env/import-gated providers raise their declared boundary
+    with _pytest.raises(NotImplementedError):
+        resolve_provider("local")
+    with _pytest.raises(NotImplementedError):
+        resolve_provider("azure")
+    with _pytest.raises(ValueError):
+        resolve_provider("nonsense")

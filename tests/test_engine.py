@@ -221,3 +221,67 @@ def test_sanitize_for_prompt_escapes_format_specifiers():
     # a .format() over the sanitized text must be a no-op round-trip
     assert out.format() == raw
     assert sanitize_for_prompt("") == ""
+
+
+def test_scoped_cache_invalidation(engine):
+    """A write for agent B must leave agent A's cached slice live
+    (reference: RetrievalCache invalidates per (agent, project),
+    alma/retrieval/cache.py:564-625 — a global epoch would flush every
+    agent's cache on any write)."""
+    engine.add_knowledge("alice", "proj-a", "d", "alpha fact one")
+    engine.add_knowledge("bob", "proj-a", "d", "bravo fact one")
+    a1 = engine.retrieve("alpha fact", agent="alice", project_id="proj-a")
+    b1 = engine.retrieve("bravo fact", agent="bob", project_id="proj-a")
+    # bob's write: alice's entry survives, bob's does not
+    engine.add_knowledge("bob", "proj-a", "d", "bravo fact two")
+    assert engine.retrieve("alpha fact", agent="alice", project_id="proj-a") is a1
+    b2 = engine.retrieve("bravo fact", agent="bob", project_id="proj-a")
+    assert b2 is not b1
+    # a write in ANOTHER project leaves both agents' proj-a entries live
+    engine.add_knowledge("alice", "proj-z", "d", "zulu fact")
+    assert engine.retrieve("alpha fact", agent="alice", project_id="proj-a") is a1
+    assert engine.retrieve("bravo fact", agent="bob", project_id="proj-a") is b2
+    # alice's write lands in her scope only
+    engine.add_knowledge("alice", "proj-a", "d", "alpha fact two")
+    a2 = engine.retrieve("alpha fact", agent="alice", project_id="proj-a")
+    assert a2 is not a1 and len(a2.domain_knowledge) == 2
+    assert engine.retrieve("bravo fact", agent="bob", project_id="proj-a") is b2
+
+
+def test_scoped_cache_projectwide_and_inherit(engine):
+    """Project-wide writes (forget) invalidate every agent in the
+    project; inherit_from reads depend on the inherited agents' scopes;
+    project_id=None reads see any-project writes for their agents."""
+    engine.add_knowledge("alice", "proj-a", "d", "alpha fact one")
+    engine.add_knowledge("bob", "proj-a", "d", "bravo fact one")
+    shared = engine.retrieve(
+        "bravo fact", agent="alice", project_id="proj-a", inherit_from=["bob"]
+    )
+    noproj = engine.retrieve("alpha fact", agent="alice")
+    # bob's write invalidates alice's INHERITING entry but not her own
+    own = engine.retrieve("alpha fact", agent="alice", project_id="proj-a")
+    engine.add_knowledge("bob", "proj-a", "d", "bravo fact two")
+    assert engine.retrieve("alpha fact", agent="alice", project_id="proj-a") is own
+    assert (
+        engine.retrieve(
+            "bravo fact", agent="alice", project_id="proj-a", inherit_from=["bob"]
+        )
+        is not shared
+    )
+    # alice's any-project read is invalidated by her write in proj-z
+    assert engine.retrieve("alpha fact", agent="alice") is noproj
+    engine.add_knowledge("alice", "proj-z", "d", "zulu fact")
+    assert engine.retrieve("alpha fact", agent="alice") is not noproj
+    # forget() on proj-a invalidates every proj-a agent's entries
+    own2 = engine.retrieve("alpha fact", agent="alice", project_id="proj-a")
+    engine.forget("domain_knowledge", "proj-a", max_age_days=0.0)
+    assert engine.retrieve("alpha fact", agent="alice", project_id="proj-a") is not own2
+
+
+def test_scoped_cache_user_preferences(engine):
+    engine.add_preference("u1", "style", "be terse")
+    s1 = engine.retrieve("anything", agent="alice", project_id="p", user_id="u1")
+    s_other = engine.retrieve("anything", agent="alice", project_id="p", user_id="u2")
+    engine.add_preference("u1", "style", "use bullets")
+    assert engine.retrieve("anything", agent="alice", project_id="p", user_id="u1") is not s1
+    assert engine.retrieve("anything", agent="alice", project_id="p", user_id="u2") is s_other

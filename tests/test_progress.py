@@ -214,3 +214,22 @@ def test_repeated_done_does_not_reaccumulate_time(eng):
     got = eng.update_work_item_status(it["id"], "done", tests_passing=False)
     assert got["time_spent_ms"] == 30_000
     assert got["tests_passing"] is False
+
+
+def test_concurrent_status_updates_no_lost_update(eng):
+    """Two concurrent blocked-updates on the SAME item must both land
+    (the read-modify-write is lock-covered; an unlocked interleaving
+    loses one blocked_by append)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    item = eng.create_work_item("p1", "racy item")
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(
+            eng.update_work_item_status, item["id"], "blocked", blocked_by="dep-a"
+        )
+        f2 = pool.submit(
+            eng.update_work_item_status, item["id"], "blocked", blocked_by="dep-b"
+        )
+        f1.result(), f2.result()
+    final = eng.get_work_items(project_id="p1")[0]
+    assert sorted(final["blocked_by"]) == ["dep-a", "dep-b"]

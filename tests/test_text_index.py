@@ -355,3 +355,34 @@ def test_hybrid_staleness_contract_vector_side_covers_unindexed_docs(spark, tmp_
     eng.index_text("domain_knowledge", n_buckets=4)  # rebuild-on-change
     res2 = eng.search_hybrid("spark shuffles", agent="a", project_id="p", top_k=5)
     assert {r["id"]: r for r in res2}[fresh]["text_score"] > 0.0
+
+
+def test_hybrid_scoped_fallback_on_saturated_global_cut(spark, tmp_path):
+    """Multi-agent store where the scoped agent's docs rank BELOW the
+    global top-4*fetch: the indexed text path's scope semi-join comes
+    back short while the global cut is saturated, so search_hybrid must
+    fall back to scan-BM25 over the scoped rows instead of silently
+    dropping the scoped hits (the r3 over-fetch bug)."""
+    from alma_memory_spark.engine import AlmaSpark
+
+    eng = AlmaSpark(spark, str(tmp_path / "store"))
+    # 60 spam docs with high tf for the query term swamp the global
+    # ranking (top_k=5 -> fetch=10 -> global cut 40)
+    for i in range(60):
+        eng.add_knowledge("spammer", "proj-a", "d", f"query query query spam {i}")
+    for i in range(3):
+        eng.add_knowledge(
+            "helena", "proj-a", "d",
+            f"one weak mention of query inside a much longer document {i}",
+        )
+    eng.index_text("domain_knowledge", n_buckets=8)
+    res = eng.search_hybrid("query", agent="helena", project_id="proj-a", top_k=5)
+    helena_ids = {
+        r["id"]
+        for r in eng.store.read("domain_knowledge")
+        .filter("agent = 'helena'")
+        .collect()
+    }
+    got = {r["id"] for r in res}
+    # all three scoped docs match the term; the fallback must surface them
+    assert got == helena_ids
