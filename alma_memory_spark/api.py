@@ -55,6 +55,8 @@ class AlmaToolSurface:
             "alma_optimize": self._optimize,
             "alma_index_text": self._index_text,
             "alma_search_hybrid": self._search_hybrid,
+            "alma_index_vectors": self._index_vectors,
+            "alma_search_vectors": self._search_vectors,
             "alma_assess_strategy": self._assess_strategy,
             "alma_rank_strategies": self._rank_strategies,
             "alma_learn_from_conversation": self._learn_from_conversation,
@@ -234,6 +236,25 @@ class AlmaToolSurface:
                 task, agent, project_id=project_id, table=table,
                 top_k=top_k, vector_weight=vector_weight,
                 text_weight=text_weight,
+            )
+        }
+
+    def _index_vectors(self, table: str = "domain_knowledge",
+                       cent_every: int = 50) -> dict[str, Any]:
+        """Build/rebuild the persisted IVF vector index (reference:
+        the FAISS IndexIVFFlat build, sqlite_local.py:555-640)."""
+        return self.engine.index_vectors(table, cent_every=cent_every)
+
+    def _search_vectors(self, task: str, agent: str | None = None,
+                        project_id: str | None = None,
+                        table: str = "domain_knowledge", top_k: int = 10,
+                        nprobe: int = 3) -> dict[str, Any]:
+        """ANN retrieval from the persisted IVF index (tombstone- and
+        scope-guarded), exact-scan fallback without one."""
+        return {
+            "results": self.engine.search_vectors(
+                task, agent=agent, project_id=project_id, table=table,
+                top_k=top_k, nprobe=nprobe,
             )
         }
 

@@ -768,6 +768,14 @@ class AlmaSpark:
         if not ids:
             return 0
         n = self.store.delete(table, F.col("id").isin(ids), reason=reason, memory_type=table)
+        if self._has_ivf_index(table):
+            # tombstone the persisted vector index so it never serves
+            # the deleted ids before its next rebuild (the reference
+            # marks its FAISS index dirty here, sqlite_local.py:510-521;
+            # reindex_ivf in the maintenance cycle is the rebuild)
+            from alma_memory_spark.operators.ann_index import IVFIndex
+
+            IVFIndex.load(self.spark, self._ivf_index_path(table)).forget(ids)
         self._invalidate_cache(project_id=project_id)
         self._emit("DELETED", "", project_id, table, None,
                    {"count": n, "reason": reason})
@@ -859,6 +867,105 @@ class AlmaSpark:
             n_buckets=n_buckets,
         )
         return {"table": table, "n_docs": idx.n_docs, "indexed": True}
+
+    def _ivf_index_path(self, table: str) -> str:
+        return os.path.join(self.store.root, "_indexes", "ivf", table)
+
+    def _has_ivf_index(self, table: str) -> bool:
+        return os.path.isdir(os.path.join(self._ivf_index_path(table), "lists"))
+
+    def index_vectors(
+        self,
+        table: str = "domain_knowledge",
+        cent_every: int = 50,
+        kmeans_iters: int = 0,
+    ) -> dict[str, Any]:
+        """Build (or rebuild) the persisted IVF vector index for a
+        memory table — the Spark-shaped counterpart of the reference's
+        FAISS IndexIVFFlat build at storage init
+        (sqlite_local.py:555-640). Rebuilding clears tombstones, so a
+        maintenance-cycle call after heavy deletes is the lazy-rebuild
+        the reference's dirty flag schedules (sqlite_local.py:510-521).
+        Tiny corpora where the 1/cent_every hash sample yields no seeds
+        fall back to every-row seeds (exact per-cell search)."""
+        from alma_memory_spark.operators.ann_index import IVFIndex
+
+        if not self.store.exists(table):
+            return {"table": table, "n_vectors": 0, "indexed": False}
+        df = (
+            self.store.read(table)
+            .filter(F.col("embedding").isNotNull())
+            .select("id", "embedding")
+        )
+        n = df.count()
+        if n == 0:
+            return {"table": table, "n_vectors": 0, "indexed": False}
+        path = self._ivf_index_path(table)
+        try:
+            idx = IVFIndex.build(
+                self.spark, df, path, id_col="id", vec_col="embedding",
+                cent_every=cent_every, kmeans_iters=kmeans_iters,
+            )
+        except ValueError:  # no hash-sampled seeds (tiny corpus)
+            idx = IVFIndex.build(
+                self.spark, df, path, id_col="id", vec_col="embedding", cent_every=1
+            )
+        return {
+            "table": table,
+            "n_vectors": n,
+            "n_cells": int(len(idx.cells)),
+            "indexed": True,
+        }
+
+    def search_vectors(
+        self,
+        task: str,
+        agent: str | None = None,
+        project_id: str | None = None,
+        table: str = "domain_knowledge",
+        top_k: int = 10,
+        nprobe: int = 3,
+    ) -> list[dict[str, Any]]:
+        """ANN retrieval served from the persisted IVF index when one
+        exists (partition-pruned probe of nprobe cells), else exact
+        cosine over the scoped scan. The index path semi-joins the
+        SCOPED LIVE id set (partition-pruned, id-column-only read)
+        before the top-k cut — the same staleness/scope guard the
+        hybrid text path applies — and the index's own tombstones
+        exclude ids forgotten since the last rebuild even on unscoped
+        searches."""
+        from alma_memory_spark.functions.vector import cosine_similarity
+        from alma_memory_spark.operators.ann_index import IVFIndex
+
+        if not self.store.exists(table):
+            return []
+        query = sanitize_query(task)
+        qvec = self.embedder.encode(query)
+        df = self.store.read(table)
+        if "project_id" in df.columns and project_id is not None:
+            df = df.filter(F.col("project_id") == project_id)
+        if "agent" in df.columns and agent is not None:
+            df = df.filter(F.col("agent") == agent)
+        if self._has_ivf_index(table):
+            idx = IVFIndex.load(self.spark, self._ivf_index_path(table))
+            hits = idx.search(
+                qvec, k=top_k, nprobe=nprobe, live_ids=df.select("id")
+            )
+        else:
+            qlit = F.array(*[F.lit(float(x)) for x in qvec])
+            hits = (
+                df.filter(F.col("embedding").isNotNull())
+                .select(
+                    "id",
+                    F.round(cosine_similarity("embedding", qlit), 6).alias("similarity"),
+                )
+                .orderBy(F.desc("similarity"), F.asc("id"))
+                .limit(top_k)
+            )
+        out = hits.join(df, "id", "left").orderBy(
+            F.desc("similarity"), F.asc("id")
+        )
+        return [r.asDict(recursive=True) for r in out.collect()]
 
     def search_hybrid(
         self,

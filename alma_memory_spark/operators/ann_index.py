@@ -240,37 +240,48 @@ class IVFIndex:
         directories, and df/probe math is unchanged because the
         centroid table is untouched. Assumes ids are new (append-only),
         same as the store's partition-scoped upsert contract."""
-        import numpy as np
-        import pandas as pd
-
         from alma_memory_spark.session import ensure_package_shipped
 
         ensure_package_shipped(self.spark)
-        b = self.spark.sparkContext.broadcast((self.cells, self.Cn))
-
-        def assign(it):
-            cells_, Cn_ = b.value
-            for pdf in it:
-                if not len(pdf):
-                    continue
-                V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-                Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
-                csims = np.round(Vn @ Cn_.T, 6)
-                yield pd.DataFrame(
-                    {
-                        "id": pdf[id_col].to_numpy(),
-                        "embedding": pdf[vec_col],
-                        "cell": cells_[np.argmax(csims, axis=1)],
-                    }
-                )
-
-        assigned = df.select(id_col, vec_col).mapInPandas(
-            assign, "id long, embedding array<double>, cell long"
-        )
-        assigned.write.mode("append").partitionBy("cell").parquet(
-            os.path.join(self.path, "lists")
-        )
+        self._write_lists(df, id_col, vec_col, mode="append")
         return self
+
+    # ------------------------------------------------------------------
+
+    def _tombstones_path(self) -> str:
+        return os.path.join(self.path, "tombstones")
+
+    def forget(self, ids) -> int:
+        """Tombstone forgotten ids: search() excludes them immediately
+        (read-your-deletes), and the next rebuild clears them — the
+        reference's delete -> dirty-flag -> lazy-rebuild contract
+        (alma/storage/sqlite_local.py:510-521) with the window between
+        delete and rebuild CLOSED instead of served stale. Append-only
+        and tiny (bounded by deletes since the last rebuild); duplicate
+        tombstones are harmless (the guard is an anti-join).
+
+        `ids` is a list of id values or a 1-column DataFrame."""
+        if isinstance(ids, DataFrame):
+            doomed = ids.toDF("id").select(F.col("id").cast(self.id_type))
+            n = doomed.count()
+            if not n:
+                return 0
+        else:
+            ids = list(ids)
+            n = len(ids)
+            if not n:
+                return 0
+            doomed = self.spark.createDataFrame(
+                [(i,) for i in ids], f"id {self.id_type}"
+            )
+        doomed.coalesce(1).write.mode("append").parquet(self._tombstones_path())
+        return n
+
+    def tombstones(self) -> DataFrame | None:
+        ts = self._tombstones_path()
+        if not os.path.isdir(ts):
+            return None
+        return self.spark.read.schema(f"id {self.id_type}").parquet(ts)
 
     def probe_cells(self, query_vec, nprobe: int = 3):
         """Driver-side quantizer probe: nprobe nearest centroids
@@ -283,14 +294,25 @@ class IVFIndex:
         order = np.lexsort((-self.cells, -qsims))
         return self.cells[order[:nprobe]].tolist(), qn
 
-    def search(self, query_vec, k: int = 10, nprobe: int = 3) -> DataFrame:
+    def search(
+        self, query_vec, k: int = 10, nprobe: int = 3, live_ids: DataFrame | None = None
+    ) -> DataFrame:
         """Exact cosine top-k inside the nprobe probed cells only.
 
         The `cell isin probed` predicate lands in the scan's
         PartitionFilters (cell is a partition column), so the job reads
         nprobe directories out of n_cells — the plan shape is a pruned
         narrow scan -> fused Arrow kernel -> TakeOrderedAndProject.
-        Returns (id, similarity) sorted DESC with id ASC tiebreak."""
+        Returns (id, similarity) sorted DESC with id ASC tiebreak.
+
+        Staleness guards, both applied BEFORE the top-k cut:
+        - persisted tombstones (forget()) are anti-joined out, so a
+          deleted vector never surfaces between a delete and the next
+          rebuild (broadcast — the set is bounded by deletes since the
+          rebuild);
+        - `live_ids` (one id column), when given, is semi-joined in —
+          the same guard the hybrid text path applies against the live
+          table (engine.search_hybrid)."""
         import numpy as np
         import pandas as pd
 
@@ -300,6 +322,11 @@ class IVFIndex:
         probed, qn = self.probe_cells(query_vec, nprobe)
         lists = self.spark.read.parquet(os.path.join(self.path, "lists"))
         pruned = lists.filter(F.col("cell").isin(probed))
+        dead = self.tombstones()
+        if dead is not None:
+            pruned = pruned.join(F.broadcast(dead), "id", "left_anti")
+        if live_ids is not None:
+            pruned = pruned.join(live_ids.toDF("id"), "id", "left_semi")
         # the query vector rides the task closure (tiny, auto-serialized);
         # a per-query sparkContext.broadcast would leak one live
         # broadcast per search() in a long-lived serving process (the
@@ -317,6 +344,6 @@ class IVFIndex:
                 )
 
         hits = pruned.select("id", "embedding").mapInPandas(
-            score, "id long, similarity double"
+            score, f"id {self.id_type}, similarity double"
         )
         return hits.orderBy(F.desc("similarity"), F.asc("id")).limit(k)

@@ -55,6 +55,12 @@ class MaintenanceJob:
     # corpus changes", alma/retrieval/hybrid.py:53) made operational:
     # the maintenance cycle is where rebuilds belong at scale
     reindex_text: bool = False
+    # rebuild persisted IVF vector indexes after pruning: deletes
+    # tombstone the index (engine.forget), and the rebuild both folds
+    # the tombstones away and re-lists vectors added since the last
+    # build — the reference's dirty-flag lazy FAISS rebuild
+    # (sqlite_local.py:510-521) run at its natural maintenance seat
+    reindex_ivf: bool = False
     enabled: bool = True
     last_run: datetime | None = None
     next_run: datetime | None = None
@@ -162,6 +168,13 @@ class MaintenanceScheduler:
                     rep = self.engine.index_text(table)
                     if rep.get("indexed"):
                         result.reindexed[table] = rep["n_docs"]
+            if job.reindex_ivf and not dry_run:
+                for table in job.tables or MEMORY_TABLES:
+                    if not self.engine._has_ivf_index(table):
+                        continue
+                    rep = self.engine.index_vectors(table)
+                    if rep.get("indexed"):
+                        result.reindexed[f"ivf:{table}"] = rep["n_vectors"]
             result.alerts = self._health_alerts(job.project_id)
             if not dry_run:  # a preview must not consume the schedule
                 now = self._now()

@@ -178,3 +178,50 @@ def test_kmeans_refined_build_stays_exact_and_improves_cells(spark, tmp_path):
     order = np.lexsort((np.arange(len(rows)), -sims))
     want = set(order[:10])
     assert got == want
+
+
+def test_ivf_forget_tombstones_then_rebuild_clears(spark, tmp_path):
+    """forget() excludes ids from search() IMMEDIATELY (read-your-
+    deletes, the reference's delete->dirty->lazy-rebuild contract,
+    sqlite_local.py:510-521) and a rebuild clears the tombstones."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "ivf_ts")
+    idx = IVFIndex.build(spark, emb, path, cent_every=50)
+    before = [r["id"] for r in idx.search(QUERY_VEC, k=10, nprobe=3).collect()]
+    doomed = before[:3]
+    assert idx.forget(doomed) == 3
+    after = [r["id"] for r in idx.search(QUERY_VEC, k=10, nprobe=3).collect()]
+    assert not set(doomed) & set(after)
+    assert len(after) == 10  # deeper survivors refill the top-k
+    # survivors keep their relative order
+    survivors = [i for i in before if i not in doomed]
+    assert after[: len(survivors)] == survivors
+    # a reloaded handle sees the persisted tombstones too
+    idx2 = IVFIndex.load(spark, path)
+    assert not set(doomed) & {
+        r["id"] for r in idx2.search(QUERY_VEC, k=10, nprobe=3).collect()
+    }
+    # rebuild folds the deletes away: tombstones dir gone, ranking is
+    # the no-tombstone ranking again
+    rebuilt = IVFIndex.build(spark, emb, path, cent_every=50)
+    assert rebuilt.tombstones() is None
+    assert [
+        r["id"] for r in rebuilt.search(QUERY_VEC, k=10, nprobe=3).collect()
+    ] == before
+
+
+def test_ivf_string_ids_and_live_id_guard(spark, tmp_path):
+    """String-id corpora (memory-table ids) index via xxhash cells; the
+    live_ids semi-join guards scope/liveness before the top-k cut."""
+    emb = load_table(spark, SF_DIR, "embeddings").limit(200)
+    docs = emb.selectExpr("concat('dk_', vec_id) AS id", "embedding")
+    path = str(tmp_path / "ivf_str")
+    idx = IVFIndex.build(spark, docs, path, id_col="id", cent_every=7)
+    assert idx.id_type == "string"
+    assert IVFIndex.load(spark, path).id_type == "string"
+    top = idx.search(QUERY_VEC, k=8, nprobe=3).collect()
+    assert len(top) == 8 and all(r["id"].startswith("dk_") for r in top)
+    # live-id guard: restricting to half the corpus excludes the rest
+    live = docs.filter("substring(id, 4) % 2 = 0").select("id")
+    guarded = idx.search(QUERY_VEC, k=8, nprobe=3, live_ids=live).collect()
+    assert all(int(r["id"][3:]) % 2 == 0 for r in guarded)

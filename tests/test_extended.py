@@ -513,3 +513,77 @@ def test_search_hybrid_keyword_only_table(spark, tmp_path):
     assert len(res) == 1
     assert res[0]["preference"] == "prefer short answers"
     assert res[0]["vector_score"] == 0.0 and res[0]["text_score"] > 0
+
+
+def test_engine_ivf_serve_forget_guard_and_maintenance_rebuild(spark, tmp_path):
+    """The engine-level IVF path end-to-end: index_vectors over string
+    memory ids, search_vectors == exact-scan ranking when every cell is
+    probed, engine.forget() tombstones the index so deleted memories
+    vanish from ANN results BEFORE any rebuild, and the reindex_ivf
+    maintenance job rebuilds (clearing tombstones) — the reference's
+    delete -> dirty-flag -> lazy FAISS rebuild
+    (sqlite_local.py:510-521)."""
+    from datetime import datetime, timedelta, timezone
+
+    from alma_memory_spark.engine import AlmaSpark
+    from alma_memory_spark.operators.maintenance import (
+        MaintenanceJob,
+        MaintenanceScheduler,
+    )
+
+    now = [datetime(2024, 2, 15, tzinfo=timezone.utc)]
+    eng = AlmaSpark(spark, str(tmp_path / "ivf_eng"), clock=lambda: now[0])
+    for i in range(30):
+        eng.add_knowledge("a1", "p1", "d", f"vector fact about topic {i % 5} item {i}")
+
+    # exact-scan baseline (no index yet)
+    scan = eng.search_vectors("topic 3", agent="a1", project_id="p1", top_k=6)
+    assert len(scan) == 6
+
+    rep = eng.index_vectors("domain_knowledge", cent_every=7)
+    assert rep["indexed"] and rep["n_vectors"] == 30
+    # probing every cell makes IVF exact: same ranking as the scan
+    served = eng.search_vectors(
+        "topic 3", agent="a1", project_id="p1", top_k=6, nprobe=rep["n_cells"]
+    )
+    assert [(r["id"], r["similarity"]) for r in served] == [
+        (r["id"], r["similarity"]) for r in scan
+    ]
+
+    # age two of the served ids out and forget(): ANN must exclude them
+    # immediately, with NO rebuild in between
+    doomed = {served[0]["id"], served[1]["id"]}
+    old = now[0] - timedelta(days=400)
+    dk = eng.store.read("domain_knowledge")
+    aged = dk.filter(F.col("id").isin(list(doomed))).withColumn(
+        "last_verified", F.lit(old).cast("timestamp")
+    )
+    eng.store.upsert("domain_knowledge", aged)
+    assert eng.forget("domain_knowledge", "p1", max_age_days=365) == 2
+    import os as _os
+
+    assert _os.path.isdir(eng._ivf_index_path("domain_knowledge") + "/tombstones")
+    after = eng.search_vectors(
+        "topic 3", agent="a1", project_id="p1", top_k=6, nprobe=rep["n_cells"]
+    )
+    assert not doomed & {r["id"] for r in after}
+
+    # maintenance reindex_ivf: rebuild clears tombstones, results unchanged
+    sched = MaintenanceScheduler(eng, clock=lambda: now[0])
+    sched.register_job(
+        MaintenanceJob(
+            name="ivf-rebuild",
+            project_id="p1",
+            interval_hours=1,
+            tables=["domain_knowledge"],
+            reindex_ivf=True,
+        )
+    )
+    now[0] += timedelta(hours=2)
+    (res,) = sched.run_all_due()
+    assert res.success and res.reindexed.get("ivf:domain_knowledge") == 28
+    assert not _os.path.isdir(eng._ivf_index_path("domain_knowledge") + "/tombstones")
+    rebuilt = eng.search_vectors(
+        "topic 3", agent="a1", project_id="p1", top_k=6, nprobe=64
+    )
+    assert {r["id"] for r in rebuilt} == {r["id"] for r in after}
