@@ -164,6 +164,14 @@ class IVFIndex:
             Cn = IVFIndex._lloyd_refine(df, id_col, vec_col, cells, Cn, kmeans_iters)
 
         idx = IVFIndex(spark, path, cells, Cn, id_type)
+        # clear superseded state FIRST: a crash mid-build leaves a
+        # partial (rebuildable) index either way, but stale segments or
+        # tombstones surviving NEXT to a fresh base would silently skew
+        # every search until the following rebuild
+        import shutil
+
+        shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
+        shutil.rmtree(os.path.join(path, "segments"), ignore_errors=True)
         idx._write_lists(df, id_col, vec_col, mode="overwrite")
         spark.createDataFrame(
             [(int(c), [float(x) for x in Cn[i]]) for i, c in enumerate(cells)],
@@ -172,13 +180,16 @@ class IVFIndex:
         spark.createDataFrame(
             [(id_type, cent_every)], "id_type string, cent_every int"
         ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "meta"))
-        # a rebuild supersedes every prior delete: clear tombstones
-        import shutil
-
-        shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
         return idx
 
-    def _write_lists(self, df: DataFrame, id_col: str, vec_col: str, mode: str) -> None:
+    def _write_lists(
+        self,
+        df: DataFrame,
+        id_col: str,
+        vec_col: str,
+        mode: str,
+        dest: str | None = None,
+    ) -> None:
         """Assign vectors to their nearest stored centroid (fused Arrow
         kernel, narrow map) and write them under their cell partitions."""
         import numpy as np
@@ -207,7 +218,7 @@ class IVFIndex:
             assign, f"id {self.id_type}, embedding array<double>, cell long"
         )
         assigned.write.mode(mode).partitionBy("cell").parquet(
-            os.path.join(self.path, "lists")
+            dest or os.path.join(self.path, "lists")
         )
 
     @staticmethod
@@ -245,6 +256,63 @@ class IVFIndex:
         ensure_package_shipped(self.spark)
         self._write_lists(df, id_col, vec_col, mode="append")
         return self
+
+    # ---- epoch segments (exactly-once streaming adds) -----------------
+
+    def _segments_root(self) -> str:
+        return os.path.join(self.path, "segments")
+
+    def _committed_segments(self) -> list[int]:
+        root = self._segments_root()
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            int(d)
+            for d in os.listdir(root)
+            if os.path.isfile(os.path.join(root, d, "_COMMIT"))
+        )
+
+    def applied_epochs(self) -> set[int]:
+        return set(self._committed_segments())
+
+    def add_epoch(
+        self, df: DataFrame, epoch: int, id_col: str = "vec_id", vec_col: str = "embedding"
+    ) -> bool:
+        """Exactly-once incremental add keyed by the foreachBatch
+        epoch_id (same protocol as InvertedTextIndex.add_epoch): the
+        segment's lists are written with mode('overwrite') — a replayed
+        uncommitted epoch rewrites its partial leftover — and the
+        atomic `_COMMIT` rename makes a replayed committed epoch a
+        no-op. build() folds segments away."""
+        seg = os.path.join(self._segments_root(), str(int(epoch)))
+        if os.path.isfile(os.path.join(seg, "_COMMIT")):
+            return False
+        from alma_memory_spark.session import ensure_package_shipped
+
+        ensure_package_shipped(self.spark)
+        self._write_lists(
+            df, id_col, vec_col, mode="overwrite",
+            dest=os.path.join(seg, "lists"),
+        )
+        tmp = os.path.join(seg, "_COMMIT.tmp")
+        with open(tmp, "w") as f:
+            f.write("{}")
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, os.path.join(seg, "_COMMIT"))  # COMMIT POINT
+        return True
+
+    def _lists_df(self) -> DataFrame:
+        """Base lists plus committed epoch segments (filters — including
+        the cell partition pruning — push through the union)."""
+        df = self.spark.read.parquet(os.path.join(self.path, "lists"))
+        for e in self._committed_segments():
+            df = df.unionByName(
+                self.spark.read.parquet(
+                    os.path.join(self._segments_root(), str(e), "lists")
+                )
+            )
+        return df
 
     # ------------------------------------------------------------------
 
@@ -320,8 +388,7 @@ class IVFIndex:
 
         ensure_package_shipped(self.spark)
         probed, qn = self.probe_cells(query_vec, nprobe)
-        lists = self.spark.read.parquet(os.path.join(self.path, "lists"))
-        pruned = lists.filter(F.col("cell").isin(probed))
+        pruned = self._lists_df().filter(F.col("cell").isin(probed))
         dead = self.tombstones()
         if dead is not None:
             pruned = pruned.join(F.broadcast(dead), "id", "left_anti")

@@ -43,6 +43,17 @@ The index is DERIVED data: a crash between the postings append and the
 stats rewrite in add() leaves a rebuildable index, not a corrupted
 store (rebuild() re-derives everything from the source table). The
 canonical corpus stays the ParquetStore.
+
+Streaming ingest uses EPOCH SEGMENTS for exactly-once adds
+(add_epoch): each micro-batch writes its postings under
+`segments/<epoch>/postings/...` with mode('overwrite') (a partial
+crash leftover is simply rewritten) and then commits by renaming a
+`_COMMIT` json (delta stats) into place — an atomic rename, so a
+replayed foreachBatch whose epoch already committed is a NO-OP and a
+replay of an uncommitted epoch rewrites the same segment instead of
+double-appending. Readers union base postings + committed segments;
+totals = base stats + committed segment stats. build() folds segments
+away (the maintenance rebuild is the compaction).
 """
 
 from __future__ import annotations
@@ -90,15 +101,93 @@ class InvertedTextIndex:
         self.n_buckets = n_buckets
         self.id_col = id_col
         self.id_type = id_type
+        # totals INCLUDE committed epoch segments; base stats (what the
+        # stats table holds) track only the base postings dir
+        self._base_n = n_docs
+        self._base_sdl = sum_dl
+        for _e, sn, ssdl in self._committed_segments():
+            self.n_docs += sn
+            self.sum_dl += ssdl
+
+    # ---- epoch segments (exactly-once streaming adds) -----------------
+
+    def _segments_root(self) -> str:
+        return os.path.join(self.path, "segments")
+
+    def _committed_segments(self) -> list[tuple[int, int, int]]:
+        """[(epoch, n_docs, sum_dl)] for every committed segment, epoch
+        ASC. Driver-side listing, bounded by batches since the last
+        rebuild (build() folds segments away)."""
+        import json
+
+        root = self._segments_root()
+        if not os.path.isdir(root):
+            return []
+        out = []
+        for d in os.listdir(root):
+            commit = os.path.join(root, d, "_COMMIT")
+            if not os.path.isfile(commit):
+                continue
+            try:
+                with open(commit) as f:
+                    meta = json.load(f)
+                out.append((int(d), int(meta["n_docs"]), int(meta["sum_dl"])))
+            except (OSError, ValueError, KeyError):
+                continue  # torn commit == uncommitted
+        return sorted(out)
+
+    def applied_epochs(self) -> set[int]:
+        return {e for e, _n, _s in self._committed_segments()}
+
+    def add_epoch(self, docs: DataFrame, epoch: int, text_col: str = "text") -> bool:
+        """Exactly-once incremental add keyed by the foreachBatch
+        epoch_id: returns False (no-op) when this epoch already
+        committed — the crash-replay double-append ADVICE finding. The
+        segment write is mode('overwrite') so a replay of an
+        UNcommitted epoch rewrites the partial leftover instead of
+        duplicating it; the atomic `_COMMIT` rename is the single
+        commit point and carries the delta stats."""
+        import json
+
+        seg = os.path.join(self._segments_root(), str(int(epoch)))
+        if os.path.isfile(os.path.join(seg, "_COMMIT")):
+            return False
+        postings = self._postings(docs, self.id_col, text_col, self.n_buckets)
+        dn, dsdl = self._delta_stats(docs, text_col)
+        (
+            postings.repartition(min(self.n_buckets, 32), "bucket")
+            .sortWithinPartitions("bucket", "term", "doc")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(seg, "postings"))
+        )
+        tmp = os.path.join(seg, "_COMMIT.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"n_docs": dn, "sum_dl": dsdl}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, os.path.join(seg, "_COMMIT"))  # COMMIT POINT
+        self.n_docs += dn
+        self.sum_dl += dsdl
+        return True
 
     def _postings_df(self) -> DataFrame:
         """Read postings with an EXPLICIT schema: inference-free, so an
         index whose corpus produced zero postings (every doc tokenized
         empty) still reads as an empty frame instead of failing with
-        'unable to infer schema'."""
-        return self.spark.read.schema(
-            f"doc {self.id_type}, dl int, term string, tf long, bucket long"
-        ).parquet(os.path.join(self.path, "postings"))
+        'unable to infer schema'. Committed epoch segments union in
+        (each its own pruned scan — filters push through the union)."""
+        schema = f"doc {self.id_type}, dl int, term string, tf long, bucket long"
+        df = self.spark.read.schema(schema).parquet(
+            os.path.join(self.path, "postings")
+        )
+        for e, _n, _s in self._committed_segments():
+            df = df.unionByName(
+                self.spark.read.schema(schema).parquet(
+                    os.path.join(self._segments_root(), str(e), "postings")
+                )
+            )
+        return df
 
     # ------------------------------------------------------------------
 
@@ -129,6 +218,11 @@ class InvertedTextIndex:
         once per BUILD here."""
         postings = InvertedTextIndex._postings(docs, id_col, text_col, n_buckets)
         id_type = postings.schema["doc"].dataType.simpleString()
+        # clear superseded epoch segments FIRST (see IVFIndex.build:
+        # stale committed segments next to a fresh base double-count)
+        import shutil
+
+        shutil.rmtree(os.path.join(path, "segments"), ignore_errors=True)
         # repartition by bucket so each task owns whole buckets (one
         # file per bucket, not one per task x bucket), then sort so the
         # writer emits term-ordered row groups inside each file.
@@ -191,8 +285,12 @@ class InvertedTextIndex:
         )
         self.n_docs += dn
         self.sum_dl += dsdl
+        # the persisted stats row describes the BASE postings dir only;
+        # committed epoch segments carry their own deltas in _COMMIT
+        self._base_n += dn
+        self._base_sdl += dsdl
         self._write_stats(
-            self.spark, self.path, self.n_docs, self.sum_dl, self.n_buckets,
+            self.spark, self.path, self._base_n, self._base_sdl, self.n_buckets,
             self.id_col, self.id_type,
         )
         return self

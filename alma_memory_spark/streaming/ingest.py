@@ -171,29 +171,43 @@ def stream_documents_into_indexes(
     on_batch=None,
 ):
     """Continuous index maintenance: each micro-batch of new documents
-    is appended INCREMENTALLY into the persisted search indexes —
-    `InvertedTextIndex.add` (postings append + O(1) stats merge) and/or
-    `IVFIndex.add` (stored-quantizer assignment + cell append). This is
-    the streaming form of the reference's rebuild-on-change contract
-    (alma/retrieval/hybrid.py:53): instead of rebuilding when the corpus
-    changes, the corpus change IS the index delta. Exactly-once per
-    batch comes from the checkpointed file source; both adds are
-    append-only so a replayed batch after a crash is the only
-    duplication risk (same as any foreachBatch sink without txn ids —
-    dedupe on id at read or re-run maintenance reindex to settle).
+    lands INCREMENTALLY in the persisted search indexes as an EPOCH
+    SEGMENT — `InvertedTextIndex.add_epoch` / `IVFIndex.add_epoch`
+    keyed by the foreachBatch epoch_id. This is the streaming form of
+    the reference's rebuild-on-change contract
+    (alma/retrieval/hybrid.py:53): instead of rebuilding when the
+    corpus changes, the corpus change IS the index delta.
+
+    EXACTLY-ONCE under crash replay: a restarted query re-delivers the
+    last uncommitted micro-batch with the SAME epoch_id; the segment
+    protocol makes that replay a no-op when the epoch already committed
+    (atomic `_COMMIT` rename is the commit point) and an idempotent
+    segment rewrite when it had not — postings/tf/df/avgdl can never
+    double-apply, closing the r3 double-append window. The maintenance
+    rebuild folds committed segments into the base index.
 
     Cost per batch is O(batch), not O(index): neither add reads
-    existing postings/lists. Returns the StreamingQuery."""
+    existing postings/lists. Returns the StreamingQuery.
+
+    Contract: ONE streaming writer lineage per index between rebuilds —
+    epoch ids are per-checkpoint, so a RESUMED query must reuse its
+    `checkpoint` (that is what makes replay detection correct), and a
+    brand-new query (fresh checkpoint, epochs restart at 0) requires a
+    rebuild first so its epochs cannot collide with committed segments
+    of the previous lineage. Delta's txn (appId, version) dedupe has
+    the same shape."""
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         if text_index is not None:
-            text_index.add(
-                batch_df.select(F.col(id_col), F.col(text_col)), text_col=text_col
+            text_index.add_epoch(
+                batch_df.select(F.col(id_col), F.col(text_col)),
+                epoch_id,
+                text_col=text_col,
             )
         if ivf_index is not None:
-            ivf_index.add(batch_df, id_col=id_col, vec_col=vec_col)
+            ivf_index.add_epoch(batch_df, epoch_id, id_col=id_col, vec_col=vec_col)
         if on_batch is not None:
             on_batch(epoch_id)
 

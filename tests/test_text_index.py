@@ -386,3 +386,128 @@ def test_hybrid_scoped_fallback_on_saturated_global_cut(spark, tmp_path):
     got = {r["id"] for r in res}
     # all three scoped docs match the term; the fallback must surface them
     assert got == helena_ids
+
+
+def test_add_epoch_replay_is_noop_and_partial_rewrite(spark, tmp_path):
+    """The exactly-once segment protocol, both replay windows:
+    a replayed COMMITTED epoch is a no-op (returns False, stats and
+    scores unchanged — the r3 double-append ADVICE finding), and a
+    replayed UNcommitted epoch (crash between segment write and the
+    _COMMIT rename) rewrites the partial segment instead of
+    duplicating it."""
+    import os as _os
+    import shutil as _shutil
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "tix_epoch")
+    tix = InvertedTextIndex.build(spark, half_a, path, id_col="doc_id", n_buckets=8)
+
+    assert tix.add_epoch(half_b, epoch=7) is True
+    stats_after = (tix.n_docs, tix.sum_dl)
+    scores_after = _scores(tix.search_bm25(QUERY, k=1000))
+    # committed replay: no-op
+    assert tix.add_epoch(half_b, epoch=7) is False
+    assert (tix.n_docs, tix.sum_dl) == stats_after
+    assert _scores(tix.search_bm25(QUERY, k=1000)) == scores_after
+    # a fresh handle aggregates base + committed segments identically
+    re = InvertedTextIndex.load(spark, path)
+    assert (re.n_docs, re.sum_dl) == stats_after
+    assert re.applied_epochs() == {7}
+    assert _scores(re.search_bm25(QUERY, k=1000)) == scores_after
+
+    # uncommitted replay: strip the _COMMIT (the crash window) and
+    # replay — the segment rewrites, commits once, same totals
+    commit = _os.path.join(path, "segments", "7", "_COMMIT")
+    _os.remove(commit)
+    broken = InvertedTextIndex.load(spark, path)
+    assert broken.applied_epochs() == set()  # uncommitted == invisible
+    assert broken.add_epoch(half_b, epoch=7) is True
+    assert (broken.n_docs, broken.sum_dl) == stats_after
+    assert _scores(broken.search_bm25(QUERY, k=1000)) == scores_after
+
+    # rebuild folds segments away
+    full = InvertedTextIndex.build(
+        spark, docs, path, id_col="doc_id", n_buckets=8
+    )
+    assert not _os.path.isdir(_os.path.join(path, "segments"))
+    assert (full.n_docs, full.sum_dl) == stats_after
+    assert _scores(full.search_bm25(QUERY, k=1000)) == scores_after
+    _shutil.rmtree(path, ignore_errors=True)
+
+
+def test_streaming_index_kill_and_resume_exactly_once(spark, tmp_path):
+    """Kill the index-maintenance stream mid-corpus and RESUME from its
+    checkpoint: every document lands in both persisted indexes exactly
+    once (text scores == one-shot full build; IVF id set == corpus),
+    even though the resumed query may re-deliver its last epoch."""
+    from alma_memory_spark.operators.ann_index import IVFIndex
+    from alma_memory_spark.plans.registry import QUERY_VEC
+    from alma_memory_spark.streaming.ingest import stream_documents_into_indexes
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    joint = docs.join(
+        emb.withColumnRenamed("vec_id", "doc_id"), "doc_id", "inner"
+    ).select("doc_id", "text", "embedding")
+    half_a = joint.filter(F.col("doc_id") % 2 == 0)
+    half_b = joint.filter(F.col("doc_id") % 2 == 1)
+
+    tix = InvertedTextIndex.build(
+        spark, half_a, str(tmp_path / "tix"), id_col="doc_id", n_buckets=8
+    )
+    ivf = IVFIndex.build(
+        spark, half_a, str(tmp_path / "ivf"), id_col="doc_id",
+        vec_col="embedding", cent_every=50,
+    )
+    inbox = str(tmp_path / "inbox")
+    half_b.repartition(8).write.parquet(inbox)
+    ckpt = str(tmp_path / "ckpt")
+
+    def start(batches):
+        stream = (
+            spark.readStream.schema("doc_id long, text string, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inbox)
+        )
+        return stream_documents_into_indexes(
+            stream, text_index=tix, ivf_index=ivf, checkpoint=ckpt,
+            id_col="doc_id", on_batch=batches.append,
+        )
+
+    import time as _time
+
+    first: list[int] = []
+    q = start(first)
+    try:
+        deadline = _time.time() + 120
+        while len(first) < 2 and _time.time() < deadline:
+            _time.sleep(0.2)
+    finally:
+        q.stop()  # KILL mid-stream
+    assert 2 <= len(first) < 8, f"wanted a mid-stream kill, got {len(first)} batches"
+
+    second: list[int] = []
+    q2 = start(second)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert second, "resumed query processed nothing"
+
+    # text: exactly-once — identical to a one-shot build over everything
+    full_t = InvertedTextIndex.build(
+        spark, joint, str(tmp_path / "tix_full"), id_col="doc_id", n_buckets=8
+    )
+    re = InvertedTextIndex.load(spark, str(tmp_path / "tix"))
+    assert (re.n_docs, re.sum_dl) == (full_t.n_docs, full_t.sum_dl)
+    assert _scores(re.search_bm25(QUERY, k=1000)) == _scores(
+        full_t.search_bm25(QUERY, k=1000)
+    )
+    # IVF: every id exactly once across base lists + committed segments
+    ids = [r["id"] for r in ivf._lists_df().select("id").collect()]
+    want = [r["doc_id"] for r in joint.select("doc_id").collect()]
+    assert sorted(ids) == sorted(want)
+    got = ivf.search(QUERY_VEC, k=10, nprobe=3).collect()
+    assert len(got) == 10
