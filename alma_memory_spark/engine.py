@@ -44,7 +44,6 @@ from alma_memory_spark.operators.retrieval import (
     retrieve_type,
 )
 from alma_memory_spark.slice import MemorySlice, sanitize_query
-from alma_memory_spark.sources.store import ParquetStore
 
 CACHE_TTL_SECONDS = 300.0
 CACHE_MAX_ENTRIES = 1000
@@ -58,16 +57,22 @@ class AlmaSpark:
         embedder: HashEmbedder | None = None,
         feedback_weight: float = 0.15,
         clock=None,
+        backend: str = "parquet",
     ):
         """`clock`: optional () -> datetime override for the engine's
         notion of now — deterministic retrieval scoring in tests/gates
         (recency decay is computed at read time, so wall-clock drift
-        otherwise changes scores between runs)."""
+        otherwise changes scores between runs).
+
+        `backend`: 'parquet' (directory-swap store, single writer
+        host) or 'txlog' (commit-log store with optimistic
+        concurrency, multi-host safe — sources/txstore.py)."""
         from alma_memory_spark.session import ensure_package_shipped
+        from alma_memory_spark.sources import make_store
 
         ensure_package_shipped(spark)
         self.spark = spark
-        self.store = ParquetStore(spark, root)
+        self.store = make_store(spark, root, backend)
         self.embedder = embedder or HashEmbedder()
         self.feedback_weight = feedback_weight
         self._cache: OrderedDict[tuple, tuple[float, int, MemorySlice]] = OrderedDict()

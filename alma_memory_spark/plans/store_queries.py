@@ -70,6 +70,15 @@ def _seed_frame(spark: SparkSession, sf_dir: str, user_pred) -> DataFrame:
            round(epoch(ts), 6)
     FROM events
     WHERE user_id = 11
+    UNION ALL
+    SELECT 'txlog',
+           CAST(event_id AS VARCHAR),
+           'u' || CAST(user_id % 5 AS VARCHAR),
+           round(CASE WHEN event_id % 3 = 0 THEN value + 1000.0 ELSE value END, 6),
+           CAST(NULL AS VARCHAR),
+           CAST(NULL AS DOUBLE)
+    FROM events
+    WHERE user_id = 5
     """,
 )
 def store_write_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,7 +105,14 @@ def store_write_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
     'json' rows — file-based JSON store round-trip (reference:
     alma/storage/file_based.py): export -> import into a FRESH store;
     the identity oracle catches type coercion, timestamp formatting
-    (the r2 microsecond-truncation bug), and row drops."""
+    (the r2 microsecond-truncation bug), and row drops.
+    'txlog' rows — the SAME upsert keep-latest semantics through the
+    COMMIT-LOG multi-writer backend (sources/txstore.py), with the
+    update batch split across THREE lock-free handles upserting
+    CONCURRENTLY into the same table (pure optimistic conflict retry,
+    the cross-host simulation): the oracle recomputes the end state,
+    so a lost update, a phantom from an uncommitted version, or wrong
+    snapshot resolution all hash-mismatch."""
     from pyspark.sql.types import StructType
 
     from alma_memory_spark import schemas as _schemas
@@ -187,7 +203,40 @@ def store_write_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _r6(F.col("ts").cast("double")).alias("ts_epoch"),
             )
 
-        # the four roundtrips touch disjoint roots and disjoint tables —
+        def txlog_stage() -> DataFrame:
+            from alma_memory_spark.sources.txstore import TxLogStore
+
+            live = _seed_frame(spark, sf_dir, F.col("user_id") == 5)
+            seed_store = TxLogStore(spark, root + "/txlog")
+            seed_store.append("domain_knowledge", live)
+            updates = live.filter(F.col("id").cast("long") % 3 == 0).withColumn(
+                "value", F.col("value") + 1000.0
+            )
+            # three INDEPENDENT lock-free writers each upsert a
+            # disjoint third of the update batch concurrently; the
+            # commit protocol alone must serialize them
+            from concurrent.futures import ThreadPoolExecutor as _TPE
+
+            def one_writer(k: int) -> None:
+                st = TxLogStore(spark, root + "/txlog", lock=False)
+                st.upsert(
+                    "domain_knowledge",
+                    updates.filter(F.col("id").cast("long") % 9 == 3 * k),
+                )
+
+            with _TPE(max_workers=3) as wpool:
+                for f in [wpool.submit(one_writer, k) for k in range(3)]:
+                    f.result()
+            return seed_store.read("domain_knowledge").select(
+                F.lit("txlog").alias("stage"),
+                "id",
+                "agent",
+                _r6(F.col("value")).alias("value"),
+                F.lit(None).cast("string").alias("tag"),
+                F.lit(None).cast("double").alias("ts_epoch"),
+            )
+
+        # the five roundtrips touch disjoint roots and disjoint tables —
         # run them as CONCURRENT Spark jobs (thread-per-stage is the
         # documented way to overlap independent jobs on one session);
         # the result union keeps a fixed stage order regardless of
@@ -197,17 +246,23 @@ def store_write_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
         from alma_memory_spark.session import ensure_package_shipped
 
         ensure_package_shipped(spark)  # once, before the stage threads
-        with ThreadPoolExecutor(max_workers=4) as pool:
+        with ThreadPoolExecutor(max_workers=5) as pool:
             futures = [
                 pool.submit(fn)
-                for fn in (upsert_stage, audit_stage, migrate_stage, json_stage)
+                for fn in (
+                    upsert_stage, audit_stage, migrate_stage, json_stage,
+                    txlog_stage,
+                )
             ]
-            upsert_out, audit_out, mig_out, json_out = [f.result() for f in futures]
+            upsert_out, audit_out, mig_out, json_out, txlog_out = [
+                f.result() for f in futures
+            ]
 
         out = (
             upsert_out.unionByName(audit_out)
             .unionByName(mig_out)
             .unionByName(json_out)
+            .unionByName(txlog_out)
         )
         rows = out.collect()  # materialize before the temp roots vanish
         return spark.createDataFrame(rows, out.schema)

@@ -154,32 +154,16 @@ class TxLogStore(ParquetStore):
             self._read_versions[(threading.get_ident(), table)] = version
         return version, live
 
-    def _claim_version(self, table: str, actions: dict) -> int:
-        """Write actions durably, then atomically claim the next free
-        version via link(2) — EEXIST means another writer won the
-        version and we try the next one. Returns the claimed version."""
-        d = self._log_dir(table)
-        os.makedirs(d, exist_ok=True)
-        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
-        with open(tmp, "w") as f:
-            json.dump(actions, f)
-            f.flush()
-            os.fsync(f.fileno())
+    def _try_claim(self, table: str, tmp: str, v: int) -> bool:
+        """Atomically claim version v by linking the fully-written temp
+        actions file to `<v>.json`. link(2) fails with EEXIST when
+        another writer won v, and the linked file is complete at claim
+        time, so readers can never observe a torn commit."""
         try:
-            v = self._latest_version(table) + 1
-            for _ in range(MAX_COMMIT_RETRIES):
-                target = os.path.join(d, f"{v:020d}.json")
-                try:
-                    os.link(tmp, target)
-                    return v
-                except FileExistsError:
-                    v += 1
-            raise CommitConflict(
-                f"could not claim a log version for {table} after "
-                f"{MAX_COMMIT_RETRIES} attempts"
-            )
-        finally:
-            os.unlink(tmp)
+            os.link(tmp, os.path.join(self._log_dir(table), f"{v:020d}.json"))
+            return True
+        except FileExistsError:
+            return False
 
     def _maybe_checkpoint(self, table: str, version: int) -> None:
         if version % CHECKPOINT_EVERY != 0 or version == 0:
@@ -224,62 +208,48 @@ class TxLogStore(ParquetStore):
         removes: list[str],
         require_no_conflict_with=None,
     ) -> int:
-        """Attempt one commit. `require_no_conflict_with(commit_dict)`
-        — when given — is evaluated against every commit that landed
-        after this thread's snapshot read; if any matches, the write's
-        plan is stale and CommitConflict is raised (caller re-runs)."""
-        if require_no_conflict_with is not None:
-            with self._rv_lock:
-                read_v = self._read_versions.get(
-                    (threading.get_ident(), table), -1
-                )
-            for v in self._versions(table):
-                if v > read_v and require_no_conflict_with(
-                    self._read_commit(table, v)
-                ):
-                    raise CommitConflict(
-                        f"{table}: commit {v} overlaps this write's snapshot"
-                    )
-        version = self._claim_version(
-            table, {"adds": adds, "removes": removes}
-        )
-        if require_no_conflict_with is not None:
-            # commits may have slipped in between the conflict scan and
-            # our claim; re-scan the window. On conflict the claimed
-            # version is rewritten IN PLACE as an empty commit (the
-            # file itself must stay — the version is claimed)
-            conflicted = False
-            for v in self._versions(table):
-                if (
-                    v < version
-                    and v > self._read_versions.get(
-                        (threading.get_ident(), table), -1
-                    )
-                    and require_no_conflict_with(self._read_commit(table, v))
-                ):
-                    conflicted = True
-                    break
-            if conflicted:
-                self._void_commit(table, version)
-                raise CommitConflict(
-                    f"{table}: late conflict at claimed version {version}"
-                )
-        self._maybe_checkpoint(table, version)
-        return version
-
-    def _void_commit(self, table: str, version: int) -> None:
-        """Rewrite a just-claimed commit as a no-op. Safe ONLY for the
-        claiming writer before anyone could act on it: readers that
-        raced and saw the original actions saw files this writer had
-        fully written (immutable), so the voided data files simply
-        become unreferenced garbage for vacuum()."""
-        path = os.path.join(self._log_dir(table), f"{version:020d}.json")
-        tmp = path + f".void-{uuid.uuid4().hex}"
+        """Commit with the gapless check-then-claim loop (the Delta
+        paper's optimistic protocol): conflict-check every commit that
+        landed after this thread's snapshot read, then attempt to claim
+        EXACTLY latest+1. A lost claim means a new commit appeared —
+        loop, check it too, try the next version. A SUCCESSFUL claim at
+        v therefore guarantees every commit < v was checked, and a
+        published commit is final — no aborted-commit state ever
+        becomes visible to readers. `require_no_conflict_with(commit)`
+        raising CommitConflict sends the caller back to re-plan."""
+        d = self._log_dir(table)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
-            json.dump({"adds": [], "removes": [], "voided": True}, f)
+            json.dump({"adds": adds, "removes": removes}, f)
             f.flush()
             os.fsync(f.fileno())
-        os.replace(tmp, path)
+        try:
+            with self._rv_lock:
+                checked = self._read_versions.get(
+                    (threading.get_ident(), table), -1
+                )
+            for _ in range(MAX_COMMIT_RETRIES):
+                latest = -1
+                for v in self._versions(table):
+                    latest = max(latest, v)
+                    if v > checked and require_no_conflict_with is not None:
+                        if require_no_conflict_with(self._read_commit(table, v)):
+                            raise CommitConflict(
+                                f"{table}: commit {v} overlaps this "
+                                "write's snapshot"
+                            )
+                checked = max(checked, latest)
+                version = latest + 1
+                if self._try_claim(table, tmp, version):
+                    self._maybe_checkpoint(table, version)
+                    return version
+            raise CommitConflict(
+                f"could not claim a log version for {table} after "
+                f"{MAX_COMMIT_RETRIES} attempts"
+            )
+        finally:
+            os.unlink(tmp)
 
     # ------------------------------------------------------------------
     # data-file IO
