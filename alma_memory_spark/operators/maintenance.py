@@ -61,6 +61,13 @@ class MaintenanceJob:
     # build — the reference's dirty-flag lazy FAISS rebuild
     # (sqlite_local.py:510-521) run at its natural maintenance seat
     reindex_ivf: bool = False
+    # partition-cardinality guard: when a table's (project_id, agent)
+    # pair count exceeds this, compaction runs EVEN IF job.compact is
+    # False — at 10k+ tenant pairs the small-file layout degrades
+    # planning to listing cost, and folding each pair to ~1 file is
+    # the first (and usually sufficient) defense; SCALE.md documents
+    # the bucketed-layout fallback beyond it. None disables the guard.
+    compact_when_pairs_over: int | None = None
     enabled: bool = True
     last_run: datetime | None = None
     next_run: datetime | None = None
@@ -143,13 +150,27 @@ class MaintenanceScheduler:
                     quota=job.quota,
                     reason=f"maintenance:{job.name}",
                 )
-            if job.compact and not dry_run:
-                # post-prune OPTIMIZE: deletes just rewrote partitions
-                # into fresh small files; fold them together while the
-                # table lock traffic is already maintenance-owned
+            if not dry_run:
                 for table in job.tables or MEMORY_TABLES:
+                    # post-prune OPTIMIZE: deletes just rewrote
+                    # partitions into fresh small files; fold them
+                    # together while the table lock traffic is already
+                    # maintenance-owned. The pair-cardinality guard
+                    # forces the compaction (min_files=1 — at high
+                    # cardinality every extra file per pair is listing
+                    # cost) even on jobs that didn't opt in.
+                    forced = (
+                        job.compact_when_pairs_over is not None
+                        and self.engine.store.exists(table)
+                        and self.engine.store.partition_health(table)["n_pairs"]
+                        > job.compact_when_pairs_over
+                    )
+                    if not (job.compact or forced):
+                        continue
                     rep = self.engine.store.compact(
-                        table, target_file_bytes=job.compact_target_bytes
+                        table,
+                        target_file_bytes=job.compact_target_bytes,
+                        min_files=1 if forced else 2,
                     )
                     if rep:
                         result.compacted[table] = rep

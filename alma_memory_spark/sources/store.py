@@ -388,6 +388,30 @@ class ParquetStore:
             ],
         )
 
+    def _filter_pairs(self, df: DataFrame, pairs: list[tuple]) -> DataFrame:
+        """Restrict df to the given (project_id, agent) pairs. Small
+        sets use the OR-chain predicate (it reaches PartitionFilters
+        and prunes directories); large sets — the high-cardinality
+        compaction path — use a broadcast semi-join on null-coalesced
+        surrogates instead, because a 1000-term OR expression tree is
+        an analysis-time cost of its own."""
+        if len(pairs) <= 32:
+            return df.filter(self._pairs_predicate(pairs))
+        null_tag = "\x00null"
+        pairs_df = self.spark.createDataFrame(
+            [
+                (p if p is not None else null_tag, a if a is not None else null_tag)
+                for p, a in pairs
+            ],
+            "_pj string, _ag string",
+        )
+        return (
+            df.withColumn("_pj", F.coalesce(F.col("project_id"), F.lit(null_tag)))
+            .withColumn("_ag", F.coalesce(F.col("agent"), F.lit(null_tag)))
+            .join(F.broadcast(pairs_df), ["_pj", "_ag"], "left_semi")
+            .drop("_pj", "_ag")
+        )
+
     def _swap_partitions(self, table: str, staging: str, touched: list[tuple]) -> None:
         """Move staged partition dirs into the live table; a touched pair
         with no staged output (all its rows deleted) has its live dir
@@ -827,7 +851,10 @@ class ParquetStore:
         if not plan:
             return {}
         touched = [pair for pair, _ in plan]
-        content = self.read(table).filter(self._pairs_predicate(touched))
+        if len(plan) == len(stats):
+            content = self.read(table)  # every pair compacts: no filter
+        else:
+            content = self._filter_pairs(self.read(table), touched)
         # partition discovery infers VOID for a partition column whose
         # every directory is the hive NULL marker; writing that back
         # with partitionBy fails — pin the declared string type
@@ -870,6 +897,28 @@ class ParquetStore:
                 "bytes": b,
             }
         return report
+
+    #: above this many (project_id, agent) pairs the hive directory
+    #: layout itself becomes the cost (listing-bound planning, 1+ file
+    #: per pair no matter how small) — the maintenance scheduler
+    #: auto-compacts past it, and SCALE.md documents the bucketed-
+    #: layout fallback for deployments that legitimately exceed it
+    PAIR_CARDINALITY_THRESHOLD = 1000
+
+    def partition_health(self, table: str) -> dict:
+        """Partition-layout report for the cardinality guard: pair
+        count, file counts, and whether the table is past the
+        documented threshold. Driver-side, bounded by #pairs."""
+        stats = self._partition_file_stats(table)
+        n_files = sum(n for n, _b in stats.values())
+        n_bytes = sum(b for _n, b in stats.values())
+        return {
+            "n_pairs": len(stats),
+            "n_files": n_files,
+            "n_bytes": n_bytes,
+            "files_per_pair": (n_files / len(stats)) if stats else 0.0,
+            "over_threshold": len(stats) > self.PAIR_CARDINALITY_THRESHOLD,
+        }
 
     # Spark's default JSON timestampFormat keeps only milliseconds;
     # full-microsecond format so export -> import is lossless (the gate

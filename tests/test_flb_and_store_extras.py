@@ -846,3 +846,73 @@ def test_concurrent_same_partition_upserts_lose_nothing(spark, tmp_path):
 
     ids = {r["id"] for r in store.read("outcomes").select("id").collect()}
     assert ids == {"o0", "o100", "o101", "o102", "o200", "o201", "o202"}
+
+
+def test_high_cardinality_pairs_guard_and_forced_compaction(spark, tmp_path):
+    """The partition-cardinality guard at ~1k (project, agent) pairs
+    (SCALE.md rule): partition_health flags the table, the maintenance
+    scheduler force-compacts it (min_files=1) even when the job didn't
+    opt into compaction, and post-compaction every pair holds ONE file
+    — the bounded-listing layout. Reads stay correct throughout."""
+    from datetime import datetime, timezone
+
+    from alma_memory_spark import schemas
+    from alma_memory_spark.engine import AlmaSpark
+    from alma_memory_spark.operators.maintenance import (
+        MaintenanceJob,
+        MaintenanceScheduler,
+    )
+
+    now = [datetime(2024, 2, 15, tzinfo=timezone.utc)]
+    eng = AlmaSpark(spark, str(tmp_path / "hc"), clock=lambda: now[0])
+    store = eng.store
+    n_pairs = 1000
+
+    def batch():
+        rows = spark.range(n_pairs * 2).selectExpr(
+            "concat('id', id) AS id",
+            "concat('agent', id % 1000) AS agent",
+            f"concat('proj', (id % {n_pairs}) div 1000) AS project_id",
+            "'t' AS task_type",
+            "CAST(NULL AS STRING) AS task_description",
+            "true AS success",
+            "CAST(NULL AS STRING) AS strategy_used",
+            "CAST(NULL AS INT) AS duration_ms",
+            "CAST(NULL AS STRING) AS error_message",
+            "CAST(NULL AS STRING) AS user_feedback",
+            "timestamp'2024-02-01 00:00:00' AS timestamp",
+            "CAST(NULL AS STRING) AS verification_status",
+            "CAST(NULL AS ARRAY<FLOAT>) AS embedding",
+            "CAST(NULL AS MAP<STRING,STRING>) AS metadata",
+        )
+        return spark.createDataFrame(rows.collect(), schemas.OUTCOMES)
+
+    # two appends -> >= 2 files per pair across 1000 pairs
+    df = batch()
+    store.append("outcomes", df)
+    store.append("outcomes", df.selectExpr(
+        "concat(id, 'b') AS id", *[c for c in df.columns if c != "id"]
+    ))
+    health = store.partition_health("outcomes")
+    assert health["n_pairs"] == n_pairs
+    assert health["files_per_pair"] >= 2.0
+    assert not health["over_threshold"]  # 1000 == threshold, not over
+
+    sched = MaintenanceScheduler(eng, clock=lambda: now[0])
+    sched.register_job(
+        MaintenanceJob(
+            name="guard",
+            project_id="proj0",
+            interval_hours=1,
+            tables=["outcomes"],
+            compact=False,  # the job did NOT opt in...
+            compact_when_pairs_over=500,  # ...the guard forces it
+        )
+    )
+    res = sched.run_job("guard")
+    assert res.success, res.error
+    assert res.compacted.get("outcomes"), "guard should have forced compaction"
+    after = store.partition_health("outcomes")
+    assert after["n_pairs"] == n_pairs
+    assert after["files_per_pair"] == 1.0  # one file per pair
+    assert store.read("outcomes").count() == n_pairs * 4
