@@ -787,13 +787,42 @@ class AlmaSpark:
         return n
 
     def consolidate(self, table: str, project_id: str, threshold: float = 0.85) -> int:
-        df = self.store.read(table).filter(F.col("project_id") == project_id)
-        rest = self.store.read(table).filter(F.col("project_id") != project_id)
-        survivors, merged = _consolidate(df, threshold)
-        n_merged = merged.count()
+        """Merge near-duplicate memories within the project.
+
+        Partition-scoped at scale: duplicate groups form within
+        (project_id, agent), so the project's survivors + merged rows
+        ARE the full new contents of exactly the project's partitions —
+        only those are read and rewritten (`_rewrite_partitions`, the
+        same pruned path upsert/delete use). The r3 shape rewrote the
+        WHOLE table (every project) per consolidation — a full-table
+        rewrite at 100 TB. Unpartitioned tables still overwrite, with a
+        null-safe rest filter (a plain != silently DROPPED rows whose
+        project_id is NULL). Lock-covered read-modify-write; on the
+        txlog backend a cross-host conflict re-runs the whole merge."""
+        for _attempt in range(10):
+            try:
+                return self._consolidate_once(table, project_id, threshold)
+            except Exception as e:
+                if type(e).__name__ != "CommitConflict":
+                    raise
+        raise RuntimeError(f"consolidate({table}): persistent commit conflicts")
+
+    def _consolidate_once(self, table: str, project_id: str, threshold: float) -> int:
+        with self.store._table_lock(table):
+            df = self.store.read(table).filter(F.col("project_id") == project_id)
+            survivors, merged = _consolidate(df, threshold)
+            n_merged = merged.count()
+            if n_merged:
+                new_content = survivors.unionByName(merged)
+                if table in schemas.PARTITIONED_BY_PROJECT_AGENT:
+                    touched = self.store._pairs_of(df)
+                    self.store._rewrite_partitions(table, touched, new_content)
+                else:
+                    rest = self.store.read(table).filter(
+                        ~F.col("project_id").eqNullSafe(project_id)
+                    )
+                    self.store.overwrite(table, rest.unionByName(new_content))
         if n_merged:
-            new = rest.unionByName(survivors).unionByName(merged)
-            self.store.overwrite(table, new)
             self._invalidate_cache(project_id=project_id)
             self._emit("CONSOLIDATED", "", project_id, table, None,
                        {"merged": n_merged})

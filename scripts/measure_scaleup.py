@@ -56,18 +56,28 @@ def replicate(src: str, dst: str, table: str, copies: int, id_col: str,
 
 
 def scan_num_files(df) -> int | None:
-    jplan = df._jdf.queryExecution().executedPlan()
-    leaves = jplan.collectLeaves()
-    total = 0
-    found = False
-    for i in range(leaves.size()):
-        leaf = leaves.apply(i)
-        if "Scan" in leaf.nodeName():
-            m = leaf.metrics()
+    """AQE-aware executed-scan numFiles sum (run the job first)."""
+    acc = {"total": 0, "found": False}
+
+    def walk(node):
+        name = node.nodeName()
+        if "Scan" in name:
+            m = node.metrics()
             if m.contains("numFiles"):
-                total += m.apply("numFiles").value()
-                found = True
-    return total if found else None
+                acc["total"] += m.apply("numFiles").value()
+                acc["found"] = True
+        if name == "AdaptiveSparkPlan":
+            walk(node.executedPlan())
+            return
+        if "QueryStage" in name:
+            walk(node.plan())
+            return
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return acc["total"] if acc["found"] else None
 
 
 def best2(fn) -> float:

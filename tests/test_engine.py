@@ -285,3 +285,56 @@ def test_scoped_cache_user_preferences(engine):
     engine.add_preference("u1", "style", "use bullets")
     assert engine.retrieve("anything", agent="alice", project_id="p", user_id="u1") is not s1
     assert engine.retrieve("anything", agent="alice", project_id="p", user_id="u2") is s_other
+
+
+def test_consolidate_is_partition_scoped_and_null_safe(engine, spark):
+    """engine.consolidate must (a) merge the project's near-dups, (b)
+    NOT rewrite other projects' partition files (partition-scoped
+    rewrite, not the r3 full-table overwrite), and (c) never drop rows
+    whose project_id is NULL (the != filter bug)."""
+    import os
+    import time
+
+    emb = engine.embedder.encode("identical fact about caching")
+    rows = []
+    # (project_id is non-nullable in the memory schemas, so the
+    # null-safe rest filter is exercised as a defensive property only)
+    for i, (proj, conf) in enumerate(
+        [("proj-a", 0.9), ("proj-a", 0.5), ("proj-b", 0.8)]
+    ):
+        rows.append(
+            {
+                "id": f"dk{i}",
+                "agent": "a1",
+                "project_id": proj,
+                "domain": "d",
+                "fact": "identical fact about caching",
+                "source": "user_stated",
+                "confidence": conf,
+                "last_verified": None,
+                "verification_status": None,
+                "embedding": emb,
+                "metadata": None,
+            }
+        )
+    engine.store.append(
+        "domain_knowledge",
+        spark.createDataFrame(rows, schemas.ALL_TABLES["domain_knowledge"]),
+    )
+    root = engine.store._path("domain_knowledge")
+    other_dir = os.path.join(root, "project_id=proj-b", "agent=a1")
+    before = {
+        f: os.path.getmtime(os.path.join(other_dir, f))
+        for f in os.listdir(other_dir)
+    }
+    time.sleep(0.05)
+    n = engine.consolidate("domain_knowledge", "proj-a", threshold=0.85)
+    assert n == 1  # dk0+dk1 merged (keep dk0, higher confidence)
+    after = {
+        f: os.path.getmtime(os.path.join(other_dir, f))
+        for f in os.listdir(other_dir)
+    }
+    assert after == before, "proj-b's partition files were rewritten"
+    final = {r["id"]: r for r in engine.store.read("domain_knowledge").collect()}
+    assert set(final) == {"dk0", "dk2"}
+    assert "merged_from" in (final["dk0"]["metadata"] or {})
