@@ -68,6 +68,11 @@ class MaintenanceJob:
     # the first (and usually sufficient) defense; SCALE.md documents
     # the bucketed-layout fallback beyond it. None disables the guard.
     compact_when_pairs_over: int | None = None
+    # txlog backend only: physically reclaim data files no snapshot can
+    # reference, keeping at least this retention window for in-flight
+    # readers (Delta VACUUM semantics). None disables; ignored on the
+    # swap-store backend (it deletes eagerly under its table lock).
+    vacuum_retain_seconds: float | None = None
     enabled: bool = True
     last_run: datetime | None = None
     next_run: datetime | None = None
@@ -84,6 +89,7 @@ class MaintenanceResult:
     deleted: dict[str, int] = field(default_factory=dict)
     compacted: dict[str, dict] = field(default_factory=dict)
     reindexed: dict[str, int] = field(default_factory=dict)
+    vacuumed: dict[str, int] = field(default_factory=dict)
     decay_at_read: bool = True
     alerts: list[str] = field(default_factory=list)
     success: bool = True
@@ -196,6 +202,17 @@ class MaintenanceScheduler:
                     rep = self.engine.index_vectors(table)
                     if rep.get("indexed"):
                         result.reindexed[f"ivf:{table}"] = rep["n_vectors"]
+            if (
+                job.vacuum_retain_seconds is not None
+                and not dry_run
+                and hasattr(self.engine.store, "vacuum")
+            ):
+                for table in job.tables or MEMORY_TABLES:
+                    n = self.engine.store.vacuum(
+                        table, retain_seconds=job.vacuum_retain_seconds
+                    )
+                    if n:
+                        result.vacuumed[table] = n
             result.alerts = self._health_alerts(job.project_id)
             if not dry_run:  # a preview must not consume the schedule
                 now = self._now()

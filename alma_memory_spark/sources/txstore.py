@@ -556,6 +556,32 @@ class TxLogStore(ParquetStore):
                 pass
         return deleted
 
+    def read_version(self, table: str, version: int) -> DataFrame:
+        """TIME TRAVEL (Delta `VERSION AS OF`): resolve the live file
+        set as of `version` by replaying the log up to it — possible
+        because data files are immutable and vacuum respects the
+        retention window. Raises if the version never existed; files
+        already vacuumed surface as read errors (same contract as
+        Delta past the retention window)."""
+        versions = self._versions(table)
+        if version not in versions:
+            raise ValueError(
+                f"{table}: version {version} not in log "
+                f"(have {versions[:3]}..{versions[-3:] if versions else []})"
+            )
+        live: dict[str, dict] = {}
+        for v in versions:
+            if v > version:
+                break
+            c = self._read_commit(table, v)
+            for rel in c.get("removes", []):
+                live.pop(rel, None)
+            for a in c.get("adds", []):
+                live[a["path"]] = {"pj": a.get("pj"), "ag": a.get("ag")}
+        if not live:
+            return self.spark.createDataFrame([], schemas.ALL_TABLES[table])
+        return self._group_read(table, live)
+
     def history(self, table: str) -> list[dict]:
         """The commit log as data (Delta DESCRIBE HISTORY analog)."""
         out = []

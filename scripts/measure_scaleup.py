@@ -29,9 +29,11 @@ SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def replicate(src: str, dst: str, table: str, copies: int, id_col: str,
-              text_col: str | None = None) -> None:
-    """Write `copies` id-shifted copies of a table (text lightly varied
-    per copy so exact-dup ops keep realistic candidate sets)."""
+              text_col: str | None = None, vec_col: str | None = None) -> None:
+    """Write `copies` id-shifted copies of a table. Text and embedding
+    columns are lightly varied per copy — exact clones would collapse
+    the IVF quantizer's stride-sampled seeds into duplicate centroids
+    and make dedup candidate sets unrealistically degenerate."""
     os.makedirs(dst, exist_ok=True)
     shift = duckdb.sql(
         f"select max({id_col}) + 1 from read_parquet('{src}/{table}.parquet')"
@@ -39,10 +41,17 @@ def replicate(src: str, dst: str, table: str, copies: int, id_col: str,
     text_sel = (
         f", {text_col} || ' c' || c AS {text_col}" if text_col else ""
     )
+    vec_sel = (
+        f", list_transform({vec_col}, x -> x + 0.0013 * c * "
+        f"sin(x * 37.0)) AS {vec_col}"
+        if vec_col
+        else ""
+    )
+    text_sel += vec_sel
     other = duckdb.sql(
         f"select * from read_parquet('{src}/{table}.parquet') limit 0"
     ).columns
-    keep = [c for c in other if c not in (id_col, text_col)]
+    keep = [c for c in other if c not in (id_col, text_col, vec_col)]
     keep_sel = (", " + ", ".join(keep)) if keep else ""
     duckdb.sql(
         f"""
@@ -102,8 +111,8 @@ def main() -> None:
     try:
         for scale in (1, 10, 100):
             sdir = os.path.join(work, f"x{scale}")
-            replicate(SF, sdir, "documents", scale, "doc_id", "text")
-            replicate(SF, sdir, "embeddings", scale, "vec_id")
+            replicate(SF, sdir, "documents", scale, "doc_id", text_col="text")
+            replicate(SF, sdir, "embeddings", scale, "vec_id", vec_col="embedding")
             docs = spark.read.parquet(f"{sdir}/documents.parquet")
             emb = spark.read.parquet(f"{sdir}/embeddings.parquet")
             n_docs, n_vecs = docs.count(), emb.count()
@@ -114,8 +123,9 @@ def main() -> None:
                 n_buckets=64,
             )
             t_build_tix = time.perf_counter() - t0
-            q = tix.search_bm25(QUERY_TEXT, k=20)
-            t_bm25 = best2(lambda: q.collect())
+            t_bm25 = best2(lambda: tix.search_bm25(QUERY_TEXT, k=20).collect())
+            q = tix.search_bm25(QUERY_TEXT, k=20)  # fresh plan for metrics
+            q.collect()
             files_hit = scan_num_files(q)
             total_files = sum(
                 1
@@ -130,8 +140,9 @@ def main() -> None:
                 cent_every=max(50, n_vecs // 200),
             )
             t_build_ivf = time.perf_counter() - t0
-            s = ivf.search(QUERY_VEC, k=10, nprobe=3)
-            t_ivf = best2(lambda: s.collect())
+            t_ivf = best2(lambda: ivf.search(QUERY_VEC, k=10, nprobe=3).collect())
+            s = ivf.search(QUERY_VEC, k=10, nprobe=3)  # fresh plan for metrics
+            s.collect()
             ivf_files_hit = scan_num_files(s)
             ivf_total = sum(
                 1

@@ -253,3 +253,54 @@ def test_txlog_engine_end_to_end(spark, tmp_path):
     eng.add_knowledge("helena", "proj-a", "d", "ephemeral fact")
     assert eng.forget("domain_knowledge", "proj-a", max_age_days=0) == 1
     assert eng.store.read("forget_audit").count() == 1
+
+
+def test_txlog_time_travel(spark, tmp_path):
+    """read_version resolves the table AS OF any logged version (data
+    files are immutable until vacuumed — Delta VERSION AS OF)."""
+    st = make_store(spark, str(tmp_path / "s"), "txlog")
+    st.append("domain_knowledge", _dk(spark, [_dk_row(0), _dk_row(1)]))  # v0
+    st.upsert("domain_knowledge", _dk(spark, [_dk_row(1, fact="v2 fact")]))  # v1
+    st.delete("domain_knowledge", F.col("id") == "id0", audit=False)  # v2
+    assert {r["id"] for r in st.read_version("domain_knowledge", 0).collect()} == {
+        "id0", "id1"
+    }
+    v1 = {r["id"]: r["fact"] for r in st.read_version("domain_knowledge", 1).collect()}
+    assert v1 == {"id0": "fact 0", "id1": "v2 fact"}
+    assert {r["id"] for r in st.read("domain_knowledge").collect()} == {"id1"}
+    with pytest.raises(ValueError):
+        st.read_version("domain_knowledge", 99)
+
+
+def test_txlog_maintenance_vacuum(spark, tmp_path):
+    """The maintenance scheduler reclaims unreferenced txlog files when
+    vacuum_retain_seconds is set; the swap backend ignores the knob."""
+    from datetime import datetime, timezone
+
+    from alma_memory_spark.engine import AlmaSpark
+    from alma_memory_spark.operators.maintenance import (
+        MaintenanceJob,
+        MaintenanceScheduler,
+    )
+
+    now = [datetime(2024, 2, 15, tzinfo=timezone.utc)]
+    eng = AlmaSpark(spark, str(tmp_path / "s"), backend="txlog", clock=lambda: now[0])
+    eng.add_knowledge("a1", "p1", "d", "fact one")
+    eng.store.overwrite(
+        "domain_knowledge",
+        eng.store.read("domain_knowledge").withColumn("fact", F.lit("rewritten")),
+    )
+    sched = MaintenanceScheduler(eng, clock=lambda: now[0])
+    sched.register_job(
+        MaintenanceJob(
+            name="vac",
+            project_id="p1",
+            interval_hours=1,
+            tables=["domain_knowledge"],
+            vacuum_retain_seconds=0.0,
+        )
+    )
+    res = sched.run_job("vac")
+    assert res.success, res.error
+    assert res.vacuumed.get("domain_knowledge", 0) >= 1
+    assert eng.store.read("domain_knowledge").collect()[0]["fact"] == "rewritten"
