@@ -171,6 +171,7 @@ class TxLogStore(ParquetStore):
         # roll the log up through `version` ONLY (never past it: a
         # concurrent writer may have claimed version+1 already)
         live: dict[str, dict] = {}
+        txns: dict[str, int] = {}
         start = 0
         d = self._log_dir(table)
         ckpt_path = os.path.join(d, "_checkpoint.json")
@@ -181,9 +182,10 @@ class TxLogStore(ParquetStore):
                 if int(ckpt["version"]) >= version:
                     return  # someone checkpointed further already
                 live = dict(ckpt["live"])
+                txns = {k: int(v) for k, v in ckpt.get("txns", {}).items()}
                 start = int(ckpt["version"]) + 1
             except (OSError, ValueError, KeyError):
-                live, start = {}, 0
+                live, txns, start = {}, {}, 0
         for v in self._versions(table):
             if not (start <= v <= version):
                 continue
@@ -192,9 +194,12 @@ class TxLogStore(ParquetStore):
                 live.pop(rel, None)
             for a in c.get("adds", []):
                 live[a["path"]] = {"pj": a.get("pj"), "ag": a.get("ag")}
+            t = c.get("txn")
+            if t:
+                txns[t["app"]] = max(txns.get(t["app"], -1), int(t["version"]))
         tmp = ckpt_path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            json.dump({"version": version, "live": live}, f)
+            json.dump({"version": version, "live": live, "txns": txns}, f)
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, ckpt_path)  # atomic; losers of this race are
@@ -207,6 +212,7 @@ class TxLogStore(ParquetStore):
         adds: list[dict],
         removes: list[str],
         require_no_conflict_with=None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Commit with the gapless check-then-claim loop (the Delta
         paper's optimistic protocol): conflict-check every commit that
@@ -220,8 +226,11 @@ class TxLogStore(ParquetStore):
         d = self._log_dir(table)
         os.makedirs(d, exist_ok=True)
         tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
+        actions: dict = {"adds": adds, "removes": removes}
+        if txn is not None:
+            actions["txn"] = {"app": txn[0], "version": int(txn[1])}
         with open(tmp, "w") as f:
-            json.dump({"adds": adds, "removes": removes}, f)
+            json.dump(actions, f)
             f.flush()
             os.fsync(f.fileno())
         try:
@@ -342,14 +351,69 @@ class TxLogStore(ParquetStore):
             return self.spark.createDataFrame([], schemas.ALL_TABLES[table])
         return self._group_read(table, keep)
 
-    def append(self, table: str, df: DataFrame) -> None:
+    def append(self, table: str, df: DataFrame, txn: tuple[str, int] | None = None) -> None:
         """Blind append: new files + an adds-only commit. Never
         conflicts — concurrent appends serialize on version claims
-        only, with no wasted data writes."""
+        only, with no wasted data writes.
+
+        `txn=(app_id, version)` is Delta's idempotent-writer action for
+        streaming sinks: the commit records the pair, and a later
+        append with the same app_id and version <= the last recorded
+        one is a NO-OP — a crash-replayed foreachBatch micro-batch
+        cannot double-append. The check and the claim are one commit
+        protocol: a racing duplicate of the same (app, version) loses
+        the claim, re-scans the log, sees the recorded txn and aborts
+        idempotently."""
         with self._table_lock(table):
+            if txn is not None and self._txn_applied(table, *txn):
+                return
             adds = self._write_data_files(table, df)
-            if adds:
-                self._commit(table, adds, [])
+            if not adds and txn is None:
+                return
+
+            def dup_txn(commit: dict) -> bool:
+                t = commit.get("txn")
+                return bool(
+                    t and t["app"] == txn[0] and int(t["version"]) >= txn[1]
+                )
+
+            try:
+                self._commit(
+                    table,
+                    adds,
+                    [],
+                    require_no_conflict_with=dup_txn if txn is not None else None,
+                    txn=txn,
+                )
+            except CommitConflict:
+                # our exact (app, version) landed via another writer
+                # between the pre-check and the claim: idempotent no-op
+                # (the data files written above become vacuum garbage)
+                if txn is None:
+                    raise
+
+    def _txn_applied(self, table: str, app: str, version: int) -> bool:
+        """Has a commit already recorded (app, >= version)? Scans the
+        checkpoint's txn high-water marks plus the log tail."""
+        high = -1
+        d = self._log_dir(table)
+        ckpt_path = os.path.join(d, "_checkpoint.json")
+        start = 0
+        if os.path.isfile(ckpt_path):
+            try:
+                with open(ckpt_path) as f:
+                    ckpt = json.load(f)
+                high = int(ckpt.get("txns", {}).get(app, -1))
+                start = int(ckpt["version"]) + 1
+            except (OSError, ValueError, KeyError):
+                high, start = -1, 0
+        for v in self._versions(table):
+            if v < start:
+                continue
+            t = self._read_commit(table, v).get("txn")
+            if t and t["app"] == app:
+                high = max(high, int(t["version"]))
+        return high >= version
 
     def overwrite(self, table: str, df: DataFrame) -> None:
         """Replace the table contents with df. If this thread read the

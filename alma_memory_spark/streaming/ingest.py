@@ -44,12 +44,28 @@ def read_outcome_stream(spark: SparkSession, path: str) -> DataFrame:
 def stream_outcomes_into_store(stream: DataFrame, store, on_batch=None):
     """foreachBatch sink: append each micro-batch to the outcomes table
     (a DataFrame write IS a batch write) and invalidate read caches.
-    Returns the StreamingQuery; caller stops it."""
+    Returns the StreamingQuery; caller stops it.
+
+    On the txlog backend each batch appends with a Delta-style
+    idempotent-writer txn (app id = the sink, version = the epoch_id),
+    so a crash-replayed micro-batch cannot double-append rows into the
+    store — the same exactly-once contract the index sinks have. The
+    swap-store backend keeps the checkpointed-source-only guarantee
+    (replay of the window between sink and checkpoint commit
+    double-appends there; use backend='txlog' when that matters)."""
+    import inspect
+
+    takes_txn = "txn" in inspect.signature(store.append).parameters
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        store.append("outcomes", batch_df)
+        if takes_txn:
+            store.append(
+                "outcomes", batch_df, txn=("stream-outcomes", int(epoch_id))
+            )
+        else:
+            store.append("outcomes", batch_df)
         if on_batch is not None:
             on_batch(epoch_id)
 

@@ -304,3 +304,65 @@ def test_txlog_maintenance_vacuum(spark, tmp_path):
     assert res.success, res.error
     assert res.vacuumed.get("domain_knowledge", 0) >= 1
     assert eng.store.read("domain_knowledge").collect()[0]["fact"] == "rewritten"
+
+
+def test_txlog_idempotent_txn_append(spark, tmp_path):
+    """Delta-style txn appends: a replayed (app, version) is a no-op —
+    the exactly-once contract for streaming store ingest."""
+    st = make_store(spark, str(tmp_path / "s"), "txlog")
+    batch = _dk(spark, [_dk_row(0), _dk_row(1)])
+    st.append("domain_knowledge", batch, txn=("ingest", 0))
+    st.append("domain_knowledge", batch, txn=("ingest", 0))  # replay
+    assert st.read("domain_knowledge").count() == 2
+    st.append("domain_knowledge", _dk(spark, [_dk_row(2)]), txn=("ingest", 1))
+    assert st.read("domain_knowledge").count() == 3
+    # an OLDER version replay is also a no-op
+    st.append("domain_knowledge", batch, txn=("ingest", 0))
+    assert st.read("domain_knowledge").count() == 3
+    # a different app id is independent
+    st.append("domain_knowledge", _dk(spark, [_dk_row(3)]), txn=("other", 0))
+    assert st.read("domain_knowledge").count() == 4
+    # the high-water mark survives a checkpoint roll-up
+    for i in range(25):
+        st.append("domain_knowledge", _dk(spark, [_dk_row(100 + i)]))
+    st.append("domain_knowledge", batch, txn=("ingest", 1))  # replay
+    assert st.read("domain_knowledge").count() == 29
+
+
+def test_txlog_streaming_store_ingest_replay_safe(spark, tmp_path):
+    """stream_outcomes_into_store on the txlog backend: simulate the
+    crash-replay window by re-invoking the sink with an already-applied
+    epoch — rows must not double-append."""
+    from alma_memory_spark import schemas as _schemas
+    from alma_memory_spark.streaming.ingest import (
+        read_outcome_stream,
+        stream_outcomes_into_store,
+    )
+
+    st = make_store(spark, str(tmp_path / "s"), "txlog")
+    rows = [
+        {
+            "id": f"o{i}",
+            "agent": "a1",
+            "project_id": "p",
+            "task_type": "t",
+            "success": True,
+            "timestamp": NOW,
+        }
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, _schemas.OUTCOMES)
+    inbox = str(tmp_path / "inbox")
+    df.repartition(3).write.parquet(inbox)
+    batches: list[int] = []
+    q = stream_outcomes_into_store(
+        read_outcome_stream(spark, inbox), st, on_batch=batches.append
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert st.read("outcomes").count() == 6
+    # crash-replay simulation: re-append a batch with an applied epoch
+    st.append("outcomes", df.limit(2), txn=("stream-outcomes", int(max(batches))))
+    assert st.read("outcomes").count() == 6
