@@ -600,6 +600,18 @@ class TxLogStore(ParquetStore):
         live_abs = {os.path.join(root, rel) for rel in live}
         cutoff = time.time() - retain_seconds
         deleted = 0
+        # orphaned commit temp files (a writer that died between
+        # writing its actions and claiming/unlinking) are garbage too
+        d = self._log_dir(table)
+        if os.path.isdir(d):
+            for f in os.listdir(d):
+                if f.startswith(".tmp-"):
+                    full = os.path.join(d, f)
+                    try:
+                        if os.path.getmtime(full) < cutoff:
+                            os.unlink(full)
+                    except OSError:
+                        pass
         data = self._data_dir(table)
         if not os.path.isdir(data):
             return 0

@@ -366,3 +366,91 @@ def test_txlog_streaming_store_ingest_replay_safe(spark, tmp_path):
     # crash-replay simulation: re-append a batch with an applied epoch
     st.append("outcomes", df.limit(2), txn=("stream-outcomes", int(max(batches))))
     assert st.read("outcomes").count() == 6
+
+
+def test_txlog_crash_windows(spark, tmp_path):
+    """Every crash window of the commit protocol leaves a readable,
+    correct table:
+    (a) data files written but no commit claimed -> invisible to
+        readers, reclaimed by vacuum;
+    (b) orphaned commit temp file -> ignored by the log replay,
+        reclaimed by vacuum;
+    (c) torn checkpoint -> full log replay still resolves."""
+    import json as _json
+
+    st = make_store(spark, str(tmp_path / "s"), "txlog")
+    st.append("domain_knowledge", _dk(spark, [_dk_row(0), _dk_row(1)]))
+
+    # (a) simulate a writer dying after the data write, before commit
+    orphan_adds = st._write_data_files(
+        "domain_knowledge", _dk(spark, [_dk_row(50)])
+    )
+    assert orphan_adds  # files exist on disk...
+    assert st.read("domain_knowledge").count() == 2  # ...but are invisible
+    assert st.vacuum("domain_knowledge", retain_seconds=0) >= 1
+
+    # (b) orphaned commit temp: never replayed, vacuumed away
+    tmp_commit = os.path.join(
+        st._log_dir("domain_knowledge"), ".tmp-deadbeef.json"
+    )
+    with open(tmp_commit, "w") as f:
+        _json.dump({"adds": [], "removes": []}, f)
+    assert st.read("domain_knowledge").count() == 2
+    st.vacuum("domain_knowledge", retain_seconds=0)
+    assert not os.path.exists(tmp_commit)
+
+    # (c) torn checkpoint: replay falls back to the full log
+    ckpt = os.path.join(st._log_dir("domain_knowledge"), "_checkpoint.json")
+    with open(ckpt, "w") as f:
+        f.write("{not json")
+    st2 = make_store(spark, str(tmp_path / "s"), "txlog")
+    assert st2.read("domain_knowledge").count() == 2
+    os.remove(ckpt)
+
+
+def test_txlog_model_based_random_ops(spark, tmp_path):
+    """Model-based check: a deterministic random sequence of
+    append/upsert/delete/compact/overwrite against TxLogStore must
+    match a dict model keyed by id at every step."""
+    import random
+
+    rng = random.Random(1234)
+    st = make_store(spark, str(tmp_path / "s"), "txlog")
+    model: dict[str, str] = {}
+    next_id = 0
+
+    def rows_from(ids_facts):
+        return _dk(
+            spark,
+            [
+                _dk_row(int(i[2:]), agent=f"a{int(i[2:]) % 3}", fact=fact)
+                for i, fact in ids_facts
+            ],
+        )
+
+    for step in range(25):
+        op = rng.choice(["append", "append", "upsert", "delete", "compact"])
+        if op == "append":
+            batch = [(f"id{next_id + j}", f"fact {next_id + j}") for j in range(rng.randint(1, 3))]
+            next_id += len(batch)
+            st.append("domain_knowledge", rows_from(batch))
+            model.update(batch)
+        elif op == "upsert" and model:
+            targets = rng.sample(sorted(model), min(2, len(model)))
+            batch = [(i, f"updated@{step}") for i in targets]
+            st.upsert("domain_knowledge", rows_from(batch))
+            model.update(batch)
+        elif op == "delete" and model:
+            targets = rng.sample(sorted(model), min(2, len(model)))
+            st.delete(
+                "domain_knowledge", F.col("id").isin(targets), audit=False
+            )
+            for i in targets:
+                model.pop(i)
+        elif op == "compact":
+            st.compact("domain_knowledge", min_files=1)
+        got = {
+            r["id"]: r["fact"]
+            for r in st.read("domain_knowledge").collect()
+        } if model or st.exists("domain_knowledge") else {}
+        assert got == model, f"divergence at step {step} ({op})"
