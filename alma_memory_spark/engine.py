@@ -726,19 +726,18 @@ class AlmaSpark:
     # lifecycle
     # ------------------------------------------------------------------
 
-    def select_doomed_ids(
+    def _policy_doomed_ids(
         self,
+        df: DataFrame,
         table: str,
-        project_id: str,
-        max_age_days: float | None = None,
-        min_confidence: float | None = None,
-        quota: int | None = None,
+        max_age_days: float | None,
+        min_confidence: float | None,
+        quota: int | None,
     ) -> DataFrame | None:
-        """The forget policies' delete set as an id frame — the ONE
-        derivation shared by forget() and the maintenance dry-run, so a
-        policy change can never desynchronize preview counts from
-        actual deletes."""
-        df = self.store.read(table).filter(F.col("project_id") == project_id)
+        """The forget policies' delete set as an id frame over a GIVEN
+        read of the table — the ONE derivation shared by forget()'s
+        in-lock closure and the maintenance dry-run, so a policy change
+        can never desynchronize preview counts from actual deletes."""
         doomed_ids: DataFrame | None = None
         ts_col = LC.FORGET_TS_COLS[table]
         if max_age_days is not None:
@@ -755,6 +754,19 @@ class AlmaSpark:
             doomed_ids = sel if doomed_ids is None else doomed_ids.unionByName(sel)
         return None if doomed_ids is None else doomed_ids.distinct()
 
+    def select_doomed_ids(
+        self,
+        table: str,
+        project_id: str,
+        max_age_days: float | None = None,
+        min_confidence: float | None = None,
+        quota: int | None = None,
+    ) -> DataFrame | None:
+        df = self.store.read(table).filter(F.col("project_id") == project_id)
+        return self._policy_doomed_ids(
+            df, table, max_age_days, min_confidence, quota
+        )
+
     def forget(
         self,
         table: str,
@@ -764,26 +776,35 @@ class AlmaSpark:
         quota: int | None = None,
         reason: str = "maintenance",
     ) -> int:
-        doomed_ids = self.select_doomed_ids(
-            table, project_id, max_age_days, min_confidence, quota
-        )
-        if doomed_ids is None:
+        """Policy-driven forget with audit. ZERO driver round-trip of
+        the delete set: the doomed rows are derived by a closure the
+        store runs against its LOCKED read (a mass forget of millions
+        of rows never collects their ids). The persisted IVF index is
+        tombstoned from the same in-lock frame — while the doomed
+        rows' files are still live — so ANN serves never return the
+        deleted ids (sqlite_local.py:510-521 dirty-flag semantics)."""
+        if max_age_days is None and min_confidence is None and quota is None:
             return 0
-        ids = [r[0] for r in doomed_ids.collect()]
-        if not ids:
-            return 0
-        n = self.store.delete(table, F.col("id").isin(ids), reason=reason, memory_type=table)
-        if self._has_ivf_index(table):
-            # tombstone the persisted vector index so it never serves
-            # the deleted ids before its next rebuild (the reference
-            # marks its FAISS index dirty here, sqlite_local.py:510-521;
-            # reindex_ivf in the maintenance cycle is the rebuild)
-            from alma_memory_spark.operators.ann_index import IVFIndex
 
-            IVFIndex.load(self.spark, self._ivf_index_path(table)).forget(ids)
-        self._invalidate_cache(project_id=project_id)
-        self._emit("DELETED", "", project_id, table, None,
-                   {"count": n, "reason": reason})
+        def doom(df: DataFrame) -> DataFrame:
+            scoped = df.filter(F.col("project_id") == project_id)
+            ids = self._policy_doomed_ids(
+                scoped, table, max_age_days, min_confidence, quota
+            )
+            doomed = scoped.join(ids, "id", "left_semi")
+            if self._has_ivf_index(table):
+                from alma_memory_spark.operators.ann_index import IVFIndex
+
+                IVFIndex.load(self.spark, self._ivf_index_path(table)).forget(
+                    doomed.select("id")
+                )
+            return doomed
+
+        n = self.store.delete(table, doom, reason=reason, memory_type=table)
+        if n:
+            self._invalidate_cache(project_id=project_id)
+            self._emit("DELETED", "", project_id, table, None,
+                       {"count": n, "reason": reason})
         return n
 
     def consolidate(self, table: str, project_id: str, threshold: float = 0.85) -> int:

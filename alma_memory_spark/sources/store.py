@@ -619,7 +619,12 @@ class ParquetStore:
         self, table, predicate, reason, audit, memory_type
     ) -> int:
         df = self.read(table)
-        doomed = df.filter(predicate)
+        # `predicate` is a Column, or a callable(df) -> doomed-rows
+        # frame derived from THIS locked read — the zero-collect path
+        # for mass forgets (a policy selecting millions of ids must not
+        # round-trip them through the driver; the callable runs against
+        # the fresh snapshot, so it can never reference replaced files)
+        doomed = predicate(df) if callable(predicate) else df.filter(predicate)
         n = doomed.count()
         if n == 0:
             return 0
