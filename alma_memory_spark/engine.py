@@ -835,6 +835,19 @@ class AlmaSpark:
             n_merged = merged.count()
             if n_merged:
                 new_content = survivors.unionByName(merged)
+                if self._has_ivf_index(table):
+                    # the losing group members vanish from the table;
+                    # tombstone them in the vector index (same
+                    # staleness contract as forget) BEFORE the rewrite,
+                    # while their files are still live
+                    from alma_memory_spark.operators.ann_index import IVFIndex
+
+                    losers = df.join(
+                        new_content.select("id"), "id", "left_anti"
+                    ).select("id")
+                    IVFIndex.load(
+                        self.spark, self._ivf_index_path(table)
+                    ).forget(losers)
                 if table in schemas.PARTITIONED_BY_PROJECT_AGENT:
                     touched = self.store._pairs_of(df)
                     self.store._rewrite_partitions(table, touched, new_content)
@@ -947,11 +960,12 @@ class AlmaSpark:
 
         if not self.store.exists(table):
             return {"table": table, "n_vectors": 0, "indexed": False}
-        df = (
-            self.store.read(table)
-            .filter(F.col("embedding").isNotNull())
-            .select("id", "embedding")
-        )
+        full = self.store.read(table).filter(F.col("embedding").isNotNull())
+        # scope columns ride the index lists so scoped searches filter
+        # INSIDE the pruned scan (PushedFilters) instead of semi-joining
+        # the corpus per query
+        scope_cols = [c for c in ("project_id", "agent") if c in full.columns]
+        df = full.select("id", "embedding", *scope_cols)
         n = df.count()
         if n == 0:
             return {"table": table, "n_vectors": 0, "indexed": False}
@@ -960,10 +974,12 @@ class AlmaSpark:
             idx = IVFIndex.build(
                 self.spark, df, path, id_col="id", vec_col="embedding",
                 cent_every=cent_every, kmeans_iters=kmeans_iters,
+                extra_cols=scope_cols,
             )
         except ValueError:  # no hash-sampled seeds (tiny corpus)
             idx = IVFIndex.build(
-                self.spark, df, path, id_col="id", vec_col="embedding", cent_every=1
+                self.spark, df, path, id_col="id", vec_col="embedding",
+                cent_every=1, extra_cols=scope_cols,
             )
         return {
             "table": table,
@@ -983,12 +999,13 @@ class AlmaSpark:
     ) -> list[dict[str, Any]]:
         """ANN retrieval served from the persisted IVF index when one
         exists (partition-pruned probe of nprobe cells), else exact
-        cosine over the scoped scan. The index path semi-joins the
-        SCOPED LIVE id set (partition-pruned, id-column-only read)
-        before the top-k cut — the same staleness/scope guard the
-        hybrid text path applies — and the index's own tombstones
-        exclude ids forgotten since the last rebuild even on unscoped
-        searches."""
+        cosine over the scoped scan. Scope predicates apply INSIDE the
+        pruned index scan when the index carries the scope columns
+        (index_vectors stores them — the query never touches the
+        corpus until the final <= top_k row hydration join); older
+        indexes without them fall back to the live-id semi-join.
+        Tombstones exclude ids removed by forget() or consolidation
+        merges since the last rebuild."""
         from alma_memory_spark.functions.vector import cosine_similarity
         from alma_memory_spark.operators.ann_index import IVFIndex
 
@@ -1003,9 +1020,18 @@ class AlmaSpark:
             df = df.filter(F.col("agent") == agent)
         if self._has_ivf_index(table):
             idx = IVFIndex.load(self.spark, self._ivf_index_path(table))
-            hits = idx.search(
-                qvec, k=top_k, nprobe=nprobe, live_ids=df.select("id")
-            )
+            indexed = {n for n, _t in idx.extra_cols}
+            want = {}
+            if project_id is not None and "project_id" in df.columns:
+                want["project_id"] = project_id
+            if agent is not None and "agent" in df.columns:
+                want["agent"] = agent
+            if set(want) <= indexed:
+                hits = idx.search(qvec, k=top_k, nprobe=nprobe, filters=want)
+            else:
+                hits = idx.search(
+                    qvec, k=top_k, nprobe=nprobe, live_ids=df.select("id")
+                )
         else:
             qlit = F.array(*[F.lit(float(x)) for x in qvec])
             hits = (

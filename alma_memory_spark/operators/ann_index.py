@@ -45,12 +45,26 @@ class IVFIndex:
     """Handle over a built index: tiny driver-side quantizer + the
     cell-partitioned lists path."""
 
-    def __init__(self, spark: SparkSession, path: str, cells, Cn, id_type: str = "bigint"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        cells,
+        Cn,
+        id_type: str = "bigint",
+        extra_cols: list[tuple[str, str]] | None = None,
+    ):
         self.spark = spark
         self.path = path
         self.cells = cells  # np.int64 cell ids, sorted DESC
         self.Cn = Cn  # L2-normalized centroid matrix, rows follow cells
         self.id_type = id_type
+        #: (name, type) attribute columns stored alongside each list
+        #: entry — scope columns (project_id, agent) ride the lists so
+        #: a scoped search filters INSIDE the pruned scan instead of
+        #: joining the corpus table (the per-query live-id semi-join
+        #: would shuffle the scoped id set at 100 TB)
+        self.extra_cols = extra_cols or []
 
     # ------------------------------------------------------------------
 
@@ -124,6 +138,7 @@ class IVFIndex:
         vec_col: str = "embedding",
         cent_every: int = 50,
         kmeans_iters: int = 0,
+        extra_cols: list[str] | None = None,
     ) -> "IVFIndex":
         """One-time index build: stride-sample centroid seeds
         (deterministic — every cent_every-th id for numeric ids; for
@@ -163,7 +178,10 @@ class IVFIndex:
         if kmeans_iters > 0:
             Cn = IVFIndex._lloyd_refine(df, id_col, vec_col, cells, Cn, kmeans_iters)
 
-        idx = IVFIndex(spark, path, cells, Cn, id_type)
+        extras = [
+            (c, df.schema[c].dataType.simpleString()) for c in (extra_cols or [])
+        ]
+        idx = IVFIndex(spark, path, cells, Cn, id_type, extras)
         # clear superseded state FIRST: a crash mid-build leaves a
         # partial (rebuildable) index either way, but stale segments or
         # tombstones surviving NEXT to a fresh base would silently skew
@@ -177,8 +195,11 @@ class IVFIndex:
             [(int(c), [float(x) for x in Cn[i]]) for i, c in enumerate(cells)],
             "cell long, cvec array<double>",
         ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+        import json as _json
+
         spark.createDataFrame(
-            [(id_type, cent_every)], "id_type string, cent_every int"
+            [(id_type, cent_every, _json.dumps(extras))],
+            "id_type string, cent_every int, extra_cols string",
         ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "meta"))
         return idx
 
@@ -196,6 +217,7 @@ class IVFIndex:
         import pandas as pd
 
         b = self.spark.sparkContext.broadcast((self.cells, self.Cn))
+        extras = self.extra_cols
 
         def assign(it):
             cells_, Cn_ = b.value
@@ -206,16 +228,21 @@ class IVFIndex:
                 Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
                 csims = np.round(Vn @ Cn_.T, 6)
                 # first max along the DESC-sorted cell axis = larger cell
-                yield pd.DataFrame(
-                    {
-                        "id": pdf[id_col].to_numpy(),
-                        "embedding": pdf[vec_col],
-                        "cell": cells_[np.argmax(csims, axis=1)],
-                    }
-                )
+                out = {
+                    "id": pdf[id_col].to_numpy(),
+                    "embedding": pdf[vec_col],
+                }
+                for name, _t in extras:
+                    out[name] = pdf[name]
+                out["cell"] = cells_[np.argmax(csims, axis=1)]
+                yield pd.DataFrame(out)
 
-        assigned = df.select(id_col, vec_col).mapInPandas(
-            assign, f"id {self.id_type}, embedding array<double>, cell long"
+        extra_schema = "".join(f", {n} {t}" for n, t in extras)
+        assigned = df.select(
+            id_col, vec_col, *[n for n, _t in extras]
+        ).mapInPandas(
+            assign,
+            f"id {self.id_type}, embedding array<double>{extra_schema}, cell long",
         )
         assigned.write.mode(mode).partitionBy("cell").parquet(
             dest or os.path.join(self.path, "lists")
@@ -233,11 +260,16 @@ class IVFIndex:
         )
         cells = np.array([r["cell"] for r in rows], dtype=np.int64)
         Cn = np.array([r["cvec"] for r in rows], dtype=np.float64)
-        id_type = "bigint"
+        import json as _json
+
+        id_type, extras = "bigint", []
         meta_path = os.path.join(path, "meta")
         if os.path.isdir(meta_path):
-            id_type = spark.read.parquet(meta_path).collect()[0]["id_type"]
-        return IVFIndex(spark, path, cells, Cn, id_type)
+            meta = spark.read.parquet(meta_path).collect()[0].asDict()
+            id_type = meta["id_type"]
+            if meta.get("extra_cols"):
+                extras = [tuple(e) for e in _json.loads(meta["extra_cols"])]
+        return IVFIndex(spark, path, cells, Cn, id_type, extras)
 
     # ------------------------------------------------------------------
 
@@ -363,7 +395,12 @@ class IVFIndex:
         return self.cells[order[:nprobe]].tolist(), qn
 
     def search(
-        self, query_vec, k: int = 10, nprobe: int = 3, live_ids: DataFrame | None = None
+        self,
+        query_vec,
+        k: int = 10,
+        nprobe: int = 3,
+        live_ids: DataFrame | None = None,
+        filters: dict | None = None,
     ) -> DataFrame:
         """Exact cosine top-k inside the nprobe probed cells only.
 
@@ -380,7 +417,12 @@ class IVFIndex:
           rebuild);
         - `live_ids` (one id column), when given, is semi-joined in —
           the same guard the hybrid text path applies against the live
-          table (engine.search_hybrid)."""
+          table (engine.search_hybrid). Prefer `filters` at scale: the
+          semi-join shuffles the live id set per query.
+        - `filters` ({extra_col: value}) applies equality predicates on
+          the attribute columns stored in the lists (extra_cols at
+          build) — they land in the pruned scan's PushedFilters, so a
+          scoped search stays an index-only read."""
         import numpy as np
         import pandas as pd
 
@@ -389,6 +431,13 @@ class IVFIndex:
         ensure_package_shipped(self.spark)
         probed, qn = self.probe_cells(query_vec, nprobe)
         pruned = self._lists_df().filter(F.col("cell").isin(probed))
+        for col, val in (filters or {}).items():
+            if col not in {n for n, _t in self.extra_cols}:
+                raise ValueError(
+                    f"filter column '{col}' was not indexed "
+                    f"(extra_cols={[n for n, _t in self.extra_cols]})"
+                )
+            pruned = pruned.filter(F.col(col) == val)
         dead = self.tombstones()
         if dead is not None:
             pruned = pruned.join(F.broadcast(dead), "id", "left_anti")

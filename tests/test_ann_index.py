@@ -225,3 +225,38 @@ def test_ivf_string_ids_and_live_id_guard(spark, tmp_path):
     live = docs.filter("substring(id, 4) % 2 = 0").select("id")
     guarded = idx.search(QUERY_VEC, k=8, nprobe=3, live_ids=live).collect()
     assert all(int(r["id"][3:]) % 2 == 0 for r in guarded)
+
+
+def test_ivf_scope_columns_filter_inside_pruned_scan(spark, tmp_path):
+    """extra_cols at build ride the lists: a scoped search applies its
+    predicate INSIDE the pruned scan (PushedFilters — no corpus join),
+    returns exactly the semi-join guard's results, and unknown filter
+    columns are rejected."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(300)
+    docs = emb.selectExpr(
+        "vec_id", "embedding", "concat('agent', vec_id % 3) AS agent"
+    )
+    path = str(tmp_path / "ivf_scope")
+    idx = IVFIndex.build(
+        spark, docs, path, cent_every=25, extra_cols=["agent"]
+    )
+    assert IVFIndex.load(spark, path).extra_cols == [("agent", "string")]
+
+    scoped = idx.search(QUERY_VEC, k=8, nprobe=4, filters={"agent": "agent1"})
+    rows = scoped.collect()
+    assert rows
+    # identical to the live-id semi-join guard over the same scope
+    live = docs.filter("agent = 'agent1'").selectExpr("vec_id AS id")
+    guard = idx.search(QUERY_VEC, k=8, nprobe=4, live_ids=live).collect()
+    assert [(r["id"], r["similarity"]) for r in rows] == [
+        (r["id"], r["similarity"]) for r in guard
+    ]
+    # the predicate reaches the scan (pushed), not a join
+    plan = scoped._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "agent" in plan.split("PushedFilters", 1)[1][:400]
+    with _pytest.raises(ValueError, match="not indexed"):
+        idx.search(QUERY_VEC, filters={"nope": 1})
