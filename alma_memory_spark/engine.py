@@ -923,8 +923,15 @@ class AlmaSpark:
             raise ValueError(f"no text projection for table: {table}")
         if not self.store.exists(table):
             return {"table": table, "n_docs": 0, "indexed": False}
-        docs = self.store.read(table).select(
-            "id", self._text_expr(table).alias("_text")
+        full = self.store.read(table)
+        # scope columns ride the postings (typed extra cols), making
+        # scoped BM25 an index-only read with EXACT scoped statistics
+        # (see InvertedTextIndex.search_bm25 filters)
+        scope_cols = [
+            c for c in ("project_id", "agent", "user_id") if c in full.columns
+        ]
+        docs = full.select(
+            "id", self._text_expr(table).alias("_text"), *scope_cols
         )
         idx = InvertedTextIndex.build(
             self.spark,
@@ -933,6 +940,7 @@ class AlmaSpark:
             id_col="id",
             text_col="_text",
             n_buckets=n_buckets,
+            extra_cols=scope_cols,
         )
         return {"table": table, "n_docs": idx.n_docs, "indexed": True}
 
@@ -1126,27 +1134,40 @@ class AlmaSpark:
         ixpath = self._text_index_path(table)
         if os.path.isdir(os.path.join(ixpath, "stats")):
             idx = InvertedTextIndex.load(self.spark, ixpath)
-            glob = idx.search_bm25(query, k=4 * fetch)
-            txt = (
-                glob.join(df.select("id"), "id", "left_semi")
-                .orderBy(F.desc("bm25_score"), F.asc("id"))
-                .limit(fetch)
-            )
-            # scope-selectivity guard: the index ranks over the GLOBAL
-            # corpus, so in a multi-agent store a scoped hit ranked
-            # below the global top-4*fetch would silently vanish from
-            # the text side. Detect the only case that can happen —
-            # the global cut was SATURATED (returned the full 4*fetch,
-            # i.e. more matches exist below it) AND the scope semi-join
-            # came back short of fetch — and fall back to the scan-BM25
-            # over the already-scoped rows (identical formula). When
-            # the global list is NOT saturated it already contains
-            # every matching doc, so a short scoped list just means the
-            # scoped corpus has few matches and the index answer is
-            # exact. Both counts run on index-pruned, already-top-cut
-            # frames (<= 4*fetch rows).
-            if txt.count() < fetch and glob.count() >= 4 * fetch:
-                txt = scan_bm25()
+            want = {}
+            if project_id is not None and "project_id" in df.columns:
+                want["project_id"] = project_id
+            if "agent" in df.columns:
+                want["agent"] = agent
+            if user_id is not None and "user_id" in df.columns:
+                want["user_id"] = user_id
+            if set(want) <= {n for n, _t in idx.extra_cols}:
+                # EXACT scoped path: the scope predicates push into the
+                # pruned postings scan and the stats come from the
+                # per-group table — identical scores to scan-BM25 over
+                # the scoped corpus, no over-fetch, no fallback. The
+                # live-table semi-join stays as the staleness guard for
+                # rows deleted since the last reindex.
+                txt = (
+                    idx.search_bm25(query, k=2 * fetch, filters=want)
+                    .join(df.select("id"), "id", "left_semi")
+                    .orderBy(F.desc("bm25_score"), F.asc("id"))
+                    .limit(fetch)
+                )
+            else:
+                # legacy index without scope columns: global ranking +
+                # scope semi-join, with the saturation fallback — the
+                # global cut returning the full 4*fetch while the
+                # scoped semi-join comes back short is the only case a
+                # scoped hit can have been cut away.
+                glob = idx.search_bm25(query, k=4 * fetch)
+                txt = (
+                    glob.join(df.select("id"), "id", "left_semi")
+                    .orderBy(F.desc("bm25_score"), F.asc("id"))
+                    .limit(fetch)
+                )
+                if txt.count() < fetch and glob.count() >= 4 * fetch:
+                    txt = scan_bm25()
         else:
             txt = scan_bm25()
 

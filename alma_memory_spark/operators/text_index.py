@@ -93,6 +93,7 @@ class InvertedTextIndex:
         n_buckets: int,
         id_col: str,
         id_type: str = "string",
+        extra_cols: list[tuple[str, str]] | None = None,
     ):
         self.spark = spark
         self.path = path
@@ -101,6 +102,14 @@ class InvertedTextIndex:
         self.n_buckets = n_buckets
         self.id_col = id_col
         self.id_type = id_type
+        #: (name, type) attribute columns stored on every posting row —
+        #: scope columns (project_id, agent) make scoped BM25 an
+        #: index-only read with EXACT scoped statistics: the scope
+        #: predicate lands in the pruned scan, per-term df comes from
+        #: the already-scoped postings, and N/avgdl come from the
+        #: per-group stats table — identical scores to a scan-BM25
+        #: over the scoped corpus, no over-fetch, no fallback
+        self.extra_cols = extra_cols or []
         # totals INCLUDE committed epoch segments; base stats (what the
         # stats table holds) track only the base postings dir
         self._base_n = n_docs
@@ -152,7 +161,9 @@ class InvertedTextIndex:
         seg = os.path.join(self._segments_root(), str(int(epoch)))
         if os.path.isfile(os.path.join(seg, "_COMMIT")):
             return False
-        postings = self._postings(docs, self.id_col, text_col, self.n_buckets)
+        postings = self._postings(
+            docs, self.id_col, text_col, self.n_buckets, self.extra_cols
+        )
         dn, dsdl = self._delta_stats(docs, text_col)
         (
             postings.repartition(min(self.n_buckets, 32), "bucket")
@@ -161,6 +172,12 @@ class InvertedTextIndex:
             .partitionBy("bucket")
             .parquet(os.path.join(seg, "postings"))
         )
+        if self.extra_cols:
+            self._group_stats_frame(
+                docs, text_col, self.extra_cols
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(seg, "group_stats")
+            )
         tmp = os.path.join(seg, "_COMMIT.tmp")
         with open(tmp, "w") as f:
             json.dump({"n_docs": dn, "sum_dl": dsdl}, f)
@@ -177,7 +194,11 @@ class InvertedTextIndex:
         empty) still reads as an empty frame instead of failing with
         'unable to infer schema'. Committed epoch segments union in
         (each its own pruned scan — filters push through the union)."""
-        schema = f"doc {self.id_type}, dl int, term string, tf long, bucket long"
+        extra_schema = "".join(f", {n} {t}" for n, t in self.extra_cols)
+        schema = (
+            f"doc {self.id_type}, dl int{extra_schema}, term string, "
+            "tf long, bucket long"
+        )
         df = self.spark.read.schema(schema).parquet(
             os.path.join(self.path, "postings")
         )
@@ -189,16 +210,55 @@ class InvertedTextIndex:
             )
         return df
 
+    def _group_stats(self, filters: dict) -> tuple[float, float]:
+        """(N, avgdl) for the docs matching the extra-col equality
+        filters — aggregated from the base group-stats table plus every
+        committed segment's (each bounded by #scopes rows)."""
+        paths = [os.path.join(self.path, "group_stats")]
+        paths += [
+            os.path.join(self._segments_root(), str(e), "group_stats")
+            for e, _n, _s in self._committed_segments()
+        ]
+        schema = (
+            "".join(f"{n} {t}, " for n, t in self.extra_cols)
+            + "n_docs long, sum_dl long"
+        )
+        frames = [
+            self.spark.read.schema(schema).parquet(p)
+            for p in paths
+            if os.path.isdir(p)
+        ]
+        if not frames:
+            return 0.0, 1.0
+        df = frames[0]
+        for f in frames[1:]:
+            df = df.unionByName(f)
+        for col, val in filters.items():
+            df = df.filter(F.col(col) == val)
+        row = df.agg(
+            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n"),
+            F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("sdl"),
+        ).collect()[0]
+        n = float(row["n"])
+        return n, (row["sdl"] / n) if n else 1.0
+
     # ------------------------------------------------------------------
 
     @staticmethod
-    def _postings(docs: DataFrame, id_col: str, text_col: str, n_buckets: int) -> DataFrame:
+    def _postings(
+        docs: DataFrame,
+        id_col: str,
+        text_col: str,
+        n_buckets: int,
+        extras: list[tuple[str, str]] | None = None,
+    ) -> DataFrame:
+        ex = [n for n, _t in (extras or [])]
         toks = docs.select(
-            F.col(id_col).alias("doc"), ws_tokens(text_col).alias("_toks")
+            F.col(id_col).alias("doc"), *ex, ws_tokens(text_col).alias("_toks")
         ).withColumn("dl", F.size("_toks"))
         return (
-            toks.select("doc", "dl", F.explode("_toks").alias("term"))
-            .groupBy("doc", "dl", "term")
+            toks.select("doc", "dl", *ex, F.explode("_toks").alias("term"))
+            .groupBy("doc", "dl", *ex, "term")
             .agg(F.count("*").alias("tf"))
             .withColumn("bucket", _bucket_col(F.col("term"), n_buckets))
         )
@@ -211,12 +271,20 @@ class InvertedTextIndex:
         id_col: str = "doc_id",
         text_col: str = "text",
         n_buckets: int = 64,
+        extra_cols: list[str] | None = None,
     ) -> "InvertedTextIndex":
         """One-time index build: tokenize -> (doc, term, tf, dl) postings
         -> ONE shuffle on bucket -> term-sorted bucket-partitioned
         parquet. The shuffle that bm25_scores pays per QUERY is paid
-        once per BUILD here."""
-        postings = InvertedTextIndex._postings(docs, id_col, text_col, n_buckets)
+        once per BUILD here. `extra_cols` (e.g. scope columns) ride
+        every posting row and get a per-group stats table, enabling
+        exact scoped BM25 (see search_bm25 filters)."""
+        extras = [
+            (c, docs.schema[c].dataType.simpleString()) for c in (extra_cols or [])
+        ]
+        postings = InvertedTextIndex._postings(
+            docs, id_col, text_col, n_buckets, extras
+        )
         id_type = postings.schema["doc"].dataType.simpleString()
         # clear superseded epoch segments FIRST (see IVFIndex.build:
         # stale committed segments next to a fresh base double-count)
@@ -234,8 +302,27 @@ class InvertedTextIndex:
             .parquet(os.path.join(path, "postings"))
         )
         n, sdl = InvertedTextIndex._delta_stats(docs, text_col)
-        InvertedTextIndex._write_stats(spark, path, n, sdl, n_buckets, id_col, id_type)
-        return InvertedTextIndex(spark, path, n, sdl, n_buckets, id_col, id_type)
+        InvertedTextIndex._write_stats(
+            spark, path, n, sdl, n_buckets, id_col, id_type, extras
+        )
+        if extras:
+            InvertedTextIndex._group_stats_frame(
+                docs, text_col, extras
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(path, "group_stats")
+            )
+        return InvertedTextIndex(
+            spark, path, n, sdl, n_buckets, id_col, id_type, extras
+        )
+
+    @staticmethod
+    def _group_stats_frame(docs: DataFrame, text_col: str, extras) -> DataFrame:
+        """Per-(extra cols) corpus stats: (group..., n_docs, sum_dl) —
+        bounded by the number of distinct scopes, never data-sized."""
+        return docs.groupBy(*[n for n, _t in extras]).agg(
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum(F.size(ws_tokens(text_col))), F.lit(0)).alias("sum_dl"),
+        )
 
     @staticmethod
     def _delta_stats(docs: DataFrame, text_col: str):
@@ -249,18 +336,26 @@ class InvertedTextIndex:
         return int(row["n"]), int(row["sdl"])
 
     @staticmethod
-    def _write_stats(spark, path, n, sdl, n_buckets, id_col, id_type) -> None:
+    def _write_stats(spark, path, n, sdl, n_buckets, id_col, id_type, extras=None) -> None:
+        import json
+
         spark.createDataFrame(
-            [(n, sdl, n_buckets, id_col, id_type)],
-            "n_docs long, sum_dl long, n_buckets int, id_col string, id_type string",
+            [(n, sdl, n_buckets, id_col, id_type, json.dumps(extras or []))],
+            "n_docs long, sum_dl long, n_buckets int, id_col string, "
+            "id_type string, extra_cols string",
         ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "stats"))
 
     @staticmethod
     def load(spark: SparkSession, path: str) -> "InvertedTextIndex":
-        r = spark.read.parquet(os.path.join(path, "stats")).collect()[0]
+        import json
+
+        r = spark.read.parquet(os.path.join(path, "stats")).collect()[0].asDict()
+        extras = [
+            tuple(e) for e in json.loads(r.get("extra_cols") or "[]")
+        ]
         return InvertedTextIndex(
             spark, path, r["n_docs"], r["sum_dl"], r["n_buckets"], r["id_col"],
-            r["id_type"],
+            r["id_type"], extras,
         )
 
     # ------------------------------------------------------------------
@@ -274,7 +369,9 @@ class InvertedTextIndex:
         immediately visible and exactly correct. Assumes doc ids are
         new (append-only corpus); replacing a doc = rebuild its rows,
         same as the store's partition-scoped upsert contract."""
-        postings = self._postings(docs, self.id_col, text_col, self.n_buckets)
+        postings = self._postings(
+            docs, self.id_col, text_col, self.n_buckets, self.extra_cols
+        )
         dn, dsdl = self._delta_stats(docs, text_col)
         (
             postings.repartition(min(self.n_buckets, 32), "bucket")
@@ -283,6 +380,30 @@ class InvertedTextIndex:
             .partitionBy("bucket")
             .parquet(os.path.join(self.path, "postings"))
         )
+        if self.extra_cols:
+            # merge the per-group deltas into the base group-stats
+            # table (bounded by #scopes rows — materialize before
+            # rewriting the files the plan reads from)
+            gpath = os.path.join(self.path, "group_stats")
+            schema = (
+                "".join(f"{n} {t}, " for n, t in self.extra_cols)
+                + "n_docs long, sum_dl long"
+            )
+            merged = self._group_stats_frame(docs, text_col, self.extra_cols)
+            if os.path.isdir(gpath):
+                merged = (
+                    self.spark.read.schema(schema).parquet(gpath)
+                    .unionByName(merged)
+                    .groupBy(*[n for n, _t in self.extra_cols])
+                    .agg(
+                        F.sum("n_docs").alias("n_docs"),
+                        F.sum("sum_dl").alias("sum_dl"),
+                    )
+                )
+            rows = merged.collect()
+            self.spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(gpath)
         self.n_docs += dn
         self.sum_dl += dsdl
         # the persisted stats row describes the BASE postings dir only;
@@ -291,14 +412,19 @@ class InvertedTextIndex:
         self._base_sdl += dsdl
         self._write_stats(
             self.spark, self.path, self._base_n, self._base_sdl, self.n_buckets,
-            self.id_col, self.id_type,
+            self.id_col, self.id_type, self.extra_cols,
         )
         return self
 
     # ------------------------------------------------------------------
 
     def search_bm25(
-        self, query: str, k: int = 20, k1: float = BM25_K1, b: float = BM25_B
+        self,
+        query: str,
+        k: int = 20,
+        k1: float = BM25_K1,
+        b: float = BM25_B,
+        filters: dict | None = None,
     ) -> DataFrame:
         """Okapi BM25 top-k over the PERSISTED postings — identical
         formula and identical scores to operators/text_search.py:
@@ -312,21 +438,42 @@ class InvertedTextIndex:
         df per term = count over the pruned postings (each term's rows
         all live in its bucket); N and avgdl come from the 1-row stats
         table and ride the plan as literals. Ends in
-        TakeOrderedAndProject (per-partition top-k, k-row reduce)."""
+        TakeOrderedAndProject (per-partition top-k, k-row reduce).
+
+        `filters` ({extra_col: value}) makes the search EXACTLY scoped:
+        the equality predicates join the pruned scan (PushedFilters on
+        the stored extra columns), per-term df then counts only scoped
+        postings, and N/avgdl come from the per-group stats table — the
+        scores equal a scan-BM25 over the scoped corpus, with no
+        over-fetch and no fallback."""
         qterms = sorted(set(query.lower().split()))
+        empty = self.spark.createDataFrame(
+            [], f"{self.id_col} {self.id_type}, bm25_score double"
+        )
         if not qterms or self.n_docs == 0:
-            return self.spark.createDataFrame(
-                [], f"{self.id_col} {self.id_type}, bm25_score double"
-            )
+            return empty
+        if filters:
+            indexed = {n for n, _t in self.extra_cols}
+            if not set(filters) <= indexed:
+                raise ValueError(
+                    f"filter columns {sorted(set(filters) - indexed)} were "
+                    f"not indexed (extra_cols={sorted(indexed)})"
+                )
+            n, avgdl = self._group_stats(filters)
+            if n == 0:
+                return empty
+        else:
+            n = float(self.n_docs)
+            avgdl = (self.sum_dl / self.n_docs) if self.n_docs else 1.0
         buckets = sorted({_bucket_py(t, self.n_buckets) for t in qterms})
-        n = float(self.n_docs)
-        avgdl = (self.sum_dl / self.n_docs) if self.n_docs else 1.0
 
         hits = (
             self._postings_df()
             .filter(F.col("bucket").isin(buckets))
             .filter(F.col("term").isin(qterms))
         )
+        for col, val in (filters or {}).items():
+            hits = hits.filter(F.col(col) == val)
         df_ = hits.groupBy("term").agg(F.count("*").alias("df"))
         idf = df_.select(
             "term",

@@ -511,3 +511,75 @@ def test_streaming_index_kill_and_resume_exactly_once(spark, tmp_path):
     assert sorted(ids) == sorted(want)
     got = ivf.search(QUERY_VEC, k=10, nprobe=3).collect()
     assert len(got) == 10
+
+
+def test_scoped_bm25_exact_via_group_stats(spark, tmp_path):
+    """Scope columns in the postings: search_bm25(filters=...) must be
+    score-IDENTICAL to scan-BM25 over the scoped corpus (scoped df, N,
+    avgdl — not the global stats semi-joined), and the engine's
+    search_hybrid takes this exact path with no over-fetch fallback."""
+    from alma_memory_spark.engine import AlmaSpark
+    from alma_memory_spark.operators.text_search import bm25_scores
+
+    eng = AlmaSpark(spark, str(tmp_path / "store"))
+    for i in range(40):
+        eng.add_knowledge("spammer", "proj-a", "d", f"query query query spam {i}")
+    for i in range(4):
+        eng.add_knowledge(
+            "helena", "proj-a", "d",
+            f"one weak mention of query inside a longer document {i}",
+        )
+    eng.index_text("domain_knowledge", n_buckets=8)
+    idx = InvertedTextIndex.load(spark, eng._text_index_path("domain_knowledge"))
+    assert {n for n, _t in idx.extra_cols} == {"project_id", "agent"}
+
+    got = idx.search_bm25(
+        "query document", k=50, filters={"project_id": "proj-a", "agent": "helena"}
+    ).collect()
+    scoped_docs = (
+        eng.store.read("domain_knowledge")
+        .filter("agent = 'helena'")
+        .select("id", eng._text_expr("domain_knowledge").alias("_text"))
+    )
+    want = (
+        bm25_scores(scoped_docs, "query document", id_col="id", text_col="_text")
+        .orderBy(F.desc("bm25_score"), F.asc("id"))
+        .collect()
+    )
+    assert [(r["id"], round(r["bm25_score"], 9)) for r in got] == [
+        (r["id"], round(r["bm25_score"], 9)) for r in want
+    ]
+
+    # engine path returns the scoped docs with the exact scores (no
+    # saturation fallback needed even though spam swamps the global top)
+    res = eng.search_hybrid("query document", agent="helena",
+                            project_id="proj-a", top_k=10)
+    helena_ids = {r["id"] for r in scoped_docs.collect()}
+    assert {r["id"] for r in res} == helena_ids
+
+    # incremental add keeps group stats exact
+    eng.add_knowledge("helena", "proj-a", "d", "another query mention appended")
+    new_row = (
+        eng.store.read("domain_knowledge")
+        .filter("fact = 'another query mention appended'")
+        .select("id", eng._text_expr("domain_knowledge").alias("_text"),
+                "project_id", "agent")
+    )
+    idx.add(new_row, text_col="_text")
+    re = InvertedTextIndex.load(spark, eng._text_index_path("domain_knowledge"))
+    got2 = re.search_bm25(
+        "query document", k=50, filters={"project_id": "proj-a", "agent": "helena"}
+    ).collect()
+    scoped2 = (
+        eng.store.read("domain_knowledge")
+        .filter("agent = 'helena'")
+        .select("id", eng._text_expr("domain_knowledge").alias("_text"))
+    )
+    want2 = (
+        bm25_scores(scoped2, "query document", id_col="id", text_col="_text")
+        .orderBy(F.desc("bm25_score"), F.asc("id"))
+        .collect()
+    )
+    assert [(r["id"], round(r["bm25_score"], 9)) for r in got2] == [
+        (r["id"], round(r["bm25_score"], 9)) for r in want2
+    ]
