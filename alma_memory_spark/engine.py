@@ -184,7 +184,17 @@ class AlmaSpark:
         mode: str | None = None,
         inherit_from: list[str] | None = None,
         use_feedback: bool = False,
+        use_ann: bool = False,
+        nprobe: int = 8,
     ) -> MemorySlice:
+        """`use_ann=True` serves the vector candidate stage of any
+        memory type that has a persisted scope-aware IVF index
+        (index_vectors) from that index — a partition-pruned probe of
+        `nprobe` cells instead of a corpus scan, the reference's
+        FAISS-IVF serving shape (sqlite_local.py:555-640). Approximate
+        by construction (recall grows with nprobe); types without an
+        index keep the exact scan. Default False preserves exact
+        serving and the oracle-pinned scores."""
         t0 = time.perf_counter()
         # key on the SANITIZED query (reference normalizes before keying,
         # alma/retrieval/cache.py:34-189 — raw and sanitized forms of the
@@ -206,6 +216,7 @@ class AlmaSpark:
             mode_name,
             tuple(inherit_from or ()),
             use_feedback,
+            use_ann and nprobe,  # False for exact; nprobe changes ANN results
         )
         agents_for_epoch = [agent] + [a for a in (inherit_from or ()) if a != agent]
         with self._cache_lock:
@@ -260,6 +271,21 @@ class AlmaSpark:
             if not self.store.exists(t):
                 continue
             df = self.store.read(t)
+            candidates = None
+            if use_ann and self._has_ivf_index(t):
+                from alma_memory_spark.operators.ann_index import IVFIndex
+
+                idx = IVFIndex.load(self.spark, self._ivf_index_path(t))
+                indexed = {n for n, _t in idx.extra_cols}
+                want: dict = {}
+                if project_id is not None and "project_id" in indexed:
+                    want["project_id"] = project_id
+                if "agent" in indexed:
+                    want["agent"] = agents if len(agents) > 1 else agents[0]
+                if set(want) <= indexed:
+                    candidates = idx.search(
+                        qvec, k=2 * fetch_k, nprobe=nprobe, filters=want
+                    )
             scored = retrieve_type(
                 df,
                 t,
@@ -271,6 +297,7 @@ class AlmaSpark:
                 min_score=min_score,
                 weights=weights,
                 mode=cfg,
+                candidates=candidates,
             )
             if fb is not None:
                 scored = apply_feedback_blend(

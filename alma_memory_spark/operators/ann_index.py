@@ -437,7 +437,10 @@ class IVFIndex:
                     f"filter column '{col}' was not indexed "
                     f"(extra_cols={[n for n, _t in self.extra_cols]})"
                 )
-            pruned = pruned.filter(F.col(col) == val)
+            if isinstance(val, (list, tuple, set, frozenset)):
+                pruned = pruned.filter(F.col(col).isin(list(val)))
+            else:
+                pruned = pruned.filter(F.col(col) == val)
         dead = self.tombstones()
         if dead is not None:
             pruned = pruned.join(F.broadcast(dead), "id", "left_anti")

@@ -289,12 +289,21 @@ def retrieve_type(
     min_score: float = 0.2,
     weights: ScoringWeights | None = None,
     mode: ModeConfig | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end single-type retrieval (reference: engine.py:275-374).
 
     filter (partition-pruned) -> vector top-2k -> composite score ->
     mode boosts -> threshold -> top-k. Over-fetch factor 2 preserved so
     the post-score threshold semantics match the reference.
+
+    `candidates` replaces the exact vector stage with a pre-ranked
+    (id, similarity) frame — the ANN-index serving path (reference:
+    FAISS IVF when an index exists, sqlite_local.py:555-640). The
+    candidate rows hydrate against the scoped table by id (an inner
+    join bounded by the candidate count), keep the index's similarity,
+    and gain the same explicit ann_rank tiebreaker; scoring, boosts
+    and threshold are unchanged.
     """
     out = df
     if project_id is not None:
@@ -307,7 +316,18 @@ def retrieve_type(
         )
     if min_confidence is not None and "confidence" in out.columns:
         out = out.filter(F.col("confidence") >= min_confidence)
-    if query_vec is not None:
+    if candidates is not None and query_vec is not None:
+        out = (
+            out.join(F.broadcast(candidates.select("id", "similarity")), "id")
+            .orderBy(F.desc("similarity"), F.asc("id"))
+            .limit(2 * top_k)
+            .withColumn(
+                "ann_rank",
+                F.row_number().over(W.orderBy(F.desc("similarity"), F.asc("id"))),
+            )
+        )
+        scored = score_memories(out, memory_type, now, weights, sim_col="similarity")
+    elif query_vec is not None:
         out = vector_candidates(out, query_vec, 2 * top_k)
         scored = score_memories(out, memory_type, now, weights, sim_col="similarity")
     else:

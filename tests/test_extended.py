@@ -587,3 +587,40 @@ def test_engine_ivf_serve_forget_guard_and_maintenance_rebuild(spark, tmp_path):
         "topic 3", agent="a1", project_id="p1", top_k=6, nprobe=64
     )
     assert {r["id"] for r in rebuilt} == {r["id"] for r in after}
+
+
+def test_retrieve_serves_from_ivf_index_when_asked(spark, tmp_path):
+    """retrieve(use_ann=True): the vector candidate stage comes from the
+    persisted scope-aware IVF index. With nprobe covering every cell the
+    result must equal exact serving (same ids, same order, scores equal
+    to 5dp — the index rounds cosines at 6dp), and the ANN flag + nprobe
+    are part of the cache key."""
+    from datetime import datetime, timezone
+
+    from alma_memory_spark.engine import AlmaSpark
+
+    now = datetime(2024, 2, 15, tzinfo=timezone.utc)
+    eng = AlmaSpark(spark, str(tmp_path / "ann_serve"), clock=lambda: now)
+    for i in range(60):
+        eng.add_knowledge("a1", "p1", "d", f"serving topic {i % 6} fact {i}")
+    rep = eng.index_vectors("domain_knowledge", cent_every=11)
+    assert rep["indexed"]
+
+    exact = eng.retrieve("serving topic 2", agent="a1", project_id="p1", top_k=8)
+    ann = eng.retrieve(
+        "serving topic 2", agent="a1", project_id="p1", top_k=8,
+        use_ann=True, nprobe=rep["n_cells"],
+    )
+    assert ann is not exact  # separate cache entries
+    assert [r["id"] for r in ann.domain_knowledge] == [
+        r["id"] for r in exact.domain_knowledge
+    ]
+    for a, e in zip(ann.domain_knowledge, exact.domain_knowledge):
+        assert abs(a["score"] - e["score"]) < 1e-5
+    # small nprobe still returns results (approximate contract)
+    narrow = eng.retrieve(
+        "serving topic 2", agent="a1", project_id="p1", top_k=8,
+        use_ann=True, nprobe=1,
+    )
+    assert narrow.domain_knowledge
+    assert narrow is not ann  # nprobe is in the cache key
