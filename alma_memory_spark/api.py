@@ -57,6 +57,10 @@ class AlmaToolSurface:
             "alma_search_hybrid": self._search_hybrid,
             "alma_index_vectors": self._index_vectors,
             "alma_search_vectors": self._search_vectors,
+            "alma_store_history": self._store_history,
+            "alma_time_travel_count": self._time_travel_count,
+            "alma_vacuum": self._vacuum,
+            "alma_partition_health": self._partition_health,
             "alma_assess_strategy": self._assess_strategy,
             "alma_rank_strategies": self._rank_strategies,
             "alma_learn_from_conversation": self._learn_from_conversation,
@@ -108,9 +112,13 @@ class AlmaToolSurface:
         }
 
     def _retrieve(self, task: str, agent: str, project_id: str | None = None,
-                  top_k: int = 5, user_id: str | None = None) -> dict[str, Any]:
+                  top_k: int = 5, user_id: str | None = None,
+                  use_ann: bool = False, nprobe: int = 8) -> dict[str, Any]:
         return self._slice_dict(
-            self.engine.retrieve(task, agent, project_id, user_id, top_k)
+            self.engine.retrieve(
+                task, agent, project_id, user_id, top_k,
+                use_ann=use_ann, nprobe=nprobe,
+            )
         )
 
     def _retrieve_smart(self, task: str, agent: str, project_id: str | None = None,
@@ -257,6 +265,34 @@ class AlmaToolSurface:
                 top_k=top_k, nprobe=nprobe,
             )
         }
+
+    def _store_history(self, table: str) -> dict[str, Any]:
+        """Commit log as data (txlog backend; Delta DESCRIBE HISTORY)."""
+        if not hasattr(self.engine.store, "history"):
+            return {"error": "store backend has no commit log (use backend='txlog')"}
+        return {"history": self.engine.store.history(table)}
+
+    def _time_travel_count(self, table: str, version: int) -> dict[str, Any]:
+        """Row count of the table AS OF a log version (txlog backend) —
+        the cheap smoke for VERSION AS OF reads."""
+        if not hasattr(self.engine.store, "read_version"):
+            return {"error": "store backend has no commit log (use backend='txlog')"}
+        return {
+            "table": table,
+            "version": version,
+            "rows": self.engine.store.read_version(table, version).count(),
+        }
+
+    def _vacuum(self, table: str, retain_seconds: float = 7 * 86400.0) -> dict[str, Any]:
+        if not hasattr(self.engine.store, "vacuum"):
+            return {"error": "store backend has no vacuum (use backend='txlog')"}
+        return {
+            "table": table,
+            "deleted_files": self.engine.store.vacuum(table, retain_seconds),
+        }
+
+    def _partition_health(self, table: str) -> dict[str, Any]:
+        return {"table": table, **self.engine.store.partition_health(table)}
 
     def _assess_strategy(self, strategy: str, context: str, agent: str,
                          project_id: str | None = None) -> dict[str, Any]:

@@ -388,6 +388,14 @@ class ParquetStore:
             ],
         )
 
+    def _read_for_pairs(self, table: str, pairs: list[tuple]) -> DataFrame:
+        """Read restricted to the given (project_id, agent) pairs — the
+        hook the partition-scoped RMW paths (upsert/delete/archive) go
+        through. Here: full read + pair predicate (which reaches
+        PartitionFilters); TxLogStore overrides with its log-resolved
+        per-pair file groups so the plan never mentions other pairs."""
+        return self._filter_pairs(self.read(table), pairs)
+
     def _filter_pairs(self, df: DataFrame, pairs: list[tuple]) -> DataFrame:
         """Restrict df to the given (project_id, agent) pairs. Small
         sets use the OR-chain predicate (it reaches PartitionFilters
@@ -562,7 +570,6 @@ class ParquetStore:
             return
         scoped = table in schemas.PARTITIONED_BY_PROJECT_AGENT
         touched = self._pairs_of(new_rows) if scoped else []
-        existing = self.read(table)
         if scoped:
             if not touched:
                 return
@@ -584,7 +591,9 @@ class ParquetStore:
                         f"upsert({table}): incoming keys exist under other "
                         f"partitions (key changed scope?): {ids}"
                     )
-            existing = existing.filter(self._pairs_predicate(touched))
+            existing = self._read_for_pairs(table, touched)
+        else:
+            existing = self.read(table)
         existing = existing.withColumn("_v", F.lit(0))
         incoming = new_rows.withColumn("_v", F.lit(1))
         merged = existing.unionByName(incoming)
@@ -645,7 +654,7 @@ class ParquetStore:
             self.append("forget_audit", audit_df)
         if table in schemas.PARTITIONED_BY_PROJECT_AGENT:
             touched = self._pairs_of(doomed)
-            kept = df.filter(self._pairs_predicate(touched)).join(
+            kept = self._read_for_pairs(table, touched).join(
                 doomed.select("id"), "id", "left_anti"
             )
             self._rewrite_partitions(table, touched, kept)
@@ -690,7 +699,7 @@ class ParquetStore:
         self.append("archived_memories", arch)
         if table in schemas.PARTITIONED_BY_PROJECT_AGENT:
             touched = self._pairs_of(doomed)
-            kept = df.filter(self._pairs_predicate(touched)).join(
+            kept = self._read_for_pairs(table, touched).join(
                 doomed.select("id"), "id", "left_anti"
             )
             self._rewrite_partitions(table, touched, kept)

@@ -338,6 +338,13 @@ class TxLogStore(ParquetStore):
             return self.spark.createDataFrame([], schema)
         return self._group_read(table, live)
 
+    def _read_for_pairs(self, table: str, pairs: list[tuple]) -> DataFrame:
+        """Partition-scoped RMW reads resolve ONLY the touched pairs'
+        file groups from the log — the plan never mentions other pairs
+        (the parent's full-snapshot-then-filter would put every pair's
+        scan into the plan and pay its analysis at high cardinality)."""
+        return self.read_pairs(table, pairs)
+
     def read_pairs(self, table: str, pairs: list[tuple]) -> DataFrame:
         """Partition-pruned read: only the files whose registered
         (project_id, agent) is in `pairs` are opened."""

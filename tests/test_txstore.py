@@ -454,3 +454,27 @@ def test_txlog_model_based_random_ops(spark, tmp_path):
             for r in st.read("domain_knowledge").collect()
         } if model or st.exists("domain_knowledge") else {}
         assert got == model, f"divergence at step {step} ({op})"
+
+
+def test_store_admin_tools(spark, tmp_path):
+    """The r4 store-admin MCP tools: history / time-travel count /
+    vacuum / partition health on the txlog backend, graceful errors on
+    the swap backend."""
+    from alma_memory_spark.api import AlmaToolSurface
+    from alma_memory_spark.engine import AlmaSpark
+
+    eng = AlmaSpark(spark, str(tmp_path / "s"), backend="txlog")
+    tools = AlmaToolSurface(eng)
+    eng.add_knowledge("a1", "p1", "d", "fact one")
+    eng.add_knowledge("a1", "p1", "d", "fact two")
+    hist = tools.call("alma_store_history", table="domain_knowledge")["history"]
+    assert [h["version"] for h in hist] == [0, 1]
+    tt = tools.call("alma_time_travel_count", table="domain_knowledge", version=0)
+    assert tt["rows"] == 1
+    ph = tools.call("alma_partition_health", table="domain_knowledge")
+    assert ph["n_pairs"] == 1 and ph["n_files"] >= 2
+    vac = tools.call("alma_vacuum", table="domain_knowledge", retain_seconds=0)
+    assert vac["deleted_files"] == 0  # nothing unreferenced yet
+
+    swap = AlmaToolSurface(AlmaSpark(spark, str(tmp_path / "p")))
+    assert "error" in swap.call("alma_store_history", table="domain_knowledge")
