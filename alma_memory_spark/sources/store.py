@@ -868,7 +868,7 @@ class ParquetStore:
         if len(plan) == len(stats):
             content = self.read(table)  # every pair compacts: no filter
         else:
-            content = self._filter_pairs(self.read(table), touched)
+            content = self._read_for_pairs(table, touched)
         # partition discovery infers VOID for a partition column whose
         # every directory is the hive NULL marker; writing that back
         # with partitionBy fails — pin the declared string type
