@@ -273,19 +273,23 @@ class AlmaSpark:
             df = self.store.read(t)
             candidates = None
             if use_ann and self._has_ivf_index(t):
-                from alma_memory_spark.operators.ann_index import IVFIndex
-
-                idx = IVFIndex.load(self.spark, self._ivf_index_path(t))
+                idx = self._load_ivf(t)
                 indexed = {n for n, _t in idx.extra_cols}
+                # the scope the READ applies (df columns decide, the
+                # same way retrieve_type filters); the index must carry
+                # every one of them or its candidates would be ranked
+                # globally and burn the 2k budget on out-of-scope rows
                 want: dict = {}
-                if project_id is not None and "project_id" in indexed:
+                if project_id is not None and "project_id" in df.columns:
                     want["project_id"] = project_id
-                if "agent" in indexed:
+                if "agent" in df.columns:
                     want["agent"] = agents if len(agents) > 1 else agents[0]
                 if set(want) <= indexed:
                     candidates = idx.search(
                         qvec, k=2 * fetch_k, nprobe=nprobe, filters=want
                     )
+                # else: exact scan (candidates=None) — a scope the
+                # index cannot express must not degrade recall
             scored = retrieve_type(
                 df,
                 t,
@@ -820,11 +824,7 @@ class AlmaSpark:
             )
             doomed = scoped.join(ids, "id", "left_semi")
             if self._has_ivf_index(table):
-                from alma_memory_spark.operators.ann_index import IVFIndex
-
-                IVFIndex.load(self.spark, self._ivf_index_path(table)).forget(
-                    doomed.select("id")
-                )
+                self._load_ivf(table).forget(doomed.select("id"))
             return doomed
 
         n = self.store.delete(table, doom, reason=reason, memory_type=table)
@@ -857,7 +857,13 @@ class AlmaSpark:
 
     def _consolidate_once(self, table: str, project_id: str, threshold: float) -> int:
         with self.store._table_lock(table):
-            df = self.store.read(table).filter(F.col("project_id") == project_id)
+            # ONE read for both the project slice and the rest: a second
+            # read(table) would advance the txlog conflict anchor past
+            # commits that landed between the two reads, hiding them
+            # from overwrite()'s conflict check (lost update on the
+            # lock-free backend)
+            full = self.store.read(table)
+            df = full.filter(F.col("project_id") == project_id)
             survivors, merged = _consolidate(df, threshold)
             n_merged = merged.count()
             if n_merged:
@@ -867,19 +873,15 @@ class AlmaSpark:
                     # tombstone them in the vector index (same
                     # staleness contract as forget) BEFORE the rewrite,
                     # while their files are still live
-                    from alma_memory_spark.operators.ann_index import IVFIndex
-
                     losers = df.join(
                         new_content.select("id"), "id", "left_anti"
                     ).select("id")
-                    IVFIndex.load(
-                        self.spark, self._ivf_index_path(table)
-                    ).forget(losers)
+                    self._load_ivf(table).forget(losers)
                 if table in schemas.PARTITIONED_BY_PROJECT_AGENT:
                     touched = self.store._pairs_of(df)
                     self.store._rewrite_partitions(table, touched, new_content)
                 else:
-                    rest = self.store.read(table).filter(
+                    rest = full.filter(
                         ~F.col("project_id").eqNullSafe(project_id)
                     )
                     self.store.overwrite(table, rest.unionByName(new_content))
@@ -977,6 +979,31 @@ class AlmaSpark:
     def _has_ivf_index(self, table: str) -> bool:
         return os.path.isdir(os.path.join(self._ivf_index_path(table), "lists"))
 
+    def _load_ivf(self, table: str):
+        """Cached IVF handle for the serving paths: the quantizer is
+        immutable between rebuilds, so re-collecting the centroids +
+        meta parquet per uncached retrieve would add two driver jobs to
+        the hot path. Keyed by the centroids dir mtime, which every
+        rebuild (this process or another) touches; segments and
+        tombstones are re-listed from disk on every search, so the
+        cached handle never serves stale adds or deletes."""
+        from alma_memory_spark.operators.ann_index import IVFIndex
+
+        path = self._ivf_index_path(table)
+        try:
+            mtime = os.path.getmtime(os.path.join(path, "centroids"))
+        except OSError:
+            mtime = -1.0
+        cache = getattr(self, "_ivf_handles", None)
+        if cache is None:
+            cache = self._ivf_handles = {}
+        hit = cache.get(table)
+        if hit is not None and hit[0] == mtime:
+            return hit[1]
+        idx = IVFIndex.load(self.spark, path)
+        cache[table] = (mtime, idx)
+        return idx
+
     def index_vectors(
         self,
         table: str = "domain_knowledge",
@@ -990,9 +1017,26 @@ class AlmaSpark:
         maintenance-cycle call after heavy deletes is the lazy-rebuild
         the reference's dirty flag schedules (sqlite_local.py:510-521).
         Tiny corpora where the 1/cent_every hash sample yields no seeds
-        fall back to every-row seeds (exact per-cell search)."""
+        fall back to every-row seeds (exact per-cell search).
+
+        Holds the TABLE lock for the whole read + build: build() clears
+        tombstones (a rebuild supersedes prior deletes), and an
+        unserialized forget() interleaving with the rebuild could write
+        tombstones that the clear erases while the lists were built
+        from the PRE-delete snapshot — reopening the staleness hole.
+        forget()'s doom closure runs under the same lock, so the
+        rebuild sees either the pre-delete table (tombstones written
+        after, kept) or the post-delete table (nothing to tombstone)."""
+        with self.store._table_lock(table):
+            return self._index_vectors_locked(table, cent_every, kmeans_iters)
+
+    def _index_vectors_locked(
+        self, table: str, cent_every: int, kmeans_iters: int
+    ) -> dict[str, Any]:
         from alma_memory_spark.operators.ann_index import IVFIndex
 
+        self._ivf_handles = getattr(self, "_ivf_handles", {})
+        self._ivf_handles.pop(table, None)  # rebuild invalidates the handle
         if not self.store.exists(table):
             return {"table": table, "n_vectors": 0, "indexed": False}
         full = self.store.read(table).filter(F.col("embedding").isNotNull())
@@ -1054,7 +1098,7 @@ class AlmaSpark:
         if "agent" in df.columns and agent is not None:
             df = df.filter(F.col("agent") == agent)
         if self._has_ivf_index(table):
-            idx = IVFIndex.load(self.spark, self._ivf_index_path(table))
+            idx = self._load_ivf(table)
             indexed = {n for n, _t in idx.extra_cols}
             want = {}
             if project_id is not None and "project_id" in df.columns:
@@ -1458,14 +1502,29 @@ class AlmaSpark:
         JSON list, a deviation documented here).
 
         The table lock spans the read AND the upsert: two concurrent
-        status updates on the same item otherwise interleave their
+        same-host updates on the same item otherwise interleave their
         read-modify-writes and one loses (a blocked_by append or time
         accrual vanishes). The store's per-table lock is reentrant, so
-        the nested upsert acquisition is free."""
-        with self.store._table_lock("work_items"):
-            return self._update_work_item_locked(
+        the nested upsert acquisition is free. On the commit-log
+        backend the flock does not span hosts, so the WHOLE
+        read-modify-write re-runs on a commit conflict (the row is
+        recomputed from the fresh state — a store-level retry would
+        re-apply the stale row and clobber the other host's change)."""
+        return self._rmw_work_item(
+            lambda: self._update_work_item_locked(
                 item_id, status, notes, tests_passing, blocked_by
             )
+        )
+
+    def _rmw_work_item(self, fn):
+        for _attempt in range(10):
+            with self.store._table_lock("work_items"):
+                try:
+                    return fn()
+                except Exception as e:
+                    if type(e).__name__ != "CommitConflict":
+                        raise
+        raise RuntimeError("work_items: persistent commit conflicts")
 
     def _update_work_item_locked(
         self, item_id, status, notes, tests_passing, blocked_by
@@ -1513,14 +1572,18 @@ class AlmaSpark:
             meta["status_note"] = f"{old}->{status}: {notes}"
         item["metadata"] = meta or None
         self.store.upsert(
-            "work_items", self.spark.createDataFrame([item], schemas.WORK_ITEMS)
+            "work_items",
+            self.spark.createDataFrame([item], schemas.WORK_ITEMS),
+            on_conflict="raise",  # _rmw_work_item re-runs the whole RMW
         )
         return item
 
     def unblock_work_item(self, item_id: str) -> dict[str, Any] | None:
         """blocked -> pending with blocked_by cleared (tracker.py:215-222).
-        Lock-covered read-modify-write like update_work_item_status."""
-        with self.store._table_lock("work_items"):
+        Lock-covered, conflict-re-run read-modify-write like
+        update_work_item_status."""
+
+        def rmw():
             rows = (
                 self.store.read("work_items")
                 .filter(F.col("id") == item_id)
@@ -1532,9 +1595,13 @@ class AlmaSpark:
             item = rows[0].asDict(recursive=True)
             item.update(status="pending", blocked_by=[], updated_at=self._now())
             self.store.upsert(
-                "work_items", self.spark.createDataFrame([item], schemas.WORK_ITEMS)
+                "work_items",
+                self.spark.createDataFrame([item], schemas.WORK_ITEMS),
+                on_conflict="raise",
             )
             return item
+
+        return self._rmw_work_item(rmw)
 
     def get_work_items(
         self,

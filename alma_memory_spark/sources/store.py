@@ -537,6 +537,7 @@ class ParquetStore:
         new_rows: DataFrame,
         key: str = "id",
         verify_scope: bool = False,
+        on_conflict: str = "retry",
     ) -> None:
         """INSERT OR REPLACE by key: keep the newest version of each key.
 
@@ -551,6 +552,14 @@ class ParquetStore:
         always found inside the touched partitions. Pass
         verify_scope=True in debug runs to assert that contract (full
         anti-scan — not for the hot path).
+
+        `on_conflict` matters only on the commit-log backend: 'retry'
+        (default) re-merges this same batch against a fresh snapshot —
+        correct for whole-row upserts; 'raise' surfaces CommitConflict
+        for read-modify-write transactions whose NEW ROW must be
+        recomputed from fresh state (work-item transitions appending to
+        a list column). Ignored here: the swap store's flock serializes
+        same-host writers and does not support cross-host writers.
         """
         # the LOCK must cover the read: spark.read.parquet snapshots the
         # file listing eagerly, so a plan built before lock acquisition

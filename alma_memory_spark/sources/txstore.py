@@ -393,10 +393,15 @@ class TxLogStore(ParquetStore):
                     txn=txn,
                 )
             except CommitConflict:
-                # our exact (app, version) landed via another writer
-                # between the pre-check and the claim: idempotent no-op
-                # (the data files written above become vacuum garbage)
-                if txn is None:
+                # Two distinct causes land here and MUST be told apart:
+                # (a) our exact (app, version) was committed by another
+                #     writer between the pre-check and the claim —
+                #     idempotent no-op (the data files written above
+                #     become vacuum garbage);
+                # (b) claim exhaustion under contention — the batch was
+                #     NEVER committed, and swallowing it would silently
+                #     drop rows while the caller's checkpoint advances.
+                if txn is None or not self._txn_applied(table, *txn):
                     raise
 
     def _txn_applied(self, table: str, app: str, version: int) -> bool:
@@ -511,8 +516,16 @@ class TxLogStore(ParquetStore):
                 time.sleep(min(0.05 * (attempt + 1), 0.5))
         raise last  # pragma: no cover - pathological contention
 
-    def upsert(self, table, new_rows, key="id", verify_scope=False) -> None:
+    def upsert(
+        self, table, new_rows, key="id", verify_scope=False, on_conflict="retry"
+    ) -> None:
         with self._table_lock(table):
+            if on_conflict == "raise":
+                # RMW transactions: the caller recomputes its row from a
+                # fresh read on conflict — re-merging the stale row here
+                # would clobber the concurrent writer's intra-row change
+                self._upsert_locked(table, new_rows, key, verify_scope)
+                return
             self._with_conflict_retry(
                 lambda: self._upsert_locked(table, new_rows, key, verify_scope)
             )

@@ -213,16 +213,39 @@ def stream_documents_into_indexes(
     of the previous lineage. Delta's txn (appId, version) dedupe has
     the same shape."""
 
+    def _require_extras(index, batch_df: DataFrame, kind: str) -> list[str]:
+        """Scope-aware indexes (extra_cols at build) need those columns
+        on every ingested batch; fail loudly with the contract instead
+        of an unresolved-column AnalysisException mid-stream."""
+        extras = [n for n, _t in getattr(index, "extra_cols", [])]
+        missing = [c for c in extras if c not in batch_df.columns]
+        if missing:
+            raise ValueError(
+                f"{kind} index was built with extra_cols={extras}; the "
+                f"stream batch lacks {missing} — select them into the "
+                "stream or rebuild the index without scope columns"
+            )
+        return extras
+
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         if text_index is not None:
+            extras = _require_extras(text_index, batch_df, "text")
+            # the stream's id column name need not match the index's
+            # (engine-built indexes use id_col='id'; document streams
+            # typically carry 'doc_id') — alias to the index's own
             text_index.add_epoch(
-                batch_df.select(F.col(id_col), F.col(text_col)),
+                batch_df.select(
+                    F.col(id_col).alias(text_index.id_col),
+                    F.col(text_col),
+                    *extras,
+                ),
                 epoch_id,
                 text_col=text_col,
             )
         if ivf_index is not None:
+            _require_extras(ivf_index, batch_df, "IVF")
             ivf_index.add_epoch(batch_df, epoch_id, id_col=id_col, vec_col=vec_col)
         if on_batch is not None:
             on_batch(epoch_id)

@@ -624,3 +624,104 @@ def test_retrieve_serves_from_ivf_index_when_asked(spark, tmp_path):
     )
     assert narrow.domain_knowledge
     assert narrow is not ann  # nprobe is in the cache key
+
+
+def test_retrieve_ann_falls_back_when_index_lacks_scope(spark, tmp_path):
+    """use_ann=True against an IVF index WITHOUT scope columns must
+    fall back to the exact scan (unscoped global candidates would burn
+    the 2k budget on out-of-scope rows) — results identical to exact
+    serving."""
+    from datetime import datetime, timezone
+
+    from alma_memory_spark.engine import AlmaSpark
+    from alma_memory_spark.operators.ann_index import IVFIndex
+
+    now = datetime(2024, 2, 15, tzinfo=timezone.utc)
+    eng = AlmaSpark(spark, str(tmp_path / "s"), clock=lambda: now)
+    for i in range(30):
+        eng.add_knowledge("a1", "p1", "d", f"fallback topic {i % 3} item {i}")
+    # build a SCOPELESS index at the engine's path (direct build)
+    docs = (
+        eng.store.read("domain_knowledge")
+        .select("id", "embedding")
+    )
+    IVFIndex.build(
+        spark, docs, eng._ivf_index_path("domain_knowledge"),
+        id_col="id", cent_every=1,
+    )
+    exact = eng.retrieve("fallback topic 1", agent="a1", project_id="p1", top_k=6)
+    ann = eng.retrieve(
+        "fallback topic 1", agent="a1", project_id="p1", top_k=6, use_ann=True
+    )
+    assert [r["id"] for r in ann.domain_knowledge] == [
+        r["id"] for r in exact.domain_knowledge
+    ]
+    for a, e in zip(ann.domain_knowledge, exact.domain_knowledge):
+        assert abs(a["score"] - e["score"]) < 1e-9  # same exact plan
+
+
+def test_streaming_into_scoped_text_index(spark, tmp_path):
+    """Combining the r4 features: streaming epoch adds into a
+    SCOPE-AWARE engine-built text index must carry the scope columns
+    through, and the post-stream scoped search stays score-exact vs a
+    scan over the scoped corpus."""
+    from alma_memory_spark.engine import AlmaSpark
+    from alma_memory_spark.operators.text_index import InvertedTextIndex
+    from alma_memory_spark.operators.text_search import bm25_scores
+    from alma_memory_spark.streaming.ingest import stream_documents_into_indexes
+
+    eng = AlmaSpark(spark, str(tmp_path / "s"))
+    for i in range(6):
+        eng.add_knowledge("a1", "p1", "d", f"seed streaming fact {i}")
+    eng.index_text("domain_knowledge", n_buckets=4)
+    idx = InvertedTextIndex.load(
+        spark, eng._text_index_path("domain_knowledge")
+    )
+    assert idx.extra_cols  # scope-aware
+
+    # stream 4 MORE docs (with scope cols) through epoch segments
+    for i in range(4):
+        eng.add_knowledge("a2", "p1", "d", f"late streaming fact about topic {i}")
+    late = (
+        eng.store.read("domain_knowledge")
+        .filter("agent = 'a2'")
+        .select(
+            F.col("id").alias("doc_id"),
+            eng._text_expr("domain_knowledge").alias("text"),
+            "project_id",
+            "agent",
+        )
+    )
+    inbox = str(tmp_path / "inbox")
+    late.repartition(2).write.parquet(inbox)
+    stream = (
+        spark.readStream.schema(
+            "doc_id string, text string, project_id string, agent string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inbox)
+    )
+    q = stream_documents_into_indexes(
+        stream, text_index=idx, checkpoint=str(tmp_path / "ckpt"), id_col="doc_id"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = idx.search_bm25(
+        "streaming fact", k=50, filters={"project_id": "p1", "agent": "a2"}
+    ).collect()
+    scoped = (
+        eng.store.read("domain_knowledge")
+        .filter("agent = 'a2'")
+        .select("id", eng._text_expr("domain_knowledge").alias("_text"))
+    )
+    want = (
+        bm25_scores(scoped, "streaming fact", id_col="id", text_col="_text")
+        .orderBy(F.desc("bm25_score"), F.asc("id"))
+        .collect()
+    )
+    assert [(r["id"], round(r["bm25_score"], 9)) for r in got] == [
+        (r["id"], round(r["bm25_score"], 9)) for r in want
+    ]

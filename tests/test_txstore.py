@@ -478,3 +478,50 @@ def test_store_admin_tools(spark, tmp_path):
 
     swap = AlmaToolSurface(AlmaSpark(spark, str(tmp_path / "p")))
     assert "error" in swap.call("alma_store_history", table="domain_knowledge")
+
+
+def test_txn_append_claim_exhaustion_is_not_swallowed(spark, tmp_path):
+    """A txn append whose commit NEVER landed (claim exhaustion under
+    contention) must raise, not silently drop the batch — only a
+    verified already-applied (app, version) may no-op."""
+    st = make_store(spark, str(tmp_path / "s"), "txlog")
+    batch = _dk(spark, [_dk_row(0)])
+    st.append("domain_knowledge", batch, txn=("ingest", 0))
+    # force every claim to fail: the replayed epoch 0 must still no-op
+    # (verified applied), but a NEW epoch must surface the failure
+    original = st._try_claim
+    st._try_claim = lambda *a, **k: False
+    try:
+        st.append("domain_knowledge", batch, txn=("ingest", 0))  # applied: ok
+        from alma_memory_spark.sources.txstore import CommitConflict
+
+        with pytest.raises(CommitConflict):
+            st.append("domain_knowledge", batch, txn=("ingest", 1))
+    finally:
+        st._try_claim = original
+    assert st.read("domain_knowledge").count() == 1
+
+
+def test_work_item_rmw_survives_lockfree_concurrency(spark, tmp_path):
+    """The cross-host work-item case: two LOCK-FREE engine handles
+    update the same item concurrently; the whole read-modify-write
+    re-runs on commit conflict, so BOTH blocked_by appends land (a
+    store-level blind retry would clobber one)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from alma_memory_spark.engine import AlmaSpark
+
+    root = str(tmp_path / "s")
+    e1 = AlmaSpark(spark, root, backend="txlog-nolock")
+    e2 = AlmaSpark(spark, root, backend="txlog-nolock")
+    item = e1.create_work_item("p1", "contested")
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(
+            e1.update_work_item_status, item["id"], "blocked", blocked_by="dep-a"
+        )
+        f2 = pool.submit(
+            e2.update_work_item_status, item["id"], "blocked", blocked_by="dep-b"
+        )
+        f1.result(), f2.result()
+    final = e1.get_work_items(project_id="p1")[0]
+    assert sorted(final["blocked_by"]) == ["dep-a", "dep-b"]
