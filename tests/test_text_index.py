@@ -583,3 +583,30 @@ def test_scoped_bm25_exact_via_group_stats(spark, tmp_path):
     assert [(r["id"], round(r["bm25_score"], 9)) for r in got2] == [
         (r["id"], round(r["bm25_score"], 9)) for r in want2
     ]
+
+
+def test_preferences_scoped_index_path(spark, tmp_path):
+    """The keyword-only table (no embedding column) through the
+    scope-aware index: index_text('preferences') stores user_id as an
+    extra column, and search_hybrid serves a user's preferences from
+    the exact scoped path (text-only fuse)."""
+    from alma_memory_spark.engine import AlmaSpark
+
+    eng = AlmaSpark(spark, str(tmp_path / "store"))
+    for i in range(5):
+        eng.add_preference("u1", "style", f"prefer concise bullet answers {i}")
+    eng.add_preference("u2", "style", "prefer verbose prose answers")
+    eng.index_text("preferences", n_buckets=4)
+    idx = InvertedTextIndex.load(spark, eng._text_index_path("preferences"))
+    assert ("user_id", "string") in idx.extra_cols
+
+    res = eng.search_hybrid(
+        "prefer answers", agent="any", table="preferences", top_k=10,
+        user_id="u1",
+    )
+    assert res and all(r["user_id"] == "u1" for r in res)
+    assert len(res) == 5
+    scoped = idx.search_bm25(
+        "prefer answers", k=10, filters={"user_id": "u2"}
+    ).collect()
+    assert len(scoped) == 1
