@@ -695,6 +695,44 @@ def _retrieve_feedback_oracle() -> str:
     """
 
 
+def _retrieve_ann_oracle() -> str:
+    from alma_memory_spark.plans.registry import _QV_SQL
+
+    # the IVF index rounds cosines to 6dp BEFORE ranking (the fused
+    # Arrow kernel's determinism contract, operators/ann_index.py), so
+    # the full-nprobe ANN serve equals the exact plan with round(sim,6)
+    # applied before the candidate cut — everything downstream
+    # (composite weights, threshold, top-k, ann_rank tiebreak) is the
+    # same pipeline
+    return f"""
+    WITH qv AS (SELECT {_QV_SQL} AS q),
+    c AS (
+      SELECT CAST(vec_id AS VARCHAR) AS id, vec_id,
+             round({_RAW_COS}, 6) AS sim
+      FROM embeddings, qv
+    ),
+    top40 AS (
+      SELECT * FROM (
+        SELECT c.*, row_number() OVER (ORDER BY sim DESC, id ASC) AS ann_rank
+        FROM c
+      ) WHERE ann_rank <= 40
+    ),
+    scored AS (
+      SELECT id, ann_rank,
+             0.4 * sim
+             + 0.3 * pow(0.5, (vec_id % 60) / 30.0)
+             + 0.2 * 1.0
+             + 0.1 * ((vec_id % 100) / 100.0) AS score
+      FROM top40
+    )
+    SELECT id, round(score, 6) AS score
+    FROM scored
+    WHERE score >= 0.2
+    ORDER BY score DESC, ann_rank ASC
+    LIMIT 20
+    """
+
+
 def _retrieve_serving_oracle() -> str:
     return f"""
     SELECT 'e2e' AS variant, id, score FROM ({_retrieve_e2e_oracle()})
@@ -702,6 +740,8 @@ def _retrieve_serving_oracle() -> str:
     SELECT 'recall', id, score FROM ({_retrieve_mode_oracle()})
     UNION ALL
     SELECT 'feedback', id, score FROM ({_retrieve_feedback_oracle()})
+    UNION ALL
+    SELECT 'ann', id, score FROM ({_retrieve_ann_oracle()})
     """
 
 
@@ -729,9 +769,18 @@ def engine_retrieve_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     alma/retrieval/feedback.py:170-230): seeded used / thumbs_down /
     ignored signals aggregate to (pos-neg)/total and blend
     (1-w)*score + w*(fb+1)/2 at w=0.15 for exactly the memories with
-    feedback. Because the same engine serves all three calls, this gate
-    also proves the retrieval cache keys on (mode, top_k, use_feedback)
-    — a key that ignored use_feedback would replay the 'e2e' result."""
+    feedback. Because the same engine serves all the calls, this gate
+    also proves the retrieval cache keys on (mode, top_k, use_feedback,
+    use_ann) — a key that ignored any of them would replay the 'e2e'
+    result.
+    'ann' rows (r4) — retrieve(use_ann=True) SERVED FROM the persisted
+    scope-aware IVF index (reference: the FAISS-IVF serving shape,
+    sqlite_local.py:555-640) with nprobe covering every cell: the
+    candidate stage is the index's pruned probe + broadcast hydration
+    join, and the oracle replicates the index kernel's 6dp cosine
+    rounding before the candidate cut — a wrong scope filter, a stale
+    tombstone, a broken hydration join, or rank-order drift all
+    hash-mismatch."""
     from datetime import datetime, timezone
 
     from alma_memory_spark.engine import AlmaSpark
@@ -797,6 +846,21 @@ def engine_retrieve_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
             f1 = pool.submit(recall_call)
             f2 = pool.submit(feedback_call)
             out = e2e_rows + f1.result() + f2.result()
+
+        # 'ann' variant: build the scope-aware IVF index over the
+        # seeded corpus, then serve the SAME retrieval from it with
+        # every cell probed (runs after the concurrent reads — the
+        # build writes under the store root)
+        rep = eng.index_vectors("domain_knowledge", cent_every=50)
+        assert rep["indexed"], rep
+        s = eng.retrieve(
+            QUERY_TEXT, agent="helena", project_id="p", top_k=20,
+            use_ann=True, nprobe=rep["n_cells"],
+        )
+        out += [
+            ("ann", r["id"], round(float(r["score"]), 6))
+            for r in s.domain_knowledge
+        ]
         return spark.createDataFrame(out, "variant string, id string, score double")
     finally:
         shutil.rmtree(root, ignore_errors=True)
