@@ -878,12 +878,22 @@ BM25_SEARCH_SQL = f"""
     """
 
 
+# the r4 scoped serve: identical BM25 pipeline computed over ONLY the
+# scoped slice of the corpus (doc_id % 3 = 1) — scoped N/avgdl/df, the
+# exact semantics the per-group stats path must reproduce
+BM25_SCOPED_SQL = BM25_SEARCH_SQL.replace(
+    "FROM documents", "FROM documents WHERE doc_id % 3 = 1"
+)
+
 _RELEVANCE_SQL = f"""
     WITH bm AS ({BM25_SEARCH_SQL}),
-    tf AS ({TFIDF_SEARCH_SQL})
+    tf AS ({TFIDF_SEARCH_SQL}),
+    bsc AS ({BM25_SCOPED_SQL})
     SELECT 'bm25' AS method, doc_id, bm25_score AS score FROM bm
     UNION ALL
     SELECT 'bm25_indexed', doc_id, bm25_score FROM bm
+    UNION ALL
+    SELECT 'bm25_scoped', doc_id, bm25_score FROM bsc
     UNION ALL
     SELECT 'tfidf', doc_id, tfidf_score FROM tf
     """
@@ -945,16 +955,38 @@ def text_relevance_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ixroot = _TEXT_INDEX_GATE_CACHE.get(sf_dir)
         if ixroot is None:
             ixroot = tempfile.mkdtemp(prefix="alma_text_index_gate_")
-            InvertedTextIndex.build(spark, docs, ixroot, id_col="doc_id", n_buckets=32)
+            # the index carries a scope column (grp = doc_id % 3) so
+            # the SAME build serves both the global 'bm25_indexed'
+            # stage (global stats row, scope column ignored) and the
+            # r4 'bm25_scoped' stage (per-group stats + pushed scope
+            # predicate)
+            InvertedTextIndex.build(
+                spark,
+                docs.withColumn("grp", F.pmod(F.col("doc_id"), F.lit(3))),
+                ixroot,
+                id_col="doc_id",
+                n_buckets=32,
+                extra_cols=["grp"],
+            )
             _TEXT_INDEX_GATE_CACHE[sf_dir] = ixroot
             atexit.register(shutil.rmtree, ixroot, ignore_errors=True)
     idx = InvertedTextIndex.load(spark, ixroot)
     bi = idx.search_bm25(_TFIDF_QUERY, k=20).select(
         "doc_id", _r6(F.col("bm25_score")).alias("score")
     )
+    # 'bm25_scoped' (r4): EXACT scoped serve — scope predicate pushed
+    # into the pruned postings scan, scoped df from those postings,
+    # scoped N/avgdl from the per-group stats table; the oracle
+    # recomputes the whole Okapi pipeline over only the scoped slice,
+    # so wrong group stats, a leaked out-of-scope posting, or global-N
+    # contamination all hash-mismatch
+    bs = idx.search_bm25(_TFIDF_QUERY, k=20, filters={"grp": 1}).select(
+        "doc_id", _r6(F.col("bm25_score")).alias("score")
+    )
     return (
         bm.select(F.lit("bm25").alias("method"), "*")
         .unionByName(bi.select(F.lit("bm25_indexed").alias("method"), "*"))
+        .unionByName(bs.select(F.lit("bm25_scoped").alias("method"), "*"))
         .unionByName(tf.select(F.lit("tfidf").alias("method"), "*"))
     )
 
