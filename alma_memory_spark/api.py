@@ -283,13 +283,19 @@ class AlmaToolSurface:
             "rows": self.engine.store.read_version(table, version).count(),
         }
 
-    def _vacuum(self, table: str, retain_seconds: float = 7 * 86400.0) -> dict[str, Any]:
+    def _vacuum(
+        self,
+        table: str,
+        retain_seconds: float = 7 * 86400.0,
+        force: bool = False,
+    ) -> dict[str, Any]:
         if not hasattr(self.engine.store, "vacuum"):
             return {"error": "store backend has no vacuum (use backend='txlog')"}
-        return {
-            "table": table,
-            "deleted_files": self.engine.store.vacuum(table, retain_seconds),
-        }
+        try:
+            n = self.engine.store.vacuum(table, retain_seconds, force=force)
+        except ValueError as e:  # sub-floor retention without force
+            return {"error": str(e)}
+        return {"table": table, "deleted_files": n}
 
     def _partition_health(self, table: str) -> dict[str, Any]:
         return {"table": table, **self.engine.store.partition_health(table)}

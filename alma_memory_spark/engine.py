@@ -1122,7 +1122,13 @@ class AlmaSpark:
                 .orderBy(F.desc("similarity"), F.asc("id"))
                 .limit(top_k)
             )
-        out = hits.join(df, "id", "left").orderBy(
+        # INNER hydration join: identical to a left join for live rows
+        # (every non-index hit comes FROM df), but an index entry that
+        # escaped tombstone coverage — e.g. an upsert moved a row's
+        # scope or embedding after the build — drops out instead of
+        # surfacing as a hit whose non-similarity fields are all null
+        # (ADVICE r4, engine.py:1125)
+        out = hits.join(df, "id", "inner").orderBy(
             F.desc("similarity"), F.asc("id")
         )
         return [r.asDict(recursive=True) for r in out.collect()]

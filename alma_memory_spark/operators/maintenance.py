@@ -73,6 +73,11 @@ class MaintenanceJob:
     # readers (Delta VACUUM semantics). None disables; ignored on the
     # swap-store backend (it deletes eagerly under its table lock).
     vacuum_retain_seconds: float | None = None
+    # opt-in acknowledgement for sub-floor retention (single-writer
+    # deployments/tests only); without it TxLogStore.vacuum raises on a
+    # retention shorter than its safety floor — see
+    # MIN_VACUUM_RETAIN_SECONDS for the racing-commit rationale
+    vacuum_force: bool = False
     enabled: bool = True
     last_run: datetime | None = None
     next_run: datetime | None = None
@@ -209,7 +214,9 @@ class MaintenanceScheduler:
             ):
                 for table in job.tables or MEMORY_TABLES:
                     n = self.engine.store.vacuum(
-                        table, retain_seconds=job.vacuum_retain_seconds
+                        table,
+                        retain_seconds=job.vacuum_retain_seconds,
+                        force=job.vacuum_force,
                     )
                     if n:
                         result.vacuumed[table] = n

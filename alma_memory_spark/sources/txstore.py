@@ -68,6 +68,12 @@ from alma_memory_spark.sources.store import ParquetStore
 
 CHECKPOINT_EVERY = 20
 MAX_COMMIT_RETRIES = 50
+#: vacuum() refuses shorter retention without force=True: a concurrent
+#: writer's data files exist BEFORE its commit claims a version, so a
+#: near-zero window lets vacuum delete a racing commit's files (the
+#: committed snapshot would then reference missing files) — the same
+#: reason Delta's VACUUM enforces spark.databricks.delta.retentionDurationCheck
+MIN_VACUUM_RETAIN_SECONDS = 3600.0
 
 
 class CommitConflict(Exception):
@@ -608,13 +614,31 @@ class TxLogStore(ParquetStore):
 
     # ------------------------------------------------------------------
 
-    def vacuum(self, table: str, retain_seconds: float = 7 * 86400.0) -> int:
+    def vacuum(
+        self, table: str, retain_seconds: float = 7 * 86400.0, force: bool = False
+    ) -> int:
         """Physically delete data files no snapshot can reference:
         files under data/ absent from the live set and older than the
         retention window (in-flight readers hold older snapshots, so
         immediate deletion would yank files from under them — the same
         reasoning as Delta VACUUM's default 7 days). Returns the number
-        of files deleted."""
+        of files deleted.
+
+        Retention below MIN_VACUUM_RETAIN_SECONDS raises unless
+        `force=True`: a racing writer's data files land on disk BEFORE
+        its commit claims a version, so they are "absent from the live
+        set" while the commit is in flight — a near-zero window would
+        delete them and leave the committed version pointing at missing
+        files. Delta's VACUUM retention-duration check exists for the
+        same race."""
+        if retain_seconds < MIN_VACUUM_RETAIN_SECONDS and not force:
+            raise ValueError(
+                f"vacuum({table}): retain_seconds={retain_seconds} is below "
+                f"the {MIN_VACUUM_RETAIN_SECONDS:.0f}s safety floor — files "
+                "of a commit still in flight look unreferenced until its "
+                "version claims; pass force=True only when no concurrent "
+                "writer can exist"
+            )
         _v, live = self._snapshot(table)
         root = self._path(table)
         live_abs = {os.path.join(root, rel) for rel in live}

@@ -589,6 +589,36 @@ def test_engine_ivf_serve_forget_guard_and_maintenance_rebuild(spark, tmp_path):
     assert {r["id"] for r in rebuilt} == {r["id"] for r in after}
 
 
+def test_search_vectors_drops_stale_index_hits(spark, tmp_path):
+    """An index entry outside tombstone coverage (here: a direct
+    store.delete that never told the index) must DROP OUT of
+    search_vectors instead of hydrating into a hit whose
+    non-similarity fields are all null (ADVICE r4, engine.py:1125 —
+    the hydration join is inner, not left)."""
+    from alma_memory_spark.engine import AlmaSpark
+
+    eng = AlmaSpark(spark, str(tmp_path / "stale"))
+    for i in range(12):
+        eng.add_knowledge("a1", "p1", "d", f"stale join fact {i}")
+    rep = eng.index_vectors("domain_knowledge", cent_every=5)
+    served = eng.search_vectors(
+        "stale join fact 3", agent="a1", project_id="p1",
+        top_k=4, nprobe=rep["n_cells"],
+    )
+    gone = served[0]["id"]
+    # bypass engine.forget: the index keeps the entry, no tombstone
+    assert eng.store.delete(
+        "domain_knowledge", F.col("id") == gone, audit=False
+    ) == 1
+    after = eng.search_vectors(
+        "stale join fact 3", agent="a1", project_id="p1",
+        top_k=4, nprobe=rep["n_cells"],
+    )
+    ids = {r["id"] for r in after}
+    assert gone not in ids
+    assert all(r["fact"] is not None for r in after)
+
+
 def test_retrieve_serves_from_ivf_index_when_asked(spark, tmp_path):
     """retrieve(use_ann=True): the vector candidate stage comes from the
     persisted scope-aware IVF index. With nprobe covering every cell the

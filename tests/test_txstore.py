@@ -114,7 +114,12 @@ def test_txlog_snapshot_isolation(spark, tmp_path):
     }
     # vacuum with retention keeps them; retention 0 reclaims
     assert store.vacuum("domain_knowledge") == 0
-    reclaimed = store.vacuum("domain_knowledge", retain_seconds=0)
+    # sub-floor retention without force raises: a racing writer's
+    # not-yet-committed files look unreferenced (ADVICE r4: an exposed
+    # retain_seconds~0 could delete a concurrent commit's data)
+    with pytest.raises(ValueError, match="safety floor"):
+        store.vacuum("domain_knowledge", retain_seconds=0)
+    reclaimed = store.vacuum("domain_knowledge", retain_seconds=0, force=True)
     assert reclaimed > 0
     assert store.read("domain_knowledge").count() == 3
 
@@ -226,7 +231,7 @@ def test_txlog_compact_bounds_files(spark, tmp_path):
     after = st._partition_file_stats("domain_knowledge")[("p", "a1")][0]
     assert after < before
     assert st.read("domain_knowledge").count() == 8
-    assert st.vacuum("domain_knowledge", retain_seconds=0) >= 8
+    assert st.vacuum("domain_knowledge", retain_seconds=0, force=True) >= 8
 
 
 def test_txlog_engine_end_to_end(spark, tmp_path):
@@ -298,6 +303,7 @@ def test_txlog_maintenance_vacuum(spark, tmp_path):
             interval_hours=1,
             tables=["domain_knowledge"],
             vacuum_retain_seconds=0.0,
+            vacuum_force=True,
         )
     )
     res = sched.run_job("vac")
@@ -387,7 +393,7 @@ def test_txlog_crash_windows(spark, tmp_path):
     )
     assert orphan_adds  # files exist on disk...
     assert st.read("domain_knowledge").count() == 2  # ...but are invisible
-    assert st.vacuum("domain_knowledge", retain_seconds=0) >= 1
+    assert st.vacuum("domain_knowledge", retain_seconds=0, force=True) >= 1
 
     # (b) orphaned commit temp: never replayed, vacuumed away
     tmp_commit = os.path.join(
@@ -396,7 +402,7 @@ def test_txlog_crash_windows(spark, tmp_path):
     with open(tmp_commit, "w") as f:
         _json.dump({"adds": [], "removes": []}, f)
     assert st.read("domain_knowledge").count() == 2
-    st.vacuum("domain_knowledge", retain_seconds=0)
+    st.vacuum("domain_knowledge", retain_seconds=0, force=True)
     assert not os.path.exists(tmp_commit)
 
     # (c) torn checkpoint: replay falls back to the full log
@@ -473,8 +479,11 @@ def test_store_admin_tools(spark, tmp_path):
     assert tt["rows"] == 1
     ph = tools.call("alma_partition_health", table="domain_knowledge")
     assert ph["n_pairs"] == 1 and ph["n_files"] >= 2
-    vac = tools.call("alma_vacuum", table="domain_knowledge", retain_seconds=0)
+    vac = tools.call("alma_vacuum", table="domain_knowledge", retain_seconds=0, force=True)
     assert vac["deleted_files"] == 0  # nothing unreferenced yet
+    # the tool surfaces the retention floor as an error, not a crash
+    guard = tools.call("alma_vacuum", table="domain_knowledge", retain_seconds=0)
+    assert "safety floor" in guard.get("error", "")
 
     swap = AlmaToolSurface(AlmaSpark(spark, str(tmp_path / "p")))
     assert "error" in swap.call("alma_store_history", table="domain_knowledge")
