@@ -810,12 +810,19 @@ class AlmaSpark:
         """Policy-driven forget with audit. ZERO driver round-trip of
         the delete set: the doomed rows are derived by a closure the
         store runs against its LOCKED read (a mass forget of millions
-        of rows never collects their ids). The persisted IVF index is
-        tombstoned from the same in-lock frame — while the doomed
-        rows' files are still live — so ANN serves never return the
-        deleted ids (sqlite_local.py:510-521 dirty-flag semantics)."""
+        of rows never collects their ids). The persisted IVF index's
+        tombstones are STAGED from the same in-lock frame — while the
+        doomed rows' files are still live — but published only after
+        the store commit succeeds: a conflict-retried attempt
+        re-derives the doomed set against fresh state (quota/ordering
+        can select different rows), so each attempt replaces the
+        staging, and a permanently failed delete publishes nothing —
+        rows that stay live are never excluded from ANN serving
+        (ADVICE r4, engine.py:827)."""
         if max_age_days is None and min_confidence is None and quota is None:
             return 0
+        idx = self._load_ivf(table) if self._has_ivf_index(table) else None
+        staged: list[str] = []
 
         def doom(df: DataFrame) -> DataFrame:
             scoped = df.filter(F.col("project_id") == project_id)
@@ -823,11 +830,23 @@ class AlmaSpark:
                 scoped, table, max_age_days, min_confidence, quota
             )
             doomed = scoped.join(ids, "id", "left_semi")
-            if self._has_ivf_index(table):
-                self._load_ivf(table).forget(doomed.select("id"))
+            if idx is not None:
+                while staged:  # earlier conflict-aborted attempt
+                    idx.abort_forget(staged.pop())
+                staged.append(idx.stage_forget(doomed.select("id")))
             return doomed
 
-        n = self.store.delete(table, doom, reason=reason, memory_type=table)
+        try:
+            n = self.store.delete(table, doom, reason=reason, memory_type=table)
+        except BaseException:
+            while staged:
+                idx.abort_forget(staged.pop())
+            raise
+        if staged:
+            if n:
+                idx.commit_forget(staged.pop())
+            else:
+                idx.abort_forget(staged.pop())
         if n:
             self._invalidate_cache(project_id=project_id)
             self._emit("DELETED", "", project_id, table, None,
@@ -856,6 +875,8 @@ class AlmaSpark:
         raise RuntimeError(f"consolidate({table}): persistent commit conflicts")
 
     def _consolidate_once(self, table: str, project_id: str, threshold: float) -> int:
+        staged: str | None = None
+        idx = self._load_ivf(table) if self._has_ivf_index(table) else None
         with self.store._table_lock(table):
             # ONE read for both the project slice and the rest: a second
             # read(table) would advance the txlog conflict anchor past
@@ -868,23 +889,33 @@ class AlmaSpark:
             n_merged = merged.count()
             if n_merged:
                 new_content = survivors.unionByName(merged)
-                if self._has_ivf_index(table):
+                if idx is not None:
                     # the losing group members vanish from the table;
-                    # tombstone them in the vector index (same
-                    # staleness contract as forget) BEFORE the rewrite,
-                    # while their files are still live
+                    # STAGE their vector-index tombstones before the
+                    # rewrite (files still live) but publish only after
+                    # it commits — a CommitConflict retry re-derives
+                    # the losers, so tombstones from an aborted attempt
+                    # must never exclude rows that stayed live
+                    # (ADVICE r4, engine.py:876)
                     losers = df.join(
                         new_content.select("id"), "id", "left_anti"
                     ).select("id")
-                    self._load_ivf(table).forget(losers)
-                if table in schemas.PARTITIONED_BY_PROJECT_AGENT:
-                    touched = self.store._pairs_of(df)
-                    self.store._rewrite_partitions(table, touched, new_content)
-                else:
-                    rest = full.filter(
-                        ~F.col("project_id").eqNullSafe(project_id)
-                    )
-                    self.store.overwrite(table, rest.unionByName(new_content))
+                    staged = idx.stage_forget(losers)
+                try:
+                    if table in schemas.PARTITIONED_BY_PROJECT_AGENT:
+                        touched = self.store._pairs_of(df)
+                        self.store._rewrite_partitions(table, touched, new_content)
+                    else:
+                        rest = full.filter(
+                            ~F.col("project_id").eqNullSafe(project_id)
+                        )
+                        self.store.overwrite(table, rest.unionByName(new_content))
+                except BaseException:
+                    if staged is not None:
+                        idx.abort_forget(staged)
+                    raise
+                if staged is not None:
+                    idx.commit_forget(staged)  # rewrite committed
         if n_merged:
             self._invalidate_cache(project_id=project_id)
             self._emit("CONSOLIDATED", "", project_id, table, None,

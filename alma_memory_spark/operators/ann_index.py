@@ -189,6 +189,7 @@ class IVFIndex:
         import shutil
 
         shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
+        shutil.rmtree(os.path.join(path, "tombstones_staging"), ignore_errors=True)
         shutil.rmtree(os.path.join(path, "segments"), ignore_errors=True)
         idx._write_lists(df, id_col, vec_col, mode="overwrite")
         spark.createDataFrame(
@@ -376,6 +377,55 @@ class IVFIndex:
             )
         doomed.coalesce(1).write.mode("append").parquet(self._tombstones_path())
         return n
+
+    # ---- staged forgets (publish only after the store commit) ---------
+
+    def stage_forget(self, ids: DataFrame) -> str:
+        """Write a doomed-id set to a private staging area WITHOUT
+        publishing it to search(). The caller derives `ids` while the
+        doomed rows' files are still live (in-lock, pre-commit), then
+        publishes with commit_forget() only once the store delete /
+        rewrite actually commits — so a conflict-retried attempt that
+        re-derives a DIFFERENT doomed set, or a permanently failed
+        delete, never leaves tombstones excluding rows that stayed live
+        (ADVICE r4, engine.py:827). Returns the staging path."""
+        import uuid
+
+        dest = os.path.join(self.path, "tombstones_staging", uuid.uuid4().hex)
+        ids.toDF("id").select(F.col("id").cast(self.id_type)).coalesce(
+            1
+        ).write.mode("overwrite").parquet(dest)
+        return dest
+
+    def commit_forget(self, staged: str) -> None:
+        """Publish a staged doomed set: move its data files into the
+        tombstone dir (driver-side renames — no Spark job, so the
+        publish window after the store commit is microseconds)."""
+        import uuid
+
+        tomb = self._tombstones_path()
+        if not os.path.isdir(staged):
+            # a rebuild interleaved between the store commit and this
+            # publish: build() clears staging under the table lock, and
+            # any rebuild that acquired the lock after the delete's
+            # commit built from the post-delete table — the doomed ids
+            # are already absent from the new lists, so there is
+            # nothing to publish
+            return
+        os.makedirs(tomb, exist_ok=True)
+        for f in os.listdir(staged):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(staged, f),
+                    os.path.join(tomb, f"staged-{uuid.uuid4().hex}.parquet"),
+                )
+        self.abort_forget(staged)
+
+    @staticmethod
+    def abort_forget(staged: str) -> None:
+        import shutil
+
+        shutil.rmtree(staged, ignore_errors=True)
 
     def tombstones(self) -> DataFrame | None:
         ts = self._tombstones_path()

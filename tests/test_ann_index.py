@@ -260,3 +260,56 @@ def test_ivf_scope_columns_filter_inside_pruned_scan(spark, tmp_path):
     assert "agent" in plan.split("PushedFilters", 1)[1][:400]
     with _pytest.raises(ValueError, match="not indexed"):
         idx.search(QUERY_VEC, filters={"nope": 1})
+
+
+def test_forget_tombstones_publish_only_after_store_commit(spark, tmp_path):
+    """ADVICE r4 (engine.py:827): forget() STAGES index tombstones from
+    the in-lock doomed frame but publishes them only after the store
+    delete commits. A delete that fails after the doom closure ran must
+    leave ZERO tombstones — the rows stayed live, and excluding them
+    from ANN serving until the next rebuild is silent result loss."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from alma_memory_spark.engine import AlmaSpark
+
+    eng = AlmaSpark(spark, str(tmp_path / "stage"))
+    for i in range(10):
+        eng.add_knowledge("a1", "p1", "d", f"staged tombstone fact {i}")
+    rep = eng.index_vectors("domain_knowledge", cent_every=3)
+    idx = eng._load_ivf("domain_knowledge")
+
+    real_delete = eng.store.delete
+
+    def failing_delete(table, predicate, **kw):
+        # the doom closure runs against a live read (staging happens)...
+        predicate(eng.store.read(table))
+        # ...and then the commit explodes
+        raise RuntimeError("synthetic commit failure")
+
+    eng.store.delete = failing_delete
+    with _pytest.raises(RuntimeError, match="synthetic"):
+        eng.forget("domain_knowledge", "p1", quota=2)
+    # nothing published, staging cleaned, ANN still serves every row
+    assert idx.tombstones() is None
+    staging = _os.path.join(idx.path, "tombstones_staging")
+    assert not _os.path.isdir(staging) or not _os.listdir(staging)
+    assert len(
+        eng.search_vectors(
+            "staged tombstone fact", agent="a1", project_id="p1",
+            top_k=10, nprobe=rep["n_cells"],
+        )
+    ) == 10
+
+    # the real delete path publishes exactly the committed doomed set
+    eng.store.delete = real_delete
+    assert eng.forget("domain_knowledge", "p1", quota=2) == 8
+    assert idx.tombstones() is not None and idx.tombstones().count() == 8
+    assert not _os.path.isdir(staging) or not _os.listdir(staging)
+    assert len(
+        eng.search_vectors(
+            "staged tombstone fact", agent="a1", project_id="p1",
+            top_k=10, nprobe=rep["n_cells"],
+        )
+    ) == 2
