@@ -1008,23 +1008,32 @@ class AlmaSpark:
         return os.path.join(self.store.root, "_indexes", "ivf", table)
 
     def _has_ivf_index(self, table: str) -> bool:
-        return os.path.isdir(os.path.join(self._ivf_index_path(table), "lists"))
+        from alma_memory_spark.operators._index_version import resolve_vroot
+
+        return os.path.isdir(
+            os.path.join(resolve_vroot(self._ivf_index_path(table)), "lists")
+        )
 
     def _load_ivf(self, table: str):
         """Cached IVF handle for the serving paths: the quantizer is
         immutable between rebuilds, so re-collecting the centroids +
         meta parquet per uncached retrieve would add two driver jobs to
-        the hot path. Keyed by the centroids dir mtime, which every
-        rebuild (this process or another) touches; segments and
-        tombstones are re-listed from disk on every search, so the
-        cached handle never serves stale adds or deletes."""
+        the hot path. Keyed by the _CURRENT version pointer's mtime,
+        which every rebuild's atomic swap touches (this process or
+        another); segments and tombstones are re-listed from disk on
+        every search, so the cached handle never serves stale adds or
+        deletes. Pre-versioning flat layouts key off the centroids dir
+        mtime as before."""
         from alma_memory_spark.operators.ann_index import IVFIndex
 
         path = self._ivf_index_path(table)
         try:
-            mtime = os.path.getmtime(os.path.join(path, "centroids"))
+            mtime = os.path.getmtime(os.path.join(path, "_CURRENT"))
         except OSError:
-            mtime = -1.0
+            try:
+                mtime = os.path.getmtime(os.path.join(path, "centroids"))
+            except OSError:
+                mtime = -1.0
         cache = getattr(self, "_ivf_handles", None)
         if cache is None:
             cache = self._ivf_handles = {}
@@ -1239,8 +1248,10 @@ class AlmaSpark:
                 .limit(fetch)
             )
 
+        from alma_memory_spark.operators._index_version import resolve_vroot
+
         ixpath = self._text_index_path(table)
-        if os.path.isdir(os.path.join(ixpath, "stats")):
+        if os.path.isdir(os.path.join(resolve_vroot(ixpath), "stats")):
             idx = InvertedTextIndex.load(self.spark, ixpath)
             want = {}
             if project_id is not None and "project_id" in df.columns:

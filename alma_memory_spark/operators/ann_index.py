@@ -11,20 +11,26 @@ inverted lists of a FAISS IVF index (the reference's vector stage,
 alma/storage/sqlite_local.py:555-640 builds exactly this shape with
 faiss.IndexIVFFlat) ARE parquet partitions here.
 
-Layout on disk:
-    <path>/centroids/   tiny parquet: (cell bigint, cvec array<double>)
-    <path>/meta/        one-row parquet: (id_type, cent_every) — id_type
-                        lets memory-table string ids index too (cells
-                        then come from xxhash64(id) instead of the id)
-    <path>/lists/       parquet partitioned by cell: (id, embedding)
-    <path>/tombstones/  optional parquet: (id) — ids forgotten since
-                        the last (re)build; search anti-joins them so a
-                        deleted vector is NEVER served stale (the
-                        reference marks the FAISS index dirty on delete
-                        and lazily rebuilds, sqlite_local.py:510-521 —
-                        tombstones give the same read-your-deletes
-                        contract without an immediate rebuild, and the
-                        maintenance reindex clears them)
+Layout on disk (versioned — see operators/_index_version.py: build()
+writes a COMPLETE new index under a fresh v<N>/ dir and commits with
+one atomic _CURRENT rename, so serving paths never observe a
+half-written rebuild; handles pin their version at load and the
+previous version is retained for them):
+    <path>/_CURRENT        names the live version dir (atomic swap)
+    <path>/v<N>/centroids/ tiny parquet: (cell bigint, cvec array<double>)
+    <path>/v<N>/meta/      one-row parquet: (id_type, cent_every) — id_type
+                           lets memory-table string ids index too (cells
+                           then come from xxhash64(id) instead of the id)
+    <path>/v<N>/lists/     parquet partitioned by cell: (id, embedding)
+    <path>/v<N>/tombstones/ optional parquet: (id) — ids forgotten since
+                           this version was built; search anti-joins them
+                           so a deleted vector is NEVER served stale (the
+                           reference marks the FAISS index dirty on delete
+                           and lazily rebuilds, sqlite_local.py:510-521 —
+                           tombstones give the same read-your-deletes
+                           contract without an immediate rebuild; a
+                           rebuild's fresh version starts without any)
+    <path>/v<N>/segments/  committed streaming epoch segments (add_epoch)
 
 Determinism matches the gate: cosines round to 6dp BEFORE every
 argmax/probe cut; assignment ties break toward the LARGER cell id;
@@ -38,12 +44,26 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from alma_memory_spark.operators._index_version import (
+    begin_version,
+    commit_version,
+    resolve_vroot,
+)
+
 _NUMERIC_ID_TYPES = {"bigint", "int", "smallint", "tinyint", "long"}
+
+#: flat-layout leftovers GC-ed once two versioned builds exist
+_FLAT_SUBDIRS = (
+    "lists", "centroids", "meta", "segments", "tombstones",
+    "tombstones_staging",
+)
 
 
 class IVFIndex:
     """Handle over a built index: tiny driver-side quantizer + the
-    cell-partitioned lists path."""
+    cell-partitioned lists path. `vroot` pins the VERSION this handle
+    serves (resolved from _CURRENT at load/build); a concurrent rebuild
+    swaps _CURRENT but never mutates this version's files."""
 
     def __init__(
         self,
@@ -53,9 +73,11 @@ class IVFIndex:
         Cn,
         id_type: str = "bigint",
         extra_cols: list[tuple[str, str]] | None = None,
+        vroot: str | None = None,
     ):
         self.spark = spark
         self.path = path
+        self.vroot = vroot or path
         self.cells = cells  # np.int64 cell ids, sorted DESC
         self.Cn = Cn  # L2-normalized centroid matrix, rows follow cells
         self.id_type = id_type
@@ -181,27 +203,27 @@ class IVFIndex:
         extras = [
             (c, df.schema[c].dataType.simpleString()) for c in (extra_cols or [])
         ]
-        idx = IVFIndex(spark, path, cells, Cn, id_type, extras)
-        # clear superseded state FIRST: a crash mid-build leaves a
-        # partial (rebuildable) index either way, but stale segments or
-        # tombstones surviving NEXT to a fresh base would silently skew
-        # every search until the following rebuild
-        import shutil
-
-        shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
-        shutil.rmtree(os.path.join(path, "tombstones_staging"), ignore_errors=True)
-        shutil.rmtree(os.path.join(path, "segments"), ignore_errors=True)
+        # build the COMPLETE new index under a fresh version dir that no
+        # reader resolves yet — the fresh dir has no stale segments or
+        # tombstones by construction, and concurrent searches keep
+        # reading the previous version's files until the atomic
+        # _CURRENT swap below (ADVICE r4: in-place overwrite could hand
+        # a probe deleted list files or pair cached centroids with
+        # half-written lists)
+        vdir, prev = begin_version(path)
+        idx = IVFIndex(spark, path, cells, Cn, id_type, extras, vroot=vdir)
         idx._write_lists(df, id_col, vec_col, mode="overwrite")
         spark.createDataFrame(
             [(int(c), [float(x) for x in Cn[i]]) for i, c in enumerate(cells)],
             "cell long, cvec array<double>",
-        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(vdir, "centroids"))
         import json as _json
 
         spark.createDataFrame(
             [(id_type, cent_every, _json.dumps(extras))],
             "id_type string, cent_every int, extra_cols string",
-        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(vdir, "meta"))
+        commit_version(path, vdir, prev, _FLAT_SUBDIRS)  # COMMIT POINT
         return idx
 
     def _write_lists(
@@ -246,17 +268,21 @@ class IVFIndex:
             f"id {self.id_type}, embedding array<double>{extra_schema}, cell long",
         )
         assigned.write.mode(mode).partitionBy("cell").parquet(
-            dest or os.path.join(self.path, "lists")
+            dest or os.path.join(self.vroot, "lists")
         )
 
     @staticmethod
     def load(spark: SparkSession, path: str) -> "IVFIndex":
         """Re-open a built index: the quantizer is a tiny collect
-        (~n/cent_every rows), the lists stay on disk."""
+        (~n/cent_every rows), the lists stay on disk. The handle pins
+        the version _CURRENT names right now — a rebuild that swaps
+        afterwards never disturbs this handle's files (the previous
+        version is retained through the NEXT swap)."""
         import numpy as np
 
+        vroot = resolve_vroot(path)
         rows = sorted(
-            spark.read.parquet(os.path.join(path, "centroids")).collect(),
+            spark.read.parquet(os.path.join(vroot, "centroids")).collect(),
             key=lambda r: -r["cell"],
         )
         cells = np.array([r["cell"] for r in rows], dtype=np.int64)
@@ -264,13 +290,13 @@ class IVFIndex:
         import json as _json
 
         id_type, extras = "bigint", []
-        meta_path = os.path.join(path, "meta")
+        meta_path = os.path.join(vroot, "meta")
         if os.path.isdir(meta_path):
             meta = spark.read.parquet(meta_path).collect()[0].asDict()
             id_type = meta["id_type"]
             if meta.get("extra_cols"):
                 extras = [tuple(e) for e in _json.loads(meta["extra_cols"])]
-        return IVFIndex(spark, path, cells, Cn, id_type, extras)
+        return IVFIndex(spark, path, cells, Cn, id_type, extras, vroot=vroot)
 
     # ------------------------------------------------------------------
 
@@ -293,7 +319,7 @@ class IVFIndex:
     # ---- epoch segments (exactly-once streaming adds) -----------------
 
     def _segments_root(self) -> str:
-        return os.path.join(self.path, "segments")
+        return os.path.join(self.vroot, "segments")
 
     def _committed_segments(self) -> list[int]:
         root = self._segments_root()
@@ -338,7 +364,7 @@ class IVFIndex:
     def _lists_df(self) -> DataFrame:
         """Base lists plus committed epoch segments (filters — including
         the cell partition pruning — push through the union)."""
-        df = self.spark.read.parquet(os.path.join(self.path, "lists"))
+        df = self.spark.read.parquet(os.path.join(self.vroot, "lists"))
         for e in self._committed_segments():
             df = df.unionByName(
                 self.spark.read.parquet(
@@ -350,7 +376,7 @@ class IVFIndex:
     # ------------------------------------------------------------------
 
     def _tombstones_path(self) -> str:
-        return os.path.join(self.path, "tombstones")
+        return os.path.join(self.vroot, "tombstones")
 
     def forget(self, ids) -> int:
         """Tombstone forgotten ids: search() excludes them immediately
@@ -391,7 +417,7 @@ class IVFIndex:
         (ADVICE r4, engine.py:827). Returns the staging path."""
         import uuid
 
-        dest = os.path.join(self.path, "tombstones_staging", uuid.uuid4().hex)
+        dest = os.path.join(self.vroot, "tombstones_staging", uuid.uuid4().hex)
         ids.toDF("id").select(F.col("id").cast(self.id_type)).coalesce(
             1
         ).write.mode("overwrite").parquet(dest)

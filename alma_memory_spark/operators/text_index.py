@@ -11,14 +11,21 @@ inverted index per corpus — alma/retrieval/text_search.py:46-194); here
 the inverted index is a term-bucketed parquet table, so a query reads
 only the bucket partitions its terms hash into:
 
-    <path>/postings/   parquet partitioned by bucket:
-                       (term, doc, tf, dl) — one row per (doc, term),
-                       sorted by term inside each file so parquet
-                       row-group min/max stats prune non-matching terms
-                       even within a probed bucket
-    <path>/stats/      one-row parquet: (n_docs, sum_dl, n_buckets,
-                       id_col) — corpus size + total token count; avgdl
-                       derives exactly as sum_dl / n_docs
+    <path>/_CURRENT        names the live version dir — build() writes a
+                           COMPLETE new index under a fresh v<N>/ dir and
+                           commits with one atomic rename (see
+                           operators/_index_version.py), so a query
+                           concurrent with a rebuild never reads
+                           half-written postings; handles pin their
+                           version at load
+    <path>/v<N>/postings/  parquet partitioned by bucket:
+                           (term, doc, tf, dl) — one row per (doc, term),
+                           sorted by term inside each file so parquet
+                           row-group min/max stats prune non-matching terms
+                           even within a probed bucket
+    <path>/v<N>/stats/     one-row parquet: (n_docs, sum_dl, n_buckets,
+                           id_col) — corpus size + total token count; avgdl
+                           derives exactly as sum_dl / n_docs
 
 Query shape: `bucket IN (hash(q-terms))` lands in PartitionFilters
 (bucket is a hive partition column) and `term IN (q-terms)` in
@@ -65,7 +72,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from alma_memory_spark.functions.text import ws_tokens
+from alma_memory_spark.operators._index_version import (
+    begin_version,
+    commit_version,
+    resolve_vroot,
+)
 from alma_memory_spark.operators.text_search import BM25_B, BM25_K1
+
+#: flat-layout leftovers GC-ed once two versioned builds exist
+_FLAT_SUBDIRS = ("postings", "stats", "group_stats", "segments")
 
 
 def _bucket_col(term: F.Column, n_buckets: int) -> F.Column:
@@ -94,9 +109,13 @@ class InvertedTextIndex:
         id_col: str,
         id_type: str = "string",
         extra_cols: list[tuple[str, str]] | None = None,
+        vroot: str | None = None,
     ):
         self.spark = spark
         self.path = path
+        #: version dir this handle serves (== path for flat layouts);
+        #: a rebuild swaps _CURRENT but never mutates this version
+        self.vroot = vroot or path
         self.n_docs = n_docs
         self.sum_dl = sum_dl
         self.n_buckets = n_buckets
@@ -121,7 +140,7 @@ class InvertedTextIndex:
     # ---- epoch segments (exactly-once streaming adds) -----------------
 
     def _segments_root(self) -> str:
-        return os.path.join(self.path, "segments")
+        return os.path.join(self.vroot, "segments")
 
     def _committed_segments(self) -> list[tuple[int, int, int]]:
         """[(epoch, n_docs, sum_dl)] for every committed segment, epoch
@@ -200,7 +219,7 @@ class InvertedTextIndex:
             "tf long, bucket long"
         )
         df = self.spark.read.schema(schema).parquet(
-            os.path.join(self.path, "postings")
+            os.path.join(self.vroot, "postings")
         )
         for e, _n, _s in self._committed_segments():
             df = df.unionByName(
@@ -214,7 +233,7 @@ class InvertedTextIndex:
         """(N, avgdl) for the docs matching the extra-col equality
         filters — aggregated from the base group-stats table plus every
         committed segment's (each bounded by #scopes rows)."""
-        paths = [os.path.join(self.path, "group_stats")]
+        paths = [os.path.join(self.vroot, "group_stats")]
         paths += [
             os.path.join(self._segments_root(), str(e), "group_stats")
             for e, _n, _s in self._committed_segments()
@@ -286,11 +305,10 @@ class InvertedTextIndex:
             docs, id_col, text_col, n_buckets, extras
         )
         id_type = postings.schema["doc"].dataType.simpleString()
-        # clear superseded epoch segments FIRST (see IVFIndex.build:
-        # stale committed segments next to a fresh base double-count)
-        import shutil
-
-        shutil.rmtree(os.path.join(path, "segments"), ignore_errors=True)
+        # write the COMPLETE new index under a fresh version dir (no
+        # stale segments by construction; concurrent queries keep
+        # reading the previous version until the atomic swap below)
+        vdir, prev = begin_version(path)
         # repartition by bucket so each task owns whole buckets (one
         # file per bucket, not one per task x bucket), then sort so the
         # writer emits term-ordered row groups inside each file.
@@ -299,20 +317,22 @@ class InvertedTextIndex:
             .sortWithinPartitions("bucket", "term", "doc")
             .write.mode("overwrite")
             .partitionBy("bucket")
-            .parquet(os.path.join(path, "postings"))
+            .parquet(os.path.join(vdir, "postings"))
         )
         n, sdl = InvertedTextIndex._delta_stats(docs, text_col)
         InvertedTextIndex._write_stats(
-            spark, path, n, sdl, n_buckets, id_col, id_type, extras
+            spark, vdir, n, sdl, n_buckets, id_col, id_type, extras
         )
         if extras:
             InvertedTextIndex._group_stats_frame(
                 docs, text_col, extras
             ).coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(path, "group_stats")
+                os.path.join(vdir, "group_stats")
             )
+        commit_version(path, vdir, prev, _FLAT_SUBDIRS)  # COMMIT POINT
         return InvertedTextIndex(
-            spark, path, n, sdl, n_buckets, id_col, id_type, extras
+            spark, path, n, sdl, n_buckets, id_col, id_type, extras,
+            vroot=vdir,
         )
 
     @staticmethod
@@ -349,13 +369,14 @@ class InvertedTextIndex:
     def load(spark: SparkSession, path: str) -> "InvertedTextIndex":
         import json
 
-        r = spark.read.parquet(os.path.join(path, "stats")).collect()[0].asDict()
+        vroot = resolve_vroot(path)
+        r = spark.read.parquet(os.path.join(vroot, "stats")).collect()[0].asDict()
         extras = [
             tuple(e) for e in json.loads(r.get("extra_cols") or "[]")
         ]
         return InvertedTextIndex(
             spark, path, r["n_docs"], r["sum_dl"], r["n_buckets"], r["id_col"],
-            r["id_type"], extras,
+            r["id_type"], extras, vroot=vroot,
         )
 
     # ------------------------------------------------------------------
@@ -378,13 +399,13 @@ class InvertedTextIndex:
             .sortWithinPartitions("bucket", "term", "doc")
             .write.mode("append")
             .partitionBy("bucket")
-            .parquet(os.path.join(self.path, "postings"))
+            .parquet(os.path.join(self.vroot, "postings"))
         )
         if self.extra_cols:
             # merge the per-group deltas into the base group-stats
             # table (bounded by #scopes rows — materialize before
             # rewriting the files the plan reads from)
-            gpath = os.path.join(self.path, "group_stats")
+            gpath = os.path.join(self.vroot, "group_stats")
             schema = (
                 "".join(f"{n} {t}, " for n, t in self.extra_cols)
                 + "n_docs long, sum_dl long"
@@ -411,7 +432,7 @@ class InvertedTextIndex:
         self._base_n += dn
         self._base_sdl += dsdl
         self._write_stats(
-            self.spark, self.path, self._base_n, self._base_sdl, self.n_buckets,
+            self.spark, self.vroot, self._base_n, self._base_sdl, self.n_buckets,
             self.id_col, self.id_type, self.extra_cols,
         )
         return self

@@ -129,7 +129,7 @@ def main() -> None:
             files_hit = scan_num_files(q)
             total_files = sum(
                 1
-                for _r, _d, fs in os.walk(os.path.join(sdir, "tix", "postings"))
+                for _r, _d, fs in os.walk(os.path.join(tix.vroot, "postings"))
                 for f in fs
                 if f.endswith(".parquet")
             )
@@ -146,7 +146,7 @@ def main() -> None:
             ivf_files_hit = scan_num_files(s)
             ivf_total = sum(
                 1
-                for _r, _d, fs in os.walk(os.path.join(sdir, "ivf", "lists"))
+                for _r, _d, fs in os.walk(os.path.join(ivf.vroot, "lists"))
                 for f in fs
                 if f.endswith(".parquet")
             )

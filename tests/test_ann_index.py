@@ -36,7 +36,7 @@ def test_ivf_build_search_roundtrip(spark, tmp_path):
     path = str(tmp_path / "ivf")
     idx = IVFIndex.build(spark, emb, path, cent_every=50)
     # lists are hive-partitioned by cell
-    parts = [d for d in os.listdir(os.path.join(path, "lists")) if d.startswith("cell=")]
+    parts = [d for d in os.listdir(os.path.join(idx.vroot, "lists")) if d.startswith("cell=")]
     assert len(parts) >= 2
     # load() round-trips the quantizer exactly
     idx2 = IVFIndex.load(spark, path)
@@ -53,7 +53,7 @@ def test_ivf_build_search_roundtrip(spark, tmp_path):
     probed, qn = idx2.probe_cells(QUERY_VEC, nprobe=3)
     members = {
         r["id"]
-        for r in spark.read.parquet(os.path.join(path, "lists"))
+        for r in spark.read.parquet(os.path.join(idx.vroot, "lists"))
         .where("cell in ({})".format(",".join(str(c) for c in probed)))
         .select("id")
         .collect()
@@ -89,11 +89,11 @@ def test_ivf_search_prunes_partitions(spark, tmp_path):
                 break
     total_files = sum(
         len(files)
-        for _root, _dirs, files in os.walk(os.path.join(path, "lists"))
+        for _root, _dirs, files in os.walk(os.path.join(idx.vroot, "lists"))
         if any(f.endswith(".parquet") for f in files)
     )
     n_cells = len(
-        [d for d in os.listdir(os.path.join(path, "lists")) if d.startswith("cell=")]
+        [d for d in os.listdir(os.path.join(idx.vroot, "lists")) if d.startswith("cell=")]
     )
     assert n_cells > 2
     assert num_files is not None and num_files < total_files
@@ -136,7 +136,7 @@ def test_ivf_incremental_add_matches_brute_force(spark, tmp_path):
     # ids from BOTH halves are present in the index lists
     ids = {
         r["id"]
-        for r in spark.read.parquet(os.path.join(path, "lists")).select("id").collect()
+        for r in spark.read.parquet(os.path.join(idx.vroot, "lists")).select("id").collect()
     }
     assert any(i % 2 == 0 for i in ids) and any(i % 2 == 1 for i in ids)
 
@@ -293,7 +293,7 @@ def test_forget_tombstones_publish_only_after_store_commit(spark, tmp_path):
         eng.forget("domain_knowledge", "p1", quota=2)
     # nothing published, staging cleaned, ANN still serves every row
     assert idx.tombstones() is None
-    staging = _os.path.join(idx.path, "tombstones_staging")
+    staging = _os.path.join(idx.vroot, "tombstones_staging")
     assert not _os.path.isdir(staging) or not _os.listdir(staging)
     assert len(
         eng.search_vectors(
@@ -313,3 +313,47 @@ def test_forget_tombstones_publish_only_after_store_commit(spark, tmp_path):
             top_k=10, nprobe=rep["n_cells"],
         )
     ) == 2
+
+
+def test_versioned_rebuild_swaps_atomically_and_gcs(spark, tmp_path):
+    """ADVICE r4 (ann_index.py:193): build() must never overwrite the
+    live lists in place. A handle loaded BEFORE a rebuild keeps serving
+    its own version's files (the previous version survives one swap);
+    _CURRENT resolves new loads to the fresh build; versions two swaps
+    old are GC-ed; a pre-versioning FLAT layout still loads."""
+    import shutil
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "ivf_v")
+    half = emb.filter("vec_id % 2 = 0")
+
+    v1 = IVFIndex.build(spark, half, path, cent_every=50)
+    assert os.path.basename(v1.vroot) == "v1"
+    old_handle = IVFIndex.load(spark, path)
+    before = [(r["id"], r["similarity"])
+              for r in old_handle.search(QUERY_VEC, k=5, nprobe=3).collect()]
+
+    v2 = IVFIndex.build(spark, emb, path, cent_every=50)
+    assert os.path.basename(v2.vroot) == "v2"
+    # the pre-swap handle still serves ITS version, byte-identical
+    again = [(r["id"], r["similarity"])
+             for r in old_handle.search(QUERY_VEC, k=5, nprobe=3).collect()]
+    assert again == before
+    assert os.path.isdir(os.path.join(path, "v1"))  # retained for readers
+    # fresh loads resolve the new version
+    assert IVFIndex.load(spark, path).vroot == v2.vroot
+    assert IVFIndex.load(spark, path).search(
+        QUERY_VEC, k=5, nprobe=3
+    ).count() == 5
+
+    v3 = IVFIndex.build(spark, emb, path, cent_every=25)
+    assert os.path.basename(v3.vroot) == "v3"
+    assert not os.path.isdir(os.path.join(path, "v1"))  # two swaps old: GC
+    assert os.path.isdir(os.path.join(path, "v2"))
+
+    # flat-layout compatibility: demote v3 to a pre-versioning layout
+    flat = str(tmp_path / "ivf_flat")
+    shutil.copytree(v3.vroot, flat)
+    legacy = IVFIndex.load(spark, flat)
+    assert legacy.vroot == flat
+    assert legacy.search(QUERY_VEC, k=5, nprobe=3).count() == 5

@@ -562,7 +562,7 @@ def test_engine_ivf_serve_forget_guard_and_maintenance_rebuild(spark, tmp_path):
     assert eng.forget("domain_knowledge", "p1", max_age_days=365) == 2
     import os as _os
 
-    assert _os.path.isdir(eng._ivf_index_path("domain_knowledge") + "/tombstones")
+    assert _os.path.isdir(eng._load_ivf("domain_knowledge")._tombstones_path())
     after = eng.search_vectors(
         "topic 3", agent="a1", project_id="p1", top_k=6, nprobe=rep["n_cells"]
     )
@@ -582,7 +582,7 @@ def test_engine_ivf_serve_forget_guard_and_maintenance_rebuild(spark, tmp_path):
     now[0] += timedelta(hours=2)
     (res,) = sched.run_all_due()
     assert res.success and res.reindexed.get("ivf:domain_knowledge") == 28
-    assert not _os.path.isdir(eng._ivf_index_path("domain_knowledge") + "/tombstones")
+    assert not _os.path.isdir(eng._load_ivf("domain_knowledge")._tombstones_path())
     rebuilt = eng.search_vectors(
         "topic 3", agent="a1", project_id="p1", top_k=6, nprobe=64
     )

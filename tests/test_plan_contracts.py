@@ -213,7 +213,7 @@ def test_index_serves_stay_pruned_at_10x_corpus(spark, tmp_path):
     hit = _scan_num_files(q)
     total = sum(
         1
-        for _r, _d, fs in os.walk(str(tmp_path / "tix10" / "postings"))
+        for _r, _d, fs in os.walk(os.path.join(tix.vroot, "postings"))
         for f in fs
         if f.endswith(".parquet")
     )
@@ -231,7 +231,7 @@ def test_index_serves_stay_pruned_at_10x_corpus(spark, tmp_path):
     hit_v = _scan_num_files(s)
     total_v = sum(
         1
-        for _r, _d, fs in os.walk(str(tmp_path / "ivf10" / "lists"))
+        for _r, _d, fs in os.walk(os.path.join(ivf.vroot, "lists"))
         for f in fs
         if f.endswith(".parquet")
     )

@@ -32,7 +32,7 @@ def test_index_matches_scan_bm25(spark, tmp_path):
     # hive partition dirs exist
     parts = [
         d
-        for d in os.listdir(os.path.join(str(tmp_path / "tix"), "postings"))
+        for d in os.listdir(os.path.join(idx.vroot, "postings"))
         if d.startswith("bucket=")
     ]
     assert len(parts) >= 2
@@ -419,7 +419,7 @@ def test_add_epoch_replay_is_noop_and_partial_rewrite(spark, tmp_path):
 
     # uncommitted replay: strip the _COMMIT (the crash window) and
     # replay — the segment rewrites, commits once, same totals
-    commit = _os.path.join(path, "segments", "7", "_COMMIT")
+    commit = _os.path.join(tix._segments_root(), "7", "_COMMIT")
     _os.remove(commit)
     broken = InvertedTextIndex.load(spark, path)
     assert broken.applied_epochs() == set()  # uncommitted == invisible
@@ -431,7 +431,7 @@ def test_add_epoch_replay_is_noop_and_partial_rewrite(spark, tmp_path):
     full = InvertedTextIndex.build(
         spark, docs, path, id_col="doc_id", n_buckets=8
     )
-    assert not _os.path.isdir(_os.path.join(path, "segments"))
+    assert not _os.path.isdir(full._segments_root())
     assert (full.n_docs, full.sum_dl) == stats_after
     assert _scores(full.search_bm25(QUERY, k=1000)) == scores_after
     _shutil.rmtree(path, ignore_errors=True)
