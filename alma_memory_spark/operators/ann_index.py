@@ -335,16 +335,30 @@ class IVFIndex:
         return set(self._committed_segments())
 
     def add_epoch(
-        self, df: DataFrame, epoch: int, id_col: str = "vec_id", vec_col: str = "embedding"
+        self,
+        df: DataFrame,
+        epoch: int,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        lineage: str | None = None,
     ) -> bool:
         """Exactly-once incremental add keyed by the foreachBatch
         epoch_id (same protocol as InvertedTextIndex.add_epoch): the
         segment's lists are written with mode('overwrite') — a replayed
         uncommitted epoch rewrites its partial leftover — and the
         atomic `_COMMIT` rename makes a replayed committed epoch a
-        no-op. build() folds segments away."""
+        no-op. build() folds segments away. An epoch committed under a
+        DIFFERENT `lineage` (fresh-checkpoint collision, not a replay)
+        raises instead of no-oping — see
+        InvertedTextIndex._check_lineage for the contract."""
+        import json
+
+        from alma_memory_spark.operators.text_index import InvertedTextIndex
+
         seg = os.path.join(self._segments_root(), str(int(epoch)))
-        if os.path.isfile(os.path.join(seg, "_COMMIT")):
+        commit_path = os.path.join(seg, "_COMMIT")
+        if os.path.isfile(commit_path):
+            InvertedTextIndex._check_lineage(commit_path, lineage, epoch)
             return False
         from alma_memory_spark.session import ensure_package_shipped
 
@@ -355,7 +369,7 @@ class IVFIndex:
         )
         tmp = os.path.join(seg, "_COMMIT.tmp")
         with open(tmp, "w") as f:
-            f.write("{}")
+            json.dump({"lineage": lineage}, f)
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, os.path.join(seg, "_COMMIT"))  # COMMIT POINT

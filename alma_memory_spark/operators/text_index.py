@@ -167,18 +167,35 @@ class InvertedTextIndex:
     def applied_epochs(self) -> set[int]:
         return {e for e, _n, _s in self._committed_segments()}
 
-    def add_epoch(self, docs: DataFrame, epoch: int, text_col: str = "text") -> bool:
+    def add_epoch(
+        self,
+        docs: DataFrame,
+        epoch: int,
+        text_col: str = "text",
+        lineage: str | None = None,
+    ) -> bool:
         """Exactly-once incremental add keyed by the foreachBatch
         epoch_id: returns False (no-op) when this epoch already
         committed — the crash-replay double-append ADVICE finding. The
         segment write is mode('overwrite') so a replay of an
         UNcommitted epoch rewrites the partial leftover instead of
         duplicating it; the atomic `_COMMIT` rename is the single
-        commit point and carries the delta stats."""
+        commit point and carries the delta stats.
+
+        `lineage` identifies the WRITER RUN (the streaming sink passes
+        its checkpoint's query id): epoch ids are per-checkpoint, so an
+        epoch that already committed under a DIFFERENT lineage is not a
+        replay — it is a brand-new query on a fresh checkpoint whose
+        epochs restart at 0, and silently no-oping would drop its
+        batches from the index forever (ADVICE r4, ingest.py:238).
+        That collision raises; rebuild the index (folding the old
+        lineage's segments) before pointing a new checkpoint at it."""
         import json
 
         seg = os.path.join(self._segments_root(), str(int(epoch)))
-        if os.path.isfile(os.path.join(seg, "_COMMIT")):
+        commit_path = os.path.join(seg, "_COMMIT")
+        if os.path.isfile(commit_path):
+            self._check_lineage(commit_path, lineage, epoch)
             return False
         postings = self._postings(
             docs, self.id_col, text_col, self.n_buckets, self.extra_cols
@@ -199,13 +216,39 @@ class InvertedTextIndex:
             )
         tmp = os.path.join(seg, "_COMMIT.tmp")
         with open(tmp, "w") as f:
-            json.dump({"n_docs": dn, "sum_dl": dsdl}, f)
+            json.dump({"n_docs": dn, "sum_dl": dsdl, "lineage": lineage}, f)
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, os.path.join(seg, "_COMMIT"))  # COMMIT POINT
         self.n_docs += dn
         self.sum_dl += dsdl
         return True
+
+    @staticmethod
+    def _check_lineage(commit_path: str, lineage: str | None, epoch: int) -> None:
+        """Raise when a committed epoch belongs to a DIFFERENT writer
+        lineage: that is a fresh-checkpoint epoch collision, not a
+        replay. Segments committed before lineages were recorded (or
+        callers that pass none) keep the lenient no-op behavior."""
+        import json
+
+        if lineage is None:
+            return
+        try:
+            with open(commit_path) as f:
+                committed = json.load(f).get("lineage")
+        except (OSError, ValueError):
+            return  # torn/legacy commit: treat as unknown lineage
+        if committed is not None and committed != lineage:
+            raise RuntimeError(
+                f"epoch {epoch} already committed by writer lineage "
+                f"{committed!r}, but this writer is {lineage!r} — a NEW "
+                "streaming query (fresh checkpoint, epochs restarting at "
+                "0) is feeding an index that has committed segments from "
+                "a previous lineage; its batches would be silently "
+                "dropped as replays. Rebuild the index first, or resume "
+                "the original checkpoint."
+            )
 
     def _postings_df(self) -> DataFrame:
         """Read postings with an EXPLICIT schema: inference-free, so an

@@ -27,8 +27,38 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import json
+import os
+import uuid
+
 from alma_memory_spark import schemas
 from alma_memory_spark.functions.temporal import recency_score
+
+
+def _checkpoint_lineage(checkpoint: str | None, fallback: str) -> str:
+    """Identify the WRITER RUN feeding a sink: the streaming query id
+    Spark records in `<checkpoint>/metadata`. It is stable across
+    restarts that resume the same checkpoint (so committed-epoch
+    replays are recognized as replays) and fresh for a recreated
+    checkpoint dir (so a new query's epoch 0 is recognized as a
+    COLLISION with the previous lineage's segment 0, not a replay —
+    the silent-drop failure mode of ADVICE r4). `fallback` (a uuid
+    minted when the sink was wired) covers checkpoint-less test
+    streams: within one query run the closure is stable, and any
+    other run gets a different uuid — strictly safer than no id."""
+    if checkpoint:
+        meta = os.path.join(
+            checkpoint[len("file:"):] if checkpoint.startswith("file:") else checkpoint,
+            "metadata",
+        )
+        try:
+            with open(meta) as f:
+                qid = json.load(f).get("id")
+            if qid:
+                return str(qid)
+        except (OSError, ValueError):
+            pass
+    return fallback
 
 
 def read_outcome_stream(spark: SparkSession, path: str) -> DataFrame:
@@ -52,15 +82,55 @@ def stream_outcomes_into_store(stream: DataFrame, store, on_batch=None):
     store — the same exactly-once contract the index sinks have. The
     swap-store backend keeps the checkpointed-source-only guarantee
     (replay of the window between sink and checkpoint commit
-    double-appends there; use backend='txlog' when that matters)."""
+    double-appends there; use backend='txlog' when that matters).
+
+    Fresh-checkpoint guard: txn versions are per-checkpoint epoch ids,
+    so a query restarted on a RECREATED checkpoint re-delivers epoch 0
+    and the store's txn dedupe would silently drop its batches (the
+    same silent-loss mode as the index sinks, ADVICE r4). The sink
+    records the checkpoint's streaming query id next to the store and
+    raises on the first batch whose lineage changed while the txn
+    high-water mark says its epoch "already applied"."""
     import inspect
 
     takes_txn = "txn" in inspect.signature(store.append).parameters
+    ckpt = store.root + "/_stream_checkpoints/outcomes"
+    run_id = uuid.uuid4().hex
+    state = {"checked": False}
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         if takes_txn:
+            lineage = _checkpoint_lineage(ckpt, run_id)
+            if not state["checked"]:
+                state["checked"] = True
+                rec_path = ckpt + ".lineage"
+                try:
+                    with open(rec_path) as f:
+                        rec = f.read().strip()
+                except OSError:
+                    rec = None
+                if (
+                    rec
+                    and rec != lineage
+                    and store._txn_applied(
+                        "outcomes", "stream-outcomes", int(epoch_id)
+                    )
+                ):
+                    raise RuntimeError(
+                        f"outcome stream lineage changed ({rec!r} -> "
+                        f"{lineage!r}) but epoch {epoch_id} is already "
+                        "recorded as applied: this query runs on a fresh "
+                        "checkpoint whose re-delivered batches would be "
+                        "silently dropped by txn dedupe. Resume the "
+                        "original checkpoint, or remove the .lineage "
+                        "marker after confirming the source offsets are "
+                        "genuinely new data."
+                    )
+                os.makedirs(os.path.dirname(rec_path), exist_ok=True)
+                with open(rec_path, "w") as f:
+                    f.write(lineage)
             store.append(
                 "outcomes", batch_df, txn=("stream-outcomes", int(epoch_id))
             )
@@ -71,7 +141,7 @@ def stream_outcomes_into_store(stream: DataFrame, store, on_batch=None):
 
     return (
         stream.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", store.root + "/_stream_checkpoints/outcomes")
+        .option("checkpointLocation", ckpt)
         .start()
     )
 
@@ -211,7 +281,12 @@ def stream_documents_into_indexes(
     brand-new query (fresh checkpoint, epochs restart at 0) requires a
     rebuild first so its epochs cannot collide with committed segments
     of the previous lineage. Delta's txn (appId, version) dedupe has
-    the same shape."""
+    the same shape. The contract is ENFORCED, not just documented:
+    each committed segment records the writer's lineage (the
+    checkpoint's streaming query id), and an epoch collision from a
+    different lineage raises in add_epoch instead of silently
+    dropping the new query's batches (ADVICE r4)."""
+    run_id = uuid.uuid4().hex  # checkpoint-less fallback lineage
 
     def _require_extras(index, batch_df: DataFrame, kind: str) -> list[str]:
         """Scope-aware indexes (extra_cols at build) need those columns
@@ -230,6 +305,7 @@ def stream_documents_into_indexes(
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        lineage = _checkpoint_lineage(checkpoint, run_id)
         if text_index is not None:
             extras = _require_extras(text_index, batch_df, "text")
             # the stream's id column name need not match the index's
@@ -243,10 +319,14 @@ def stream_documents_into_indexes(
                 ),
                 epoch_id,
                 text_col=text_col,
+                lineage=lineage,
             )
         if ivf_index is not None:
             _require_extras(ivf_index, batch_df, "IVF")
-            ivf_index.add_epoch(batch_df, epoch_id, id_col=id_col, vec_col=vec_col)
+            ivf_index.add_epoch(
+                batch_df, epoch_id, id_col=id_col, vec_col=vec_col,
+                lineage=lineage,
+            )
         if on_batch is not None:
             on_batch(epoch_id)
 

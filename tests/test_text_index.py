@@ -610,3 +610,84 @@ def test_preferences_scoped_index_path(spark, tmp_path):
         "prefer answers", k=10, filters={"user_id": "u2"}
     ).collect()
     assert len(scoped) == 1
+
+
+def test_epoch_lineage_collision_raises(spark, tmp_path):
+    """ADVICE r4 (ingest.py:238): an epoch already committed by a
+    DIFFERENT writer lineage is a fresh-checkpoint collision, not a
+    replay — silently no-oping would drop the new query's batches
+    forever. Same-lineage replays stay no-ops; legacy segments without
+    a recorded lineage stay lenient."""
+    import pytest as _pytest
+
+    from alma_memory_spark.operators.ann_index import IVFIndex
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    tix = InvertedTextIndex.build(
+        spark, half_a, str(tmp_path / "lin"), id_col="doc_id", n_buckets=8
+    )
+    assert tix.add_epoch(half_b, epoch=0, lineage="query-A") is True
+    assert tix.add_epoch(half_b, epoch=0, lineage="query-A") is False  # replay
+    with _pytest.raises(RuntimeError, match="lineage"):
+        tix.add_epoch(half_b, epoch=0, lineage="query-B")  # fresh checkpoint
+    # lineage-less caller (legacy) keeps the lenient no-op
+    assert tix.add_epoch(half_b, epoch=0) is False
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    ivf = IVFIndex.build(
+        spark, emb.filter("vec_id % 2 = 0"), str(tmp_path / "lin_ivf"),
+        cent_every=50,
+    )
+    newer = emb.filter("vec_id % 2 = 1")
+    assert ivf.add_epoch(newer, epoch=0, lineage="query-A") is True
+    assert ivf.add_epoch(newer, epoch=0, lineage="query-A") is False
+    with _pytest.raises(RuntimeError, match="lineage"):
+        ivf.add_epoch(newer, epoch=0, lineage="query-B")
+
+
+def test_fresh_checkpoint_stream_fails_loud_not_silent(spark, tmp_path):
+    """End-to-end: a document stream restarted on a RECREATED checkpoint
+    (epochs restart at 0) must FAIL its first batch instead of silently
+    dropping every batch whose epoch the previous lineage committed."""
+    import shutil
+
+    from alma_memory_spark.streaming.ingest import stream_documents_into_indexes
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    tix = InvertedTextIndex.build(
+        spark, docs.filter(F.col("doc_id") % 2 == 0),
+        str(tmp_path / "tixf"), id_col="doc_id", n_buckets=8,
+    )
+    inbox = str(tmp_path / "inbox")
+    docs.filter(F.col("doc_id") % 2 == 1).repartition(2).write.parquet(inbox)
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inbox)
+        )
+        return stream_documents_into_indexes(
+            stream, text_index=tix, checkpoint=ckpt, id_col="doc_id"
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_after_first = tix.n_docs
+
+    shutil.rmtree(ckpt)  # the operational mistake
+    q2 = start()
+    try:
+        with __import__("pytest").raises(Exception, match="lineage"):
+            q2.processAllAvailable()
+            q2.awaitTermination(30)
+    finally:
+        q2.stop()
+    # and nothing was silently double-applied or dropped into the index
+    assert InvertedTextIndex.load(spark, str(tmp_path / "tixf")).n_docs == n_after_first

@@ -534,3 +534,47 @@ def test_work_item_rmw_survives_lockfree_concurrency(spark, tmp_path):
         f1.result(), f2.result()
     final = e1.get_work_items(project_id="p1")[0]
     assert sorted(final["blocked_by"]) == ["dep-a", "dep-b"]
+
+
+def test_txlog_outcome_stream_fresh_checkpoint_fails_loud(spark, tmp_path):
+    """A recreated checkpoint restarts epochs at 0; the txn dedupe
+    would silently drop the re-delivered batches. The sink records the
+    checkpoint's query id and raises on the lineage change instead
+    (same contract as the index sinks' epoch-lineage guard)."""
+    import shutil
+
+    import pytest as _pytest
+
+    from alma_memory_spark import schemas as _schemas
+    from alma_memory_spark.streaming.ingest import (
+        read_outcome_stream,
+        stream_outcomes_into_store,
+    )
+
+    st = make_store(spark, str(tmp_path / "s"), "txlog")
+    rows = [
+        {
+            "id": f"o{i}", "agent": "a1", "project_id": "p",
+            "task_type": "t", "success": True, "timestamp": NOW,
+        }
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, _schemas.OUTCOMES)
+    inbox = str(tmp_path / "inbox")
+    df.repartition(2).write.parquet(inbox)
+
+    q = stream_outcomes_into_store(read_outcome_stream(spark, inbox), st)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert st.read("outcomes").count() == 4
+
+    shutil.rmtree(st.root + "/_stream_checkpoints/outcomes")
+    q2 = stream_outcomes_into_store(read_outcome_stream(spark, inbox), st)
+    try:
+        with _pytest.raises(Exception, match="lineage"):
+            q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert st.read("outcomes").count() == 4  # nothing dropped or doubled
