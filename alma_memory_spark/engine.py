@@ -119,7 +119,11 @@ class AlmaSpark:
         return f"{prefix}_{uuid.uuid4().hex[:12]}"
 
     def _rows_df(self, table: str, rows: list[dict[str, Any]]) -> DataFrame:
-        return self.spark.createDataFrame(rows, schemas.ALL_TABLES[table])
+        from alma_memory_spark.session import tiny_df
+
+        # driver-side Arrow LocalRelation: these literal rows feed store
+        # WRITES, where the python-RDD path costs seconds per tiny job
+        return tiny_df(self.spark, rows, schemas.ALL_TABLES[table])
 
     def _bump(self, *keys: tuple) -> None:
         with self._cache_lock:
@@ -1380,7 +1384,10 @@ class AlmaSpark:
             filter_by_scope,
         )
 
-        mdf = self.spark.createDataFrame(
+        from alma_memory_spark.session import tiny_df
+
+        mdf = tiny_df(
+            self.spark,
             [
                 (i, m.get("role", "user"), m.get("content", ""))
                 for i, m in enumerate(messages)
@@ -1525,9 +1532,11 @@ class AlmaSpark:
             "created_at": now,
             "updated_at": now,
         }
+        from alma_memory_spark.session import tiny_df
+
         self.store.append(
             "work_items",
-            self.spark.createDataFrame([row], schemas.WORK_ITEMS),
+            tiny_df(self.spark, [row], schemas.WORK_ITEMS),
         )
         return row
 
@@ -1619,9 +1628,11 @@ class AlmaSpark:
         if notes:
             meta["status_note"] = f"{old}->{status}: {notes}"
         item["metadata"] = meta or None
+        from alma_memory_spark.session import tiny_df
+
         self.store.upsert(
             "work_items",
-            self.spark.createDataFrame([item], schemas.WORK_ITEMS),
+            tiny_df(self.spark, [item], schemas.WORK_ITEMS),
             on_conflict="raise",  # _rmw_work_item re-runs the whole RMW
         )
         return item
@@ -1642,9 +1653,11 @@ class AlmaSpark:
                 return None
             item = rows[0].asDict(recursive=True)
             item.update(status="pending", blocked_by=[], updated_at=self._now())
+            from alma_memory_spark.session import tiny_df
+
             self.store.upsert(
                 "work_items",
-                self.spark.createDataFrame([item], schemas.WORK_ITEMS),
+                tiny_df(self.spark, [item], schemas.WORK_ITEMS),
                 on_conflict="raise",
             )
             return item
@@ -1724,8 +1737,10 @@ class AlmaSpark:
             "current_action": current_action,
             "created_at": self._now(),
         }
+        from alma_memory_spark.session import tiny_df
+
         self.store.append(
-            "progress_logs", self.spark.createDataFrame([row], schemas.PROGRESS_LOGS)
+            "progress_logs", tiny_df(self.spark, [row], schemas.PROGRESS_LOGS)
         )
         return row
 

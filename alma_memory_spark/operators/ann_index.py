@@ -213,13 +213,17 @@ class IVFIndex:
         vdir, prev = begin_version(path)
         idx = IVFIndex(spark, path, cells, Cn, id_type, extras, vroot=vdir)
         idx._write_lists(df, id_col, vec_col, mode="overwrite")
-        spark.createDataFrame(
+        from alma_memory_spark.session import tiny_df
+
+        tiny_df(
+            spark,
             [(int(c), [float(x) for x in Cn[i]]) for i, c in enumerate(cells)],
             "cell long, cvec array<double>",
         ).coalesce(1).write.mode("overwrite").parquet(os.path.join(vdir, "centroids"))
         import json as _json
 
-        spark.createDataFrame(
+        tiny_df(
+            spark,
             [(id_type, cent_every, _json.dumps(extras))],
             "id_type string, cent_every int, extra_cols string",
         ).coalesce(1).write.mode("overwrite").parquet(os.path.join(vdir, "meta"))
@@ -412,9 +416,9 @@ class IVFIndex:
             n = len(ids)
             if not n:
                 return 0
-            doomed = self.spark.createDataFrame(
-                [(i,) for i in ids], f"id {self.id_type}"
-            )
+            from alma_memory_spark.session import tiny_df
+
+            doomed = tiny_df(self.spark, [(i,) for i in ids], f"id {self.id_type}")
         doomed.coalesce(1).write.mode("append").parquet(self._tombstones_path())
         return n
 

@@ -155,8 +155,10 @@ def assess_strategies(
         (i, s, embedder.encode(f"{s} {context}"), embedder.encode(context))
         for i, s in enumerate(strategies)
     ]
-    sdf = spark.createDataFrame(
-        rows, "sid int, strategy string, qvec array<float>, cvec array<float>"
+    from alma_memory_spark.session import tiny_df
+
+    sdf = tiny_df(
+        spark, rows, "sid int, strategy string, qvec array<float>, cvec array<float>"
     )
 
     # ONE pass per memory table: each crossJoin carries both retrieval

@@ -52,7 +52,9 @@ def k_hop_neighbors(
     e = e.distinct()
 
     spark = relationships.sparkSession
-    frontier = spark.createDataFrame([(i,) for i in start_ids], "id string")
+    from alma_memory_spark.session import tiny_df
+
+    frontier = tiny_df(spark, [(i,) for i in start_ids], "id string")
     visited = frontier.withColumn("hop", F.lit(0))
     # Fixed-depth expansion with NO per-hop driver round-trip: max_hops
     # is a small contract bound (reference default 2), and an exhausted

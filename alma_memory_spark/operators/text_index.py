@@ -402,7 +402,10 @@ class InvertedTextIndex:
     def _write_stats(spark, path, n, sdl, n_buckets, id_col, id_type, extras=None) -> None:
         import json
 
-        spark.createDataFrame(
+        from alma_memory_spark.session import tiny_df
+
+        tiny_df(
+            spark,
             [(n, sdl, n_buckets, id_col, id_type, json.dumps(extras or []))],
             "n_docs long, sum_dl long, n_buckets int, id_col string, "
             "id_type string, extra_cols string",
@@ -465,7 +468,9 @@ class InvertedTextIndex:
                     )
                 )
             rows = merged.collect()
-            self.spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            from alma_memory_spark.session import tiny_df
+
+            tiny_df(self.spark, rows, schema).coalesce(1).write.mode(
                 "overwrite"
             ).parquet(gpath)
         self.n_docs += dn

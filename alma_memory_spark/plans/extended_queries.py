@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from alma_memory_spark.session import tiny_df as _tiny
 from alma_memory_spark.plans.registry import (
     _COS_SQL,
     _QV_SQL,
@@ -327,7 +328,7 @@ def mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = [
         (i + 1, r["vec_id"], float(r["similarity"])) for i, r in enumerate(picked)
     ]
-    return spark.createDataFrame(out, "mmr_rank INT, vec_id BIGINT, similarity DOUBLE")
+    return _tiny(spark, out, "mmr_rank INT, vec_id BIGINT, similarity DOUBLE")
 
 
 ARCHIVE_CUTOFF = "2024-01-15 00:00:00"
@@ -403,7 +404,7 @@ def archive_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id")
         )
         rows = out.collect()  # materialize before the temp dir vanishes
-        return spark.createDataFrame(rows, out.schema)
+        return _tiny(spark, rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from alma_memory_spark.plans.registry import _t, register
+from alma_memory_spark.session import tiny_df as _tiny
 
 # (file, doc_ids, roles) layout shared by the Spark side and the oracle.
 # Formats covered: Claude-Code JSONL, Codex JSONL (meta line + turns),
@@ -137,6 +138,6 @@ def chat_ingest_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source", "turn")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _tiny(spark, rows, out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)

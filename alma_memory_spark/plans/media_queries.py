@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from alma_memory_spark.functions import text as X
+from alma_memory_spark.session import tiny_df as _tiny
 from alma_memory_spark.plans.registry import _r6, _t, register
 from alma_memory_spark.plans.text_queries import TFIDF_SEARCH_SQL
 
@@ -162,4 +163,4 @@ def rerank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for i, r in enumerate(reranked)
     ]
-    return spark.createDataFrame(out, "rerank_pos int, doc_id bigint, overlap int")
+    return _tiny(spark, out, "rerank_pos int, doc_id bigint, overlap int")

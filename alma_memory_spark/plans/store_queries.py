@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from alma_memory_spark.plans.registry import _r6, _t, register
+from alma_memory_spark.session import tiny_df as _tiny
 
 _CUTOFF = "2024-01-15 00:00:00"
 
@@ -265,7 +266,7 @@ def store_write_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(txlog_out)
         )
         rows = out.collect()  # materialize before the temp roots vanish
-        return spark.createDataFrame(rows, out.schema)
+        return _tiny(spark, rows, out.schema)
     finally:
         if prev_mig is None:
             _schemas.ALL_TABLES.pop("_mig_gate", None)
@@ -348,7 +349,7 @@ def streaming_learn_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _tiny(spark, rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -405,7 +406,7 @@ def workflow_scope_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _tiny(spark, rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -468,7 +469,7 @@ def embedding_encode_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(norm).alias("norm"),
     ).orderBy("text_id")
     rows = out.collect()
-    return spark.createDataFrame(rows, out.schema)
+    return _tiny(spark, rows, out.schema)
 
 
 @register(
@@ -551,7 +552,7 @@ def graph_asof_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source_name")
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _tiny(spark, rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -861,6 +862,6 @@ def engine_retrieve_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("ann", r["id"], round(float(r["score"]), 6))
             for r in s.domain_knowledge
         ]
-        return spark.createDataFrame(out, "variant string, id string, score double")
+        return _tiny(spark, out, "variant string, id string, score double")
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -21,6 +21,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from alma_memory_spark.functions import text as X
+from alma_memory_spark.session import tiny_df as _tiny
 from alma_memory_spark.functions.vector import cosine_similarity
 from alma_memory_spark.plans.registry import (
     _QV_SQL,
@@ -821,7 +822,7 @@ def tfidf_scores_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     qtoks = _TFIDF_QUERY.lower().split()
     qtf = 1.0 / len(qtoks)
-    qterms = docs.sparkSession.createDataFrame(
+    qterms = _tiny(docs.sparkSession, 
         [(t, qtf) for t in qtoks], "term string, qtf double"
     )
     qvec = qterms.join(idf, "term", "left").select(

@@ -100,6 +100,62 @@ def ensure_package_shipped(spark: SparkSession) -> None:
         _SHIPPED_SESSIONS.add(key)
 
 
+def _schema_field_names(schema: str) -> list[str]:
+    """Top-level column names of a DDL schema string ('a long, b
+    array<double>') — splits on commas OUTSIDE <...> nesting."""
+    names, depth, tok = [], 0, []
+    for ch in schema:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            names.append("".join(tok))
+            tok = []
+        else:
+            tok.append(ch)
+    names.append("".join(tok))
+    return [n.strip().split()[0] for n in names if n.strip()]
+
+
+def tiny_df(spark: SparkSession, rows, schema: str):
+    """Small literal DataFrame via the driver-side Arrow path.
+
+    `spark.createDataFrame(list, schema)` parallelizes through a Python
+    RDD: every job that touches the result spins Python workers, which
+    costs SECONDS per tiny write on a wide local session (measured:
+    4-7 s to write 40 rows at local[32] vs 0.2-0.5 s through the
+    pandas/Arrow conversion, which plans as a JVM-only LocalRelation).
+    Index-build metadata writes (centroids, stats) sit on serving
+    rebuild paths, so the difference is benchmark-visible. Rows may be
+    tuples, dicts, or Rows; empty input returns an empty frame without
+    a job. Any pandas/Arrow conversion trouble (exotic nested types,
+    int columns with nulls) falls back to the plain path — tiny_df is
+    an optimization, never a semantics change."""
+    import pandas as pd
+
+    rows = list(rows)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    try:
+        names = (
+            _schema_field_names(schema)
+            if isinstance(schema, str)
+            else list(schema.fieldNames())
+        )
+        first = rows[0]
+        if isinstance(first, dict):
+            data = [tuple(r.get(n) for n in names) for r in rows]
+        elif hasattr(first, "asDict"):  # pyspark Row
+            data = [tuple(r.asDict().get(n) for n in names) for r in rows]
+        else:
+            data = [tuple(r) for r in rows]
+        pdf = pd.DataFrame(data, columns=names, dtype=object)
+        return spark.createDataFrame(pdf, schema)
+    except Exception:
+        return spark.createDataFrame(rows, schema)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     from pyspark.sql import functions as F
 

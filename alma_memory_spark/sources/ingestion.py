@@ -145,7 +145,9 @@ def _norm_driver_json(spark: SparkSession, path: str, fmt: str) -> DataFrame:
         for item in data:
             if isinstance(item, dict) and item.get("type") == "message":
                 add(item.get("user") or "user", item.get("text"))
-    return spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    from alma_memory_spark.session import tiny_df
+
+    return tiny_df(spark, rows, TRANSCRIPT_SCHEMA)
 
 
 def _norm_text(spark: SparkSession, path: str, transcript: bool) -> DataFrame:

@@ -405,8 +405,11 @@ class ParquetStore:
         an analysis-time cost of its own."""
         if len(pairs) <= 32:
             return df.filter(self._pairs_predicate(pairs))
+        from alma_memory_spark.session import tiny_df
+
         null_tag = "\x00null"
-        pairs_df = self.spark.createDataFrame(
+        pairs_df = tiny_df(
+            self.spark,
             [
                 (p if p is not None else null_tag, a if a is not None else null_tag)
                 for p, a in pairs
@@ -724,7 +727,9 @@ class ParquetStore:
         # materialize to the driver BEFORE rewriting the files the plan
         # reads from (a .cache() is not durable across the overwrite)
         rows = arch.filter(F.col("id").isin(memory_ids)).collect()
-        hit = self.spark.createDataFrame(rows, schemas.ARCHIVED_MEMORIES)
+        from alma_memory_spark.session import tiny_df
+
+        hit = tiny_df(self.spark, rows, schemas.ARCHIVED_MEMORIES)
         remaining = arch.filter(~F.col("id").isin(memory_ids))
         self.overwrite("archived_memories", remaining)
         return hit
@@ -890,8 +895,11 @@ class ParquetStore:
         # Join on null-coalesced surrogates: a plain equi-join would
         # silently DROP rows of a NULL-keyed partition (hive
         # __HIVE_DEFAULT_PARTITION__), losing that partition on rewrite.
+        from alma_memory_spark.session import tiny_df
+
         null_tag = "\x00null"
-        pairs_df = self.spark.createDataFrame(
+        pairs_df = tiny_df(
+            self.spark,
             [(p if p is not None else null_tag, a if a is not None else null_tag, k)
              for (p, a), k in plan],
             "_pj string, _ag string, _k int",
