@@ -156,7 +156,27 @@ def tiny_df(spark: SparkSession, rows, schema: str):
         return spark.createDataFrame(rows, schema)
 
 
+#: (sparkContext id, sf_dir, name) -> DataFrame. A DataFrame is an
+#: immutable logical plan, so handing the same object out again is
+#: semantically identical to rebuilding it — but rebuilding costs a
+#: parquet footer read + conf RPCs (~0.1 s per call), which across
+#: 50 gates x 2 tables x 2 bench runs is tens of seconds of pure
+#: plan-construction overhead. The synthetic tables never change
+#: within a session; a new session (new context id) misses the cache.
+_TABLE_CACHE: dict[tuple, object] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
+    key = (id(spark.sparkContext), sf_dir, name)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    df = _load_table_uncached(spark, sf_dir, name)
+    _TABLE_CACHE[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str):
     from pyspark.sql import functions as F
 
     # the driver may hand us a session without this (runtime-settable) conf
