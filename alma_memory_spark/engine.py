@@ -1177,6 +1177,90 @@ class AlmaSpark:
         )
         return [r.asDict(recursive=True) for r in out.collect()]
 
+    def search_vectors_batch(
+        self,
+        tasks: list[str],
+        agent: str | None = None,
+        project_id: str | None = None,
+        table: str = "domain_knowledge",
+        top_k: int = 10,
+        nprobe: int = 3,
+    ) -> dict[str, list[dict[str, Any]]]:
+        """Batch form of search_vectors: N queries in ONE Spark job
+        instead of N (the reference's benchmark harness ranks all its
+        questions per job for the same reason — benchmarks/longmem.py
+        one-job ranking; FAISS exposes the same batch dimension on
+        Index.search). Per-task results are identical to
+        search_vectors(task): index path via IVFIndex.search_batch
+        (union-of-probes pruned scan + per-query mask + one qid
+        shuffle), exact path via a broadcast query crossJoin over the
+        scoped scan. Returns {task: rows}."""
+        from pyspark.sql.window import Window as W
+
+        from alma_memory_spark.functions.vector import cosine_similarity
+        from alma_memory_spark.session import tiny_df
+
+        if not tasks:
+            return {}
+        if not self.store.exists(table):
+            return {task: [] for task in tasks}
+        qids = [str(i) for i in range(len(tasks))]
+        qvecs = [self.embedder.encode(sanitize_query(t)) for t in tasks]
+        df = self.store.read(table)
+        if "project_id" in df.columns and project_id is not None:
+            df = df.filter(F.col("project_id") == project_id)
+        if "agent" in df.columns and agent is not None:
+            df = df.filter(F.col("agent") == agent)
+        if self._has_ivf_index(table):
+            idx = self._load_ivf(table)
+            indexed = {n for n, _t in idx.extra_cols}
+            want = {}
+            if project_id is not None and "project_id" in df.columns:
+                want["project_id"] = project_id
+            if agent is not None and "agent" in df.columns:
+                want["agent"] = agent
+            if set(want) <= indexed:
+                hits = idx.search_batch(
+                    list(zip(qids, qvecs)), k=top_k, nprobe=nprobe,
+                    filters=want,
+                )
+            else:
+                hits = idx.search_batch(
+                    list(zip(qids, qvecs)), k=top_k, nprobe=nprobe,
+                    live_ids=df.select("id"),
+                )
+        else:
+            qdf = tiny_df(
+                self.spark,
+                [(q, [float(x) for x in v]) for q, v in zip(qids, qvecs)],
+                "qid string, qvec array<double>",
+            )
+            scored = (
+                df.filter(F.col("embedding").isNotNull())
+                .crossJoin(F.broadcast(qdf))
+                .select(
+                    "qid",
+                    "id",
+                    F.round(
+                        cosine_similarity("embedding", F.col("qvec")), 6
+                    ).alias("similarity"),
+                )
+            )
+            w = W.partitionBy("qid").orderBy(F.desc("similarity"), F.asc("id"))
+            hits = (
+                scored.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") <= top_k)
+                .drop("_rk")
+            )
+        out = hits.join(df, "id", "inner").orderBy(
+            "qid", F.desc("similarity"), F.asc("id")
+        )
+        by_qid: dict[str, list[dict[str, Any]]] = {q: [] for q in qids}
+        for r in out.collect():
+            d = r.asDict(recursive=True)
+            by_qid[d.pop("qid")].append(d)
+        return {task: by_qid[q] for task, q in zip(tasks, qids)}
+
     def search_hybrid(
         self,
         task: str,

@@ -560,3 +560,123 @@ class IVFIndex:
             score, f"id {self.id_type}, similarity double"
         )
         return hits.orderBy(F.desc("similarity"), F.asc("id")).limit(k)
+
+    def search_batch(
+        self,
+        queries,
+        k: int = 10,
+        nprobe: int = 3,
+        live_ids: DataFrame | None = None,
+        filters: dict | None = None,
+    ) -> DataFrame:
+        """Multi-query ANN in ONE job — the serving-throughput shape.
+
+        Per-query search() launches one Spark job per query; a serving
+        tier handling a query stream wants N queries amortized over one
+        pruned scan (FAISS exposes exactly this as the batch dimension
+        of Index.search). `queries` is a list of (qid, query_vec);
+        returns (qid, id, similarity): each query's exact cosine top-k
+        over ITS nprobe probed cells, per-query results identical to
+        search() — same 6dp rounding, same DESC/id-ASC tiebreaks.
+
+        Plan shape: all queries probe the quantizer driver-side (one
+        vectorized matmul); the scan prunes to the UNION of probed
+        cells (still PartitionFilters — reads max nprobe x |queries|
+        directories, typically far fewer due to overlap); one fused
+        Arrow kernel scores each list row against exactly the queries
+        that probed its cell (per-batch BLAS matmul + mask); one
+        shuffle on qid for the per-query window top-k. Tombstone /
+        live-id / scope-filter guards are identical to search()."""
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.window import Window as W
+
+        from alma_memory_spark.session import ensure_package_shipped
+
+        ensure_package_shipped(self.spark)
+        queries = list(queries)
+        if not queries:
+            return self.spark.createDataFrame(
+                [], f"qid string, id {self.id_type}, similarity double"
+            )
+        qids = [str(q) for q, _v in queries]
+        Qn = np.array(
+            [np.array(v, dtype=np.float64) for _q, v in queries]
+        )
+        Qn = Qn / np.maximum(np.linalg.norm(Qn, axis=1, keepdims=True), 1e-300)
+        # one matmul probes every query; per-query nprobe cut with the
+        # same (sim DESC, cell DESC) tie order as probe_cells
+        qsims = np.round(Qn @ self.Cn.T, 6)  # |Q| x n_cells
+        probed_per_q = []
+        for row in qsims:
+            order = np.lexsort((-self.cells, -row))
+            probed_per_q.append(set(self.cells[order[:nprobe]].tolist()))
+        union_cells = sorted(set().union(*probed_per_q))
+        # per-cell boolean mask over queries: list row in cell c scores
+        # only against queries that probed c
+        cell_qmask = {
+            c: np.array([c in p for p in probed_per_q]) for c in union_cells
+        }
+
+        pruned = self._lists_df().filter(F.col("cell").isin(union_cells))
+        for col, val in (filters or {}).items():
+            if col not in {n for n, _t in self.extra_cols}:
+                raise ValueError(
+                    f"filter column '{col}' was not indexed "
+                    f"(extra_cols={[n for n, _t in self.extra_cols]})"
+                )
+            if isinstance(val, (list, tuple, set, frozenset)):
+                pruned = pruned.filter(F.col(col).isin(list(val)))
+            else:
+                pruned = pruned.filter(F.col(col) == val)
+        dead = self.tombstones()
+        if dead is not None:
+            pruned = pruned.join(F.broadcast(dead), "id", "left_anti")
+        if live_ids is not None:
+            pruned = pruned.join(live_ids.toDF("id"), "id", "left_semi")
+
+        qids_, Qn_, mask_ = qids, Qn, cell_qmask
+
+        def score(it):
+            qarr = np.array(qids_, dtype=object)
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                Vn = V / np.maximum(
+                    np.linalg.norm(V, axis=1, keepdims=True), 1e-300
+                )
+                S = np.round(Vn @ Qn_.T, 6)  # rows x |Q|
+                cells_col = pdf["cell"].to_numpy()
+                ids_col = pdf["id"].to_numpy()
+                out_q, out_id, out_s = [], [], []
+                for c in np.unique(cells_col):
+                    qm = mask_.get(int(c))
+                    if qm is None or not qm.any():
+                        continue
+                    rm = cells_col == c
+                    sub = S[np.ix_(rm, qm)]
+                    n_r, n_q = sub.shape
+                    out_q.append(np.repeat(qarr[qm][None, :], n_r, 0).ravel())
+                    out_id.append(np.repeat(ids_col[rm], n_q))
+                    out_s.append(sub.ravel())
+                if not out_q:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "qid": np.concatenate(out_q),
+                        "id": np.concatenate(out_id),
+                        "similarity": np.concatenate(out_s),
+                    }
+                )
+
+        hits = pruned.select("id", "embedding", "cell").mapInPandas(
+            score, f"qid string, id {self.id_type}, similarity double"
+        )
+        w = W.partitionBy("qid").orderBy(F.desc("similarity"), F.asc("id"))
+        return (
+            hits.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .drop("_rk")
+            .orderBy("qid", F.desc("similarity"), F.asc("id"))
+        )

@@ -45,6 +45,9 @@ WINNOW_CONTAIN_T = 0.4  # winnow containment threshold for this corpus
 # (sf_dir -> index root); see the gate docstring
 _TEXT_INDEX_GATE_CACHE: dict[str, str] = {}
 _TEXT_INDEX_GATE_LOCK = threading.Lock()
+# same pattern for ann_approx_topk's persisted IVF batch stage
+_IVF_INDEX_GATE_CACHE: dict[str, str] = {}
+_IVF_INDEX_GATE_LOCK = threading.Lock()
 
 
 # ---------------------------------------------------------------------------
@@ -634,16 +637,54 @@ _IVF_EQDOT = "list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i] * q[i]))
       WHERE assign.cell IN (SELECT cell FROM probe)
       ORDER BY similarity DESC, e.vec_id ASC
       LIMIT 10
+    ),
+    qs AS (
+      SELECT vec_id AS qid, list_transform(embedding, x -> x::DOUBLE) AS q2,
+             sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS qnrm
+      FROM embeddings WHERE vec_id IN (3, 17, 29)
+    ),
+    probeb AS (
+      SELECT qid, cell FROM (
+        SELECT qs.qid, c.cell,
+               row_number() OVER (
+                 PARTITION BY qs.qid
+                 ORDER BY round(
+                   list_sum(list_transform(range(1, len(c.cvec)+1), i -> c.cvec[i] * qs.q2[i]))
+                   / (c.cnrm * qs.qnrm), 6) DESC, c.cell DESC
+               ) AS rn
+        FROM cents c, qs
+      ) WHERE rn <= {IVF_NPROBE}
+    ),
+    ivfb AS (
+      SELECT qid, vec_id, similarity FROM (
+        SELECT qid, vec_id, similarity,
+               row_number() OVER (
+                 PARTITION BY qid ORDER BY similarity DESC, vec_id ASC
+               ) AS rk
+        FROM (
+          SELECT qs.qid, e.vec_id,
+                 round(
+                   list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i] * qs.q2[i]))
+                   / (e.nrm * qs.qnrm), 6) AS similarity
+          FROM e
+          JOIN assign ON e.vec_id = assign.vec_id
+          JOIN probeb ON assign.cell = probeb.cell
+          JOIN qs ON qs.qid = probeb.qid
+        )
+      ) WHERE rk <= 10
     )
     SELECT 'lsh' AS method, vec_id, similarity FROM lsh
     UNION ALL
     SELECT 'ivf', vec_id, similarity FROM ivf
+    UNION ALL
+    SELECT 'ivf_batch:' || CAST(qid AS VARCHAR), vec_id, similarity FROM ivfb
     """,
 )
 def ann_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite gate: BOTH approximate-ANN strategies (merged r3 from
     ann_lsh_bucketed + ann_ivf_probe, both driver-green in r2, to fit
-    the 50-query correctness cap). Exact counterpart: vector_topk.
+    the 50-query correctness cap) plus the r5 BATCH serving stage.
+    Exact counterpart: vector_topk.
 
     'lsh' rows — sign-bit LSH (random-hyperplane family, axis-aligned
     variant): bucket = sign bits of the first 4 dims; search only the
@@ -730,8 +771,49 @@ def ann_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ivf = hits.orderBy(F.desc("similarity"), F.asc("vec_id")).limit(10)
     lsh = _lsh_bucket_topk(spark, sf_dir)
-    return lsh.select(F.lit("lsh").alias("method"), "*").unionByName(
-        ivf.select(F.lit("ivf").alias("method"), "*")
+
+    # 'ivf_batch:<qid>' rows — the REAL persisted IVFIndex serving a
+    # MULTI-QUERY batch (operators/ann_index.py:search_batch): three
+    # query vectors amortized over one pruned scan, per-query top-10
+    # identical to single-query search. Build-once, serve-many: the
+    # index is cached per sf_dir like the text gate's (the driver's
+    # one-shot correctness run pays the build; repeats measure the
+    # serve path). The oracle re-derives every query's probe + scoring
+    # in SQL, so a wrong per-query mask, a cross-query rank leak, or a
+    # probe-union over-read all hash-mismatch.
+    import atexit
+    import shutil
+    import tempfile
+
+    from alma_memory_spark.operators.ann_index import IVFIndex
+
+    with _IVF_INDEX_GATE_LOCK:
+        ivroot = _IVF_INDEX_GATE_CACHE.get(sf_dir)
+        if ivroot is None:
+            ivroot = tempfile.mkdtemp(prefix="alma_ivf_index_gate_")
+            IVFIndex.build(
+                spark, emb, ivroot, id_col="vec_id",
+                vec_col="embedding", cent_every=IVF_CENT_EVERY,
+            )
+            _IVF_INDEX_GATE_CACHE[sf_dir] = ivroot
+            atexit.register(shutil.rmtree, ivroot, ignore_errors=True)
+    idx = IVFIndex.load(spark, ivroot)
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in sorted(
+            emb.filter(F.col("vec_id").isin(3, 17, 29)).collect(),
+            key=lambda r: r["vec_id"],
+        )
+    ]
+    batch = idx.search_batch(queries, k=10, nprobe=IVF_NPROBE).select(
+        F.concat(F.lit("ivf_batch:"), F.col("qid")).alias("method"),
+        F.col("id").alias("vec_id"),
+        "similarity",
+    )
+    return (
+        lsh.select(F.lit("lsh").alias("method"), "*")
+        .unionByName(ivf.select(F.lit("ivf").alias("method"), "*"))
+        .unionByName(batch)
     )
 
 

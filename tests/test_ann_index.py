@@ -357,3 +357,45 @@ def test_versioned_rebuild_swaps_atomically_and_gcs(spark, tmp_path):
     legacy = IVFIndex.load(spark, flat)
     assert legacy.vroot == flat
     assert legacy.search(QUERY_VEC, k=5, nprobe=3).count() == 5
+
+
+def test_search_batch_matches_per_query_search(spark, tmp_path):
+    """search_batch: N queries amortized over ONE pruned scan must
+    return, per query, exactly search()'s rows (same 6dp rounding and
+    tiebreaks) — including under scope filters and tombstones."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    docs = emb.selectExpr(
+        "vec_id", "embedding", "concat('agent', vec_id % 3) AS agent"
+    )
+    path = str(tmp_path / "ivf_batch")
+    idx = IVFIndex.build(spark, docs, path, cent_every=25, extra_cols=["agent"])
+    qrows = emb.filter("vec_id IN (3, 17, 29)").collect()
+    queries = [(r["vec_id"], r["embedding"]) for r in qrows]
+
+    batch = idx.search_batch(queries, k=8, nprobe=3).collect()
+    assert {r["qid"] for r in batch} == {"3", "17", "29"}
+    for qid, vec in queries:
+        single = idx.search(vec, k=8, nprobe=3).collect()
+        got = [
+            (r["id"], r["similarity"]) for r in batch if r["qid"] == str(qid)
+        ]
+        assert got == [(r["id"], r["similarity"]) for r in single], qid
+
+    # scoped batch == scoped singles
+    sb = idx.search_batch(
+        queries, k=5, nprobe=4, filters={"agent": "agent1"}
+    ).collect()
+    for qid, vec in queries:
+        single = idx.search(
+            vec, k=5, nprobe=4, filters={"agent": "agent1"}
+        ).collect()
+        got = [(r["id"], r["similarity"]) for r in sb if r["qid"] == str(qid)]
+        assert got == [(r["id"], r["similarity"]) for r in single], qid
+
+    # tombstones hold for the batch path too
+    doomed = [batch[0]["id"]]
+    idx.forget(doomed)
+    after = idx.search_batch(queries, k=8, nprobe=3).collect()
+    assert doomed[0] not in {r["id"] for r in after}
+
+    assert idx.search_batch([], k=3).count() == 0

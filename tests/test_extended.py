@@ -755,3 +755,37 @@ def test_streaming_into_scoped_text_index(spark, tmp_path):
     assert [(r["id"], round(r["bm25_score"], 9)) for r in got] == [
         (r["id"], round(r["bm25_score"], 9)) for r in want
     ]
+
+
+def test_search_vectors_batch_matches_singles(spark, tmp_path):
+    """search_vectors_batch: N tasks in one job == N search_vectors
+    calls, on BOTH the exact-scan path (no index) and the IVF-served
+    path (scope-aware index, every cell probed)."""
+    from alma_memory_spark.engine import AlmaSpark
+
+    eng = AlmaSpark(spark, str(tmp_path / "batch"))
+    for i in range(20):
+        eng.add_knowledge("a1", "p1", "d", f"batch serving fact {i % 5} item {i}")
+    tasks = ["batch serving fact 1", "batch serving fact 3", "item 7"]
+
+    def flat(rows):
+        return [(r["id"], r["similarity"]) for r in rows]
+
+    # exact path
+    batch = eng.search_vectors_batch(tasks, agent="a1", project_id="p1", top_k=4)
+    assert set(batch) == set(tasks)
+    for t in tasks:
+        single = eng.search_vectors(t, agent="a1", project_id="p1", top_k=4)
+        assert flat(batch[t]) == flat(single), t
+        assert batch[t][0]["fact"] is not None  # hydrated rows
+
+    # IVF-served path
+    rep = eng.index_vectors("domain_knowledge", cent_every=5)
+    batch2 = eng.search_vectors_batch(
+        tasks, agent="a1", project_id="p1", top_k=4, nprobe=rep["n_cells"]
+    )
+    for t in tasks:
+        single = eng.search_vectors(
+            t, agent="a1", project_id="p1", top_k=4, nprobe=rep["n_cells"]
+        )
+        assert flat(batch2[t]) == flat(single), t
