@@ -825,8 +825,8 @@ class AlmaSpark:
         (ADVICE r4, engine.py:827)."""
         if max_age_days is None and min_confidence is None and quota is None:
             return 0
-        idx = self._load_ivf(table) if self._has_ivf_index(table) else None
         staged: list[str] = []
+        held: dict[str, Any] = {}
 
         def doom(df: DataFrame) -> DataFrame:
             scoped = df.filter(F.col("project_id") == project_id)
@@ -834,7 +834,14 @@ class AlmaSpark:
                 scoped, table, max_age_days, min_confidence, quota
             )
             doomed = scoped.join(ids, "id", "left_semi")
-            if idx is not None:
+            if self._has_ivf_index(table):
+                # resolve the handle IN-LOCK: index rebuilds hold the
+                # same table lock, so resolving here pins the version
+                # that is _CURRENT for this delete — a handle resolved
+                # before the lock could be one rebuild stale, and its
+                # tombstones would publish into a superseded version
+                # dir that serving no longer reads
+                idx = held["idx"] = self._load_ivf(table)
                 while staged:  # earlier conflict-aborted attempt
                     idx.abort_forget(staged.pop())
                 staged.append(idx.stage_forget(doomed.select("id")))
@@ -844,13 +851,13 @@ class AlmaSpark:
             n = self.store.delete(table, doom, reason=reason, memory_type=table)
         except BaseException:
             while staged:
-                idx.abort_forget(staged.pop())
+                held["idx"].abort_forget(staged.pop())
             raise
         if staged:
             if n:
-                idx.commit_forget(staged.pop())
+                held["idx"].commit_forget(staged.pop())
             else:
-                idx.abort_forget(staged.pop())
+                held["idx"].abort_forget(staged.pop())
         if n:
             self._invalidate_cache(project_id=project_id)
             self._emit("DELETED", "", project_id, table, None,
@@ -880,8 +887,12 @@ class AlmaSpark:
 
     def _consolidate_once(self, table: str, project_id: str, threshold: float) -> int:
         staged: str | None = None
-        idx = self._load_ivf(table) if self._has_ivf_index(table) else None
+        idx = None
         with self.store._table_lock(table):
+            # handle resolved IN-LOCK (see forget: a pre-lock handle can
+            # be one rebuild stale and tombstone a superseded version)
+            if self._has_ivf_index(table):
+                idx = self._load_ivf(table)
             # ONE read for both the project slice and the rest: a second
             # read(table) would advance the txlog conflict anchor past
             # commits that landed between the two reads, hiding them

@@ -316,9 +316,23 @@ class IVFIndex:
         same as the store's partition-scoped upsert contract."""
         from alma_memory_spark.session import ensure_package_shipped
 
+        self._require_live_version()
         ensure_package_shipped(self.spark)
         self._write_lists(df, id_col, vec_col, mode="append")
         return self
+
+    def _require_live_version(self) -> None:
+        """Mutations through a handle whose version dir was GC-ed (two
+        rebuilds happened since load) must fail loudly: a parquet write
+        would silently recreate the deleted dir and the data would
+        never be served. Readers don't need this (their files exist for
+        at least one swap); only add/add_epoch/forget mutate."""
+        if self.vroot != self.path and not os.path.isdir(self.vroot):
+            raise RuntimeError(
+                f"index version {os.path.basename(self.vroot)} of "
+                f"{self.path} was superseded and garbage-collected; "
+                "reload the index (IVFIndex.load) before writing"
+            )
 
     # ---- epoch segments (exactly-once streaming adds) -----------------
 
@@ -359,6 +373,7 @@ class IVFIndex:
 
         from alma_memory_spark.operators.text_index import InvertedTextIndex
 
+        self._require_live_version()
         seg = os.path.join(self._segments_root(), str(int(epoch)))
         commit_path = os.path.join(seg, "_COMMIT")
         if os.path.isfile(commit_path):
@@ -406,6 +421,7 @@ class IVFIndex:
         tombstones are harmless (the guard is an anti-join).
 
         `ids` is a list of id values or a 1-column DataFrame."""
+        self._require_live_version()
         if isinstance(ids, DataFrame):
             doomed = ids.toDF("id").select(F.col("id").cast(self.id_type))
             n = doomed.count()
@@ -600,6 +616,8 @@ class IVFIndex:
                 [], f"qid string, id {self.id_type}, similarity double"
             )
         qids = [str(q) for q, _v in queries]
+        if len(set(qids)) != len(qids):
+            raise ValueError("duplicate qid in batch (after str() folding)")
         Qn = np.array(
             [np.array(v, dtype=np.float64) for _q, v in queries]
         )

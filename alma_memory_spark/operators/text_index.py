@@ -137,6 +137,17 @@ class InvertedTextIndex:
             self.n_docs += sn
             self.sum_dl += ssdl
 
+    def _require_live_version(self) -> None:
+        """See IVFIndex._require_live_version: a mutation through a
+        handle whose version dir was GC-ed would silently recreate the
+        deleted dir and never be served."""
+        if self.vroot != self.path and not os.path.isdir(self.vroot):
+            raise RuntimeError(
+                f"index version {os.path.basename(self.vroot)} of "
+                f"{self.path} was superseded and garbage-collected; "
+                "reload the index (InvertedTextIndex.load) before writing"
+            )
+
     # ---- epoch segments (exactly-once streaming adds) -----------------
 
     def _segments_root(self) -> str:
@@ -192,6 +203,7 @@ class InvertedTextIndex:
         lineage's segments) before pointing a new checkpoint at it."""
         import json
 
+        self._require_live_version()
         seg = os.path.join(self._segments_root(), str(int(epoch)))
         commit_path = os.path.join(seg, "_COMMIT")
         if os.path.isfile(commit_path):
@@ -436,6 +448,7 @@ class InvertedTextIndex:
         immediately visible and exactly correct. Assumes doc ids are
         new (append-only corpus); replacing a doc = rebuild its rows,
         same as the store's partition-scoped upsert contract."""
+        self._require_live_version()
         postings = self._postings(
             docs, self.id_col, text_col, self.n_buckets, self.extra_cols
         )

@@ -399,3 +399,26 @@ def test_search_batch_matches_per_query_search(spark, tmp_path):
     assert doomed[0] not in {r["id"] for r in after}
 
     assert idx.search_batch([], k=3).count() == 0
+
+
+def test_superseded_handle_mutations_fail_loud(spark, tmp_path):
+    """A handle two rebuilds stale points at a GC-ed version dir; its
+    add/add_epoch/forget must raise instead of silently recreating the
+    deleted dir with data nothing will ever serve."""
+    import pytest as _pytest
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "ivf_gc")
+    v1 = IVFIndex.build(spark, emb.filter("vec_id % 2 = 0"), path, cent_every=50)
+    IVFIndex.build(spark, emb, path, cent_every=50)       # v2 (v1 retained)
+    v1.forget([2])  # one swap stale: version retained, mutation still lands
+    IVFIndex.build(spark, emb, path, cent_every=25)       # v3 (v1 GC-ed)
+    newer = emb.filter("vec_id % 2 = 1")
+    with _pytest.raises(RuntimeError, match="superseded"):
+        v1.add(newer)
+    with _pytest.raises(RuntimeError, match="superseded"):
+        v1.add_epoch(newer, epoch=0)
+    with _pytest.raises(RuntimeError, match="superseded"):
+        v1.forget([4])
+    # the CURRENT handle still works
+    assert IVFIndex.load(spark, path).search(QUERY_VEC, k=3, nprobe=2).count() == 3
