@@ -1122,6 +1122,21 @@ class AlmaSpark:
             "indexed": True,
         }
 
+    @staticmethod
+    def _ann_scope_filters(df: DataFrame, idx, project_id, agent) -> dict | None:
+        """Scope predicates servable INSIDE the pruned index scan, or
+        None when the index lacks a needed scope column (callers then
+        fall back to the live-id semi-join guard). Shared by the single
+        and batch ANN paths so the scoping rule cannot diverge."""
+        want = {}
+        if project_id is not None and "project_id" in df.columns:
+            want["project_id"] = project_id
+        if agent is not None and "agent" in df.columns:
+            want["agent"] = agent
+        if set(want) <= {n for n, _t in idx.extra_cols}:
+            return want
+        return None
+
     def search_vectors(
         self,
         task: str,
@@ -1154,13 +1169,8 @@ class AlmaSpark:
             df = df.filter(F.col("agent") == agent)
         if self._has_ivf_index(table):
             idx = self._load_ivf(table)
-            indexed = {n for n, _t in idx.extra_cols}
-            want = {}
-            if project_id is not None and "project_id" in df.columns:
-                want["project_id"] = project_id
-            if agent is not None and "agent" in df.columns:
-                want["agent"] = agent
-            if set(want) <= indexed:
+            want = self._ann_scope_filters(df, idx, project_id, agent)
+            if want is not None:
                 hits = idx.search(qvec, k=top_k, nprobe=nprobe, filters=want)
             else:
                 hits = idx.search(
@@ -1224,13 +1234,8 @@ class AlmaSpark:
             df = df.filter(F.col("agent") == agent)
         if self._has_ivf_index(table):
             idx = self._load_ivf(table)
-            indexed = {n for n, _t in idx.extra_cols}
-            want = {}
-            if project_id is not None and "project_id" in df.columns:
-                want["project_id"] = project_id
-            if agent is not None and "agent" in df.columns:
-                want["agent"] = agent
-            if set(want) <= indexed:
+            want = self._ann_scope_filters(df, idx, project_id, agent)
+            if want is not None:
                 hits = idx.search_batch(
                     list(zip(qids, qvecs)), k=top_k, nprobe=nprobe,
                     filters=want,

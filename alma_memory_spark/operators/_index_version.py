@@ -13,16 +13,24 @@ protocol:
     <index>/v<N-1>/...    the previous build, retained for in-flight
                           readers (handles resolve _CURRENT once at
                           load and keep reading their snapshot)
+    <index>/.build-*      private staging of an in-progress build
 
-- build() writes the ENTIRE new index (lists/centroids/meta, or
-  postings/stats, plus fresh empty segments/tombstones state) under a
-  new v<N> dir that no reader resolves yet, then commits by an
-  fsync-ed rename onto _CURRENT — the single atomic commit point, the
-  same primitive the stores' swap/commit-claim protocols use.
+- build() writes the ENTIRE new index into a private `.build-<uuid>`
+  staging dir that no reader resolves and no other writer targets,
+  then CLAIMS a version number by an atomic `rename(staging, v<N>)`
+  (rename onto an existing dir fails, so two racing builds can never
+  claim the same number — the same claim primitive as the txlog
+  store's link-claimed commit files), and finally commits by an
+  fsync-ed rename onto _CURRENT — the single publish point.
 - readers resolve _CURRENT at load time; a handle created before a
-  swap keeps serving its own version's files, which the swap never
-  touches (snapshot isolation). Version dirs older than the previous
-  one are removed at swap time.
+  swap keeps serving its own version's files, which no swap ever
+  touches (snapshot isolation).
+- GC at commit removes only versions NUMERICALLY OLDER than the
+  committed one (minus the retained previous), so a racing build's
+  just-claimed HIGHER version is never deleted out from under its
+  commit; when two unlocked builds race, both land complete version
+  dirs and the last _CURRENT write wins. Stale `.build-*` dirs from
+  crashed builds are reaped after an hour.
 - pre-versioning FLAT layouts (index files directly under <index>/)
   keep working: resolution falls back to the index root when _CURRENT
   is absent, and the flat files are garbage-collected once they are
@@ -34,9 +42,12 @@ from __future__ import annotations
 import os
 import re
 import shutil
+import time
+import uuid
 
 CURRENT_FILE = "_CURRENT"
 _VDIR = re.compile(r"^v(\d+)$")
+_STAGING_TTL_SECONDS = 3600.0
 
 
 def resolve_vroot(path: str) -> str:
@@ -49,43 +60,67 @@ def resolve_vroot(path: str) -> str:
         return path
 
 
-def begin_version(path: str) -> tuple[str, str | None]:
-    """Start a new build: returns (new version dir abspath, previous
-    version NAME or None when the index was flat/absent). The new dir
-    is created empty; nothing resolves it until commit_version."""
-    prev = None
-    n = 1
+def _read_current(path: str) -> str | None:
     try:
         with open(os.path.join(path, CURRENT_FILE)) as f:
-            prev = f.read().strip()
-        m = _VDIR.match(prev)
-        n = (int(m.group(1)) if m else 0) + 1
+            return f.read().strip()
     except OSError:
-        pass
+        return None
+
+
+def _vnum(name: str | None) -> int:
+    m = _VDIR.match(name or "")
+    return int(m.group(1)) if m else 0
+
+
+def begin_version(path: str) -> str:
+    """Start a new build: returns a private staging dir under the index
+    root. Nothing resolves it; concurrent builds get distinct dirs."""
+    vdir = os.path.join(path, f".build-{uuid.uuid4().hex}")
+    os.makedirs(vdir)
+    return vdir
+
+
+def commit_version(path: str, staging: str,
+                   flat_subdirs: tuple[str, ...]) -> str:
+    """Claim a version number for the staged build (atomic rename —
+    racing builds bump past each other's claims), atomically swap
+    _CURRENT to it, then GC: keep the committed and previous versions,
+    drop numerically OLDER ones only (never a racer's newer claim),
+    drop flat-layout leftovers once a previous VERSIONED build exists,
+    and reap crashed builds' stale staging dirs. Returns the committed
+    version dir's abspath."""
+    prev = _read_current(path)
+    n = _vnum(prev) + 1
+    while True:
+        vdir = os.path.join(path, f"v{n}")
+        try:
+            os.rename(staging, vdir)  # VERSION CLAIM
+            break
+        except OSError:
+            if not os.path.isdir(vdir):
+                raise  # not a claim collision — surface it
+            n += 1
     vname = f"v{n}"
-    vdir = os.path.join(path, vname)
-    shutil.rmtree(vdir, ignore_errors=True)  # crashed prior attempt
-    os.makedirs(vdir, exist_ok=True)
-    return vdir, prev
-
-
-def commit_version(path: str, vdir: str, prev: str | None,
-                   flat_subdirs: tuple[str, ...]) -> None:
-    """Atomically swap _CURRENT to the freshly built version, then GC:
-    keep the new and previous versions (in-flight readers), drop older
-    ones, and drop flat-layout leftovers once a previous VERSIONED
-    build exists (they were superseded at least one build ago)."""
-    vname = os.path.basename(vdir)
-    tmp = os.path.join(path, CURRENT_FILE + ".tmp")
+    tmp = os.path.join(path, CURRENT_FILE + f".tmp-{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
         f.write(vname)
         f.flush()
         os.fsync(f.fileno())
-    os.rename(tmp, os.path.join(path, CURRENT_FILE))  # COMMIT POINT
+    os.rename(tmp, os.path.join(path, CURRENT_FILE))  # PUBLISH POINT
     keep = {vname} | ({prev} if prev else set())
     for d in os.listdir(path):
-        if _VDIR.match(d) and d not in keep:
+        if _VDIR.match(d) and d not in keep and _vnum(d) < n:
             shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+        elif d.startswith(".build-") and d != os.path.basename(staging):
+            full = os.path.join(path, d)
+            try:
+                stale = time.time() - os.path.getmtime(full) > _STAGING_TTL_SECONDS
+            except OSError:
+                continue
+            if stale:
+                shutil.rmtree(full, ignore_errors=True)
     if prev is not None:
         for d in flat_subdirs:
             shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    return vdir

@@ -210,7 +210,7 @@ class IVFIndex:
         # _CURRENT swap below (ADVICE r4: in-place overwrite could hand
         # a probe deleted list files or pair cached centroids with
         # half-written lists)
-        vdir, prev = begin_version(path)
+        vdir = begin_version(path)
         idx = IVFIndex(spark, path, cells, Cn, id_type, extras, vroot=vdir)
         idx._write_lists(df, id_col, vec_col, mode="overwrite")
         from alma_memory_spark.session import tiny_df
@@ -227,7 +227,7 @@ class IVFIndex:
             [(id_type, cent_every, _json.dumps(extras))],
             "id_type string, cent_every int, extra_cols string",
         ).coalesce(1).write.mode("overwrite").parquet(os.path.join(vdir, "meta"))
-        commit_version(path, vdir, prev, _FLAT_SUBDIRS)  # COMMIT POINT
+        idx.vroot = commit_version(path, vdir, _FLAT_SUBDIRS)  # COMMIT POINT
         return idx
 
     def _write_lists(
@@ -322,16 +322,23 @@ class IVFIndex:
         return self
 
     def _require_live_version(self) -> None:
-        """Mutations through a handle whose version dir was GC-ed (two
-        rebuilds happened since load) must fail loudly: a parquet write
-        would silently recreate the deleted dir and the data would
-        never be served. Readers don't need this (their files exist for
-        at least one swap); only add/add_epoch/forget mutate."""
-        if self.vroot != self.path and not os.path.isdir(self.vroot):
+        """Mutations through a handle whose version is no longer the
+        CURRENT one must fail loudly: a write into a superseded (even
+        if still-retained) version dir commits data that no new load
+        will ever serve — a streaming sink holding a handle across a
+        maintenance rebuild would otherwise lose every subsequent
+        micro-batch silently. Readers don't need this (their snapshot
+        is the point); only add/add_epoch/forget mutate. The check also
+        covers flat-layout handles superseded by a first versioned
+        build, and GC-ed version dirs."""
+        cur = resolve_vroot(self.path)
+        if os.path.abspath(cur) != os.path.abspath(self.vroot):
             raise RuntimeError(
-                f"index version {os.path.basename(self.vroot)} of "
-                f"{self.path} was superseded and garbage-collected; "
-                "reload the index (IVFIndex.load) before writing"
+                f"index handle pins version {os.path.basename(self.vroot)!r} "
+                f"of {self.path}, but the current version is "
+                f"{os.path.basename(cur)!r} — a rebuild swapped since this "
+                "handle loaded, and a write here would never be served. "
+                "Reload the index (IVFIndex.load) before writing"
             )
 
     # ---- epoch segments (exactly-once streaming adds) -----------------
@@ -504,6 +511,35 @@ class IVFIndex:
         order = np.lexsort((-self.cells, -qsims))
         return self.cells[order[:nprobe]].tolist(), qn
 
+    def _guarded_lists(
+        self,
+        cells,
+        filters: dict | None,
+        live_ids: "DataFrame | None",
+    ) -> DataFrame:
+        """The shared candidate scan of search()/search_batch(): lists
+        pruned to `cells` (PartitionFilters), scope-filter validation +
+        pushdown, tombstone anti-join, optional live-id semi-join —
+        one implementation so the single and batch paths can never
+        diverge on a staleness or scoping rule."""
+        pruned = self._lists_df().filter(F.col("cell").isin(cells))
+        for col, val in (filters or {}).items():
+            if col not in {n for n, _t in self.extra_cols}:
+                raise ValueError(
+                    f"filter column '{col}' was not indexed "
+                    f"(extra_cols={[n for n, _t in self.extra_cols]})"
+                )
+            if isinstance(val, (list, tuple, set, frozenset)):
+                pruned = pruned.filter(F.col(col).isin(list(val)))
+            else:
+                pruned = pruned.filter(F.col(col) == val)
+        dead = self.tombstones()
+        if dead is not None:
+            pruned = pruned.join(F.broadcast(dead), "id", "left_anti")
+        if live_ids is not None:
+            pruned = pruned.join(live_ids.toDF("id"), "id", "left_semi")
+        return pruned
+
     def search(
         self,
         query_vec,
@@ -540,22 +576,7 @@ class IVFIndex:
 
         ensure_package_shipped(self.spark)
         probed, qn = self.probe_cells(query_vec, nprobe)
-        pruned = self._lists_df().filter(F.col("cell").isin(probed))
-        for col, val in (filters or {}).items():
-            if col not in {n for n, _t in self.extra_cols}:
-                raise ValueError(
-                    f"filter column '{col}' was not indexed "
-                    f"(extra_cols={[n for n, _t in self.extra_cols]})"
-                )
-            if isinstance(val, (list, tuple, set, frozenset)):
-                pruned = pruned.filter(F.col(col).isin(list(val)))
-            else:
-                pruned = pruned.filter(F.col(col) == val)
-        dead = self.tombstones()
-        if dead is not None:
-            pruned = pruned.join(F.broadcast(dead), "id", "left_anti")
-        if live_ids is not None:
-            pruned = pruned.join(live_ids.toDF("id"), "id", "left_semi")
+        pruned = self._guarded_lists(probed, filters, live_ids)
         # the query vector rides the task closure (tiny, auto-serialized);
         # a per-query sparkContext.broadcast would leak one live
         # broadcast per search() in a long-lived serving process (the
@@ -636,22 +657,7 @@ class IVFIndex:
             c: np.array([c in p for p in probed_per_q]) for c in union_cells
         }
 
-        pruned = self._lists_df().filter(F.col("cell").isin(union_cells))
-        for col, val in (filters or {}).items():
-            if col not in {n for n, _t in self.extra_cols}:
-                raise ValueError(
-                    f"filter column '{col}' was not indexed "
-                    f"(extra_cols={[n for n, _t in self.extra_cols]})"
-                )
-            if isinstance(val, (list, tuple, set, frozenset)):
-                pruned = pruned.filter(F.col(col).isin(list(val)))
-            else:
-                pruned = pruned.filter(F.col(col) == val)
-        dead = self.tombstones()
-        if dead is not None:
-            pruned = pruned.join(F.broadcast(dead), "id", "left_anti")
-        if live_ids is not None:
-            pruned = pruned.join(live_ids.toDF("id"), "id", "left_semi")
+        pruned = self._guarded_lists(union_cells, filters, live_ids)
 
         qids_, Qn_, mask_ = qids, Qn, cell_qmask
 

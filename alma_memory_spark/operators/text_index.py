@@ -139,13 +139,17 @@ class InvertedTextIndex:
 
     def _require_live_version(self) -> None:
         """See IVFIndex._require_live_version: a mutation through a
-        handle whose version dir was GC-ed would silently recreate the
-        deleted dir and never be served."""
-        if self.vroot != self.path and not os.path.isdir(self.vroot):
+        handle whose version is not CURRENT (superseded by any rebuild,
+        including a first versioned build over a flat layout) would
+        commit data no new load ever serves."""
+        cur = resolve_vroot(self.path)
+        if os.path.abspath(cur) != os.path.abspath(self.vroot):
             raise RuntimeError(
-                f"index version {os.path.basename(self.vroot)} of "
-                f"{self.path} was superseded and garbage-collected; "
-                "reload the index (InvertedTextIndex.load) before writing"
+                f"index handle pins version {os.path.basename(self.vroot)!r} "
+                f"of {self.path}, but the current version is "
+                f"{os.path.basename(cur)!r} — a rebuild swapped since this "
+                "handle loaded, and a write here would never be served. "
+                "Reload the index (InvertedTextIndex.load) before writing"
             )
 
     # ---- epoch segments (exactly-once streaming adds) -----------------
@@ -363,7 +367,7 @@ class InvertedTextIndex:
         # write the COMPLETE new index under a fresh version dir (no
         # stale segments by construction; concurrent queries keep
         # reading the previous version until the atomic swap below)
-        vdir, prev = begin_version(path)
+        vdir = begin_version(path)
         # repartition by bucket so each task owns whole buckets (one
         # file per bucket, not one per task x bucket), then sort so the
         # writer emits term-ordered row groups inside each file.
@@ -384,10 +388,10 @@ class InvertedTextIndex:
             ).coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(vdir, "group_stats")
             )
-        commit_version(path, vdir, prev, _FLAT_SUBDIRS)  # COMMIT POINT
+        final = commit_version(path, vdir, _FLAT_SUBDIRS)  # COMMIT POINT
         return InvertedTextIndex(
             spark, path, n, sdl, n_buckets, id_col, id_type, extras,
-            vroot=vdir,
+            vroot=final,
         )
 
     @staticmethod

@@ -276,7 +276,7 @@ _BLEND_SQL = f"""
 #: progress pivot — costs ~2.3 s of driver-side analysis per build,
 #: an order of magnitude more than executing it. Serving systems
 #: prepare such statements once; this memo is that, per session.
-_BLEND_PLAN_CACHE: dict[tuple, DataFrame] = {}
+_BLEND_PLAN_CACHE: dict[tuple, DataFrame] = {}  # {(appId, sf_dir): plan}
 
 
 @register("blend_scoring", _BLEND_SQL)
@@ -319,9 +319,11 @@ def blend_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the priority-strategy next-item selection (actionable filter +
     TakeOrderedAndProject top-1), hash-checked against the SQL
     re-derivation."""
-    key = (id(spark.sparkContext), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     hit = _BLEND_PLAN_CACHE.get(key)
     if hit is None:
+        if any(k[0] != key[0] for k in _BLEND_PLAN_CACHE):
+            _BLEND_PLAN_CACHE.clear()  # plans of stopped sessions
         hit = _BLEND_PLAN_CACHE[key] = _blend_scoring_build(spark, sf_dir)
     return hit
 

@@ -156,23 +156,31 @@ def tiny_df(spark: SparkSession, rows, schema: str):
         return spark.createDataFrame(rows, schema)
 
 
-#: (sparkContext id, sf_dir, name) -> DataFrame. A DataFrame is an
+#: {applicationId: {(sf_dir, name): DataFrame}}. A DataFrame is an
 #: immutable logical plan, so handing the same object out again is
 #: semantically identical to rebuilding it — but rebuilding costs a
 #: parquet footer read + conf RPCs (~0.1 s per call), which across
 #: 50 gates x 2 tables x 2 bench runs is tens of seconds of pure
 #: plan-construction overhead. The synthetic tables never change
-#: within a session; a new session (new context id) misses the cache.
-_TABLE_CACHE: dict[tuple, object] = {}
+#: within a session. Keyed by applicationId, NOT id(sparkContext):
+#: a stopped context's id can be reused by a new allocation, which
+#: would hand out plans bound to a dead JVM; keeping one app's
+#: entries also evicts stopped sessions' plans instead of pinning
+#: them for the process lifetime.
+_TABLE_CACHE: dict[str, dict[tuple, object]] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):
-    key = (id(spark.sparkContext), sf_dir, name)
-    hit = _TABLE_CACHE.get(key)
+    app = spark.sparkContext.applicationId
+    per_app = _TABLE_CACHE.get(app)
+    if per_app is None:
+        _TABLE_CACHE.clear()  # older sessions' plans are dead weight
+        per_app = _TABLE_CACHE[app] = {}
+    hit = per_app.get((sf_dir, name))
     if hit is not None:
         return hit
     df = _load_table_uncached(spark, sf_dir, name)
-    _TABLE_CACHE[key] = df
+    per_app[(sf_dir, name)] = df
     return df
 
 

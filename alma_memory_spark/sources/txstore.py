@@ -411,8 +411,16 @@ class TxLogStore(ParquetStore):
                     raise
 
     def _txn_applied(self, table: str, app: str, version: int) -> bool:
-        """Has a commit already recorded (app, >= version)? Scans the
-        checkpoint's txn high-water marks plus the log tail."""
+        """Has a commit already recorded (app, >= version)?"""
+        return self.txn_high_water(table, app) >= version
+
+    def txn_high_water(self, table: str, app: str) -> int:
+        """Highest txn version committed for `app` (-1 if none): the
+        checkpoint's txn high-water marks plus the log tail. Streaming
+        sinks use this to tell a legitimate crash replay (re-delivered
+        epoch == high water) from a fresh-checkpoint restart
+        (re-delivered epoch STRICTLY BELOW the high water — epochs
+        restarted at 0 while the log remembers later commits)."""
         high = -1
         d = self._log_dir(table)
         ckpt_path = os.path.join(d, "_checkpoint.json")
@@ -431,7 +439,7 @@ class TxLogStore(ParquetStore):
             t = self._read_commit(table, v).get("txn")
             if t and t["app"] == app:
                 high = max(high, int(t["version"]))
-        return high >= version
+        return high
 
     def overwrite(self, table: str, df: DataFrame) -> None:
         """Replace the table contents with df. If this thread read the

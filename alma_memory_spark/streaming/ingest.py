@@ -111,22 +111,32 @@ def stream_outcomes_into_store(stream: DataFrame, store, on_batch=None):
                         rec = f.read().strip()
                 except OSError:
                     rec = None
-                if (
-                    rec
-                    and rec != lineage
-                    and store._txn_applied(
-                        "outcomes", "stream-outcomes", int(epoch_id)
-                    )
-                ):
+                # two independent detectors for the fresh-checkpoint
+                # silent-drop mode:
+                # (1) lineage marker changed while this epoch claims
+                #     "already applied";
+                # (2) epoch STRICTLY below the txn high-water mark — a
+                #     legitimate crash replay re-delivers exactly the
+                #     high-water epoch, never an older one, so a lower
+                #     first epoch means the checkpoint restarted from
+                #     scratch. This catches stores written before the
+                #     marker existed and marker deletion alike.
+                high = store.txn_high_water("outcomes", "stream-outcomes")
+                fresh = (
+                    rec is not None and rec != lineage and high >= int(epoch_id)
+                ) or int(epoch_id) < high
+                if fresh:
                     raise RuntimeError(
-                        f"outcome stream lineage changed ({rec!r} -> "
-                        f"{lineage!r}) but epoch {epoch_id} is already "
-                        "recorded as applied: this query runs on a fresh "
+                        f"outcome stream at epoch {epoch_id} is behind the "
+                        f"store's committed txn high-water mark ({high}) "
+                        f"(recorded lineage {rec!r}, this query "
+                        f"{lineage!r}): this is a fresh/recreated "
                         "checkpoint whose re-delivered batches would be "
                         "silently dropped by txn dedupe. Resume the "
-                        "original checkpoint, or remove the .lineage "
-                        "marker after confirming the source offsets are "
-                        "genuinely new data."
+                        "original checkpoint; for an intentional "
+                        "re-ingest into the same store, use a sink with "
+                        "a distinct txn app id instead of replaying "
+                        "epochs under this one."
                     )
                 os.makedirs(os.path.dirname(rec_path), exist_ok=True)
                 with open(rec_path, "w") as f:

@@ -410,15 +410,20 @@ def test_superseded_handle_mutations_fail_loud(spark, tmp_path):
     emb = load_table(spark, SF_DIR, "embeddings")
     path = str(tmp_path / "ivf_gc")
     v1 = IVFIndex.build(spark, emb.filter("vec_id % 2 = 0"), path, cent_every=50)
+    v1.forget([2])  # still CURRENT: mutation lands
     IVFIndex.build(spark, emb, path, cent_every=50)       # v2 (v1 retained)
-    v1.forget([2])  # one swap stale: version retained, mutation still lands
-    IVFIndex.build(spark, emb, path, cent_every=25)       # v3 (v1 GC-ed)
     newer = emb.filter("vec_id % 2 = 1")
-    with _pytest.raises(RuntimeError, match="superseded"):
+    # ONE swap stale is already fatal for writes: v1 is retained for
+    # its READERS, but a mutation into it would never be served (the
+    # streaming-sink-across-rebuild data-loss mode)
+    with _pytest.raises(RuntimeError, match="rebuild swapped"):
         v1.add(newer)
-    with _pytest.raises(RuntimeError, match="superseded"):
+    with _pytest.raises(RuntimeError, match="rebuild swapped"):
         v1.add_epoch(newer, epoch=0)
-    with _pytest.raises(RuntimeError, match="superseded"):
+    with _pytest.raises(RuntimeError, match="rebuild swapped"):
         v1.forget([4])
+    IVFIndex.build(spark, emb, path, cent_every=25)       # v3 (v1 GC-ed)
+    with _pytest.raises(RuntimeError, match="rebuild swapped"):
+        v1.add(newer)
     # the CURRENT handle still works
     assert IVFIndex.load(spark, path).search(QUERY_VEC, k=3, nprobe=2).count() == 3
