@@ -580,3 +580,92 @@ class InvertedTextIndex:
             .orderBy(F.desc("bm25_score"), F.asc(self.id_col))
             .limit(k)
         )
+
+    def search_bm25_batch(
+        self,
+        queries,
+        k: int = 20,
+        k1: float = BM25_K1,
+        b: float = BM25_B,
+        filters: dict | None = None,
+    ) -> DataFrame:
+        """Multi-query BM25 in ONE job — the keyword twin of
+        IVFIndex.search_batch. `queries` is a list of (qid, text);
+        returns (qid, <id_col>, bm25_score), per-query rows identical
+        to search_bm25 (same Okapi math, stats source, and tiebreaks).
+
+        Plan shape: ONE postings scan pruned to the UNION of every
+        query's term buckets (per-term df is query-independent, so the
+        df/idf aggregation runs once for the whole batch); a broadcast
+        (qid, term) membership frame fans each posting out to exactly
+        the queries containing its term; one (qid, doc) aggregation and
+        one qid window produce every query's top-k. N queries cost one
+        scan + one shuffle instead of N of each."""
+        from pyspark.sql.window import Window as W
+
+        from alma_memory_spark.session import tiny_df
+
+        empty = self.spark.createDataFrame(
+            [], f"qid string, {self.id_col} {self.id_type}, bm25_score double"
+        )
+        pairs = []  # (qid, term)
+        for q, text in queries:
+            for t in sorted(set(text.lower().split())):
+                pairs.append((str(q), t))
+        qids = [str(q) for q, _t in queries]
+        if len(set(qids)) != len(qids):
+            raise ValueError("duplicate qid in batch (after str() folding)")
+        if not pairs or self.n_docs == 0:
+            return empty
+        if filters:
+            indexed = {n for n, _t in self.extra_cols}
+            if not set(filters) <= indexed:
+                raise ValueError(
+                    f"filter columns {sorted(set(filters) - indexed)} were "
+                    f"not indexed (extra_cols={sorted(indexed)})"
+                )
+            n, avgdl = self._group_stats(filters)
+            if n == 0:
+                return empty
+        else:
+            n = float(self.n_docs)
+            avgdl = (self.sum_dl / self.n_docs) if self.n_docs else 1.0
+        all_terms = sorted({t for _q, t in pairs})
+        buckets = sorted({_bucket_py(t, self.n_buckets) for t in all_terms})
+
+        hits = (
+            self._postings_df()
+            .filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term").isin(all_terms))
+        )
+        for col, val in (filters or {}).items():
+            hits = hits.filter(F.col(col) == val)
+        # df/idf per term over the pruned scan: identical per term to
+        # the single-query path (the per-term count is unaffected by
+        # which OTHER terms share the scan)
+        df_ = hits.groupBy("term").agg(F.count("*").alias("df"))
+        idf = df_.select(
+            "term",
+            F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0).alias(
+                "idf"
+            ),
+        )
+        qmembers = tiny_df(self.spark, pairs, "qid string, term string")
+        contrib = F.col("idf") * (
+            F.col("tf") * (k1 + 1.0)
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+        )
+        w = W.partitionBy("qid").orderBy(F.desc("bm25_score"), F.asc("doc"))
+        return (
+            hits.join(F.broadcast(idf), "term")
+            .join(F.broadcast(qmembers), "term")
+            .withColumn("_c", contrib)
+            .groupBy("qid", "doc")
+            .agg(F.sum("_c").alias("bm25_score"))
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .select(
+                "qid", F.col("doc").alias(self.id_col), "bm25_score"
+            )
+            .orderBy("qid", F.desc("bm25_score"), F.asc(self.id_col))
+        )

@@ -968,15 +968,27 @@ BM25_SCOPED_SQL = BM25_SEARCH_SQL.replace(
     "FROM documents", "FROM documents WHERE doc_id % 3 = 1"
 )
 
+# second query of the r5 BATCH stage (first is _TFIDF_QUERY == bm)
+_BATCH_QUERY_2 = "data quality pipeline"
+BM25_Q2_SQL = BM25_SEARCH_SQL.replace(
+    "WHERE term IN ('fast','join','query','spark')",
+    "WHERE term IN ('data','pipeline','quality')",
+)
+
 _RELEVANCE_SQL = f"""
     WITH bm AS ({BM25_SEARCH_SQL}),
     tf AS ({TFIDF_SEARCH_SQL}),
-    bsc AS ({BM25_SCOPED_SQL})
+    bsc AS ({BM25_SCOPED_SQL}),
+    bq2 AS ({BM25_Q2_SQL})
     SELECT 'bm25' AS method, doc_id, bm25_score AS score FROM bm
     UNION ALL
     SELECT 'bm25_indexed', doc_id, bm25_score FROM bm
     UNION ALL
     SELECT 'bm25_scoped', doc_id, bm25_score FROM bsc
+    UNION ALL
+    SELECT 'bm25_batch:q1', doc_id, bm25_score FROM bm
+    UNION ALL
+    SELECT 'bm25_batch:q2', doc_id, bm25_score FROM bq2
     UNION ALL
     SELECT 'tfidf', doc_id, tfidf_score FROM tf
     """
@@ -1000,6 +1012,10 @@ def text_relevance_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     by doc length, cosine between query and FULL document tf-idf
     vectors; explode -> (doc, term) counts -> broadcast idf -> per-doc
     norm + dot aggregations, two map-side-combinable shuffles.
+    'bm25_batch:<qid>' rows (r5) — BOTH queries served from ONE
+    postings scan via search_bm25_batch (union of term buckets,
+    broadcast (qid, term) membership fan-out, one (qid, doc) agg);
+    per-query scores identical to the single serve.
     'bm25_indexed' rows — the SAME top-20 answered from a PERSISTED
     inverted index (operators/text_index.py): postings built once into
     term-bucketed parquet, then the query reads only the bucket
@@ -1066,10 +1082,24 @@ def text_relevance_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     bs = idx.search_bm25(_TFIDF_QUERY, k=20, filters={"grp": 1}).select(
         "doc_id", _r6(F.col("bm25_score")).alias("score")
     )
+    # 'bm25_batch:<qid>' (r5): MULTI-QUERY keyword serving — both
+    # queries amortized over one postings scan pruned to the union of
+    # their term buckets (search_bm25_batch); per-query scores must
+    # equal the single-query serve, and the oracle re-derives each
+    # query's full Okapi pipeline, so a cross-query df leak, a wrong
+    # membership fan-out, or a rank leak between queries hash-mismatch
+    bb = idx.search_bm25_batch(
+        [("q1", _TFIDF_QUERY), ("q2", _BATCH_QUERY_2)], k=20
+    ).select(
+        F.concat(F.lit("bm25_batch:"), F.col("qid")).alias("method"),
+        "doc_id",
+        _r6(F.col("bm25_score")).alias("score"),
+    )
     return (
         bm.select(F.lit("bm25").alias("method"), "*")
         .unionByName(bi.select(F.lit("bm25_indexed").alias("method"), "*"))
         .unionByName(bs.select(F.lit("bm25_scoped").alias("method"), "*"))
+        .unionByName(bb)
         .unionByName(tf.select(F.lit("tfidf").alias("method"), "*"))
     )
 

@@ -691,3 +691,36 @@ def test_fresh_checkpoint_stream_fails_loud_not_silent(spark, tmp_path):
         q2.stop()
     # and nothing was silently double-applied or dropped into the index
     assert InvertedTextIndex.load(spark, str(tmp_path / "tixf")).n_docs == n_after_first
+
+
+def test_search_bm25_batch_matches_per_query(spark, tmp_path):
+    """search_bm25_batch: N keyword queries over ONE pruned scan must
+    return, per query, exactly search_bm25's rows — global and scoped,
+    including queries with no matching terms (absent from the output)."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    scoped = docs.withColumn("grp", F.pmod(F.col("doc_id"), F.lit(3)))
+    idx = InvertedTextIndex.build(
+        spark, scoped, str(tmp_path / "bb"), id_col="doc_id",
+        n_buckets=16, extra_cols=["grp"],
+    )
+    queries = [
+        ("q1", QUERY),
+        ("q2", "data quality pipeline"),
+        ("q3", "zzzznotaterm"),
+    ]
+    batch = idx.search_bm25_batch(queries, k=15).collect()
+    assert {r["qid"] for r in batch} <= {"q1", "q2", "q3"}
+    for qid, text in queries:
+        single = idx.search_bm25(text, k=15).collect()
+        got = [
+            (r["doc_id"], r["bm25_score"]) for r in batch if r["qid"] == qid
+        ]
+        assert got == [(r["doc_id"], r["bm25_score"]) for r in single], qid
+
+    sb = idx.search_bm25_batch(queries, k=10, filters={"grp": 1}).collect()
+    for qid, text in queries:
+        single = idx.search_bm25(text, k=10, filters={"grp": 1}).collect()
+        got = [(r["doc_id"], r["bm25_score"]) for r in sb if r["qid"] == qid]
+        assert got == [(r["doc_id"], r["bm25_score"]) for r in single], qid
+
+    assert idx.search_bm25_batch([], k=5).count() == 0
