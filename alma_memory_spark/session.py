@@ -52,7 +52,10 @@ _NANO_TS_COLS = {
 }
 
 
-_SHIPPED_SESSIONS: set[int] = set()
+#: applicationIds already shipped — NOT id(sparkContext): a stopped
+#: context's id can be reused by a new allocation, which would skip
+#: the ship for a fresh JVM that never received the zip
+_SHIPPED_SESSIONS: set[str] = set()
 # created eagerly: a lazy `if None: Lock()` is itself a check-then-act
 # race between two first-callers (each could end up holding a
 # different lock object)
@@ -70,7 +73,7 @@ def ensure_package_shipped(spark: SparkSession) -> None:
     process runs from outside the repo (as the harness driver does),
     sys.path tweaks on the driver do NOT propagate — a zipped copy of
     the package shipped through Spark's file distribution does."""
-    key = id(spark.sparkContext)
+    key = spark.sparkContext.applicationId
     if key in _SHIPPED_SESSIONS:
         return
     # gates run concurrent Spark jobs from threads (e.g. the four
