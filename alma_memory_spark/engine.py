@@ -374,6 +374,176 @@ class AlmaSpark:
                 self._cache.popitem(last=False)
         return sl
 
+    def retrieve_batch(
+        self,
+        tasks: list[str],
+        agent: str,
+        project_id: str | None = None,
+        user_id: str | None = None,
+        top_k: int | None = None,
+        use_ann: bool = False,
+        nprobe: int = 8,
+    ) -> dict[str, MemorySlice]:
+        """Default-mode retrieve() for N tasks in ONE Spark job — the
+        serving-throughput form (the reference's benchmark harness
+        ranks all its questions per job for the same reason;
+        benchmarks/longmem.py is the measurement twin). Per-task slices
+        are identical to retrieve(task): same candidate stage (exact
+        per-qid top-2k, or IVFIndex.search_batch when indexed and
+        use_ann=True), same composite scoring, threshold, and
+        tiebreaks — the scoring expressions are row-local, so they
+        vectorize over the qid dimension unchanged. Modes, feedback
+        blending, and inherit_from stay single-query concerns
+        (retrieve() serves them); each returned slice ALSO lands in the
+        retrieval cache under its single-task key, so follow-up
+        retrieve() calls hit."""
+        from pyspark.sql.window import Window as PW
+
+        from alma_memory_spark.operators.retrieval import (
+            score_memories,
+            threshold_topk,
+        )
+        from alma_memory_spark.session import tiny_df
+
+        if not tasks:
+            return {}
+        t0 = time.perf_counter()
+        queries = [sanitize_query(t) for t in tasks]
+        qids = [str(i) for i in range(len(tasks))]
+        qvecs = [self.embedder.encode(q) for q in queries]
+        weights = ScoringWeights()
+        k = top_k if top_k is not None else 5
+        min_score, fetch_k = 0.2, k
+        now = self._now()
+        with self._cache_lock:
+            epoch_at_read = self._epoch_snapshot([agent], project_id, user_id)
+
+        qdf = tiny_df(
+            self.spark,
+            [(q, [float(x) for x in v]) for q, v in zip(qids, qvecs)],
+            "qid string, qvec array<double>",
+        )
+        type_list = ["heuristics", "outcomes", "domain_knowledge", "anti_patterns"]
+        frames: list[DataFrame] = []
+        colsets: dict[str, list[str]] = {}
+        for t in type_list:
+            if not self.store.exists(t):
+                continue
+            df = self.store.read(t)
+            if project_id is not None:
+                df = df.filter(F.col("project_id") == project_id)
+            df = df.filter(F.col("agent").isin([agent])).withColumn(
+                "shared_from",
+                F.when(F.col("agent") != agent, F.col("agent")),
+            )
+            rank_w = PW.partitionBy("qid").orderBy(F.desc("similarity"), F.asc("id"))
+            if use_ann and self._has_ivf_index(t):
+                idx = self._load_ivf(t)
+                want = self._ann_scope_filters(df, idx, project_id, agent)
+                if want is None:
+                    # a scope the index can't express must not degrade
+                    # recall — same rule as retrieve(): exact scan
+                    cands = None
+                else:
+                    cands = idx.search_batch(
+                        list(zip(qids, qvecs)), k=2 * fetch_k, nprobe=nprobe,
+                        filters=want,
+                    )
+                if cands is not None:
+                    out = (
+                        df.join(F.broadcast(cands), "id")
+                        .withColumn("_rk", F.row_number().over(rank_w))
+                        .filter(F.col("_rk") <= 2 * fetch_k)
+                        .drop("_rk")
+                        .withColumn("ann_rank", F.row_number().over(rank_w))
+                    )
+                else:
+                    out = self._batch_exact_candidates(df, qdf, fetch_k, rank_w)
+            else:
+                out = self._batch_exact_candidates(df, qdf, fetch_k, rank_w)
+            scored = score_memories(out, t, now, weights, sim_col="similarity")
+            scored = threshold_topk(
+                scored, fetch_k, min_score, partition_cols=["qid"]
+            )
+            colsets[t] = [c for c in scored.columns if c != "qid"]
+            frames.append(scored.withColumn("memory_type", F.lit(t)))
+        if user_id is not None:
+            pdf = (
+                self.store.read("preferences")
+                .filter(F.col("user_id") == user_id)
+                .orderBy(F.desc("confidence"), F.asc("id"))
+                .limit(k)
+                .withColumn("qid", F.lit(None).cast("string"))
+            )
+            colsets["preferences"] = [c for c in pdf.columns if c != "qid"]
+            frames.append(pdf.withColumn("memory_type", F.lit("preferences")))
+
+        by_key: dict[tuple, list[dict]] = {}
+        if frames:
+            unioned = frames[0]
+            for f in frames[1:]:
+                unioned = unioned.unionByName(f, allowMissingColumns=True)
+            for r in unioned.collect():
+                d = r.asDict(recursive=True)
+                t = d.pop("memory_type")
+                qid = d.pop("qid")
+                by_key.setdefault((qid, t), []).append(
+                    {c: d[c] for c in colsets[t]}
+                )
+
+        prefs = by_key.get((None, "preferences"), [])
+        prefs.sort(key=lambda d: (-(d.get("confidence") or 0.0), d.get("id") or ""))
+        slices: dict[str, MemorySlice] = {}
+        for task, query, qid in zip(tasks, queries, qids):
+            out: dict[str, list[dict]] = {}
+            for t in type_list:
+                rows = by_key.get((qid, t), [])
+                rows.sort(
+                    key=lambda d: (-(d.get("score") or 0.0), d.get("ann_rank") or 0)
+                )
+                out[t] = rows[:k]
+            sl = MemorySlice(
+                heuristics=out.get("heuristics", []),
+                outcomes=out.get("outcomes", []),
+                preferences=list(prefs),
+                domain_knowledge=out.get("domain_knowledge", []),
+                anti_patterns=out.get("anti_patterns", []),
+                query=query,
+                agent=agent,
+                retrieval_time_ms=(time.perf_counter() - t0) * 1000.0,
+                mode=None,
+            )
+            slices[task] = sl
+            # seed the single-task cache: a follow-up retrieve(task)
+            # with the same params is a hit (same key shape as retrieve)
+            key = (
+                query, agent, project_id, user_id, top_k, None, (),
+                False, use_ann and nprobe,
+            )
+            with self._cache_lock:
+                self._cache[key] = (time.perf_counter(), epoch_at_read, sl)
+                while len(self._cache) > CACHE_MAX_ENTRIES:
+                    self._cache.popitem(last=False)
+        return slices
+
+    @staticmethod
+    def _batch_exact_candidates(df, qdf, fetch_k, rank_w):
+        """Exact cosine candidate stage over the qid dimension: one
+        scan crossJoined with the broadcast query frame, per-qid
+        top-2k — the batch form of operators/retrieval.py:
+        vector_candidates (same ordering, same ann_rank)."""
+        from alma_memory_spark.functions.vector import cosine_similarity
+
+        return (
+            df.crossJoin(F.broadcast(qdf))
+            .withColumn("similarity", cosine_similarity("embedding", F.col("qvec")))
+            .drop("qvec")
+            .withColumn("_rk", F.row_number().over(rank_w))
+            .filter(F.col("_rk") <= 2 * fetch_k)
+            .drop("_rk")
+            .withColumn("ann_rank", F.row_number().over(rank_w))
+        )
+
     def retrieve_with_budget(
         self,
         task: str,

@@ -564,11 +564,12 @@ _RAW_COS = """
 """
 
 
-def _retrieve_e2e_oracle() -> str:
+def _retrieve_e2e_oracle(qv_sql: str | None = None) -> str:
     from alma_memory_spark.plans.registry import _QV_SQL
 
+    qv_sql = qv_sql or _QV_SQL
     return f"""
-    WITH qv AS (SELECT {_QV_SQL} AS q),
+    WITH qv AS (SELECT {qv_sql} AS q),
     c AS (
       SELECT CAST(vec_id AS VARCHAR) AS id, vec_id, {_RAW_COS} AS sim
       FROM embeddings, qv
@@ -734,6 +735,20 @@ def _retrieve_ann_oracle() -> str:
     """
 
 
+#: second task of the r5 batch variant; its hash-embedded vector is a
+#: SQL literal so the oracle can re-derive the whole pipeline for it
+_BATCH_TASK_2 = "vector similarity memory recall"
+
+
+def _batch_task2_qv_sql() -> str:
+    from alma_memory_spark.embedding import hash_embed
+    from alma_memory_spark.plans.registry import QUERY_VEC
+    from alma_memory_spark.slice import sanitize_query
+
+    vec = hash_embed(sanitize_query(_BATCH_TASK_2), len(QUERY_VEC))
+    return "[" + ",".join(repr(v) for v in vec) + "]::DOUBLE[]"
+
+
 def _retrieve_serving_oracle() -> str:
     return f"""
     SELECT 'e2e' AS variant, id, score FROM ({_retrieve_e2e_oracle()})
@@ -743,6 +758,11 @@ def _retrieve_serving_oracle() -> str:
     SELECT 'feedback', id, score FROM ({_retrieve_feedback_oracle()})
     UNION ALL
     SELECT 'ann', id, score FROM ({_retrieve_ann_oracle()})
+    UNION ALL
+    SELECT 'batch:q0', id, score FROM ({_retrieve_e2e_oracle()})
+    UNION ALL
+    SELECT 'batch:q1', id, score
+    FROM ({_retrieve_e2e_oracle(_batch_task2_qv_sql())})
     """
 
 
@@ -774,6 +794,12 @@ def engine_retrieve_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     also proves the retrieval cache keys on (mode, top_k, use_feedback,
     use_ann) — a key that ignored any of them would replay the 'e2e'
     result.
+    'batch:<qid>' rows (r5) — retrieve_batch([task1, task2]): BOTH
+    tasks' full default-mode pipelines in ONE Spark job (candidate
+    stage crossJoined over the qid dimension, per-qid threshold +
+    top-k); each task's slice must equal its single-task retrieve(),
+    and the oracle re-derives the complete composite pipeline per
+    query vector.
     'ann' rows (r4) — retrieve(use_ann=True) SERVED FROM the persisted
     scope-aware IVF index (reference: the FAISS-IVF serving shape,
     sqlite_local.py:555-640) with nprobe covering every cell: the
@@ -862,6 +888,22 @@ def engine_retrieve_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("ann", r["id"], round(float(r["score"]), 6))
             for r in s.domain_knowledge
         ]
+        # 'batch:<qid>' (r5): BOTH tasks retrieved in ONE job through
+        # retrieve_batch (exact candidate stage crossJoined over the
+        # qid dimension, per-qid threshold/top-k) — per-task slices
+        # must replicate the single-task e2e pipeline, and the oracle
+        # re-derives the full composite pipeline for each task's query
+        # vector, so a qid leak, a shared-rank bug, or a wrong
+        # per-query candidate cut all hash-mismatch
+        bt = eng.retrieve_batch(
+            [QUERY_TEXT, _BATCH_TASK_2], agent="helena", project_id="p",
+            top_k=20,
+        )
+        for qi, task in enumerate([QUERY_TEXT, _BATCH_TASK_2]):
+            out += [
+                (f"batch:q{qi}", r["id"], round(float(r["score"]), 6))
+                for r in bt[task].domain_knowledge
+            ]
         return _tiny(spark, out, "variant string, id string, score double")
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -338,3 +338,65 @@ def test_consolidate_is_partition_scoped_and_null_safe(engine, spark):
     final = {r["id"]: r for r in engine.store.read("domain_knowledge").collect()}
     assert set(final) == {"dk0", "dk2"}
     assert "merged_from" in (final["dk0"]["metadata"] or {})
+
+
+def test_retrieve_batch_matches_singles(spark, tmp_path):
+    """retrieve_batch: N tasks in ONE job must produce, per task, the
+    same slice retrieve() produces (default mode) — exact path, the
+    ANN-served path, and the per-task cache seeding."""
+    from datetime import datetime, timezone
+
+    from alma_memory_spark.engine import AlmaSpark
+
+    anchor = datetime(2024, 2, 15, tzinfo=timezone.utc)
+    eng = AlmaSpark(spark, str(tmp_path / "rb"), clock=lambda: anchor)
+    for i in range(18):
+        eng.add_knowledge("a1", "p1", "d", f"pipeline retrieval fact {i % 6} v{i}")
+        eng.learn(
+            "a1", f"task about topic {i % 4} run {i}", outcome=(i % 3 != 0),
+            project_id="p1", strategy_used=f"strategy {i % 4}",
+        )
+    eng.add_preference("u1", "style", "prefers terse answers")
+    tasks = ["pipeline retrieval fact 2", "task about topic 1", "unrelated zzz"]
+
+    def key_rows(sl):
+        return {
+            t: [(r["id"], round(r["score"], 9)) for r in getattr(sl, t)]
+            for t in ("heuristics", "outcomes", "domain_knowledge", "anti_patterns")
+        }
+
+    batch = eng.retrieve_batch(
+        tasks, agent="a1", project_id="p1", user_id="u1", top_k=4
+    )
+    for task in tasks:
+        eng._cache.clear()
+        single = eng.retrieve(
+            task, agent="a1", project_id="p1", user_id="u1", top_k=4
+        )
+        assert key_rows(batch[task]) == key_rows(single), task
+        assert [p["id"] for p in batch[task].preferences] == [
+            p["id"] for p in single.preferences
+        ]
+
+    # cache seeding: a follow-up retrieve() is a hit (same object)
+    eng._cache.clear()
+    batch2 = eng.retrieve_batch(
+        tasks, agent="a1", project_id="p1", user_id="u1", top_k=4
+    )
+    again = eng.retrieve(tasks[0], agent="a1", project_id="p1",
+                         user_id="u1", top_k=4)
+    assert again is batch2[tasks[0]]
+
+    # ANN-served batch == ANN-served singles (every cell probed)
+    rep = eng.index_vectors("domain_knowledge", cent_every=5)
+    ann_batch = eng.retrieve_batch(
+        tasks, agent="a1", project_id="p1", top_k=4,
+        use_ann=True, nprobe=rep["n_cells"],
+    )
+    for task in tasks:
+        eng._cache.clear()
+        single = eng.retrieve(
+            task, agent="a1", project_id="p1", top_k=4,
+            use_ann=True, nprobe=rep["n_cells"],
+        )
+        assert key_rows(ann_batch[task]) == key_rows(single), task
