@@ -23,6 +23,7 @@ class AlmaToolSurface:
         self.engine = engine
         self._tools = {
             "alma_retrieve": self._retrieve,
+            "alma_retrieve_batch": self._retrieve_batch,
             "alma_retrieve_for_mode": self._retrieve_for_mode,
             "alma_retrieve_smart": self._retrieve_smart,
             "alma_retrieve_scoped": self._retrieve_scoped,
@@ -120,6 +121,18 @@ class AlmaToolSurface:
                 use_ann=use_ann, nprobe=nprobe,
             )
         )
+
+    def _retrieve_batch(self, tasks: list[str], agent: str,
+                        project_id: str | None = None, top_k: int = 5,
+                        user_id: str | None = None, use_ann: bool = False,
+                        nprobe: int = 8) -> dict[str, Any]:
+        """N tasks in one Spark job (engine.retrieve_batch); returns
+        {task: slice-dict} — the serving tier's bulk entry point."""
+        slices = self.engine.retrieve_batch(
+            tasks, agent, project_id, user_id, top_k,
+            use_ann=use_ann, nprobe=nprobe,
+        )
+        return {task: self._slice_dict(sl) for task, sl in slices.items()}
 
     def _retrieve_smart(self, task: str, agent: str, project_id: str | None = None,
                         top_k: int = 5) -> dict[str, Any]:

@@ -285,3 +285,28 @@ def test_from_config_honors_embedding_section(spark, tmp_path):
         resolve_provider("azure")
     with _pytest.raises(ValueError):
         resolve_provider("nonsense")
+
+
+def test_tool_retrieve_batch(spark, tmp_path):
+    """alma_retrieve_batch: bulk entry point returns one slice-dict per
+    task, consistent with alma_retrieve."""
+    from alma_memory_spark.api import AlmaToolSurface
+    from alma_memory_spark.engine import AlmaSpark
+
+    eng = AlmaSpark(spark, str(tmp_path / "tb"))
+    for i in range(8):
+        eng.add_knowledge("a1", "p1", "d", f"bulk tool fact {i}")
+    tools = AlmaToolSurface(eng)
+    out = tools.call(
+        "alma_retrieve_batch",
+        tasks=["bulk tool fact 2", "bulk tool fact 5"],
+        agent="a1", project_id="p1", top_k=3,
+    )
+    assert set(out) == {"bulk tool fact 2", "bulk tool fact 5"}
+    single = tools.call(
+        "alma_retrieve", task="bulk tool fact 2", agent="a1",
+        project_id="p1", top_k=3,
+    )
+    assert [r["id"] for r in out["bulk tool fact 2"]["domain_knowledge"]] == [
+        r["id"] for r in single["domain_knowledge"]
+    ]
