@@ -25,12 +25,15 @@ protocol:
 - readers resolve _CURRENT at load time; a handle created before a
   swap keeps serving its own version's files, which no swap ever
   touches (snapshot isolation).
-- GC at commit removes only versions NUMERICALLY OLDER than the
-  committed one (minus the retained previous), so a racing build's
-  just-claimed HIGHER version is never deleted out from under its
-  commit; when two unlocked builds race, both land complete version
-  dirs and the last _CURRENT write wins. Stale `.build-*` dirs from
-  crashed builds are reaped after an hour.
+- GC at commit removes only versions numerically BELOW the previous
+  version's number: a racer that claimed between prev and the
+  committed n (it read the same prev) may not have published yet, and
+  anything below prev was superseded at least two commits ago under
+  every race ordering. When two unlocked builds race, both land
+  complete version dirs and the last _CURRENT write wins. Stale
+  `.build-*` dirs from crashed builds are reaped once NOTHING in
+  their tree has been written for a day (newest-mtime walk — a live
+  long build's top-level mtime is stale while its files still land).
 - pre-versioning FLAT layouts (index files directly under <index>/)
   keep working: resolution falls back to the index root when _CURRENT
   is absent, and the flat files are garbage-collected once they are
@@ -47,7 +50,28 @@ import uuid
 
 CURRENT_FILE = "_CURRENT"
 _VDIR = re.compile(r"^v(\d+)$")
-_STAGING_TTL_SECONDS = 3600.0
+#: a crashed build's staging is reaped only when NOTHING in its tree
+#: has been written for this long — generous, because reaping a LIVE
+#: concurrent build would lose it (its writes land in subdirectories,
+#: so the top-level mtime alone is not freshness)
+_STAGING_TTL_SECONDS = 24 * 3600.0
+
+
+def _newest_mtime(root: str) -> float:
+    """Newest mtime anywhere in a tree (a long build writes into
+    SUBdirectories, leaving the top-level dir's mtime stale)."""
+    newest = 0.0
+    try:
+        newest = os.path.getmtime(root)
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                try:
+                    newest = max(newest, os.path.getmtime(os.path.join(dirpath, f)))
+                except OSError:
+                    continue
+    except OSError:
+        pass
+    return newest
 
 
 def resolve_vroot(path: str) -> str:
@@ -109,16 +133,19 @@ def commit_version(path: str, staging: str,
         os.fsync(f.fileno())
     os.rename(tmp, os.path.join(path, CURRENT_FILE))  # PUBLISH POINT
     keep = {vname} | ({prev} if prev else set())
+    # GC bound: strictly below the PREVIOUS version's number, never
+    # merely below ours — a racer that claimed between prev and our n
+    # (it read the same prev) may not have published yet, and deleting
+    # its claim would leave its _CURRENT publish dangling; anything
+    # below prev was superseded two commits ago under EVERY race
+    # ordering, which is exactly the retained-previous contract
+    gc_below = _vnum(prev)
     for d in os.listdir(path):
-        if _VDIR.match(d) and d not in keep and _vnum(d) < n:
+        if _VDIR.match(d) and d not in keep and _vnum(d) < gc_below:
             shutil.rmtree(os.path.join(path, d), ignore_errors=True)
         elif d.startswith(".build-") and d != os.path.basename(staging):
             full = os.path.join(path, d)
-            try:
-                stale = time.time() - os.path.getmtime(full) > _STAGING_TTL_SECONDS
-            except OSError:
-                continue
-            if stale:
+            if time.time() - _newest_mtime(full) > _STAGING_TTL_SECONDS:
                 shutil.rmtree(full, ignore_errors=True)
     if prev is not None:
         for d in flat_subdirs:

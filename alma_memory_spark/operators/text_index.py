@@ -504,6 +504,56 @@ class InvertedTextIndex:
 
     # ------------------------------------------------------------------
 
+    def _bm25_stats_for(self, filters: dict | None):
+        """(n, avgdl) for a query's scope — validation + group-stats vs
+        global stats, shared by the single and batch paths so the
+        statistics source can never diverge. Returns None when the
+        scope is empty (callers return their empty frame)."""
+        if filters:
+            indexed = {n for n, _t in self.extra_cols}
+            if not set(filters) <= indexed:
+                raise ValueError(
+                    f"filter columns {sorted(set(filters) - indexed)} were "
+                    f"not indexed (extra_cols={sorted(indexed)})"
+                )
+            n, avgdl = self._group_stats(filters)
+            if n == 0:
+                return None
+            return n, avgdl
+        n = float(self.n_docs)
+        return n, (self.sum_dl / self.n_docs) if self.n_docs else 1.0
+
+    def _bm25_pruned_hits(self, terms: list[str], filters: dict | None):
+        """Postings pruned to the terms' buckets (PartitionFilters), the
+        terms themselves (PushedFilters), and the scope predicates —
+        the shared scan of the single and batch paths."""
+        buckets = sorted({_bucket_py(t, self.n_buckets) for t in terms})
+        hits = (
+            self._postings_df()
+            .filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term").isin(terms))
+        )
+        for col, val in (filters or {}).items():
+            hits = hits.filter(F.col(col) == val)
+        return hits
+
+    @staticmethod
+    def _bm25_idf(hits: DataFrame, n: float) -> DataFrame:
+        df_ = hits.groupBy("term").agg(F.count("*").alias("df"))
+        return df_.select(
+            "term",
+            F.log(
+                (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            ).alias("idf"),
+        )
+
+    @staticmethod
+    def _bm25_contrib(k1: float, b: float, avgdl: float):
+        return F.col("idf") * (
+            F.col("tf") * (k1 + 1.0)
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+        )
+
     def search_bm25(
         self,
         query: str,
@@ -538,39 +588,13 @@ class InvertedTextIndex:
         )
         if not qterms or self.n_docs == 0:
             return empty
-        if filters:
-            indexed = {n for n, _t in self.extra_cols}
-            if not set(filters) <= indexed:
-                raise ValueError(
-                    f"filter columns {sorted(set(filters) - indexed)} were "
-                    f"not indexed (extra_cols={sorted(indexed)})"
-                )
-            n, avgdl = self._group_stats(filters)
-            if n == 0:
-                return empty
-        else:
-            n = float(self.n_docs)
-            avgdl = (self.sum_dl / self.n_docs) if self.n_docs else 1.0
-        buckets = sorted({_bucket_py(t, self.n_buckets) for t in qterms})
-
-        hits = (
-            self._postings_df()
-            .filter(F.col("bucket").isin(buckets))
-            .filter(F.col("term").isin(qterms))
-        )
-        for col, val in (filters or {}).items():
-            hits = hits.filter(F.col(col) == val)
-        df_ = hits.groupBy("term").agg(F.count("*").alias("df"))
-        idf = df_.select(
-            "term",
-            F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0).alias(
-                "idf"
-            ),
-        )
-        contrib = F.col("idf") * (
-            F.col("tf") * (k1 + 1.0)
-            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
-        )
+        stats = self._bm25_stats_for(filters)
+        if stats is None:
+            return empty
+        n, avgdl = stats
+        hits = self._bm25_pruned_hits(qterms, filters)
+        idf = self._bm25_idf(hits, n)
+        contrib = self._bm25_contrib(k1, b, avgdl)
         return (
             hits.join(F.broadcast(idf), "term")
             .withColumn("_c", contrib)
@@ -608,6 +632,7 @@ class InvertedTextIndex:
         empty = self.spark.createDataFrame(
             [], f"qid string, {self.id_col} {self.id_type}, bm25_score double"
         )
+        queries = list(queries)  # a generator would defeat the dup check
         pairs = []  # (qid, term)
         for q, text in queries:
             for t in sorted(set(text.lower().split())):
@@ -617,44 +642,18 @@ class InvertedTextIndex:
             raise ValueError("duplicate qid in batch (after str() folding)")
         if not pairs or self.n_docs == 0:
             return empty
-        if filters:
-            indexed = {n for n, _t in self.extra_cols}
-            if not set(filters) <= indexed:
-                raise ValueError(
-                    f"filter columns {sorted(set(filters) - indexed)} were "
-                    f"not indexed (extra_cols={sorted(indexed)})"
-                )
-            n, avgdl = self._group_stats(filters)
-            if n == 0:
-                return empty
-        else:
-            n = float(self.n_docs)
-            avgdl = (self.sum_dl / self.n_docs) if self.n_docs else 1.0
+        stats = self._bm25_stats_for(filters)
+        if stats is None:
+            return empty
+        n, avgdl = stats
         all_terms = sorted({t for _q, t in pairs})
-        buckets = sorted({_bucket_py(t, self.n_buckets) for t in all_terms})
-
-        hits = (
-            self._postings_df()
-            .filter(F.col("bucket").isin(buckets))
-            .filter(F.col("term").isin(all_terms))
-        )
-        for col, val in (filters or {}).items():
-            hits = hits.filter(F.col(col) == val)
-        # df/idf per term over the pruned scan: identical per term to
-        # the single-query path (the per-term count is unaffected by
-        # which OTHER terms share the scan)
-        df_ = hits.groupBy("term").agg(F.count("*").alias("df"))
-        idf = df_.select(
-            "term",
-            F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0).alias(
-                "idf"
-            ),
-        )
+        # df/idf per term over the shared pruned scan: identical per
+        # term to the single-query path (the per-term count is
+        # unaffected by which OTHER terms share the scan)
+        hits = self._bm25_pruned_hits(all_terms, filters)
+        idf = self._bm25_idf(hits, n)
         qmembers = tiny_df(self.spark, pairs, "qid string, term string")
-        contrib = F.col("idf") * (
-            F.col("tf") * (k1 + 1.0)
-            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
-        )
+        contrib = self._bm25_contrib(k1, b, avgdl)
         w = W.partitionBy("qid").orderBy(F.desc("bm25_score"), F.asc("doc"))
         return (
             hits.join(F.broadcast(idf), "term")

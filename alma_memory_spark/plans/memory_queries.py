@@ -322,7 +322,7 @@ def blend_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _BLEND_PLAN_CACHE.get(key)
     if hit is None:
-        if any(k[0] != key[0] for k in _BLEND_PLAN_CACHE):
+        if any(k[0] != key[0] for k in list(_BLEND_PLAN_CACHE)):
             _BLEND_PLAN_CACHE.clear()  # plans of stopped sessions
         hit = _BLEND_PLAN_CACHE[key] = _blend_scoring_build(spark, sf_dir)
     return hit

@@ -167,9 +167,8 @@ def tiny_df(spark: SparkSession, rows, schema: str):
 #: plan-construction overhead. The synthetic tables never change
 #: within a session. Keyed by applicationId, NOT id(sparkContext):
 #: a stopped context's id can be reused by a new allocation, which
-#: would hand out plans bound to a dead JVM; keeping one app's
-#: entries also evicts stopped sessions' plans instead of pinning
-#: them for the process lifetime.
+#: would hand out plans bound to a dead JVM. A small app cap bounds
+#: growth without making two LIVE sessions evict each other.
 _TABLE_CACHE: dict[str, dict[tuple, object]] = {}
 
 
@@ -177,7 +176,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     app = spark.sparkContext.applicationId
     per_app = _TABLE_CACHE.get(app)
     if per_app is None:
-        _TABLE_CACHE.clear()  # older sessions' plans are dead weight
+        # bound growth without thrashing CONCURRENT sessions: keep a
+        # few apps' entries and drop the oldest-inserted beyond that
+        # (a blanket clear() made two live sessions evict each other
+        # on every alternation)
+        while len(_TABLE_CACHE) >= 4:
+            _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
         per_app = _TABLE_CACHE[app] = {}
     hit = per_app.get((sf_dir, name))
     if hit is not None:

@@ -71,7 +71,8 @@ def read_outcome_stream(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def stream_outcomes_into_store(stream: DataFrame, store, on_batch=None):
+def stream_outcomes_into_store(stream: DataFrame, store, on_batch=None,
+                               app_id: str = "stream-outcomes"):
     """foreachBatch sink: append each micro-batch to the outcomes table
     (a DataFrame write IS a batch write) and invalidate read caches.
     Returns the StreamingQuery; caller stops it.
@@ -94,7 +95,8 @@ def stream_outcomes_into_store(stream: DataFrame, store, on_batch=None):
     import inspect
 
     takes_txn = "txn" in inspect.signature(store.append).parameters
-    ckpt = store.root + "/_stream_checkpoints/outcomes"
+    suffix = "outcomes" if app_id == "stream-outcomes" else f"outcomes-{app_id}"
+    ckpt = store.root + "/_stream_checkpoints/" + suffix
     run_id = uuid.uuid4().hex
     state = {"checked": False}
 
@@ -121,7 +123,7 @@ def stream_outcomes_into_store(stream: DataFrame, store, on_batch=None):
                 #     first epoch means the checkpoint restarted from
                 #     scratch. This catches stores written before the
                 #     marker existed and marker deletion alike.
-                high = store.txn_high_water("outcomes", "stream-outcomes")
+                high = store.txn_high_water("outcomes", app_id)
                 fresh = (
                     rec is not None and rec != lineage and high >= int(epoch_id)
                 ) or int(epoch_id) < high
@@ -134,15 +136,16 @@ def stream_outcomes_into_store(stream: DataFrame, store, on_batch=None):
                         "checkpoint whose re-delivered batches would be "
                         "silently dropped by txn dedupe. Resume the "
                         "original checkpoint; for an intentional "
-                        "re-ingest into the same store, use a sink with "
-                        "a distinct txn app id instead of replaying "
-                        "epochs under this one."
+                        "re-ingest into the same store, pass a new "
+                        "app_id to stream_outcomes_into_store — it gets "
+                        "its own txn version space and checkpoint "
+                        "instead of replaying epochs under this writer."
                     )
                 os.makedirs(os.path.dirname(rec_path), exist_ok=True)
                 with open(rec_path, "w") as f:
                     f.write(lineage)
             store.append(
-                "outcomes", batch_df, txn=("stream-outcomes", int(epoch_id))
+                "outcomes", batch_df, txn=(app_id, int(epoch_id))
             )
         else:
             store.append("outcomes", batch_df)

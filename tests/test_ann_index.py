@@ -427,3 +427,57 @@ def test_superseded_handle_mutations_fail_loud(spark, tmp_path):
         v1.add(newer)
     # the CURRENT handle still works
     assert IVFIndex.load(spark, path).search(QUERY_VEC, k=3, nprobe=2).count() == 3
+
+
+def test_commit_version_gc_spares_racer_claim(tmp_path):
+    """Two unlocked builds race: B claims v2 (atomic rename) but has
+    not published _CURRENT yet when A's later build claims v3 and
+    commits. GC must spare B's claimed-but-unpublished v2 — deleting
+    it would leave B's eventual _CURRENT publish dangling. Only
+    versions below the PREVIOUS (two commits superseded under every
+    ordering) are reaped."""
+    import time as _time
+
+    from alma_memory_spark.operators import _index_version as iv
+
+    path = str(tmp_path / "idx")
+    os.makedirs(path)
+
+    def _build(content):
+        s = iv.begin_version(path)
+        with open(os.path.join(s, "data"), "w") as f:
+            f.write(content)
+        return iv.commit_version(path, s, ())
+
+    assert os.path.basename(_build("v1")) == "v1"
+    # racer B: claimed v2 on disk, _CURRENT publish still in flight
+    os.makedirs(os.path.join(path, "v2"))
+    with open(os.path.join(path, "v2", "data"), "w") as f:
+        f.write("racer")
+    # A reads prev=v1, bumps past the claim, commits v3
+    assert os.path.basename(_build("v3")) == "v3"
+    assert iv.resolve_vroot(path).endswith("v3")
+    assert os.path.isdir(os.path.join(path, "v2")), "racer claim GC-ed"
+    # next commit: prev=v3, so v1 AND v2 are now two commits stale
+    assert os.path.basename(_build("v4")) == "v4"
+    assert not os.path.isdir(os.path.join(path, "v1"))
+    assert not os.path.isdir(os.path.join(path, "v2"))
+    assert os.path.isdir(os.path.join(path, "v3"))
+
+    # staging reap keys on the NEWEST mtime in the tree: a live long
+    # build's top-level dir is old while files still land in subdirs
+    live = os.path.join(path, ".build-live")
+    os.makedirs(os.path.join(live, "lists"))
+    old = _time.time() - 2 * iv._STAGING_TTL_SECONDS
+    os.utime(live, (old, old))  # stale top-level dir...
+    with open(os.path.join(live, "lists", "part"), "w") as f:
+        f.write("fresh write")  # ...but a file just landed
+    dead = os.path.join(path, ".build-dead")
+    os.makedirs(dead)
+    with open(os.path.join(dead, "part"), "w") as f:
+        f.write("x")
+    for p in (dead, os.path.join(dead, "part")):
+        os.utime(p, (old, old))
+    _build("v5")
+    assert os.path.isdir(live), "live concurrent build reaped"
+    assert not os.path.isdir(dead), "crashed build's staging kept"

@@ -400,3 +400,63 @@ def test_retrieve_batch_matches_singles(spark, tmp_path):
             use_ann=True, nprobe=rep["n_cells"],
         )
         assert key_rows(ann_batch[task]) == key_rows(single), task
+
+
+def test_retrieve_batch_cache_hits_and_dedup(spark, tmp_path):
+    """retrieve_batch consults the slice cache BEFORE planning: a
+    repeated batch returns the cached objects with zero embedder
+    calls, a partial overlap re-embeds only the new tasks, duplicate
+    tasks collapse to one computation, and a write invalidates."""
+    from datetime import datetime, timezone
+
+    from alma_memory_spark.engine import AlmaSpark
+
+    anchor = datetime(2024, 2, 15, tzinfo=timezone.utc)
+    eng = AlmaSpark(spark, str(tmp_path / "rbc"), clock=lambda: anchor)
+    for i in range(8):
+        eng.add_knowledge("a1", "p1", "d", f"batched cache fact {i % 4} v{i}")
+
+    calls = []
+    real_encode = eng.embedder.encode
+
+    def counting_encode(text):
+        calls.append(text)
+        return real_encode(text)
+
+    eng.embedder.encode = counting_encode
+
+    # duplicates collapse: 3 entries, 2 unique -> 2 embeds, 2 keys
+    batch = eng.retrieve_batch(
+        ["batched cache fact 1", "fact zzz", "batched cache fact 1"],
+        agent="a1", project_id="p1", top_k=3,
+    )
+    assert set(batch) == {"batched cache fact 1", "fact zzz"}
+    assert len(calls) == 2
+
+    # identical batch: all-cache, same objects, no embeds, no jobs
+    calls.clear()
+    again = eng.retrieve_batch(
+        ["batched cache fact 1", "fact zzz"],
+        agent="a1", project_id="p1", top_k=3,
+    )
+    assert calls == []
+    for t, sl in again.items():
+        assert sl is batch[t]
+
+    # partial overlap: only the new task is embedded/planned
+    calls.clear()
+    mixed = eng.retrieve_batch(
+        ["batched cache fact 1", "brand new task"],
+        agent="a1", project_id="p1", top_k=3,
+    )
+    assert calls == ["brand new task"]
+    assert mixed["batched cache fact 1"] is batch["batched cache fact 1"]
+
+    # a write bumps the scope epoch: nothing served stale
+    eng.add_knowledge("a1", "p1", "d", "batched cache fact 1 fresher")
+    calls.clear()
+    fresh = eng.retrieve_batch(
+        ["batched cache fact 1"], agent="a1", project_id="p1", top_k=3
+    )
+    assert calls == ["batched cache fact 1"]
+    assert fresh["batched cache fact 1"] is not batch["batched cache fact 1"]

@@ -578,3 +578,49 @@ def test_txlog_outcome_stream_fresh_checkpoint_fails_loud(spark, tmp_path):
     finally:
         q2.stop()
     assert st.read("outcomes").count() == 4  # nothing dropped or doubled
+
+
+def test_txlog_streaming_reingest_under_new_app_id(spark, tmp_path):
+    """The lineage guard's documented escape hatch: an INTENTIONAL
+    re-ingest of the same inbox passes a new app_id, which gets its
+    own checkpoint dir and txn version space — rows land again instead
+    of being silently dropped by the original writer's dedupe, and the
+    original writer's replay protection is untouched."""
+    from alma_memory_spark import schemas as _schemas
+    from alma_memory_spark.streaming.ingest import (
+        read_outcome_stream,
+        stream_outcomes_into_store,
+    )
+
+    st = make_store(spark, str(tmp_path / "s"), "txlog")
+    rows = [
+        {
+            "id": f"o{i}", "agent": "a1", "project_id": "p",
+            "task_type": "t", "success": True, "timestamp": NOW,
+        }
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, _schemas.OUTCOMES)
+    inbox = str(tmp_path / "inbox")
+    df.repartition(2).write.parquet(inbox)
+
+    q = stream_outcomes_into_store(read_outcome_stream(spark, inbox), st)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert st.read("outcomes").count() == 4
+
+    q2 = stream_outcomes_into_store(
+        read_outcome_stream(spark, inbox), st, app_id="reingest-1"
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert st.read("outcomes").count() == 8
+    assert os.path.isdir(st.root + "/_stream_checkpoints/outcomes-reingest-1")
+    # each writer's own replay protection still holds
+    st.append("outcomes", df.limit(2), txn=("stream-outcomes", 0))
+    st.append("outcomes", df.limit(2), txn=("reingest-1", 0))
+    assert st.read("outcomes").count() == 8
