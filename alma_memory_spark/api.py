@@ -261,21 +261,32 @@ class AlmaToolSurface:
         }
 
     def _index_vectors(self, table: str = "domain_knowledge",
-                       cent_every: int = 50) -> dict[str, Any]:
+                       cent_every: int = 50,
+                       pq_m: int | None = None) -> dict[str, Any]:
         """Build/rebuild the persisted IVF vector index (reference:
-        the FAISS IndexIVFFlat build, sqlite_local.py:555-640)."""
-        return self.engine.index_vectors(table, cent_every=cent_every)
+        the FAISS IndexIVFFlat build, sqlite_local.py:555-640).
+        pq_m > 0 additionally stores product-quantization codes
+        (IndexIVFPQ's memory/IO shape); omitted, a rebuild preserves
+        any existing PQ configuration."""
+        if pq_m is None:
+            return self.engine.index_vectors(table, cent_every=cent_every)
+        return self.engine.index_vectors(
+            table, cent_every=cent_every, pq_m=pq_m
+        )
 
     def _search_vectors(self, task: str, agent: str | None = None,
                         project_id: str | None = None,
                         table: str = "domain_knowledge", top_k: int = 10,
-                        nprobe: int = 3) -> dict[str, Any]:
+                        nprobe: int = 3,
+                        refine: int | None = None) -> dict[str, Any]:
         """ANN retrieval from the persisted IVF index (tombstone- and
-        scope-guarded), exact-scan fallback without one."""
+        scope-guarded), exact-scan fallback without one. `refine`
+        serves a PQ-built index from its codes (ADC candidate scan +
+        exact re-rank of refine*top_k)."""
         return {
             "results": self.engine.search_vectors(
                 task, agent=agent, project_id=project_id, table=table,
-                top_k=top_k, nprobe=nprobe,
+                top_k=top_k, nprobe=nprobe, refine=refine,
             )
         }
 

@@ -1251,11 +1251,18 @@ class AlmaSpark:
         cache[table] = (mtime, idx)
         return idx
 
+    #: index_vectors(pq_m=_PQ_PRESERVE) keeps the existing index's PQ
+    #: configuration across a rebuild — so a maintenance reindex_ivf
+    #: (which passes no pq args) never silently strips the codes off a
+    #: PQ-built index. Pass None to explicitly drop PQ, an int to set.
+    _PQ_PRESERVE = "preserve"
+
     def index_vectors(
         self,
         table: str = "domain_knowledge",
         cent_every: int = 50,
         kmeans_iters: int = 0,
+        pq_m: int | None | str = _PQ_PRESERVE,
     ) -> dict[str, Any]:
         """Build (or rebuild) the persisted IVF vector index for a
         memory table — the Spark-shaped counterpart of the reference's
@@ -1273,15 +1280,35 @@ class AlmaSpark:
         from the PRE-delete snapshot — reopening the staleness hole.
         forget()'s doom closure runs under the same lock, so the
         rebuild sees either the pre-delete table (tombstones written
-        after, kept) or the post-delete table (nothing to tombstone)."""
+        after, kept) or the post-delete table (nothing to tombstone).
+
+        `pq_m` additionally trains product-quantization codebooks and
+        stores m-byte PQ codes beside the vectors (IVFIndex PQ docs —
+        the 100 TB IO/memory path); search_vectors(refine=...) then
+        serves from the codes with an exact re-rank."""
         with self.store._table_lock(table):
-            return self._index_vectors_locked(table, cent_every, kmeans_iters)
+            return self._index_vectors_locked(
+                table, cent_every, kmeans_iters, pq_m
+            )
 
     def _index_vectors_locked(
-        self, table: str, cent_every: int, kmeans_iters: int
+        self,
+        table: str,
+        cent_every: int,
+        kmeans_iters: int,
+        pq_m: int | None | str = _PQ_PRESERVE,
     ) -> dict[str, Any]:
         from alma_memory_spark.operators.ann_index import IVFIndex
 
+        if pq_m == self._PQ_PRESERVE:
+            # a rebuild with no explicit pq arg keeps the live index's
+            # PQ configuration (the maintenance reindex path) — an index
+            # built with codes must not lose them to a routine rebuild
+            pq_m = None
+            if self._has_ivf_index(table):
+                prev = IVFIndex.load(self.spark, self._ivf_index_path(table))
+                if prev.pq is not None:
+                    pq_m = int(prev.pq[0])
         self._ivf_handles = getattr(self, "_ivf_handles", {})
         self._ivf_handles.pop(table, None)  # rebuild invalidates the handle
         if not self.store.exists(table):
@@ -1296,22 +1323,34 @@ class AlmaSpark:
         if n == 0:
             return {"table": table, "n_vectors": 0, "indexed": False}
         path = self._ivf_index_path(table)
+        # memory-table embedding dims may not divide a requested pq_m;
+        # fall back to the largest divisor <= pq_m (PQ stays useful,
+        # build never fails on a dim mismatch)
+        if pq_m:
+            dim = len(
+                df.select("embedding").filter(
+                    F.col("embedding").isNotNull()
+                ).first()["embedding"]
+            )
+            while dim % pq_m:
+                pq_m -= 1
         try:
             idx = IVFIndex.build(
                 self.spark, df, path, id_col="id", vec_col="embedding",
                 cent_every=cent_every, kmeans_iters=kmeans_iters,
-                extra_cols=scope_cols,
+                extra_cols=scope_cols, pq_m=pq_m,
             )
         except ValueError:  # no hash-sampled seeds (tiny corpus)
             idx = IVFIndex.build(
                 self.spark, df, path, id_col="id", vec_col="embedding",
-                cent_every=1, extra_cols=scope_cols,
+                cent_every=1, extra_cols=scope_cols, pq_m=pq_m,
             )
         return {
             "table": table,
             "n_vectors": n,
             "n_cells": int(len(idx.cells)),
             "indexed": True,
+            "pq_m": int(idx.pq[0]) if idx.pq else None,
         }
 
     @staticmethod
@@ -1337,6 +1376,7 @@ class AlmaSpark:
         table: str = "domain_knowledge",
         top_k: int = 10,
         nprobe: int = 3,
+        refine: int | None = None,
     ) -> list[dict[str, Any]]:
         """ANN retrieval served from the persisted IVF index when one
         exists (partition-pruned probe of nprobe cells), else exact
@@ -1346,7 +1386,12 @@ class AlmaSpark:
         corpus until the final <= top_k row hydration join); older
         indexes without them fall back to the live-id semi-join.
         Tombstones exclude ids removed by forget() or consolidation
-        merges since the last rebuild."""
+        merges since the last rebuild.
+
+        `refine` routes a PQ-built index (index_vectors(pq_m=...))
+        through the ADC code scan + exact re-rank of refine*top_k
+        candidates (IVFIndex.search_pq) — served scores stay exact;
+        ignored when the index has no PQ codes."""
         from alma_memory_spark.functions.vector import cosine_similarity
         from alma_memory_spark.operators.ann_index import IVFIndex
 
@@ -1362,7 +1407,18 @@ class AlmaSpark:
         if self._has_ivf_index(table):
             idx = self._load_ivf(table)
             want = self._ann_scope_filters(df, idx, project_id, agent)
-            if want is not None:
+            if refine is not None and idx.pq is not None:
+                if want is not None:
+                    hits = idx.search_pq(
+                        qvec, k=top_k, nprobe=nprobe, refine=refine,
+                        filters=want,
+                    )
+                else:
+                    hits = idx.search_pq(
+                        qvec, k=top_k, nprobe=nprobe, refine=refine,
+                        live_ids=df.select("id"),
+                    )
+            elif want is not None:
                 hits = idx.search(qvec, k=top_k, nprobe=nprobe, filters=want)
             else:
                 hits = idx.search(

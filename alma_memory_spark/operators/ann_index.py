@@ -31,10 +31,34 @@ previous version is retained for them):
                            contract without an immediate rebuild; a
                            rebuild's fresh version starts without any)
     <path>/v<N>/segments/  committed streaming epoch segments (add_epoch)
+    <path>/v<N>/pq/        optional product-quantization artifacts
+                           (codebooks/ + meta/) when built with pq_m —
+                           lists then also carry an m-byte `code`
+                           binary column per vector
 
 Determinism matches the gate: cosines round to 6dp BEFORE every
 argmax/probe cut; assignment ties break toward the LARGER cell id;
 top-k ties break on id ASC.
+
+Product quantization (the 100 TB memory/IO lever): at the target
+scale the full float vectors (dim x 8 bytes/row) dominate the
+candidate scan's IO; PQ (Jegou, Douze, Schmid, "Product Quantization
+for Nearest Neighbor Search", PAMI 2011 — the kernel inside FAISS
+IndexIVFPQ) splits each L2-normalized vector into m subvectors and
+replaces each with a 1-byte codebook index, so the ADC candidate
+pass reads m bytes/row instead of dim x 8 (64x less for dim=64,
+m=8) — and because the codes live in a separate parquet COLUMN of
+the same cell-partitioned lists, Spark's column pruning delivers
+that IO saving for free (asserted in tests/test_plan_contracts).
+We encode the normalized vector directly rather than the per-cell
+residual (FAISS's by_residual=False inner-product mode): cosine
+against a normalized query decomposes as sum_m <q_m, x_m>, so ONE
+m x ks lookup table per query scores every candidate — a residual
+code would need a table per probed cell for marginal gain at these
+dims. search_pq re-ranks the top refine*k ADC candidates with exact
+cosine, so served scores are exact and recall is tunable by
+`refine`; with refine covering the probed cells, results equal
+search() bit-for-bit (the unit-test contract).
 """
 
 from __future__ import annotations
@@ -74,6 +98,7 @@ class IVFIndex:
         id_type: str = "bigint",
         extra_cols: list[tuple[str, str]] | None = None,
         vroot: str | None = None,
+        pq=None,
     ):
         self.spark = spark
         self.path = path
@@ -81,6 +106,9 @@ class IVFIndex:
         self.cells = cells  # np.int64 cell ids, sorted DESC
         self.Cn = Cn  # L2-normalized centroid matrix, rows follow cells
         self.id_type = id_type
+        #: (m, ks, Cb) when PQ-enabled: m subspaces, ks codes each,
+        #: Cb codebook array of shape (m, ks, dim/m)
+        self.pq = pq
         #: (name, type) attribute columns stored alongside each list
         #: entry — scope columns (project_id, agent) ride the lists so
         #: a scoped search filters INSIDE the pruned scan instead of
@@ -152,6 +180,85 @@ class IVFIndex:
         return Cn
 
     @staticmethod
+    def _train_pq(
+        df: DataFrame,
+        id_col: str,
+        vec_col: str,
+        m: int,
+        ks: int,
+        train_max: int,
+        iters: int,
+    ):
+        """Train the PQ codebooks on a bounded, DETERMINISTIC sample:
+        the first `train_max` rows by id (TakeOrderedAndProject — the
+        take is bounded regardless of corpus size; codebooks trained
+        on a sample are standard PQ practice, FAISS defaults to 256
+        points/centroid). Per subspace: plain Lloyd k-means in numpy
+        on the driver (sample is <= train_max x dim doubles — a few
+        MB), seeded by stride over the id-sorted sample (deterministic,
+        no RNG), empty clusters keep their previous centroid. Vectors
+        are L2-normalized BEFORE splitting: cosine against a
+        normalized query then decomposes into the per-subspace
+        inner-product sums the ADC table looks up."""
+        import numpy as np
+
+        rows = (
+            df.select(id_col, vec_col)
+            .orderBy(F.col(id_col).asc())
+            .limit(int(train_max))
+            .collect()
+        )
+        V = np.array([r[vec_col] for r in rows], dtype=np.float64)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+        n, dim = Vn.shape
+        if dim % m:
+            raise ValueError(f"pq_m={m} must divide the embedding dim {dim}")
+        ks = int(min(ks, n))
+        if ks < 1:
+            raise ValueError("PQ training sample is empty")
+        dsub = dim // m
+        Cb = np.empty((m, ks, dsub), dtype=np.float64)
+        for s in range(m):
+            X = Vn[:, s * dsub: (s + 1) * dsub]
+            seed_idx = (np.arange(ks) * n) // ks  # stride seeds
+            C = X[seed_idx].copy()
+            for _ in range(iters):
+                # ||x-c||^2 = ||x||^2 - 2x.c + ||c||^2; argmin ties ->
+                # lower code index (np.argmin), deterministic
+                d2 = (
+                    (X * X).sum(1, keepdims=True)
+                    - 2.0 * (X @ C.T)
+                    + (C * C).sum(1)[None, :]
+                )
+                asg = np.argmin(np.round(d2, 12), axis=1)
+                for j in range(ks):
+                    mbr = asg == j
+                    if mbr.any():
+                        C[j] = X[mbr].mean(axis=0)
+            Cb[s] = C
+        return m, ks, Cb
+
+    @staticmethod
+    def _encode_pq(Vn, pq):
+        """uint8 code matrix (rows x m) for L2-normalized vectors —
+        nearest sub-centroid per subspace, ties to the lower code."""
+        import numpy as np
+
+        m, ks, Cb = pq
+        dsub = Cb.shape[2]
+        codes = np.empty((len(Vn), m), dtype=np.uint8)
+        for s in range(m):
+            X = Vn[:, s * dsub: (s + 1) * dsub]
+            C = Cb[s]
+            d2 = (
+                (X * X).sum(1, keepdims=True)
+                - 2.0 * (X @ C.T)
+                + (C * C).sum(1)[None, :]
+            )
+            codes[:, s] = np.argmin(np.round(d2, 12), axis=1)
+        return codes
+
+    @staticmethod
     def build(
         spark: SparkSession,
         df: DataFrame,
@@ -161,6 +268,10 @@ class IVFIndex:
         cent_every: int = 50,
         kmeans_iters: int = 0,
         extra_cols: list[str] | None = None,
+        pq_m: int | None = None,
+        pq_ks: int = 256,
+        pq_train_max: int = 16384,
+        pq_iters: int = 10,
     ) -> "IVFIndex":
         """One-time index build: stride-sample centroid seeds
         (deterministic — every cent_every-th id for numeric ids; for
@@ -203,6 +314,13 @@ class IVFIndex:
         extras = [
             (c, df.schema[c].dataType.simpleString()) for c in (extra_cols or [])
         ]
+        pq = (
+            IVFIndex._train_pq(
+                df, id_col, vec_col, pq_m, pq_ks, pq_train_max, pq_iters
+            )
+            if pq_m
+            else None
+        )
         # build the COMPLETE new index under a fresh version dir that no
         # reader resolves yet — the fresh dir has no stale segments or
         # tombstones by construction, and concurrent searches keep
@@ -211,9 +329,26 @@ class IVFIndex:
         # a probe deleted list files or pair cached centroids with
         # half-written lists)
         vdir = begin_version(path)
-        idx = IVFIndex(spark, path, cells, Cn, id_type, extras, vroot=vdir)
+        idx = IVFIndex(spark, path, cells, Cn, id_type, extras, vroot=vdir, pq=pq)
         idx._write_lists(df, id_col, vec_col, mode="overwrite")
         from alma_memory_spark.session import tiny_df
+
+        if pq is not None:
+            m, ks, Cb = pq
+            tiny_df(
+                spark,
+                [
+                    (s, j, [float(x) for x in Cb[s, j]])
+                    for s in range(m)
+                    for j in range(ks)
+                ],
+                "sub int, code int, cvec array<double>",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(vdir, "pq", "codebooks")
+            )
+            tiny_df(spark, [(m, ks)], "m int, ks int").coalesce(
+                1
+            ).write.mode("overwrite").parquet(os.path.join(vdir, "pq", "meta"))
 
         tiny_df(
             spark,
@@ -243,11 +378,12 @@ class IVFIndex:
         import numpy as np
         import pandas as pd
 
-        b = self.spark.sparkContext.broadcast((self.cells, self.Cn))
+        b = self.spark.sparkContext.broadcast((self.cells, self.Cn, self.pq))
         extras = self.extra_cols
+        encode_pq = IVFIndex._encode_pq
 
         def assign(it):
-            cells_, Cn_ = b.value
+            cells_, Cn_, pq_ = b.value
             for pdf in it:
                 if not len(pdf):
                     continue
@@ -262,16 +398,29 @@ class IVFIndex:
                 for name, _t in extras:
                     out[name] = pdf[name]
                 out["cell"] = cells_[np.argmax(csims, axis=1)]
-                yield pd.DataFrame(out)
+                res = pd.DataFrame(out)
+                if pq_ is not None:
+                    codes = encode_pq(Vn, pq_)
+                    res["code"] = [c.tobytes() for c in codes]
+                yield res
 
         extra_schema = "".join(f", {n} {t}" for n, t in extras)
+        code_schema = ", code binary" if self.pq is not None else ""
         assigned = df.select(
             id_col, vec_col, *[n for n, _t in extras]
         ).mapInPandas(
             assign,
-            f"id {self.id_type}, embedding array<double>{extra_schema}, cell long",
+            f"id {self.id_type}, embedding array<double>{extra_schema}"
+            f"{code_schema}, cell long",
         )
-        assigned.write.mode(mode).partitionBy("cell").parquet(
+        # id-sorted within each (task, cell) file: parquet row-group
+        # min/max stats on id then let a pushed `id IN (...)` filter —
+        # the PQ re-rank's candidate fetch — skip everything but the
+        # groups holding the refine*k candidates. A local sort, not a
+        # shuffle (the append plan stays narrow).
+        assigned.sortWithinPartitions("cell", "id").write.mode(
+            mode
+        ).partitionBy("cell").parquet(
             dest or os.path.join(self.vroot, "lists")
         )
 
@@ -300,7 +449,21 @@ class IVFIndex:
             id_type = meta["id_type"]
             if meta.get("extra_cols"):
                 extras = [tuple(e) for e in _json.loads(meta["extra_cols"])]
-        return IVFIndex(spark, path, cells, Cn, id_type, extras, vroot=vroot)
+        pq = None
+        if os.path.isdir(os.path.join(vroot, "pq")):
+            pmeta = spark.read.parquet(
+                os.path.join(vroot, "pq", "meta")
+            ).collect()[0]
+            m, ks = int(pmeta["m"]), int(pmeta["ks"])
+            crows = spark.read.parquet(
+                os.path.join(vroot, "pq", "codebooks")
+            ).collect()
+            dsub = len(crows[0]["cvec"])
+            Cb = np.empty((m, ks, dsub), dtype=np.float64)
+            for r in crows:
+                Cb[r["sub"], r["code"]] = r["cvec"]
+            pq = (m, ks, Cb)
+        return IVFIndex(spark, path, cells, Cn, id_type, extras, vroot=vroot, pq=pq)
 
     # ------------------------------------------------------------------
 
@@ -704,3 +867,129 @@ class IVFIndex:
             .drop("_rk")
             .orderBy("qid", F.desc("similarity"), F.asc("id"))
         )
+
+    # ---- product-quantized serving (ADC + exact re-rank) --------------
+
+    def _pq_candidates(
+        self,
+        qn,
+        probed,
+        n_cand: int,
+        filters: dict | None,
+        live_ids: DataFrame | None,
+    ) -> DataFrame:
+        """ADC candidate pass: the pruned scan reads ONLY (id, code) —
+        m bytes/row instead of dim x 8 (parquet column pruning; the
+        plan-contract test asserts `embedding` is absent from the
+        scan's ReadSchema) — and scores each row as the sum of m
+        lookup-table entries. Returns the top n_cand by approximate
+        similarity (6dp round, id ASC ties). Tombstone / scope /
+        live-id guards are the shared _guarded_lists, applied BEFORE
+        the cut, same as search()."""
+        import numpy as np
+        import pandas as pd
+
+        m, ks, Cb = self.pq
+        dsub = Cb.shape[2]
+        # one m x ks table per query: LUT[s, j] = <q_s, Cb[s, j]>
+        lut = np.einsum("sd,sjd->sj", qn.reshape(m, dsub), Cb)
+        pruned = self._guarded_lists(probed, filters, live_ids)
+        lut_, m_ = lut, m
+        sub_idx = np.arange(m)
+
+        def adc(it):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                codes = np.frombuffer(
+                    b"".join(pdf["code"]), dtype=np.uint8
+                ).reshape(-1, m_)
+                sims = np.round(lut_[sub_idx, codes].sum(axis=1), 6)
+                yield pd.DataFrame(
+                    {"id": pdf["id"].to_numpy(), "sim_pq": sims}
+                )
+
+        cand = pruned.select("id", "code").mapInPandas(
+            adc, f"id {self.id_type}, sim_pq double"
+        )
+        return cand.orderBy(F.desc("sim_pq"), F.asc("id")).limit(n_cand)
+
+    def search_pq(
+        self,
+        query_vec,
+        k: int = 10,
+        nprobe: int = 3,
+        refine: int = 8,
+        live_ids: DataFrame | None = None,
+        filters: dict | None = None,
+    ) -> DataFrame:
+        """PQ-served top-k: ADC candidate pass over the probed cells'
+        CODE column (m bytes/row — the scan that must stay cheap at
+        100 TB), then an exact-cosine re-rank of the top refine*k
+        candidates against their full vectors (a second pruned scan
+        semi-joined to the broadcast candidate id set — bounded by
+        refine*k rows out). Served scores are EXACT (they come from
+        the re-rank); PQ only decides which refine*k rows reach it,
+        so recall is tunable by `refine` and with refine covering the
+        probed cells the result equals search() bit-for-bit. Same
+        return shape and tiebreaks as search()."""
+        import numpy as np
+        import pandas as pd
+
+        from alma_memory_spark.session import ensure_package_shipped
+
+        if self.pq is None:
+            raise ValueError(
+                "index was built without PQ (pass pq_m to IVFIndex.build)"
+            )
+        ensure_package_shipped(self.spark)
+        probed, qn = self.probe_cells(query_vec, nprobe)
+        cand = self._pq_candidates(
+            qn, probed, int(refine) * k, filters, live_ids
+        )
+        # materialize the candidate ids (driver-bounded: <= refine*k
+        # rows, POST top-k — within the collect discipline) so the
+        # re-rank fetch is a STATIC pushed `id IN (...)` predicate:
+        # with the lists id-sorted within each cell file, parquet
+        # row-group min/max stats skip every group that holds no
+        # candidate — the fetch reads O(candidates) row groups, not
+        # the probed cells' whole embedding column (a broadcast
+        # semi-join cannot push into the scan). Candidates are already
+        # guarded (tombstones / scope / live-ids applied pre-cut).
+        cand_ids = [r["id"] for r in cand.collect()]
+        if not cand_ids:
+            return self.spark.createDataFrame(
+                [], f"id {self.id_type}, similarity double"
+            )
+        rerank = self._lists_df().filter(F.col("cell").isin(probed))
+        if len(cand_ids) <= 10_000:
+            rerank = rerank.filter(F.col("id").isin(cand_ids))
+        else:
+            # a degenerate refine (e.g. the refine-covers-everything
+            # test contract) would build an absurd literal IN list;
+            # past the InSet sweet spot a broadcast semi-join is the
+            # right fetch (it just can't row-group-skip)
+            rerank = rerank.join(
+                F.broadcast(cand.select("id")), "id", "left_semi"
+            )
+        qn_ = qn
+
+        def score(it):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                Vn = V / np.maximum(
+                    np.linalg.norm(V, axis=1, keepdims=True), 1e-300
+                )
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"].to_numpy(),
+                        "similarity": np.round(Vn @ qn_, 6),
+                    }
+                )
+
+        hits = rerank.select("id", "embedding").mapInPandas(
+            score, f"id {self.id_type}, similarity double"
+        )
+        return hits.orderBy(F.desc("similarity"), F.asc("id")).limit(k)

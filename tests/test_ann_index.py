@@ -481,3 +481,87 @@ def test_commit_version_gc_spares_racer_claim(tmp_path):
     _build("v5")
     assert os.path.isdir(live), "live concurrent build reaped"
     assert not os.path.isdir(dead), "crashed build's staging kept"
+
+
+def test_pq_refine_all_equals_exact_and_roundtrips(spark, tmp_path):
+    """IVF-PQ contract: PQ only decides WHICH refine*k candidates reach
+    the exact-cosine re-rank, so with refine covering the probed cells
+    search_pq must equal search() bit-for-bit — after build, after an
+    incremental add (which must encode the new vectors), under scope
+    filters, after forget(), and through a load() roundtrip."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    docs = emb.selectExpr(
+        "vec_id", "embedding", "concat('agent', vec_id % 3) AS agent"
+    )
+    path = str(tmp_path / "ivf_pq")
+    idx = IVFIndex.build(
+        spark, docs.filter("vec_id % 2 = 0"), path,
+        cent_every=25, pq_m=8, extra_cols=["agent"],
+    )
+    ALL = 10**6  # refine factor covering every probed row
+
+    def pairs(df):
+        return [(r["id"], r["similarity"]) for r in df.collect()]
+
+    assert pairs(idx.search_pq(QUERY_VEC, k=10, nprobe=4, refine=ALL)) == pairs(
+        idx.search(QUERY_VEC, k=10, nprobe=4)
+    )
+
+    idx.add(docs.filter("vec_id % 2 = 1"))  # add must PQ-encode too
+    full = pairs(idx.search(QUERY_VEC, k=10, nprobe=4))
+    assert pairs(idx.search_pq(QUERY_VEC, k=10, nprobe=4, refine=ALL)) == full
+
+    assert pairs(
+        idx.search_pq(QUERY_VEC, k=5, nprobe=4, refine=ALL,
+                      filters={"agent": "agent1"})
+    ) == pairs(idx.search(QUERY_VEC, k=5, nprobe=4, filters={"agent": "agent1"}))
+
+    doomed = full[0][0]
+    idx.forget([doomed])
+    assert doomed not in {
+        r["id"]
+        for r in idx.search_pq(QUERY_VEC, k=10, nprobe=4, refine=ALL).collect()
+    }
+
+    re = IVFIndex.load(spark, path)
+    assert re.pq is not None and re.pq[0] == 8
+    assert pairs(re.search_pq(QUERY_VEC, k=10, nprobe=4, refine=ALL)) == pairs(
+        idx.search_pq(QUERY_VEC, k=10, nprobe=4, refine=ALL)
+    )
+    # a non-PQ index refuses the PQ path loudly
+    plain = IVFIndex.build(
+        spark, docs.limit(100), str(tmp_path / "plain"), cent_every=25
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="without PQ"):
+        plain.search_pq(QUERY_VEC, k=3)
+
+
+def test_pq_small_refine_recall_stays_high(spark, tmp_path):
+    """With a SMALL refine factor the ADC pass does real pruning; the
+    measured recall vs exact search must stay high (sf0.1 measured
+    0.9-1.0 @ refine=4 over 5 queries — assert a safe floor), and the
+    approximate pass must not affect served scores (they come from the
+    exact re-rank: every returned (id, score) appears in the exact
+    ranking with the same score)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "ivf_pq_r")
+    idx = IVFIndex.build(spark, emb, path, cent_every=25, pq_m=8)
+    qrows = emb.filter("vec_id IN (3, 17, 29, 101)").collect()
+    recalls = []
+    for r in qrows:
+        v = r["embedding"]
+        exact = {
+            (x["id"], x["similarity"])
+            for x in idx.search(v, k=10, nprobe=4).collect()
+        }
+        got = [
+            (x["id"], x["similarity"])
+            for x in idx.search_pq(v, k=10, nprobe=4, refine=4).collect()
+        ]
+        exact_scores = dict(exact)
+        for gid, gs in got:
+            assert exact_scores.get(gid) == gs, "re-rank score not exact"
+        recalls.append(len({g[0] for g in got} & {e[0] for e in exact}) / 10)
+    assert sum(recalls) / len(recalls) >= 0.8, recalls

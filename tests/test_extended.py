@@ -789,3 +789,53 @@ def test_search_vectors_batch_matches_singles(spark, tmp_path):
             t, agent="a1", project_id="p1", top_k=4, nprobe=rep["n_cells"]
         )
         assert flat(batch2[t]) == flat(single), t
+
+
+def test_search_vectors_pq_served_matches_exact(spark, tmp_path):
+    """index_vectors(pq_m=...) trains + stores PQ codes for a MEMORY
+    table (string ids; pq_m auto-adjusts to a divisor of the embedder's
+    dim) and search_vectors(refine=...) serves through the ADC code
+    scan + exact re-rank: with a generous refine the served rows equal
+    the non-PQ index serve exactly, scoped the same way; without
+    `refine` the same index serves the plain exact-in-cell path."""
+    from alma_memory_spark.engine import AlmaSpark
+
+    eng = AlmaSpark(spark, str(tmp_path / "pq_serve"))
+    for i in range(40):
+        eng.add_knowledge(
+            "a1", "p1", "d", f"quantized serving topic {i % 5} fact {i}"
+        )
+        eng.add_knowledge(
+            "a2", "p1", "d", f"other agent topic {i % 5} fact {i}"
+        )
+    rep = eng.index_vectors("domain_knowledge", cent_every=7, pq_m=8)
+    assert rep["indexed"] and rep["pq_m"] == 8
+
+    kw = dict(agent="a1", project_id="p1", top_k=6, nprobe=rep["n_cells"])
+    plain = eng.search_vectors("quantized serving topic 2", **kw)
+    served = eng.search_vectors(
+        "quantized serving topic 2", refine=1000, **kw
+    )
+    assert [(r["id"], r["similarity"]) for r in served] == [
+        (r["id"], r["similarity"]) for r in plain
+    ]
+    assert all(r["agent"] == "a1" for r in served)  # scope held
+    assert all(r["fact"] is not None for r in served)  # hydration intact
+    # small refine still serves, scores still exact re-rank values
+    small = eng.search_vectors("quantized serving topic 2", refine=1, **kw)
+    exact_scores = {r["id"]: r["similarity"] for r in plain}
+    assert small and all(
+        exact_scores.get(r["id"]) in (None, r["similarity"]) for r in small
+    )
+
+    # a default-args rebuild (the maintenance reindex_ivf path) must
+    # PRESERVE the PQ configuration, not silently strip the codes
+    rep2 = eng.index_vectors("domain_knowledge", cent_every=7)
+    assert rep2["pq_m"] == 8
+    again = eng.search_vectors(
+        "quantized serving topic 2", refine=1000, **kw
+    )
+    assert [r["id"] for r in again] == [r["id"] for r in served]
+    # explicit pq_m=None drops PQ on rebuild
+    rep3 = eng.index_vectors("domain_knowledge", cent_every=7, pq_m=None)
+    assert rep3["pq_m"] is None

@@ -239,3 +239,39 @@ def test_index_serves_stay_pruned_at_10x_corpus(spark, tmp_path):
     assert n_cells > 10
     # 3 probed cells out of n_cells: files read ~ 3/n_cells of total
     assert hit_v is not None and hit_v < total_v / 3
+
+
+def test_pq_candidate_scan_never_reads_vectors(spark, tmp_path):
+    """The IVF-PQ ADC pass exists to make the candidate scan cheap at
+    100 TB: it must read ONLY (id, code) from the pruned cell
+    partitions — if the embedding column ever sneaks into that scan's
+    ReadSchema the 64x IO saving silently vanishes while results stay
+    correct. Also freezes the cell partition pruning on both passes."""
+    from alma_memory_spark.operators.ann_index import IVFIndex
+    from alma_memory_spark.plans.registry import QUERY_VEC
+    from alma_memory_spark.session import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = IVFIndex.build(
+        spark, emb, str(tmp_path / "pq"), cent_every=25, pq_m=8
+    )
+    probed, qn = idx.probe_cells(QUERY_VEC, nprobe=3)
+    cand = idx._pq_candidates(qn, probed, 40, None, None)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scans, plan
+    for line in scans:
+        schema = line.split("ReadSchema:", 1)[1]
+        assert "embedding" not in schema, line
+        assert "code:binary" in schema, line
+        assert "PartitionFilters: [cell" in line, line
+    # the re-rank fetch (search_pq's returned plan — the ADC pass ran
+    # eagerly): cell-pruned AND the bounded candidate id set pushed as
+    # a static IN predicate, so row-group stats on the id-sorted lists
+    # skip everything but the groups holding candidates
+    full = idx.search_pq(QUERY_VEC, k=5, nprobe=3, refine=4)
+    fplan = full._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in fplan
+    assert "PartitionFilters: [cell" in fplan
+    pushed = fplan.split("PushedFilters:", 1)[1][:400]
+    assert "In(id" in pushed or "id#" in pushed, fplan
