@@ -1309,6 +1309,14 @@ class AlmaSpark:
                 prev = IVFIndex.load(self.spark, self._ivf_index_path(table))
                 if prev.pq is not None:
                     pq_m = int(prev.pq[0])
+        elif pq_m is not None and (
+            not isinstance(pq_m, int) or isinstance(pq_m, bool) or pq_m < 1
+        ):
+            # validate BEFORE the divisor walk below: a negative pq_m
+            # with |pq_m| > dim never terminates `while dim % pq_m:
+            # pq_m -= 1` (ADVICE r5), and this path sits on the tool
+            # surface holding the table lock
+            raise ValueError(f"pq_m must be a positive int (got {pq_m!r})")
         self._ivf_handles = getattr(self, "_ivf_handles", {})
         self._ivf_handles.pop(table, None)  # rebuild invalidates the handle
         if not self.store.exists(table):
@@ -1326,7 +1334,7 @@ class AlmaSpark:
         # memory-table embedding dims may not divide a requested pq_m;
         # fall back to the largest divisor <= pq_m (PQ stays useful,
         # build never fails on a dim mismatch)
-        if pq_m:
+        if pq_m is not None:
             dim = len(
                 df.select("embedding").filter(
                     F.col("embedding").isNotNull()

@@ -633,14 +633,21 @@ class IVFIndex:
         publish window after the store commit is microseconds)."""
         import uuid
 
+        cur = resolve_vroot(self.path)
+        if os.path.abspath(cur) != os.path.abspath(self.vroot):
+            # a rebuild interleaved between the store commit and this
+            # publish superseded our version: the rebuild acquired the
+            # table lock after the delete's commit, so it built from
+            # the post-delete table and the doomed ids are already
+            # absent from the new lists. Publishing here would write
+            # tombstones into a version no new load serves (dead data —
+            # the staging dir is RETAINED alongside superseded version
+            # dirs, ADVICE r5). Drop the staging instead.
+            self.abort_forget(staged)
+            return
         tomb = self._tombstones_path()
         if not os.path.isdir(staged):
-            # a rebuild interleaved between the store commit and this
-            # publish: build() clears staging under the table lock, and
-            # any rebuild that acquired the lock after the delete's
-            # commit built from the post-delete table — the doomed ids
-            # are already absent from the new lists, so there is
-            # nothing to publish
+            # staging already reaped (version GC) — same reasoning
             return
         os.makedirs(tomb, exist_ok=True)
         for f in os.listdir(staged):

@@ -108,9 +108,11 @@ def _schema_field_names(schema: str) -> list[str]:
     array<double>') — splits on commas OUTSIDE <...> nesting."""
     names, depth, tok = [], 0, []
     for ch in schema:
-        if ch == "<":
+        # '(' nests like '<': parenthesized type args ('decimal(10,2)')
+        # would otherwise mis-split the column list on their comma
+        if ch in "<(":
             depth += 1
-        elif ch == ">":
+        elif ch in ">)":
             depth -= 1
         if ch == "," and depth == 0:
             names.append("".join(tok))
@@ -170,24 +172,29 @@ def tiny_df(spark: SparkSession, rows, schema: str):
 #: would hand out plans bound to a dead JVM. A small app cap bounds
 #: growth without making two LIVE sessions evict each other.
 _TABLE_CACHE: dict[str, dict[tuple, object]] = {}
+# gates call load_table from concurrent threads; unguarded eviction
+# (pop(next(iter(...)))) can race into KeyError once 4+ apps cached
+_TABLE_CACHE_LOCK = _threading.Lock()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     app = spark.sparkContext.applicationId
-    per_app = _TABLE_CACHE.get(app)
-    if per_app is None:
-        # bound growth without thrashing CONCURRENT sessions: keep a
-        # few apps' entries and drop the oldest-inserted beyond that
-        # (a blanket clear() made two live sessions evict each other
-        # on every alternation)
-        while len(_TABLE_CACHE) >= 4:
-            _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
-        per_app = _TABLE_CACHE[app] = {}
-    hit = per_app.get((sf_dir, name))
+    with _TABLE_CACHE_LOCK:
+        per_app = _TABLE_CACHE.get(app)
+        if per_app is None:
+            # bound growth without thrashing CONCURRENT sessions: keep
+            # a few apps' entries and drop the oldest-inserted beyond
+            # that (a blanket clear() made two live sessions evict
+            # each other on every alternation)
+            while len(_TABLE_CACHE) >= 4:
+                _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)), None)
+            per_app = _TABLE_CACHE[app] = {}
+        hit = per_app.get((sf_dir, name))
     if hit is not None:
         return hit
     df = _load_table_uncached(spark, sf_dir, name)
-    per_app[(sf_dir, name)] = df
+    with _TABLE_CACHE_LOCK:
+        per_app[(sf_dir, name)] = df
     return df
 
 

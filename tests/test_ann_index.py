@@ -565,3 +565,31 @@ def test_pq_small_refine_recall_stays_high(spark, tmp_path):
             assert exact_scores.get(gid) == gs, "re-rank score not exact"
         recalls.append(len({g[0] for g in got} & {e[0] for e in exact}) / 10)
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_commit_forget_superseded_version_drops_staging(spark, tmp_path):
+    """commit_forget through a handle a rebuild superseded must NOT
+    publish tombstones into the retained-but-no-longer-current version
+    dir (dead data no new load serves — ADVICE r5): the rebuild took
+    the table lock after the delete's commit, so the doomed ids are
+    already absent from the new lists. The staging dir is dropped."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "ivf_stale_forget")
+    v1 = IVFIndex.build(spark, emb, path, cent_every=50)
+    doomed = emb.select("vec_id").limit(2)
+    staged = v1.stage_forget(doomed)
+    assert os.path.isdir(staged)
+    IVFIndex.build(spark, emb, path, cent_every=50)  # v2 supersedes
+    v1.commit_forget(staged)
+    assert not os.path.isdir(staged), "staging retained after stale publish"
+    assert not os.path.isdir(
+        os.path.join(v1.vroot, "tombstones")
+    ), "tombstones published into a superseded version"
+    # the CURRENT version never saw the staged set and serves normally
+    cur = IVFIndex.load(spark, path)
+    assert not os.path.isdir(os.path.join(cur.vroot, "tombstones"))
+    assert cur.search(QUERY_VEC, k=3, nprobe=2).count() == 3
+    # a CURRENT handle's stage->commit still publishes
+    staged2 = cur.stage_forget(doomed)
+    cur.commit_forget(staged2)
+    assert os.path.isdir(os.path.join(cur.vroot, "tombstones"))

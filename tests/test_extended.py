@@ -839,3 +839,26 @@ def test_search_vectors_pq_served_matches_exact(spark, tmp_path):
     # explicit pq_m=None drops PQ on rebuild
     rep3 = eng.index_vectors("domain_knowledge", cent_every=7, pq_m=None)
     assert rep3["pq_m"] is None
+
+
+def test_index_vectors_rejects_bad_pq_m(spark, tmp_path):
+    """Invalid pq_m must raise promptly: a negative value with
+    |pq_m| > dim used to spin the divisor-fallback loop forever while
+    holding the table lock (ADVICE r5, reachable from the
+    alma_index_vectors tool surface)."""
+    import pytest as _pytest
+
+    from alma_memory_spark.engine import AlmaSpark
+
+    eng = AlmaSpark(spark, str(tmp_path / "badpq"))
+    eng.add_knowledge("a1", "p1", "d", "one fact to index")
+    for bad in (-100, -1, 0, True, "8", 2.0):
+        with _pytest.raises(ValueError, match="pq_m"):
+            eng.index_vectors("domain_knowledge", pq_m=bad)
+    # the validation fires even before the table exists
+    with _pytest.raises(ValueError, match="pq_m"):
+        eng.index_vectors("heuristics", pq_m=-100)
+    # valid values still index
+    assert eng.index_vectors("domain_knowledge", cent_every=5, pq_m=4)[
+        "indexed"
+    ]
