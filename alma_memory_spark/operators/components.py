@@ -1,0 +1,138 @@
+"""Global connected components over an edge DataFrame.
+
+`blocked_connected_components` (operators/learning.py) handles the
+blocked case — every edge inside one group — with a single shuffle.
+Near-duplicate DEDUP cannot use it: MinHash-LSH candidate pairs cross
+any blocking scheme (that is the point of banding), so turning verified
+pairs into dedup GROUPS needs components over the whole graph.
+
+This is the alternating large-star / small-star algorithm of Kiveris,
+Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
+MapReduce and Beyond" (ACM SoCC 2014): every round is two
+groupBy-min + join passes over the edge set, edges monotonically bend
+toward the component minimum, and the edge set converges to stars
+centered at each component's min node in O(log n) rounds. Nothing is
+ever collected to the driver; per-round state is one DataFrame of
+edges, so the operator scales to whatever edge set the shuffle can
+hold — unlike label propagation, whose round count is the graph
+DIAMETER (a 100M-node chain of near-dup shingles would never finish).
+
+Reference parity: the reference clusters similar memories per group
+driver-side (alma/learning/consolidation.py); a corpus-wide near-dup
+grouping has no reference analog — it is the training-data-pipeline
+extension (dedup families) this engine adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["connected_components", "near_dup_groups"]
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to u's min neighbor
+    (including u itself): edges (v, m(u)) for v in N(u), v > u."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges high->low, then connect every smaller neighbor of u
+    (and u itself) to u's minimum neighbor."""
+    d = (
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    m = d.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        d.join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(m.select("u", F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node incident to an edge; component
+    is the MIN node id of its connected component (any orderable node
+    type — long ids, string memory ids). Nodes with no edges are their
+    own singleton components; callers coalesce absent nodes to
+    themselves, same contract as blocked_connected_components.
+
+    Each round materializes the shrinking edge set (persist + count —
+    the convergence check needs the count anyway) and truncates lineage
+    with localCheckpoint: without truncation round k's plan replays
+    rounds 1..k-1 and the job graph grows quadratically. On a real
+    cluster with a configured checkpoint dir the reliable checkpoint is
+    used instead (localCheckpoint pins partitions to executors, which
+    an executor loss would invalidate)."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sc = edges.sparkSession.sparkContext
+    reliable = sc.getCheckpointDir() is not None
+
+    def _pin(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(
+            eager=True
+        )
+
+    e = _pin(e)
+    n_prev = e.count()
+    for _ in range(max_iter):
+        nxt = _pin(_small_star(_large_star(e)))
+        n = nxt.count()
+        # converged iff the edge sets are equal: both are distinct
+        # sets, so equal counts + empty difference is exact equality
+        if n == n_prev and nxt.exceptAll(e).isEmpty():
+            e = nxt
+            break
+        e, n_prev = nxt, n
+    # fixpoint is a star forest: (node > center) edges to each
+    # component's min. Labels = those edges + the centers themselves.
+    d = (
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+    )
+    return d.select(
+        F.col("u").alias("node"), F.col("v").alias("component")
+    ).union(
+        d.select(F.col("v").alias("node"), F.col("v").alias("component"))
+        .distinct()
+    )
+
+
+def near_dup_groups(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """Verified near-dup PAIRS -> dedup GROUPS: (doc_id, group_id,
+    is_canonical). group_id is the component min; the canonical keeper
+    of each family is the min-id member (deterministic — the usual
+    keep-first policy of corpus dedup). Downstream drops
+    `is_canonical = false` rows via an anti-join against this frame."""
+    cc = connected_components(pairs, src=id_a, dst=id_b)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("group_id"),
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )

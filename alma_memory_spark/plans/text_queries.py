@@ -438,7 +438,7 @@ def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "minhash_lsh_pairs",
     f"""
-    WITH toks AS (
+    WITH RECURSIVE toks AS (
       SELECT doc_id, list_distinct({X.sql_ws_tokens('text')}) AS ts
       FROM documents
     ), sigs AS (
@@ -462,15 +462,29 @@ def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM kept a JOIN kept b
         ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        AND a.doc_id < b.doc_id
+    ), pairs AS (
+      SELECT c.doc_a, c.doc_b,
+             round(len(list_intersect(ta.ts, tb.ts)) * 1.0 /
+                   (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts))), 6) AS jaccard_sim
+      FROM cand c
+      JOIN toks ta ON ta.doc_id = c.doc_a
+      JOIN toks tb ON tb.doc_id = c.doc_b
+      WHERE len(list_intersect(ta.ts, tb.ts)) * 1.0 /
+            (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts))) >= {LSH_VERIFY_T}
+    ), edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION
+      SELECT doc_b AS s, doc_a AS d FROM pairs
+    ), reach AS (
+      SELECT s AS n, s AS r FROM (SELECT DISTINCT s FROM edges)
+      UNION
+      SELECT reach.n, e.d AS r FROM reach JOIN edges e ON e.s = reach.r
+    ), groups AS (
+      SELECT n AS doc_id, min(r) AS group_id FROM reach GROUP BY n
     )
-    SELECT c.doc_a, c.doc_b,
-           round(len(list_intersect(ta.ts, tb.ts)) * 1.0 /
-                 (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts))), 6) AS jaccard_sim
-    FROM cand c
-    JOIN toks ta ON ta.doc_id = c.doc_a
-    JOIN toks tb ON tb.doc_id = c.doc_b
-    WHERE len(list_intersect(ta.ts, tb.ts)) * 1.0 /
-          (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts))) >= {LSH_VERIFY_T}
+    SELECT 'pair' AS variant, doc_a, doc_b, jaccard_sim FROM pairs
+    UNION ALL
+    SELECT 'group', doc_id, group_id, CAST(NULL AS DOUBLE) FROM groups
     """,
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -478,7 +492,16 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     2 bands x 4 rows -> bucket-join candidates (mega-buckets > cap
     dropped — the standard skew guard in production LSH dedup) -> exact
     Jaccard verify >= 0.9. The only shuffle is on band keys, never
-    O(n^2) — THE scalable near-dup pattern for 100 TB corpora."""
+    O(n^2) — THE scalable near-dup pattern for 100 TB corpora.
+
+    'group' rows (r6): the verified pairs fed through GLOBAL connected
+    components (alternating large-star/small-star, O(log n) rounds —
+    operators/components.py) to dedup FAMILIES: (doc_id, group_id=
+    component min). The oracle recomputes the components with a
+    recursive min-reachable CTE over the same edge set, so a wrong
+    star-contraction, a lost node, or a non-min label all
+    hash-mismatch."""
+    from alma_memory_spark.operators.components import near_dup_groups
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.array_distinct(X.ws_tokens("text")).alias("ts")
@@ -535,12 +558,27 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("ts_a", "ts_b")).cast("double")
     union = (F.size("ts_a") + F.size("ts_b")).cast("double") - inter
     jac = inter / union
-    return (
+    pairs = (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
         .withColumn("jac_raw", jac)
         .filter(F.col("jac_raw") >= LSH_VERIFY_T)
         .select("doc_a", "doc_b", _r6(F.col("jac_raw")).alias("jaccard_sim"))
+        # both the emitted pair rows and the component edge set read
+        # this; without the cache the whole LSH pipeline (signatures,
+        # banding, verify join) runs once per consumer
+        .cache()
+    )
+    groups = near_dup_groups(pairs)
+    return pairs.select(
+        F.lit("pair").alias("variant"), "doc_a", "doc_b", "jaccard_sim"
+    ).unionByName(
+        groups.select(
+            F.lit("group").alias("variant"),
+            F.col("doc_id").alias("doc_a"),
+            F.col("group_id").alias("doc_b"),
+            F.lit(None).cast("double").alias("jaccard_sim"),
+        )
     )
 
 
