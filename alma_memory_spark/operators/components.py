@@ -35,12 +35,13 @@ def _large_star(e: DataFrame) -> DataFrame:
     (including u itself): edges (v, m(u)) for v in N(u), v > u."""
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    # no trailing distinct: small_star canonicalizes + dedups anyway,
+    # and dropping it saves one shuffle per round
     return (
         sym.join(m, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
@@ -62,11 +63,39 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
+def _driver_union_find(rows) -> dict:
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in rows:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    comp: dict = {}
+    for n in list(parent):
+        comp.setdefault(find(n), []).append(n)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for n in members:
+            out[n] = m
+    return out
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    driver_finish_edges: int = 1 << 18,
 ) -> DataFrame:
     """(node, component) for every node incident to an edge; component
     is the MIN node id of its connected component (any orderable node
@@ -74,38 +103,86 @@ def connected_components(
     own singleton components; callers coalesce absent nodes to
     themselves, same contract as blocked_connected_components.
 
-    Each round materializes the shrinking edge set (persist + count —
-    the convergence check needs the count anyway) and truncates lineage
-    with localCheckpoint: without truncation round k's plan replays
-    rounds 1..k-1 and the job graph grows quadratically. On a real
-    cluster with a configured checkpoint dir the reliable checkpoint is
-    used instead (localCheckpoint pins partitions to executors, which
-    an executor loss would invalidate)."""
+    Each round materializes the shrinking edge set exactly once (the
+    convergence agg is the action over a lazy checkpoint) and truncates
+    lineage: without truncation round k's plan replays rounds 1..k-1
+    and the job graph grows quadratically. On a real cluster with a
+    configured checkpoint dir the reliable checkpoint is used instead
+    (localCheckpoint pins partitions to executors, which an executor
+    loss would invalidate).
+
+    `driver_finish_edges`: both star operations PRESERVE the node set
+    and connectivity (Kiveris et al., lemma 1-2), so once a round's
+    contracted edge set fits comfortably on the driver the remaining
+    O(log n) rounds collapse into one collect + local union-find — the
+    same fits-in-memory escape a broadcast join takes, and the common
+    exit for near-dup graphs whose families are tiny cliques. Set 0 to
+    force the fully distributed loop (the measurement harness does)."""
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
     sc = edges.sparkSession.sparkContext
     reliable = sc.getCheckpointDir() is not None
 
-    def _pin(df: DataFrame) -> DataFrame:
-        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(
-            eager=True
+    def _pin(df: DataFrame, eager: bool = False) -> DataFrame:
+        # lazy by default: the convergence agg below is the
+        # materializing action, so each round costs ONE job, not a
+        # checkpoint job + an agg job
+        return df.checkpoint(eager=eager) if reliable else df.localCheckpoint(
+            eager=eager
         )
 
-    e = _pin(e)
-    n_prev = e.count()
+    def _finish_local(frame: DataFrame) -> DataFrame:
+        from alma_memory_spark.session import tiny_df
+
+        labels = _driver_union_find(
+            (r["u"], r["v"]) for r in frame.collect()
+        )
+        node_t = e.schema["u"].dataType.simpleString()
+        return tiny_df(
+            edges.sparkSession,
+            sorted(labels.items()),
+            f"node {node_t}, component {node_t}",
+        )
+
+    if driver_finish_edges:
+        # size probe (one pass — it also materializes any upstream
+        # cache, e.g. the LSH verify pipeline feeding dedup): tiny
+        # graphs skip the distributed loop entirely
+        if e.count() <= driver_finish_edges:
+            return _finish_local(e)
+    # entering the distributed loop: pin the input EAGERLY — round 1
+    # references it twice (edge set + its swap), and without the pin
+    # an expensive upstream plan would execute once per reference
+    e = _pin(e, eager=True)
+    n_prev = hash_prev = None
     for _ in range(max_iter):
         nxt = _pin(_small_star(_large_star(e)))
-        n = nxt.count()
-        # converged iff the edge sets are equal: both are distinct
-        # sets, so equal counts + empty difference is exact equality
-        if n == n_prev and nxt.exceptAll(e).isEmpty():
+        # one job per round: count + order-insensitive content hash.
+        # Equal (count, hash-sum) is a fingerprint match; the exact
+        # exceptAll equality check runs only on that (rare, usually
+        # final) round, so the loop's exact-convergence contract costs
+        # one extra job total, not one per round.
+        cnt, hsh = nxt.agg(
+            F.count("*"),
+            # decimal accumulator: a plain long sum overflows under
+            # ANSI mode once a few hashes share a sign
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+        ).first()
+        if driver_finish_edges and cnt <= driver_finish_edges:
+            # the star rounds preserve node set + connectivity, so the
+            # contracted graph's components ARE the input's
+            return _finish_local(nxt)
+        if (
+            cnt == n_prev
+            and hsh == hash_prev
+            and nxt.exceptAll(e).isEmpty()
+        ):
             e = nxt
             break
-        e, n_prev = nxt, n
+        e, n_prev, hash_prev = nxt, cnt, hsh
     # fixpoint is a star forest: (node > center) edges to each
     # component's min. Labels = those edges + the centers themselves.
     d = (

@@ -869,41 +869,50 @@ def engine_retrieve_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for r in s.domain_knowledge
             ]
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
+        # the IVF build only READS domain_knowledge and writes under
+        # its own versioned index dir — safe to overlap with the two
+        # pure-read retrieves (three concurrent Spark jobs; the local
+        # scheduler interleaves their stages across the 32 slots)
+        with ThreadPoolExecutor(max_workers=3) as pool:
             f1 = pool.submit(recall_call)
             f2 = pool.submit(feedback_call)
+            f3 = pool.submit(
+                eng.index_vectors, "domain_knowledge", cent_every=50
+            )
             out = e2e_rows + f1.result() + f2.result()
-
-        # 'ann' variant: build the scope-aware IVF index over the
-        # seeded corpus, then serve the SAME retrieval from it with
-        # every cell probed (runs after the concurrent reads — the
-        # build writes under the store root)
-        rep = eng.index_vectors("domain_knowledge", cent_every=50)
+            rep = f3.result()
         assert rep["indexed"], rep
-        s = eng.retrieve(
-            QUERY_TEXT, agent="helena", project_id="p", top_k=20,
-            use_ann=True, nprobe=rep["n_cells"],
-        )
-        out += [
-            ("ann", r["id"], round(float(r["score"]), 6))
-            for r in s.domain_knowledge
-        ]
-        # 'batch:<qid>' (r5): BOTH tasks retrieved in ONE job through
-        # retrieve_batch (exact candidate stage crossJoined over the
-        # qid dimension, per-qid threshold/top-k) — per-task slices
-        # must replicate the single-task e2e pipeline, and the oracle
-        # re-derives the full composite pipeline for each task's query
-        # vector, so a qid leak, a shared-rank bug, or a wrong
-        # per-query candidate cut all hash-mismatch
-        bt = eng.retrieve_batch(
-            [QUERY_TEXT, _BATCH_TASK_2], agent="helena", project_id="p",
-            top_k=20,
-        )
-        for qi, task in enumerate([QUERY_TEXT, _BATCH_TASK_2]):
-            out += [
-                (f"batch:q{qi}", r["id"], round(float(r["score"]), 6))
-                for r in bt[task].domain_knowledge
+
+        # 'ann' variant: serve the SAME retrieval from the scope-aware
+        # IVF index with every cell probed; 'batch' runs concurrently
+        # (both are pure reads of a committed index + store)
+        def ann_call():
+            s = eng.retrieve(
+                QUERY_TEXT, agent="helena", project_id="p", top_k=20,
+                use_ann=True, nprobe=rep["n_cells"],
+            )
+            return [
+                ("ann", r["id"], round(float(r["score"]), 6))
+                for r in s.domain_knowledge
             ]
+
+        def batch_call():
+            bt = eng.retrieve_batch(
+                [QUERY_TEXT, _BATCH_TASK_2], agent="helena", project_id="p",
+                top_k=20,
+            )
+            rows = []
+            for qi, task in enumerate([QUERY_TEXT, _BATCH_TASK_2]):
+                rows += [
+                    (f"batch:q{qi}", r["id"], round(float(r["score"]), 6))
+                    for r in bt[task].domain_knowledge
+                ]
+            return rows
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fa = pool.submit(ann_call)
+            fb_fut = pool.submit(batch_call)
+            out += fa.result() + fb_fut.result()
         return _tiny(spark, out, "variant string, id string, score double")
     finally:
         shutil.rmtree(root, ignore_errors=True)

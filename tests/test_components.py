@@ -38,13 +38,15 @@ def _uf_labels(edges):
     return out
 
 
-def _spark_labels(spark, edges, typ="long"):
+def _spark_labels(spark, edges, typ="long", **kw):
     df = tiny_df(spark, edges, f"src {typ}, dst {typ}")
-    got = connected_components(df).collect()
+    got = connected_components(df, **kw).collect()
     return {r["node"]: r["component"] for r in got}
 
 
 def test_cc_random_graphs_match_union_find(spark):
+    # both exits: the small-graph driver finish (default) and the fully
+    # distributed star-contraction loop (driver_finish_edges=0)
     rng = random.Random(42)
     for trial in range(4):
         n = rng.randint(5, 60)
@@ -55,7 +57,10 @@ def test_cc_random_graphs_match_union_find(spark):
         edges = [e for e in edges if e[0] != e[1]]
         if not edges:
             continue
-        assert _spark_labels(spark, edges) == _uf_labels(edges), trial
+        want = _uf_labels(edges)
+        assert _spark_labels(spark, edges) == want, trial
+        kw = {"driver_finish_edges": 0}
+        assert _spark_labels(spark, edges, **kw) == want, trial
 
 
 def test_cc_long_chain_converges_in_log_rounds(spark):
@@ -64,7 +69,9 @@ def test_cc_long_chain_converges_in_log_rounds(spark):
     # proves the log-round behavior, not just termination
     edges = [(i, i + 1) for i in range(63)]
     df = tiny_df(spark, edges, "src long, dst long")
-    got = connected_components(df, max_iter=10).collect()
+    got = connected_components(
+        df, max_iter=10, driver_finish_edges=0
+    ).collect()
     assert {r["node"] for r in got} == set(range(64))
     assert {r["component"] for r in got} == {0}
 
