@@ -1,0 +1,399 @@
+"""Persisted near-duplicate (MinHash-LSH) index with incremental add.
+
+The batch near-dup pipeline (plans/text_queries.py minhash_lsh_pairs)
+recomputes signatures + banding + the candidate self-join over the
+WHOLE corpus per run — O(corpus) per invocation. A continuously
+ingested 100 TB corpus needs the incremental form: persist the banded
+signature table once, and for each new batch of documents generate
+candidates only against the band buckets the NEW docs hash into
+(partition-pruned scan), verify exact Jaccard against only the
+existing docs those candidates name, and append the verified pairs.
+Cost per add is O(batch + collisions), never O(corpus).
+
+Layout (under a versioned root, operators/_index_version.py — the
+same atomic-_CURRENT protocol the IVF/text indexes use):
+
+- ``bands/``  (doc, band_idx, band_key) partitioned by
+  ``bucket = pmod(xxhash64(band_idx, band_key), n_buckets)`` — the
+  candidate join reads only the new batch's buckets.
+- ``toks/``   (doc, ts) partitioned by
+  ``tbucket = pmod(xxhash64(doc), n_buckets)`` — the verify join
+  reads only the buckets holding the candidates' existing docs.
+- ``pairs/``  verified (doc_a < doc_b, jaccard_sim) — append-only.
+- ``stats/``  one row: params + running doc count.
+
+EVERY mutation is an append — there is no in-place rewrite anywhere,
+so a reader never observes a half-rewritten file set. Dedup GROUPS are
+derived, not stored: ``groups()`` runs global connected components
+(operators/components.py) over the accumulated pairs, which is bounded
+by the number of near-duplicate docs (tiny vs the corpus) and takes
+the driver-finish fast path in the common case. That choice is what
+makes the index append-only: component labels are not append-mergeable,
+pairs are.
+
+Reference parity: no reference analog (the reference dedups memories
+per-group at consolidation time, alma/learning/consolidation.py);
+this is part of the training-data-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from alma_memory_spark.functions.text import hash32, minhash_signature, ws_tokens
+from alma_memory_spark.operators._index_version import (
+    begin_version,
+    commit_version,
+    resolve_vroot,
+)
+from alma_memory_spark.operators.components import connected_components
+
+_FLAT_SUBDIRS = ("bands", "toks", "pairs", "stats")
+
+__all__ = ["NearDupIndex"]
+
+
+class NearDupIndex:
+    """Handle over a built near-dup index (one immutable version)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        id_col: str,
+        id_type: str,
+        n_buckets: int,
+        k: int,
+        bands: int,
+        rows: int,
+        verify_t: float,
+        n_docs: int,
+        vroot: str | None = None,
+    ):
+        self.spark = spark
+        self.path = path
+        self.vroot = vroot or path
+        self.id_col = id_col
+        self.id_type = id_type
+        self.n_buckets = n_buckets
+        self.k = k
+        self.bands = bands
+        self.rows = rows
+        self.verify_t = verify_t
+        self.n_docs = n_docs
+
+    # ---- plan fragments ----------------------------------------------
+
+    @staticmethod
+    def _toks_frame(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        return docs.select(
+            F.col(id_col).alias("doc"),
+            F.array_distinct(ws_tokens(text_col)).alias("ts"),
+        )
+
+    def _bands_frame(self, toks: DataFrame) -> DataFrame:
+        """(doc, band_idx, band_key, bucket) — one signature fold per
+        doc (narrow map), banding via explode of `bands` structs."""
+        sigs = toks.withColumn(
+            "hs", F.transform("ts", hash32)
+        ).withColumn("sig", minhash_signature(F.col("hs"), self.k, hashed=True))
+        band_structs = [
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.col("sig")[i * self.rows + r].cast("string")
+                            for r in range(self.rows)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for i in range(self.bands)
+        ]
+        return (
+            sigs.select("doc", F.explode(F.array(*band_structs)).alias("b"))
+            .select("doc", "b.band_idx", "b.band_key")
+            .withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("band_idx", "band_key"), F.lit(self.n_buckets)),
+            )
+        )
+
+    @staticmethod
+    def _tbucket(col, n_buckets: int):
+        return F.pmod(F.xxhash64(col), F.lit(n_buckets))
+
+    def _verify(self, cand: DataFrame, toks_a: DataFrame, toks_b: DataFrame) -> DataFrame:
+        """Exact Jaccard over candidate (doc_a < doc_b) pairs; keeps
+        pairs at/above verify_t, similarity rounded to 6dp (the
+        engine-wide determinism convention)."""
+        ta = toks_a.select(F.col("doc").alias("doc_a"), F.col("ts").alias("ts_a"))
+        tb = toks_b.select(F.col("doc").alias("doc_b"), F.col("ts").alias("ts_b"))
+        inter = F.size(F.array_intersect("ts_a", "ts_b")).cast("double")
+        union = (F.size("ts_a") + F.size("ts_b")).cast("double") - inter
+        return (
+            cand.join(ta, "doc_a")
+            .join(tb, "doc_b")
+            .withColumn("_j", inter / union)
+            .filter(F.col("_j") >= self.verify_t)
+            .select(
+                "doc_a", "doc_b", F.round("_j", 6).alias("jaccard_sim")
+            )
+        )
+
+    # ---- build / load -------------------------------------------------
+
+    @staticmethod
+    def build(
+        spark: SparkSession,
+        docs: DataFrame,
+        path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n_buckets: int = 32,
+        k: int = 8,
+        bands: int = 2,
+        rows: int = 4,
+        verify_t: float = 0.9,
+    ) -> "NearDupIndex":
+        """One-time build: token sets -> signatures -> banded table ->
+        in-corpus candidate self-join (shuffle on band key only) ->
+        exact-Jaccard verify -> persisted pairs. Bands and token sets
+        land bucket-partitioned so every later add prunes its reads."""
+        id_type = docs.schema[id_col].dataType.simpleString()
+        idx = NearDupIndex(
+            spark, path, id_col, id_type, n_buckets, k, bands, rows,
+            verify_t, n_docs=0,
+        )
+        toks = NearDupIndex._toks_frame(docs, id_col, text_col)
+        bands_df = idx._bands_frame(toks)
+
+        vdir = begin_version(path)
+        (
+            bands_df.repartition(min(n_buckets, 32), "bucket")
+            .sortWithinPartitions("bucket", "band_idx", "band_key", "doc")
+            .write.partitionBy("bucket")
+            .parquet(os.path.join(vdir, "bands"))
+        )
+        (
+            toks.withColumn("tbucket", NearDupIndex._tbucket(F.col("doc"), n_buckets))
+            .repartition(min(n_buckets, 32), "tbucket")
+            .sortWithinPartitions("tbucket", "doc")
+            .write.partitionBy("tbucket")
+            .parquet(os.path.join(vdir, "toks"))
+        )
+        idx.vroot = vdir  # reads below serve from the staged version
+        stored_bands = spark.read.parquet(os.path.join(vdir, "bands"))
+        a = stored_bands.alias("a")
+        b = stored_bands.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+            .distinct()
+        )
+        stored_toks = spark.read.parquet(os.path.join(vdir, "toks")).select("doc", "ts")
+        pairs = idx._verify(cand, stored_toks, stored_toks)
+        pairs.write.parquet(os.path.join(vdir, "pairs"))
+        n = docs.count()
+        idx.n_docs = n
+        idx._write_stats(vdir, n)
+        idx.vroot = commit_version(path, vdir, _FLAT_SUBDIRS)  # COMMIT
+        return idx
+
+    def _write_stats(self, vdir: str, n_delta: int) -> None:
+        """Append one DELTA row; load() sums them — integer-associative,
+        so the running doc count merges losslessly across adds."""
+        from alma_memory_spark.session import tiny_df
+
+        tiny_df(
+            self.spark,
+            [
+                (
+                    json.dumps(
+                        {
+                            "id_col": self.id_col,
+                            "id_type": self.id_type,
+                            "n_buckets": self.n_buckets,
+                            "k": self.k,
+                            "bands": self.bands,
+                            "rows": self.rows,
+                            "verify_t": self.verify_t,
+                        }
+                    ),
+                    n_delta,
+                )
+            ],
+            "params string, n_docs long",
+        ).coalesce(1).write.mode("append").parquet(os.path.join(vdir, "stats"))
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "NearDupIndex":
+        vroot = resolve_vroot(path)
+        rows = spark.read.parquet(os.path.join(vroot, "stats")).collect()
+        p = json.loads(rows[0]["params"])
+        return NearDupIndex(
+            spark, path, p["id_col"], p["id_type"], p["n_buckets"], p["k"],
+            p["bands"], p["rows"], p["verify_t"],
+            n_docs=sum(r["n_docs"] for r in rows), vroot=vroot,
+        )
+
+    def _require_live_version(self) -> None:
+        cur = resolve_vroot(self.path)
+        if os.path.abspath(cur) != os.path.abspath(self.vroot):
+            raise RuntimeError(
+                f"near-dup index handle pins version "
+                f"{os.path.basename(self.vroot)!r} of {self.path}, but the "
+                f"current version is {os.path.basename(cur)!r} — reload "
+                "before writing (a write here would never be served)"
+            )
+
+    # ---- incremental add ---------------------------------------------
+
+    def add(self, docs: DataFrame, text_col: str | None = None) -> int:
+        """Incremental dedup of a new batch: candidates against ONLY the
+        band buckets the new docs hash into (partition-pruned persisted
+        scan), exact verify against ONLY the existing docs named by a
+        candidate (tbucket-pruned), then append pairs + bands + toks.
+        Returns the number of new verified pairs. Assumes new doc ids
+        (append-only corpus), the same contract as the text/IVF adds.
+
+        The candidate join keeps new-vs-old AND new-vs-new collisions
+        (left side is always a new doc); old-vs-old pairs were emitted
+        by earlier adds or the build, so accumulated pairs equal the
+        full-rebuild pair set (contract-tested)."""
+        self._require_live_version()
+        new_toks = self._toks_frame(docs, self.id_col, text_col or "text")
+        new_bands = self._bands_frame(new_toks)
+        new_bands = new_bands.localCheckpoint(eager=True)  # 2 consumers
+        new_toks = new_toks.localCheckpoint(eager=True)
+
+        # bucket prune: only partitions a NEW band hashes into
+        buckets = [r["bucket"] for r in new_bands.select("bucket").distinct().collect()]
+        if buckets:
+            old_bands = (
+                self.spark.read.parquet(os.path.join(self.vroot, "bands"))
+                .filter(F.col("bucket").isin(buckets))
+                .select("doc", "band_idx", "band_key")
+            )
+            both = old_bands.unionByName(
+                new_bands.select("doc", "band_idx", "band_key")
+            )
+            a = new_bands.alias("a")
+            b = both.alias("b")
+            cand = (
+                a.join(
+                    b,
+                    (F.col("a.band_idx") == F.col("b.band_idx"))
+                    & (F.col("a.band_key") == F.col("b.band_key"))
+                    & (F.col("a.doc") != F.col("b.doc")),
+                )
+                .select(
+                    F.least(F.col("a.doc"), F.col("b.doc")).alias("doc_a"),
+                    F.greatest(F.col("a.doc"), F.col("b.doc")).alias("doc_b"),
+                )
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            # verify side: new docs' tokens are in memory; existing
+            # docs' tokens read only from the tbuckets the candidates'
+            # OLD ids hash into
+            new_ids = new_toks.select("doc")
+            old_ids = (
+                cand.select(F.col("doc_a").alias("doc"))
+                .union(cand.select(F.col("doc_b").alias("doc")))
+                .distinct()
+                .join(new_ids, "doc", "left_anti")
+            )
+            tbuckets = [
+                r["tb"]
+                for r in old_ids.select(
+                    self._tbucket(F.col("doc"), self.n_buckets).alias("tb")
+                )
+                .distinct()
+                .collect()
+            ]
+            if tbuckets:
+                old_toks = (
+                    self.spark.read.parquet(os.path.join(self.vroot, "toks"))
+                    .filter(F.col("tbucket").isin(tbuckets))
+                    .join(old_ids, "doc")
+                    .select("doc", "ts")
+                )
+                all_toks = new_toks.unionByName(old_toks)
+            else:
+                all_toks = new_toks
+            # anti-join against accumulated pairs: a replayed batch
+            # (foreachBatch crash redelivery) or a re-added doc would
+            # otherwise append duplicate pair rows — this makes add()
+            # idempotent on pair CONTENT (bands/toks tolerate replay
+            # by construction: duplicates cannot change the candidate
+            # set, only waste bytes until a rebuild folds them)
+            new_pairs = (
+                self._verify(cand, all_toks, all_toks)
+                .join(self.pairs(), ["doc_a", "doc_b"], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            n_new = new_pairs.count()
+            if n_new:
+                new_pairs.write.mode("append").parquet(
+                    os.path.join(self.vroot, "pairs")
+                )
+        else:
+            n_new = 0
+
+        # publish the new docs into the index (append-only)
+        (
+            new_bands.select("doc", "band_idx", "band_key", "bucket")
+            .repartition(min(self.n_buckets, 32), "bucket")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(os.path.join(self.vroot, "bands"))
+        )
+        (
+            new_toks.withColumn(
+                "tbucket", self._tbucket(F.col("doc"), self.n_buckets)
+            )
+            .repartition(min(self.n_buckets, 32), "tbucket")
+            .write.mode("append")
+            .partitionBy("tbucket")
+            .parquet(os.path.join(self.vroot, "toks"))
+        )
+        n_delta = docs.count()
+        self.n_docs += n_delta
+        self._write_stats(self.vroot, n_delta)
+        return int(n_new)
+
+    # ---- reads --------------------------------------------------------
+
+    def pairs(self) -> DataFrame:
+        """All verified near-dup pairs accumulated so far."""
+        return self.spark.read.schema(
+            f"doc_a {self.id_type}, doc_b {self.id_type}, jaccard_sim double"
+        ).parquet(os.path.join(self.vroot, "pairs"))
+
+    def groups(self) -> DataFrame:
+        """(doc_id, group_id, is_canonical) dedup families DERIVED from
+        the accumulated pairs via global connected components — bounded
+        by the near-dup population, not the corpus; takes the
+        driver-finish fast path when the pair graph is small."""
+        cc = connected_components(self.pairs(), src="doc_a", dst="doc_b")
+        return cc.select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("group_id"),
+            (F.col("node") == F.col("component")).alias("is_canonical"),
+        )
+
+    def drop_list(self) -> DataFrame:
+        """Doc ids to REMOVE from the corpus (non-canonical members of
+        every dedup family) — the anti-join side of the dedup step."""
+        return self.groups().filter(~F.col("is_canonical")).select("doc_id")

@@ -263,6 +263,7 @@ def stream_documents_into_indexes(
     stream: DataFrame,
     text_index=None,
     ivf_index=None,
+    neardup_index=None,
     checkpoint: str | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -339,6 +340,21 @@ def stream_documents_into_indexes(
             ivf_index.add_epoch(
                 batch_df, epoch_id, id_col=id_col, vec_col=vec_col,
                 lineage=lineage,
+            )
+        if neardup_index is not None:
+            # near-dup maintenance (r6): candidates against only the
+            # batch's band buckets, pairs appended. Crash replay of a
+            # batch is pair-idempotent (add anti-joins accumulated
+            # pairs); replayed bands/toks rows are storage bloat a
+            # rebuild folds, never a correctness issue — so this add
+            # doesn't need the epoch-segment protocol the score-
+            # bearing text/IVF adds require
+            neardup_index.add(
+                batch_df.select(
+                    F.col(id_col).alias(neardup_index.id_col),
+                    F.col(text_col),
+                ),
+                text_col=text_col,
             )
         if on_batch is not None:
             on_batch(epoch_id)

@@ -1,0 +1,157 @@
+"""Persisted near-dup index: incremental add == full rebuild, replay
+idempotence, pruned reads, version guard."""
+
+import os
+
+import pytest
+
+from alma_memory_spark.operators.dedup_index import NearDupIndex
+from alma_memory_spark.session import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _pairset(df):
+    return {
+        (r["doc_a"], r["doc_b"], r["jaccard_sim"]) for r in df.collect()
+    }
+
+
+def _groupmap(df):
+    return {r["doc_id"]: r["group_id"] for r in df.collect()}
+
+
+def test_incremental_add_equals_full_build(spark, tmp_path):
+    """The defining contract: build(80%) + add(20%) accumulates exactly
+    the pair set (and therefore the dedup groups) of build(100%)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    full = NearDupIndex.build(
+        spark, docs, str(tmp_path / "full"), n_buckets=8
+    )
+    part = NearDupIndex.build(
+        spark,
+        docs.filter("doc_id % 5 != 0"),
+        str(tmp_path / "incr"),
+        n_buckets=8,
+    )
+    n_new = part.add(docs.filter("doc_id % 5 = 0"))
+    assert n_new >= 0
+    assert _pairset(part.pairs()) == _pairset(full.pairs())
+    assert _groupmap(part.groups()) == _groupmap(full.groups())
+    # doc counts accumulated exactly
+    assert part.n_docs == full.n_docs
+    # reload serves the same state
+    again = NearDupIndex.load(spark, str(tmp_path / "incr"))
+    assert again.n_docs == part.n_docs
+    assert _pairset(again.pairs()) == _pairset(full.pairs())
+    # groups: every member labeled by its component min; canonical =
+    # min member; drop list = non-canonical members
+    g = part.groups().collect()
+    assert all(
+        (r["doc_id"] == r["group_id"]) == r["is_canonical"] for r in g
+    )
+    drops = {r["doc_id"] for r in part.drop_list().collect()}
+    assert drops == {r["doc_id"] for r in g if not r["is_canonical"]}
+
+
+def test_add_is_replay_idempotent(spark, tmp_path):
+    """Re-adding the same batch (foreachBatch crash redelivery) must
+    not duplicate pair rows: pair COUNT (not just set) is stable."""
+    docs = load_table(spark, SF_DIR, "documents")
+    idx = NearDupIndex.build(
+        spark, docs.filter("doc_id % 5 != 0"), str(tmp_path / "rp"),
+        n_buckets=8,
+    )
+    batch = docs.filter("doc_id % 5 = 0")
+    idx.add(batch)
+    before = idx.pairs().count()
+    assert idx.add(batch) == 0  # nothing new on replay
+    assert idx.pairs().count() == before
+
+
+def test_add_reads_are_bucket_pruned(spark, tmp_path):
+    """The persisted band scan for an add must touch only the bucket
+    partitions the new docs hash into — the property that keeps add()
+    O(batch), not O(corpus)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    idx = NearDupIndex.build(spark, docs, str(tmp_path / "pr"), n_buckets=8)
+    bands_root = os.path.join(idx.vroot, "bands")
+    # layout: hive-partitioned by bucket
+    parts = [d for d in os.listdir(bands_root) if d.startswith("bucket=")]
+    assert len(parts) > 1
+    # the bucket predicate lands in PartitionFilters (pruned scan),
+    # and the scan's numFiles metric confirms only one partition read
+    pruned = spark.read.parquet(bands_root).filter("bucket = 3")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan.split(
+        "PartitionFilters"
+    )[1][:120], plan
+    pruned.collect()
+    import re
+
+    m = re.search(r"number of files read[^\d]*(\d+)", plan)
+    if m is None:
+        plan2 = pruned._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"number of files read[^\d]*(\d+)", plan2)
+    total_files = sum(
+        len([f for f in os.listdir(os.path.join(bands_root, d)) if f.endswith(".parquet")])
+        for d in parts
+    )
+    if m:
+        assert int(m.group(1)) < total_files
+
+
+def test_superseded_handle_add_raises(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents")
+    v1 = NearDupIndex.build(
+        spark, docs.filter("doc_id % 2 = 0"), str(tmp_path / "vg"),
+        n_buckets=8,
+    )
+    NearDupIndex.build(spark, docs, str(tmp_path / "vg"), n_buckets=8)
+    with pytest.raises(RuntimeError, match="reload"):
+        v1.add(docs.filter("doc_id % 2 = 1"))
+
+
+def test_streaming_neardup_maintenance_matches_batch(spark, tmp_path):
+    """stream_documents_into_indexes(neardup_index=...): after the
+    second half of the corpus replays through the file stream in
+    micro-batches, the accumulated pair set equals a one-shot build
+    over the full corpus — continuous corpus dedup."""
+    from pyspark.sql import functions as F
+
+    from alma_memory_spark.streaming.ingest import (
+        stream_documents_into_indexes,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+
+    idx = NearDupIndex.build(
+        spark, half_a, str(tmp_path / "nd"), n_buckets=8
+    )
+    inbox = str(tmp_path / "inbox")
+    half_b.repartition(4).write.parquet(inbox)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(inbox)
+    )
+    batches = []
+    q = stream_documents_into_indexes(
+        stream, neardup_index=idx,
+        checkpoint=str(tmp_path / "ckpt"), id_col="doc_id",
+        on_batch=batches.append,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(batches) >= 2
+
+    full = NearDupIndex.build(
+        spark, docs, str(tmp_path / "nd_full"), n_buckets=8
+    )
+    assert _pairset(idx.pairs()) == _pairset(full.pairs())
+    assert _groupmap(idx.groups()) == _groupmap(full.groups())
+    assert idx.n_docs == full.n_docs
