@@ -1,0 +1,117 @@
+"""Deterministic hash-based sampling and corpus mixing.
+
+The sampling a training-data pipeline actually needs is NOT
+`df.sample()` (seeded per-partition RNG — the kept set changes with
+partitioning, retries, and engine version): it is CONTENT-keyed
+sampling, where keep/drop is a pure function of a row's key and a
+salt. That makes samples reproducible across runs and engines,
+stable under repartition/retry, consistent between a pipeline and its
+audit queries, and composable (a 10% sample of a 50% sample with the
+same salt is the 10% sample; disjoint salts give independent
+samples). Every major corpus pipeline (C4, The Pile, RefinedWeb
+reproductions) downsamples this way.
+
+Built on the engine's portable 32-bit md5 hash (functions/text.hash32,
+bit-identical in DuckDB via sql_hash32), so every sampling decision is
+SQL-auditable — the driver gate replays the exact kept-set in DuckDB.
+
+Scale shape: a narrow map + filter per row — no shuffle, no RNG state,
+embarrassingly parallel; stratified rates ride a literal CASE chain
+(config-sized), and mixing is per-source filtered unions that
+Catalyst pushes straight into each source scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from alma_memory_spark.functions.text import hash32, sql_hash32
+
+#: hash buckets for the keep decision: rate is quantized to 1e-6,
+#: plenty for corpus work and exact in integer arithmetic on both
+#: engines (no float-rounding drift between Spark and DuckDB)
+_DENOM = 1_000_000
+
+__all__ = [
+    "hash_bucket",
+    "hash_sample",
+    "stratified_sample",
+    "weighted_mix",
+    "sql_hash_keep",
+]
+
+
+def hash_bucket(key: Column | str, salt: str = "") -> Column:
+    """Deterministic bucket in [0, 1e6) from (key, salt) — the salt
+    namespaces independent sampling decisions over the same keys."""
+    k = F.col(key) if isinstance(key, str) else key
+    return F.pmod(
+        hash32(F.concat(k.cast("string"), F.lit(":" + salt))), F.lit(_DENOM)
+    )
+
+
+def sql_hash_keep(key_expr: str, rate: float, salt: str = "") -> str:
+    """DuckDB predicate equivalent to hash_sample's keep decision."""
+    h = sql_hash32(f"CAST({key_expr} AS VARCHAR) || ':{salt}'")
+    return f"(({h}) % {_DENOM} + {_DENOM}) % {_DENOM} < {int(rate * _DENOM)}"
+
+
+def hash_sample(
+    df: DataFrame, rate: float, key_col: str, salt: str = ""
+) -> DataFrame:
+    """Keep ~rate of rows, decided purely by hash(key, salt): stable
+    under repartition/retry, reproducible across engines."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1] (got {rate!r})")
+    return df.filter(hash_bucket(key_col, salt) < int(rate * _DENOM))
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum keep rates (e.g. per-language downsampling: en 10%,
+    low-resource languages 100%). Strata absent from `rates` keep
+    `default_rate`. One narrow filter — the rate table is config-sized
+    and rides a literal CASE chain."""
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for stratum {s!r} must be in [0, 1]")
+    thresh: Column = F.lit(int(default_rate * _DENOM))
+    for s, r in rates.items():
+        thresh = (
+            F.when(F.col(stratum_col) == s, F.lit(int(r * _DENOM)))
+            .otherwise(thresh)
+        )
+    return df.filter(hash_bucket(key_col, salt) < thresh)
+
+
+def weighted_mix(
+    frames: dict[str, DataFrame],
+    weights: dict[str, float],
+    key_col: str,
+    salt: str = "",
+    source_col: str = "source_name",
+) -> DataFrame:
+    """Corpus mixing: sample each source at its weight and union, with
+    a provenance column. This is the rate-based (epoch-less) form of
+    training-mixture construction: weights are KEEP RATES per source,
+    chosen upstream from the desired token proportions. Schemas must
+    be union-compatible; each source's filter pushes into its own
+    scan."""
+    missing = set(frames) - set(weights)
+    if missing:
+        raise ValueError(f"no weight for sources: {sorted(missing)}")
+    out = None
+    for name in sorted(frames):
+        part = hash_sample(frames[name], weights[name], key_col, salt).withColumn(
+            source_col, F.lit(name)
+        )
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        raise ValueError("weighted_mix needs at least one source frame")
+    return out

@@ -99,24 +99,102 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "exact_dedup",
     f"""
-    SELECT {X.sql_fingerprint('text')} AS fp,
-           min(doc_id) AS canonical_id,
-           count(*) AS n_copies
-    FROM documents
-    GROUP BY 1
+    WITH dd AS (
+      SELECT {X.sql_fingerprint('text')} AS fp,
+             min(doc_id) AS canonical_id,
+             count(*) AS n_copies
+      FROM documents
+      GROUP BY 1
+    ),
+    strat AS (
+      SELECT doc_id, lang FROM documents
+      WHERE (({X.sql_hash32("CAST(doc_id AS VARCHAR) || ':r6strat'")})
+             % 1000000 + 1000000) % 1000000
+            < CASE lang WHEN 'en' THEN 500000
+                        WHEN 'zh' THEN 1000000
+                        ELSE 100000 END
+    ),
+    mix AS (
+      SELECT doc_id,
+             CASE WHEN CAST(substr(source, 4) AS BIGINT) < 10
+                  THEN 'web' ELSE 'code' END AS src_name
+      FROM documents
+      WHERE (({X.sql_hash32("CAST(doc_id AS VARCHAR) || ':r6mix'")})
+             % 1000000 + 1000000) % 1000000
+            < CASE WHEN CAST(substr(source, 4) AS BIGINT) < 10
+                   THEN 300000 ELSE 800000 END
+    )
+    SELECT 'dedup' AS variant, fp AS key, canonical_id AS id, n_copies AS n
+    FROM dd
+    UNION ALL
+    SELECT 'strat:' || lang, CAST(NULL AS VARCHAR), doc_id, CAST(NULL AS BIGINT)
+    FROM strat
+    UNION ALL
+    SELECT 'mix:' || src_name, CAST(NULL AS VARCHAR), doc_id, CAST(NULL AS BIGINT)
+    FROM mix
     """,
 )
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: md5 fingerprint over normalized text -> groupBy ->
-    canonical id = min(doc_id). One shuffle on the hash; at 100 TB this
-    is the standard first dedup pass (map-side partial agg + hash
-    shuffle)."""
+    """Composite dedup + deterministic-sampling gate.
+
+    'dedup' rows — exact dedup: md5 fingerprint over normalized text ->
+    groupBy -> canonical id = min(doc_id). One shuffle on the hash; at
+    100 TB this is the standard first dedup pass (map-side partial agg
+    + hash shuffle).
+
+    'strat:<lang>' rows (r6) — deterministic per-language downsampling
+    (operators/sampling.py stratified_sample): keep/drop is a pure
+    function of (doc_id, salt), so the kept set is stable under
+    repartition/retry and the oracle replays the EXACT same set in
+    DuckDB via the shared portable hash. Rates: en 50%, zh 100%,
+    default 10%.
+
+    'mix:<source>' rows (r6) — corpus mixing (weighted_mix): two
+    source pools (src0-9 = 'web' at 30%, src10-19 = 'code' at 80%)
+    sampled at their mixture rates and unioned with provenance; each
+    pool's keep filter pushes into its own scan."""
+    from alma_memory_spark.operators.sampling import (
+        stratified_sample,
+        weighted_mix,
+    )
+
     docs = _t(spark, sf_dir, "documents")
-    return (
+    dd = (
         docs.withColumn("fp", X.fingerprint("text"))
         .groupBy("fp")
         .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies"))
+        .select(
+            F.lit("dedup").alias("variant"),
+            F.col("fp").alias("key"),
+            F.col("canonical_id").alias("id"),
+            F.col("n_copies").alias("n"),
+        )
     )
+    strat = stratified_sample(
+        docs, "lang", {"en": 0.5, "zh": 1.0}, key_col="doc_id",
+        default_rate=0.1, salt="r6strat",
+    ).select(
+        F.concat(F.lit("strat:"), F.col("lang")).alias("variant"),
+        F.lit(None).cast("string").alias("key"),
+        F.col("doc_id").alias("id"),
+        F.lit(None).cast("long").alias("n"),
+    )
+    src_num = F.substring("source", 4, 10).cast("long")
+    mixed = weighted_mix(
+        {
+            "web": docs.filter(src_num < 10),
+            "code": docs.filter(src_num >= 10),
+        },
+        {"web": 0.3, "code": 0.8},
+        key_col="doc_id",
+        salt="r6mix",
+    ).select(
+        F.concat(F.lit("mix:"), F.col("source_name")).alias("variant"),
+        F.lit(None).cast("string").alias("key"),
+        F.col("doc_id").alias("id"),
+        F.lit(None).cast("long").alias("n"),
+    )
+    return dd.unionByName(strat).unionByName(mixed)
 
 
 def _sql_minhash_cols() -> str:

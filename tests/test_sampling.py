@@ -1,0 +1,90 @@
+"""Deterministic hash sampling: stability, composability, mixing."""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from alma_memory_spark.operators.sampling import (
+    hash_sample,
+    stratified_sample,
+    weighted_mix,
+)
+from alma_memory_spark.session import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _ids(df):
+    return {r["doc_id"] for r in df.select("doc_id").collect()}
+
+
+def test_hash_sample_is_deterministic_and_partition_stable(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    a = _ids(hash_sample(docs, 0.3, "doc_id", salt="s1"))
+    b = _ids(hash_sample(docs, 0.3, "doc_id", salt="s1"))
+    assert a == b
+    # stable under repartition — the property df.sample() lacks
+    c = _ids(hash_sample(docs.repartition(13), 0.3, "doc_id", salt="s1"))
+    assert a == c
+    # roughly the requested rate
+    n = docs.count()
+    assert 0.15 * n < len(a) < 0.45 * n
+
+
+def test_hash_sample_nests_and_salts_namespace(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    half = hash_sample(docs, 0.5, "doc_id", salt="s1")
+    tenth = hash_sample(docs, 0.1, "doc_id", salt="s1")
+    # same salt: a 10% sample IS a subset of the 50% sample (thresholds
+    # nest), so re-sampling a sample never double-randomizes
+    assert _ids(tenth) <= _ids(half)
+    assert _ids(hash_sample(half, 0.1, "doc_id", salt="s1")) == _ids(tenth)
+    # different salt: an independent draw
+    other = _ids(hash_sample(docs, 0.5, "doc_id", salt="s2"))
+    assert other != _ids(half)
+    # rate bounds enforced
+    with pytest.raises(ValueError, match="rate"):
+        hash_sample(docs, 1.5, "doc_id")
+
+
+def test_stratified_rates_apply_per_stratum(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    out = stratified_sample(
+        docs, "lang", {"en": 1.0, "zh": 0.0}, key_col="doc_id",
+        default_rate=0.5, salt="t",
+    )
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    totals = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_lang["en"] == totals["en"]  # rate 1.0 keeps everything
+    assert "zh" not in by_lang  # rate 0.0 keeps nothing
+    for lang in set(totals) - {"en", "zh"}:  # default 0.5 in between
+        assert 0 < by_lang.get(lang, 0) < totals[lang]
+
+
+def test_weighted_mix_provenance_and_pushdown(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    src_num = F.substring("source", 4, 10).cast("long")
+    frames = {
+        "web": docs.filter(src_num < 10),
+        "code": docs.filter(src_num >= 10),
+    }
+    out = weighted_mix(frames, {"web": 1.0, "code": 0.0}, key_col="doc_id")
+    rows = out.collect()
+    assert {r["source_name"] for r in rows} == {"web"}
+    assert len(rows) == frames["web"].count()
+    with pytest.raises(ValueError, match="no weight"):
+        weighted_mix(frames, {"web": 1.0}, key_col="doc_id")
+    # the per-source keep filter reaches each scan (pushed, not a
+    # post-union filter): the optimized plan has a Filter below each
+    # union child, and no filter above the Union
+    mixed = weighted_mix(frames, {"web": 0.5, "code": 0.5}, key_col="doc_id")
+    plan = mixed._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.index("Union") < plan.index("Filter")
