@@ -128,6 +128,7 @@ def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ov
     ORDER BY rerank_pos
     """,
+    memo=True,
 )
 def rerank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reranking stage end-to-end (reference: alma/retrieval/

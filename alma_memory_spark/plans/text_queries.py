@@ -795,6 +795,7 @@ _IVF_EQDOT = "list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i] * q[i]))
     UNION ALL
     SELECT 'ivf_batch:' || CAST(qid AS VARCHAR), vec_id, similarity FROM ivfb
     """,
+    memo=True,
 )
 def ann_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite gate: BOTH approximate-ANN strategies (merged r3 from
