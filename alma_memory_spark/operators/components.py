@@ -158,6 +158,7 @@ def connected_components(
     # an expensive upstream plan would execute once per reference
     e = _pin(e, eager=True)
     n_prev = hash_prev = None
+    converged = False
     for _ in range(max_iter):
         nxt = _pin(_small_star(_large_star(e)))
         # one job per round: count + order-insensitive content hash.
@@ -181,8 +182,20 @@ def connected_components(
             and nxt.exceptAll(e).isEmpty()
         ):
             e = nxt
+            converged = True
             break
         e, n_prev, hash_prev = nxt, cnt, hsh
+    if not converged:
+        # a partially contracted graph is NOT a star forest — reading
+        # labels off it would silently mislabel nodes. The round bound
+        # is logarithmic, so hitting it means max_iter is set far too
+        # low for the graph; fail loudly instead of returning wrong
+        # components.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({n_prev} edges remain) — raise max_iter (rounds grow "
+            "log(n), so a small increase goes far)"
+        )
     # fixpoint is a star forest: (node > center) edges to each
     # component's min. Labels = those edges + the centers themselves.
     d = (

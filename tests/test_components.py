@@ -103,3 +103,14 @@ def test_near_dup_groups_canonical_flags(spark):
         8: (8, True),
         9: (8, False),
     }
+
+
+def test_cc_nonconvergence_raises_not_mislabels(spark):
+    # a partially contracted graph is not a star forest; the operator
+    # must refuse to read labels off it
+    import pytest as _pytest
+
+    edges = [(i, i + 1) for i in range(63)]
+    df = tiny_df(spark, edges, "src long, dst long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=1, driver_finish_edges=0)
