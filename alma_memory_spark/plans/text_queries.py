@@ -57,14 +57,41 @@ _IVF_INDEX_GATE_LOCK = threading.Lock()
 @register(
     "text_profile",
     f"""
-    SELECT doc_id,
-           len({X.sql_ws_tokens('text')}) AS n_tokens,
-           CAST(floor(length(text) / 4) AS BIGINT) AS token_estimate,
-           {X.sql_bpe_token_count('text')} AS n_bpe_tokens,
-           length(text) AS n_chars_actual,
-           {X.sql_lang_id('text')} AS pred_lang,
-           round({X.sql_quality_score('text')}, 6) AS quality
-    FROM documents
+    WITH prof AS (
+      SELECT doc_id,
+             len({X.sql_ws_tokens('text')}) AS n_tokens,
+             CAST(floor(length(text) / 4) AS BIGINT) AS token_estimate,
+             {X.sql_bpe_token_count('text')} AS n_bpe_tokens,
+             length(text) AS n_chars_actual,
+             {X.sql_lang_id('text')} AS pred_lang,
+             round({X.sql_quality_score('text')}, 6) AS quality
+      FROM documents
+    ),
+    sharded AS (
+      SELECT doc_id, n_tokens,
+             (({X.sql_hash32("CAST(doc_id AS VARCHAR) || ':r6pack'")})
+              % 1000000 + 1000000) % 1000000 % 4 AS shard
+      FROM prof
+    ),
+    packed AS (
+      SELECT doc_id, n_tokens, shard,
+             COALESCE(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum_prev
+      FROM sharded
+    )
+    SELECT 'profile' AS variant, doc_id, n_tokens, token_estimate,
+           n_bpe_tokens, n_chars_actual, pred_lang, quality,
+           CAST(NULL AS BIGINT) AS pack_id, CAST(NULL AS BIGINT) AS pack_offset
+    FROM prof
+    UNION ALL
+    SELECT 'pack:' || CAST(shard AS VARCHAR), doc_id, n_tokens,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+           CAST(floor(cum_prev / 512) AS BIGINT),
+           cum_prev % 512
+    FROM packed
     """,
 )
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -83,9 +110,20 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang-id when model libs are unavailable). Quality: length /
     punctuation / stopword / token-shape signals (C4/Gopher-style
     heuristics). All pure column expressions — one scan, whole-stage
-    codegen, no shuffle at any scale."""
+    codegen, no shuffle at any scale.
+
+    'pack:<shard>' rows (r6) — sequence packing
+    (operators/packing.py): the corpus token stream concatenated in
+    doc_id order within 4 hash shards and cut into 512-token training
+    blocks; each doc labeled with the block it starts in and its
+    offset. The shard is the parallelism unit (one bounded window per
+    shard — never a global sort); the oracle replays the identical
+    shard assignment and running sum, so one off-by-one in the
+    cumulative cut hash-mismatches."""
+    from alma_memory_spark.operators.packing import pack_documents
+
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    prof = docs.select(
         "doc_id",
         X.token_count("text").cast("long").alias("n_tokens"),
         X.token_estimate("text").alias("token_estimate"),
@@ -94,6 +132,33 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.lang_id("text").alias("pred_lang"),
         _r6(X.quality_score("text")).alias("quality"),
     )
+    prof_rows = prof.select(
+        F.lit("profile").alias("variant"),
+        "*",
+        F.lit(None).cast("long").alias("pack_id"),
+        F.lit(None).cast("long").alias("pack_offset"),
+    )
+    packed = pack_documents(
+        prof.select("doc_id", "n_tokens"),
+        budget=512,
+        token_col="n_tokens",
+        key_col="doc_id",
+        n_shards=4,
+        salt="r6pack",
+    )
+    pack_rows = packed.select(
+        F.concat(F.lit("pack:"), F.col("shard").cast("string")).alias("variant"),
+        "doc_id",
+        "n_tokens",
+        F.lit(None).cast("long").alias("token_estimate"),
+        F.lit(None).cast("long").alias("n_bpe_tokens"),
+        F.lit(None).cast("long").alias("n_chars_actual"),
+        F.lit(None).cast("string").alias("pred_lang"),
+        F.lit(None).cast("double").alias("quality"),
+        "pack_id",
+        "pack_offset",
+    )
+    return prof_rows.unionByName(pack_rows)
 
 
 @register(

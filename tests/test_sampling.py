@@ -88,3 +88,70 @@ def test_weighted_mix_provenance_and_pushdown(spark):
     mixed = weighted_mix(frames, {"web": 0.5, "code": 0.5}, key_col="doc_id")
     plan = mixed._jdf.queryExecution().optimizedPlan().toString()
     assert plan.index("Union") < plan.index("Filter")
+
+
+def test_pack_documents_block_semantics(spark):
+    """Deterministic single-shard packing: blocks cut at exact running
+    token offsets, docs may straddle a boundary (the GPT-dataloader
+    contract), and the assignment is partition-stable."""
+    from alma_memory_spark.operators.packing import pack_documents
+    from alma_memory_spark.session import tiny_df
+
+    rows = [(1, 300), (2, 300), (3, 100), (4, 500)]
+    df = tiny_df(spark, rows, "doc_id long, n_tokens long")
+    out = {
+        r["doc_id"]: (r["shard"], r["pack_id"], r["pack_offset"])
+        for r in pack_documents(
+            df, budget=512, token_col="n_tokens", key_col="doc_id"
+        ).collect()
+    }
+    # cum_prev: 0, 300, 600, 700
+    assert out == {
+        1: (0, 0, 0),
+        2: (0, 0, 300),   # straddles the 512 boundary
+        3: (0, 1, 88),    # 600 -> block 1, offset 88
+        4: (0, 1, 188),
+    }
+    # partition-stable (content-derived order + shard)
+    out2 = {
+        r["doc_id"]: (r["shard"], r["pack_id"], r["pack_offset"])
+        for r in pack_documents(
+            df.repartition(7), budget=512, token_col="n_tokens",
+            key_col="doc_id",
+        ).collect()
+    }
+    assert out2 == out
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="budget"):
+        pack_documents(df, budget=0, token_col="n_tokens", key_col="doc_id")
+
+
+def test_pack_documents_shards_bound_the_window(spark):
+    """n_shards > 1: each shard owns an independent token stream (block
+    ids restart per shard), and the plan's window partitions by shard —
+    no single-partition global sort."""
+    from alma_memory_spark.operators.packing import pack_documents
+    from alma_memory_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.length("text").alias("n_tokens")
+    )
+    out = pack_documents(
+        docs, budget=1000, token_col="n_tokens", key_col="doc_id",
+        n_shards=4,
+    )
+    rows = out.collect()
+    assert {r["shard"] for r in rows} == {0, 1, 2, 3}
+    # every shard starts its own stream at block 0 / offset 0
+    for s in range(4):
+        first = min(
+            (r for r in rows if r["shard"] == s), key=lambda r: r["doc_id"]
+        )
+        assert (first["pack_id"], first["pack_offset"]) == (0, 0)
+    # the window partitions by shard (per-shard bounded sort, not the
+    # single-partition global-window shape WindowExec warns about)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan and "shard" in plan
