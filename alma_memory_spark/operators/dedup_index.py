@@ -72,6 +72,7 @@ class NearDupIndex:
         verify_t: float,
         n_docs: int,
         vroot: str | None = None,
+        band_cap: int | None = None,
     ):
         self.spark = spark
         self.path = path
@@ -84,6 +85,7 @@ class NearDupIndex:
         self.rows = rows
         self.verify_t = verify_t
         self.n_docs = n_docs
+        self.band_cap = band_cap
 
     # ---- plan fragments ----------------------------------------------
 
@@ -128,6 +130,19 @@ class NearDupIndex:
     def _tbucket(col, n_buckets: int):
         return F.pmod(F.xxhash64(col), F.lit(n_buckets))
 
+    def _apply_band_cap(self, bands_df: DataFrame) -> DataFrame:
+        """Drop every (band_idx, band_key) group above the persisted
+        cap BEFORE candidate generation — the LSH skew guard; a
+        degenerate stop-phrase band yields O(group^2) candidates
+        otherwise. No-op when band_cap is None."""
+        if self.band_cap is None:
+            return bands_df
+        from pyspark.sql import Window as _W
+
+        return bands_df.withColumn(
+            "_bn", F.count("*").over(_W.partitionBy("band_idx", "band_key"))
+        ).filter(F.col("_bn") <= self.band_cap).drop("_bn")
+
     def _verify(self, cand: DataFrame, toks_a: DataFrame, toks_b: DataFrame) -> DataFrame:
         """Exact Jaccard over candidate (doc_a < doc_b) pairs; keeps
         pairs at/above verify_t, similarity rounded to 6dp (the
@@ -160,15 +175,26 @@ class NearDupIndex:
         bands: int = 2,
         rows: int = 4,
         verify_t: float = 0.9,
+        band_cap: int | None = None,
     ) -> "NearDupIndex":
         """One-time build: token sets -> signatures -> banded table ->
         in-corpus candidate self-join (shuffle on band key only) ->
         exact-Jaccard verify -> persisted pairs. Bands and token sets
-        land bucket-partitioned so every later add prunes its reads."""
+        land bucket-partitioned so every later add prunes its reads.
+
+        `band_cap` (persisted): skip candidate generation inside any
+        (band_idx, band_key) group larger than the cap — the standard
+        LSH skew guard (a degenerate stop-phrase band would otherwise
+        make O(group^2) candidates). Cap decisions are made against
+        the group size AT EACH OPERATION, so a group that crosses the
+        cap between adds stops yielding NEW pairs from then on while
+        its earlier pairs remain — incremental equals full rebuild
+        only while every group stays on one side of the cap (the
+        contract tests run uncapped)."""
         id_type = docs.schema[id_col].dataType.simpleString()
         idx = NearDupIndex(
             spark, path, id_col, id_type, n_buckets, k, bands, rows,
-            verify_t, n_docs=0,
+            verify_t, n_docs=0, band_cap=band_cap,
         )
         toks = NearDupIndex._toks_frame(docs, id_col, text_col)
         bands_df = idx._bands_frame(toks)
@@ -189,6 +215,7 @@ class NearDupIndex:
         )
         idx.vroot = vdir  # reads below serve from the staged version
         stored_bands = spark.read.parquet(os.path.join(vdir, "bands"))
+        stored_bands = idx._apply_band_cap(stored_bands)
         a = stored_bands.alias("a")
         b = stored_bands.alias("b")
         cand = (
@@ -228,6 +255,7 @@ class NearDupIndex:
                             "bands": self.bands,
                             "rows": self.rows,
                             "verify_t": self.verify_t,
+                            "band_cap": self.band_cap,
                         }
                     ),
                     n_delta,
@@ -245,6 +273,7 @@ class NearDupIndex:
             spark, path, p["id_col"], p["id_type"], p["n_buckets"], p["k"],
             p["bands"], p["rows"], p["verify_t"],
             n_docs=sum(r["n_docs"] for r in rows), vroot=vroot,
+            band_cap=p.get("band_cap"),
         )
 
     def _require_live_version(self) -> None:
@@ -285,8 +314,10 @@ class NearDupIndex:
                 .filter(F.col("bucket").isin(buckets))
                 .select("doc", "band_idx", "band_key")
             )
-            both = old_bands.unionByName(
-                new_bands.select("doc", "band_idx", "band_key")
+            both = self._apply_band_cap(
+                old_bands.unionByName(
+                    new_bands.select("doc", "band_idx", "band_key")
+                )
             )
             a = new_bands.alias("a")
             b = both.alias("b")

@@ -155,3 +155,28 @@ def test_streaming_neardup_maintenance_matches_batch(spark, tmp_path):
     assert _pairset(idx.pairs()) == _pairset(full.pairs())
     assert _groupmap(idx.groups()) == _groupmap(full.groups())
     assert idx.n_docs == full.n_docs
+
+
+def test_band_cap_guards_degenerate_buckets(spark, tmp_path):
+    """A corpus of identical docs puts every doc in one band group; a
+    cap of 3 must suppress candidate generation entirely (no O(n^2)
+    pair explosion), and the cap persists through load()."""
+    from alma_memory_spark.session import tiny_df
+
+    rows = [(i, "the same text every time") for i in range(20)]
+    docs = tiny_df(spark, rows, "doc_id long, text string")
+    capped = NearDupIndex.build(
+        spark, docs, str(tmp_path / "cap"), n_buckets=4, band_cap=3
+    )
+    assert capped.pairs().count() == 0
+    assert NearDupIndex.load(spark, str(tmp_path / "cap")).band_cap == 3
+    # capped adds also generate nothing inside the oversized group
+    assert capped.add(
+        tiny_df(spark, [(100, "the same text every time")],
+                "doc_id long, text string")
+    ) == 0
+    # uncapped control: the same corpus explodes into all-pairs
+    full = NearDupIndex.build(
+        spark, docs, str(tmp_path / "nocap"), n_buckets=4
+    )
+    assert full.pairs().count() == 20 * 19 // 2
