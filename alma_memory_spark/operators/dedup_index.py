@@ -299,7 +299,14 @@ class NearDupIndex:
         The candidate join keeps new-vs-old AND new-vs-new collisions
         (left side is always a new doc); old-vs-old pairs were emitted
         by earlier adds or the build, so accumulated pairs equal the
-        full-rebuild pair set (contract-tested)."""
+        full-rebuild pair set (contract-tested).
+
+        Single-writer contract (same as the text/IVF index adds): one
+        add() at a time per index — the pair anti-join reads the
+        accumulated pairs before appending, so two RACING adds of
+        overlapping batches could both miss each other's in-flight
+        pairs. The streaming maintainer serializes adds per query by
+        construction; batch callers hold their own lock."""
         self._require_live_version()
         new_toks = self._toks_frame(docs, self.id_col, text_col or "text")
         new_bands = self._bands_frame(new_toks)
