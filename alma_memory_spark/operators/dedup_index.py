@@ -382,21 +382,17 @@ class NearDupIndex:
                 .localCheckpoint(eager=True)
             )
             n_new = new_pairs.count()
-            if n_new:
-                new_pairs.write.mode("append").parquet(
-                    os.path.join(self.vroot, "pairs")
-                )
         else:
             n_new = 0
+            new_pairs = None
 
-        # publish the new docs into the index (append-only)
-        (
-            new_bands.select("doc", "band_idx", "band_key", "bucket")
-            .repartition(min(self.n_buckets, 32), "bucket")
-            .write.mode("append")
-            .partitionBy("bucket")
-            .parquet(os.path.join(self.vroot, "bands"))
-        )
+        # publish the new docs into the index, membership FIRST
+        # (toks -> bands -> pairs -> stats): a crash after only the
+        # membership appends leaves the docs fully verifiable by
+        # future adds (their pairs arrive on replay, anti-joined); the
+        # old pairs-first order instead left docs whose bands/toks
+        # were missing, silently dropping every FUTURE collision
+        # against them at the verify join
         (
             new_toks.withColumn(
                 "tbucket", self._tbucket(F.col("doc"), self.n_buckets)
@@ -406,6 +402,17 @@ class NearDupIndex:
             .partitionBy("tbucket")
             .parquet(os.path.join(self.vroot, "toks"))
         )
+        (
+            new_bands.select("doc", "band_idx", "band_key", "bucket")
+            .repartition(min(self.n_buckets, 32), "bucket")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(os.path.join(self.vroot, "bands"))
+        )
+        if n_new:
+            new_pairs.write.mode("append").parquet(
+                os.path.join(self.vroot, "pairs")
+            )
         n_delta = docs.count()
         self.n_docs += n_delta
         self._write_stats(self.vroot, n_delta)
