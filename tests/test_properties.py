@@ -279,3 +279,99 @@ def test_cached_embedder_transparent_and_bounded(texts):
     for t in texts[:5]:
         assert ce.encode(t) == plain.encode(t)
     assert ce.get_stats()["size"] <= 8
+
+
+def test_hash_bucket_matches_python_mirror_on_random_keys(spark):
+    """The sampling keep decision must be reproducible OUTSIDE Spark
+    (audit scripts, other engines): hash_bucket == the documented
+    Python mirror int(md5(key || ':' || salt)[:8], 16) % 1e6 on seeded
+    random keys and salts, one Spark job."""
+    import hashlib
+    import random
+    import string
+
+    from alma_memory_spark.operators.sampling import hash_bucket
+
+    rng = random.Random(20260814)
+    alphabet = string.ascii_letters + string.digits + "_-."
+    cases = [("", ""), ("0", "s"), ("доc", "")] + [
+        (
+            "".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 40))),
+            "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 8))),
+        )
+        for _ in range(200)
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, k, s) for i, (k, s) in enumerate(cases)], "i int, k string, s string"
+    )
+    # per-row salt via expression (hash_bucket takes a literal salt:
+    # evaluate one row-set per distinct salt is wasteful — instead
+    # replicate its formula with a column salt)
+    from alma_memory_spark.functions.text import hash32
+
+    got = {
+        r["i"]: r["b"]
+        for r in df.select(
+            "i",
+            F.pmod(
+                hash32(F.concat(F.col("k"), F.lit(":"), F.col("s"))),
+                F.lit(1_000_000),
+            ).alias("b"),
+        ).collect()
+    }
+    for i, (k, s) in enumerate(cases):
+        want = (
+            int(hashlib.md5(f"{k}:{s}".encode()).hexdigest()[:8], 16)
+            % 1_000_000
+        )
+        assert got[i] == want, (i, k, s, got[i], want)
+    # and the operator's own column (literal salt) agrees on a sample
+    df2 = spark.createDataFrame(
+        [(k,) for k, _ in cases[:50]], "k string"
+    ).select("k", hash_bucket("k", "xyz").alias("b"))
+    for r in df2.collect():
+        want = (
+            int(hashlib.md5(f"{r['k']}:xyz".encode()).hexdigest()[:8], 16)
+            % 1_000_000
+        )
+        assert r["b"] == want
+
+
+def test_packing_invariants_on_random_corpora(spark):
+    """Randomized packing invariants, one Spark job per corpus: offsets
+    stay inside the budget; within a shard (in key order) pack_id is
+    nondecreasing and (pack_id * budget + pack_offset) equals the
+    running token sum exactly — i.e. the concatenated stream is cut
+    with no gaps and no overlaps."""
+    import random
+
+    from alma_memory_spark.operators.packing import pack_documents
+    from alma_memory_spark.session import tiny_df
+
+    rng = random.Random(7)
+    for trial in range(3):
+        budget = rng.choice([128, 512, 1000])
+        rows = [
+            (i, rng.randrange(0, budget * 2)) for i in range(rng.randrange(5, 120))
+        ]
+        out = pack_documents(
+            tiny_df(spark, rows, "doc_id long, n_tokens long"),
+            budget=budget, token_col="n_tokens", key_col="doc_id",
+            n_shards=rng.choice([1, 3]),
+        ).collect()
+        by_shard: dict = {}
+        for r in out:
+            by_shard.setdefault(r["shard"], []).append(r)
+        toks = dict(rows)
+        for shard_rows in by_shard.values():
+            shard_rows.sort(key=lambda r: r["doc_id"])
+            cum = 0
+            prev_pack = 0
+            for r in shard_rows:
+                assert 0 <= r["pack_offset"] < budget, r
+                assert r["pack_id"] * budget + r["pack_offset"] == cum, r
+                assert r["pack_id"] >= prev_pack
+                prev_pack = r["pack_id"]
+                cum += toks[r["doc_id"]]
