@@ -17,7 +17,10 @@ one atomic _CURRENT rename, so serving paths never observe a
 half-written rebuild; handles pin their version at load and the
 previous version is retained for them):
     <path>/_CURRENT        names the live version dir (atomic swap)
-    <path>/v<N>/centroids/ tiny parquet: (cell bigint, cvec array<double>)
+    <path>/v<N>/centroids/ tiny parquet: (cell bigint, cvec array<double>,
+                           id_type, cent_every, extra_cols — meta rides the
+                           centroid rows; a separate meta/ dir is the legacy
+                           layout, still readable)
     <path>/v<N>/meta/      one-row parquet: (id_type, cent_every) — id_type
                            lets memory-table string ids index too (cells
                            then come from xxhash64(id) instead of the id)
@@ -350,18 +353,22 @@ class IVFIndex:
                 1
             ).write.mode("overwrite").parquet(os.path.join(vdir, "pq", "meta"))
 
-        tiny_df(
-            spark,
-            [(int(c), [float(x) for x in Cn[i]]) for i, c in enumerate(cells)],
-            "cell long, cvec array<double>",
-        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(vdir, "centroids"))
         import json as _json
 
+        # meta rides the centroid rows as constant columns: one tiny
+        # write instead of two (each costs a full Spark job on the
+        # serving-rebuild path); load() falls back to the separate
+        # meta dir for indexes persisted by older builds
+        meta_json = _json.dumps(extras)
         tiny_df(
             spark,
-            [(id_type, cent_every, _json.dumps(extras))],
-            "id_type string, cent_every int, extra_cols string",
-        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(vdir, "meta"))
+            [
+                (int(c), [float(x) for x in Cn[i]], id_type, cent_every, meta_json)
+                for i, c in enumerate(cells)
+            ],
+            "cell long, cvec array<double>, id_type string, "
+            "cent_every int, extra_cols string",
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(vdir, "centroids"))
         idx.vroot = commit_version(path, vdir, _FLAT_SUBDIRS)  # COMMIT POINT
         return idx
 
@@ -443,9 +450,16 @@ class IVFIndex:
         import json as _json
 
         id_type, extras = "bigint", []
-        meta_path = os.path.join(vroot, "meta")
-        if os.path.isdir(meta_path):
-            meta = spark.read.parquet(meta_path).collect()[0].asDict()
+        if rows and "id_type" in rows[0].asDict():
+            # meta rides the centroid rows (current layout)
+            id_type = rows[0]["id_type"]
+            if rows[0]["extra_cols"]:
+                extras = [tuple(e) for e in _json.loads(rows[0]["extra_cols"])]
+        elif os.path.isdir(os.path.join(vroot, "meta")):
+            # legacy layout: separate one-row meta dir
+            meta = spark.read.parquet(
+                os.path.join(vroot, "meta")
+            ).collect()[0].asDict()
             id_type = meta["id_type"]
             if meta.get("extra_cols"):
                 extras = [tuple(e) for e in _json.loads(meta["extra_cols"])]
