@@ -255,7 +255,11 @@ class AlmaSpark:
 
         fb = None
         if use_feedback:
-            fb_df = self.store.read("retrieval_feedback")
+            # declared schema: the feedback summary sits on the
+            # retrieve hot path, and inference's footer-sampling jobs
+            # are pure serving latency (the table is always written
+            # through this exact schema)
+            fb_df = self.store.read("retrieval_feedback", declared_schema=True)
             fb = feedback_summary(fb_df)
 
         # ONE Spark job for all memory types (SURVEY §3.1): per-type

@@ -280,11 +280,20 @@ class ParquetStore:
             for f in os.listdir(p)
         )
 
-    def read(self, table: str) -> DataFrame:
+    def read(self, table: str, declared_schema: bool = False) -> DataFrame:
+        """`declared_schema=True` skips parquet schema inference (its
+        footer-sampling jobs are serving-path latency) by trusting the
+        registered StructType. Only for tables whose files are always
+        written through that exact schema (e.g. retrieval_feedback on
+        the retrieve hot path) — NOT for migrate()-managed tables,
+        where inferred-vs-declared difference IS the signal."""
         if not self.exists(table):
             schema = schemas.ALL_TABLES[table]
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(self._path(table))
+        reader = self.spark.read
+        if declared_schema:
+            reader = reader.schema(schemas.ALL_TABLES[table])
+        return reader.parquet(self._path(table))
 
     #: per-table event-time column, used to lay rows out time-sorted
     #: inside every written file: parquet keeps min/max stats per row
