@@ -35,13 +35,13 @@ def rrf_fuse(
     a_cols = [
         F.col(id_col),
         F.row_number()
-        .over(W.orderBy(F.desc(vector_order), F.asc(id_col)))
+        .over(W.partitionBy(F.lit(0)).orderBy(F.desc(vector_order), F.asc(id_col)))
         .alias("vector_rank"),
     ]
     b_cols = [
         F.col(id_col),
         F.row_number()
-        .over(W.orderBy(F.desc(text_order), F.asc(id_col)))
+        .over(W.partitionBy(F.lit(0)).orderBy(F.desc(text_order), F.asc(id_col)))
         .alias("text_rank"),
     ]
     if keep_scores:

@@ -216,7 +216,7 @@ def vector_candidates(
     top = scored.orderBy(F.desc("similarity"), F.asc(id_col)).limit(k)
     return top.withColumn(
         "ann_rank",
-        F.row_number().over(W.orderBy(F.desc("similarity"), F.asc(id_col))),
+        F.row_number().over(W.partitionBy(F.lit(0)).orderBy(F.desc("similarity"), F.asc(id_col))),
     )
 
 
@@ -323,7 +323,7 @@ def retrieve_type(
             .limit(2 * top_k)
             .withColumn(
                 "ann_rank",
-                F.row_number().over(W.orderBy(F.desc("similarity"), F.asc("id"))),
+                F.row_number().over(W.partitionBy(F.lit(0)).orderBy(F.desc("similarity"), F.asc("id"))),
             )
         )
         scored = score_memories(out, memory_type, now, weights, sim_col="similarity")

@@ -108,7 +108,7 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(40)
         .withColumn(
             "vrank",
-            F.row_number().over(W.orderBy(F.desc("similarity"), F.asc("doc_id"))),
+            F.row_number().over(W.partitionBy(F.lit(0)).orderBy(F.desc("similarity"), F.asc("doc_id"))),
         )
         .select("doc_id", "vrank")
     )
@@ -118,7 +118,7 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(40)
         .withColumn(
             "trank",
-            F.row_number().over(W.orderBy(F.desc("tfidf_score"), F.asc("doc_id"))),
+            F.row_number().over(W.partitionBy(F.lit(0)).orderBy(F.desc("tfidf_score"), F.asc("doc_id"))),
         )
         .select("doc_id", "trank")
     )

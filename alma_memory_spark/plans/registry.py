@@ -337,7 +337,7 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .withColumn(
             "rank_a",
-            F.row_number().over(W.orderBy(F.desc("n_chars"), F.asc("doc_id"))),
+            F.row_number().over(W.partitionBy(F.lit(0)).orderBy(F.desc("n_chars"), F.asc("doc_id"))),
         )
         .select("doc_id", "rank_a")
     )
@@ -346,7 +346,7 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("h"), F.asc("doc_id"))
         .limit(100)
         .withColumn(
-            "rank_b", F.row_number().over(W.orderBy(F.asc("h"), F.asc("doc_id")))
+            "rank_b", F.row_number().over(W.partitionBy(F.lit(0)).orderBy(F.asc("h"), F.asc("doc_id")))
         )
         .select("doc_id", "rank_b")
     )
