@@ -496,26 +496,68 @@ def multi_agent_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "table_stats",
     """
-    SELECT 'orders' AS table_name, count(*) AS n FROM orders
-    UNION ALL SELECT 'lineitem', count(*) FROM lineitem
-    UNION ALL SELECT 'customer', count(*) FROM customer
-    UNION ALL SELECT 'events', count(*) FROM events
-    UNION ALL SELECT 'documents', count(*) FROM documents
-    UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+    SELECT 'count' AS variant, table_name, n,
+           CAST(NULL AS DOUBLE) AS q50, CAST(NULL AS DOUBLE) AS q90,
+           CAST(NULL AS DOUBLE) AS q99
+    FROM (
+      SELECT 'orders' AS table_name, count(*) AS n FROM orders
+      UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+      UNION ALL SELECT 'customer', count(*) FROM customer
+      UNION ALL SELECT 'events', count(*) FROM events
+      UNION ALL SELECT 'documents', count(*) FROM documents
+      UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+    )
+    UNION ALL
+    SELECT 'len_quantiles', lang, count(*),
+           round(quantile_cont(length(text), 0.5), 6),
+           round(quantile_cont(length(text), 0.9), 6),
+           round(quantile_cont(length(text), 0.99), 6)
+    FROM documents GROUP BY lang
     """,
 )
 def table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stats surface: per-table row counts (reference:
+    """Stats surface, composite.
+
+    'count' rows — per-table row counts (reference:
     sqlite_local.py:1486-1527). Parquet count() reads footer metadata
-    only — no data scan."""
+    only — no data scan.
+
+    'len_quantiles' rows (r6) — exact per-language doc-length
+    quantiles (p50/p90/p99), the calibration read a quality-filter
+    pipeline runs before choosing thresholds. Exact `percentile` here
+    (hash-checked against DuckDB's quantile_cont — both linear
+    interpolation); at 100 TB swap in `percentile_approx` (GK sketch,
+    map-side combinable, no per-group sort) — same plan shape, bounded
+    state, no exact oracle by construction."""
     parts = []
     for t in ["orders", "lineitem", "customer", "events", "documents", "embeddings"]:
         parts.append(
             _t(spark, sf_dir, t).agg(
                 F.count("*").alias("n")
-            ).select(F.lit(t).alias("table_name"), "n")
+            ).select(
+                F.lit("count").alias("variant"),
+                F.lit(t).alias("table_name"),
+                "n",
+                F.lit(None).cast("double").alias("q50"),
+                F.lit(None).cast("double").alias("q90"),
+                F.lit(None).cast("double").alias("q99"),
+            )
         )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    docs = _t(spark, sf_dir, "documents")
+    quant = docs.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        *[
+            F.round(
+                F.percentile(F.length("text"), F.lit(p)), 6
+            ).alias(f"q{int(p * 100)}")
+            for p in (0.5, 0.9, 0.99)
+        ],
+    ).select(
+        F.lit("len_quantiles").alias("variant"),
+        F.col("lang").alias("table_name"),
+        "n", "q50", "q90", "q99",
+    )
+    return out.unionByName(quant)
