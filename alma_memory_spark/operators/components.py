@@ -147,16 +147,15 @@ def connected_components(
             f"node {node_t}, component {node_t}",
         )
 
-    if driver_finish_edges:
-        # size probe (one pass — it also materializes any upstream
-        # cache, e.g. the LSH verify pipeline feeding dedup): tiny
-        # graphs skip the distributed loop entirely
-        if e.count() <= driver_finish_edges:
-            return _finish_local(e)
-    # entering the distributed loop: pin the input EAGERLY — round 1
-    # references it twice (edge set + its swap), and without the pin
-    # an expensive upstream plan would execute once per reference
+    # pin the input BEFORE any probe: the size count, the driver
+    # finish's collect, and round 1's double reference (edge set +
+    # swap) all consume `e` — without the pin an expensive uncached
+    # upstream plan (an LSH verify pipeline, say) would execute once
+    # per consumer instead of once total
     e = _pin(e, eager=True)
+    if driver_finish_edges and e.count() <= driver_finish_edges:
+        # tiny graphs skip the distributed loop entirely
+        return _finish_local(e)
     n_prev = hash_prev = None
     converged = False
     for _ in range(max_iter):

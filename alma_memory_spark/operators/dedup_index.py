@@ -49,7 +49,7 @@ from alma_memory_spark.operators._index_version import (
     commit_version,
     resolve_vroot,
 )
-from alma_memory_spark.operators.components import connected_components
+from alma_memory_spark.operators.components import near_dup_groups
 
 _FLAT_SUBDIRS = ("bands", "toks", "pairs", "stats")
 
@@ -129,6 +129,14 @@ class NearDupIndex:
     @staticmethod
     def _tbucket(col, n_buckets: int):
         return F.pmod(F.xxhash64(col), F.lit(n_buckets))
+
+    def _bands_schema(self) -> str:
+        return (
+            f"doc {self.id_type}, band_idx int, band_key string, bucket long"
+        )
+
+    def _toks_schema(self) -> str:
+        return f"doc {self.id_type}, ts array<string>, tbucket long"
 
     def _apply_band_cap(self, bands_df: DataFrame) -> DataFrame:
         """Drop every (band_idx, band_key) group above the persisted
@@ -214,7 +222,12 @@ class NearDupIndex:
             .parquet(os.path.join(vdir, "toks"))
         )
         idx.vroot = vdir  # reads below serve from the staged version
-        stored_bands = spark.read.parquet(os.path.join(vdir, "bands"))
+        # declared schemas: an EMPTY corpus writes only _SUCCESS into
+        # the partitioned dirs, and schema inference over zero files
+        # aborts the build with an unrelated AnalysisException
+        stored_bands = spark.read.schema(idx._bands_schema()).parquet(
+            os.path.join(vdir, "bands")
+        )
         stored_bands = idx._apply_band_cap(stored_bands)
         a = stored_bands.alias("a")
         b = stored_bands.alias("b")
@@ -228,7 +241,9 @@ class NearDupIndex:
             .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
             .distinct()
         )
-        stored_toks = spark.read.parquet(os.path.join(vdir, "toks")).select("doc", "ts")
+        stored_toks = spark.read.schema(idx._toks_schema()).parquet(
+            os.path.join(vdir, "toks")
+        ).select("doc", "ts")
         pairs = idx._verify(cand, stored_toks, stored_toks)
         pairs.write.parquet(os.path.join(vdir, "pairs"))
         n = docs.count()
@@ -239,7 +254,11 @@ class NearDupIndex:
 
     def _write_stats(self, vdir: str, n_delta: int) -> None:
         """Append one DELTA row; load() sums them — integer-associative,
-        so the running doc count merges losslessly across adds."""
+        so the running doc count merges losslessly across adds. Under
+        foreachBatch crash replay the delta is appended twice, so
+        n_docs is an OVER-COUNTING upper bound until a rebuild folds
+        it; pair content stays exact (the anti-joined append), which
+        is the correctness-bearing state."""
         from alma_memory_spark.session import tiny_df
 
         tiny_df(
@@ -317,7 +336,8 @@ class NearDupIndex:
         buckets = [r["bucket"] for r in new_bands.select("bucket").distinct().collect()]
         if buckets:
             old_bands = (
-                self.spark.read.parquet(os.path.join(self.vroot, "bands"))
+                self.spark.read.schema(self._bands_schema())
+                .parquet(os.path.join(self.vroot, "bands"))
                 .filter(F.col("bucket").isin(buckets))
                 .select("doc", "band_idx", "band_key")
             )
@@ -325,6 +345,11 @@ class NearDupIndex:
                 old_bands.unionByName(
                     new_bands.select("doc", "band_idx", "band_key")
                 )
+                # crash-replayed batches appended their band rows twice;
+                # duplicates cannot change the candidate SET (distinct
+                # below) but WOULD double group sizes at the band_cap
+                # check, silently muting a legitimately under-cap group
+                .dropDuplicates(["doc", "band_idx", "band_key"])
             )
             a = new_bands.alias("a")
             b = both.alias("b")
@@ -362,10 +387,14 @@ class NearDupIndex:
             ]
             if tbuckets:
                 old_toks = (
-                    self.spark.read.parquet(os.path.join(self.vroot, "toks"))
+                    self.spark.read.schema(self._toks_schema())
+                    .parquet(os.path.join(self.vroot, "toks"))
                     .filter(F.col("tbucket").isin(tbuckets))
                     .join(old_ids, "doc")
                     .select("doc", "ts")
+                    # replayed appends duplicate tok rows; the verify
+                    # join must see each existing doc once
+                    .dropDuplicates(["doc"])
                 )
                 all_toks = new_toks.unionByName(old_toks)
             else:
@@ -431,12 +460,7 @@ class NearDupIndex:
         the accumulated pairs via global connected components — bounded
         by the near-dup population, not the corpus; takes the
         driver-finish fast path when the pair graph is small."""
-        cc = connected_components(self.pairs(), src="doc_a", dst="doc_b")
-        return cc.select(
-            F.col("node").alias("doc_id"),
-            F.col("component").alias("group_id"),
-            (F.col("node") == F.col("component")).alias("is_canonical"),
-        )
+        return near_dup_groups(self.pairs())
 
     def drop_list(self) -> DataFrame:
         """Doc ids to REMOVE from the corpus (non-canonical members of

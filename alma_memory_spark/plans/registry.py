@@ -51,13 +51,15 @@ _PLAN_MEMO: dict[tuple, DataFrame] = {}
 
 def register(name: str, oracle: str | None, memo: bool = False):
     """`memo=True` caches the CONSTRUCTED DataFrame per (session,
-    sf_dir). Only for gate functions that are pure plan builders —
-    deterministic in (spark, sf_dir), no temp dirs, engines, streams,
-    or driver-side actions — where Catalyst analysis of the deep
-    expression trees dominates repeat cost (the blend_scoring /
-    text_relevance precedent). Re-executing the identical plan also
-    lets Spark skip unchanged shuffle stages, which is the honest
-    steady-state for a prepared query."""
+    sf_dir). For gate functions whose result is deterministic in
+    (spark, sf_dir): pure plan builders where Catalyst analysis of
+    deep expression trees dominates repeat cost, AND gates whose
+    construction-time driver work (a centroid collect, a tempdir index
+    build keyed by sf_dir) has static inputs per session — the
+    blend_scoring / text_relevance precedent. NOT for gates that seed
+    fresh engines, temp stores, or streams per call. Re-executing the
+    identical plan also lets Spark skip unchanged shuffle stages,
+    which is the honest steady-state for a prepared query."""
 
     def deco(fn):
         if memo:
@@ -68,8 +70,15 @@ def register(name: str, oracle: str | None, memo: bool = False):
                 key = (name, spark.sparkContext.applicationId, sf_dir)
                 hit = _PLAN_MEMO.get(key)
                 if hit is None:
-                    if any(k[1] != key[1] for k in list(_PLAN_MEMO)):
-                        _PLAN_MEMO.clear()  # plans of stopped sessions
+                    # bound growth per-app, never blanket-clear: two
+                    # LIVE sessions would evict each other on every
+                    # alternation (the _TABLE_CACHE lesson,
+                    # session.py) — drop the oldest-inserted app's
+                    # entries only once several apps have accumulated
+                    apps = list(dict.fromkeys(k[1] for k in _PLAN_MEMO))
+                    if key[1] not in apps and len(apps) >= 4:
+                        for k in [k for k in _PLAN_MEMO if k[1] == apps[0]]:
+                            _PLAN_MEMO.pop(k, None)
                     hit = _PLAN_MEMO[key] = fn(spark, sf_dir)
                 return hit
 

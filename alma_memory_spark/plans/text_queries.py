@@ -1176,26 +1176,12 @@ _RELEVANCE_SQL = f"""
     """
 
 
-_RELEVANCE_PLAN_CACHE: dict[tuple, DataFrame] = {}  # {(appId, sf_dir): plan}
-
-
-@register("text_relevance_search", _RELEVANCE_SQL)
+# memo=True: the gate's six-branch union is plan-CONSTRUCTION bound
+# (~1.9 s Catalyst analysis vs ~1.8 s execution at sf0.1 —
+# higher-order token folds analyze slowly), and the plan is a pure
+# function of (session, sf_dir) + the per-process index root
+@register("text_relevance_search", _RELEVANCE_SQL, memo=True)
 def text_relevance_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Memo wrapper: the gate's six-branch union is plan-CONSTRUCTION
-    bound (~1.9 s Catalyst analysis vs ~1.8 s execution at sf0.1 —
-    higher-order token folds analyze slowly), and the plan is a pure
-    function of (session, sf_dir) + the per-process index root, so it
-    is built once per session (the blend_scoring precedent)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _RELEVANCE_PLAN_CACHE.get(key)
-    if hit is None:
-        if any(k[0] != key[0] for k in list(_RELEVANCE_PLAN_CACHE)):
-            _RELEVANCE_PLAN_CACHE.clear()  # plans of stopped sessions
-        hit = _RELEVANCE_PLAN_CACHE[key] = _text_relevance_build(spark, sf_dir)
-    return hit
-
-
-def _text_relevance_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite gate: BOTH lexical relevance searches (merged r3 from
     bm25_search + tfidf_search, both driver-green in r2, to fit the
     50-query correctness cap).

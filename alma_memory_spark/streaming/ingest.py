@@ -345,10 +345,12 @@ def stream_documents_into_indexes(
             # near-dup maintenance (r6): candidates against only the
             # batch's band buckets, pairs appended. Crash replay of a
             # batch is pair-idempotent (add anti-joins accumulated
-            # pairs); replayed bands/toks rows are storage bloat a
-            # rebuild folds, never a correctness issue — so this add
-            # doesn't need the epoch-segment protocol the score-
-            # bearing text/IVF adds require
+            # pairs, and dedupes replayed band/tok rows before the
+            # cap + verify reads); the only replay artifacts are
+            # storage bloat and an over-counted n_docs stat, both
+            # folded by a rebuild — so this add doesn't need the
+            # epoch-segment protocol the score-bearing text/IVF adds
+            # require
             neardup_index.add(
                 batch_df.select(
                     F.col(id_col).alias(neardup_index.id_col),

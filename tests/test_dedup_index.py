@@ -180,3 +180,51 @@ def test_band_cap_guards_degenerate_buckets(spark, tmp_path):
         spark, docs, str(tmp_path / "nocap"), n_buckets=4
     )
     assert full.pairs().count() == 20 * 19 // 2
+
+
+def test_build_on_empty_corpus_and_first_add(spark, tmp_path):
+    """An empty corpus must build a valid (empty) index — schema
+    inference over the zero-file partitioned dirs used to abort — and
+    the first add() against it works."""
+    from alma_memory_spark.session import tiny_df
+
+    empty = tiny_df(spark, [], "doc_id long, text string")
+    idx = NearDupIndex.build(spark, empty, str(tmp_path / "e"), n_buckets=4)
+    assert idx.n_docs == 0 and idx.pairs().count() == 0
+    assert idx.groups().count() == 0
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    idx.add(docs.select("doc_id", "text"))
+    assert idx.n_docs == 50
+    again = NearDupIndex.load(spark, str(tmp_path / "e"))
+    assert again.n_docs == 50
+
+
+def test_replay_does_not_shift_band_cap_counts(spark, tmp_path):
+    """A replayed batch doubles its band rows on disk; the cap check
+    must count each (doc, band) once, or a legitimately under-cap
+    group goes silently mute for future adds."""
+    from alma_memory_spark.session import tiny_df
+
+    # 3 identical docs: band groups of size 3; cap 5 leaves headroom
+    # for exactly two more members
+    docs = tiny_df(
+        spark,
+        [(i, "same text for the cap test") for i in range(3)],
+        "doc_id long, text string",
+    )
+    idx = NearDupIndex.build(
+        spark, docs, str(tmp_path / "rc"), n_buckets=4, band_cap=5
+    )
+    assert idx.pairs().count() == 3
+    batch = tiny_df(
+        spark, [(10, "same text for the cap test")], "doc_id long, text string"
+    )
+    assert idx.add(batch) == 3  # 10 pairs with each of 0,1,2
+    # replay the batch: doc 10's band rows double on disk. At the next
+    # add the group holds 5 DISTINCT docs (== cap) but 6 raw rows —
+    # counting raw rows would silently mute the group
+    assert idx.add(batch) == 0
+    batch2 = tiny_df(
+        spark, [(11, "same text for the cap test")], "doc_id long, text string"
+    )
+    assert idx.add(batch2) == 4  # 11 pairs with 0,1,2,10
