@@ -74,6 +74,13 @@ class NearDupIndex:
         vroot: str | None = None,
         band_cap: int | None = None,
     ):
+        if bands * rows > k:
+            # the band expression indexes sig[band*rows + r]; past k it
+            # yields NULLs that concat_ws silently skips -> degenerate
+            # shared band keys and spurious candidate pairs (ADVICE r6)
+            raise ValueError(
+                f"bands*rows must be <= k (got bands={bands} rows={rows} k={k})"
+            )
         self.spark = spark
         self.path = path
         self.vroot = vroot or path

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from alma_memory_spark.functions.window import bounded_rank_w
 
 RRF_K = 60
 
@@ -35,13 +36,13 @@ def rrf_fuse(
     a_cols = [
         F.col(id_col),
         F.row_number()
-        .over(W.partitionBy(F.lit(0)).orderBy(F.desc(vector_order), F.asc(id_col)))
+        .over(bounded_rank_w(id_col, F.desc(vector_order), F.asc(id_col)))
         .alias("vector_rank"),
     ]
     b_cols = [
         F.col(id_col),
         F.row_number()
-        .over(W.partitionBy(F.lit(0)).orderBy(F.desc(text_order), F.asc(id_col)))
+        .over(bounded_rank_w(id_col, F.desc(text_order), F.asc(id_col)))
         .alias("text_rank"),
     ]
     if keep_scores:

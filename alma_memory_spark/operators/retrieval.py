@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from alma_memory_spark.functions.temporal import recency_score
 from alma_memory_spark.functions.vector import cosine_similarity
+from alma_memory_spark.functions.window import bounded_rank_w
 
 
 @dataclass
@@ -216,7 +217,7 @@ def vector_candidates(
     top = scored.orderBy(F.desc("similarity"), F.asc(id_col)).limit(k)
     return top.withColumn(
         "ann_rank",
-        F.row_number().over(W.partitionBy(F.lit(0)).orderBy(F.desc("similarity"), F.asc(id_col))),
+        F.row_number().over(bounded_rank_w(id_col, F.desc("similarity"), F.asc(id_col))),
     )
 
 
@@ -323,7 +324,7 @@ def retrieve_type(
             .limit(2 * top_k)
             .withColumn(
                 "ann_rank",
-                F.row_number().over(W.partitionBy(F.lit(0)).orderBy(F.desc("similarity"), F.asc("id"))),
+                F.row_number().over(bounded_rank_w("id", F.desc("similarity"), F.asc("id"))),
             )
         )
         scored = score_memories(out, memory_type, now, weights, sim_col="similarity")

@@ -41,6 +41,14 @@ __all__ = [
 ]
 
 
+def _thresh(rate: float) -> int:
+    """Keep-threshold in buckets. round(), not truncate: float products
+    like 0.29 * 1e6 land one ulp under the integer and int() would put
+    the cut a bucket below both the documented rate and an oracle that
+    hard-codes the round number (ADVICE r6)."""
+    return int(round(rate * _DENOM))
+
+
 def hash_bucket(key: Column | str, salt: str = "") -> Column:
     """Deterministic bucket in [0, 1e6) from (key, salt) — the salt
     namespaces independent sampling decisions over the same keys."""
@@ -53,7 +61,7 @@ def hash_bucket(key: Column | str, salt: str = "") -> Column:
 def sql_hash_keep(key_expr: str, rate: float, salt: str = "") -> str:
     """DuckDB predicate equivalent to hash_sample's keep decision."""
     h = sql_hash32(f"CAST({key_expr} AS VARCHAR) || ':{salt}'")
-    return f"(({h}) % {_DENOM} + {_DENOM}) % {_DENOM} < {int(rate * _DENOM)}"
+    return f"(({h}) % {_DENOM} + {_DENOM}) % {_DENOM} < {_thresh(rate)}"
 
 
 def hash_sample(
@@ -63,7 +71,7 @@ def hash_sample(
     under repartition/retry, reproducible across engines."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1] (got {rate!r})")
-    return df.filter(hash_bucket(key_col, salt) < int(rate * _DENOM))
+    return df.filter(hash_bucket(key_col, salt) < _thresh(rate))
 
 
 def stratified_sample(
@@ -81,10 +89,10 @@ def stratified_sample(
     for s, r in rates.items():
         if not 0.0 <= r <= 1.0:
             raise ValueError(f"rate for stratum {s!r} must be in [0, 1]")
-    thresh: Column = F.lit(int(default_rate * _DENOM))
+    thresh: Column = F.lit(_thresh(default_rate))
     for s, r in rates.items():
         thresh = (
-            F.when(F.col(stratum_col) == s, F.lit(int(r * _DENOM)))
+            F.when(F.col(stratum_col) == s, F.lit(_thresh(r)))
             .otherwise(thresh)
         )
     return df.filter(hash_bucket(key_col, salt) < thresh)

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from alma_memory_spark.functions import text as X
 from alma_memory_spark.functions.vector import cosine_similarity
+from alma_memory_spark.functions.window import bounded_rank_w
 from alma_memory_spark.plans.registry import (
     _COS_SQL,
     _QV_SQL,
@@ -108,7 +109,7 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(40)
         .withColumn(
             "vrank",
-            F.row_number().over(W.partitionBy(F.lit(0)).orderBy(F.desc("similarity"), F.asc("doc_id"))),
+            F.row_number().over(bounded_rank_w("doc_id", F.desc("similarity"), F.asc("doc_id"))),
         )
         .select("doc_id", "vrank")
     )
@@ -118,7 +119,7 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(40)
         .withColumn(
             "trank",
-            F.row_number().over(W.partitionBy(F.lit(0)).orderBy(F.desc("tfidf_score"), F.asc("doc_id"))),
+            F.row_number().over(bounded_rank_w("doc_id", F.desc("tfidf_score"), F.asc("doc_id"))),
         )
         .select("doc_id", "trank")
     )

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from alma_memory_spark.embedding import hash_embed
 from alma_memory_spark.functions.vector import cosine_similarity
 from alma_memory_spark.session import load_table
+from alma_memory_spark.functions.window import bounded_rank_w
 
 # Fixed anchors / parameters shared by Spark + oracle sides.
 NOW = "2024-02-15 00:00:00"
@@ -45,8 +46,12 @@ class QuerySpec:
 QUERIES: dict[str, QuerySpec] = {}
 
 
-#: {(query name, applicationId, sf_dir): DataFrame} for memo=True gates
+#: {(query name, applicationId, sf_dir): DataFrame} for memo=True gates.
+#: Gates run from concurrent harness threads; every read/evict/insert
+#: holds the lock (the session.py _TABLE_CACHE lesson — an unguarded
+#: dict.fromkeys iteration races concurrent inserts).
 _PLAN_MEMO: dict[tuple, DataFrame] = {}
+_PLAN_MEMO_LOCK = __import__("threading").Lock()
 
 
 def register(name: str, oracle: str | None, memo: bool = False):
@@ -68,18 +73,26 @@ def register(name: str, oracle: str | None, memo: bool = False):
             @functools.wraps(fn)
             def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
                 key = (name, spark.sparkContext.applicationId, sf_dir)
-                hit = _PLAN_MEMO.get(key)
-                if hit is None:
-                    # bound growth per-app, never blanket-clear: two
-                    # LIVE sessions would evict each other on every
-                    # alternation (the _TABLE_CACHE lesson,
-                    # session.py) — drop the oldest-inserted app's
-                    # entries only once several apps have accumulated
-                    apps = list(dict.fromkeys(k[1] for k in _PLAN_MEMO))
-                    if key[1] not in apps and len(apps) >= 4:
-                        for k in [k for k in _PLAN_MEMO if k[1] == apps[0]]:
-                            _PLAN_MEMO.pop(k, None)
-                    hit = _PLAN_MEMO[key] = fn(spark, sf_dir)
+                with _PLAN_MEMO_LOCK:
+                    hit = _PLAN_MEMO.get(key)
+                if hit is not None:
+                    return hit
+                # build OUTSIDE the lock (plan construction can run
+                # Spark jobs; serializing it would stall concurrent
+                # gates) — a rare double-build loses the race benignly
+                built = fn(spark, sf_dir)
+                with _PLAN_MEMO_LOCK:
+                    hit = _PLAN_MEMO.get(key)
+                    if hit is None:
+                        # bound growth per-app, never blanket-clear:
+                        # two LIVE sessions would evict each other on
+                        # every alternation — drop the oldest-inserted
+                        # app's entries only once several accumulated
+                        apps = list(dict.fromkeys(k[1] for k in _PLAN_MEMO))
+                        if key[1] not in apps and len(apps) >= 4:
+                            for k in [k for k in _PLAN_MEMO if k[1] == apps[0]]:
+                                _PLAN_MEMO.pop(k, None)
+                        hit = _PLAN_MEMO[key] = built
                 return hit
 
             QUERIES[name] = QuerySpec(wrapped, oracle, fn.__doc__ or "")
@@ -346,7 +359,7 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .withColumn(
             "rank_a",
-            F.row_number().over(W.partitionBy(F.lit(0)).orderBy(F.desc("n_chars"), F.asc("doc_id"))),
+            F.row_number().over(bounded_rank_w("doc_id", F.desc("n_chars"), F.asc("doc_id"))),
         )
         .select("doc_id", "rank_a")
     )
@@ -355,7 +368,7 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("h"), F.asc("doc_id"))
         .limit(100)
         .withColumn(
-            "rank_b", F.row_number().over(W.partitionBy(F.lit(0)).orderBy(F.asc("h"), F.asc("doc_id")))
+            "rank_b", F.row_number().over(bounded_rank_w("doc_id", F.asc("h"), F.asc("doc_id")))
         )
         .select("doc_id", "rank_b")
     )

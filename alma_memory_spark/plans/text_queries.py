@@ -708,10 +708,15 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jac_raw") >= LSH_VERIFY_T)
         .select("doc_a", "doc_b", _r6(F.col("jac_raw")).alias("jaccard_sim"))
         # both the emitted pair rows and the component edge set read
-        # this; without the cache the whole LSH pipeline (signatures,
-        # banding, verify join) runs once per consumer
-        .cache()
+        # this; materialize ONCE via localCheckpoint (components.py
+        # precedent) instead of .cache() — a cache here is never
+        # unpersisted and pins executor memory per sf_dir for the
+        # application lifetime (ADVICE r6); checkpoint blocks are
+        # reclaimed when the DataFrame is GC'd
+        .localCheckpoint(eager=True)
     )
+    # pairs is materialized above; the banded table has no more readers
+    bands.unpersist()
     groups = near_dup_groups(pairs)
     return pairs.select(
         F.lit("pair").alias("variant"), "doc_a", "doc_b", "jaccard_sim"

@@ -24,8 +24,57 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 TRANSCRIPT_SCHEMA = "source_file string, turn int, role string, text string"
+
+def _line_order(df: DataFrame) -> DataFrame:
+    """Deterministic per-line order keys for a file-source DataFrame:
+    (_blk, _seq) = (file block start offset, row id within the input
+    partition). A bare monotonically_increasing_id ordering is
+    partition-LAYOUT-dependent (the id embeds the partition number);
+    (block offset, id) orders by byte position in the file, which is
+    stable however Spark numbers or splits the scan. Must be applied
+    directly on the read result, before any shuffle."""
+    return df.withColumn(
+        "_blk", F.col("_metadata.file_block_start")
+    ).withColumn("_seq", F.monotonically_increasing_id())
+
+
+def _assign_turns(df: DataFrame) -> DataFrame:
+    """Sequential 1-based `turn` in file order, WITHOUT the global
+    single-partition window the round-6 code used (VERDICT r6 #1 —
+    `row_number().over(orderBy(monotonically_increasing_id()))` funnels
+    every row of the file through one WindowExec partition, serializing
+    a multi-GB transcript's ingest). Distributed shape: rank within
+    each scan block (window keyed by `_blk` — blocks process in
+    parallel), then add broadcast per-block offsets from a tiny
+    count-per-block aggregate. The offset cumsum runs over a frame with
+    one row per 128 MB scan block, so its single-partition window is
+    bounded by construction; its constant key references a column
+    because Spark 4's EliminateWindowPartitions strips foldable keys
+    (see functions/window.py).
+
+    Expects `_line_order` columns; consumes and drops them. `turn`
+    numbers the rows PRESENT in `df` — filter first for post-filter
+    numbering (Claude-Code JSONL), number first for raw line numbers
+    (plain text / transcript)."""
+    w_blk = Window.partitionBy("_blk").orderBy("_seq")
+    ranked = df.withColumn("_i", F.row_number().over(w_blk))
+    counts = df.groupBy("_blk").agg(F.count(F.lit(1)).alias("_n"))
+    cum_w = (
+        Window.partitionBy(F.pmod(F.xxhash64("_blk"), F.lit(1)))
+        .orderBy("_blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(cum_w), F.lit(0))
+    ).select("_blk", "_off")
+    return (
+        ranked.join(F.broadcast(offs), "_blk")
+        .withColumn("turn", (F.col("_off") + F.col("_i")).cast("int"))
+        .drop("_i", "_off", "_blk", "_seq")
+    )
 
 
 def detect_format(path: str, sample_bytes: int = 64 * 1024) -> str:
@@ -87,20 +136,17 @@ def _norm_claude_code(spark: SparkSession, path: str) -> DataFrame:
         else F.col("text")
     )
     role = F.col("type")
-    return (
-        df.filter(F.col("type").isin("human", "user", "assistant"))
-        .select(role.alias("role"), text.alias("text"))
-        .withColumn("source_file", F.lit(path))
-        .withColumn(
-            "turn",
-            F.row_number().over(
-                __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy(
-                    F.monotonically_increasing_id()
-                )
-            ),
+    return _assign_turns(
+        _line_order(df)
+        .filter(F.col("type").isin("human", "user", "assistant"))
+        .select(
+            F.lit(path).alias("source_file"),
+            "_blk",
+            "_seq",
+            role.alias("role"),
+            text.alias("text"),
         )
-        .select("source_file", "turn", "role", "text")
-    )
+    ).select("source_file", "turn", "role", "text")
 
 
 def _norm_driver_json(spark: SparkSession, path: str, fmt: str) -> DataFrame:
@@ -151,11 +197,10 @@ def _norm_driver_json(spark: SparkSession, path: str, fmt: str) -> DataFrame:
 
 
 def _norm_text(spark: SparkSession, path: str, transcript: bool) -> DataFrame:
-    df = spark.read.text(path).withColumn("source_file", F.lit(path))
-    from pyspark.sql.window import Window as W
-
-    df = df.withColumn(
-        "turn", F.row_number().over(W.orderBy(F.monotonically_increasing_id()))
+    # turn = raw line number (assigned BEFORE the emptiness/marker
+    # filter, so filtered-out lines leave gaps — reference semantics)
+    df = _assign_turns(
+        _line_order(spark.read.text(path)).withColumn("source_file", F.lit(path))
     )
     if transcript:
         df = df.filter(F.col("value").startswith(">"))

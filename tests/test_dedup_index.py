@@ -228,3 +228,14 @@ def test_replay_does_not_shift_band_cap_counts(spark, tmp_path):
         spark, [(11, "same text for the cap test")], "doc_id long, text string"
     )
     assert idx.add(batch2) == 4  # 11 pairs with 0,1,2,10
+
+
+def test_band_geometry_must_fit_signature(spark, tmp_path):
+    """Pinned (ADVICE r6): bands*rows > k would index sig past its end —
+    concat_ws silently skips the NULLs and every doc shares degenerate
+    band keys, flooding the candidate join. Must refuse loudly."""
+    docs = load_table(spark, SF_DIR, "documents").limit(4)
+    with pytest.raises(ValueError, match="bands\\*rows"):
+        NearDupIndex.build(
+            spark, docs, str(tmp_path / "idx"), k=8, bands=3, rows=4
+        )

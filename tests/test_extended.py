@@ -201,6 +201,33 @@ def test_detect_and_normalize_formats(spark, tmp_path):
     assert all(not r["text"].startswith(">") for r in tr)
 
 
+def test_turn_numbering_survives_multi_block_scan(spark, tmp_path):
+    """Pinned (VERDICT r6 #1): turn numbers must stay in file order when
+    the scan splits the file into many input blocks — the old global
+    `row_number().over(orderBy(monotonically_increasing_id()))` funneled
+    every row through one WindowExec partition AND was partition-layout
+    dependent. Force tiny blocks so one file reads as many partitions."""
+    big = tmp_path / "big.jsonl"
+    lines = [
+        json.dumps({"type": "user" if i % 2 == 0 else "assistant",
+                    "message": {"content": f"turn payload {i:05d} " + "x" * 200}})
+        for i in range(400)
+    ]
+    big.write_text("\n".join(lines))
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024))
+    try:
+        df = normalize_file(spark, str(big))
+        assert df.rdd.getNumPartitions() >= 1
+        rows = df.orderBy("turn").collect()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert [r["turn"] for r in rows] == list(range(1, 401))
+    # file order preserved: payload index must match the turn sequence
+    assert [r["text"].split()[2] for r in rows] == [f"{i:05d}" for i in range(400)]
+    assert rows[0]["role"] == "user" and rows[1]["role"] == "assistant"
+
+
 def test_chunk_and_classify(spark):
     docs = spark.createDataFrame(
         [

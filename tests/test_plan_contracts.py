@@ -275,3 +275,32 @@ def test_pq_candidate_scan_never_reads_vectors(spark, tmp_path):
     assert "PartitionFilters: [cell" in fplan
     pushed = fplan.split("PushedFilters:", 1)[1][:400]
     assert "In(id" in pushed or "id#" in pushed, fplan
+
+
+def test_plan_memo_concurrent_access_is_safe(spark):
+    """Pinned (ADVICE r6): gates run from concurrent harness threads;
+    the memo's get/evict-iteration/insert must hold a lock or a racing
+    insert can blow up the dict.fromkeys eviction scan."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from alma_memory_spark.plans import registry as R
+
+    @R.register("___memo_probe", None, memo=True)
+    def probe(s, sf):
+        return s.range(3)
+
+    try:
+        # seed 4 fake apps so every insert walks the eviction scan
+        for i in range(4):
+            R._PLAN_MEMO[(f"___q{i}", f"___app{i}", "sf")] = None
+        with ThreadPoolExecutor(16) as pool:
+            dfs = list(
+                pool.map(lambda _: R.QUERIES["___memo_probe"].fn(spark, "x"), range(64))
+            )
+        assert all(d.count() == 3 for d in dfs[:2])
+        # memo settled: later calls all return the single cached plan
+        assert len({id(d) for d in dfs[32:]}) == 1
+    finally:
+        R.QUERIES.pop("___memo_probe", None)
+        for k in [k for k in R._PLAN_MEMO if str(k[0]).startswith("___")]:
+            R._PLAN_MEMO.pop(k, None)

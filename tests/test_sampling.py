@@ -155,3 +155,30 @@ def test_pack_documents_shards_bound_the_window(spark):
     # single-partition global-window shape WindowExec warns about)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan and "shard" in plan
+
+
+def test_threshold_rounds_instead_of_truncating(spark):
+    """Pinned (ADVICE r6): 0.29 * 1e6 lands one ulp under 290000;
+    int() truncation would cut the keep set one bucket below both the
+    documented rate and the DuckDB oracle's hard-coded round number."""
+    from alma_memory_spark.operators.sampling import _thresh, sql_hash_keep
+
+    for rate, want in [(0.29, 290000), (0.57, 570000), (0.1, 100000), (1.0, 1000000)]:
+        assert _thresh(rate) == want
+        assert f"< {want}" in sql_hash_keep("doc_id", rate)
+    # Spark side and SQL predicate agree for a truncation-prone rate
+    import duckdb
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    kept = _ids(hash_sample(docs, 0.29, "doc_id"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    oracle = {
+        r[0]
+        for r in con.execute(
+            f"SELECT doc_id FROM documents WHERE {sql_hash_keep('doc_id', 0.29)}"
+        ).fetchall()
+    }
+    assert kept == oracle
