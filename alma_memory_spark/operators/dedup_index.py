@@ -53,7 +53,26 @@ from alma_memory_spark.operators.components import near_dup_groups
 
 _FLAT_SUBDIRS = ("bands", "toks", "pairs", "stats")
 
-__all__ = ["NearDupIndex"]
+__all__ = ["AddStats", "NearDupIndex"]
+
+
+class AddStats(int):
+    """add()'s return: an int (count of new verified pairs — all
+    existing `add(...) == n` callers keep working) carrying the
+    band-cap saturation counters for this add (ADVICE/VERDICT r6 #8).
+    The persisted cap silently stops emitting NEW pairs for groups
+    that cross it between adds (documented contract); these counters
+    let a pipeline alarm on cap saturation instead of discovering
+    missing dups downstream."""
+
+    capped_groups: int
+    dropped_band_rows: int
+
+    def __new__(cls, n_new: int, capped_groups: int = 0, dropped_band_rows: int = 0):
+        o = super().__new__(cls, n_new)
+        o.capped_groups = capped_groups
+        o.dropped_band_rows = dropped_band_rows
+        return o
 
 
 class NearDupIndex:
@@ -235,6 +254,19 @@ class NearDupIndex:
         stored_bands = spark.read.schema(idx._bands_schema()).parquet(
             os.path.join(vdir, "bands")
         )
+        capped_groups = dropped_band_rows = 0
+        if band_cap is not None:
+            over = (
+                stored_bands.groupBy("band_idx", "band_key")
+                .count()
+                .filter(F.col("count") > band_cap)
+                .agg(
+                    F.count(F.lit(1)).alias("g"),
+                    F.coalesce(F.sum("count"), F.lit(0)).alias("r"),
+                )
+                .collect()[0]
+            )
+            capped_groups, dropped_band_rows = int(over["g"]), int(over["r"])
         stored_bands = idx._apply_band_cap(stored_bands)
         a = stored_bands.alias("a")
         b = stored_bands.alias("b")
@@ -255,17 +287,28 @@ class NearDupIndex:
         pairs.write.parquet(os.path.join(vdir, "pairs"))
         n = docs.count()
         idx.n_docs = n
-        idx._write_stats(vdir, n)
+        idx._write_stats(
+            vdir, n, capped_groups=capped_groups,
+            dropped_band_rows=dropped_band_rows,
+        )
         idx.vroot = commit_version(path, vdir, _FLAT_SUBDIRS)  # COMMIT
         return idx
 
-    def _write_stats(self, vdir: str, n_delta: int) -> None:
+    def _write_stats(
+        self,
+        vdir: str,
+        n_delta: int,
+        capped_groups: int = 0,
+        dropped_band_rows: int = 0,
+    ) -> None:
         """Append one DELTA row; load() sums them — integer-associative,
         so the running doc count merges losslessly across adds. Under
         foreachBatch crash replay the delta is appended twice, so
         n_docs is an OVER-COUNTING upper bound until a rebuild folds
         it; pair content stays exact (the anti-joined append), which
-        is the correctness-bearing state."""
+        is the correctness-bearing state. The band-cap saturation
+        counters ride the params JSON (every row carries the full core
+        params, so load()'s rows[0] read stays order-independent)."""
         from alma_memory_spark.session import tiny_df
 
         tiny_df(
@@ -282,6 +325,8 @@ class NearDupIndex:
                             "rows": self.rows,
                             "verify_t": self.verify_t,
                             "band_cap": self.band_cap,
+                            "capped_groups": capped_groups,
+                            "dropped_band_rows": dropped_band_rows,
                         }
                     ),
                     n_delta,
@@ -289,6 +334,20 @@ class NearDupIndex:
             ],
             "params string, n_docs long",
         ).coalesce(1).write.mode("append").parquet(os.path.join(vdir, "stats"))
+
+    def cap_saturation(self) -> dict:
+        """Cumulative band-cap saturation over this version's lifetime:
+        {'capped_groups': N, 'dropped_band_rows': M} summed across the
+        build + every add. Non-zero means some groups crossed the cap
+        and stopped yielding NEW pairs — the alarm a dedup pipeline
+        watches instead of discovering missing dups downstream."""
+        rows = self.spark.read.parquet(os.path.join(self.vroot, "stats")).collect()
+        out = {"capped_groups": 0, "dropped_band_rows": 0}
+        for r in rows:
+            p = json.loads(r["params"])
+            out["capped_groups"] += int(p.get("capped_groups", 0))
+            out["dropped_band_rows"] += int(p.get("dropped_band_rows", 0))
+        return out
 
     @staticmethod
     def load(spark: SparkSession, path: str) -> "NearDupIndex":
@@ -338,6 +397,7 @@ class NearDupIndex:
         new_bands = self._bands_frame(new_toks)
         new_bands = new_bands.localCheckpoint(eager=True)  # 2 consumers
         new_toks = new_toks.localCheckpoint(eager=True)
+        capped_groups = dropped_band_rows = 0
 
         # bucket prune: only partitions a NEW band hashes into
         buckets = [r["bucket"] for r in new_bands.select("bucket").distinct().collect()]
@@ -348,7 +408,7 @@ class NearDupIndex:
                 .filter(F.col("bucket").isin(buckets))
                 .select("doc", "band_idx", "band_key")
             )
-            both = self._apply_band_cap(
+            merged = (
                 old_bands.unionByName(
                     new_bands.select("doc", "band_idx", "band_key")
                 )
@@ -358,6 +418,22 @@ class NearDupIndex:
                 # check, silently muting a legitimately under-cap group
                 .dropDuplicates(["doc", "band_idx", "band_key"])
             )
+            if self.band_cap is not None:
+                # saturation counters (one tiny agg over the PRUNED
+                # band set): groups the cap muted this add + their rows
+                over = (
+                    merged.groupBy("band_idx", "band_key")
+                    .count()
+                    .filter(F.col("count") > self.band_cap)
+                    .agg(
+                        F.count(F.lit(1)).alias("g"),
+                        F.coalesce(F.sum("count"), F.lit(0)).alias("r"),
+                    )
+                    .collect()[0]
+                )
+                capped_groups = int(over["g"])
+                dropped_band_rows = int(over["r"])
+            both = self._apply_band_cap(merged)
             a = new_bands.alias("a")
             b = both.alias("b")
             cand = (
@@ -451,8 +527,13 @@ class NearDupIndex:
             )
         n_delta = docs.count()
         self.n_docs += n_delta
-        self._write_stats(self.vroot, n_delta)
-        return int(n_new)
+        self._write_stats(
+            self.vroot,
+            n_delta,
+            capped_groups=capped_groups,
+            dropped_band_rows=dropped_band_rows,
+        )
+        return AddStats(int(n_new), capped_groups, dropped_band_rows)
 
     # ---- reads --------------------------------------------------------
 
@@ -462,12 +543,47 @@ class NearDupIndex:
             f"doc_a {self.id_type}, doc_b {self.id_type}, jaccard_sim double"
         ).parquet(os.path.join(self.vroot, "pairs"))
 
+    def _pairs_fingerprint(self) -> str:
+        """Driver-side fingerprint of the accumulated pair set: md5 of
+        the sorted (name, size) listing under pairs/. Appends add
+        files; a replayed add appends ZERO pairs and therefore zero
+        files (add() skips the write when n_new == 0), so the
+        fingerprint changes iff pair content changed. No Spark job."""
+        import hashlib
+
+        pdir = os.path.join(self.vroot, "pairs")
+        entries = []
+        for root, _dirs, files in os.walk(pdir):
+            for f in files:
+                if f.startswith((".", "_")):
+                    continue
+                p = os.path.join(root, f)
+                entries.append((os.path.relpath(p, pdir), os.path.getsize(p)))
+        return hashlib.md5(json.dumps(sorted(entries)).encode()).hexdigest()[:16]
+
     def groups(self) -> DataFrame:
         """(doc_id, group_id, is_canonical) dedup families DERIVED from
         the accumulated pairs via global connected components — bounded
         by the near-dup population, not the corpus; takes the
-        driver-finish fast path when the pair graph is small."""
-        return near_dup_groups(self.pairs())
+        driver-finish fast path when the pair graph is small.
+
+        Memoized per pair-set fingerprint (VERDICT r6 #4): the labels
+        persist under groups_memo/fp=<fingerprint> inside the version
+        dir (derived data — append-only like every other mutation), so
+        repeated groups() calls over an unchanged pair set — including
+        after adds that appended no pairs — serve a lazy read of the
+        memo and run ZERO Spark jobs at call time. Crash order: the
+        memo publishes via parquet's own _SUCCESS marker; a partial
+        memo dir without _SUCCESS is recomputed and overwritten."""
+        fp = self._pairs_fingerprint()
+        memo = os.path.join(self.vroot, "groups_memo", f"fp={fp}")
+        schema = (
+            f"doc_id {self.id_type}, group_id {self.id_type}, "
+            "is_canonical boolean"
+        )
+        if not os.path.exists(os.path.join(memo, "_SUCCESS")):
+            near_dup_groups(self.pairs()).write.mode("overwrite").parquet(memo)
+        return self.spark.read.schema(schema).parquet(memo)
 
     def drop_list(self) -> DataFrame:
         """Doc ids to REMOVE from the corpus (non-canonical members of

@@ -1,0 +1,172 @@
+"""SemDeDup-shape semantic dedup: cluster-then-dedup over embeddings.
+
+Reference semantics: the consolidation engine's cosine-threshold
+duplicate detection (alma/consolidation/engine.py:93-199) finds
+semantic duplicates by embedding similarity. Its all-pairs form is the
+blocked `neardup_pairs` 'cosine' path; THIS module is the 100 TB shape,
+following SemDeDup (Abbas et al. 2023, arXiv:2303.09540): quantize the
+embedding space into cells, compare pairs only WITHIN a cell, then
+derive duplicate families with global connected components. Pure
+composition of shipped operators:
+
+  quantizer cells  <- operators/ann_index.py's IVF seeding/assignment
+  per-cell pairs   <- the blocked BLAS cosine kernel (one matmul/cell)
+  families         <- operators/components.py connected components
+
+Scale shape: the stride quantizer yields n/cent_every cells, so cell
+occupancy stays ~cent_every as the corpus grows — per-cell pair cost is
+FLAT (measured by scripts/measure_semdedup.py); the only shuffle is the
+groupBy(cell) exchange. No all-pairs join exists at any corpus size.
+Assignment is a narrow Arrow-batched map against the broadcast centroid
+matrix, identical in shape to IVFIndex._write_lists (ann_index.py:392).
+
+For corpora where n/cent_every centroids no longer fit the driver
+(billions of vectors), pass a persisted `IVFIndex` built with coarser
+seeding / k-means refinement as `quantizer=` — the same handle the ANN
+serving path already maintains, so semantic dedup rides the index the
+pipeline has anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["semantic_dedup_pairs", "semantic_dedup_groups", "stride_centroids"]
+
+_NUMERIC_ID_TYPES = {"tinyint", "smallint", "int", "bigint", "long"}
+
+
+def stride_centroids(
+    df: DataFrame, id_col: str, vec_col: str, cent_every: int
+):
+    """Deterministic centroid seeds: every id % cent_every == 0 row,
+    RAW (un-normalized) vectors — mirrors IVFIndex.build seeding
+    (ann_index.py:265) with kmeans_iters=0, and is replayable in ANSI
+    SQL (`WHERE id % cent_every = 0`), which the oracle gate relies on.
+    Returns (cells desc-sorted int64 array, C raw matrix, cnrm norms).
+    """
+    import numpy as np
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    cell_expr = (
+        F.col(id_col).cast("long")
+        if id_type in _NUMERIC_ID_TYPES
+        else F.xxhash64(F.col(id_col))
+    )
+    rows = sorted(
+        df.filter(F.pmod(cell_expr, F.lit(cent_every)) == 0)
+        .select(cell_expr.alias("_cell"), F.col(vec_col))
+        .collect(),
+        key=lambda r: -r["_cell"],
+    )
+    if not rows:
+        raise ValueError(
+            f"no centroids: corpus has no {id_col} % {cent_every} == 0 rows"
+        )
+    cells = np.array([r["_cell"] for r in rows], dtype=np.int64)
+    C = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    cnrm = np.maximum(np.linalg.norm(C, axis=1), 1e-300)
+    return cells, C, cnrm
+
+
+def _assign_cells(
+    df: DataFrame, id_col: str, vec_col: str, cells, C, cnrm
+) -> DataFrame:
+    """(id, embedding, cell): nearest-centroid assignment, narrow
+    Arrow-batched map over the broadcast centroid matrix. Similarity is
+    ROUNDED to 6 before the argmax and `cells` is sorted desc, so ties
+    resolve to the larger cell id in every engine (np.argmax takes the
+    first max; the SQL oracle orders `csim DESC, cell DESC`)."""
+    import numpy as np
+
+    spark = df.sparkSession
+    from alma_memory_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    b = spark.sparkContext.broadcast((cells, C, cnrm))
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def assign(it):
+        import pandas as pd
+
+        cells_, C_, cnrm_ = b.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vnrm = np.maximum(np.linalg.norm(V, axis=1), 1e-300)
+            csims = np.round((V @ C_.T) / np.outer(vnrm, cnrm_), 6)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "v": pdf[vec_col],
+                    "cell": cells_[np.argmax(csims, axis=1)],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        assign, f"id {id_type}, v array<double>, cell long"
+    )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.85,
+    cent_every: int = 50,
+    quantizer=None,
+) -> DataFrame:
+    """Semantic near-dup pairs (id_a, id_b, cos_sim), cosine >=
+    threshold, compared only within a quantizer cell. `quantizer`: a
+    built/loaded `IVFIndex` to reuse (its centroids are stored
+    L2-normalized, norms == 1); default derives stride centroids from
+    `df` itself. The per-cell kernel is one BLAS matmul per Arrow
+    group — O(occupancy^2) per cell, cells in parallel."""
+    import numpy as np
+
+    if quantizer is not None:
+        cells, C = quantizer.cells, quantizer.Cn
+        cnrm = np.ones(len(cells), dtype=np.float64)
+    else:
+        cells, C, cnrm = stride_centroids(df, id_col, vec_col, cent_every)
+    assigned = _assign_cells(df, id_col, vec_col, cells, C, cnrm)
+
+    def cell_pairs(pdf):
+        import pandas as pd
+
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "cos_sim": []}
+            ).astype({"id_a": ids.dtype, "id_b": ids.dtype, "cos_sim": "float64"})
+        V = np.array(pdf["v"].to_numpy()[order].tolist(), dtype=np.float64)
+        nrm = np.maximum(np.sqrt((V * V).sum(axis=1)), 1e-300)
+        Csim = (V @ V.T) / np.outer(nrm, nrm)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        sim = np.round(Csim[ia, ib], 6)
+        m = sim >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[ia][m], "id_b": ids[ib][m], "cos_sim": sim[m]}
+        )
+
+    id_type = assigned.schema["id"].dataType.simpleString()
+    return assigned.groupby("cell").applyInPandas(
+        cell_pairs, f"id_a {id_type}, id_b {id_type}, cos_sim double"
+    )
+
+
+def semantic_dedup_groups(pairs: DataFrame) -> DataFrame:
+    """Pairs -> duplicate FAMILIES (doc_id, group_id, is_canonical) via
+    global connected components. Every edge is within-cell by
+    construction, so families are cell-bounded — near-dups that straddle
+    a cell boundary are missed. That is THE SemDeDup approximation
+    (recall traded for never running an all-pairs compare); CC's job
+    here is collapsing transitive chains within a cell into one family
+    with a deterministic canonical keeper."""
+    from alma_memory_spark.operators.components import near_dup_groups
+
+    return near_dup_groups(pairs, id_a="id_a", id_b="id_b")

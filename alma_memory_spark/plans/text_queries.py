@@ -32,6 +32,7 @@ from alma_memory_spark.plans.registry import (
 )
 
 NEARDUP_COS = 0.4  # embedding near-dup threshold for this corpus (param; ref default 0.85)
+SEMDEDUP_CENT_EVERY = 50  # quantizer stride: ~50 vecs/cell at any corpus size
 JACCARD_T = 0.95  # token-set near-dup threshold for this corpus
 MINHASH_K = 8
 LSH_BANDS = 2  # 2 bands x 4 rows (stricter banding: fewer, better candidates)
@@ -503,6 +504,43 @@ def winnow_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / (a.nrm * b.nrm), 6) AS cos_sim
       FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
     ) WHERE cos_sim >= {NEARDUP_COS}
+    UNION ALL
+    SELECT method, id_a, id_b, sim FROM (
+      WITH RECURSIVE cent AS (
+        SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM e
+        WHERE vec_id % {SEMDEDUP_CENT_EVERY} = 0
+      ), scored AS (
+        SELECT e.vec_id, e.v, e.nrm, c.cell,
+               round(list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i] * c.cv[i]))
+                     / (e.nrm * c.cnrm), 6) AS csim
+        FROM e, cent c
+      ), asg AS (
+        SELECT vec_id, v, nrm, cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY csim DESC, cell DESC) AS rn
+          FROM scored
+        ) WHERE rn = 1
+      ), sempairs AS (
+        SELECT id_a, id_b, sim FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i]))
+                       / (a.nrm * b.nrm), 6) AS sim
+          FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        ) WHERE sim >= {NEARDUP_COS}
+      ), semedges AS (
+        SELECT id_a AS s, id_b AS d FROM sempairs
+        UNION
+        SELECT id_b AS s, id_a AS d FROM sempairs
+      ), semreach AS (
+        SELECT s AS n, s AS r FROM (SELECT DISTINCT s FROM semedges)
+        UNION
+        SELECT semreach.n, e2.d AS r FROM semreach JOIN semedges e2 ON e2.s = semreach.r
+      )
+      SELECT 'semdedup' AS method, id_a, id_b, sim FROM sempairs
+      UNION ALL
+      SELECT 'semgroup', n, min(r), CAST(NULL AS DOUBLE)
+      FROM semreach GROUP BY n
+    )
     """,
 )
 def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -525,7 +563,17 @@ def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(block^2), blocks are the unit of parallelism, and giant blocks
     route through the MinHash-LSH candidate stage (minhash_lsh_pairs)
     instead. Threshold compares the ROUNDED similarity so the result
-    set is boundary-stable across engines."""
+    set is boundary-stable across engines.
+
+    'semdedup' + 'semgroup' rows (r7) — SemDeDup-shape semantic dedup
+    (operators/semdedup.py): no ground-truth block column needed — the
+    IVF stride quantizer assigns every vector to a cell, the same
+    per-cell BLAS kernel emits within-cell pairs, and global connected
+    components derive duplicate families. The oracle replays the
+    quantizer (argmax rounded cosine, larger-cell tiebreak), the
+    within-cell pairs, AND the families via a recursive min-reach CTE,
+    so a wrong assignment, a missed pair, or a broken family merge all
+    hash-mismatch."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang", "source", F.array_distinct(X.ws_tokens("text")).alias("ts")
@@ -573,8 +621,35 @@ def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.DataFrame({"id_a": ids[ia][m], "id_b": ids[ib][m], "sim": sim[m]})
 
     cos = emb.groupby("label").applyInPandas(cos_fn, "id_a long, id_b long, sim double")
-    return jac.select(F.lit("jaccard").alias("method"), "*").unionByName(
-        cos.select(F.lit("cosine").alias("method"), "*")
+
+    from alma_memory_spark.operators.semdedup import (
+        semantic_dedup_groups,
+        semantic_dedup_pairs,
+    )
+
+    sem = semantic_dedup_pairs(
+        emb, threshold=NEARDUP_COS, cent_every=SEMDEDUP_CENT_EVERY
+    ).localCheckpoint(eager=True)  # pairs feed BOTH the rows and CC
+    semg = semantic_dedup_groups(sem)
+    return (
+        jac.select(F.lit("jaccard").alias("method"), "*")
+        .unionByName(cos.select(F.lit("cosine").alias("method"), "*"))
+        .unionByName(
+            sem.select(
+                F.lit("semdedup").alias("method"),
+                "id_a",
+                "id_b",
+                F.col("cos_sim").alias("sim"),
+            )
+        )
+        .unionByName(
+            semg.select(
+                F.lit("semgroup").alias("method"),
+                F.col("doc_id").alias("id_a"),
+                F.col("group_id").alias("id_b"),
+                F.lit(None).cast("double").alias("sim"),
+            )
+        )
     )
 
 

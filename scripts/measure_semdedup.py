@@ -1,0 +1,108 @@
+"""Measured scale-up for SemDeDup-shape semantic dedup (SCALE.md r7).
+
+The claim to prove: with the stride quantizer, cell occupancy is
+~cent_every REGARDLESS of corpus size (cells ∝ n), so the within-cell
+pair stage costs O(n · occupancy) total — wall time grows LINEARLY with
+the corpus (more cells, same work per cell), never quadratically. A
+blocked all-pairs compare over the same corpus without cells would grow
+O(n²).
+
+Method: synthetic unit vectors around k drifting anchor directions
+(clustered, like real embedding spaces), corpus scaled ×4 and ×16 at
+fixed cent_every; record wall time, cells, max/mean occupancy, pairs.
+Flat time-per-1k-docs across scales = the claim holds.
+
+Run:  python scripts/measure_semdedup.py
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+from alma_memory_spark.operators.semdedup import semantic_dedup_pairs  # noqa: E402
+from alma_memory_spark.session import get_spark  # noqa: E402
+
+DIM = 64
+CENT_EVERY = 50
+
+
+def make_corpus(spark, n: int, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    n_anchor = max(8, n // 200)
+    anchors = rng.normal(size=(n_anchor, DIM))
+    anchors /= np.linalg.norm(anchors, axis=1, keepdims=True)
+    base = anchors[rng.integers(0, n_anchor, size=n)]
+    noise = rng.normal(scale=0.045, size=(n, DIM))
+    V = base + noise
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    rows = [(int(i), [float(x) for x in V[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def main() -> None:
+    spark = get_spark(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    # warm-up: session, Arrow serializers, BLAS threads — unmeasured
+    semantic_dedup_pairs(
+        make_corpus(spark, 1_000), threshold=0.85, cent_every=CENT_EVERY
+    ).count()
+    results = []
+    for n in (4_000, 16_000, 64_000):
+        emb = make_corpus(spark, n).localCheckpoint(eager=True)
+        t0 = time.time()
+        pairs = semantic_dedup_pairs(
+            emb, threshold=0.85, cent_every=CENT_EVERY
+        )
+        n_pairs = pairs.count()
+        wall = time.time() - t0
+        # occupancy profile from the same quantizer (cheap recount)
+        from alma_memory_spark.operators.semdedup import (
+            _assign_cells,
+            stride_centroids,
+        )
+
+        cells, C, cnrm = stride_centroids(emb, "vec_id", "embedding", CENT_EVERY)
+        occ = (
+            _assign_cells(emb, "vec_id", "embedding", cells, C, cnrm)
+            .groupBy("cell")
+            .count()
+            .agg(
+                {"count": "max"}
+            )
+            .collect()[0][0]
+        )
+        rec = {
+            "n_docs": n,
+            "cells": len(cells),
+            "max_occupancy": int(occ),
+            "pairs": int(n_pairs),
+            "wall_s": round(wall, 2),
+            "ms_per_1k_docs": round(1000 * wall / (n / 1000.0), 1),
+        }
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+        emb.unpersist()
+    base = results[0]["ms_per_1k_docs"]
+    tail = results[-1]["ms_per_1k_docs"]
+    print(
+        json.dumps(
+            {
+                "claim": "per-doc cost flat as corpus grows (cells scale, occupancy fixed)",
+                "ms_per_1k_docs_4k": base,
+                "ms_per_1k_docs_64k": tail,
+                "ratio_16x_corpus": round(tail / base, 2) if base else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -239,3 +239,71 @@ def test_band_geometry_must_fit_signature(spark, tmp_path):
         NearDupIndex.build(
             spark, docs, str(tmp_path / "idx"), k=8, bands=3, rows=4
         )
+
+
+def test_groups_memo_serves_unchanged_pairs_with_zero_jobs(spark, tmp_path):
+    """Pinned (VERDICT r6 #4): groups() persists its CC labels keyed by
+    the pair-set fingerprint; a later groups() over an UNCHANGED pair
+    set — including after an add() that appended no pairs — runs zero
+    Spark jobs at call time and returns labels identical to fresh CC."""
+    from alma_memory_spark.session import tiny_df
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    idx = NearDupIndex.build(spark, docs, str(tmp_path / "g"), n_buckets=4)
+    fresh = _groupmap(idx.groups())  # computes + persists the memo
+    assert fresh  # corpus has near-dups
+
+    # an add that yields no new pairs must not invalidate the memo
+    assert idx.add(
+        tiny_df(spark, [(990001, "zz qq totally unique tokens xx")],
+                "doc_id long, text string")
+    ) == 0
+    jid = spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+    served = idx.groups()
+    assert spark.sparkContext._jsc.sc().dagScheduler().nextJobId() == jid
+    assert _groupmap(served) == fresh
+
+    # an add that DOES append pairs invalidates: groups recompute
+    dup_src = docs.orderBy("doc_id").limit(1).collect()[0]
+    n = idx.add(
+        tiny_df(spark, [(990002, dup_src["text"])], "doc_id long, text string")
+    )
+    assert n >= 1
+    regrouped = _groupmap(idx.groups())
+    assert 990002 in regrouped and regrouped != fresh
+
+
+def test_add_reports_band_cap_saturation(spark, tmp_path):
+    """Pinned (VERDICT r6 #8): the silent part of the cap contract gets
+    loud counters — add() returns capped_groups/dropped_band_rows and
+    the stats table accumulates them for pipeline alarms."""
+    from alma_memory_spark.operators.dedup_index import AddStats
+    from alma_memory_spark.session import tiny_df
+
+    rows = [(i, "the same text every time") for i in range(20)]
+    docs = tiny_df(spark, rows, "doc_id long, text string")
+    capped = NearDupIndex.build(
+        spark, docs, str(tmp_path / "sat"), n_buckets=4, band_cap=3
+    )
+    st = capped.add(
+        tiny_df(spark, [(100, "the same text every time")],
+                "doc_id long, text string")
+    )
+    assert isinstance(st, AddStats) and st == 0  # int-compatible
+    assert st.capped_groups >= 1  # both bands of the degenerate doc
+    assert st.dropped_band_rows >= 21  # 20 built + 1 added, per band
+    sat = capped.cap_saturation()
+    # build saw the 20-doc degenerate group too
+    assert sat["capped_groups"] >= st.capped_groups + 1
+    assert sat["dropped_band_rows"] >= st.dropped_band_rows + 20
+
+    # an under-cap add reports zero saturation
+    clean = NearDupIndex.build(
+        spark, docs.filter("doc_id < 2"), str(tmp_path / "clean"),
+        n_buckets=4, band_cap=50,
+    )
+    st2 = clean.add(
+        tiny_df(spark, [(300, "fresh words only here")],
+                "doc_id long, text string")
+    )
+    assert (st2.capped_groups, st2.dropped_band_rows) == (0, 0)

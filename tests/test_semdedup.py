@@ -1,0 +1,91 @@
+"""SemDeDup-shape semantic dedup: quantizer reuse, cross-cell family
+merge, determinism under repartition."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from alma_memory_spark.operators.semdedup import (
+    semantic_dedup_groups,
+    semantic_dedup_pairs,
+    stride_centroids,
+)
+from alma_memory_spark.session import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _pairs(df):
+    return {(r["id_a"], r["id_b"], r["cos_sim"]) for r in df.collect()}
+
+
+def test_pairs_stable_under_repartition(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a = _pairs(semantic_dedup_pairs(emb, threshold=0.4, cent_every=50))
+    b = _pairs(
+        semantic_dedup_pairs(emb.repartition(13), threshold=0.4, cent_every=50)
+    )
+    assert a == b and len(a) > 0
+
+
+def test_persisted_ivf_quantizer_reuse(spark, tmp_path):
+    """The VERDICT-r7 composition: the SAME persisted IVF index the ANN
+    serving path maintains can drive semantic dedup. With
+    kmeans_iters=0 the IVF centroids are the stride seeds (normalized),
+    so cell assignments — and therefore the pair set — match the
+    self-derived stride quantizer."""
+    from alma_memory_spark.operators.ann_index import IVFIndex
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = IVFIndex.build(
+        spark, emb, str(tmp_path / "ivf"), cent_every=50, kmeans_iters=0
+    )
+    via_index = _pairs(semantic_dedup_pairs(emb, threshold=0.4, quantizer=idx))
+    via_stride = _pairs(semantic_dedup_pairs(emb, threshold=0.4, cent_every=50))
+    assert via_index == via_stride and len(via_index) > 0
+
+    # and the loaded handle (fresh session surrogate) behaves the same
+    loaded = IVFIndex.load(spark, str(tmp_path / "ivf"))
+    assert _pairs(semantic_dedup_pairs(emb, threshold=0.4, quantizer=loaded)) == via_index
+
+
+def test_families_are_cell_bounded_transitive_chains(spark):
+    """Pins the SemDeDup contract: transitive chains WITHIN a cell
+    collapse into one family with a deterministic min-id keeper, and a
+    near-dup straddling a cell boundary is knowingly missed (every
+    edge is within-cell — the approximation that buys never running an
+    all-pairs compare)."""
+    dim = 8
+    # two far-apart anchor directions -> two cells (ids 0 and 4 are the
+    # stride seeds at cent_every=4)
+    a = np.zeros(dim); a[0] = 1.0
+    b = np.zeros(dim); b[1] = 1.0
+    rows = [
+        (0, [float(x) for x in a]),                      # seed cell 0
+        (1, [float(x) for x in (0.96 * a + 0.28 * b)]),  # near a
+        (2, [float(x) for x in (0.71 * a + 0.71 * b)]),  # equidistant
+        (3, [float(x) for x in (0.28 * a + 0.96 * b)]),  # near b
+        (4, [float(x) for x in b]),                      # seed cell 4
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = semantic_dedup_pairs(emb, threshold=0.7, cent_every=4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # equidistant vec 2 tie-breaks to the LARGER cell (4) in every
+    # engine; it chains 3 and 4 transitively even though cos(2,4)=0.71
+    # is near the floor, while the cross-cell near-dup (1,2) with
+    # cos=0.88 is NOT emitted — the documented approximation
+    assert (2, 3) in got and (3, 4) in got and (1, 2) not in got
+    groups = semantic_dedup_groups(pairs).collect()
+    comp = {r["doc_id"]: r["group_id"] for r in groups}
+    assert comp == {0: 0, 1: 0, 2: 2, 3: 2, 4: 2}
+    canon = {r["doc_id"] for r in groups if r["is_canonical"]}
+    assert canon == {0, 2}
+
+
+def test_stride_centroids_raise_on_empty(spark):
+    emb = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="no centroids"):
+        stride_centroids(emb, "vec_id", "embedding", 50)
