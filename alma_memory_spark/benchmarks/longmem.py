@@ -126,6 +126,16 @@ def generate_corpus(
     return SessionCorpus(sessions=sess_df, questions=questions)
 
 
+def _open_maybe_gz(path: str):
+    """Text handle over a plain or gzipped dataset file — the published
+    LongMemEval downloads ship both .json and .jsonl.gz forms."""
+    if path.endswith(".gz"):
+        import gzip
+
+        return gzip.open(path, "rt")
+    return open(path)
+
+
 def load_longmemeval(
     spark: SparkSession, path: str, dim: int = 64, limit: int | None = None
 ) -> SessionCorpus:
@@ -143,7 +153,7 @@ def load_longmemeval(
     """
     import json as _json
 
-    with open(path) as f:
+    with _open_maybe_gz(path) as f:
         head = f.read(1)
         f.seek(0)
         if head == "[":
@@ -202,7 +212,7 @@ def load_locomo(
     import json as _json
     import re as _re
 
-    with open(path) as f:
+    with _open_maybe_gz(path) as f:
         items = _json.load(f)
     if limit is not None:
         items = items[:limit]

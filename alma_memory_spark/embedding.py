@@ -58,6 +58,40 @@ def hash_embed(text: str, dim: int = DEFAULT_DIM) -> list[float]:
     return [v / norm for v in vec]
 
 
+def hash_embed_batch(texts, dim: int = DEFAULT_DIM):
+    """Vectorized hash_embed over a batch (VERDICT r6 #7): one md5 per
+    UNIQUE token (factorize dedups the batch vocabulary) and a single
+    scatter-add instead of a Python loop per row. Bit-for-bit equal to
+    per-row hash_embed: the slot accumulations are ±1 integers (exact
+    in float64 in any order) and the squared-norm sums integers, so no
+    float-order divergence exists to round differently. Returns an
+    (n, dim) float64 ndarray."""
+    import numpy as np
+    import pandas as pd
+
+    tok_lists = [("" if t is None else t).lower().split() for t in texts]
+    n = len(tok_lists)
+    M = np.zeros((n, dim), dtype=np.float64)
+    lengths = np.fromiter((len(x) for x in tok_lists), dtype=np.int64, count=n)
+    if lengths.sum():
+        flat = np.concatenate(
+            [np.asarray(x, dtype=object) for x in tok_lists if x]
+        )
+        codes, uniques = pd.factorize(flat)
+        h = np.fromiter(
+            (_token_hash(u) for u in uniques), dtype=np.uint64, count=len(uniques)
+        )
+        slots = (h % np.uint64(dim)).astype(np.int64)
+        signs = np.where((h >> np.uint64(63)) == 0, 1.0, -1.0)
+        rows = np.repeat(np.arange(n), lengths)
+        np.add.at(M, (rows, slots[codes]), signs[codes])
+    nrm = np.sqrt((M * M).sum(axis=1))
+    zero = nrm == 0.0
+    M[zero, 0] = 1.0
+    nrm[zero] = 1.0
+    return M / nrm[:, None]
+
+
 class HashEmbedder:
     """Deterministic embedding provider (no model download, no network)."""
 
@@ -68,7 +102,7 @@ class HashEmbedder:
         return hash_embed(text, self.dim)
 
     def encode_batch(self, texts: list[str]) -> list[list[float]]:
-        return [hash_embed(t, self.dim) for t in texts]
+        return hash_embed_batch(texts, self.dim).tolist()
 
 
 class CachedEmbedder:
@@ -208,7 +242,7 @@ def encode_udf(dim: int = DEFAULT_DIM):
     @F.pandas_udf(T.ArrayType(T.FloatType()))
     def _encode(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for s in it:
-            yield s.map(lambda t: hash_embed(t if t is not None else "", dim))
+            yield pd.Series(list(hash_embed_batch(s.tolist(), dim)))
 
     return _encode
 

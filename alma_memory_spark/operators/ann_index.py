@@ -333,7 +333,17 @@ class IVFIndex:
         # half-written lists)
         vdir = begin_version(path)
         idx = IVFIndex(spark, path, cells, Cn, id_type, extras, vroot=vdir, pq=pq)
-        idx._write_lists(df, id_col, vec_col, mode="overwrite")
+        # the list write (the big job) and the tiny centroid/pq writes
+        # target disjoint subdirs of the uncommitted version dir — run
+        # them as concurrent Spark jobs (each tiny write costs a full
+        # job of fixed latency that previously serialized after the
+        # lists); the thread joins before the commit point below
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        lists_fut = pool.submit(
+            idx._write_lists, df, id_col, vec_col, mode="overwrite"
+        )
         from alma_memory_spark.session import tiny_df
 
         if pq is not None:
@@ -369,6 +379,10 @@ class IVFIndex:
             "cell long, cvec array<double>, id_type string, "
             "cent_every int, extra_cols string",
         ).coalesce(1).write.mode("overwrite").parquet(os.path.join(vdir, "centroids"))
+        try:
+            lists_fut.result()  # lists must be complete BEFORE commit
+        finally:
+            pool.shutdown(wait=False)
         idx.vroot = commit_version(path, vdir, _FLAT_SUBDIRS)  # COMMIT POINT
         return idx
 
@@ -413,21 +427,30 @@ class IVFIndex:
 
         extra_schema = "".join(f", {n} {t}" for n, t in extras)
         code_schema = ", code binary" if self.pq is not None else ""
-        assigned = df.select(
-            id_col, vec_col, *[n for n, _t in extras]
-        ).mapInPandas(
+        src = df.select(id_col, vec_col, *[n for n, _t in extras])
+        assigned = src.mapInPandas(
             assign,
             f"id {self.id_type}, embedding array<double>{extra_schema}"
             f"{code_schema}, cell long",
         )
-        # id-sorted within each (task, cell) file: parquet row-group
-        # min/max stats on id then let a pushed `id IN (...)` filter —
-        # the PQ re-rank's candidate fetch — skip everything but the
-        # groups holding the refine*k candidates. A local sort, not a
-        # shuffle (the append plan stays narrow).
-        assigned.sortWithinPartitions("cell", "id").write.mode(
-            mode
-        ).partitionBy("cell").parquet(
+        # cluster by cell before the write (r7): hash-repartitioning on
+        # cell puts each cell entirely in ONE task, so the lists land
+        # as ONE file per cell instead of (tasks x cells) — a narrow
+        # write from T scan tasks over C cells creates T*C files, which
+        # a partition-pruned probe then pays for on every read (and at
+        # 1000 tasks x 10k cells is a small-file catastrophe). The
+        # shuffle moves the same bytes the write was going to write;
+        # measured 2x faster on the serving-gate rebuild (one scan task
+        # previously wrote all cells serially). Task count scales with
+        # the input so big builds keep their parallelism.
+        n_out = min(len(self.cells), max(8, src.rdd.getNumPartitions()))
+        # id-sorted within each cell file: parquet row-group min/max
+        # stats on id let a pushed `id IN (...)` filter — the PQ
+        # re-rank's candidate fetch — skip everything but the groups
+        # holding the refine*k candidates.
+        assigned.repartition(n_out, "cell").sortWithinPartitions(
+            "cell", "id"
+        ).write.mode(mode).partitionBy("cell").parquet(
             dest or os.path.join(self.vroot, "lists")
         )
 

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 
 from alma_memory_spark.operators.sampling import hash_bucket
 
-__all__ = ["pack_documents"]
+__all__ = ["pack_documents", "pack_documents_nostraddle"]
 
 
 def pack_documents(
@@ -70,3 +70,99 @@ def pack_documents(
     return out.withColumn(
         "pack_id", F.floor(cum_prev / F.lit(budget)).cast("long")
     ).withColumn("pack_offset", F.pmod(cum_prev, F.lit(budget)).cast("long"))
+
+
+def _shard_col(key_col: str, n_shards: int, salt: str):
+    return (
+        F.pmod(hash_bucket(key_col, salt), F.lit(n_shards))
+        if n_shards > 1
+        else F.lit(0)
+    )
+
+
+def pack_documents_nostraddle(
+    df: DataFrame,
+    budget: int,
+    token_col: str,
+    key_col: str,
+    n_shards: int = 1,
+    stratum_cols: list[str] | None = None,
+    salt: str = "pack",
+    strategy: str = "next_fit",
+) -> DataFrame:
+    """No-straddle packing (SFT style): a document may NOT cross a
+    block boundary, so blocks are cut greedily instead of by running
+    sum (reference analog: the greedy token-budget fold,
+    alma/retrieval/budget.py:131-195 — items accumulate while they
+    fit). Adds (shard, pack_id, pack_offset); docs larger than the
+    budget get a block of their own (the downstream truncation case).
+
+    strategy='next_fit' (default): one open block per stream — a doc
+    that does not fit CLOSES the block and opens the next. This is the
+    dataloader-faithful shape (blocks finalize in stream order, no
+    block reopens after it stops being the newest) and is exactly
+    replayable in SQL as a sequential fold, which the oracle gate does
+    with a recursive CTE.
+    strategy='first_fit': classic bin-packing first-fit — a doc lands
+    in the EARLIEST open block with room, trading stream order for
+    less padding. Deterministic but stateful across all open blocks
+    (unit-tested against a driver-side reference, not SQL-replayable).
+
+    Scale shape: same sharding contract as `pack_documents` — the
+    greedy fold is inherently sequential PER STREAM, so the stream is
+    (stratum_cols..., shard) and each runs as one applyInPandas group;
+    shard count is the parallelism knob. The per-group kernel is a
+    single O(docs) pass (next-fit) or O(docs * open-blocks)
+    (first-fit)."""
+    import pandas as pd
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive (got {budget!r})")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1 (got {n_shards!r})")
+    if strategy not in ("next_fit", "first_fit"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    strata = list(stratum_cols or [])
+    out = df.withColumn(
+        "shard", _shard_col(key_col, n_shards, salt).cast("int")
+    )
+    first_fit = strategy == "first_fit"
+
+    def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(key_col, kind="mergesort").reset_index(drop=True)
+        toks = pdf[token_col].astype("int64").tolist()
+        pack_ids, offsets = [], []
+        if first_fit:
+            remaining: list[int] = []  # remaining capacity per block
+            fills: list[int] = []
+            for t in toks:
+                placed = None
+                for b, rem in enumerate(remaining):
+                    if t <= rem:
+                        placed = b
+                        break
+                if placed is None:
+                    placed = len(remaining)
+                    remaining.append(budget)
+                    fills.append(0)
+                pack_ids.append(placed)
+                offsets.append(fills[placed])
+                fills[placed] += t
+                remaining[placed] -= t
+        else:
+            block, fill = 0, 0
+            for i, t in enumerate(toks):
+                if i > 0 and fill + t > budget:
+                    block += 1
+                    fill = 0
+                pack_ids.append(block)
+                offsets.append(fill)
+                fill += t
+        pdf["pack_id"] = pd.Series(pack_ids, dtype="int64")
+        pdf["pack_offset"] = pd.Series(offsets, dtype="int64")
+        return pdf
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in out.schema.fields
+    ) + ", pack_id long, pack_offset long"
+    return out.groupby(*strata, "shard").applyInPandas(pack_group, schema)

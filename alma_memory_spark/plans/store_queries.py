@@ -834,8 +834,24 @@ def engine_retrieve_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="alma_serving_gate_")
     try:
         eng = AlmaSpark(spark, root, clock=lambda: anchor)
-        eng.store.append("domain_knowledge", rows_df)
-        eng.store.append("retrieval_feedback", fb_df)
+        # the two seeds append to DIFFERENT tables (independent table
+        # locks) — overlap their write jobs
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            w1 = pool.submit(eng.store.append, "domain_knowledge", rows_df)
+            w2 = pool.submit(eng.store.append, "retrieval_feedback", fb_df)
+            w1.result(), w2.result()
+
+        # the IVF build starts NOW and overlaps every retrieve below
+        # (r7): it only reads the committed domain_knowledge table and
+        # writes under its own uncommitted version dir, the same safety
+        # argument that already overlapped it with recall/feedback —
+        # the build was the longest member of the old middle section,
+        # so hiding it behind the serial e2e too takes it off the
+        # gate's critical path entirely
+        build_pool = ThreadPoolExecutor(max_workers=1)
+        f3 = build_pool.submit(eng.index_vectors, "domain_knowledge", cent_every=50)
 
         # the cache-separation property (mode/top_k/use_feedback in the
         # key) is proven through ONE engine: the e2e call populates the
@@ -844,11 +860,6 @@ def engine_retrieve_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         e2e_rows = [
             ("e2e", r["id"], round(float(r["score"]), 6)) for r in sl.domain_knowledge
         ]
-
-        # the two remaining read-only variants run as concurrent Spark
-        # jobs on the SAME cached-cold engine (retrieve() is a pure
-        # read; thread-per-variant overlaps the two one-job plans)
-        from concurrent.futures import ThreadPoolExecutor
 
         def recall_call():
             s = eng.retrieve(
@@ -869,18 +880,14 @@ def engine_retrieve_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for r in s.domain_knowledge
             ]
 
-        # the IVF build only READS domain_knowledge and writes under
-        # its own versioned index dir — safe to overlap with the two
-        # pure-read retrieves (three concurrent Spark jobs; the local
-        # scheduler interleaves their stages across the 32 slots)
-        with ThreadPoolExecutor(max_workers=3) as pool:
+        # recall + feedback are pure reads on the cached-cold engine;
+        # they overlap each other and the still-running IVF build
+        with ThreadPoolExecutor(max_workers=2) as pool:
             f1 = pool.submit(recall_call)
             f2 = pool.submit(feedback_call)
-            f3 = pool.submit(
-                eng.index_vectors, "domain_knowledge", cent_every=50
-            )
             out = e2e_rows + f1.result() + f2.result()
-            rep = f3.result()
+        rep = f3.result()
+        build_pool.shutdown(wait=False)
         assert rep["indexed"], rep
 
         # 'ann' variant: serve the SAME retrieval from the scope-aware

@@ -58,7 +58,7 @@ _IVF_INDEX_GATE_LOCK = threading.Lock()
 @register(
     "text_profile",
     f"""
-    WITH prof AS (
+    WITH RECURSIVE prof AS (
       SELECT doc_id,
              len({X.sql_ws_tokens('text')}) AS n_tokens,
              CAST(floor(length(text) / 4) AS BIGINT) AS token_estimate,
@@ -81,6 +81,26 @@ _IVF_INDEX_GATE_LOCK = threading.Lock()
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
              ), 0) AS cum_prev
       FROM sharded
+    ),
+    seq AS (
+      SELECT doc_id, n_tokens, shard,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id ASC) AS rn
+      FROM sharded
+    ),
+    nsrec AS (
+      SELECT shard, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pack_offset,
+             n_tokens AS fill
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.shard, s.rn, s.doc_id, s.n_tokens,
+             CASE WHEN r.fill + s.n_tokens <= 512 THEN r.pack_id
+                  ELSE r.pack_id + 1 END,
+             CASE WHEN r.fill + s.n_tokens <= 512 THEN r.fill
+                  ELSE CAST(0 AS BIGINT) END,
+             CASE WHEN r.fill + s.n_tokens <= 512 THEN r.fill + s.n_tokens
+                  ELSE s.n_tokens END
+      FROM nsrec r JOIN seq s ON s.shard = r.shard AND s.rn = r.rn + 1
     )
     SELECT 'profile' AS variant, doc_id, n_tokens, token_estimate,
            n_bpe_tokens, n_chars_actual, pred_lang, quality,
@@ -93,6 +113,12 @@ _IVF_INDEX_GATE_LOCK = threading.Lock()
            CAST(floor(cum_prev / 512) AS BIGINT),
            cum_prev % 512
     FROM packed
+    UNION ALL
+    SELECT 'packns:' || CAST(shard AS VARCHAR), doc_id, n_tokens,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+           pack_id, pack_offset
+    FROM nsrec
     """,
 )
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -120,8 +146,19 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset. The shard is the parallelism unit (one bounded window per
     shard — never a global sort); the oracle replays the identical
     shard assignment and running sum, so one off-by-one in the
-    cumulative cut hash-mismatches."""
-    from alma_memory_spark.operators.packing import pack_documents
+    cumulative cut hash-mismatches.
+
+    'packns:<shard>' rows (r7) — NO-STRADDLE packing
+    (pack_documents_nostraddle, next-fit): a doc that would cross the
+    512-token boundary closes the block and opens the next; the oracle
+    replays the sequential greedy fold with a recursive CTE (one
+    iteration per doc per shard), so a wrong close decision, a missed
+    oversize-doc own-block case, or an offset drift all
+    hash-mismatch."""
+    from alma_memory_spark.operators.packing import (
+        pack_documents,
+        pack_documents_nostraddle,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     prof = docs.select(
@@ -159,7 +196,27 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pack_id",
         "pack_offset",
     )
-    return prof_rows.unionByName(pack_rows)
+    packed_ns = pack_documents_nostraddle(
+        prof.select("doc_id", "n_tokens"),
+        budget=512,
+        token_col="n_tokens",
+        key_col="doc_id",
+        n_shards=4,
+        salt="r6pack",
+    )
+    packns_rows = packed_ns.select(
+        F.concat(F.lit("packns:"), F.col("shard").cast("string")).alias("variant"),
+        "doc_id",
+        "n_tokens",
+        F.lit(None).cast("long").alias("token_estimate"),
+        F.lit(None).cast("long").alias("n_bpe_tokens"),
+        F.lit(None).cast("long").alias("n_chars_actual"),
+        F.lit(None).cast("string").alias("pred_lang"),
+        F.lit(None).cast("double").alias("quality"),
+        "pack_id",
+        "pack_offset",
+    )
+    return prof_rows.unionByName(pack_rows).unionByName(packns_rows)
 
 
 @register(

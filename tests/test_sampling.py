@@ -182,3 +182,67 @@ def test_threshold_rounds_instead_of_truncating(spark):
         ).fetchall()
     }
     assert kept == oracle
+
+
+def test_nostraddle_packing_invariants(spark):
+    """Next-fit no-straddle: no block exceeds the budget, no doc
+    straddles (offset + tokens <= budget unless the doc alone is
+    oversize), block ids are dense per shard, and the assignment is
+    partition-stable."""
+    from alma_memory_spark.operators.packing import pack_documents_nostraddle
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.length("text").alias("n_tokens")
+    )
+    out = pack_documents_nostraddle(
+        docs, budget=1000, token_col="n_tokens", key_col="doc_id", n_shards=4
+    )
+    rows = out.collect()
+    assert {r["shard"] for r in rows} == {0, 1, 2, 3}
+    fills: dict = {}
+    for r in rows:
+        key = (r["shard"], r["pack_id"])
+        fills[key] = fills.get(key, 0) + r["n_tokens"]
+        # no straddle: a doc fits entirely, or owns an oversize block
+        assert r["pack_offset"] + r["n_tokens"] <= 1000 or r["pack_offset"] == 0
+    for (s, b), tot in fills.items():
+        assert tot <= 1000 or sum(1 for r in rows if (r["shard"], r["pack_id"]) == (s, b)) == 1
+    # dense per-shard block ids starting at 0
+    for s in range(4):
+        blocks = sorted({r["pack_id"] for r in rows if r["shard"] == s})
+        assert blocks == list(range(len(blocks)))
+    again = pack_documents_nostraddle(
+        docs.repartition(11), budget=1000, token_col="n_tokens",
+        key_col="doc_id", n_shards=4,
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_first_fit_packing_matches_reference_fold(spark):
+    """first_fit places each doc in the EARLIEST open block with room;
+    checked against an independent driver-side fold, and it never uses
+    more blocks than next-fit."""
+    from alma_memory_spark.operators.packing import pack_documents_nostraddle
+
+    rows = [(i, t) for i, t in enumerate([600, 500, 300, 450, 90, 950, 20, 1200, 10])]
+    docs = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = {
+        r["doc_id"]: (r["pack_id"], r["pack_offset"])
+        for r in pack_documents_nostraddle(
+            docs, budget=1000, token_col="n_tokens", key_col="doc_id",
+            strategy="first_fit",
+        ).collect()
+    }
+    # driver reference fold
+    remaining, fills, want = [], [], {}
+    for i, t in rows:
+        b = next((j for j, rem in enumerate(remaining) if t <= rem), None)
+        if b is None:
+            b = len(remaining); remaining.append(1000); fills.append(0)
+        want[i] = (b, fills[b])
+        fills[b] += t; remaining[b] -= t
+    assert out == want
+    nf = pack_documents_nostraddle(
+        docs, budget=1000, token_col="n_tokens", key_col="doc_id"
+    ).collect()
+    assert len({v[0] for v in out.values()}) <= len({r["pack_id"] for r in nf})
