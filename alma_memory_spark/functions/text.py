@@ -400,3 +400,85 @@ def sql_quality_score(expr: str) -> str:
         f"0.3 * least({n_tok} / 100.0, 1.0) + 0.3 * (1.0 - {punct}) "
         f"+ 0.2 * least(5.0 * {stop}, 1.0) + 0.2 * {len_ok}"
     )
+
+
+# ---------------------------------------------------------------------------
+# n-grams + repetition (Gopher-style duplicate-fraction signals)
+# ---------------------------------------------------------------------------
+
+
+def ngrams_of_tokens(ts: Column, n: int) -> Column:
+    """Space-joined n-grams over an ALREADY-TOKENIZED array column.
+    Empty array when the doc has fewer than n tokens — the `when`
+    guard matters: sequence(1, size-n+1) with a negative span would
+    generate a DESCENDING sequence, not an empty one.
+
+    PERF contract (the r7 lesson — measured 8x gate cost before it):
+    higher-order functions are CodegenFallback — no whole-stage
+    codegen, no common-subexpression elimination, and every
+    subexpression CAPTURED IN THE LAMBDA re-evaluates per element in
+    interpreted eval. So (a) `ts` must be a BOUND column reference
+    (project the tokenizer into its own alias first), never an inline
+    `ws_tokens(text)` expression — or the whole tokenizer re-runs per
+    gram position; (b) the per-position builder is an element_at
+    concat chain (O(1) attribute reads, no per-gram array allocation);
+    (c) callers should reference the returned gram array ONCE per
+    projection and derive counts from it in a later select."""
+
+    def _gram(i):
+        pieces = []
+        for j in range(n):
+            if j:
+                pieces.append(F.lit(" "))
+            pieces.append(F.element_at(ts, i + F.lit(j)))
+        return F.concat(*pieces)
+
+    grams = F.transform(F.sequence(F.lit(1), F.size(ts) - F.lit(n - 1)), _gram)
+    return F.when(F.size(ts) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def token_ngrams(col: Column | str, n: int) -> Column:
+    """Convenience inline-tokenizing form — ONLY for tiny frames or
+    single-reference expressions; wide scans must pre-project the
+    tokens and use ngrams_of_tokens (see its PERF contract)."""
+    return ngrams_of_tokens(ws_tokens(col), n)
+
+
+def dup_ngram_fraction(col: Column | str, n: int = 2) -> Column:
+    """Gopher-style repetition signal: the fraction of n-gram
+    OCCURRENCES that are repeats of an earlier one (1 - distinct/total;
+    0.0 for docs shorter than n tokens). High values mark boilerplate /
+    looping text that quality-filtering drops.
+
+    Convenience form — evaluates the gram array twice (see
+    token_ngrams PERF note). Wide scans should compute the gram array
+    once and derive (total, distinct, fraction) from it, the way the
+    text_profile gate does."""
+    g = token_ngrams(col, n)
+    total = F.size(g)
+    return F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / total.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def sql_token_ngrams(expr: str, n: int) -> str:
+    """DuckDB mirror of token_ngrams (1-based inclusive list slices)."""
+    ts = sql_ws_tokens(expr)
+    return (
+        f"CASE WHEN len({ts}) >= {n} THEN "
+        f"list_transform(range(1, len({ts}) - {n} + 2), "
+        f"i -> array_to_string(({ts})[i:i+{n - 1}], ' ')) "
+        f"ELSE [] END"
+    )
+
+
+def sql_dup_ngram_fraction(expr: str, n: int = 2) -> str:
+    g = sql_token_ngrams(expr, n)
+    return (
+        f"CASE WHEN len({g}) > 0 THEN "
+        f"1.0 - len(list_distinct({g})) * 1.0 / len({g}) "
+        f"ELSE 0.0 END"
+    )

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from alma_memory_spark.functions import pii as PII
 from alma_memory_spark.functions import text as X
 from alma_memory_spark.session import tiny_df as _tiny
 from alma_memory_spark.functions.vector import cosine_similarity
@@ -33,6 +34,7 @@ from alma_memory_spark.plans.registry import (
 
 NEARDUP_COS = 0.4  # embedding near-dup threshold for this corpus (param; ref default 0.85)
 SEMDEDUP_CENT_EVERY = 50  # quantizer stride: ~50 vecs/cell at any corpus size
+DECONTAM_N = 6  # n-gram size for the decontamination gate (prod: 13)
 JACCARD_T = 0.95  # token-set near-dup threshold for this corpus
 MINHASH_K = 8
 LSH_BANDS = 2  # 2 bands x 4 rows (stricter banding: fewer, better candidates)
@@ -87,6 +89,33 @@ _IVF_INDEX_GATE_LOCK = threading.Lock()
              row_number() OVER (PARTITION BY shard ORDER BY doc_id ASC) AS rn
       FROM sharded
     ),
+    aug AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0 THEN ' contact doc' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+             || CASE WHEN doc_id % 13 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 200 AS VARCHAR) ELSE '' END
+             || CASE WHEN doc_id % 17 = 0 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+             AS atext
+      FROM documents
+      WHERE doc_id % 7 = 0 OR doc_id % 11 = 0 OR doc_id % 13 = 0 OR doc_id % 17 = 0
+    ),
+    pii AS (
+      SELECT doc_id,
+             CAST({PII.sql_pii_count('atext', 'email')} AS BIGINT) AS email_n,
+             CAST({PII.sql_pii_count('atext', 'ssn')} AS BIGINT) AS ssn_n,
+             CAST({PII.sql_pii_count('atext', 'phone')} AS BIGINT) AS phone_n,
+             CAST({PII.sql_pii_count('atext', 'ipv4')} AS BIGINT) AS ipv4_n,
+             md5({PII.sql_redact_pii('atext')}) AS red_md5
+      FROM aug
+    ),
+    rep AS (
+      SELECT doc_id,
+             CAST(len({X.sql_token_ngrams('text', 2)}) AS BIGINT) AS g_total,
+             CAST(len(list_distinct({X.sql_token_ngrams('text', 2)})) AS BIGINT) AS g_distinct,
+             round({X.sql_dup_ngram_fraction('text', 2)}, 6) AS dup_frac
+      FROM documents
+    ),
     nsrec AS (
       SELECT shard, rn, doc_id, n_tokens,
              CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pack_offset,
@@ -119,6 +148,17 @@ _IVF_INDEX_GATE_LOCK = threading.Lock()
            CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
            pack_id, pack_offset
     FROM nsrec
+    UNION ALL
+    SELECT 'pii', doc_id, email_n, ssn_n, phone_n, ipv4_n,
+           red_md5, CAST(NULL AS DOUBLE),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM pii
+    UNION ALL
+    SELECT 'rep', doc_id, g_total, g_distinct,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR), dup_frac,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM rep
     """,
 )
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,7 +194,19 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the sequential greedy fold with a recursive CTE (one
     iteration per doc per shard), so a wrong close decision, a missed
     oversize-doc own-block case, or an offset drift all
-    hash-mismatch."""
+    hash-mismatch.
+
+    'pii' rows (r7) — PII detection + redaction (functions/pii.py):
+    deterministic synthetic PII (emails/phones/IPs/SSNs derived from
+    doc_id) is appended to a doc subset, then counted per class
+    (regexp_count, Java/RE2 common-subset patterns) and redacted in a
+    fixed pattern order; the md5 of the REDACTED text is on the hash,
+    so one wrong span boundary breaks the gate. A narrow map — no
+    shuffle at any corpus size.
+
+    'rep' rows (r7) — Gopher-style repetition signal: total/distinct
+    token-2-gram counts and the duplicate-occurrence fraction per doc
+    (boilerplate detector), pure column expressions."""
     from alma_memory_spark.operators.packing import (
         pack_documents,
         pack_documents_nostraddle,
@@ -216,7 +268,83 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pack_id",
         "pack_offset",
     )
-    return prof_rows.unionByName(pack_rows).unionByName(packns_rows)
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" contact doc"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(F.lit(" call 415-555-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 0,
+            F.concat(
+                F.lit(" host 10."), (did % 256).cast("string"),
+                F.lit(".0."), (did % 200).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 17 == 0,
+            F.concat(F.lit(" ssn 123-45-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+    pii_rows = (
+        docs.filter(
+            (did % 7 == 0) | (did % 11 == 0) | (did % 13 == 0) | (did % 17 == 0)
+        )
+        .select("doc_id", aug.alias("atext"))
+        .select(
+            F.lit("pii").alias("variant"),
+            "doc_id",
+            PII.pii_count("atext", "email").cast("long").alias("n_tokens"),
+            PII.pii_count("atext", "ssn").cast("long").alias("token_estimate"),
+            PII.pii_count("atext", "phone").cast("long").alias("n_bpe_tokens"),
+            PII.pii_count("atext", "ipv4").cast("long").alias("n_chars_actual"),
+            F.md5(PII.redact_pii("atext")).alias("pred_lang"),
+            F.lit(None).cast("double").alias("quality"),
+            F.lit(None).cast("long").alias("pack_id"),
+            F.lit(None).cast("long").alias("pack_offset"),
+        )
+    )
+    # staged projections: tokens -> grams -> counts. Each alias is
+    # referenced more than once downstream, so CollapseProject keeps
+    # the stages separate and the tokenizer + gram transform evaluate
+    # ONCE per row (the ngrams_of_tokens PERF contract — inlining these
+    # cost 8x on this gate)
+    g2df = docs.select(
+        "doc_id", X.ws_tokens("text").alias("_ts")
+    ).select("doc_id", X.ngrams_of_tokens(F.col("_ts"), 2).alias("_g"))
+    repc = g2df.select(
+        "doc_id",
+        F.size("_g").cast("long").alias("_t"),
+        F.size(F.array_distinct("_g")).cast("long").alias("_d"),
+    )
+    rep_rows = repc.select(
+        F.lit("rep").alias("variant"),
+        "doc_id",
+        F.col("_t").alias("n_tokens"),
+        F.col("_d").alias("token_estimate"),
+        F.lit(None).cast("long").alias("n_bpe_tokens"),
+        F.lit(None).cast("long").alias("n_chars_actual"),
+        F.lit(None).cast("string").alias("pred_lang"),
+        _r6(
+            F.when(
+                F.col("_t") > 0,
+                F.lit(1.0) - F.col("_d").cast("double") / F.col("_t").cast("double"),
+            ).otherwise(F.lit(0.0))
+        ).alias("quality"),
+        F.lit(None).cast("long").alias("pack_id"),
+        F.lit(None).cast("long").alias("pack_offset"),
+    )
+    return (
+        prof_rows.unionByName(pack_rows)
+        .unionByName(packns_rows)
+        .unionByName(pii_rows)
+        .unionByName(rep_rows)
+    )
 
 
 @register(
@@ -246,6 +374,17 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
              % 1000000 + 1000000) % 1000000
             < CASE WHEN CAST(substr(source, 4) AS BIGINT) < 10
                    THEN 300000 ELSE 800000 END
+    ),
+    ng AS (
+      SELECT doc_id, unnest(list_distinct({X.sql_token_ngrams('text', DECONTAM_N)})) AS gram
+      FROM documents
+    ),
+    contam AS (
+      SELECT t.doc_id, count(DISTINCT t.gram) AS n_shared
+      FROM ng t JOIN (SELECT DISTINCT gram FROM ng WHERE doc_id % 5 = 0) b
+        ON t.gram = b.gram
+      WHERE t.doc_id % 5 != 0
+      GROUP BY t.doc_id
     )
     SELECT 'dedup' AS variant, fp AS key, canonical_id AS id, n_copies AS n
     FROM dd
@@ -255,6 +394,9 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'mix:' || src_name, CAST(NULL AS VARCHAR), doc_id, CAST(NULL AS BIGINT)
     FROM mix
+    UNION ALL
+    SELECT 'contam', CAST(NULL AS VARCHAR), doc_id, n_shared
+    FROM contam
     """,
 )
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -275,7 +417,14 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     'mix:<source>' rows (r6) — corpus mixing (weighted_mix): two
     source pools (src0-9 = 'web' at 30%, src10-19 = 'code' at 80%)
     sampled at their mixture rates and unioned with provenance; each
-    pool's keep filter pushes into its own scan."""
+    pool's keep filter pushes into its own scan.
+
+    'contam' rows (r7) — benchmark decontamination
+    (operators/decontam.py): docs sharing any token 6-gram with the
+    held-out slice (doc_id % 5 == 0 plays the benchmark) are flagged
+    with their shared-gram count; the bench gram set broadcasts, the
+    training side never shuffles. n=6 because the synthetic corpus is
+    short bag-of-words text; production uses the published n=13."""
     from alma_memory_spark.operators.sampling import (
         stratified_sample,
         weighted_mix,
@@ -317,7 +466,21 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id"),
         F.lit(None).cast("long").alias("n"),
     )
-    return dd.unionByName(strat).unionByName(mixed)
+    from alma_memory_spark.operators.decontam import contamination_report
+
+    contam = contamination_report(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+        id_col="doc_id",
+        text_col="text",
+        n=DECONTAM_N,
+    ).select(
+        F.lit("contam").alias("variant"),
+        F.lit(None).cast("string").alias("key"),
+        F.col("doc_id").alias("id"),
+        F.col("n_shared").alias("n"),
+    )
+    return dd.unionByName(strat).unionByName(mixed).unionByName(contam)
 
 
 def _sql_minhash_cols() -> str:

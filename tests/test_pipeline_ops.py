@@ -1,0 +1,82 @@
+"""PII redaction, benchmark decontamination, repetition signals."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from alma_memory_spark.functions.pii import pii_count, redact_pii
+from alma_memory_spark.functions.text import dup_ngram_fraction
+from alma_memory_spark.operators.decontam import (
+    contamination_report,
+    decontaminate,
+)
+
+
+def test_pii_counts_and_redaction(spark):
+    rows = [
+        (0, "reach me at jo.doe+x@mail.example.org or 415-555-0123"),
+        (1, "server 192.168.1.77 and ssn 123-45-6789 leaked"),
+        (2, "no pii here at all"),
+        (3, "two mails: a@b.co c@d.io and ip 10.0.0.1"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            pii_count("text", "email").alias("email"),
+            pii_count("text", "phone").alias("phone"),
+            pii_count("text", "ipv4").alias("ipv4"),
+            pii_count("text", "ssn").alias("ssn"),
+            redact_pii("text").alias("red"),
+        ).collect()
+    }
+    assert (got[0]["email"], got[0]["phone"]) == (1, 1)
+    assert (got[1]["ipv4"], got[1]["ssn"]) == (1, 1)
+    assert all(got[2][k] == 0 for k in ("email", "phone", "ipv4", "ssn"))
+    assert (got[3]["email"], got[3]["ipv4"]) == (2, 1)
+    assert got[0]["red"] == "reach me at <EMAIL> or <PHONE>"
+    assert got[1]["red"] == "server <IPV4> and ssn <SSN> leaked"
+    assert got[3]["red"] == "two mails: <EMAIL> <EMAIL> and ip <IPV4>"
+    # redaction is idempotent: placeholders contain no PII shapes
+    again = (
+        df.select(redact_pii(redact_pii("text")).alias("r2")).collect()
+    )
+    assert [r["r2"] for r in again] == [got[i]["red"] for i in range(4)]
+
+
+def test_decontamination_flags_and_drops_shared_ngrams(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"
+    train = spark.createDataFrame(
+        [
+            (1, "intro words then " + shared + " trailing text"),
+            (2, "completely unrelated content with its own tokens here and more of them now"),
+            (3, shared),  # verbatim benchmark copy
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "prefix " + shared + " suffix")], "doc_id long, text string"
+    )
+    rep = {
+        r["doc_id"]: r["n_shared"]
+        for r in contamination_report(train, bench, n=13).collect()
+    }
+    assert set(rep) == {1, 3} and rep[1] >= 1 and rep[3] >= 1
+    kept = decontaminate(train, bench, n=13)
+    assert [r["doc_id"] for r in kept.collect()] == [2]
+    # a clean corpus reports nothing and survives intact
+    assert contamination_report(train.filter("doc_id = 2"), bench, n=13).count() == 0
+
+
+def test_dup_ngram_fraction_boilerplate_signal(spark):
+    df = spark.createDataFrame(
+        [(0, "buy now " * 30), (1, "a varied sentence with unique words only")],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r["f"]
+        for r in df.select("id", F.round(dup_ngram_fraction("text", 2), 6).alias("f")).collect()
+    }
+    assert got[0] > 0.9  # looping boilerplate
+    assert got[1] == 0.0
