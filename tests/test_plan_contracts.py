@@ -66,10 +66,19 @@ def test_pricing_agg_is_partial_aggregated(spark):
     assert "BroadcastHashJoin" in plan
 
 
-@pytest.mark.parametrize("name", ["text_profile", "exact_dedup"])
-def test_scan_bound_gates_have_no_join(spark, name):
-    plan = _plan(spark, name)
+def test_text_profile_has_no_join(spark):
+    plan = _plan(spark, "text_profile")
     assert "Join" not in plan
+
+
+def test_exact_dedup_contam_join_broadcasts(spark):
+    """exact_dedup gained the decontamination stage in r7: its ONLY
+    join must be the broadcast of the (small by definition) benchmark
+    gram set — a sort-merge there would shuffle the full training gram
+    stream at 100 TB."""
+    plan = _plan(spark, "exact_dedup")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_extract_facts_is_shuffle_free(spark):
