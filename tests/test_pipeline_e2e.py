@@ -128,3 +128,73 @@ def test_training_data_pipeline_end_to_end(spark, tmp_path):
         for r in run("b").collect()
     }
     assert got == again
+
+
+def test_training_data_pipeline_r7_stages_end_to_end(spark, tmp_path):
+    """The r7 training-data prep chain: semantic dedup (IVF cells ->
+    cosine pairs -> families) -> benchmark decontamination -> PII
+    redaction -> deterministic sample -> no-straddle packing. Real
+    operators end-to-end, invariants chained, deterministic."""
+    import os
+
+    from alma_memory_spark.functions.pii import PII_PATTERNS, redact_pii
+    from alma_memory_spark.operators.decontam import decontaminate
+    from alma_memory_spark.operators.packing import pack_documents_nostraddle
+    from alma_memory_spark.operators.sampling import hash_sample
+    from alma_memory_spark.operators.semdedup import (
+        semantic_dedup_groups,
+        semantic_dedup_pairs,
+    )
+    from alma_memory_spark.session import load_table
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang", "text")
+    emb = load_table(spark, sf, "embeddings")
+
+    def run():
+        # 1) semantic dedup over the embedding space (vec_id keys the
+        #    same corpus in the synthetic tables)
+        pairs = semantic_dedup_pairs(emb, threshold=0.4, cent_every=50)
+        sem_drop = (
+            semantic_dedup_groups(pairs)
+            .filter(~F.col("is_canonical"))
+            .select(F.col("doc_id").alias("_drop"))
+        )
+        d1 = docs.join(sem_drop, docs.doc_id == sem_drop._drop, "left_anti")
+        # 2) decontaminate against a held-out slice
+        bench = docs.filter(F.col("doc_id") % 5 == 0)
+        train = d1.filter(F.col("doc_id") % 5 != 0)
+        d2 = decontaminate(train, bench, n=6)
+        # 3) PII scrub (idempotent redaction)
+        d3 = d2.withColumn("text", redact_pii("text"))
+        # 4) deterministic downsample + 5) no-straddle pack
+        d4 = hash_sample(d3, 0.8, "doc_id", salt="e2e7")
+        return pack_documents_nostraddle(
+            d4.withColumn("n_tokens", F.size(F.split(F.col("text"), r"\s+"))),
+            budget=256, token_col="n_tokens", key_col="doc_id", n_shards=2,
+            salt="e2e7",
+        )
+
+    out = run().collect()
+    ids = [r["doc_id"] for r in out]
+    assert len(ids) == len(set(ids)) and 0 < len(ids) < docs.count()
+    # no bench doc survives (decontam ran on the train split only)
+    assert all(i % 5 != 0 for i in ids)
+    # packing invariant: no straddle
+    assert all(
+        r["pack_offset"] + r["n_tokens"] <= 256 or r["pack_offset"] == 0
+        for r in out
+    )
+    # PII scrub held: no pattern matches any surviving text
+    survivors = run().select("text")
+    import pyspark.sql.functions as SF
+
+    for _kind, pattern, _repl in PII_PATTERNS:
+        assert survivors.filter(SF.col("text").rlike(pattern)).count() == 0
+    # determinism
+    a = {(r["doc_id"], r["shard"], r["pack_id"], r["pack_offset"]) for r in out}
+    b = {
+        (r["doc_id"], r["shard"], r["pack_id"], r["pack_offset"])
+        for r in run().collect()
+    }
+    assert a == b
