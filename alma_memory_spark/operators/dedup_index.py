@@ -572,9 +572,18 @@ class NearDupIndex:
         dir (derived data — append-only like every other mutation), so
         repeated groups() calls over an unchanged pair set — including
         after adds that appended no pairs — serve a lazy read of the
-        memo and run ZERO Spark jobs at call time. Crash order: the
-        memo publishes via parquet's own _SUCCESS marker; a partial
-        memo dir without _SUCCESS is recomputed and overwritten."""
+        memo and run ZERO Spark jobs at call time.
+
+        groups() is a READ api, so unlike add() it carries no
+        single-writer contract: concurrent callers may both miss the
+        memo. Each computes into its own staging dir and publishes
+        with an atomic rename — the loser of the rename race discards
+        its staging and serves the winner's (identical) labels. A
+        crash mid-compute leaves only a staging dir, which the next
+        call ignores."""
+        import shutil
+        import threading
+
         fp = self._pairs_fingerprint()
         memo = os.path.join(self.vroot, "groups_memo", f"fp={fp}")
         schema = (
@@ -582,7 +591,12 @@ class NearDupIndex:
             "is_canonical boolean"
         )
         if not os.path.exists(os.path.join(memo, "_SUCCESS")):
-            near_dup_groups(self.pairs()).write.mode("overwrite").parquet(memo)
+            stage = f"{memo}.stage-{os.getpid()}-{threading.get_ident()}"
+            near_dup_groups(self.pairs()).write.mode("overwrite").parquet(stage)
+            try:
+                os.rename(stage, memo)
+            except OSError:
+                shutil.rmtree(stage, ignore_errors=True)  # lost the race
         return self.spark.read.schema(schema).parquet(memo)
 
     def drop_list(self) -> DataFrame:

@@ -1,0 +1,108 @@
+"""Training-data pipeline facade: the corpus-preparation operators in
+one namespace, in the order a 100 TB pretraining/SFT data pipeline
+applies them.
+
+    from alma_memory_spark import pipeline as P
+
+    docs = spark.read.parquet(".../documents")       # doc_id, text, lang, ...
+    emb  = spark.read.parquet(".../embeddings")      # vec_id, embedding
+
+    # 1) exact dedup: one hash shuffle
+    docs = P.drop_exact_duplicates(docs)
+    # 2) lexical near-dup: MinHash-LSH pairs -> CC families -> drop
+    idx = P.NearDupIndex.build(spark, docs, "/idx/neardup")
+    docs = docs.join(idx.drop_list(), "doc_id", "left_anti")
+    # 3) semantic near-dup (SemDeDup shape): IVF cells -> cosine -> CC
+    sem = P.semantic_dedup_groups(P.semantic_dedup_pairs(emb))
+    docs = docs.join(
+        sem.filter("NOT is_canonical").select("doc_id"), "doc_id", "left_anti"
+    )
+    # 4) benchmark decontamination (n-gram overlap vs held-out sets)
+    docs = P.decontaminate(docs, bench_corpus, n=13)
+    # 5) PII scrub
+    docs = docs.withColumn("text", P.redact_pii("text"))
+    # 6) quality / language / repetition signals, filter to taste
+    #    (see functions.text: lang_id, quality_score, dup_ngram_fraction)
+    # 7) deterministic sampling / stratification / corpus mixing
+    docs = P.stratified_sample(docs, "lang", {"en": 0.5}, key_col="doc_id")
+    # 8) sequence packing (straddle or no-straddle)
+    packed = P.pack_documents_nostraddle(
+        docs, budget=4096, token_col="n_tokens", key_col="doc_id", n_shards=1024
+    )
+
+Every operator is oracle-gated (plans/registry.py) or contract-tested;
+scale shapes are measured in scripts/measure_*.py and documented in
+SCALE.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from alma_memory_spark.functions.pii import pii_count, redact_pii
+from alma_memory_spark.functions.text import (
+    dup_ngram_fraction,
+    fingerprint,
+    lang_id,
+    quality_score,
+)
+from alma_memory_spark.operators.components import (
+    connected_components,
+    near_dup_groups,
+)
+from alma_memory_spark.operators.decontam import (
+    contamination_report,
+    decontaminate,
+)
+from alma_memory_spark.operators.dedup_index import NearDupIndex
+from alma_memory_spark.operators.packing import (
+    pack_documents,
+    pack_documents_nostraddle,
+)
+from alma_memory_spark.operators.sampling import (
+    hash_sample,
+    stratified_sample,
+    weighted_mix,
+)
+from alma_memory_spark.operators.semdedup import (
+    semantic_dedup_groups,
+    semantic_dedup_pairs,
+)
+
+__all__ = [
+    "NearDupIndex",
+    "connected_components",
+    "contamination_report",
+    "decontaminate",
+    "drop_exact_duplicates",
+    "dup_ngram_fraction",
+    "fingerprint",
+    "hash_sample",
+    "lang_id",
+    "near_dup_groups",
+    "pack_documents",
+    "pack_documents_nostraddle",
+    "pii_count",
+    "quality_score",
+    "redact_pii",
+    "semantic_dedup_groups",
+    "semantic_dedup_pairs",
+    "stratified_sample",
+    "weighted_mix",
+]
+
+
+def drop_exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the min-id representative of every exact-duplicate family
+    (md5 fingerprint over normalized text) — one map-side-combinable
+    hash shuffle, the standard first dedup pass."""
+    keep = (
+        df.withColumn("_fp", fingerprint(text_col))
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
