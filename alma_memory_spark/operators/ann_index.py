@@ -86,6 +86,39 @@ _FLAT_SUBDIRS = (
 )
 
 
+def stride_seed_centroids(df, id_col: str, vec_col: str, cent_every: int):
+    """THE canonical deterministic centroid seeding, shared by
+    IVFIndex.build and operators/semdedup.py (which advertises that a
+    persisted IVFIndex is interchangeable with its own stride
+    quantizer — one implementation keeps that equivalence true by
+    construction): every id % cent_every == 0 row seeds a cell; string
+    ids hash through xxhash64 for both the sample key and the stable
+    int64 cell id. Returns (cells desc-sorted int64 array, C raw
+    float64 matrix) — callers normalize if they need to. The collect
+    is ~n/cent_every rows (the documented driver-size contract of the
+    IVF quantizer)."""
+    import numpy as np
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type in _NUMERIC_ID_TYPES:
+        cell_expr = F.col(id_col).cast("long")
+    else:
+        cell_expr = F.xxhash64(F.col(id_col))
+    cent_rows = sorted(
+        df.filter(F.pmod(cell_expr, F.lit(cent_every)) == 0)
+        .select(cell_expr.alias("_cell"), F.col(vec_col))
+        .collect(),
+        key=lambda r: -r["_cell"],
+    )
+    if not cent_rows:
+        raise ValueError(
+            f"no centroids: corpus has no {id_col} % {cent_every} == 0 rows"
+        )
+    cells = np.array([r["_cell"] for r in cent_rows], dtype=np.int64)
+    C = np.array([r[vec_col] for r in cent_rows], dtype=np.float64)
+    return cells, C
+
+
 class IVFIndex:
     """Handle over a built index: tiny driver-side quantizer + the
     cell-partitioned lists path. `vroot` pins the VERSION this handle
@@ -296,20 +329,7 @@ class IVFIndex:
 
         ensure_package_shipped(spark)
         id_type = df.schema[id_col].dataType.simpleString()
-        if id_type in _NUMERIC_ID_TYPES:
-            cell_expr = F.col(id_col).cast("long")
-        else:
-            cell_expr = F.xxhash64(F.col(id_col))
-        cent_rows = sorted(
-            df.filter(F.pmod(cell_expr, F.lit(cent_every)) == 0)
-            .select(cell_expr.alias("_cell"), F.col(vec_col))
-            .collect(),
-            key=lambda r: -r["_cell"],
-        )
-        if not cent_rows:
-            raise ValueError("no centroids: corpus has no id % cent_every == 0 rows")
-        cells = np.array([r["_cell"] for r in cent_rows], dtype=np.int64)
-        C = np.array([r[vec_col] for r in cent_rows], dtype=np.float64)
+        cells, C = stride_seed_centroids(df, id_col, vec_col, cent_every)
         Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
         if kmeans_iters > 0:
             Cn = IVFIndex._lloyd_refine(df, id_col, vec_col, cells, Cn, kmeans_iters)
@@ -344,6 +364,33 @@ class IVFIndex:
         lists_fut = pool.submit(
             idx._write_lists, df, id_col, vec_col, mode="overwrite"
         )
+        # EVERY exit path below must join the lists future before
+        # leaving: a tiny-write failure that propagated without joining
+        # would leak the multi-minute lists job into a live thread, and
+        # a retried build's staging GC would then delete the dir the
+        # leaked job is still writing into
+        try:
+            IVFIndex._write_build_meta(
+                spark, vdir, cells, Cn, id_type, cent_every, extras, pq
+            )
+            lists_fut.result()  # lists must be complete BEFORE commit
+        except BaseException:
+            try:
+                lists_fut.result()  # join; its own error is secondary
+            except BaseException:
+                pass
+            raise
+        finally:
+            pool.shutdown(wait=False)
+        idx.vroot = commit_version(path, vdir, _FLAT_SUBDIRS)  # COMMIT POINT
+        return idx
+
+    @staticmethod
+    def _write_build_meta(
+        spark, vdir, cells, Cn, id_type, cent_every, extras, pq
+    ) -> None:
+        """The tiny PQ + centroid writes of build() (disjoint subdirs
+        from the concurrent lists write)."""
         from alma_memory_spark.session import tiny_df
 
         if pq is not None:
@@ -379,12 +426,6 @@ class IVFIndex:
             "cell long, cvec array<double>, id_type string, "
             "cent_every int, extra_cols string",
         ).coalesce(1).write.mode("overwrite").parquet(os.path.join(vdir, "centroids"))
-        try:
-            lists_fut.result()  # lists must be complete BEFORE commit
-        finally:
-            pool.shutdown(wait=False)
-        idx.vroot = commit_version(path, vdir, _FLAT_SUBDIRS)  # COMMIT POINT
-        return idx
 
     def _write_lists(
         self,

@@ -59,11 +59,14 @@ __all__ = ["AddStats", "NearDupIndex"]
 class AddStats(int):
     """add()'s return: an int (count of new verified pairs — all
     existing `add(...) == n` callers keep working) carrying the
-    band-cap saturation counters for this add (ADVICE/VERDICT r6 #8).
-    The persisted cap silently stops emitting NEW pairs for groups
-    that cross it between adds (documented contract); these counters
-    let a pipeline alarm on cap saturation instead of discovering
-    missing dups downstream."""
+    band-cap saturation counters OBSERVED BY THIS ADD (ADVICE/VERDICT
+    r6 #8): the over-cap groups (and their total rows) in the band
+    buckets this batch touched — a snapshot, not a delta, so repeat
+    adds into a capped bucket re-observe the same group. The persisted
+    cap silently stops emitting NEW pairs for groups that cross it
+    between adds (documented contract); these counters let a pipeline
+    alarm on cap saturation instead of discovering missing dups
+    downstream."""
 
     capped_groups: int
     dropped_band_rows: int
@@ -93,13 +96,6 @@ class NearDupIndex:
         vroot: str | None = None,
         band_cap: int | None = None,
     ):
-        if bands * rows > k:
-            # the band expression indexes sig[band*rows + r]; past k it
-            # yields NULLs that concat_ws silently skips -> degenerate
-            # shared band keys and spurious candidate pairs (ADVICE r6)
-            raise ValueError(
-                f"bands*rows must be <= k (got bands={bands} rows={rows} k={k})"
-            )
         self.spark = spark
         self.path = path
         self.vroot = vroot or path
@@ -225,6 +221,16 @@ class NearDupIndex:
         its earlier pairs remain — incremental equals full rebuild
         only while every group stays on one side of the cap (the
         contract tests run uncapped)."""
+        if bands * rows > k:
+            # the band expression indexes sig[band*rows + r]; past k it
+            # yields NULLs that concat_ws silently skips -> degenerate
+            # shared band keys and spurious candidate pairs (ADVICE r6).
+            # Guarded at build() — NOT in __init__ — so load() of an
+            # index persisted before this check still serves its
+            # (exact-verified, correct) accumulated pairs for reads.
+            raise ValueError(
+                f"bands*rows must be <= k (got bands={bands} rows={rows} k={k})"
+            )
         id_type = docs.schema[id_col].dataType.simpleString()
         idx = NearDupIndex(
             spark, path, id_col, id_type, n_buckets, k, bands, rows,
@@ -336,17 +342,33 @@ class NearDupIndex:
         ).coalesce(1).write.mode("append").parquet(os.path.join(vdir, "stats"))
 
     def cap_saturation(self) -> dict:
-        """Cumulative band-cap saturation over this version's lifetime:
-        {'capped_groups': N, 'dropped_band_rows': M} summed across the
-        build + every add. Non-zero means some groups crossed the cap
-        and stopped yielding NEW pairs — the alarm a dedup pipeline
-        watches instead of discovering missing dups downstream."""
+        """Band-cap saturation over this version's lifetime, aggregated
+        from the per-OPERATION snapshots each build/add records. The
+        snapshots are observations, not deltas — an add whose batch
+        hashes into an already-capped group re-observes that group — so
+        the honest order-free aggregates are counts/maxima, never sums:
+
+          ops_with_saturation   operations that saw >= 1 capped group
+          max_capped_groups     worst per-operation capped-group count
+          max_dropped_band_rows worst per-operation muted-row count
+
+        Non-zero means some group crossed the cap and stopped yielding
+        NEW pairs — the alarm a dedup pipeline watches instead of
+        discovering missing dups downstream."""
         rows = self.spark.read.parquet(os.path.join(self.vroot, "stats")).collect()
-        out = {"capped_groups": 0, "dropped_band_rows": 0}
+        out = {
+            "ops_with_saturation": 0,
+            "max_capped_groups": 0,
+            "max_dropped_band_rows": 0,
+        }
         for r in rows:
             p = json.loads(r["params"])
-            out["capped_groups"] += int(p.get("capped_groups", 0))
-            out["dropped_band_rows"] += int(p.get("dropped_band_rows", 0))
+            g = int(p.get("capped_groups", 0))
+            d = int(p.get("dropped_band_rows", 0))
+            if g:
+                out["ops_with_saturation"] += 1
+            out["max_capped_groups"] = max(out["max_capped_groups"], g)
+            out["max_dropped_band_rows"] = max(out["max_dropped_band_rows"], d)
         return out
 
     @staticmethod
@@ -597,6 +619,34 @@ class NearDupIndex:
                 os.rename(stage, memo)
             except OSError:
                 shutil.rmtree(stage, ignore_errors=True)  # lost the race
+            # GC superseded fingerprints (memo dirs otherwise grow one
+            # full labels parquet per pair-appending add, forever):
+            # keep the 2 newest by mtime — the previous memo survives
+            # one publish so an in-flight reader that resolved it just
+            # before this add finishes its scan (the same
+            # retain-through-next-swap rule the index versions use) —
+            # and drop crashed stage dirs
+            mdir = os.path.dirname(memo)
+            entries = sorted(
+                (e for e in os.listdir(mdir) if e.startswith("fp=")),
+                key=lambda e: os.path.getmtime(os.path.join(mdir, e)),
+                reverse=True,
+            )
+            for stale in entries[2:]:
+                shutil.rmtree(os.path.join(mdir, stale), ignore_errors=True)
+            import time as _time
+
+            for e in os.listdir(mdir):
+                # crashed stage debris only — a FRESH foreign stage dir
+                # may be a live concurrent compute; age-gate the sweep
+                if ".stage-" in e and e != os.path.basename(stage):
+                    p = os.path.join(mdir, e)
+                    try:
+                        old = _time.time() - os.path.getmtime(p) > 3600
+                    except OSError:
+                        continue
+                    if old:
+                        shutil.rmtree(p, ignore_errors=True)
         return self.spark.read.schema(schema).parquet(memo)
 
     def drop_list(self) -> DataFrame:

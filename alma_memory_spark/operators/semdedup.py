@@ -34,38 +34,22 @@ from pyspark.sql import functions as F
 
 __all__ = ["semantic_dedup_pairs", "semantic_dedup_groups", "stride_centroids"]
 
-_NUMERIC_ID_TYPES = {"tinyint", "smallint", "int", "bigint", "long"}
-
 
 def stride_centroids(
     df: DataFrame, id_col: str, vec_col: str, cent_every: int
 ):
     """Deterministic centroid seeds: every id % cent_every == 0 row,
-    RAW (un-normalized) vectors — mirrors IVFIndex.build seeding
-    (ann_index.py:265) with kmeans_iters=0, and is replayable in ANSI
-    SQL (`WHERE id % cent_every = 0`), which the oracle gate relies on.
-    Returns (cells desc-sorted int64 array, C raw matrix, cnrm norms).
-    """
+    RAW (un-normalized) vectors plus their norms. Delegates to the ONE
+    shared seeding implementation (ann_index.stride_seed_centroids) so
+    the advertised IVFIndex-quantizer interchangeability cannot drift;
+    the rule is replayable in ANSI SQL (`WHERE id % cent_every = 0`),
+    which the oracle gate relies on. Returns (cells desc-sorted int64
+    array, C raw matrix, cnrm norms)."""
     import numpy as np
 
-    id_type = df.schema[id_col].dataType.simpleString()
-    cell_expr = (
-        F.col(id_col).cast("long")
-        if id_type in _NUMERIC_ID_TYPES
-        else F.xxhash64(F.col(id_col))
-    )
-    rows = sorted(
-        df.filter(F.pmod(cell_expr, F.lit(cent_every)) == 0)
-        .select(cell_expr.alias("_cell"), F.col(vec_col))
-        .collect(),
-        key=lambda r: -r["_cell"],
-    )
-    if not rows:
-        raise ValueError(
-            f"no centroids: corpus has no {id_col} % {cent_every} == 0 rows"
-        )
-    cells = np.array([r["_cell"] for r in rows], dtype=np.int64)
-    C = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    from alma_memory_spark.operators.ann_index import stride_seed_centroids
+
+    cells, C = stride_seed_centroids(df, id_col, vec_col, cent_every)
     cnrm = np.maximum(np.linalg.norm(C, axis=1), 1e-300)
     return cells, C, cnrm
 

@@ -849,45 +849,50 @@ def engine_retrieve_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         # argument that already overlapped it with recall/feedback —
         # the build was the longest member of the old middle section,
         # so hiding it behind the serial e2e too takes it off the
-        # gate's critical path entirely
+        # gate's critical path entirely. The pool is closed via
+        # shutdown(wait=True) in the enclosing finally: a retrieve
+        # failing mid-gate must still JOIN the build before the outer
+        # `finally: rmtree(root)` deletes the dir the build writes into
         build_pool = ThreadPoolExecutor(max_workers=1)
-        f3 = build_pool.submit(eng.index_vectors, "domain_knowledge", cent_every=50)
+        try:
+            f3 = build_pool.submit(eng.index_vectors, "domain_knowledge", cent_every=50)
 
-        # the cache-separation property (mode/top_k/use_feedback in the
-        # key) is proven through ONE engine: the e2e call populates the
-        # cache, then recall + feedback must MISS it
-        sl = eng.retrieve(QUERY_TEXT, agent="helena", project_id="p", top_k=20)
-        e2e_rows = [
-            ("e2e", r["id"], round(float(r["score"]), 6)) for r in sl.domain_knowledge
-        ]
-
-        def recall_call():
-            s = eng.retrieve(
-                QUERY_TEXT, agent="helena", project_id="p", top_k=15, mode="recall"
-            )
-            return [
-                ("recall", r["id"], round(float(r["score"]), 6))
-                for r in s.domain_knowledge
+            # the cache-separation property (mode/top_k/use_feedback in the
+            # key) is proven through ONE engine: the e2e call populates the
+            # cache, then recall + feedback must MISS it
+            sl = eng.retrieve(QUERY_TEXT, agent="helena", project_id="p", top_k=20)
+            e2e_rows = [
+                ("e2e", r["id"], round(float(r["score"]), 6)) for r in sl.domain_knowledge
             ]
 
-        def feedback_call():
-            s = eng.retrieve(
-                QUERY_TEXT, agent="helena", project_id="p", top_k=20,
-                use_feedback=True,
-            )
-            return [
-                ("feedback", r["id"], round(float(r["score"]), 6))
-                for r in s.domain_knowledge
-            ]
+            def recall_call():
+                s = eng.retrieve(
+                    QUERY_TEXT, agent="helena", project_id="p", top_k=15, mode="recall"
+                )
+                return [
+                    ("recall", r["id"], round(float(r["score"]), 6))
+                    for r in s.domain_knowledge
+                ]
 
-        # recall + feedback are pure reads on the cached-cold engine;
-        # they overlap each other and the still-running IVF build
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f1 = pool.submit(recall_call)
-            f2 = pool.submit(feedback_call)
-            out = e2e_rows + f1.result() + f2.result()
-        rep = f3.result()
-        build_pool.shutdown(wait=False)
+            def feedback_call():
+                s = eng.retrieve(
+                    QUERY_TEXT, agent="helena", project_id="p", top_k=20,
+                    use_feedback=True,
+                )
+                return [
+                    ("feedback", r["id"], round(float(r["score"]), 6))
+                    for r in s.domain_knowledge
+                ]
+
+            # recall + feedback are pure reads on the cached-cold engine;
+            # they overlap each other and the still-running IVF build
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f1 = pool.submit(recall_call)
+                f2 = pool.submit(feedback_call)
+                out = e2e_rows + f1.result() + f2.result()
+            rep = f3.result()
+        finally:
+            build_pool.shutdown(wait=True)
         assert rep["indexed"], rep
 
         # 'ann' variant: serve the SAME retrieval from the scope-aware

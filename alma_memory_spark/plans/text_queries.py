@@ -1010,8 +1010,13 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # reclaimed when the DataFrame is GC'd
         .localCheckpoint(eager=True)
     )
-    # pairs is materialized above; the banded table has no more readers
+    # pairs is materialized above; the banded AND tokenized tables have
+    # no more readers (toks fed the verify join inside the checkpointed
+    # pipeline — leaving it cached pinned the full token arrays per
+    # sf_dir for the application lifetime, the same ADVICE-r6 defect
+    # the pairs cache had)
     bands.unpersist()
+    toks.unpersist()
     groups = near_dup_groups(pairs)
     return pairs.select(
         F.lit("pair").alias("variant"), "doc_a", "doc_b", "jaccard_sim"

@@ -293,9 +293,11 @@ def test_add_reports_band_cap_saturation(spark, tmp_path):
     assert st.capped_groups >= 1  # both bands of the degenerate doc
     assert st.dropped_band_rows >= 21  # 20 built + 1 added, per band
     sat = capped.cap_saturation()
-    # build saw the 20-doc degenerate group too
-    assert sat["capped_groups"] >= st.capped_groups + 1
-    assert sat["dropped_band_rows"] >= st.dropped_band_rows + 20
+    # snapshots, not deltas: build AND the add each observed the
+    # degenerate group; the aggregates are counts/maxima, never sums
+    assert sat["ops_with_saturation"] == 2
+    assert sat["max_capped_groups"] >= st.capped_groups
+    assert sat["max_dropped_band_rows"] >= st.dropped_band_rows
 
     # an under-cap add reports zero saturation
     clean = NearDupIndex.build(
