@@ -90,6 +90,7 @@ __all__ = [
     "semantic_dedup_pairs",
     "stratified_sample",
     "weighted_mix",
+    "write_training_shards",
 ]
 
 
@@ -106,3 +107,27 @@ def drop_exact_duplicates(
         .select(id_col)
     )
     return df.join(keep, id_col, "left_semi")
+
+
+def write_training_shards(
+    packed: DataFrame,
+    path: str,
+    shard_col: str = "shard",
+    order_cols: tuple[str, ...] = ("pack_id", "pack_offset"),
+) -> None:
+    """Emit the packed corpus as dataloader-ready shards: one parquet
+    dir per shard value, exactly ONE file per shard, rows inside sorted
+    by (pack_id, pack_offset) so a worker streams its shard's blocks in
+    order without a sort. The repartition puts each shard entirely in
+    one task (hash by shard key — shards ≫ tasks stays balanced; task
+    count follows the input so big corpora keep their write
+    parallelism); parquet row groups inherit the block order, so a
+    resuming loader seeks by pack_id via row-group min/max stats."""
+    n_out = max(8, packed.rdd.getNumPartitions())
+    (
+        packed.repartition(n_out, shard_col)
+        .sortWithinPartitions(shard_col, *order_cols)
+        .write.mode("overwrite")
+        .partitionBy(shard_col)
+        .parquet(path)
+    )

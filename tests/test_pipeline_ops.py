@@ -80,3 +80,40 @@ def test_dup_ngram_fraction_boilerplate_signal(spark):
     }
     assert got[0] > 0.9  # looping boilerplate
     assert got[1] == 0.0
+
+
+def test_write_training_shards_one_ordered_file_per_shard(spark, tmp_path):
+    import os
+
+    from alma_memory_spark.operators.packing import pack_documents_nostraddle
+    from alma_memory_spark.pipeline import write_training_shards
+    from alma_memory_spark.session import load_table
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", F.length("text").alias("n_tokens")
+    )
+    packed = pack_documents_nostraddle(
+        docs, budget=1000, token_col="n_tokens", key_col="doc_id", n_shards=4
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(packed, out)
+    # one data file per shard dir
+    for d in sorted(os.listdir(out)):
+        if not d.startswith("shard="):
+            continue
+        files = [f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+    # rows within each shard stream blocks in order
+    back = spark.read.parquet(out)
+    import pyarrow.parquet as pq
+
+    for d in sorted(os.listdir(out)):
+        if not d.startswith("shard="):
+            continue
+        fdir = os.path.join(out, d)
+        f = [x for x in os.listdir(fdir) if x.endswith(".parquet")][0]
+        t = pq.read_table(os.path.join(fdir, f)).to_pandas()
+        key = list(zip(t["pack_id"], t["pack_offset"]))
+        assert key == sorted(key)
+    assert back.count() == packed.count()
