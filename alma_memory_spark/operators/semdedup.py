@@ -32,7 +32,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["semantic_dedup_pairs", "semantic_dedup_groups", "stride_centroids"]
+__all__ = [
+    "semantic_dedup_pairs",
+    "semantic_dedup_pairs_incremental",
+    "semantic_dedup_groups",
+    "stride_centroids",
+]
 
 
 def stride_centroids(
@@ -139,6 +144,84 @@ def semantic_dedup_pairs(
 
     id_type = assigned.schema["id"].dataType.simpleString()
     return assigned.groupby("cell").applyInPandas(
+        cell_pairs, f"id_a {id_type}, id_b {id_type}, cos_sim double"
+    )
+
+
+def semantic_dedup_pairs_incremental(
+    quantizer,
+    new_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.85,
+) -> DataFrame:
+    """Incremental semantic dedup for a NEW batch against a corpus
+    already indexed in a persisted `IVFIndex`: assign the batch to
+    cells with the index's quantizer, read ONLY those cells' lists
+    (PartitionFilters-pruned; tombstoned ids excluded), and emit
+    new-vs-existing AND new-vs-new pairs at cosine >= threshold —
+    existing-vs-existing pairs were emitted when those docs were
+    indexed, the same accumulation contract as NearDupIndex.add. Cost
+    is O(batch x occupancy): growing the corpus never reprocesses it.
+
+    The caller owns persistence: `quantizer.add(new_df)` afterwards
+    makes the batch visible to FUTURE increments (add assigns with the
+    same stored centroids, so cell placement agrees by construction).
+    Pair values match `semantic_dedup_pairs(full, quantizer=...)`
+    restricted to pairs touching the batch (contract-tested)."""
+    import numpy as np
+
+    cells, C = quantizer.cells, quantizer.Cn
+    cnrm = np.ones(len(cells), dtype=np.float64)
+    assigned_new = _assign_cells(new_df, id_col, vec_col, cells, C, cnrm)
+    new_cells = [r["cell"] for r in assigned_new.select("cell").distinct().collect()]
+    if not new_cells:
+        spark = new_df.sparkSession
+        return spark.createDataFrame(
+            [], f"id_a {quantizer.id_type}, id_b {quantizer.id_type}, cos_sim double"
+        )
+    existing = (
+        quantizer._guarded_lists(new_cells, None, None)
+        .select(
+            F.col("id"),
+            F.col("embedding").alias("v"),
+            F.col("cell"),
+            F.lit(False).alias("is_new"),
+        )
+    )
+    both = assigned_new.withColumn("is_new", F.lit(True)).unionByName(existing)
+    id_type = quantizer.id_type
+
+    def cell_pairs(pdf):
+        import pandas as pd
+
+        order = np.argsort(pdf["id"].to_numpy())
+        pdf = pdf.iloc[order]
+        ids = pdf["id"].to_numpy()
+        new_mask = pdf["is_new"].to_numpy()
+        if not new_mask.any() or len(ids) < 2:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "cos_sim": []}
+            ).astype({"id_a": ids.dtype, "id_b": ids.dtype, "cos_sim": "float64"})
+        V = np.array(pdf["v"].tolist(), dtype=np.float64)
+        nrm = np.maximum(np.sqrt((V * V).sum(axis=1)), 1e-300)
+        new_idx = np.nonzero(new_mask)[0]
+        # new-vs-ALL in one rectangular matmul — O(batch x occupancy)
+        S = np.round(
+            (V[new_idx] @ V.T) / np.outer(nrm[new_idx], nrm), 6
+        )
+        ra, rb = np.nonzero(S >= threshold)
+        ga = new_idx[ra]  # global row of the new-side member
+        keep = ga != rb  # no self-pairs
+        ra_k, rb_k, ga_k = ra[keep], rb[keep], ga[keep]
+        id_a = np.minimum(ids[ga_k], ids[rb_k])
+        id_b = np.maximum(ids[ga_k], ids[rb_k])
+        sim = S[ra_k, rb_k]
+        out = pd.DataFrame({"id_a": id_a, "id_b": id_b, "cos_sim": sim})
+        # new-vs-new pairs surface twice (once from each side's row)
+        return out.drop_duplicates(["id_a", "id_b"], ignore_index=True)
+
+    return both.groupby("cell").applyInPandas(
         cell_pairs, f"id_a {id_type}, id_b {id_type}, cos_sim double"
     )
 

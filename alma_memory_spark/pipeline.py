@@ -68,6 +68,7 @@ from alma_memory_spark.operators.sampling import (
 from alma_memory_spark.operators.semdedup import (
     semantic_dedup_groups,
     semantic_dedup_pairs,
+    semantic_dedup_pairs_incremental,
 )
 
 __all__ = [
@@ -88,6 +89,7 @@ __all__ = [
     "redact_pii",
     "semantic_dedup_groups",
     "semantic_dedup_pairs",
+    "semantic_dedup_pairs_incremental",
     "stratified_sample",
     "weighted_mix",
     "write_training_shards",

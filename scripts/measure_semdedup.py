@@ -27,6 +27,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
 from alma_memory_spark.operators.semdedup import semantic_dedup_pairs  # noqa: E402
 from alma_memory_spark.session import get_spark  # noqa: E402
@@ -106,3 +107,49 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+    measure_incremental()
+
+
+def measure_incremental() -> None:
+    """Second claim: incremental batch cost is FLAT as the indexed
+    corpus grows (O(batch x occupancy), partition-pruned cell reads)."""
+    import shutil
+    import tempfile
+
+    from alma_memory_spark.operators.ann_index import IVFIndex
+    from alma_memory_spark.operators.semdedup import (
+        semantic_dedup_pairs_incremental,
+    )
+
+    spark = get_spark(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    batch = make_corpus(spark, 1_000, seed=99).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(50_000_000)
+    ).localCheckpoint(eager=True)
+    from pyspark.sql import functions as F2  # noqa: F401
+
+    for n in (4_000, 16_000, 64_000):
+        root = tempfile.mkdtemp(prefix="semdedup_inc_")
+        try:
+            corpus = make_corpus(spark, n).localCheckpoint(eager=True)
+            idx = IVFIndex.build(
+                spark, corpus, root + "/ivf", cent_every=CENT_EVERY
+            )
+            t0 = time.time()
+            n_pairs = semantic_dedup_pairs_incremental(
+                idx, batch, threshold=0.85
+            ).count()
+            wall = time.time() - t0
+            print(
+                json.dumps(
+                    {
+                        "indexed_corpus": n,
+                        "batch": 1000,
+                        "inc_pairs": int(n_pairs),
+                        "inc_wall_s": round(wall, 2),
+                    }
+                ),
+                flush=True,
+            )
+            corpus.unpersist()
+        finally:
+            shutil.rmtree(root, ignore_errors=True)

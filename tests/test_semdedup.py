@@ -89,3 +89,50 @@ def test_stride_centroids_raise_on_empty(spark):
     emb = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 0)
     with pytest.raises(ValueError, match="no centroids"):
         stride_centroids(emb, "vec_id", "embedding", 50)
+
+
+def test_incremental_pairs_match_full_run_restricted_to_batch(spark, tmp_path):
+    """The accumulation contract (NearDupIndex.add analog): pairs from
+    an incremental batch == the full quantizer-pinned run restricted to
+    pairs touching the batch; a second increment after quantizer.add()
+    keeps agreeing."""
+    from alma_memory_spark.operators.ann_index import IVFIndex
+    from alma_memory_spark.operators.semdedup import (
+        semantic_dedup_pairs_incremental,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a = emb.filter(F.col("vec_id") < 350)
+    b = emb.filter((F.col("vec_id") >= 350) & (F.col("vec_id") < 430))
+    c = emb.filter(F.col("vec_id") >= 430)
+    idx = IVFIndex.build(
+        spark, a, str(tmp_path / "ivf"), cent_every=50, kmeans_iters=0
+    )
+
+    def touching(pairs, lo, hi):
+        return {
+            p for p in pairs
+            if lo <= p[0] < hi or lo <= p[1] < hi
+        }
+
+    inc_b = _pairs(semantic_dedup_pairs_incremental(idx, b, threshold=0.4))
+    full_ab = _pairs(
+        semantic_dedup_pairs(a.unionByName(b), threshold=0.4, quantizer=idx)
+    )
+    assert inc_b == touching(full_ab, 350, 430) and inc_b
+
+    # publish B, then increment C: the union across increments equals
+    # the full run's pair set
+    idx2 = idx.add(b)
+    inc_c = _pairs(semantic_dedup_pairs_incremental(idx2, c, threshold=0.4))
+    full_abc = _pairs(
+        semantic_dedup_pairs(emb, threshold=0.4, quantizer=idx)
+    )
+    base_a = full_abc - touching(full_abc, 350, 500)
+    assert base_a | inc_b | inc_c == full_abc
+
+    # empty batch: no rows, schema intact
+    empty = semantic_dedup_pairs_incremental(
+        idx2, emb.filter("vec_id < 0"), threshold=0.4
+    )
+    assert empty.count() == 0 and empty.columns == ["id_a", "id_b", "cos_sim"]
