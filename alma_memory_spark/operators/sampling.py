@@ -35,6 +35,7 @@ _DENOM = 1_000_000
 __all__ = [
     "hash_bucket",
     "hash_sample",
+    "mix_rates_for_token_budget",
     "stratified_sample",
     "weighted_mix",
     "sql_hash_keep",
@@ -123,3 +124,35 @@ def weighted_mix(
     if out is None:
         raise ValueError("weighted_mix needs at least one source frame")
     return out
+
+
+def mix_rates_for_token_budget(
+    frames: dict,
+    proportions: dict[str, float],
+    total_tokens: int,
+    token_col: str,
+) -> dict[str, float]:
+    """Keep rates that realize a TOKEN-proportioned training mixture:
+    rate[s] = (proportions[s] * total_tokens) / tokens_in(s), capped at
+    1.0 (a source cannot over-contribute without epoch repetition —
+    callers wanting repetition union the frame k times upstream).
+    One count-agg per source (map-side combinable); feed the result to
+    weighted_mix. Deterministic: rates derive from exact token sums."""
+    if abs(sum(proportions.values()) - 1.0) > 1e-9:
+        raise ValueError(f"proportions must sum to 1 (got {proportions})")
+    missing = set(frames) - set(proportions)
+    if missing:
+        raise ValueError(f"no proportion for sources: {sorted(missing)}")
+    rates = {}
+    for name, df in frames.items():
+        have = df.agg(
+            F.coalesce(F.sum(F.col(token_col).cast("long")), F.lit(0))
+        ).collect()[0][0]
+        want = proportions[name] * total_tokens
+        if have <= 0:
+            if want > 0:
+                raise ValueError(f"source {name!r} has no tokens but wants {want}")
+            rates[name] = 0.0
+        else:
+            rates[name] = min(1.0, want / have)
+    return rates

@@ -62,6 +62,7 @@ from alma_memory_spark.operators.packing import (
 )
 from alma_memory_spark.operators.sampling import (
     hash_sample,
+    mix_rates_for_token_budget,
     stratified_sample,
     weighted_mix,
 )
@@ -81,6 +82,7 @@ __all__ = [
     "fingerprint",
     "hash_sample",
     "lang_id",
+    "mix_rates_for_token_budget",
     "near_dup_groups",
     "pack_documents",
     "pack_documents_nostraddle",

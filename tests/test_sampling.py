@@ -246,3 +246,41 @@ def test_first_fit_packing_matches_reference_fold(spark):
         docs, budget=1000, token_col="n_tokens", key_col="doc_id"
     ).collect()
     assert len({v[0] for v in out.values()}) <= len({r["pack_id"] for r in nf})
+
+
+def test_mix_rates_for_token_budget(spark):
+    from alma_memory_spark.operators.sampling import (
+        mix_rates_for_token_budget,
+        weighted_mix,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", F.length("text").alias("n_tokens")
+    )
+    src_num = F.substring("source", 4, 10).cast("long")
+    frames = {
+        "web": docs.filter(src_num < 10),
+        "code": docs.filter(src_num >= 10),
+    }
+    rates = mix_rates_for_token_budget(
+        frames, {"web": 0.3, "code": 0.7}, total_tokens=20_000,
+        token_col="n_tokens",
+    )
+    assert set(rates) == {"web", "code"} and all(0 < r <= 1.0 for r in rates.values())
+    mixed = weighted_mix(frames, rates, key_col="doc_id", salt="tokmix")
+    got = (
+        mixed.groupBy("source_name")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    )
+    tokens = {r["source_name"]: r["t"] for r in got}
+    # hash sampling realizes the requested token budget approximately
+    # (each doc is an independent keep at the exact rate)
+    assert 0.5 * 0.3 * 20_000 < tokens["web"] < 1.5 * 0.3 * 20_000
+    assert 0.5 * 0.7 * 20_000 < tokens["code"] < 1.5 * 0.7 * 20_000
+    # rates are deterministic: recompute identical
+    assert rates == mix_rates_for_token_budget(
+        frames, {"web": 0.3, "code": 0.7}, 20_000, "n_tokens"
+    )
+    with pytest.raises(ValueError, match="sum to 1"):
+        mix_rates_for_token_budget(frames, {"web": 0.5, "code": 0.1}, 100, "n_tokens")

@@ -136,3 +136,26 @@ def test_incremental_pairs_match_full_run_restricted_to_batch(spark, tmp_path):
         idx2, emb.filter("vec_id < 0"), threshold=0.4
     )
     assert empty.count() == 0 and empty.columns == ["id_a", "id_b", "cos_sim"]
+
+
+def test_kmeans_refined_quantizer_yields_valid_pairs(spark, tmp_path):
+    """A kmeans-refined IVFIndex is a legal quantizer: pairs stay
+    within-cell cosine >= threshold (values exact vs a driver check),
+    deterministic across runs."""
+    import numpy as np
+
+    from alma_memory_spark.operators.ann_index import IVFIndex
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = IVFIndex.build(
+        spark, emb, str(tmp_path / "ivfk"), cent_every=50, kmeans_iters=2
+    )
+    pairs = _pairs(semantic_dedup_pairs(emb, threshold=0.4, quantizer=idx))
+    assert pairs
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    for a, b, s in pairs:
+        va, vb = vecs[a], vecs[b]
+        want = round(float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 6)
+        assert abs(want - s) <= 1e-6 and s >= 0.4
+    assert pairs == _pairs(semantic_dedup_pairs(emb, threshold=0.4, quantizer=idx))
