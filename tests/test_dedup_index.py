@@ -309,3 +309,22 @@ def test_add_reports_band_cap_saturation(spark, tmp_path):
                 "doc_id long, text string")
     )
     assert (st2.capped_groups, st2.dropped_band_rows) == (0, 0)
+
+
+def test_concurrent_groups_calls_race_safely(spark, tmp_path):
+    """groups() is a READ api with no single-writer contract: two
+    threads missing the memo simultaneously must both return correct
+    labels (one wins the atomic rename, the loser discards staging)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    idx = NearDupIndex.build(spark, docs, str(tmp_path / "race"), n_buckets=4)
+    with ThreadPoolExecutor(4) as pool:
+        results = list(pool.map(lambda _: _groupmap(idx.groups()), range(4)))
+    assert all(r == results[0] for r in results) and results[0]
+    import os
+
+    memo_dir = os.path.join(idx.vroot, "groups_memo")
+    dirs = os.listdir(memo_dir)
+    # exactly one published fingerprint, no staging debris survives
+    assert sum(1 for d in dirs if d.startswith("fp=") and ".stage-" not in d) == 1
