@@ -212,7 +212,10 @@ def semantic_dedup_pairs_incremental(
         )
         ra, rb = np.nonzero(S >= threshold)
         ga = new_idx[ra]  # global row of the new-side member
-        keep = ga != rb  # no self-pairs
+        # compare IDS, not row positions: a replayed batch whose ids
+        # are already in the lists pairs its own copy at sim 1.0
+        # through two different rows — same-id pairs are never real
+        keep = ids[ga] != ids[rb]
         ra_k, rb_k, ga_k = ra[keep], rb[keep], ga[keep]
         id_a = np.minimum(ids[ga_k], ids[rb_k])
         id_b = np.maximum(ids[ga_k], ids[rb_k])

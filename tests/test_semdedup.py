@@ -159,3 +159,22 @@ def test_kmeans_refined_quantizer_yields_valid_pairs(spark, tmp_path):
         want = round(float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 6)
         assert abs(want - s) <= 1e-6 and s >= 0.4
     assert pairs == _pairs(semantic_dedup_pairs(emb, threshold=0.4, quantizer=idx))
+
+
+def test_incremental_replayed_batch_emits_no_self_pairs(spark, tmp_path):
+    """crash-redelivery shape: incrementing a batch whose ids are
+    ALREADY in the lists must not pair a doc with its own stored copy
+    (same-id pairs are excluded by id, not row position)."""
+    from alma_memory_spark.operators.ann_index import IVFIndex
+    from alma_memory_spark.operators.semdedup import (
+        semantic_dedup_pairs_incremental,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = IVFIndex.build(
+        spark, emb, str(tmp_path / "ivfr"), cent_every=50, kmeans_iters=0
+    )
+    replay = emb.filter(F.col("vec_id") % 10 == 0)  # already indexed
+    pairs = semantic_dedup_pairs_incremental(idx, replay, threshold=0.4)
+    got = pairs.collect()
+    assert all(r["id_a"] != r["id_b"] for r in got)
