@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "SemDedupIndex",
     "semantic_dedup_pairs",
     "semantic_dedup_pairs_incremental",
     "semantic_dedup_groups",
@@ -240,3 +241,202 @@ def semantic_dedup_groups(pairs: DataFrame) -> DataFrame:
     from alma_memory_spark.operators.components import near_dup_groups
 
     return near_dup_groups(pairs, id_a="id_a", id_b="id_b")
+
+
+class SemDedupIndex:
+    """Persisted incremental SEMANTIC dedup index — the embedding-space
+    sibling of operators/dedup_index.NearDupIndex, with the same
+    lifecycle: one-time build, O(batch)-cost adds, accumulated pairs,
+    CC-derived families, versioned-dir persistence.
+
+    Layout (under _index_version's swap protocol):
+        <path>/v<N>/ivf/    the IVF quantizer + cell lists (a full
+                            IVFIndex with its own inner versioning)
+        <path>/v<N>/pairs/  accumulated (id_a, id_b, cos_sim) appends
+        <path>/v<N>/stats/  params + per-add doc-count deltas
+
+    The quantizer is FROZEN at build (standard IVF semantics): pairs
+    accumulated across adds equal the quantizer-pinned full run —
+    semantic_dedup_pairs(whole corpus, quantizer=this index's ivf) —
+    contract-tested. A rebuild reseeds the quantizer, so its pair set
+    is the new quantizer's approximation (the documented SemDeDup
+    semantics), not byte-equal to the old accumulation.
+
+    Crash order (foreachBatch redelivery): pairs are computed against
+    the PRE-ADD lists snapshot, membership (ivf lists) publishes
+    FIRST, pairs append LAST. A crash between them leaves docs in the
+    lists without their pairs; the replayed add finds every batch id
+    already present (skips the membership write), recomputes the
+    batch's pairs — same-id self-pairs excluded by id — and the
+    anti-join appends exactly the missing rows. Single-writer per
+    index, same as NearDupIndex.add."""
+
+    def __init__(self, spark, path, ivf, id_col, id_type, vec_col,
+                 threshold, n_docs, vroot=None):
+        self.spark = spark
+        self.path = path
+        self.vroot = vroot or path
+        self.ivf = ivf
+        self.id_col = id_col
+        self.id_type = id_type
+        self.vec_col = vec_col
+        self.threshold = threshold
+        self.n_docs = n_docs
+
+    @staticmethod
+    def build(
+        spark,
+        df: DataFrame,
+        path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        threshold: float = 0.85,
+        cent_every: int = 50,
+        kmeans_iters: int = 0,
+    ) -> "SemDedupIndex":
+        import os
+
+        from alma_memory_spark.operators._index_version import (
+            begin_version,
+            commit_version,
+        )
+        from alma_memory_spark.operators.ann_index import IVFIndex
+
+        id_type = df.schema[id_col].dataType.simpleString()
+        vdir = begin_version(path)
+        ivf = IVFIndex.build(
+            spark, df, os.path.join(vdir, "ivf"), id_col=id_col,
+            vec_col=vec_col, cent_every=cent_every,
+            kmeans_iters=kmeans_iters,
+        )
+        pairs = semantic_dedup_pairs(
+            df, id_col=id_col, vec_col=vec_col, threshold=threshold,
+            quantizer=ivf,
+        )
+        pairs.write.parquet(os.path.join(vdir, "pairs"))
+        n = df.count()
+        idx = SemDedupIndex(
+            spark, path, ivf, id_col, id_type, vec_col, threshold, n,
+            vroot=vdir,
+        )
+        idx._write_stats(vdir, n)
+        idx.vroot = commit_version(path, vdir, ("ivf", "pairs", "stats"))
+        # the staging dir was renamed at commit — the inner IVF handle
+        # pins dead absolute paths; reload it from the committed root
+        idx.ivf = IVFIndex.load(spark, os.path.join(idx.vroot, "ivf"))
+        return idx
+
+    def _write_stats(self, vdir: str, n_delta: int) -> None:
+        import json
+        import os
+
+        from alma_memory_spark.session import tiny_df
+
+        tiny_df(
+            self.spark,
+            [
+                (
+                    json.dumps(
+                        {
+                            "id_col": self.id_col,
+                            "id_type": self.id_type,
+                            "vec_col": self.vec_col,
+                            "threshold": self.threshold,
+                        }
+                    ),
+                    n_delta,
+                )
+            ],
+            "params string, n_docs long",
+        ).coalesce(1).write.mode("append").parquet(os.path.join(vdir, "stats"))
+
+    @staticmethod
+    def load(spark, path: str) -> "SemDedupIndex":
+        import json
+        import os
+
+        from alma_memory_spark.operators._index_version import resolve_vroot
+        from alma_memory_spark.operators.ann_index import IVFIndex
+
+        vroot = resolve_vroot(path)
+        rows = spark.read.parquet(os.path.join(vroot, "stats")).collect()
+        p = json.loads(rows[0]["params"])
+        ivf = IVFIndex.load(spark, os.path.join(vroot, "ivf"))
+        return SemDedupIndex(
+            spark, path, ivf, p["id_col"], p["id_type"], p["vec_col"],
+            float(p["threshold"]), n_docs=sum(r["n_docs"] for r in rows),
+            vroot=vroot,
+        )
+
+    def _require_live_version(self) -> None:
+        import os
+
+        from alma_memory_spark.operators._index_version import resolve_vroot
+
+        cur = resolve_vroot(self.path)
+        if os.path.abspath(cur) != os.path.abspath(self.vroot):
+            raise RuntimeError(
+                f"semdedup index handle pins version "
+                f"{os.path.basename(self.vroot)!r} of {self.path}, but the "
+                f"current version is {os.path.basename(cur)!r} — reload "
+                "before writing (a write here would never be served)"
+            )
+
+    def add(self, batch: DataFrame) -> int:
+        """Incremental semantic dedup of a new batch; returns the
+        number of new verified pairs. See the class docstring for the
+        crash-order contract."""
+        import os
+
+        self._require_live_version()
+        new_pairs = (
+            semantic_dedup_pairs_incremental(
+                self.ivf, batch, id_col=self.id_col, vec_col=self.vec_col,
+                threshold=self.threshold,
+            )
+            .join(self.pairs(), ["id_a", "id_b"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        n_new = new_pairs.count()
+        # membership first, replay-guarded: only ids absent from the
+        # touched cells' lists append (a redelivered batch is a no-op)
+        import numpy as np
+
+        cells, C = self.ivf.cells, self.ivf.Cn
+        assigned = _assign_cells(
+            batch, self.id_col, self.vec_col, cells, C,
+            np.ones(len(cells), dtype=np.float64),
+        )
+        touched = [
+            r["cell"] for r in assigned.select("cell").distinct().collect()
+        ]
+        if touched:
+            present = self.ivf._guarded_lists(touched, None, None).select(
+                F.col("id").alias(self.id_col)
+            )
+            fresh = batch.join(present, self.id_col, "left_anti")
+            n_fresh = fresh.count()
+            if n_fresh:
+                self.ivf.add(fresh, id_col=self.id_col, vec_col=self.vec_col)
+                self.n_docs += n_fresh
+                self._write_stats(self.vroot, n_fresh)
+        if n_new:
+            new_pairs.write.mode("append").parquet(
+                os.path.join(self.vroot, "pairs")
+            )
+        return int(n_new)
+
+    def pairs(self) -> DataFrame:
+        import os
+
+        return self.spark.read.schema(
+            f"id_a {self.id_type}, id_b {self.id_type}, cos_sim double"
+        ).parquet(os.path.join(self.vroot, "pairs"))
+
+    def groups(self) -> DataFrame:
+        """(doc_id, group_id, is_canonical) families over accumulated
+        pairs (cell-bounded — the SemDeDup approximation)."""
+        return semantic_dedup_groups(self.pairs())
+
+    def drop_list(self) -> DataFrame:
+        return self.groups().filter(~F.col("is_canonical")).select("doc_id")

@@ -67,6 +67,7 @@ from alma_memory_spark.operators.sampling import (
     weighted_mix,
 )
 from alma_memory_spark.operators.semdedup import (
+    SemDedupIndex,
     semantic_dedup_groups,
     semantic_dedup_pairs,
     semantic_dedup_pairs_incremental,
@@ -74,6 +75,7 @@ from alma_memory_spark.operators.semdedup import (
 
 __all__ = [
     "NearDupIndex",
+    "SemDedupIndex",
     "connected_components",
     "contamination_report",
     "decontaminate",

@@ -178,3 +178,52 @@ def test_incremental_replayed_batch_emits_no_self_pairs(spark, tmp_path):
     pairs = semantic_dedup_pairs_incremental(idx, replay, threshold=0.4)
     got = pairs.collect()
     assert all(r["id_a"] != r["id_b"] for r in got)
+
+
+def test_semdedup_index_build_add_load_roundtrip(spark, tmp_path):
+    """Persisted semantic dedup index: build(70%) + add(30%) equals the
+    quantizer-pinned full run pair-for-pair; replayed add appends
+    nothing; load() serves the same state; groups/drop_list derive."""
+    from alma_memory_spark.operators.semdedup import SemDedupIndex
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a = emb.filter(F.col("vec_id") % 10 < 7)
+    b = emb.filter(F.col("vec_id") % 10 >= 7)
+    idx = SemDedupIndex.build(
+        spark, a, str(tmp_path / "sd"), threshold=0.4, cent_every=50
+    )
+    n1 = idx.add(b)
+    assert n1 >= 1
+    want = _pairs(semantic_dedup_pairs(emb, threshold=0.4, quantizer=idx.ivf))
+    got = {
+        (r["id_a"], r["id_b"], r["cos_sim"]) for r in idx.pairs().collect()
+    }
+    assert got == want
+    # replay: no new pairs, no membership duplication, state unchanged
+    before = idx.pairs().count()
+    assert idx.add(b) == 0
+    assert idx.pairs().count() == before
+    assert idx.n_docs == emb.count()
+
+    loaded = SemDedupIndex.load(spark, str(tmp_path / "sd"))
+    assert loaded.threshold == 0.4 and loaded.n_docs == idx.n_docs
+    assert {
+        (r["id_a"], r["id_b"], r["cos_sim"]) for r in loaded.pairs().collect()
+    } == want
+    g = loaded.groups().collect()
+    assert all((r["doc_id"] == r["group_id"]) == r["is_canonical"] for r in g)
+    drops = {r["doc_id"] for r in loaded.drop_list().collect()}
+    assert drops == {r["doc_id"] for r in g if not r["is_canonical"]}
+
+
+def test_semdedup_index_superseded_handle_raises(spark, tmp_path):
+    from alma_memory_spark.operators.semdedup import SemDedupIndex
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    v1 = SemDedupIndex.build(
+        spark, emb.filter("vec_id % 2 = 0"), str(tmp_path / "sv"),
+        threshold=0.4,
+    )
+    SemDedupIndex.build(spark, emb, str(tmp_path / "sv"), threshold=0.4)
+    with pytest.raises(RuntimeError, match="reload"):
+        v1.add(emb.filter("vec_id % 2 = 1"))
