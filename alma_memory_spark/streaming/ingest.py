@@ -264,6 +264,7 @@ def stream_documents_into_indexes(
     text_index=None,
     ivf_index=None,
     neardup_index=None,
+    semdedup_index=None,
     checkpoint: str | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -357,6 +358,20 @@ def stream_documents_into_indexes(
                     F.col(text_col),
                 ),
                 text_col=text_col,
+            )
+        if semdedup_index is not None:
+            # semantic near-dup maintenance (r7): pairs computed against
+            # only the batch's cells (pruned lists read), membership
+            # published first with a replay guard — a redelivered batch
+            # appends zero pairs AND zero list rows (stronger than the
+            # lexical index's replay story, which tolerates band/tok
+            # bloat until a rebuild), so no epoch-segment protocol here
+            # either
+            semdedup_index.add(
+                batch_df.select(
+                    F.col(id_col).alias(semdedup_index.id_col),
+                    F.col(vec_col).alias(semdedup_index.vec_col),
+                )
             )
         if on_batch is not None:
             on_batch(epoch_id)

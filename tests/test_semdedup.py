@@ -227,3 +227,45 @@ def test_semdedup_index_superseded_handle_raises(spark, tmp_path):
     SemDedupIndex.build(spark, emb, str(tmp_path / "sv"), threshold=0.4)
     with pytest.raises(RuntimeError, match="reload"):
         v1.add(emb.filter("vec_id % 2 = 1"))
+
+
+def test_streaming_semdedup_maintenance_matches_one_shot(spark, tmp_path):
+    """stream_documents_into_indexes(semdedup_index=...): after the
+    second half of the embeddings replays through a file stream in
+    micro-batches, accumulated pairs equal the quantizer-pinned
+    one-shot run over the full corpus."""
+    from alma_memory_spark.operators.semdedup import SemDedupIndex
+    from alma_memory_spark.streaming.ingest import (
+        stream_documents_into_indexes,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = SemDedupIndex.build(
+        spark, half_a, str(tmp_path / "ssd"), threshold=0.4, cent_every=50
+    )
+    inbox = str(tmp_path / "inbox")
+    half_b.repartition(4).write.parquet(inbox)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(inbox)
+    )
+    batches = []
+    q = stream_documents_into_indexes(
+        stream, semdedup_index=idx,
+        checkpoint=str(tmp_path / "ckpt"), id_col="vec_id",
+        vec_col="embedding", on_batch=batches.append,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(batches) >= 2
+    want = _pairs(semantic_dedup_pairs(emb, threshold=0.4, quantizer=idx.ivf))
+    got = {
+        (r["id_a"], r["id_b"], r["cos_sim"]) for r in idx.pairs().collect()
+    }
+    assert got == want and want
+    assert idx.n_docs == emb.count()
