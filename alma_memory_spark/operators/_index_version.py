@@ -151,3 +151,74 @@ def commit_version(path: str, staging: str,
         for d in flat_subdirs:
             shutil.rmtree(os.path.join(path, d), ignore_errors=True)
     return vdir
+
+
+def pairs_fingerprint(pairs_dir: str) -> str:
+    """Driver-side fingerprint of an append-only parquet dir: md5 of
+    the sorted (name, size) listing. Appends add files; a replayed
+    no-op add appends zero files, so the fingerprint changes iff
+    content changed. No Spark job."""
+    import hashlib
+    import json
+
+    entries = []
+    for root, _dirs, files in os.walk(pairs_dir):
+        for f in files:
+            if f.startswith((".", "_")):
+                continue
+            p = os.path.join(root, f)
+            entries.append((os.path.relpath(p, pairs_dir), os.path.getsize(p)))
+    return hashlib.md5(json.dumps(sorted(entries)).encode()).hexdigest()[:16]
+
+
+def serve_memoized_labels(spark, vroot: str, fp: str, schema: str, compute):
+    """Fingerprint-memoized derived-labels store under
+    <vroot>/groups_memo/fp=<fp> (shared by NearDupIndex and
+    SemDedupIndex groups()):
+
+    - memo hit: a lazy declared-schema read — ZERO Spark jobs at call
+      time;
+    - miss: `compute()` returns the labels DataFrame, written into a
+      private stage dir and published by atomic rename; the loser of a
+      concurrent-reader race discards its stage and serves the
+      winner's (identical) labels;
+    - GC: superseded fingerprints beyond the newest 2 are dropped
+      (retain-through-next-publish, the version-swap rule) and crashed
+      stage dirs are reaped once they are an hour cold. Both sweeps
+      tolerate concurrent deletion and NEVER match a live stage dir
+      as a memo entry."""
+    import threading
+
+    memo = os.path.join(vroot, "groups_memo", f"fp={fp}")
+    if not os.path.exists(os.path.join(memo, "_SUCCESS")):
+        stage = f"{memo}.stage-{os.getpid()}-{threading.get_ident()}"
+        compute().write.mode("overwrite").parquet(stage)
+        try:
+            os.rename(stage, memo)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)  # lost the race
+        mdir = os.path.dirname(memo)
+
+        def _mtime(entry: str) -> float:
+            try:
+                return os.path.getmtime(os.path.join(mdir, entry))
+            except OSError:
+                return float("inf")  # vanished under a racing GC: spare
+
+        published = sorted(
+            (
+                e for e in os.listdir(mdir)
+                # a live stage dir also starts with 'fp=' — never a memo
+                if e.startswith("fp=") and ".stage-" not in e
+            ),
+            key=_mtime,
+            reverse=True,
+        )
+        for stale in published[2:]:
+            shutil.rmtree(os.path.join(mdir, stale), ignore_errors=True)
+        for e in os.listdir(mdir):
+            if ".stage-" in e and e != os.path.basename(stage):
+                age = time.time() - _mtime(e)
+                if age > 3600:  # crashed debris only; fresh = maybe live
+                    shutil.rmtree(os.path.join(mdir, e), ignore_errors=True)
+    return spark.read.schema(schema).parquet(memo)

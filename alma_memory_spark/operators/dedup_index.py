@@ -414,6 +414,14 @@ class NearDupIndex:
         overlapping batches could both miss each other's in-flight
         pairs. The streaming maintainer serializes adds per query by
         construction; batch callers hold their own lock."""
+        if self.bands * self.rows > self.k:
+            # load() accepts legacy bad-geometry indexes for READS; a
+            # WRITE through one would compute degenerate band keys
+            # (out-of-range sig indexing) — re-check at every mutation
+            raise ValueError(
+                f"bands*rows must be <= k to add (got bands={self.bands} "
+                f"rows={self.rows} k={self.k}) — rebuild with valid geometry"
+            )
         self._require_live_version()
         new_toks = self._toks_frame(docs, self.id_col, text_col or "text")
         new_bands = self._bands_frame(new_toks)
@@ -566,22 +574,9 @@ class NearDupIndex:
         ).parquet(os.path.join(self.vroot, "pairs"))
 
     def _pairs_fingerprint(self) -> str:
-        """Driver-side fingerprint of the accumulated pair set: md5 of
-        the sorted (name, size) listing under pairs/. Appends add
-        files; a replayed add appends ZERO pairs and therefore zero
-        files (add() skips the write when n_new == 0), so the
-        fingerprint changes iff pair content changed. No Spark job."""
-        import hashlib
+        from alma_memory_spark.operators._index_version import pairs_fingerprint
 
-        pdir = os.path.join(self.vroot, "pairs")
-        entries = []
-        for root, _dirs, files in os.walk(pdir):
-            for f in files:
-                if f.startswith((".", "_")):
-                    continue
-                p = os.path.join(root, f)
-                entries.append((os.path.relpath(p, pdir), os.path.getsize(p)))
-        return hashlib.md5(json.dumps(sorted(entries)).encode()).hexdigest()[:16]
+        return pairs_fingerprint(os.path.join(self.vroot, "pairs"))
 
     def groups(self) -> DataFrame:
         """(doc_id, group_id, is_canonical) dedup families DERIVED from
@@ -597,57 +592,21 @@ class NearDupIndex:
         memo and run ZERO Spark jobs at call time.
 
         groups() is a READ api, so unlike add() it carries no
-        single-writer contract: concurrent callers may both miss the
-        memo. Each computes into its own staging dir and publishes
-        with an atomic rename — the loser of the rename race discards
-        its staging and serves the winner's (identical) labels. A
-        crash mid-compute leaves only a staging dir, which the next
-        call ignores."""
-        import shutil
-        import threading
-
-        fp = self._pairs_fingerprint()
-        memo = os.path.join(self.vroot, "groups_memo", f"fp={fp}")
-        schema = (
-            f"doc_id {self.id_type}, group_id {self.id_type}, "
-            "is_canonical boolean"
+        single-writer contract — race/GC/crash handling lives in the
+        shared machinery (_index_version.serve_memoized_labels, also
+        used by SemDedupIndex.groups)."""
+        from alma_memory_spark.operators._index_version import (
+            serve_memoized_labels,
         )
-        if not os.path.exists(os.path.join(memo, "_SUCCESS")):
-            stage = f"{memo}.stage-{os.getpid()}-{threading.get_ident()}"
-            near_dup_groups(self.pairs()).write.mode("overwrite").parquet(stage)
-            try:
-                os.rename(stage, memo)
-            except OSError:
-                shutil.rmtree(stage, ignore_errors=True)  # lost the race
-            # GC superseded fingerprints (memo dirs otherwise grow one
-            # full labels parquet per pair-appending add, forever):
-            # keep the 2 newest by mtime — the previous memo survives
-            # one publish so an in-flight reader that resolved it just
-            # before this add finishes its scan (the same
-            # retain-through-next-swap rule the index versions use) —
-            # and drop crashed stage dirs
-            mdir = os.path.dirname(memo)
-            entries = sorted(
-                (e for e in os.listdir(mdir) if e.startswith("fp=")),
-                key=lambda e: os.path.getmtime(os.path.join(mdir, e)),
-                reverse=True,
-            )
-            for stale in entries[2:]:
-                shutil.rmtree(os.path.join(mdir, stale), ignore_errors=True)
-            import time as _time
 
-            for e in os.listdir(mdir):
-                # crashed stage debris only — a FRESH foreign stage dir
-                # may be a live concurrent compute; age-gate the sweep
-                if ".stage-" in e and e != os.path.basename(stage):
-                    p = os.path.join(mdir, e)
-                    try:
-                        old = _time.time() - os.path.getmtime(p) > 3600
-                    except OSError:
-                        continue
-                    if old:
-                        shutil.rmtree(p, ignore_errors=True)
-        return self.spark.read.schema(schema).parquet(memo)
+        return serve_memoized_labels(
+            self.spark,
+            self.vroot,
+            self._pairs_fingerprint(),
+            f"doc_id {self.id_type}, group_id {self.id_type}, "
+            "is_canonical boolean",
+            lambda: near_dup_groups(self.pairs()),
+        )
 
     def drop_list(self) -> DataFrame:
         """Doc ids to REMOVE from the corpus (non-canonical members of

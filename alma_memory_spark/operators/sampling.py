@@ -143,6 +143,11 @@ def mix_rates_for_token_budget(
     missing = set(frames) - set(proportions)
     if missing:
         raise ValueError(f"no proportion for sources: {sorted(missing)}")
+    orphaned = set(proportions) - set(frames)
+    if orphaned:
+        # a proportion with no frame silently under-delivers the token
+        # budget while the sum-to-1 check still passes
+        raise ValueError(f"no frame for proportioned sources: {sorted(orphaned)}")
     rates = {}
     for name, df in frames.items():
         have = df.agg(

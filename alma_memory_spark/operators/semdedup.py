@@ -170,14 +170,35 @@ def semantic_dedup_pairs_incremental(
     same stored centroids, so cell placement agrees by construction).
     Pair values match `semantic_dedup_pairs(full, quantizer=...)`
     restricted to pairs touching the batch (contract-tested)."""
+    assigned_new, new_cells = _assign_batch(quantizer, new_df, id_col, vec_col)
+    return _incremental_pairs_from_assigned(
+        quantizer, assigned_new, new_cells, threshold,
+        spark=new_df.sparkSession,
+    )
+
+
+def _assign_batch(quantizer, new_df: DataFrame, id_col: str, vec_col: str):
+    """(assigned batch — eagerly checkpointed, it feeds 2+ jobs —
+    , touched cells). Shared by the function form and SemDedupIndex.add
+    so the assignment matmul and the cells collect run ONCE."""
     import numpy as np
 
     cells, C = quantizer.cells, quantizer.Cn
     cnrm = np.ones(len(cells), dtype=np.float64)
-    assigned_new = _assign_cells(new_df, id_col, vec_col, cells, C, cnrm)
-    new_cells = [r["cell"] for r in assigned_new.select("cell").distinct().collect()]
+    assigned = _assign_cells(
+        new_df, id_col, vec_col, cells, C, cnrm
+    ).localCheckpoint(eager=True)
+    touched = [r["cell"] for r in assigned.select("cell").distinct().collect()]
+    return assigned, touched
+
+
+def _incremental_pairs_from_assigned(
+    quantizer, assigned_new: DataFrame, new_cells: list, threshold: float,
+    spark,
+) -> DataFrame:
+    import numpy as np
+
     if not new_cells:
-        spark = new_df.sparkSession
         return spark.createDataFrame(
             [], f"id_a {quantizer.id_type}, id_b {quantizer.id_type}, cos_sim double"
         )
@@ -389,10 +410,16 @@ class SemDedupIndex:
         import os
 
         self._require_live_version()
+        # ONE assignment pass + cells collect feeds both the pair
+        # kernel and the membership replay guard (the assigned frame is
+        # eagerly checkpointed inside _assign_batch)
+        assigned, touched = _assign_batch(
+            self.ivf, batch, self.id_col, self.vec_col
+        )
         new_pairs = (
-            semantic_dedup_pairs_incremental(
-                self.ivf, batch, id_col=self.id_col, vec_col=self.vec_col,
-                threshold=self.threshold,
+            _incremental_pairs_from_assigned(
+                self.ivf, assigned, touched, self.threshold,
+                spark=self.spark,
             )
             .join(self.pairs(), ["id_a", "id_b"], "left_anti")
             .localCheckpoint(eager=True)
@@ -400,16 +427,6 @@ class SemDedupIndex:
         n_new = new_pairs.count()
         # membership first, replay-guarded: only ids absent from the
         # touched cells' lists append (a redelivered batch is a no-op)
-        import numpy as np
-
-        cells, C = self.ivf.cells, self.ivf.Cn
-        assigned = _assign_cells(
-            batch, self.id_col, self.vec_col, cells, C,
-            np.ones(len(cells), dtype=np.float64),
-        )
-        touched = [
-            r["cell"] for r in assigned.select("cell").distinct().collect()
-        ]
         if touched:
             present = self.ivf._guarded_lists(touched, None, None).select(
                 F.col("id").alias(self.id_col)
@@ -435,8 +452,25 @@ class SemDedupIndex:
 
     def groups(self) -> DataFrame:
         """(doc_id, group_id, is_canonical) families over accumulated
-        pairs (cell-bounded — the SemDeDup approximation)."""
-        return semantic_dedup_groups(self.pairs())
+        pairs (cell-bounded — the SemDeDup approximation). Memoized per
+        pair-set fingerprint like NearDupIndex.groups (the shared
+        _index_version machinery): unchanged pairs serve a lazy read,
+        zero Spark jobs at call time."""
+        import os
+
+        from alma_memory_spark.operators._index_version import (
+            pairs_fingerprint,
+            serve_memoized_labels,
+        )
+
+        return serve_memoized_labels(
+            self.spark,
+            self.vroot,
+            pairs_fingerprint(os.path.join(self.vroot, "pairs")),
+            f"doc_id {self.id_type}, group_id {self.id_type}, "
+            "is_canonical boolean",
+            lambda: semantic_dedup_groups(self.pairs()),
+        )
 
     def drop_list(self) -> DataFrame:
         return self.groups().filter(~F.col("is_canonical")).select("doc_id")

@@ -105,9 +105,6 @@ def main() -> None:
     )
 
 
-if __name__ == "__main__":
-    main()
-    measure_incremental()
 
 
 def measure_incremental() -> None:
@@ -153,3 +150,8 @@ def measure_incremental() -> None:
             corpus.unpersist()
         finally:
             shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
+    measure_incremental()
