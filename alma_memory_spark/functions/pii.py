@@ -27,13 +27,25 @@ __all__ = ["PII_PATTERNS", "pii_count", "redact_pii", "sql_pii_count", "sql_reda
 
 #: ordered (kind, pattern, replacement): redaction applies in THIS
 #: order on both engines. The classes are disjoint by construction
-#: (ssn is 3-2-4 digits, phone 3-3-4; ipv4 octets are 1-3 digits so a
-#: phone's trailing \d{4} can never match one), so order only matters
-#: for byte-stability, not semantics.
+#: (ssn is 3-2-4 digits, phone needs a 3-digit middle group; ipv4
+#: octets are 1-3 digits so a phone's trailing \d{4} can never match
+#: one), so order only matters for byte-stability, not semantics.
+#:
+#: Phone formats ACCEPTED (ADVICE r7 #3 — exact contract): NANP 3-3-4
+#: with '-', '.', or ' ' separators, an optional parenthesized area
+#: code `(415) 555-1234` / `(415)555-1234`, and an optional `+1`
+#: prefix with any of the same separators. NOT matched (documented
+#: out of scope): fully unseparated runs (`+14155551234` — 10-digit
+#: runs are indistinguishable from ids/order numbers), extensions,
+#: and non-NANP international formats.
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
-    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    (
+        "phone",
+        r"(\+1[-. ]?)?(\(\d{3}\)[-. ]?|\b\d{3}[-. ])\d{3}[-. ]\d{4}\b",
+        "<PHONE>",
+    ),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IPV4>"),
 ]
 

@@ -55,6 +55,11 @@ _VDIR = re.compile(r"^v(\d+)$")
 #: concurrent build would lose it (its writes land in subdirectories,
 #: so the top-level mtime alone is not freshness)
 _STAGING_TTL_SECONDS = 24 * 3600.0
+#: a superseded groups-memo fingerprint dir must be at least this old
+#: before the keep-2 GC may remove it — a lazy DataFrame handed out by
+#: an earlier groups() call (or a concurrent process on an older
+#: fingerprint) reads its files at ACTION time, not call time
+_MEMO_GC_AGE_FLOOR = 3600.0
 
 
 def _newest_mtime(root: str) -> float:
@@ -183,7 +188,11 @@ def serve_memoized_labels(spark, vroot: str, fp: str, schema: str, compute):
       concurrent-reader race discards its stage and serves the
       winner's (identical) labels;
     - GC: superseded fingerprints beyond the newest 2 are dropped
-      (retain-through-next-publish, the version-swap rule) and crashed
+      (retain-through-next-publish, the version-swap rule) — but only
+      once they are at least _MEMO_GC_AGE_FLOOR old (ADVICE r7 #2): a
+      lazy DataFrame returned from an earlier groups() call, or a
+      concurrent process still serving an older fingerprint, would
+      otherwise have its memo deleted before its action runs. Crashed
       stage dirs are reaped once they are an hour cold. Both sweeps
       tolerate concurrent deletion and NEVER match a live stage dir
       as a memo entry."""
@@ -214,8 +223,12 @@ def serve_memoized_labels(spark, vroot: str, fp: str, schema: str, compute):
             key=_mtime,
             reverse=True,
         )
+        now = time.time()
         for stale in published[2:]:
-            shutil.rmtree(os.path.join(mdir, stale), ignore_errors=True)
+            # age floor mirrors the stage-dir cold rule: keep-2 alone
+            # can delete a memo a lazy reader still points at
+            if now - _mtime(stale) > _MEMO_GC_AGE_FLOOR:
+                shutil.rmtree(os.path.join(mdir, stale), ignore_errors=True)
         for e in os.listdir(mdir):
             if ".stage-" in e and e != os.path.basename(stage):
                 age = time.time() - _mtime(e)

@@ -30,15 +30,21 @@ TRANSCRIPT_SCHEMA = "source_file string, turn int, role string, text string"
 
 def _line_order(df: DataFrame) -> DataFrame:
     """Deterministic per-line order keys for a file-source DataFrame:
-    (_blk, _seq) = (file block start offset, row id within the input
-    partition). A bare monotonically_increasing_id ordering is
-    partition-LAYOUT-dependent (the id embeds the partition number);
-    (block offset, id) orders by byte position in the file, which is
-    stable however Spark numbers or splits the scan. Must be applied
-    directly on the read result, before any shuffle."""
-    return df.withColumn(
-        "_blk", F.col("_metadata.file_block_start")
-    ).withColumn("_seq", F.monotonically_increasing_id())
+    (_fp, _blk, _seq) = (file path, file block start offset, row id
+    within the input partition). A bare monotonically_increasing_id
+    ordering is partition-LAYOUT-dependent (the id embeds the partition
+    number); (file, block offset, id) orders by byte position within
+    each file, which is stable however Spark numbers or splits the
+    scan. The file path is part of the key (ADVICE r7 #4): a normalizer
+    handed a glob/directory gets a multi-file scan whose blocks from
+    DIFFERENT files share _blk offsets — without _fp, turn numbering
+    would interleave across files. Must be applied directly on the read
+    result, before any shuffle."""
+    return (
+        df.withColumn("_fp", F.col("_metadata.file_path"))
+        .withColumn("_blk", F.col("_metadata.file_block_start"))
+        .withColumn("_seq", F.monotonically_increasing_id())
+    )
 
 
 def _assign_turns(df: DataFrame) -> DataFrame:
@@ -55,25 +61,28 @@ def _assign_turns(df: DataFrame) -> DataFrame:
     because Spark 4's EliminateWindowPartitions strips foldable keys
     (see functions/window.py).
 
-    Expects `_line_order` columns; consumes and drops them. `turn`
-    numbers the rows PRESENT in `df` — filter first for post-filter
-    numbering (Claude-Code JSONL), number first for raw line numbers
-    (plain text / transcript)."""
-    w_blk = Window.partitionBy("_blk").orderBy("_seq")
+    Expects `_line_order` columns; consumes and drops them. Numbering
+    restarts PER FILE (_fp partitions both the block rank and the
+    offset cumsum — a multi-file glob numbers each file independently
+    instead of interleaving, ADVICE r7 #4). `turn` numbers the rows
+    PRESENT in `df` — filter first for post-filter numbering
+    (Claude-Code JSONL), number first for raw line numbers (plain
+    text / transcript)."""
+    w_blk = Window.partitionBy("_fp", "_blk").orderBy("_seq")
     ranked = df.withColumn("_i", F.row_number().over(w_blk))
-    counts = df.groupBy("_blk").agg(F.count(F.lit(1)).alias("_n"))
+    counts = df.groupBy("_fp", "_blk").agg(F.count(F.lit(1)).alias("_n"))
     cum_w = (
-        Window.partitionBy(F.pmod(F.xxhash64("_blk"), F.lit(1)))
+        Window.partitionBy("_fp")
         .orderBy("_blk")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offs = counts.withColumn(
         "_off", F.coalesce(F.sum("_n").over(cum_w), F.lit(0))
-    ).select("_blk", "_off")
+    ).select("_fp", "_blk", "_off")
     return (
-        ranked.join(F.broadcast(offs), "_blk")
+        ranked.join(F.broadcast(offs), ["_fp", "_blk"])
         .withColumn("turn", (F.col("_off") + F.col("_i")).cast("int"))
-        .drop("_i", "_off", "_blk", "_seq")
+        .drop("_i", "_off", "_fp", "_blk", "_seq")
     )
 
 
@@ -141,6 +150,7 @@ def _norm_claude_code(spark: SparkSession, path: str) -> DataFrame:
         .filter(F.col("type").isin("human", "user", "assistant"))
         .select(
             F.lit(path).alias("source_file"),
+            "_fp",
             "_blk",
             "_seq",
             role.alias("role"),

@@ -311,6 +311,43 @@ def test_add_reports_band_cap_saturation(spark, tmp_path):
     assert (st2.capped_groups, st2.dropped_band_rows) == (0, 0)
 
 
+def test_memo_gc_age_floor_spares_young_superseded_fingerprints(
+    spark, tmp_path
+):
+    """Pinned (ADVICE r7 #2): the keep-2 memo GC must not delete a
+    superseded fingerprint dir that is younger than the age floor — a
+    lazy DataFrame from an earlier groups() call reads its memo files
+    at ACTION time, possibly well after a newer fingerprint published."""
+    import os
+    import time
+
+    from alma_memory_spark.session import tiny_df
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    idx = NearDupIndex.build(spark, docs, str(tmp_path / "floor"), n_buckets=4)
+    idx.groups().count()  # publishes memo #1
+    mdir = os.path.join(idx.vroot, "groups_memo")
+    (memo1,) = [d for d in os.listdir(mdir) if d.startswith("fp=")]
+    now = time.time()
+    # memo1 newest-but-one; a YOUNG superseded dir and an ANCIENT one
+    os.utime(os.path.join(mdir, memo1), (now - 30, now - 30))
+    for name, age in [("fp=young", 60.0), ("fp=ancient", 7200.0)]:
+        os.makedirs(os.path.join(mdir, name))
+        with open(os.path.join(mdir, name, "_SUCCESS"), "w"):
+            pass
+        os.utime(os.path.join(mdir, name), (now - age, now - age))
+    # append pairs -> new fingerprint -> memo #2 compute triggers GC
+    dup = docs.orderBy("doc_id").limit(1).collect()[0]
+    assert idx.add(
+        tiny_df(spark, [(990777, dup["text"])], "doc_id long, text string")
+    ) >= 1
+    idx.groups().count()
+    left = set(os.listdir(mdir))
+    assert "fp=ancient" not in left  # old AND beyond keep-2: reaped
+    assert "fp=young" in left  # beyond keep-2 but under the age floor
+    assert memo1 in left  # within keep-2 by mtime
+
+
 def test_concurrent_groups_calls_race_safely(spark, tmp_path):
     """groups() is a READ api with no single-writer contract: two
     threads missing the memo simultaneously must both return correct

@@ -228,6 +228,32 @@ def test_turn_numbering_survives_multi_block_scan(spark, tmp_path):
     assert rows[0]["role"] == "user" and rows[1]["role"] == "assistant"
 
 
+def test_turn_numbering_restarts_per_file_on_multi_file_scan(spark, tmp_path):
+    """Pinned (ADVICE r7 #4): the block key includes the file path — a
+    normalizer handed a glob reads a multi-file scan whose blocks from
+    different files share _blk offsets; numbering must restart per file
+    instead of interleaving across files."""
+    from alma_memory_spark.sources.ingestion import _assign_turns, _line_order
+
+    for name, n in [("a.txt", 5), ("b.txt", 7)]:
+        (tmp_path / name).write_text(
+            "\n".join(f"{name} line {i:03d}" for i in range(n))
+        )
+    df = _assign_turns(
+        _line_order(spark.read.text(str(tmp_path / "*.txt")))
+    ).withColumn("f", F.split("value", " ")[0])
+    got = {
+        f: [r["turn"] for r in rows]
+        for f, rows in (
+            (f, sorted(df.filter(F.col("f") == f).collect(),
+                       key=lambda r: r["value"]))
+            for f in ("a.txt", "b.txt")
+        )
+    }
+    assert got["a.txt"] == list(range(1, 6))
+    assert got["b.txt"] == list(range(1, 8))
+
+
 def test_chunk_and_classify(spark):
     docs = spark.createDataFrame(
         [

@@ -45,6 +45,48 @@ def test_pii_counts_and_redaction(spark):
     assert [r["r2"] for r in again] == [got[i]["red"] for i in range(4)]
 
 
+def test_phone_formats_match_oracle_engine(spark):
+    """Pinned (ADVICE r7 #3): the broadened phone pattern covers the
+    common NANP renderings — parenthesized area code, space separators,
+    +1 prefix — and Spark (Java regex) agrees byte-for-byte with the
+    DuckDB (RE2) oracle on counts AND redacted text."""
+    import duckdb
+
+    from alma_memory_spark.functions.pii import sql_pii_count, sql_redact_pii
+
+    rows = [
+        (0, "call 415-555-1234 now"),
+        (1, "call (415) 555-1234"),
+        (2, "call (415)555-1234"),
+        (3, "+1 415 555 1234"),
+        (4, "+1-415-555-1234"),
+        (5, "dotted 415.555.1234"),
+        (6, "ssn-shaped 123-45-6789 stays"),
+        (7, "ip-shaped 10.137.0.59 stays"),
+        (8, "bare run +14155551234 out of scope"),
+        (9, "years 2019 100 2000 stay"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: (r["n"], r["red"])
+        for r in df.select(
+            "id",
+            pii_count("text", "phone").alias("n"),
+            redact_pii("text").alias("red"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, text in rows:
+        n, red = con.execute(
+            f"SELECT {sql_pii_count('t', 'phone')}, {sql_redact_pii('t')} "
+            "FROM (SELECT ? AS t)",
+            [text],
+        ).fetchone()
+        assert got[i] == (n, red), (i, got[i], (n, red))
+    assert all(got[i][0] == 1 for i in range(6))  # the 6 accepted forms
+    assert all(got[i][0] == 0 for i in range(6, 10))  # documented misses
+
+
 def test_decontamination_flags_and_drops_shared_ngrams(spark):
     shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"
     train = spark.createDataFrame(
