@@ -1,0 +1,170 @@
+"""Adjacency-bucketed persisted pairs layout shared by the incremental
+dedup indexes (NearDupIndex, SemDedupIndex) — VERDICT r7 #1.
+
+The replay-idempotence guard in both add paths anti-joins each batch's
+recomputed pairs against the ACCUMULATED pairs table. Stored flat, that
+read is O(total pairs history) per add: the candidate side is
+band-bucket/cell-pruned but the guard was not, so a streaming
+maintainer paid an O(history) scan + shuffle per micro-batch once pairs
+accumulate. Every pair an add can emit touches a batch id by
+construction, so the guard only needs BATCH-ADJACENT history. This
+layout serves exactly that:
+
+- each undirected pair (a < b, sim) is stored as TWO oriented rows,
+  (src=a, dst=b) and (src=b, dst=a), partitioned by
+  ``sbucket = pmod(xxhash64(src), n_buckets)`` — the adjacency-list
+  orientation of an edge table;
+- the guard reads ONLY the partitions the batch ids hash into
+  (PartitionFilters prune at file listing) and broadcast-semi-joins the
+  batch-id set: O(batch-adjacent history) join work, and the history is
+  never shuffled at any scale;
+- the canonical one-row-per-pair view filters ``src < dst`` — the same
+  logical content as the old flat layout, so groups(), fingerprints,
+  contract tests, and the SQL oracles are unchanged.
+
+Storage doubles; the pairs table is bounded by the near-duplicate
+population (tiny vs the corpus) — the standard adjacency-list trade.
+
+Indexes persisted BEFORE this layout (stats params lack
+``pairs_layout``) keep working: reads fall back to the flat schema and
+the guard falls back to an exploded-endpoint broadcast semi-join over
+the flat scan — still O(batch-adjacent) join work with no history
+shuffle, just without the partition prune. New builds always write
+layout 2; appends follow the layout the index was built with (mixing
+layouts in one directory would corrupt partition discovery).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+#: current on-disk pairs layout; persisted in each index's stats params
+PAIRS_LAYOUT = 2
+
+__all__ = [
+    "PAIRS_LAYOUT",
+    "pair_src_bucket",
+    "read_adjacent_pairs",
+    "read_pairs",
+    "write_pairs",
+]
+
+
+def pair_src_bucket(col, n_buckets: int):
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets))
+
+
+def _oriented_schema(id_type: str, sim_col: str) -> str:
+    return f"src {id_type}, dst {id_type}, {sim_col} double, sbucket long"
+
+
+def write_pairs(
+    pairs: DataFrame,
+    path: str,
+    a_col: str,
+    b_col: str,
+    sim_col: str,
+    n_buckets: int,
+    legacy: bool = False,
+) -> None:
+    """Append verified pairs (a < b). Layout 2 writes both orientations
+    partitioned by the src bucket; ``legacy`` appends the flat schema
+    for indexes built before the layout existed."""
+    if legacy:
+        pairs.write.mode("append").parquet(path)
+        return
+    fwd = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst"), F.col(sim_col)
+    )
+    rev = pairs.select(
+        F.col(b_col).alias("src"), F.col(a_col).alias("dst"), F.col(sim_col)
+    )
+    (
+        fwd.unionByName(rev)
+        .withColumn("sbucket", pair_src_bucket(F.col("src"), n_buckets))
+        .repartition(min(n_buckets, 32), "sbucket")
+        .write.mode("append")
+        .partitionBy("sbucket")
+        .parquet(path)
+    )
+
+
+def read_pairs(
+    spark: SparkSession,
+    path: str,
+    a_col: str,
+    b_col: str,
+    sim_col: str,
+    id_type: str,
+    legacy: bool = False,
+) -> DataFrame:
+    """Canonical one-row-per-pair view (a < b) of the accumulated
+    pairs — identical logical content in both layouts."""
+    flat_schema = f"{a_col} {id_type}, {b_col} {id_type}, {sim_col} double"
+    if legacy:
+        return spark.read.schema(flat_schema).parquet(path)
+    return (
+        spark.read.schema(_oriented_schema(id_type, sim_col))
+        .parquet(path)
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias(a_col), F.col("dst").alias(b_col), sim_col
+        )
+    )
+
+
+def read_adjacent_pairs(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    a_col: str,
+    b_col: str,
+    sim_col: str,
+    id_type: str,
+    n_buckets: int,
+    legacy: bool = False,
+) -> DataFrame:
+    """Accumulated pairs TOUCHING any id in ``ids`` (single column,
+    any name) — the replay guard's right side. May return a pair twice
+    when both endpoints are in the batch; callers feed a left_anti,
+    where duplicates are harmless. Layout 2 prunes the scan to the
+    batch ids' src partitions (bucket list collect is bounded by
+    n_buckets, the tbuckets precedent); legacy scans flat history but
+    still joins only O(batch-adjacent) rows via a broadcast semi-join —
+    the history is never shuffled in either layout."""
+    (id_col,) = ids.columns
+    if legacy:
+        flat = read_pairs(spark, path, a_col, b_col, sim_col, id_type, legacy=True)
+        return (
+            flat.withColumn("_t", F.explode(F.array(a_col, b_col)))
+            .join(
+                F.broadcast(ids.select(F.col(id_col).alias("_t")).distinct()),
+                "_t",
+                "left_semi",
+            )
+            .drop("_t")
+        )
+    srcs = ids.select(F.col(id_col).alias("src")).distinct()
+    buckets = [
+        r["b"]
+        for r in srcs.select(
+            pair_src_bucket(F.col("src"), n_buckets).alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    if not buckets:
+        return spark.createDataFrame(
+            [], f"{a_col} {id_type}, {b_col} {id_type}, {sim_col} double"
+        )
+    return (
+        spark.read.schema(_oriented_schema(id_type, sim_col))
+        .parquet(path)
+        .filter(F.col("sbucket").isin(buckets))
+        .join(F.broadcast(srcs), "src", "left_semi")
+        .select(
+            F.least("src", "dst").alias(a_col),
+            F.greatest("src", "dst").alias(b_col),
+            sim_col,
+        )
+    )

@@ -19,7 +19,10 @@ same atomic-_CURRENT protocol the IVF/text indexes use):
 - ``toks/``   (doc, ts) partitioned by
   ``tbucket = pmod(xxhash64(doc), n_buckets)`` — the verify join
   reads only the buckets holding the candidates' existing docs.
-- ``pairs/``  verified (doc_a < doc_b, jaccard_sim) — append-only.
+- ``pairs/``  verified pairs, append-only, in the adjacency-bucketed
+  layout of operators/_pairs_store.py (both orientations partitioned
+  by ``pmod(xxhash64(src), n_buckets)``) — the add-path replay guard
+  reads only the batch ids' partitions instead of the full history.
 - ``stats/``  one row: params + running doc count.
 
 EVERY mutation is an append — there is no in-place rewrite anywhere,
@@ -48,6 +51,12 @@ from alma_memory_spark.operators._index_version import (
     begin_version,
     commit_version,
     resolve_vroot,
+)
+from alma_memory_spark.operators._pairs_store import (
+    PAIRS_LAYOUT,
+    read_adjacent_pairs,
+    read_pairs,
+    write_pairs,
 )
 from alma_memory_spark.operators.components import near_dup_groups
 
@@ -95,6 +104,7 @@ class NearDupIndex:
         n_docs: int,
         vroot: str | None = None,
         band_cap: int | None = None,
+        pairs_layout: int | None = PAIRS_LAYOUT,
     ):
         self.spark = spark
         self.path = path
@@ -108,6 +118,9 @@ class NearDupIndex:
         self.verify_t = verify_t
         self.n_docs = n_docs
         self.band_cap = band_cap
+        # None = legacy flat pairs layout (pre-r8 index); appends must
+        # follow the layout the index was built with
+        self.pairs_layout = pairs_layout
 
     # ---- plan fragments ----------------------------------------------
 
@@ -290,7 +303,10 @@ class NearDupIndex:
             os.path.join(vdir, "toks")
         ).select("doc", "ts")
         pairs = idx._verify(cand, stored_toks, stored_toks)
-        pairs.write.parquet(os.path.join(vdir, "pairs"))
+        write_pairs(
+            pairs, os.path.join(vdir, "pairs"),
+            "doc_a", "doc_b", "jaccard_sim", n_buckets,
+        )
         n = docs.count()
         idx.n_docs = n
         idx._write_stats(
@@ -331,6 +347,7 @@ class NearDupIndex:
                             "rows": self.rows,
                             "verify_t": self.verify_t,
                             "band_cap": self.band_cap,
+                            "pairs_layout": self.pairs_layout,
                             "capped_groups": capped_groups,
                             "dropped_band_rows": dropped_band_rows,
                         }
@@ -381,6 +398,8 @@ class NearDupIndex:
             p["bands"], p["rows"], p["verify_t"],
             n_docs=sum(r["n_docs"] for r in rows), vroot=vroot,
             band_cap=p.get("band_cap"),
+            # absent in pre-r8 stats -> legacy flat pairs files
+            pairs_layout=p.get("pairs_layout"),
         )
 
     def _require_live_version(self) -> None:
@@ -517,10 +536,20 @@ class NearDupIndex:
             # otherwise append duplicate pair rows — this makes add()
             # idempotent on pair CONTENT (bands/toks tolerate replay
             # by construction: duplicates cannot change the candidate
-            # set, only waste bytes until a rebuild folds them)
+            # set, only waste bytes until a rebuild folds them).
+            # Every pair this add can emit touches a NEW doc id, so the
+            # guard reads only BATCH-ADJACENT history (VERDICT r7 #1):
+            # partition-pruned under the adjacency layout, broadcast
+            # semi-joined either way — never an O(history) shuffle
+            guard = read_adjacent_pairs(
+                self.spark, os.path.join(self.vroot, "pairs"),
+                new_toks.select("doc"),
+                "doc_a", "doc_b", "jaccard_sim", self.id_type,
+                self.n_buckets, legacy=self.pairs_layout is None,
+            )
             new_pairs = (
                 self._verify(cand, all_toks, all_toks)
-                .join(self.pairs(), ["doc_a", "doc_b"], "left_anti")
+                .join(guard, ["doc_a", "doc_b"], "left_anti")
                 .localCheckpoint(eager=True)
             )
             n_new = new_pairs.count()
@@ -552,8 +581,10 @@ class NearDupIndex:
             .parquet(os.path.join(self.vroot, "bands"))
         )
         if n_new:
-            new_pairs.write.mode("append").parquet(
-                os.path.join(self.vroot, "pairs")
+            write_pairs(
+                new_pairs, os.path.join(self.vroot, "pairs"),
+                "doc_a", "doc_b", "jaccard_sim", self.n_buckets,
+                legacy=self.pairs_layout is None,
             )
         n_delta = docs.count()
         self.n_docs += n_delta
@@ -568,10 +599,13 @@ class NearDupIndex:
     # ---- reads --------------------------------------------------------
 
     def pairs(self) -> DataFrame:
-        """All verified near-dup pairs accumulated so far."""
-        return self.spark.read.schema(
-            f"doc_a {self.id_type}, doc_b {self.id_type}, jaccard_sim double"
-        ).parquet(os.path.join(self.vroot, "pairs"))
+        """All verified near-dup pairs accumulated so far (canonical
+        one-row-per-pair view in either pairs layout)."""
+        return read_pairs(
+            self.spark, os.path.join(self.vroot, "pairs"),
+            "doc_a", "doc_b", "jaccard_sim", self.id_type,
+            legacy=self.pairs_layout is None,
+        )
 
     def _pairs_fingerprint(self) -> str:
         from alma_memory_spark.operators._index_version import pairs_fingerprint

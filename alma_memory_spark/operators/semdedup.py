@@ -273,7 +273,11 @@ class SemDedupIndex:
     Layout (under _index_version's swap protocol):
         <path>/v<N>/ivf/    the IVF quantizer + cell lists (a full
                             IVFIndex with its own inner versioning)
-        <path>/v<N>/pairs/  accumulated (id_a, id_b, cos_sim) appends
+        <path>/v<N>/pairs/  accumulated (id_a, id_b, cos_sim) appends in
+                            the adjacency-bucketed layout of
+                            operators/_pairs_store.py — the add-path
+                            replay guard reads only the batch ids'
+                            partitions, never the full history
         <path>/v<N>/stats/  params + per-add doc-count deltas
 
     The quantizer is FROZEN at build (standard IVF semantics): pairs
@@ -293,7 +297,8 @@ class SemDedupIndex:
     index, same as NearDupIndex.add."""
 
     def __init__(self, spark, path, ivf, id_col, id_type, vec_col,
-                 threshold, n_docs, vroot=None):
+                 threshold, n_docs, vroot=None, n_buckets=32,
+                 pairs_layout=None):
         self.spark = spark
         self.path = path
         self.vroot = vroot or path
@@ -303,6 +308,10 @@ class SemDedupIndex:
         self.vec_col = vec_col
         self.threshold = threshold
         self.n_docs = n_docs
+        self.n_buckets = n_buckets
+        # None (from a pre-r8 stats row) = legacy flat pairs files;
+        # build() always passes the current layout
+        self.pairs_layout = pairs_layout
 
     @staticmethod
     def build(
@@ -314,12 +323,17 @@ class SemDedupIndex:
         threshold: float = 0.85,
         cent_every: int = 50,
         kmeans_iters: int = 0,
+        n_buckets: int = 32,
     ) -> "SemDedupIndex":
         import os
 
         from alma_memory_spark.operators._index_version import (
             begin_version,
             commit_version,
+        )
+        from alma_memory_spark.operators._pairs_store import (
+            PAIRS_LAYOUT,
+            write_pairs,
         )
         from alma_memory_spark.operators.ann_index import IVFIndex
 
@@ -334,11 +348,14 @@ class SemDedupIndex:
             df, id_col=id_col, vec_col=vec_col, threshold=threshold,
             quantizer=ivf,
         )
-        pairs.write.parquet(os.path.join(vdir, "pairs"))
+        write_pairs(
+            pairs, os.path.join(vdir, "pairs"),
+            "id_a", "id_b", "cos_sim", n_buckets,
+        )
         n = df.count()
         idx = SemDedupIndex(
             spark, path, ivf, id_col, id_type, vec_col, threshold, n,
-            vroot=vdir,
+            vroot=vdir, n_buckets=n_buckets, pairs_layout=PAIRS_LAYOUT,
         )
         idx._write_stats(vdir, n)
         idx.vroot = commit_version(path, vdir, ("ivf", "pairs", "stats"))
@@ -363,6 +380,8 @@ class SemDedupIndex:
                             "id_type": self.id_type,
                             "vec_col": self.vec_col,
                             "threshold": self.threshold,
+                            "n_buckets": self.n_buckets,
+                            "pairs_layout": self.pairs_layout,
                         }
                     ),
                     n_delta,
@@ -386,7 +405,9 @@ class SemDedupIndex:
         return SemDedupIndex(
             spark, path, ivf, p["id_col"], p["id_type"], p["vec_col"],
             float(p["threshold"]), n_docs=sum(r["n_docs"] for r in rows),
-            vroot=vroot,
+            vroot=vroot, n_buckets=p.get("n_buckets", 32),
+            # absent in pre-r8 stats -> legacy flat pairs files
+            pairs_layout=p.get("pairs_layout"),
         )
 
     def _require_live_version(self) -> None:
@@ -409,6 +430,11 @@ class SemDedupIndex:
         crash-order contract."""
         import os
 
+        from alma_memory_spark.operators._pairs_store import (
+            read_adjacent_pairs,
+            write_pairs,
+        )
+
         self._require_live_version()
         # ONE assignment pass + cells collect feeds both the pair
         # kernel and the membership replay guard (the assigned frame is
@@ -416,12 +442,22 @@ class SemDedupIndex:
         assigned, touched = _assign_batch(
             self.ivf, batch, self.id_col, self.vec_col
         )
+        # replay guard reads only BATCH-ADJACENT accumulated pairs
+        # (VERDICT r7 #1): every pair an increment emits touches a
+        # batch id, so the history prunes to the batch ids' adjacency
+        # partitions — never an O(history) scan + shuffle per add
+        guard = read_adjacent_pairs(
+            self.spark, os.path.join(self.vroot, "pairs"),
+            assigned.select("id"),
+            "id_a", "id_b", "cos_sim", self.id_type,
+            self.n_buckets, legacy=self.pairs_layout is None,
+        )
         new_pairs = (
             _incremental_pairs_from_assigned(
                 self.ivf, assigned, touched, self.threshold,
                 spark=self.spark,
             )
-            .join(self.pairs(), ["id_a", "id_b"], "left_anti")
+            .join(guard, ["id_a", "id_b"], "left_anti")
             .localCheckpoint(eager=True)
         )
         n_new = new_pairs.count()
@@ -438,17 +474,23 @@ class SemDedupIndex:
                 self.n_docs += n_fresh
                 self._write_stats(self.vroot, n_fresh)
         if n_new:
-            new_pairs.write.mode("append").parquet(
-                os.path.join(self.vroot, "pairs")
+            write_pairs(
+                new_pairs, os.path.join(self.vroot, "pairs"),
+                "id_a", "id_b", "cos_sim", self.n_buckets,
+                legacy=self.pairs_layout is None,
             )
         return int(n_new)
 
     def pairs(self) -> DataFrame:
         import os
 
-        return self.spark.read.schema(
-            f"id_a {self.id_type}, id_b {self.id_type}, cos_sim double"
-        ).parquet(os.path.join(self.vroot, "pairs"))
+        from alma_memory_spark.operators._pairs_store import read_pairs
+
+        return read_pairs(
+            self.spark, os.path.join(self.vroot, "pairs"),
+            "id_a", "id_b", "cos_sim", self.id_type,
+            legacy=self.pairs_layout is None,
+        )
 
     def groups(self) -> DataFrame:
         """(doc_id, group_id, is_canonical) families over accumulated

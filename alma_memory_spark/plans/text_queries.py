@@ -51,6 +51,14 @@ _TEXT_INDEX_GATE_LOCK = threading.Lock()
 # same pattern for ann_approx_topk's persisted IVF batch stage
 _IVF_INDEX_GATE_CACHE: dict[str, str] = {}
 _IVF_INDEX_GATE_LOCK = threading.Lock()
+# build-once caches for the persisted dedup-index ADD-PATH gates
+# (VERDICT r7 #2): 'ndidx' rows of minhash_lsh_pairs and 'sdidx' rows
+# of neardup_pairs build + incrementally add once per sf_dir; repeat
+# runs serve reads of the accumulated pairs
+_NDIDX_GATE_CACHE: dict[str, str] = {}
+_NDIDX_GATE_LOCK = threading.Lock()
+_SDIDX_GATE_CACHE: dict[str, str] = {}
+_SDIDX_GATE_LOCK = threading.Lock()
 
 
 # ---------------------------------------------------------------------------
@@ -755,11 +763,33 @@ def winnow_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT s AS n, s AS r FROM (SELECT DISTINCT s FROM semedges)
         UNION
         SELECT semreach.n, e2.d AS r FROM semreach JOIN semedges e2 ON e2.s = semreach.r
+      ), centn AS (
+        SELECT cell, list_transform(cv, x -> x / cnrm) AS cvn FROM cent
+      ), scoredn AS (
+        SELECT e.vec_id, e.v, e.nrm, c.cell,
+               round(list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i] * c.cvn[i]))
+                     / e.nrm, 6) AS csim
+        FROM e, centn c
+      ), asgn AS (
+        SELECT vec_id, v, nrm, cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY csim DESC, cell DESC) AS rn
+          FROM scoredn
+        ) WHERE rn = 1
+      ), sdpairs AS (
+        SELECT id_a, id_b, sim FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i]))
+                       / (a.nrm * b.nrm), 6) AS sim
+          FROM asgn a JOIN asgn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        ) WHERE sim >= {NEARDUP_COS}
       )
       SELECT 'semdedup' AS method, id_a, id_b, sim FROM sempairs
       UNION ALL
       SELECT 'semgroup', n, min(r), CAST(NULL AS DOUBLE)
       FROM semreach GROUP BY n
+      UNION ALL
+      SELECT 'sdidx', id_a, id_b, sim FROM sdpairs
     )
     """,
 )
@@ -851,9 +881,54 @@ def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, threshold=NEARDUP_COS, cent_every=SEMDEDUP_CENT_EVERY
     ).localCheckpoint(eager=True)  # pairs feed BOTH the rows and CC
     semg = semantic_dedup_groups(sem)
+
+    # 'sdidx' rows (r8) — the PERSISTED SemDedupIndex's incremental add
+    # path under the driver oracle (VERDICT r7 #2): build over the
+    # corpus minus a sixth (keeping every quantizer seed id, so the
+    # frozen stride centroids equal the full corpus's), add() the rest,
+    # emit the ACCUMULATED pairs — which must equal the quantizer-
+    # pinned full run, here replayed by the oracle's NORMALIZED-
+    # centroid assignment chain (the IVF quantizer stores centroids
+    # L2-normalized, unlike the raw-centroid 'semdedup' stage above).
+    # Build-once per sf_dir; repeats serve pair reads.
+    import atexit
+    import shutil
+    import tempfile
+
+    from alma_memory_spark.operators.semdedup import SemDedupIndex
+
+    in_build = (F.col("vec_id") % 3 != 2) | (
+        F.col("vec_id") % SEMDEDUP_CENT_EVERY == 0
+    )
+    with _SDIDX_GATE_LOCK:
+        sdroot = _SDIDX_GATE_CACHE.get(sf_dir)
+        if sdroot is None:
+            sdroot = tempfile.mkdtemp(prefix="alma_sdidx_gate_")
+            sidx = SemDedupIndex.build(
+                spark,
+                emb.filter(in_build).select("vec_id", "embedding"),
+                sdroot,
+                id_col="vec_id",
+                vec_col="embedding",
+                threshold=NEARDUP_COS,
+                cent_every=SEMDEDUP_CENT_EVERY,
+            )
+            sidx.add(emb.filter(~in_build).select("vec_id", "embedding"))
+            _SDIDX_GATE_CACHE[sf_dir] = sdroot
+            atexit.register(shutil.rmtree, sdroot, ignore_errors=True)
+    sdp = SemDedupIndex.load(spark, sdroot).pairs()
+
     return (
         jac.select(F.lit("jaccard").alias("method"), "*")
         .unionByName(cos.select(F.lit("cosine").alias("method"), "*"))
+        .unionByName(
+            sdp.select(
+                F.lit("sdidx").alias("method"),
+                "id_a",
+                "id_b",
+                F.col("cos_sim").alias("sim"),
+            )
+        )
         .unionByName(
             sem.select(
                 F.lit("semdedup").alias("method"),
@@ -919,10 +994,39 @@ def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT reach.n, e.d AS r FROM reach JOIN edges e ON e.s = reach.r
     ), groups AS (
       SELECT n AS doc_id, min(r) AS group_id FROM reach GROUP BY n
+    ), toksu AS (
+      SELECT doc_id, ts FROM toks WHERE doc_id % 4 = 1
+    ), sigsu AS (
+      SELECT doc_id, ts,
+             {_sql_minhash_cols()}
+      FROM toksu
+    ), bandsu AS (
+      SELECT doc_id, b.band_idx,
+             CASE b.band_idx
+               WHEN 0 THEN md5(mh0::VARCHAR || '_' || mh1::VARCHAR || '_' || mh2::VARCHAR || '_' || mh3::VARCHAR)
+               ELSE md5(mh4::VARCHAR || '_' || mh5::VARCHAR || '_' || mh6::VARCHAR || '_' || mh7::VARCHAR)
+             END AS band_key
+      FROM sigsu, (SELECT unnest(range(0, {LSH_BANDS})) AS band_idx) b
+    ), candu AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bandsu a JOIN bandsu b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ), pairsu AS (
+      SELECT c.doc_a, c.doc_b,
+             round(len(list_intersect(ta.ts, tb.ts)) * 1.0 /
+                   (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts))), 6) AS jaccard_sim
+      FROM candu c
+      JOIN toksu ta ON ta.doc_id = c.doc_a
+      JOIN toksu tb ON tb.doc_id = c.doc_b
+      WHERE len(list_intersect(ta.ts, tb.ts)) * 1.0 /
+            (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts))) >= {LSH_VERIFY_T}
     )
     SELECT 'pair' AS variant, doc_a, doc_b, jaccard_sim FROM pairs
     UNION ALL
     SELECT 'group', doc_id, group_id, CAST(NULL AS DOUBLE) FROM groups
+    UNION ALL
+    SELECT 'ndidx', doc_a, doc_b, jaccard_sim FROM pairsu
     """,
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1018,14 +1122,59 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands.unpersist()
     toks.unpersist()
     groups = near_dup_groups(pairs)
-    return pairs.select(
-        F.lit("pair").alias("variant"), "doc_a", "doc_b", "jaccard_sim"
-    ).unionByName(
-        groups.select(
-            F.lit("group").alias("variant"),
-            F.col("doc_id").alias("doc_a"),
-            F.col("group_id").alias("doc_b"),
-            F.lit(None).cast("double").alias("jaccard_sim"),
+
+    # 'ndidx' rows (r8) — the PERSISTED NearDupIndex's incremental add
+    # path under the driver oracle (VERDICT r7 #2): build over half of
+    # a 25% sub-corpus, add() the other half, emit the ACCUMULATED
+    # pairs — which must equal the one-shot LSH run over the whole
+    # sub-corpus (the defining index contract, here hash-checked
+    # against the SQL replay instead of a unit fixture). Uncapped by
+    # design: incremental == rebuild only holds while every band group
+    # stays on one side of the cap across operations, so the gate pins
+    # the exact-equality regime; the capped production path is alarmed
+    # by the AddStats saturation counters instead. Build-once per
+    # sf_dir (the IVF/text gate pattern); repeats serve pair reads.
+    import atexit
+    import shutil
+    import tempfile
+
+    from alma_memory_spark.operators.dedup_index import NearDupIndex
+
+    uni = docs.filter(F.col("doc_id") % 4 == 1).select("doc_id", "text")
+    with _NDIDX_GATE_LOCK:
+        ndroot = _NDIDX_GATE_CACHE.get(sf_dir)
+        if ndroot is None:
+            ndroot = tempfile.mkdtemp(prefix="alma_ndidx_gate_")
+            idx = NearDupIndex.build(
+                spark, uni.filter(F.col("doc_id") % 8 == 1), ndroot,
+                id_col="doc_id", text_col="text", n_buckets=8,
+                k=MINHASH_K, bands=LSH_BANDS, rows=LSH_ROWS,
+                verify_t=LSH_VERIFY_T,
+            )
+            idx.add(uni.filter(F.col("doc_id") % 8 == 5))
+            _NDIDX_GATE_CACHE[sf_dir] = ndroot
+            atexit.register(shutil.rmtree, ndroot, ignore_errors=True)
+    ndpairs = NearDupIndex.load(spark, ndroot).pairs()
+
+    return (
+        pairs.select(
+            F.lit("pair").alias("variant"), "doc_a", "doc_b", "jaccard_sim"
+        )
+        .unionByName(
+            groups.select(
+                F.lit("group").alias("variant"),
+                F.col("doc_id").alias("doc_a"),
+                F.col("group_id").alias("doc_b"),
+                F.lit(None).cast("double").alias("jaccard_sim"),
+            )
+        )
+        .unionByName(
+            ndpairs.select(
+                F.lit("ndidx").alias("variant"),
+                "doc_a",
+                "doc_b",
+                "jaccard_sim",
+            )
         )
     )
 

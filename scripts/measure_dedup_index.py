@@ -96,5 +96,81 @@ def main() -> None:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def measure_pairs_history() -> None:
+    """Third claim (VERDICT r7 #1): add() wall stays FLAT while the
+    ACCUMULATED PAIRS HISTORY grows ~100x. Corpora built with per-text
+    duplicate factor d hold d*(d-1)/2 pairs per text group — pair
+    volume grows quadratically in d while the corpus grows only
+    linearly — and the fixed disjoint-vocabulary add batch must cost
+    the same against the 100x-pairs index: the replay guard reads
+    batch-adjacent history only (adjacency-bucketed pairs layout),
+    never the full pairs table."""
+    spark = get_spark(
+        "measure-neardup-pairs",
+        cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    )
+    base = (
+        load_table(spark, SF, "documents")
+        .select("doc_id", "text")
+        .filter("doc_id < 1500")
+        .localCheckpoint(eager=True)
+    )
+    batch = base.limit(200).select(
+        (F.col("doc_id") + 50_000_000).alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.split(F.col("text"), r"\s+"),
+                lambda t: F.concat(t, F.lit("_addb")),
+            ),
+            " ",
+        ).alias("text"),
+    ).localCheckpoint(eager=True)
+    results = []
+    root = tempfile.mkdtemp(prefix="neardup_pairs_")
+    try:
+        for dup in (2, 6, 20):
+            corpus = base.select(
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(dup - 1))
+                ).alias("_r"),
+                "doc_id",
+                "text",
+            ).select(
+                (F.col("doc_id") * 100 + F.col("_r")).alias("doc_id"),
+                "text",
+            )
+            path = os.path.join(root, f"d{dup}")
+            idx = NearDupIndex.build(spark, corpus, path, n_buckets=32)
+            n_hist = idx.pairs().count()
+            t0 = time.time()
+            n_new = idx.add(batch)
+            t_add = time.time() - t0
+            results.append(
+                {
+                    "dup_factor": dup,
+                    "pairs_history": int(n_hist),
+                    "add_sec": round(t_add, 2),
+                    "add_pairs": int(n_new),
+                }
+            )
+            print(json.dumps(results[-1]), flush=True)
+        growth = (
+            results[-1]["pairs_history"] / max(1, results[0]["pairs_history"])
+        )
+        print(
+            json.dumps(
+                {
+                    "claim": "add wall flat under growing pairs history",
+                    "pairs_growth": round(growth, 1),
+                    "add_sec_smallest": results[0]["add_sec"],
+                    "add_sec_largest": results[-1]["add_sec"],
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 if __name__ == "__main__":
     main()
+    measure_pairs_history()

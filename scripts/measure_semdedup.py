@@ -152,6 +152,74 @@ def measure_incremental() -> None:
             shutil.rmtree(root, ignore_errors=True)
 
 
+def measure_pairs_history() -> None:
+    """Third claim (VERDICT r7 #1): SemDedupIndex.add() wall stays FLAT
+    while the accumulated pairs history grows ~100x. Each base vector
+    is duplicated d times at tiny noise (cos > threshold inside the
+    group), so pairs grow ~d^2 while the corpus grows linearly; the
+    fixed fresh-anchor add batch must cost the same against the
+    100x-pairs index — the replay guard reads only batch-adjacent
+    partitions of the adjacency-bucketed pairs layout."""
+    import shutil
+    import tempfile
+
+    from alma_memory_spark.operators.semdedup import SemDedupIndex
+
+    spark = get_spark(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    rng = np.random.default_rng(11)
+    n_base = 1_000
+
+    def dup_corpus(d: int):
+        A = rng.normal(size=(n_base, DIM))
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        V = np.repeat(A, d, axis=0) + rng.normal(
+            scale=0.01, size=(n_base * d, DIM)
+        )
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        rows = [(int(i), [float(x) for x in V[i]]) for i in range(len(V))]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    batch = make_corpus(spark, 500, seed=123).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(50_000_000)
+    ).localCheckpoint(eager=True)
+    results = []
+    for d in (2, 6, 20):
+        root = tempfile.mkdtemp(prefix="semdedup_pairs_")
+        try:
+            corpus = dup_corpus(d).localCheckpoint(eager=True)
+            idx = SemDedupIndex.build(
+                spark, corpus, root + "/idx", threshold=0.85,
+                cent_every=CENT_EVERY,
+            )
+            n_hist = idx.pairs().count()
+            t0 = time.time()
+            n_new = idx.add(batch)
+            wall = time.time() - t0
+            rec = {
+                "dup_factor": d,
+                "pairs_history": int(n_hist),
+                "add_sec": round(wall, 2),
+                "add_pairs": int(n_new),
+            }
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
+            corpus.unpersist()
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    growth = results[-1]["pairs_history"] / max(1, results[0]["pairs_history"])
+    print(
+        json.dumps(
+            {
+                "claim": "semdedup add wall flat under growing pairs history",
+                "pairs_growth": round(growth, 1),
+                "add_sec_smallest": results[0]["add_sec"],
+                "add_sec_largest": results[-1]["add_sec"],
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     main()
     measure_incremental()
+    measure_pairs_history()

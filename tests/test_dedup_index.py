@@ -101,6 +101,95 @@ def test_add_reads_are_bucket_pruned(spark, tmp_path):
         assert int(m.group(1)) < total_files
 
 
+def test_replay_guard_reads_only_batch_adjacent_pairs(spark, tmp_path):
+    """Pinned (VERDICT r7 #1): the add-path replay guard must never
+    scan the full accumulated pairs history. Under the adjacency
+    layout the guard's plan prunes the pairs scan to the batch ids'
+    src partitions (PartitionFilters on sbucket) and semi-joins the
+    broadcast batch-id set — no SortMergeJoin, no history shuffle."""
+    from alma_memory_spark.operators._pairs_store import read_adjacent_pairs
+    from alma_memory_spark.session import tiny_df
+
+    docs = load_table(spark, SF_DIR, "documents")
+    idx = NearDupIndex.build(spark, docs, str(tmp_path / "adj"), n_buckets=8)
+    assert idx.pairs().count() > 0
+    pairs_root = os.path.join(idx.vroot, "pairs")
+    # adjacency layout on disk: hive-partitioned by src bucket
+    parts = [d for d in os.listdir(pairs_root) if d.startswith("sbucket=")]
+    assert len(parts) > 1
+    one = docs.orderBy("doc_id").limit(1).select("doc_id")
+    adj = read_adjacent_pairs(
+        spark, pairs_root, one, "doc_a", "doc_b", "jaccard_sim",
+        "bigint", idx.n_buckets,
+    )
+    plan = adj._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "sbucket" in plan.split(
+        "PartitionFilters"
+    )[1][:160], plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    # and the guard content is exactly the pairs touching the id
+    the_id = one.collect()[0][0]
+    got = {(r["doc_a"], r["doc_b"]) for r in adj.collect()}
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in idx.pairs().collect()
+        if the_id in (r["doc_a"], r["doc_b"])
+    }
+    assert got == want
+
+
+def test_legacy_flat_pairs_layout_serves_and_adds(spark, tmp_path):
+    """A pre-r8 index (flat pairs files, stats params without
+    pairs_layout) must keep working end-to-end: load() detects the
+    legacy layout, pairs()/groups() serve it, and add() appends FLAT
+    (mixing layouts in one dir would corrupt partition discovery)
+    while still accumulating the full-rebuild pair set."""
+    import json
+    import shutil
+
+    from alma_memory_spark.session import tiny_df
+
+    docs = load_table(spark, SF_DIR, "documents")
+    idx = NearDupIndex.build(
+        spark, docs.filter("doc_id % 5 != 0"), str(tmp_path / "leg"),
+        n_buckets=8,
+    )
+    # demote to the pre-r8 layout: flatten pairs, strip pairs_layout
+    pairs_root = os.path.join(idx.vroot, "pairs")
+    flat = idx.pairs().collect()
+    stats_rows = spark.read.parquet(os.path.join(idx.vroot, "stats")).collect()
+    shutil.rmtree(pairs_root)
+    spark.createDataFrame(
+        flat, "doc_a bigint, doc_b bigint, jaccard_sim double"
+    ).write.parquet(pairs_root)
+    legacy_rows = []
+    for r in stats_rows:
+        p = json.loads(r["params"])
+        p.pop("pairs_layout", None)
+        legacy_rows.append((json.dumps(p), r["n_docs"]))
+    stats_root = os.path.join(idx.vroot, "stats")
+    shutil.rmtree(stats_root)
+    tiny_df(spark, legacy_rows, "params string, n_docs long").write.parquet(
+        stats_root
+    )
+
+    legacy = NearDupIndex.load(spark, str(tmp_path / "leg"))
+    assert legacy.pairs_layout is None
+    assert _pairset(legacy.pairs()) == {
+        (r["doc_a"], r["doc_b"], r["jaccard_sim"]) for r in flat
+    }
+    legacy.add(docs.filter("doc_id % 5 = 0"))
+    full = NearDupIndex.build(spark, docs, str(tmp_path / "full"), n_buckets=8)
+    assert _pairset(legacy.pairs()) == _pairset(full.pairs())
+    # appends stayed flat: no partition dirs appeared
+    assert not any(
+        d.startswith("sbucket=") for d in os.listdir(pairs_root)
+    )
+    # and replaying the batch is still a no-op under the legacy guard
+    assert legacy.add(docs.filter("doc_id % 5 = 0")) == 0
+
+
 def test_superseded_handle_add_raises(spark, tmp_path):
     docs = load_table(spark, SF_DIR, "documents")
     v1 = NearDupIndex.build(
