@@ -1,0 +1,97 @@
+"""Paragraph-granularity exact dedup (VERDICT r7 #3).
+
+Whole-document dedup (exact_dedup / MinHash-LSH / SemDeDup) misses the
+standard failure mode of web corpora: repeated PARAGRAPHS — boilerplate
+footers, license blocks, navigation text — embedded in otherwise-unique
+documents. The published treatment is exact-substring dedup (Lee et
+al. 2021, "Deduplicating Training Data Makes Language Models Better",
+arXiv:2107.06499); the scalable approximation used here is
+paragraph-hash dedup: split on a separator, fingerprint each paragraph
+(md5 over normalized text, the exact_dedup canonical key), keep only
+the GLOBALLY FIRST occurrence of each fingerprint, reassemble.
+
+Reference parity: the reference dedups whole memories at consolidation
+time (alma/consolidation/deduplication.py); sub-document granularity is
+part of the training-data-pipeline extension surface.
+
+Scale shape: one hash shuffle on the paragraph fingerprint (groups are
+bounded by the duplicate count of a paragraph — the window inside each
+group is tiny and groups are the unit of parallelism), one shuffle on
+the doc id for reassembly (per-doc agg bounded by the doc's paragraph
+count). No global sort, no driver collect, pure column expressions —
+the same cost profile as exact_dedup plus one reassembly exchange.
+
+Keep-first semantics: the kept occurrence of a fingerprint is the
+minimal (doc_id, paragraph_index) — deterministic under any partition
+layout, replayable in ANSI SQL (the 'paradedup' gate hash-checks the
+reassembled text per doc against a DuckDB replay).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from alma_memory_spark.functions.text import fingerprint
+
+__all__ = ["dedup_paragraphs", "explode_paragraphs"]
+
+
+def explode_paragraphs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """(id, idx, p, fp): non-empty paragraphs of each doc in order,
+    with their dedup fingerprints. `sep` is a regex (the default
+    blank-line separator has no metacharacters, so it doubles as the
+    literal the SQL oracle splits on)."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "p"),
+        )
+        .filter(F.trim("p") != "")
+        .withColumn("fp", fingerprint("p"))
+    )
+
+
+def dedup_paragraphs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Drop every repeated paragraph (global first occurrence wins) and
+    reassemble each document from its kept paragraphs in original
+    order. Returns (id, text_dedup, n_paras, n_kept) for EVERY input
+    doc — a doc whose paragraphs were all dropped (or all whitespace)
+    comes back with text_dedup = '' and n_kept = 0, so the caller can
+    filter empties instead of silently losing rows."""
+    paras = explode_paragraphs(df, id_col, text_col, sep)
+    w = Window.partitionBy("fp").orderBy(id_col, "idx")
+    kept = (
+        paras.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "fp")
+    )
+    reasm = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "p"))),
+                lambda s: s["p"],
+            ),
+            sep,
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    counts = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paras"))
+    return (
+        df.select(id_col)
+        .join(counts, id_col, "left")
+        .join(reasm, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )

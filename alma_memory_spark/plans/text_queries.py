@@ -35,6 +35,11 @@ from alma_memory_spark.plans.registry import (
 NEARDUP_COS = 0.4  # embedding near-dup threshold for this corpus (param; ref default 0.85)
 SEMDEDUP_CENT_EVERY = 50  # quantizer stride: ~50 vecs/cell at any corpus size
 DECONTAM_N = 6  # n-gram size for the decontamination gate (prod: 13)
+# paradedup gate: the separator is embedded with REAL newline chars
+# (DuckDB plain string literals do not process backslash escapes — the
+# WS_RE convention in functions/text.py)
+_PARA_SEP = "\n\n"
+_PARA_FOOTER = "standard footer boilerplate shared across documents"
 JACCARD_T = 0.95  # token-set near-dup threshold for this corpus
 MINHASH_K = 8
 LSH_BANDS = 2  # 2 bands x 4 rows (stricter banding: fewer, better candidates)
@@ -393,6 +398,31 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON t.gram = b.gram
       WHERE t.doc_id % 5 != 0
       GROUP BY t.doc_id
+    ),
+    pdoc AS (
+      SELECT doc_id, concat_ws('{_PARA_SEP}', text,
+             '{_PARA_FOOTER}',
+             substr(text, 1, 40), substr(text, 10, 30)) AS ptext
+      FROM documents
+    ),
+    paras AS (
+      SELECT doc_id, u.i AS idx, u.p AS p, {X.sql_fingerprint('u.p')} AS pfp
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ps)+1), i -> {{'i': i, 'p': ps[i]}})) AS u
+        FROM (SELECT doc_id, string_split(ptext, '{_PARA_SEP}') AS ps FROM pdoc)
+      ) WHERE trim(u.p) <> ''
+    ),
+    pkeep AS (
+      SELECT doc_id, idx, p FROM (
+        SELECT *, row_number() OVER (PARTITION BY pfp ORDER BY doc_id, idx) AS rn
+        FROM paras
+      ) WHERE rn = 1
+    ),
+    preasm AS (
+      SELECT doc_id, count(*) AS n_kept,
+             md5(string_agg(p, '{_PARA_SEP}' ORDER BY idx)) AS h
+      FROM pkeep GROUP BY doc_id
     )
     SELECT 'dedup' AS variant, fp AS key, canonical_id AS id, n_copies AS n
     FROM dd
@@ -405,6 +435,10 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'contam', CAST(NULL AS VARCHAR), doc_id, n_shared
     FROM contam
+    UNION ALL
+    SELECT 'paradedup', coalesce(pr.h, md5('')), d.doc_id,
+           coalesce(pr.n_kept, 0)
+    FROM documents d LEFT JOIN preasm pr ON d.doc_id = pr.doc_id
     """,
 )
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -432,7 +466,18 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     held-out slice (doc_id % 5 == 0 plays the benchmark) are flagged
     with their shared-gram count; the bench gram set broadcasts, the
     training side never shuffles. n=6 because the synthetic corpus is
-    short bag-of-words text; production uses the published n=13."""
+    short bag-of-words text; production uses the published n=13.
+
+    'paradedup' rows (r8) — paragraph-granularity exact dedup
+    (operators/paragraphs.py, the Lee-et-al-2021 paragraph-hash
+    approximation): deterministic multi-paragraph text (the doc, a
+    shared boilerplate footer, and two self-substring paragraphs,
+    blank-line separated) is deduped at paragraph level — global first
+    occurrence of each paragraph fingerprint wins — and each doc's row
+    carries md5(reassembled text) + kept-paragraph count, so a wrong
+    keep decision, a lost paragraph, or an order drift in reassembly
+    all hash-mismatch. Two hash shuffles (fingerprint, doc id), no
+    global sort."""
     from alma_memory_spark.operators.sampling import (
         stratified_sample,
         weighted_mix,
@@ -488,7 +533,27 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id"),
         F.col("n_shared").alias("n"),
     )
-    return dd.unionByName(strat).unionByName(mixed).unionByName(contam)
+    from alma_memory_spark.operators.paragraphs import dedup_paragraphs
+
+    p_aug = F.concat_ws(
+        _PARA_SEP,
+        F.col("text"),
+        F.lit(_PARA_FOOTER),
+        F.substring("text", 1, 40),
+        F.substring("text", 10, 30),
+    )
+    para = dedup_paragraphs(docs.select("doc_id", p_aug.alias("text"))).select(
+        F.lit("paradedup").alias("variant"),
+        F.md5("text_dedup").alias("key"),
+        F.col("doc_id").alias("id"),
+        F.col("n_kept").alias("n"),
+    )
+    return (
+        dd.unionByName(strat)
+        .unionByName(mixed)
+        .unionByName(contam)
+        .unionByName(para)
+    )
 
 
 def _sql_minhash_cols() -> str:

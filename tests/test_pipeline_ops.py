@@ -87,6 +87,33 @@ def test_phone_formats_match_oracle_engine(spark):
     assert all(got[i][0] == 0 for i in range(6, 10))  # documented misses
 
 
+def test_paragraph_dedup_keeps_global_first_occurrence(spark):
+    """Hand-computed paragraph dedup: the globally FIRST (doc_id, idx)
+    occurrence of each paragraph fingerprint survives; docs reassemble
+    in original order; a fully-duplicated doc comes back empty instead
+    of vanishing."""
+    from alma_memory_spark.operators.paragraphs import dedup_paragraphs
+
+    rows = [
+        (1, "alpha one\n\nshared footer\n\nbeta two"),
+        (2, "gamma three\n\nshared footer\n\nalpha one"),
+        (3, "shared footer"),  # every paragraph already seen
+        (4, "  \n\n Shared   FOOTER \n\ndelta four"),  # normalized dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup_paragraphs(df).collect()}
+    assert got[1]["text_dedup"] == "alpha one\n\nshared footer\n\nbeta two"
+    assert (got[1]["n_paras"], got[1]["n_kept"]) == (3, 3)
+    # 'alpha one' and 'shared footer' first appeared in doc 1
+    assert got[2]["text_dedup"] == "gamma three"
+    assert (got[2]["n_paras"], got[2]["n_kept"]) == (3, 1)
+    assert got[3]["text_dedup"] == "" and got[3]["n_kept"] == 0
+    # fingerprint normalizes case + whitespace: ' Shared   FOOTER ' dups
+    assert got[4]["text_dedup"] == "delta four"
+    assert (got[4]["n_paras"], got[4]["n_kept"]) == (2, 1)
+    assert set(got) == {1, 2, 3, 4}
+
+
 def test_decontamination_flags_and_drops_shared_ngrams(spark):
     shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"
     train = spark.createDataFrame(
