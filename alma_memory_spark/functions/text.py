@@ -271,6 +271,94 @@ def quality_score(col: Column | str) -> Column:
     )
 
 
+# Gopher (Rae et al. 2021) required stopwords: a quality doc contains
+# at least 2 of these 8
+GOPHER_REQUIRED_STOPWORDS = "the be to of and that have with".split()
+
+
+def quality_signals(col: Column | str) -> dict[str, Column]:
+    """The raw counting signals behind the published C4/Gopher
+    heuristic quality rules, as named Columns over ONE text column:
+
+      n_words / sum_word_len   whitespace tokens and their total length
+      alpha_words              tokens containing an alphabetic char
+      stopword_presence        distinct GOPHER_REQUIRED_STOPWORDS hits
+      symbols                  '#' occurrences + ellipsis runs ('...'/'…')
+      n_lines                  newline-split line count
+      terminal_lines           lines ending in terminal punct [.!?"] (C4)
+      bullet_lines             lines starting with a bullet [-*•]
+      ellipsis_lines           lines ending in an ellipsis
+
+    Everything is an INTEGER count — the pass/fail rules compare in
+    integer arithmetic (3*n <= sum <= 10*n etc.), so the decisions are
+    bit-stable across engines with no float boundaries. All signals are
+    scan-speed column expressions; a wide pipeline should project them
+    in one select (each signal embeds its own tokenizer/line split —
+    fine per projection, wasteful if signals are re-derived one per
+    stage)."""
+    c = _c(col)
+    ts = ws_tokens(c)
+    lines = F.split(c, "\n")
+    return {
+        "n_words": F.size(ts).cast("long"),
+        "sum_word_len": F.aggregate(
+            ts, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+        ),
+        "alpha_words": F.size(
+            F.filter(ts, lambda s: s.rlike("[a-z]"))
+        ).cast("long"),
+        "stopword_presence": F.size(
+            F.array_intersect(
+                ts, F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPWORDS])
+            )
+        ).cast("long"),
+        "symbols": (
+            F.regexp_count(c, F.lit("#"))
+            + F.regexp_count(c, F.lit(r"\.\.\.|…"))
+        ).cast("long"),
+        "n_lines": F.size(lines).cast("long"),
+        "terminal_lines": F.size(
+            F.filter(lines, lambda x: F.rtrim(x).rlike('[.!?"]$'))
+        ).cast("long"),
+        "bullet_lines": F.size(
+            F.filter(lines, lambda x: F.ltrim(x).rlike("^[-*•]"))
+        ).cast("long"),
+        "ellipsis_lines": F.size(
+            F.filter(lines, lambda x: F.rtrim(x).rlike(r"(\.\.\.|…)$"))
+        ).cast("long"),
+    }
+
+
+def gopher_pass_bits(col: Column | str, min_words: int = 50,
+                     max_words: int = 100_000) -> Column:
+    """7-char '1'/'0' string, one char per published quality rule (in
+    this fixed order): word count in [min_words, max_words]; mean word
+    length in [3, 10]; symbol-to-word ratio <= 0.1; bullet-line
+    fraction <= 0.9; ellipsis-line fraction <= 0.3; alphabetic-word
+    fraction >= 0.8; >= 2 required stopwords present. All comparisons
+    in integer arithmetic (see quality_signals). '1111111' = keep."""
+    s = quality_signals(col)
+    bits = [
+        (s["n_words"] >= min_words) & (s["n_words"] <= max_words),
+        (3 * s["n_words"] <= s["sum_word_len"])
+        & (s["sum_word_len"] <= 10 * s["n_words"]),
+        10 * s["symbols"] <= s["n_words"],
+        10 * s["bullet_lines"] <= 9 * s["n_lines"],
+        10 * s["ellipsis_lines"] <= 3 * s["n_lines"],
+        5 * s["alpha_words"] >= 4 * s["n_words"],
+        s["stopword_presence"] >= 2,
+    ]
+    return F.concat(
+        *[F.when(b, F.lit("1")).otherwise(F.lit("0")) for b in bits]
+    )
+
+
+def gopher_quality_pass(col: Column | str, min_words: int = 50,
+                        max_words: int = 100_000) -> Column:
+    """Boolean keep/drop: every gopher_pass_bits rule passes."""
+    return gopher_pass_bits(col, min_words, max_words) == "1111111"
+
+
 # ---------------------------------------------------------------------------
 # DuckDB SQL snippet builders (oracle side) — same constants, same math
 # ---------------------------------------------------------------------------
@@ -462,6 +550,48 @@ def dup_ngram_fraction(col: Column | str, n: int = 2) -> Column:
         total > 0,
         F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / total.cast("double"),
     ).otherwise(F.lit(0.0))
+
+
+def sql_quality_signals(expr: str) -> dict[str, str]:
+    """DuckDB mirrors of quality_signals, same names and math."""
+    ts = sql_ws_tokens(expr)
+    lines = f"string_split({expr}, chr(10))"
+    return {
+        "n_words": f"len({ts})",
+        "sum_word_len": f"coalesce(list_sum(list_transform({ts}, s -> length(s))), 0)",
+        "alpha_words": f"len(list_filter({ts}, s -> regexp_matches(s, '[a-z]')))",
+        "stopword_presence": f"len(list_intersect({ts}, {_sql_list(GOPHER_REQUIRED_STOPWORDS)}))",
+        "symbols": (
+            f"len(regexp_extract_all({expr}, '#'))"
+            f" + len(regexp_extract_all({expr}, '\\.\\.\\.|…'))"
+        ),
+        "n_lines": f"len({lines})",
+        "terminal_lines": (
+            f"len(list_filter({lines}, x -> regexp_matches(rtrim(x), '[.!?\"]$')))"
+        ),
+        "bullet_lines": (
+            f"len(list_filter({lines}, x -> regexp_matches(ltrim(x), '^[-*•]')))"
+        ),
+        "ellipsis_lines": (
+            f"len(list_filter({lines}, x -> regexp_matches(rtrim(x), '(\\.\\.\\.|…)$')))"
+        ),
+    }
+
+
+def sql_gopher_pass_bits(expr: str, min_words: int = 50,
+                         max_words: int = 100_000) -> str:
+    """DuckDB mirror of gopher_pass_bits (identical integer math)."""
+    s = sql_quality_signals(expr)
+    bits = [
+        f"({s['n_words']} >= {min_words} AND {s['n_words']} <= {max_words})",
+        f"(3 * {s['n_words']} <= {s['sum_word_len']} AND {s['sum_word_len']} <= 10 * {s['n_words']})",
+        f"(10 * ({s['symbols']}) <= {s['n_words']})",
+        f"(10 * {s['bullet_lines']} <= 9 * {s['n_lines']})",
+        f"(10 * {s['ellipsis_lines']} <= 3 * {s['n_lines']})",
+        f"(5 * {s['alpha_words']} >= 4 * {s['n_words']})",
+        f"({s['stopword_presence']} >= 2)",
+    ]
+    return " || ".join(f"(CASE WHEN {b} THEN '1' ELSE '0' END)" for b in bits)
 
 
 def sql_token_ngrams(expr: str, n: int) -> str:

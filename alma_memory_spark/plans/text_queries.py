@@ -70,6 +70,9 @@ _SDIDX_GATE_LOCK = threading.Lock()
 # text analysis
 # ---------------------------------------------------------------------------
 
+# quality-filter oracle snippets over the gate's synthetic lined text
+_QS = X.sql_quality_signals("qtext")
+
 @register(
     "text_profile",
     f"""
@@ -129,6 +132,29 @@ _SDIDX_GATE_LOCK = threading.Lock()
              round({X.sql_dup_ngram_fraction('text', 2)}, 6) AS dup_frac
       FROM documents
     ),
+    qdoc AS (
+      SELECT doc_id,
+             text || '.' || chr(10)
+             || CASE WHEN doc_id % 4 = 0 THEN '- bullet item' ELSE 'plain line end?' END || chr(10)
+             || CASE WHEN doc_id % 5 = 0 THEN 'to be continued...' ELSE 'count ' || CAST(doc_id % 7 AS VARCHAR) || ' items.' END || chr(10)
+             || CASE WHEN doc_id % 6 = 0 THEN '### symbols ## here #' ELSE 'these words are of the usual kind' END
+             AS qtext
+      FROM documents
+    ),
+    qsig AS (
+      SELECT doc_id,
+             CAST({_QS['n_words']} AS BIGINT) AS n_words,
+             CAST({_QS['sum_word_len']} AS BIGINT) AS sum_word_len,
+             CAST({_QS['alpha_words']} AS BIGINT) AS alpha_words,
+             CAST({_QS['stopword_presence']} AS BIGINT) AS stopword_presence,
+             CAST({_QS['symbols']} AS BIGINT) AS symbols,
+             CAST({_QS['n_lines']} AS BIGINT) AS n_lines,
+             CAST({_QS['terminal_lines']} AS BIGINT) AS terminal_lines,
+             CAST({_QS['bullet_lines']} AS BIGINT) AS bullet_lines,
+             CAST({_QS['ellipsis_lines']} AS BIGINT) AS ellipsis_lines,
+             {X.sql_gopher_pass_bits('qtext', 100)} AS pass_bits
+      FROM qdoc
+    ),
     nsrec AS (
       SELECT shard, rn, doc_id, n_tokens,
              CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pack_offset,
@@ -172,6 +198,19 @@ _SDIDX_GATE_LOCK = threading.Lock()
            CAST(NULL AS VARCHAR), dup_frac,
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
     FROM rep
+    UNION ALL
+    SELECT 'qf1', doc_id, n_words, stopword_presence, alpha_words,
+           terminal_lines, CAST(NULL AS VARCHAR),
+           round(CASE WHEN n_words > 0
+                      THEN sum_word_len * 1.0 / n_words ELSE 0.0 END, 6),
+           bullet_lines, ellipsis_lines
+    FROM qsig
+    UNION ALL
+    SELECT 'qf2', doc_id, n_lines, symbols,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           pass_bits, CAST(NULL AS DOUBLE),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM qsig
     """,
 )
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,7 +258,18 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     'rep' rows (r7) — Gopher-style repetition signal: total/distinct
     token-2-gram counts and the duplicate-occurrence fraction per doc
-    (boilerplate detector), pure column expressions."""
+    (boilerplate detector), pure column expressions.
+
+    'qf1'/'qf2' rows (r8) — the C4/Gopher heuristic quality-filter
+    family (functions/text.py quality_signals / gopher_pass_bits)
+    over deterministic synthetic lined text (4 lines/doc varying
+    bullet / ellipsis / symbol / terminal-punct properties by doc_id):
+    'qf1' carries the raw counting signals (words, stopword presence,
+    alphabetic words, terminal-punct lines, mean word length, bullet
+    lines, ellipsis lines), 'qf2' the line/symbol counts plus the
+    7-bit rule-pass string — every rule decision is integer-arithmetic
+    so both engines agree bit-for-bit. One more scan-speed projection,
+    no shuffle."""
     from alma_memory_spark.operators.packing import (
         pack_documents,
         pack_documents_nostraddle,
@@ -352,11 +402,56 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("pack_id"),
         F.lit(None).cast("long").alias("pack_offset"),
     )
+    qtext = F.concat_ws(
+        "\n",
+        F.concat(F.col("text"), F.lit(".")),
+        F.when(did % 4 == 0, F.lit("- bullet item")).otherwise(
+            F.lit("plain line end?")
+        ),
+        F.when(did % 5 == 0, F.lit("to be continued...")).otherwise(
+            F.concat(F.lit("count "), (did % 7).cast("string"), F.lit(" items."))
+        ),
+        F.when(did % 6 == 0, F.lit("### symbols ## here #")).otherwise(
+            F.lit("these words are of the usual kind")
+        ),
+    )
+    qdoc = docs.select("doc_id", qtext.alias("qtext"))
+    qs = X.quality_signals(F.col("qtext"))
+    qf1 = qdoc.select(
+        F.lit("qf1").alias("variant"),
+        "doc_id",
+        qs["n_words"].alias("n_tokens"),
+        qs["stopword_presence"].alias("token_estimate"),
+        qs["alpha_words"].alias("n_bpe_tokens"),
+        qs["terminal_lines"].alias("n_chars_actual"),
+        F.lit(None).cast("string").alias("pred_lang"),
+        _r6(
+            F.when(
+                qs["n_words"] > 0, qs["sum_word_len"] / qs["n_words"]
+            ).otherwise(F.lit(0.0))
+        ).alias("quality"),
+        qs["bullet_lines"].alias("pack_id"),
+        qs["ellipsis_lines"].alias("pack_offset"),
+    )
+    qf2 = qdoc.select(
+        F.lit("qf2").alias("variant"),
+        "doc_id",
+        qs["n_lines"].alias("n_tokens"),
+        qs["symbols"].alias("token_estimate"),
+        F.lit(None).cast("long").alias("n_bpe_tokens"),
+        F.lit(None).cast("long").alias("n_chars_actual"),
+        X.gopher_pass_bits(F.col("qtext"), min_words=100).alias("pred_lang"),
+        F.lit(None).cast("double").alias("quality"),
+        F.lit(None).cast("long").alias("pack_id"),
+        F.lit(None).cast("long").alias("pack_offset"),
+    )
     return (
         prof_rows.unionByName(pack_rows)
         .unionByName(packns_rows)
         .unionByName(pii_rows)
         .unionByName(rep_rows)
+        .unionByName(qf1)
+        .unionByName(qf2)
     )
 
 

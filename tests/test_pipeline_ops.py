@@ -87,6 +87,46 @@ def test_phone_formats_match_oracle_engine(spark):
     assert all(got[i][0] == 0 for i in range(6, 10))  # documented misses
 
 
+def test_gopher_quality_rules_hand_cases(spark):
+    """Each published rule trips on its own pathology and a clean doc
+    passes all seven (order: words, mean-len, symbols, bullets,
+    ellipsis, alpha, stopwords)."""
+    from alma_memory_spark.functions.text import (
+        gopher_pass_bits,
+        gopher_quality_pass,
+    )
+
+    clean = (
+        "the quick brown fox jumps over that lazy dog and it will have "
+        "kept running with steady calm pace for hours today"
+    )
+    rows = [
+        (0, clean),
+        (1, "too few words"),  # word count below min
+        (2, "the of " + "# " * 30 + "and that have with words here now "
+            "keep going along fine today"),  # symbol ratio > 0.1
+        (3, "\n".join("- bullet %d of the set and that have with" % i
+                      for i in range(10))),  # bullet fraction > 0.9
+        (4, "the of and " + "12345 9876 " * 12 + "that have with"),  # alpha < 0.8
+        (5, "zz qq xx " * 8),  # no required stopwords
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: (r["bits"], r["keep"])
+        for r in df.select(
+            "id",
+            gopher_pass_bits("text", min_words=10).alias("bits"),
+            gopher_quality_pass("text", min_words=10).alias("keep"),
+        ).collect()
+    }
+    assert got[0] == ("1111111", True)
+    assert got[1][0][0] == "0" and not got[1][1]  # word-count bit
+    assert got[2][0][2] == "0" and not got[2][1]  # symbol bit
+    assert got[3][0][3] == "0" and not got[3][1]  # bullet bit
+    assert got[4][0][5] == "0" and not got[4][1]  # alpha bit
+    assert got[5][0][6] == "0" and not got[5][1]  # stopword bit
+
+
 def test_paragraph_dedup_keeps_global_first_occurrence(spark):
     """Hand-computed paragraph dedup: the globally FIRST (doc_id, idx)
     occurrence of each paragraph fingerprint survives; docs reassemble
