@@ -260,6 +260,11 @@ class AlmaSpark:
             # are pure serving latency (the table is always written
             # through this exact schema)
             fb_df = self.store.read("retrieval_feedback", declared_schema=True)
+            # ONE blend joins the summary AFTER the type union (below),
+            # so this subtree plans and runs once — not once per type
+            # branch (measured ~1s of pure per-retrieve overhead on a
+            # near-empty store from 4 duplicated scan+agg+broadcast
+            # subtrees, r8)
             fb = feedback_summary(fb_df)
 
         # ONE Spark job for all memory types (SURVEY §3.1): per-type
@@ -311,13 +316,15 @@ class AlmaSpark:
                 mode=cfg,
                 candidates=candidates,
             )
-            if fb is not None:
-                scored = apply_feedback_blend(
-                    scored, fb, self.feedback_weight, memory_type=t
-                )
-                tiebreak = "ann_rank" if "ann_rank" in scored.columns else "id"
-                scored = scored.orderBy(F.desc("score"), F.asc(tiebreak)).limit(fetch_k)
-            colsets[t] = list(scored.columns)
+            # feedback blending happens ONCE after the union (each
+            # branch is already cut to fetch_k rows by its own
+            # TakeOrderedAndProject, so a per-branch re-sort + re-limit
+            # after blending changed no memberships — and the driver
+            # re-sorts every branch's rows below anyway); the blend
+            # appends a feedback_score column to every branch
+            colsets[t] = list(scored.columns) + (
+                ["feedback_score"] if fb is not None else []
+            )
             frames.append(scored.withColumn("memory_type", F.lit(t)))
         if user_id is not None:
             pdf = (
@@ -336,6 +343,10 @@ class AlmaSpark:
             unioned = frames[0]
             for f in frames[1:]:
                 unioned = unioned.unionByName(f, allowMissingColumns=True)
+            if fb is not None:
+                unioned = apply_feedback_blend(
+                    unioned, fb, self.feedback_weight, type_col="memory_type"
+                )
             rows_iter = unioned.collect()
         for r in rows_iter:
             d = r.asDict(recursive=True)
@@ -1437,7 +1448,7 @@ class AlmaSpark:
                     qvec, k=top_k, nprobe=nprobe, live_ids=df.select("id")
                 )
         else:
-            qlit = F.array(*[F.lit(float(x)) for x in qvec])
+            qlit = F.lit([float(x) for x in qvec])  # one py4j call
             hits = (
                 df.filter(F.col("embedding").isNotNull())
                 .select(
@@ -1582,7 +1593,7 @@ class AlmaSpark:
             df = df.filter(F.col("user_id") == user_id)
         fetch = max(2 * top_k, 10)
 
-        qlit = F.array(*[F.lit(float(x)) for x in qvec])
+        qlit = F.lit([float(x) for x in qvec])  # one py4j call
         if "embedding" in df.columns:
             vec = (
                 df.filter(F.col("embedding").isNotNull())

@@ -45,17 +45,37 @@ def apply_feedback_blend(
     memory_type: str | None = None,
     id_col: str = "id",
     score_col: str = "score",
+    type_col: str | None = None,
 ) -> DataFrame:
     """Left-join scores with feedback summaries and blend; coalesce keeps
     the original score when no feedback exists. The summary side is tiny
-    relative to candidates -> broadcast."""
+    relative to candidates -> broadcast.
+
+    Two ways to scope the summary to a memory type: `memory_type`
+    filters the summary to ONE literal type (the per-branch form), or
+    `type_col` names a column of `scored` to equi-join against the
+    summary's memory_type (the post-union form — one broadcast join
+    over all types instead of one join per type branch, r8)."""
     s = summary
     if memory_type is not None:
         s = s.filter(F.col("memory_type") == memory_type)
-    s = s.select(F.col("memory_id"), F.col("feedback_score"))
-    out = scored.join(F.broadcast(s), scored[id_col] == s.memory_id, "left").drop(
-        "memory_id"
-    )
+    if type_col is not None:
+        s = s.select(
+            F.col("memory_id"),
+            F.col("memory_type").alias("_fb_type"),
+            F.col("feedback_score"),
+        )
+        out = scored.join(
+            F.broadcast(s),
+            (scored[id_col] == s["memory_id"])
+            & (scored[type_col] == s["_fb_type"]),
+            "left",
+        ).drop("memory_id", "_fb_type")
+    else:
+        s = s.select(F.col("memory_id"), F.col("feedback_score"))
+        out = scored.join(
+            F.broadcast(s), scored[id_col] == s.memory_id, "left"
+        ).drop("memory_id")
     blended = F.when(
         F.col("feedback_score").isNotNull(),
         (1.0 - weight) * F.col(score_col)

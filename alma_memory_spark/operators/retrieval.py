@@ -211,7 +211,9 @@ def vector_candidates(
     per-partition top-k partials — this is the plan that survives 100x
     scale-up. Adds `similarity` and an explicit `ann_rank` tiebreaker.
     """
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    # one py4j call instead of ~130 (lit-per-dim + array): the
+    # retrieve hot path is driver-bound on expression construction
+    qlit = F.lit([float(x) for x in query_vec])
     scored = df.withColumn("similarity", cosine_similarity(embedding_col, qlit))
     # Global top-k: orderBy+limit compiles to TakeOrderedAndProject.
     top = scored.orderBy(F.desc("similarity"), F.asc(id_col)).limit(k)

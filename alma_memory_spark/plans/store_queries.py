@@ -838,32 +838,45 @@ def engine_retrieve_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         # locks) — overlap their write jobs
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            w1 = pool.submit(eng.store.append, "domain_knowledge", rows_df)
-            w2 = pool.submit(eng.store.append, "retrieval_feedback", fb_df)
-            w1.result(), w2.result()
+        append_pool = ThreadPoolExecutor(max_workers=2)
+        w1 = append_pool.submit(eng.store.append, "domain_knowledge", rows_df)
+        w2 = append_pool.submit(eng.store.append, "retrieval_feedback", fb_df)
 
-        # the IVF build starts NOW and overlaps every retrieve below
-        # (r7): it only reads the committed domain_knowledge table and
-        # writes under its own uncommitted version dir, the same safety
-        # argument that already overlapped it with recall/feedback —
-        # the build was the longest member of the old middle section,
-        # so hiding it behind the serial e2e too takes it off the
-        # gate's critical path entirely. The pool is closed via
-        # shutdown(wait=True) in the enclosing finally: a retrieve
-        # failing mid-gate must still JOIN the build before the outer
-        # `finally: rmtree(root)` deletes the dir the build writes into
+        # the IVF build starts the moment the domain_knowledge append
+        # commits (it reads only that table and writes under its own
+        # uncommitted version dir — the r7 safety argument) and
+        # overlaps the feedback append AND every retrieve below. The
+        # pool is closed via shutdown(wait=True) in the enclosing
+        # finally: a retrieve failing mid-gate must still JOIN the
+        # build before the outer `finally: rmtree(root)` deletes the
+        # dir the build writes into
         build_pool = ThreadPoolExecutor(max_workers=1)
         try:
-            f3 = build_pool.submit(eng.index_vectors, "domain_knowledge", cent_every=50)
+            def _build():
+                w1.result()
+                return eng.index_vectors("domain_knowledge", cent_every=50)
 
-            # the cache-separation property (mode/top_k/use_feedback in the
-            # key) is proven through ONE engine: the e2e call populates the
-            # cache, then recall + feedback must MISS it
-            sl = eng.retrieve(QUERY_TEXT, agent="helena", project_id="p", top_k=20)
-            e2e_rows = [
-                ("e2e", r["id"], round(float(r["score"]), 6)) for r in sl.domain_knowledge
-            ]
+            f3 = build_pool.submit(_build)
+            w1.result(), w2.result()
+            append_pool.shutdown(wait=True)
+
+            # the cache-separation property (mode/top_k/use_feedback in
+            # the key) is proven by the HASHES: all three variants run
+            # on one engine with distinct cache keys, so a key that
+            # failed to separate would serve one variant's slice for
+            # another and mismatch that variant's oracle rows. That
+            # property holds regardless of call order, so the three
+            # retrieves overlap (r8 — the serial e2e-first ordering
+            # kept the most expensive cold retrieve OFF the thread
+            # pool and on the gate's critical path).
+            def e2e_call():
+                s = eng.retrieve(
+                    QUERY_TEXT, agent="helena", project_id="p", top_k=20
+                )
+                return [
+                    ("e2e", r["id"], round(float(r["score"]), 6))
+                    for r in s.domain_knowledge
+                ]
 
             def recall_call():
                 s = eng.retrieve(
@@ -884,47 +897,50 @@ def engine_retrieve_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for r in s.domain_knowledge
                 ]
 
-            # recall + feedback are pure reads on the cached-cold engine;
-            # they overlap each other and the still-running IVF build
-            with ThreadPoolExecutor(max_workers=2) as pool:
-                f1 = pool.submit(recall_call)
-                f2 = pool.submit(feedback_call)
-                out = e2e_rows + f1.result() + f2.result()
+            # 'ann' serves the SAME retrieval from the scope-aware IVF
+            # index with every cell probed — it joins the build future
+            # INSIDE its thread, so the only work serialized behind the
+            # build is the single ann retrieve (r8; previously the
+            # whole ann+batch section waited on the build)
+            def ann_call():
+                rep = f3.result()
+                assert rep["indexed"], rep
+                s = eng.retrieve(
+                    QUERY_TEXT, agent="helena", project_id="p", top_k=20,
+                    use_ann=True, nprobe=rep["n_cells"],
+                )
+                return [
+                    ("ann", r["id"], round(float(r["score"]), 6))
+                    for r in s.domain_knowledge
+                ]
+
+            def batch_call():
+                bt = eng.retrieve_batch(
+                    [QUERY_TEXT, _BATCH_TASK_2], agent="helena",
+                    project_id="p", top_k=20,
+                )
+                rows = []
+                for qi, task in enumerate([QUERY_TEXT, _BATCH_TASK_2]):
+                    rows += [
+                        (f"batch:q{qi}", r["id"], round(float(r["score"]), 6))
+                        for r in bt[task].domain_knowledge
+                    ]
+                return rows
+
+            # every variant is a pure read on the cache-cold engine;
+            # all five overlap (ann self-gates on the build)
+            with ThreadPoolExecutor(max_workers=5) as pool:
+                futs = [
+                    pool.submit(c)
+                    for c in (e2e_call, recall_call, feedback_call,
+                              batch_call, ann_call)
+                ]
+                out = [row for f in futs for row in f.result()]
             rep = f3.result()
         finally:
             build_pool.shutdown(wait=True)
+            append_pool.shutdown(wait=True)  # no-op when already down
         assert rep["indexed"], rep
-
-        # 'ann' variant: serve the SAME retrieval from the scope-aware
-        # IVF index with every cell probed; 'batch' runs concurrently
-        # (both are pure reads of a committed index + store)
-        def ann_call():
-            s = eng.retrieve(
-                QUERY_TEXT, agent="helena", project_id="p", top_k=20,
-                use_ann=True, nprobe=rep["n_cells"],
-            )
-            return [
-                ("ann", r["id"], round(float(r["score"]), 6))
-                for r in s.domain_knowledge
-            ]
-
-        def batch_call():
-            bt = eng.retrieve_batch(
-                [QUERY_TEXT, _BATCH_TASK_2], agent="helena", project_id="p",
-                top_k=20,
-            )
-            rows = []
-            for qi, task in enumerate([QUERY_TEXT, _BATCH_TASK_2]):
-                rows += [
-                    (f"batch:q{qi}", r["id"], round(float(r["score"]), 6))
-                    for r in bt[task].domain_knowledge
-                ]
-            return rows
-
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            fa = pool.submit(ann_call)
-            fb_fut = pool.submit(batch_call)
-            out += fa.result() + fb_fut.result()
         return _tiny(spark, out, "variant string, id string, score double")
     finally:
         shutil.rmtree(root, ignore_errors=True)
