@@ -1,0 +1,142 @@
+"""BPE merge-loop token counting (VERDICT r7 #6).
+
+The packing/mixing budgets previously ran only on estimates (len/4 or
+the BPE-ish pre-tokenizer regex count). This module adds
+tokenizer-FAITHFUL counts: the standard BPE encode loop (Sennrich et
+al. 2016; the GPT-2 serving shape — regex pre-tokenizer, then
+greedy lowest-rank pair merges WITHIN each pre-token) over a committed
+merge table (resources/bpe_merges.txt, regenerated deterministically by
+scripts/make_bpe_vocab.py).
+
+Spark shape: the merge loop is inherently sequential per pre-token, so
+it runs as an Arrow-batched pandas UDF with the ranks table broadcast
+once per job — and the loop runs once per UNIQUE pre-token per batch
+(memoized), then counts distribute over occurrences: cost is
+O(unique pre-tokens x merge-loop), not O(corpus tokens). No JVM regex
+can express the loop; this is exactly the "Pandas UDF when built-ins
+genuinely can't" tier. Everything upstream/downstream (pre-token
+extraction, budget packing, mixing) stays in column expressions.
+
+The committed table is char-level (engine corpora are decoded UTF-8
+text columns) with the space symbol written as Ġ in the file — the
+GPT-2 merges.txt convention. Swap the resource for a real model's
+merge table (same format) to match that model's counts where its
+alphabet is char-representable.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from functools import lru_cache
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from alma_memory_spark.functions.text import BPE_TOKEN_RE
+
+DEFAULT_MERGES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "resources", "bpe_merges.txt",
+)
+
+__all__ = [
+    "DEFAULT_MERGES",
+    "bpe_encode",
+    "bpe_token_count_udf",
+    "load_merge_ranks",
+    "with_bpe_token_count",
+]
+
+
+@lru_cache(maxsize=8)
+def load_merge_ranks(path: str = DEFAULT_MERGES) -> dict:
+    """{(sym_a, sym_b): rank} from a merges.txt-format file (Ġ = space)."""
+    ranks: dict = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            if line.startswith("#") or not line.rstrip("\n"):
+                continue
+            a, b = line.rstrip("\n").split(" ")
+            ranks[(a.replace("Ġ", " "), b.replace("Ġ", " "))] = len(ranks)
+    return ranks
+
+
+def bpe_encode(pre_token: str, ranks: dict) -> list[str]:
+    """Reference merge loop for ONE pre-token: start from characters,
+    repeatedly merge the lowest-rank adjacent pair until none applies.
+    Deliberately plain — the parity baseline the Arrow kernel is
+    unit-tested against."""
+    syms = list(pre_token)
+    while len(syms) > 1:
+        best_rank, best_i = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        # merge EVERY occurrence of the chosen pair left-to-right (the
+        # standard BPE step — all sites of the winning pair fuse in one
+        # iteration)
+        pair = (syms[best_i], syms[best_i + 1])
+        merged = pair[0] + pair[1]
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def _count_series(texts, ranks: dict):
+    """pandas Series[str] -> Series[int64]: BPE token count per text.
+    The merge loop runs once per UNIQUE pre-token across the batch."""
+    import pandas as pd
+
+    memo: dict[str, int] = {}
+
+    def count_one(text) -> int:
+        if text is None:
+            return 0
+        total = 0
+        for pt in re.findall(BPE_TOKEN_RE, text):
+            n = memo.get(pt)
+            if n is None:
+                n = memo[pt] = len(bpe_encode(pt, ranks))
+            total += n
+        return total
+
+    return pd.Series([count_one(t) for t in texts], dtype="int64")
+
+
+def bpe_token_count_udf(spark, merges_path: str = DEFAULT_MERGES):
+    """Arrow-batched pandas UDF: text column -> exact BPE token count.
+    The ranks table broadcasts once; executors memoize per unique
+    pre-token within each batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    from alma_memory_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    b = spark.sparkContext.broadcast(load_merge_ranks(merges_path))
+
+    @pandas_udf("long")
+    def _count(texts):
+        return _count_series(texts, b.value)
+
+    return _count
+
+
+def with_bpe_token_count(
+    df: DataFrame, text_col: str = "text", out_col: str = "n_bpe",
+    merges_path: str = DEFAULT_MERGES,
+) -> DataFrame:
+    """df + an exact BPE token-count column — the optional `token_col`
+    source for pack_documents* / mix_rates_for_token_budget when the
+    budget must be tokenizer-faithful instead of estimated."""
+    udf = bpe_token_count_udf(df.sparkSession, merges_path)
+    return df.withColumn(out_col, udf(F.col(text_col)))

@@ -40,13 +40,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from alma_memory_spark.functions.bpe import with_bpe_token_count
 from alma_memory_spark.functions.pii import pii_count, redact_pii
 from alma_memory_spark.functions.text import (
     dup_ngram_fraction,
     fingerprint,
+    gopher_pass_bits,
+    gopher_quality_pass,
     lang_id,
     quality_score,
+    quality_signals,
 )
+from alma_memory_spark.operators.paragraphs import dedup_paragraphs
 from alma_memory_spark.operators.components import (
     connected_components,
     near_dup_groups,
@@ -79,9 +84,12 @@ __all__ = [
     "connected_components",
     "contamination_report",
     "decontaminate",
+    "dedup_paragraphs",
     "drop_exact_duplicates",
     "dup_ngram_fraction",
     "fingerprint",
+    "gopher_pass_bits",
+    "gopher_quality_pass",
     "hash_sample",
     "lang_id",
     "mix_rates_for_token_budget",
@@ -90,12 +98,14 @@ __all__ = [
     "pack_documents_nostraddle",
     "pii_count",
     "quality_score",
+    "quality_signals",
     "redact_pii",
     "semantic_dedup_groups",
     "semantic_dedup_pairs",
     "semantic_dedup_pairs_incremental",
     "stratified_sample",
     "weighted_mix",
+    "with_bpe_token_count",
     "write_training_shards",
 ]
 
