@@ -234,14 +234,87 @@ def normalize_file(spark: SparkSession, path: str) -> DataFrame:
     return _norm_text(spark, path, transcript=(fmt == "transcript"))
 
 
-def normalize_directory(spark: SparkSession, directory: str) -> DataFrame:
-    """Normalize every file in a directory; per-file format dispatch,
-    unioned into one transcript DataFrame.
+def _source_file_expr(paths: list[str]):
+    """source_file for a MULTI-path scan: `_metadata.file_path` is a
+    URI (file://...), so map its basename back to the caller's exact
+    path string. Basenames are unique within one directory listing."""
+    pairs = []
+    for p in paths:
+        pairs += [F.lit(os.path.basename(p)), F.lit(p)]
+    base = F.element_at(F.split(F.col("_fp"), "/"), -1)
+    return F.element_at(F.create_map(*pairs), base)
 
-    The per-format readers trigger a schema-inference job each at
-    plan-build time, so the dispatch runs them as concurrent Spark jobs
-    (thread per file); `pool.map` preserves the sorted file order, so
-    the union — and the result — is identical to the sequential form."""
+
+def _norm_jsonl_batch(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """ALL Claude-Code/Codex JSONL exports in ONE multi-path scan —
+    turn numbering restarts per file via the (_fp, _blk) block keys.
+    The per-file text-column precedence (message.content -> content ->
+    text) becomes a per-row coalesce over the merged schema: for
+    well-formed exports exactly one of them is non-null per row, so
+    the projection is unchanged."""
+    df = spark.read.json(paths)
+    cols = df.columns
+    texts = []
+    if "message" in cols:
+        texts.append(F.col("message.content").cast("string"))
+    if "content" in cols:
+        texts.append(F.col("content").cast("string"))
+    if "text" in cols:
+        texts.append(F.col("text").cast("string"))
+    text = F.coalesce(*texts) if len(texts) > 1 else texts[0]
+    lo = _line_order(df)
+    return _assign_turns(
+        lo.filter(F.col("type").isin("human", "user", "assistant")).select(
+            _source_file_expr(paths).alias("source_file"),
+            "_fp",
+            "_blk",
+            "_seq",
+            F.col("type").alias("role"),
+            text.alias("text"),
+        )
+    ).select("source_file", "turn", "role", "text")
+
+
+def _norm_text_batch(
+    spark: SparkSession, paths: list[str], transcript_paths: set[str]
+) -> DataFrame:
+    """ALL plain-text/transcript files in ONE multi-path scan; the
+    per-file transcript flag selects the line filter and `> ` strip
+    per row. Turns number raw lines BEFORE the filter (gap semantics),
+    per file."""
+    lo = _line_order(spark.read.text(paths)).withColumn(
+        "source_file", _source_file_expr(paths)
+    )
+    df = _assign_turns(lo)
+    is_tr = F.col("source_file").isin(*transcript_paths) if transcript_paths else F.lit(False)
+    kept = df.filter(
+        F.when(is_tr, F.col("value").startswith(">")).otherwise(
+            F.length(F.trim("value")) > 0
+        )
+    )
+    text = F.when(
+        is_tr, F.regexp_replace(F.col("value"), r"^>\s*", "")
+    ).otherwise(F.col("value"))
+    return kept.select(
+        "source_file", "turn", F.lit("user").alias("role"), text.alias("text")
+    )
+
+
+def normalize_directory(spark: SparkSession, directory: str) -> DataFrame:
+    """Normalize every file in a directory into one transcript
+    DataFrame.
+
+    Batched dispatch (r8): format detection stays per-file on the
+    driver (bounded 64 KB sample), but the distributed reads group by
+    format FAMILY — all JSONL exports in one multi-path scan, all
+    plain-text/transcript files in another — with per-file turn
+    numbering guaranteed by the (_fp, _blk) block keys. A directory of
+    a million exports schedules two scans, not a million per-file
+    read + window + offset-aggregate jobs (the pre-r8 shape).
+    Driver-parsed nested-JSON formats (Claude.ai/ChatGPT/Slack: one
+    document = one file, rows emitted driver-side) remain per-file by
+    design. The two batched plans' schema-inference jobs overlap via
+    the builder pool."""
     files = [
         os.path.join(directory, name)
         for name in sorted(os.listdir(directory))
@@ -249,10 +322,30 @@ def normalize_directory(spark: SparkSession, directory: str) -> DataFrame:
     ]
     if not files:
         return spark.createDataFrame([], TRANSCRIPT_SCHEMA)
+    fmt = {p: detect_format(p) for p in files}
+    jsonl = [p for p in files if fmt[p] in ("claude_code_jsonl", "codex_jsonl")]
+    textish = [p for p in files if fmt[p] in ("plain_text", "transcript")]
+    djson = [
+        p for p in files
+        if fmt[p] in ("claude_ai_json", "chatgpt_json", "slack_json")
+    ]
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=min(8, len(files))) as pool:
-        parts = list(pool.map(lambda p: normalize_file(spark, p), files))
+    builders = []
+    if jsonl:
+        builders.append(lambda: _norm_jsonl_batch(spark, jsonl))
+    if textish:
+        builders.append(
+            lambda: _norm_text_batch(
+                spark, textish,
+                {p for p in textish if fmt[p] == "transcript"},
+            )
+        )
+    builders += [
+        (lambda p=p: _norm_driver_json(spark, p, fmt[p])) for p in djson
+    ]
+    with ThreadPoolExecutor(max_workers=min(8, len(builders))) as pool:
+        parts = [f.result() for f in [pool.submit(b) for b in builders]]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
