@@ -276,7 +276,12 @@ def quality_score(col: Column | str) -> Column:
 GOPHER_REQUIRED_STOPWORDS = "the be to of and that have with".split()
 
 
-def quality_signals(col: Column | str) -> dict[str, Column]:
+def quality_signals(
+    col: Column | str,
+    *,
+    tokens: Column | None = None,
+    lines_col: Column | None = None,
+) -> dict[str, Column]:
     """The raw counting signals behind the published C4/Gopher
     heuristic quality rules, as named Columns over ONE text column:
 
@@ -291,14 +296,17 @@ def quality_signals(col: Column | str) -> dict[str, Column]:
 
     Everything is an INTEGER count — the pass/fail rules compare in
     integer arithmetic (3*n <= sum <= 10*n etc.), so the decisions are
-    bit-stable across engines with no float boundaries. All signals are
-    scan-speed column expressions; a wide pipeline should project them
-    in one select (each signal embeds its own tokenizer/line split —
-    fine per projection, wasteful if signals are re-derived one per
-    stage)."""
+    bit-stable across engines with no float boundaries.
+
+    PERF: several signals reference the token/line arrays, and inline
+    higher-order expressions re-evaluate per reference (the
+    ngrams_of_tokens lesson). Wide scans should pre-project
+    `ws_tokens(col)` and `split(col, '\\n')` into their own aliases
+    and pass them via `tokens=`/`lines=` — the text_profile gate's
+    qfilter rows do exactly this."""
     c = _c(col)
-    ts = ws_tokens(c)
-    lines = F.split(c, "\n")
+    ts = tokens if tokens is not None else ws_tokens(c)
+    lines = lines_col if lines_col is not None else F.split(c, "\n")
     return {
         "n_words": F.size(ts).cast("long"),
         "sum_word_len": F.aggregate(
@@ -330,14 +338,18 @@ def quality_signals(col: Column | str) -> dict[str, Column]:
 
 
 def gopher_pass_bits(col: Column | str, min_words: int = 50,
-                     max_words: int = 100_000) -> Column:
+                     max_words: int = 100_000, *,
+                     tokens: Column | None = None,
+                     lines_col: Column | None = None) -> Column:
     """7-char '1'/'0' string, one char per published quality rule (in
     this fixed order): word count in [min_words, max_words]; mean word
     length in [3, 10]; symbol-to-word ratio <= 0.1; bullet-line
     fraction <= 0.9; ellipsis-line fraction <= 0.3; alphabetic-word
     fraction >= 0.8; >= 2 required stopwords present. All comparisons
-    in integer arithmetic (see quality_signals). '1111111' = keep."""
-    s = quality_signals(col)
+    in integer arithmetic (see quality_signals). '1111111' = keep.
+    Pass pre-projected `tokens=`/`lines_col=` on wide scans (see the
+    quality_signals PERF note — signals repeat across bits)."""
+    s = quality_signals(col, tokens=tokens, lines_col=lines_col)
     bits = [
         (s["n_words"] >= min_words) & (s["n_words"] <= max_words),
         (3 * s["n_words"] <= s["sum_word_len"])

@@ -415,8 +415,18 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("these words are of the usual kind")
         ),
     )
-    qdoc = docs.select("doc_id", qtext.alias("qtext"))
-    qs = X.quality_signals(F.col("qtext"))
+    # pre-bound token/line arrays (the ngrams_of_tokens PERF contract:
+    # inline HOF expressions re-evaluate per reference; the signals
+    # reference the arrays ~10x between the two variants)
+    qdoc = docs.select("doc_id", qtext.alias("qtext")).select(
+        "doc_id",
+        "qtext",
+        X.ws_tokens("qtext").alias("_qts"),
+        F.split("qtext", "\n").alias("_qln"),
+    )
+    qs = X.quality_signals(
+        F.col("qtext"), tokens=F.col("_qts"), lines_col=F.col("_qln")
+    )
     qf1 = qdoc.select(
         F.lit("qf1").alias("variant"),
         "doc_id",
@@ -440,7 +450,10 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         qs["symbols"].alias("token_estimate"),
         F.lit(None).cast("long").alias("n_bpe_tokens"),
         F.lit(None).cast("long").alias("n_chars_actual"),
-        X.gopher_pass_bits(F.col("qtext"), min_words=100).alias("pred_lang"),
+        X.gopher_pass_bits(
+            F.col("qtext"), min_words=100,
+            tokens=F.col("_qts"), lines_col=F.col("_qln"),
+        ).alias("pred_lang"),
         F.lit(None).cast("double").alias("quality"),
         F.lit(None).cast("long").alias("pack_id"),
         F.lit(None).cast("long").alias("pack_offset"),

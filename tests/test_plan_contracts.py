@@ -286,6 +286,57 @@ def test_pq_candidate_scan_never_reads_vectors(spark, tmp_path):
     assert "In(id" in pushed or "id#" in pushed, fplan
 
 
+def test_paragraph_dedup_has_no_global_sort(spark):
+    """dedup_paragraphs' scale contract: the keep-first window sorts
+    WITHIN fingerprint hash partitions and reassembly aggregates per
+    doc id — no range-partitioned (global) sort may appear anywhere,
+    and both shuffles are plain hash exchanges."""
+    from alma_memory_spark.operators.paragraphs import dedup_paragraphs
+    from alma_memory_spark.session import load_table
+
+    df = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    plan = (
+        dedup_paragraphs(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "hashpartitioning" in plan.lower()
+
+
+def test_qfilter_rows_are_scan_speed(spark):
+    """The quality-signal projection is a pure narrow map: building
+    the qf signals over documents must introduce no exchange, no join,
+    no aggregate — one scan to the result."""
+    from pyspark.sql import functions as F
+
+    from alma_memory_spark.functions.text import (
+        gopher_pass_bits,
+        quality_signals,
+        ws_tokens,
+    )
+    from alma_memory_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id",
+        F.col("text"),
+        ws_tokens("text").alias("_ts"),
+        F.split("text", "\n").alias("_ln"),
+    )
+    qs = quality_signals(
+        F.col("text"), tokens=F.col("_ts"), lines_col=F.col("_ln")
+    )
+    out = docs.select(
+        "doc_id",
+        *[v.alias(k) for k, v in qs.items()],
+        gopher_pass_bits(
+            "text", tokens=F.col("_ts"), lines_col=F.col("_ln")
+        ).alias("bits"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+
+
 def test_plan_memo_concurrent_access_is_safe(spark):
     """Pinned (ADVICE r6): gates run from concurrent harness threads;
     the memo's get/evict-iteration/insert must hold a lock or a racing
