@@ -198,3 +198,78 @@ def test_training_data_pipeline_r7_stages_end_to_end(spark, tmp_path):
         for r in run().collect()
     }
     assert a == b
+
+
+def test_training_data_pipeline_r8_stages_end_to_end(spark):
+    """The r8 training-data prep chain: paragraph-granularity dedup ->
+    C4/Gopher quality filter -> BPE-faithful token counting -> token-
+    budget no-straddle packing. Real operators end-to-end, invariants
+    chained, deterministic (second run byte-identical)."""
+    import os
+
+    from alma_memory_spark.functions.bpe import with_bpe_token_count
+    from alma_memory_spark.functions.text import gopher_pass_bits
+    from alma_memory_spark.operators.packing import pack_documents_nostraddle
+    from alma_memory_spark.operators.paragraphs import dedup_paragraphs
+    from alma_memory_spark.session import load_table
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    # synthesize multi-paragraph docs with a shared boilerplate footer
+    pdocs = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.col("text"),
+            F.lit("shared boilerplate footer the pipeline must drop"),
+            F.substring("text", 1, 30),
+        ).alias("text"),
+    )
+
+    def run():
+        # 1) paragraph dedup: the footer survives in exactly one doc
+        d1 = dedup_paragraphs(pdocs).filter(F.col("n_kept") > 0).select(
+            "doc_id", F.col("text_dedup").alias("text")
+        )
+        # 2) quality filter on the rules this synthetic bag-of-words
+        #    corpus can satisfy (word count, mean word length, symbol
+        #    ratio — the stopword-presence rule would drop nearly
+        #    everything here since the vocabulary has no English
+        #    function words; real pipelines use the full pass)
+        d2 = d1.filter(
+            F.substring(gopher_pass_bits("text", min_words=10), 1, 3)
+            == "111"
+        )
+        # 3) tokenizer-faithful counts -> 4) no-straddle packing
+        d3 = with_bpe_token_count(d2, "text", "n_bpe")
+        return d3, pack_documents_nostraddle(
+            d3.select("doc_id", "n_bpe"), budget=512, token_col="n_bpe",
+            key_col="doc_id", n_shards=2, salt="e2e8",
+        )
+
+    d3, packed = run()
+    out = packed.collect()
+    ids = [r["doc_id"] for r in out]
+    assert len(ids) == len(set(ids)) and 0 < len(ids) <= pdocs.count()
+    # the shared footer survives in exactly ONE surviving doc
+    survivors = d3.collect()
+    n_footer = sum(
+        1 for r in survivors if "shared boilerplate footer" in r["text"]
+    )
+    assert n_footer == 1
+    # packs respect the BPE budget (single-oversize-doc packs exempt)
+    counts = {r["doc_id"]: r["n_bpe"] for r in survivors}
+    fills: dict = {}
+    for r in out:
+        fills.setdefault((r["shard"], r["pack_id"]), []).append(
+            counts[r["doc_id"]]
+        )
+    for members in fills.values():
+        assert sum(members) <= 512 or len(members) == 1
+    # determinism
+    a = {(r["doc_id"], r["shard"], r["pack_id"], r["pack_offset"]) for r in out}
+    b = {
+        (r["doc_id"], r["shard"], r["pack_id"], r["pack_offset"])
+        for r in run()[1].collect()
+    }
+    assert a == b
