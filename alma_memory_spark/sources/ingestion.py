@@ -238,6 +238,12 @@ def _source_file_expr(paths: list[str]):
     """source_file for a MULTI-path scan: `_metadata.file_path` is a
     URI (file://...), so map its basename back to the caller's exact
     path string. Basenames are unique within one directory listing."""
+    bases = [os.path.basename(p) for p in paths]
+    if len(set(bases)) != len(bases):
+        # only reachable if a caller batches across directories
+        raise ValueError(
+            "batched normalization requires unique basenames per batch"
+        )
     pairs = []
     for p in paths:
         pairs += [F.lit(os.path.basename(p)), F.lit(p)]
@@ -261,6 +267,10 @@ def _norm_jsonl_batch(spark: SparkSession, paths: list[str]) -> DataFrame:
         texts.append(F.col("content").cast("string"))
     if "text" in cols:
         texts.append(F.col("text").cast("string"))
+    if not texts:
+        # no recognizable text column anywhere in the batch — surface
+        # the same missing-column error the per-file path raised
+        texts = [F.col("text").cast("string")]
     text = F.coalesce(*texts) if len(texts) > 1 else texts[0]
     lo = _line_order(df)
     return _assign_turns(
