@@ -41,13 +41,21 @@ def pack_documents(
     n_shards: int = 1,
     stratum_cols: list[str] | None = None,
     salt: str = "pack",
+    order_salt: str | None = None,
 ) -> DataFrame:
     """Adds (shard, pack_id, pack_offset) to df: the block each doc
     starts in when the corpus token stream is concatenated in
     ascending `key_col` order within (stratum_cols..., shard) and cut
     into `budget`-token blocks. Deterministic: the same rows produce
     the same packing regardless of partitioning (order and shard both
-    derive from content)."""
+    derive from content).
+
+    `order_salt` enables deterministic CORPUS SHUFFLING (standard
+    training-order randomization): the stream order within each shard
+    becomes ascending (hash(key, order_salt), key) instead of plain
+    key order — a seeded permutation that is reproducible under
+    repartition/retry (no RNG state) and changes wholesale with the
+    salt, while the packing stays shard-local (never a global sort)."""
     if budget <= 0:
         raise ValueError(f"budget must be positive (got {budget!r})")
     if n_shards < 1:
@@ -59,9 +67,14 @@ def pack_documents(
         else F.lit(0)
     )
     out = df.withColumn("shard", shard.cast("int"))
+    order = (
+        [F.asc(hash_bucket(key_col, order_salt)), F.asc(key_col)]
+        if order_salt is not None
+        else [F.asc(key_col)]
+    )
     w = (
         W.partitionBy(*strata, "shard")
-        .orderBy(F.asc(key_col))
+        .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, -1)
     )
     cum_prev = F.coalesce(
@@ -89,6 +102,7 @@ def pack_documents_nostraddle(
     stratum_cols: list[str] | None = None,
     salt: str = "pack",
     strategy: str = "next_fit",
+    order_salt: str | None = None,
 ) -> DataFrame:
     """No-straddle packing (SFT style): a document may NOT cross a
     block boundary, so blocks are cut greedily instead of by running
@@ -113,7 +127,11 @@ def pack_documents_nostraddle(
     (stratum_cols..., shard) and each runs as one applyInPandas group;
     shard count is the parallelism knob. The per-group kernel is a
     single O(docs) pass (next-fit) or O(docs * open-blocks)
-    (first-fit)."""
+    (first-fit).
+
+    `order_salt` enables the same deterministic corpus shuffling as
+    pack_documents: the per-shard stream order becomes ascending
+    (hash(key, order_salt), key)."""
     import pandas as pd
 
     if budget <= 0:
@@ -126,10 +144,16 @@ def pack_documents_nostraddle(
     out = df.withColumn(
         "shard", _shard_col(key_col, n_shards, salt).cast("int")
     )
+    sort_cols = [key_col]
+    if order_salt is not None:
+        # the hash is computed JVM-side so the kernel's sort agrees
+        # bit-for-bit with pack_documents' window order
+        out = out.withColumn("_ord", hash_bucket(key_col, order_salt))
+        sort_cols = ["_ord", key_col]
     first_fit = strategy == "first_fit"
 
     def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(key_col, kind="mergesort").reset_index(drop=True)
+        pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
         toks = pdf[token_col].astype("int64").tolist()
         pack_ids, offsets = [], []
         if first_fit:
@@ -165,4 +189,5 @@ def pack_documents_nostraddle(
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in out.schema.fields
     ) + ", pack_id long, pack_offset long"
-    return out.groupby(*strata, "shard").applyInPandas(pack_group, schema)
+    packed = out.groupby(*strata, "shard").applyInPandas(pack_group, schema)
+    return packed.drop("_ord") if order_salt is not None else packed

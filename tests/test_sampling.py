@@ -284,3 +284,84 @@ def test_mix_rates_for_token_budget(spark):
     )
     with pytest.raises(ValueError, match="sum to 1"):
         mix_rates_for_token_budget(frames, {"web": 0.5, "code": 0.1}, 100, "n_tokens")
+
+
+def test_order_salt_gives_deterministic_corpus_shuffle(spark):
+    """order_salt = seeded training-order randomization: the shuffled
+    stream is a permutation of the same doc set (no row gained/lost),
+    reproducible under repartition, different salts give different
+    orders, and BOTH packers agree on the per-shard stream order
+    (pack_documents window vs the nostraddle kernel sort use the same
+    JVM-side hash)."""
+    from pyspark.sql import functions as F
+
+    from alma_memory_spark.operators.packing import (
+        pack_documents,
+        pack_documents_nostraddle,
+    )
+    from alma_memory_spark.operators.sampling import hash_bucket
+    from alma_memory_spark.session import tiny_df
+
+    rows = [(i, 100 + (i % 7) * 10) for i in range(40)]
+    df = tiny_df(spark, rows, "doc_id long, n_tokens long")
+
+    def packmap(d, **kw):
+        return {
+            r["doc_id"]: (r["shard"], r["pack_id"], r["pack_offset"])
+            for r in pack_documents(
+                d, budget=512, token_col="n_tokens", key_col="doc_id",
+                n_shards=2, **kw
+            ).collect()
+        }
+
+    plain = packmap(df)
+    sh_a = packmap(df, order_salt="epoch1")
+    sh_b = packmap(df, order_salt="epoch2")
+    assert set(plain) == set(sh_a) == set(sh_b)  # permutation, same docs
+    assert sh_a != plain and sh_b != plain and sh_a != sh_b
+    assert packmap(df.repartition(9), order_salt="epoch1") == sh_a
+    # shard assignment is order-independent (same salt namespace)
+    assert {k: v[0] for k, v in sh_a.items()} == {
+        k: v[0] for k, v in plain.items()
+    }
+    # the shuffled stream order is (hash(key, order_salt), key): replay
+    # it driver-side and check pack offsets are its running sums
+    hashes = {
+        r["doc_id"]: (r["shard"], r["h"])
+        for r in df.select(
+            "doc_id",
+            F.pmod(hash_bucket("doc_id", "pack"), F.lit(2)).alias("shard"),
+            hash_bucket("doc_id", "epoch1").alias("h"),
+        ).collect()
+    }
+    toks = dict(rows)
+    for shard in (0, 1):
+        order = sorted(
+            (k for k, (s, _h) in hashes.items() if s == shard),
+            key=lambda k: (hashes[k][1], k),
+        )
+        cum = 0
+        for k in order:
+            assert sh_a[k] == (shard, cum // 512, cum % 512), k
+            cum += toks[k]
+    # the nostraddle kernel sorts by the same keys: its per-shard pack
+    # sequence visits docs in that exact order
+    ns = pack_documents_nostraddle(
+        df, budget=512, token_col="n_tokens", key_col="doc_id",
+        n_shards=2, order_salt="epoch1",
+    ).collect()
+    assert "_ord" not in ns[0].asDict()
+    for shard in (0, 1):
+        order = sorted(
+            (k for k, (s, _h) in hashes.items() if s == shard),
+            key=lambda k: (hashes[k][1], k),
+        )
+        got = [
+            r["doc_id"]
+            for r in sorted(
+                (r for r in ns if r["shard"] == shard),
+                key=lambda r: (r["pack_id"], r["pack_offset"], r["doc_id"]),
+            )
+        ]
+        # visiting order reconstructed from (pack_id, offset) matches
+        assert got == order
