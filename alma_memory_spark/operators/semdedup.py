@@ -61,37 +61,59 @@ def stride_centroids(
 
 
 def _assign_cells(
-    df: DataFrame, id_col: str, vec_col: str, cells, C, cnrm
+    df: DataFrame, id_col: str, vec_col: str, cells, C, cnrm,
+    n_assign: int = 1,
 ) -> DataFrame:
     """(id, embedding, cell): nearest-centroid assignment, narrow
     Arrow-batched map over the broadcast centroid matrix. Similarity is
     ROUNDED to 6 before the argmax and `cells` is sorted desc, so ties
     resolve to the larger cell id in every engine (np.argmax takes the
-    first max; the SQL oracle orders `csim DESC, cell DESC`)."""
+    first max; the SQL oracle orders `csim DESC, cell DESC`).
+
+    ``n_assign > 1`` is MULTI-PROBE assignment: each vector lands in
+    its top-n cells (one output row per assignment), so near-duplicates
+    that straddle a cell boundary — THE SemDeDup approximation's known
+    miss — still share at least one cell when their boundary is among
+    the probed ones. Ties keep the desc cell order (stable argsort over
+    the desc-sorted cells axis)."""
     import numpy as np
 
     spark = df.sparkSession
     from alma_memory_spark.session import ensure_package_shipped
 
     ensure_package_shipped(spark)
-    b = spark.sparkContext.broadcast((cells, C, cnrm))
+    b = spark.sparkContext.broadcast((cells, C, cnrm, n_assign))
     id_type = df.schema[id_col].dataType.simpleString()
 
     def assign(it):
         import pandas as pd
 
-        cells_, C_, cnrm_ = b.value
+        cells_, C_, cnrm_, k_ = b.value
+        k_ = max(1, min(int(k_), len(cells_)))
         for pdf in it:
             if not len(pdf):
                 continue
             V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             vnrm = np.maximum(np.linalg.norm(V, axis=1), 1e-300)
             csims = np.round((V @ C_.T) / np.outer(vnrm, cnrm_), 6)
+            if k_ == 1:
+                yield pd.DataFrame(
+                    {
+                        "id": pdf[id_col].to_numpy(),
+                        "v": pdf[vec_col],
+                        "cell": cells_[np.argmax(csims, axis=1)],
+                    }
+                )
+                continue
+            # stable sort on -csim keeps the desc cell order on ties —
+            # column 0 of the result is EXACTLY the k_=1 assignment
+            top = np.argsort(-csims, axis=1, kind="stable")[:, :k_]
+            rep = np.repeat(np.arange(len(pdf)), k_)
             yield pd.DataFrame(
                 {
-                    "id": pdf[id_col].to_numpy(),
-                    "v": pdf[vec_col],
-                    "cell": cells_[np.argmax(csims, axis=1)],
+                    "id": pdf[id_col].to_numpy()[rep],
+                    "v": pdf[vec_col].to_numpy()[rep],
+                    "cell": cells_[top].ravel(),
                 }
             )
 
@@ -107,13 +129,23 @@ def semantic_dedup_pairs(
     threshold: float = 0.85,
     cent_every: int = 50,
     quantizer=None,
+    n_assign: int = 1,
 ) -> DataFrame:
     """Semantic near-dup pairs (id_a, id_b, cos_sim), cosine >=
     threshold, compared only within a quantizer cell. `quantizer`: a
     built/loaded `IVFIndex` to reuse (its centroids are stored
     L2-normalized, norms == 1); default derives stride centroids from
     `df` itself. The per-cell kernel is one BLAS matmul per Arrow
-    group — O(occupancy^2) per cell, cells in parallel."""
+    group — O(occupancy^2) per cell, cells in parallel.
+
+    `n_assign` is the recall knob for THE SemDeDup approximation
+    (near-dups straddling a cell boundary are missed at n_assign=1):
+    each vector joins its top-n cells, so boundary pairs meet in a
+    shared cell. n_assign=1 output is a strict subset of n_assign=2
+    (contract-tested); per-cell occupancy — and the per-cell
+    O(occupancy^2) — scales by ~n_assign, the standard multi-probe
+    trade. Duplicate cross-cell findings of the same pair carry the
+    same rounded sim and are dropped."""
     import numpy as np
 
     if quantizer is not None:
@@ -121,7 +153,9 @@ def semantic_dedup_pairs(
         cnrm = np.ones(len(cells), dtype=np.float64)
     else:
         cells, C, cnrm = stride_centroids(df, id_col, vec_col, cent_every)
-    assigned = _assign_cells(df, id_col, vec_col, cells, C, cnrm)
+    assigned = _assign_cells(
+        df, id_col, vec_col, cells, C, cnrm, n_assign=n_assign
+    )
 
     def cell_pairs(pdf):
         import pandas as pd
@@ -144,9 +178,15 @@ def semantic_dedup_pairs(
         )
 
     id_type = assigned.schema["id"].dataType.simpleString()
-    return assigned.groupby("cell").applyInPandas(
+    out = assigned.groupby("cell").applyInPandas(
         cell_pairs, f"id_a {id_type}, id_b {id_type}, cos_sim double"
     )
+    if n_assign > 1:
+        # a boundary pair can surface from every shared cell with the
+        # same rounded sim — keep one (extra shuffle only on the
+        # multi-probe path; the default plan is unchanged)
+        out = out.dropDuplicates(["id_a", "id_b"])
+    return out
 
 
 def semantic_dedup_pairs_incremental(

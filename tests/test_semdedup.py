@@ -269,3 +269,55 @@ def test_streaming_semdedup_maintenance_matches_one_shot(spark, tmp_path):
     }
     assert got == want and want
     assert idx.n_docs == emb.count()
+
+
+def test_multi_probe_assignment_recovers_boundary_pairs(spark):
+    """n_assign is the recall knob for THE SemDeDup approximation: a
+    crafted near-dup pair that straddles a cell boundary (each member
+    nearest a different centroid) is missed at n_assign=1 and found at
+    n_assign=2, while single-probe output stays a strict subset and
+    non-boundary behavior is unchanged."""
+    import math
+
+    def nrm(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    A = [1.0, 0.0, 0.0, 0.0]
+    B = nrm([0.7, 0.714142842854285, 0.0, 0.0])
+    # p leans toward A, q toward B; cos(p, q) ~ 0.999
+    p = nrm([1.0, 0.42, 0.0, 0.0])
+    q = nrm([1.0, 0.52, 0.0, 0.0])
+    rows = [
+        (0, A),        # centroid seed (id % 50 == 0)
+        (50, B),       # centroid seed
+        (1, p),
+        (2, q),
+        (3, nrm([0.0, 0.0, 1.0, 0.0])),  # unrelated direction
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    single = _pairs(
+        semantic_dedup_pairs(df, threshold=0.99, cent_every=50, n_assign=1)
+    )
+    multi = _pairs(
+        semantic_dedup_pairs(df, threshold=0.99, cent_every=50, n_assign=2)
+    )
+    single_ids = {(a, b) for a, b, _s in single}
+    multi_ids = {(a, b) for a, b, _s in multi}
+    # the boundary pair is the multi-probe win
+    assert (1, 2) not in single_ids
+    assert (1, 2) in multi_ids
+    # single-probe pairs survive multi-probe (subset, same sims)
+    assert single <= multi
+    # no duplicate pair rows despite shared cells
+    got = semantic_dedup_pairs(
+        df, threshold=0.99, cent_every=50, n_assign=2
+    ).collect()
+    assert len(got) == len({(r["id_a"], r["id_b"]) for r in got})
+    # and on the real corpus the subset property holds too
+    emb = load_table(spark, SF_DIR, "embeddings")
+    s1 = _pairs(semantic_dedup_pairs(emb, threshold=0.4, cent_every=50))
+    s2 = _pairs(
+        semantic_dedup_pairs(emb, threshold=0.4, cent_every=50, n_assign=2)
+    )
+    assert s1 <= s2
