@@ -89,8 +89,18 @@ _QS = X.sql_quality_signals("qtext")
     sharded AS (
       SELECT doc_id, n_tokens,
              (({X.sql_hash32("CAST(doc_id AS VARCHAR) || ':r6pack'")})
-              % 1000000 + 1000000) % 1000000 % 4 AS shard
+              % 1000000 + 1000000) % 1000000 % 4 AS shard,
+             (({X.sql_hash32("CAST(doc_id AS VARCHAR) || ':r8shuffle'")})
+              % 1000000 + 1000000) % 1000000 AS ord_h
       FROM prof
+    ),
+    packedh AS (
+      SELECT doc_id, n_tokens, shard,
+             COALESCE(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY ord_h ASC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum_prev
+      FROM sharded
     ),
     packed AS (
       SELECT doc_id, n_tokens, shard,
@@ -182,6 +192,13 @@ _QS = X.sql_quality_signals("qtext")
            cum_prev % 512
     FROM packed
     UNION ALL
+    SELECT 'packsh:' || CAST(shard AS VARCHAR), doc_id, n_tokens,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+           CAST(floor(cum_prev / 512) AS BIGINT),
+           cum_prev % 512
+    FROM packedh
+    UNION ALL
     SELECT 'packns:' || CAST(shard AS VARCHAR), doc_id, n_tokens,
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
            CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
@@ -239,6 +256,13 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard — never a global sort); the oracle replays the identical
     shard assignment and running sum, so one off-by-one in the
     cumulative cut hash-mismatches.
+
+    'packsh:<shard>' rows (r8) — SHUFFLED packing
+    (pack_documents(order_salt=...)): the same window cut with the
+    per-shard stream order re-seeded to (hash(doc_id, salt), doc_id) —
+    deterministic training-order randomization; the oracle replays the
+    shuffled order through the shared portable hash, so a drifted sort
+    key or a hash mismatch between engines breaks every offset.
 
     'packns:<shard>' rows (r7) — NO-STRADDLE packing
     (pack_documents_nostraddle, next-fit): a doc that would cross the
@@ -301,6 +325,27 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pack_rows = packed.select(
         F.concat(F.lit("pack:"), F.col("shard").cast("string")).alias("variant"),
+        "doc_id",
+        "n_tokens",
+        F.lit(None).cast("long").alias("token_estimate"),
+        F.lit(None).cast("long").alias("n_bpe_tokens"),
+        F.lit(None).cast("long").alias("n_chars_actual"),
+        F.lit(None).cast("string").alias("pred_lang"),
+        F.lit(None).cast("double").alias("quality"),
+        "pack_id",
+        "pack_offset",
+    )
+    packed_sh = pack_documents(
+        prof.select("doc_id", "n_tokens"),
+        budget=512,
+        token_col="n_tokens",
+        key_col="doc_id",
+        n_shards=4,
+        salt="r6pack",
+        order_salt="r8shuffle",
+    )
+    packsh_rows = packed_sh.select(
+        F.concat(F.lit("packsh:"), F.col("shard").cast("string")).alias("variant"),
         "doc_id",
         "n_tokens",
         F.lit(None).cast("long").alias("token_estimate"),
@@ -460,6 +505,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         prof_rows.unionByName(pack_rows)
+        .unionByName(packsh_rows)
         .unionByName(packns_rows)
         .unionByName(pii_rows)
         .unionByName(rep_rows)
