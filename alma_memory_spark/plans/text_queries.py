@@ -72,6 +72,9 @@ _SDIDX_GATE_LOCK = threading.Lock()
 
 # quality-filter oracle snippets over the gate's synthetic lined text
 _QS = X.sql_quality_signals("qtext")
+# first-fit oracle: 1-based index of the earliest open block with room
+# (DuckDB list_position yields 0 on miss)
+_FFP = "coalesce(list_position(list_transform(r.rem, x -> x >= s.n_tokens), true), 0)"
 
 @register(
     "text_profile",
@@ -165,6 +168,22 @@ _QS = X.sql_quality_signals("qtext")
              {X.sql_gopher_pass_bits('qtext', 100)} AS pass_bits
       FROM qdoc
     ),
+    ffrec AS (
+      SELECT shard, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pack_offset,
+             [CAST(512 - n_tokens AS BIGINT)] AS rem,
+             [CAST(n_tokens AS BIGINT)] AS fills
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.shard, s.rn, s.doc_id, s.n_tokens,
+             CASE WHEN {_FFP} = 0 THEN len(r.rem) ELSE {_FFP} - 1 END,
+             CASE WHEN {_FFP} = 0 THEN CAST(0 AS BIGINT) ELSE r.fills[{_FFP}] END,
+             CASE WHEN {_FFP} = 0 THEN list_append(r.rem, CAST(512 - s.n_tokens AS BIGINT))
+                  ELSE list_transform(range(1, len(r.rem)+1), i -> CASE WHEN i = {_FFP} THEN r.rem[i] - s.n_tokens ELSE r.rem[i] END) END,
+             CASE WHEN {_FFP} = 0 THEN list_append(r.fills, CAST(s.n_tokens AS BIGINT))
+                  ELSE list_transform(range(1, len(r.fills)+1), i -> CASE WHEN i = {_FFP} THEN r.fills[i] + s.n_tokens ELSE r.fills[i] END) END
+      FROM ffrec r JOIN seq s ON s.shard = r.shard AND s.rn = r.rn + 1
+    ),
     nsrec AS (
       SELECT shard, rn, doc_id, n_tokens,
              CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pack_offset,
@@ -204,6 +223,12 @@ _QS = X.sql_quality_signals("qtext")
            CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
            pack_id, pack_offset
     FROM nsrec
+    UNION ALL
+    SELECT 'packff:' || CAST(shard AS VARCHAR), doc_id, n_tokens,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+           pack_id, pack_offset
+    FROM ffrec
     UNION ALL
     SELECT 'pii', doc_id, email_n, ssn_n, phone_n, ipv4_n,
            red_md5, CAST(NULL AS DOUBLE),
@@ -270,6 +295,15 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the sequential greedy fold with a recursive CTE (one
     iteration per doc per shard), so a wrong close decision, a missed
     oversize-doc own-block case, or an offset drift all
+    hash-mismatch.
+
+    'packff:<shard>' rows (r8) — FIRST-FIT no-straddle packing
+    (pack_documents_nostraddle(strategy='first_fit')): a doc lands in
+    the EARLIEST open block with room. Previously unit-pinned only
+    ("not SQL-replayable"); the oracle now replays the stateful fold
+    with a recursive CTE carrying per-block remaining capacities as a
+    LIST column (list_position finds the earliest fit), so a wrong
+    placement, offset, or open-block bookkeeping drift all
     hash-mismatch.
 
     'pii' rows (r7) — PII detection + redaction (functions/pii.py):
@@ -363,6 +397,27 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_col="doc_id",
         n_shards=4,
         salt="r6pack",
+    )
+    packed_ff = pack_documents_nostraddle(
+        prof.select("doc_id", "n_tokens"),
+        budget=512,
+        token_col="n_tokens",
+        key_col="doc_id",
+        n_shards=4,
+        salt="r6pack",
+        strategy="first_fit",
+    )
+    packff_rows = packed_ff.select(
+        F.concat(F.lit("packff:"), F.col("shard").cast("string")).alias("variant"),
+        "doc_id",
+        "n_tokens",
+        F.lit(None).cast("long").alias("token_estimate"),
+        F.lit(None).cast("long").alias("n_bpe_tokens"),
+        F.lit(None).cast("long").alias("n_chars_actual"),
+        F.lit(None).cast("string").alias("pred_lang"),
+        F.lit(None).cast("double").alias("quality"),
+        "pack_id",
+        "pack_offset",
     )
     packns_rows = packed_ns.select(
         F.concat(F.lit("packns:"), F.col("shard").cast("string")).alias("variant"),
@@ -507,6 +562,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         prof_rows.unionByName(pack_rows)
         .unionByName(packsh_rows)
         .unionByName(packns_rows)
+        .unionByName(packff_rows)
         .unionByName(pii_rows)
         .unionByName(rep_rows)
         .unionByName(qf1)
