@@ -1588,6 +1588,8 @@ _IVF_EQDOT = "list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i] * q[i]))
     SELECT 'ivf', vec_id, similarity FROM ivf
     UNION ALL
     SELECT 'ivf_batch:' || CAST(qid AS VARCHAR), vec_id, similarity FROM ivfb
+    UNION ALL
+    SELECT 'pq', vec_id, similarity FROM ivf
     """,
     memo=True,
 )
@@ -1705,6 +1707,7 @@ def ann_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             IVFIndex.build(
                 spark, emb, ivroot, id_col="vec_id",
                 vec_col="embedding", cent_every=IVF_CENT_EVERY,
+                pq_m=8,  # the 'pq' stage serves from the same index
             )
             _IVF_INDEX_GATE_CACHE[sf_dir] = ivroot
             atexit.register(shutil.rmtree, ivroot, ignore_errors=True)
@@ -1721,10 +1724,25 @@ def ann_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("vec_id"),
         "similarity",
     )
+    # 'pq' rows (r8): the IVF-PQ serving path under the driver oracle —
+    # ADC candidate pass over the m-byte code column, exact re-rank of
+    # the top refine*k. refine=50 covers every probed cell's occupancy
+    # (~cent_every rows/cell x nprobe << 500), where search_pq equals
+    # exact probed-cell top-k by contract — so the oracle is the same
+    # single-query ivf chain. Previously the equals-exact contract was
+    # unit-pinned only.
+    pq_rows = idx.search_pq(
+        QUERY_VEC, k=10, nprobe=IVF_NPROBE, refine=50
+    ).select(
+        F.lit("pq").alias("method"),
+        F.col("id").alias("vec_id"),
+        "similarity",
+    )
     return (
         lsh.select(F.lit("lsh").alias("method"), "*")
         .unionByName(ivf.select(F.lit("ivf").alias("method"), "*"))
         .unionByName(batch)
+        .unionByName(pq_rows)
     )
 
 
