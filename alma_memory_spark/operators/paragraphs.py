@@ -14,12 +14,17 @@ Reference parity: the reference dedups whole memories at consolidation
 time (alma/consolidation/deduplication.py); sub-document granularity is
 part of the training-data-pipeline extension surface.
 
-Scale shape: one hash shuffle on the paragraph fingerprint (groups are
-bounded by the duplicate count of a paragraph — the window inside each
-group is tiny and groups are the unit of parallelism), one shuffle on
-the doc id for reassembly (per-doc agg bounded by the doc's paragraph
-count). No global sort, no driver collect, pure column expressions —
-the same cost profile as exact_dedup plus one reassembly exchange.
+Scale shape: the keep-first decision is a map-side-combinable
+`min(struct(doc_id, idx))` aggregate per fingerprint — NOT a window.
+A corpus-wide boilerplate paragraph makes one fingerprint group as
+large as the corpus; a window partitioned by fingerprint would funnel
+that whole group through a single task's sort (and AQE cannot split a
+window partition), while the aggregate partial-combines on the map
+side and the winner joins back on the (fp, doc_id, idx) TRIPLE — a
+nearly-unique key, so even the mega-fingerprint's rows hash across
+the cluster. One aggregate shuffle + one semi-join + one per-doc
+reassembly agg (bounded by the doc's paragraph count). No global
+sort, no window, no driver collect.
 
 Keep-first semantics: the kept occurrence of a fingerprint is the
 minimal (doc_id, paragraph_index) — deterministic under any partition
@@ -31,7 +36,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from alma_memory_spark.functions.text import fingerprint
 
@@ -67,12 +71,19 @@ def dedup_paragraphs(
     comes back with text_dedup = '' and n_kept = 0, so the caller can
     filter empties instead of silently losing rows."""
     paras = explode_paragraphs(df, id_col, text_col, sep)
-    w = Window.partitionBy("fp").orderBy(id_col, "idx")
-    kept = (
-        paras.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "fp")
+    # argmin per fingerprint as a combinable aggregate (struct min is
+    # lexicographic on (doc_id, idx)); winners rejoin on the full
+    # triple so a corpus-wide duplicate paragraph cannot skew the join
+    firsts = (
+        paras.groupBy("fp")
+        .agg(F.min(F.struct(F.col(id_col), F.col("idx"))).alias("_w"))
+        .select(
+            "fp",
+            F.col(f"_w.{id_col}").alias(id_col),
+            F.col("_w.idx").alias("idx"),
+        )
     )
+    kept = paras.join(firsts, ["fp", id_col, "idx"], "left_semi").drop("fp")
     reasm = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(

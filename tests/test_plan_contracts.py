@@ -286,11 +286,13 @@ def test_pq_candidate_scan_never_reads_vectors(spark, tmp_path):
     assert "In(id" in pushed or "id#" in pushed, fplan
 
 
-def test_paragraph_dedup_has_no_global_sort(spark):
-    """dedup_paragraphs' scale contract: the keep-first window sorts
-    WITHIN fingerprint hash partitions and reassembly aggregates per
-    doc id — no range-partitioned (global) sort may appear anywhere,
-    and both shuffles are plain hash exchanges."""
+def test_paragraph_dedup_has_no_global_sort_and_no_window(spark):
+    """dedup_paragraphs' scale contract: keep-first is a map-side-
+    combinable argmin AGGREGATE per fingerprint rejoined on the
+    (fp, doc, idx) triple — never a window (a corpus-wide boilerplate
+    paragraph makes one fingerprint group as large as the corpus, and
+    AQE cannot split a window partition) and never a range-partitioned
+    global sort."""
     from alma_memory_spark.operators.paragraphs import dedup_paragraphs
     from alma_memory_spark.session import load_table
 
@@ -300,6 +302,9 @@ def test_paragraph_dedup_has_no_global_sort(spark):
     )
     assert "rangepartitioning" not in plan.lower(), plan
     assert "hashpartitioning" in plan.lower()
+    assert "WindowExec" not in plan and "Window " not in plan, plan
+    # the keep-first aggregate partial-combines before the shuffle
+    assert "partial_min" in plan.lower() or "HashAggregate" in plan
 
 
 def test_qfilter_rows_are_scan_speed(spark):
