@@ -596,6 +596,64 @@ class NearDupIndex:
         )
         return AddStats(int(n_new), capped_groups, dropped_band_rows)
 
+    # ---- maintenance ---------------------------------------------------
+
+    def compact(self) -> "NearDupIndex":
+        """Fold accumulated append debris WITHOUT recomputing anything:
+        crash-replayed batches append duplicate band/tok rows (harmless
+        for correctness — documented — but wasted bytes and scan work)
+        and re-append their stats delta (n_docs over-counts). Compaction
+        rewrites bands/toks/pairs deduplicated into a NEW version dir,
+        folds stats into one exact row (n_docs = distinct docs), and
+        commits via the same atomic swap a rebuild uses — O(index size)
+        IO, zero similarity recompute, readers on the old version keep
+        their snapshot. A LEGACY flat-pairs index comes out migrated to
+        the adjacency-bucketed layout (the r8 upgrade path). Returns a
+        fresh handle on the committed version; single-writer contract
+        like add()."""
+        self._require_live_version()
+        vdir = begin_version(self.path)
+        bands = (
+            self.spark.read.schema(self._bands_schema())
+            .parquet(os.path.join(self.vroot, "bands"))
+            .dropDuplicates(["doc", "band_idx", "band_key"])
+        )
+        (
+            bands.repartition(min(self.n_buckets, 32), "bucket")
+            .sortWithinPartitions("bucket", "band_idx", "band_key", "doc")
+            .write.partitionBy("bucket")
+            .parquet(os.path.join(vdir, "bands"))
+        )
+        toks = (
+            self.spark.read.schema(self._toks_schema())
+            .parquet(os.path.join(self.vroot, "toks"))
+            .dropDuplicates(["doc"])
+        )
+        (
+            toks.repartition(min(self.n_buckets, 32), "tbucket")
+            .sortWithinPartitions("tbucket", "doc")
+            .write.partitionBy("tbucket")
+            .parquet(os.path.join(vdir, "toks"))
+        )
+        write_pairs(
+            self.pairs().dropDuplicates(["doc_a", "doc_b"]),
+            os.path.join(vdir, "pairs"),
+            "doc_a", "doc_b", "jaccard_sim", self.n_buckets,
+        )
+        n_exact = (
+            self.spark.read.schema(self._toks_schema())
+            .parquet(os.path.join(vdir, "toks"))
+            .count()
+        )
+        out = NearDupIndex(
+            self.spark, self.path, self.id_col, self.id_type,
+            self.n_buckets, self.k, self.bands, self.rows, self.verify_t,
+            n_docs=n_exact, vroot=vdir, band_cap=self.band_cap,
+        )
+        out._write_stats(vdir, n_exact)
+        out.vroot = commit_version(self.path, vdir, _FLAT_SUBDIRS)
+        return out
+
     # ---- reads --------------------------------------------------------
 
     def pairs(self) -> DataFrame:

@@ -188,6 +188,52 @@ def test_legacy_flat_pairs_layout_serves_and_adds(spark, tmp_path):
     )
     # and replaying the batch is still a no-op under the legacy guard
     assert legacy.add(docs.filter("doc_id % 5 = 0")) == 0
+    # compact() is the migration path: same pairs, adjacency layout
+    compacted = legacy.compact()
+    assert compacted.pairs_layout is not None
+    assert _pairset(compacted.pairs()) == _pairset(full.pairs())
+    new_pairs_root = os.path.join(compacted.vroot, "pairs")
+    assert any(d.startswith("sbucket=") for d in os.listdir(new_pairs_root))
+
+
+def test_compact_folds_replay_debris(spark, tmp_path):
+    """compact(): crash-replay debris (duplicate band/tok appends,
+    over-counted stats deltas) folds away without recomputing —
+    pairs and groups unchanged, membership rows deduplicated, n_docs
+    exact again, and the compacted index keeps accepting adds."""
+    from alma_memory_spark.session import tiny_df
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    idx = NearDupIndex.build(
+        spark, docs.filter("doc_id % 5 != 0"), str(tmp_path / "cp"),
+        n_buckets=8,
+    )
+    batch = docs.filter("doc_id % 5 = 0")
+    idx.add(batch)
+    idx.add(batch)  # replay: zero new pairs, duplicate membership rows
+    n_true = docs.count()
+    assert idx.n_docs > n_true  # stats delta over-counts under replay
+    bands_dir = os.path.join(idx.vroot, "bands")
+    rows_before = spark.read.parquet(bands_dir).count()
+    pairs_before = _pairset(idx.pairs())
+    groups_before = _groupmap(idx.groups())
+
+    out = idx.compact()
+    assert out.n_docs == n_true  # exact again
+    assert _pairset(out.pairs()) == pairs_before
+    assert _groupmap(out.groups()) == groups_before
+    rows_after = spark.read.parquet(os.path.join(out.vroot, "bands")).count()
+    assert rows_after < rows_before  # replay debris folded
+    # the old handle is superseded; the compacted one keeps working
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="reload"):
+        idx.add(batch)
+    assert out.add(
+        tiny_df(spark, [(990555, "entirely novel tokens qq zz")],
+                "doc_id long, text string")
+    ) == 0
+    assert out.n_docs == n_true + 1
 
 
 def test_superseded_handle_add_raises(spark, tmp_path):
