@@ -334,7 +334,13 @@ class SemDedupIndex:
     already present (skips the membership write), recomputes the
     batch's pairs — same-id self-pairs excluded by id — and the
     anti-join appends exactly the missing rows. Single-writer per
-    index, same as NearDupIndex.add."""
+    index, same as NearDupIndex.add.
+
+    Unlike NearDupIndex, replay leaves NO debris here — membership is
+    guarded before the lists append (a redelivered batch appends zero
+    list rows) and the stats delta only writes when fresh docs landed —
+    so there is no compact() analog; the counts stay exact under
+    replay by construction."""
 
     def __init__(self, spark, path, ivf, id_col, id_type, vec_col,
                  threshold, n_docs, vroot=None, n_buckets=32,
