@@ -375,3 +375,24 @@ def test_packing_invariants_on_random_corpora(spark):
                 assert r["pack_id"] >= prev_pack
                 prev_pack = r["pack_id"]
                 cum += toks[r["doc_id"]]
+
+
+@given(st.text(min_size=0, max_size=300))
+@settings(max_examples=200, suppress_health_check=[HealthCheck.too_slow])
+def test_bpe_encode_invariants_on_arbitrary_text(text):
+    """BPE merge-loop invariants hypothesis can reach and goldens
+    can't: concatenating the encoded symbols of every pre-token
+    reproduces the pre-token exactly (no character gained or lost by
+    any merge sequence), the symbol count never exceeds the character
+    count, and encoding is deterministic."""
+    import re
+
+    from alma_memory_spark.functions.bpe import bpe_encode, load_merge_ranks
+    from alma_memory_spark.functions.text import BPE_TOKEN_RE
+
+    ranks = load_merge_ranks()
+    for pt in re.findall(BPE_TOKEN_RE, text):
+        syms = bpe_encode(pt, ranks)
+        assert "".join(syms) == pt
+        assert 1 <= len(syms) <= len(pt)
+        assert bpe_encode(pt, ranks) == syms
