@@ -349,8 +349,12 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("pack_id"),
         F.lit(None).cast("long").alias("pack_offset"),
     )
+    # FOUR packing branches consume (doc_id, n_tokens); materialize the
+    # tokenizer count once instead of re-running the ws_tokens subtree
+    # per branch (localCheckpoint over a 2-column projection — tiny)
+    ptoks = prof.select("doc_id", "n_tokens").localCheckpoint(eager=True)
     packed = pack_documents(
-        prof.select("doc_id", "n_tokens"),
+        ptoks,
         budget=512,
         token_col="n_tokens",
         key_col="doc_id",
@@ -370,7 +374,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pack_offset",
     )
     packed_sh = pack_documents(
-        prof.select("doc_id", "n_tokens"),
+        ptoks,
         budget=512,
         token_col="n_tokens",
         key_col="doc_id",
@@ -391,7 +395,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pack_offset",
     )
     packed_ns = pack_documents_nostraddle(
-        prof.select("doc_id", "n_tokens"),
+        ptoks,
         budget=512,
         token_col="n_tokens",
         key_col="doc_id",
@@ -399,7 +403,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt="r6pack",
     )
     packed_ff = pack_documents_nostraddle(
-        prof.select("doc_id", "n_tokens"),
+        ptoks,
         budget=512,
         token_col="n_tokens",
         key_col="doc_id",
