@@ -865,10 +865,10 @@ def engine_retrieve_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
             # on one engine with distinct cache keys, so a key that
             # failed to separate would serve one variant's slice for
             # another and mismatch that variant's oracle rows. That
-            # property holds regardless of call order, so the three
-            # retrieves overlap (r8 — the serial e2e-first ordering
-            # kept the most expensive cold retrieve OFF the thread
-            # pool and on the gate's critical path).
+            # property holds regardless of call order, so all five
+            # retrieve variants overlap below (r8 — the serial
+            # e2e-first ordering kept the most expensive cold retrieve
+            # OFF the thread pool and on the gate's critical path).
             def e2e_call():
                 s = eng.retrieve(
                     QUERY_TEXT, agent="helena", project_id="p", top_k=20
