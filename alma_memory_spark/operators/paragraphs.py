@@ -34,12 +34,19 @@ reassembled text per doc against a DuckDB replay).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from alma_memory_spark.functions.text import fingerprint
 
-__all__ = ["dedup_paragraphs", "explode_paragraphs"]
+__all__ = [
+    "ParagraphDedupIndex",
+    "dedup_paragraphs",
+    "explode_paragraphs",
+]
 
 
 def explode_paragraphs(
@@ -106,3 +113,270 @@ def dedup_paragraphs(
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         )
     )
+
+
+def _reassemble(paras_kept: DataFrame, all_ids: DataFrame, id_col: str,
+                counts: DataFrame, sep: str) -> DataFrame:
+    """(id, text_dedup, n_paras, n_kept) from kept paragraph rows —
+    shared by the batch operator and the index's add()."""
+    reasm = paras_kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "p"))),
+                lambda s: s["p"],
+            ),
+            sep,
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        all_ids.join(counts, id_col, "left")
+        .join(reasm, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+class ParagraphDedupIndex:
+    """Persisted INCREMENTAL paragraph dedup — the streaming form of
+    `dedup_paragraphs`, completing the incremental-index family
+    (text / IVF / near-dup / semantic / paragraphs): a continuously
+    ingested corpus drops repeated paragraphs against EVERYTHING seen
+    so far, at O(batch) cost per micro-batch.
+
+    State: one OWNER row per paragraph fingerprint — (fp, doc, idx) of
+    the globally FIRST occurrence — partitioned by
+    ``fbucket = pmod(xxhash64(fp), n_buckets)`` under the shared
+    versioned-dir swap protocol. add(batch):
+
+    1. explode + fingerprint the batch; within-batch winners by the
+       same min(struct(doc, idx)) aggregate the batch operator uses;
+    2. read owners for ONLY the batch's fingerprints (fbucket
+       partition prune + broadcast semi-join — O(batch-adjacent
+       state), the _pairs_store discipline);
+    3. NEW fingerprints' winners append as owners (membership-first);
+    4. a batch paragraph survives iff its (doc, idx) IS its
+       fingerprint's owner.
+
+    Ownership makes replay OUTPUT-idempotent, not just
+    state-idempotent: a crash-redelivered batch finds its own rows
+    already registered as owners, returns the byte-identical deduped
+    output, and appends zero OWNER rows (contract-tested) — the
+    property a bare seen-set design lacks (a replayed batch would
+    dedup against itself and come back empty). The doc-count stats
+    delta does re-append under replay, the same n_docs
+    over-count-until-rebuild caveat NearDupIndex documents; owner
+    CONTENT — the correctness-bearing state — stays exact.
+
+    Semantics are ARRIVAL-ORDER first occurrence (the streaming
+    contract: whoever the index saw first owns the paragraph). That
+    equals the batch operator's global (doc_id, idx) min exactly when
+    batches arrive in ascending doc-id order — the append-only ingest
+    shape, contract-tested; out-of-order arrival keeps the documented
+    first-seen-wins semantics instead. Assumes append-only doc ids,
+    the family-wide add contract. Single-writer per index, like every
+    other add()."""
+
+    _SUBDIRS = ("owners", "stats")
+
+    def __init__(self, spark: SparkSession, path: str, id_col: str,
+                 id_type: str, sep: str, n_buckets: int, n_docs: int,
+                 vroot: str | None = None):
+        self.spark = spark
+        self.path = path
+        self.vroot = vroot or path
+        self.id_col = id_col
+        self.id_type = id_type
+        self.sep = sep
+        self.n_buckets = n_buckets
+        self.n_docs = n_docs
+
+    # ---- plan fragments -------------------------------------------------
+
+    def _owners_schema(self) -> str:
+        return f"fp string, {self.id_col} {self.id_type}, idx int, fbucket long"
+
+    @staticmethod
+    def _fbucket(col, n_buckets: int):
+        return F.pmod(F.xxhash64(col), F.lit(n_buckets))
+
+    def _batch_winners(self, docs: DataFrame, text_col: str):
+        """(exploded paras, within-batch winners (fp, id, idx))."""
+        paras = explode_paragraphs(docs, self.id_col, text_col, self.sep)
+        winners = (
+            paras.groupBy("fp")
+            .agg(F.min(F.struct(F.col(self.id_col), F.col("idx"))).alias("_w"))
+            .select(
+                "fp",
+                F.col(f"_w.{self.id_col}").alias(self.id_col),
+                F.col("_w.idx").alias("idx"),
+            )
+        )
+        return paras, winners
+
+    def _write_owners(self, owners: DataFrame, vdir: str) -> None:
+        (
+            owners.withColumn(
+                "fbucket", self._fbucket(F.col("fp"), self.n_buckets)
+            )
+            .repartition(min(self.n_buckets, 32), "fbucket")
+            .sortWithinPartitions("fbucket", "fp")
+            .write.mode("append")
+            .partitionBy("fbucket")
+            .parquet(os.path.join(vdir, "owners"))
+        )
+
+    def _write_stats(self, vdir: str, n_delta: int) -> None:
+        from alma_memory_spark.session import tiny_df
+
+        tiny_df(
+            self.spark,
+            [
+                (
+                    json.dumps(
+                        {
+                            "id_col": self.id_col,
+                            "id_type": self.id_type,
+                            "sep": self.sep,
+                            "n_buckets": self.n_buckets,
+                        }
+                    ),
+                    n_delta,
+                )
+            ],
+            "params string, n_docs long",
+        ).coalesce(1).write.mode("append").parquet(os.path.join(vdir, "stats"))
+
+    # ---- lifecycle ------------------------------------------------------
+
+    @staticmethod
+    def build(
+        spark: SparkSession,
+        docs: DataFrame,
+        path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        sep: str = "\n\n",
+        n_buckets: int = 32,
+    ) -> "ParagraphDedupIndex":
+        from alma_memory_spark.operators._index_version import (
+            begin_version,
+            commit_version,
+        )
+
+        id_type = docs.schema[id_col].dataType.simpleString()
+        idx = ParagraphDedupIndex(
+            spark, path, id_col, id_type, sep, n_buckets, n_docs=0
+        )
+        vdir = begin_version(path)
+        _paras, winners = idx._batch_winners(
+            docs.select(id_col, text_col), text_col
+        )
+        idx._write_owners(winners, vdir)
+        n = docs.count()
+        idx.n_docs = n
+        idx._write_stats(vdir, n)
+        idx.vroot = commit_version(path, vdir, ParagraphDedupIndex._SUBDIRS)
+        return idx
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "ParagraphDedupIndex":
+        from alma_memory_spark.operators._index_version import resolve_vroot
+
+        vroot = resolve_vroot(path)
+        rows = spark.read.parquet(os.path.join(vroot, "stats")).collect()
+        p = json.loads(rows[0]["params"])
+        return ParagraphDedupIndex(
+            spark, path, p["id_col"], p["id_type"], p["sep"],
+            p["n_buckets"], n_docs=sum(r["n_docs"] for r in rows),
+            vroot=vroot,
+        )
+
+    def _require_live_version(self) -> None:
+        from alma_memory_spark.operators._index_version import resolve_vroot
+
+        cur = resolve_vroot(self.path)
+        if os.path.abspath(cur) != os.path.abspath(self.vroot):
+            raise RuntimeError(
+                f"paragraph index handle pins version "
+                f"{os.path.basename(self.vroot)!r} of {self.path}, but the "
+                f"current version is {os.path.basename(cur)!r} — reload "
+                "before writing (a write here would never be served)"
+            )
+
+    def owners(self) -> DataFrame:
+        """All registered paragraph owners (fp, id, idx)."""
+        return (
+            self.spark.read.schema(self._owners_schema())
+            .parquet(os.path.join(self.vroot, "owners"))
+            .select("fp", self.id_col, "idx")
+        )
+
+    def add(self, docs: DataFrame, text_col: str = "text") -> DataFrame:
+        """Dedup a new batch against everything seen so far; returns
+        (id, text_dedup, n_paras, n_kept) for every batch doc and
+        registers the batch's new paragraphs as owners. See the class
+        docstring for the ownership/replay contract."""
+        from alma_memory_spark.session import tiny_df  # noqa: F401 (parity w/ family imports)
+
+        self._require_live_version()
+        batch = docs.select(self.id_col, text_col)
+        paras, winners = self._batch_winners(batch, text_col)
+        paras = paras.localCheckpoint(eager=True)  # feeds 3 consumers
+        winners = winners.localCheckpoint(eager=True)
+        # owners for ONLY the batch's fingerprints: partition prune to
+        # the batch's fbuckets, then broadcast-semi-join the batch fps
+        fps = winners.select("fp")
+        buckets = [
+            r["b"]
+            for r in fps.select(
+                self._fbucket(F.col("fp"), self.n_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        if buckets:
+            seen = (
+                self.spark.read.schema(self._owners_schema())
+                .parquet(os.path.join(self.vroot, "owners"))
+                .filter(F.col("fbucket").isin(buckets))
+                .join(F.broadcast(fps), "fp", "left_semi")
+                .select("fp", self.id_col, "idx")
+                # replayed appends may duplicate an owner row; ownership
+                # is a FUNCTION of fp, so keep one
+                .dropDuplicates(["fp"])
+                .localCheckpoint(eager=True)
+            )
+        else:
+            seen = self.spark.createDataFrame(
+                [], f"fp string, {self.id_col} {self.id_type}, idx int"
+            )
+        # membership-first: new fps' winners become owners
+        new_owners = winners.join(seen, "fp", "left_anti")
+        self._write_owners(new_owners, self.vroot)
+        n_delta = batch.count()
+        self.n_docs += n_delta
+        self._write_stats(self.vroot, n_delta)
+        # a batch paragraph survives iff it IS its fp's owner (seen
+        # owners take precedence; new fps' owners are the batch winners)
+        owner_now = seen.unionByName(new_owners).withColumnsRenamed(
+            {self.id_col: "_oid", "idx": "_oidx"}
+        )
+        kept = (
+            paras.join(owner_now, "fp")
+            .filter(
+                (F.col(self.id_col) == F.col("_oid"))
+                & (F.col("idx") == F.col("_oidx"))
+            )
+            .select(self.id_col, "idx", "p")
+        )
+        counts = paras.groupBy(self.id_col).agg(
+            F.count(F.lit(1)).alias("n_paras")
+        )
+        return _reassemble(
+            kept, batch.select(self.id_col), self.id_col, counts, self.sep
+        )

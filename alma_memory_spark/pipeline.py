@@ -51,7 +51,10 @@ from alma_memory_spark.functions.text import (
     quality_score,
     quality_signals,
 )
-from alma_memory_spark.operators.paragraphs import dedup_paragraphs
+from alma_memory_spark.operators.paragraphs import (
+    ParagraphDedupIndex,
+    dedup_paragraphs,
+)
 from alma_memory_spark.operators.components import (
     connected_components,
     near_dup_groups,
@@ -80,6 +83,7 @@ from alma_memory_spark.operators.semdedup import (
 
 __all__ = [
     "NearDupIndex",
+    "ParagraphDedupIndex",
     "SemDedupIndex",
     "connected_components",
     "contamination_report",

@@ -265,6 +265,7 @@ def stream_documents_into_indexes(
     ivf_index=None,
     neardup_index=None,
     semdedup_index=None,
+    paragraph_index=None,
     checkpoint: str | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -372,6 +373,21 @@ def stream_documents_into_indexes(
                     F.col(id_col).alias(semdedup_index.id_col),
                     F.col(vec_col).alias(semdedup_index.vec_col),
                 )
+            )
+        if paragraph_index is not None:
+            # paragraph dedup maintenance (r8): within-batch winners
+            # registered as owners for unseen fingerprints only
+            # (bucket-pruned owner read). Replay appends zero OWNER
+            # rows and would return the identical deduped output —
+            # ownership, not a bare seen-set — so no epoch-segment
+            # protocol here either; the discarded return frame costs
+            # nothing (Spark plans are lazy)
+            paragraph_index.add(
+                batch_df.select(
+                    F.col(id_col).alias(paragraph_index.id_col),
+                    F.col(text_col),
+                ),
+                text_col=text_col,
             )
         if on_batch is not None:
             on_batch(epoch_id)

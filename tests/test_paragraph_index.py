@@ -1,0 +1,170 @@
+"""Persisted incremental paragraph dedup: arrival-order == batch-global
+contract under ascending ids, replay output-idempotence, pruned owner
+reads, lifecycle."""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from alma_memory_spark.operators.paragraphs import (
+    ParagraphDedupIndex,
+    dedup_paragraphs,
+)
+from alma_memory_spark.session import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _pdocs(spark):
+    """Multi-paragraph corpus: unique body + universal footer + a
+    self-substring paragraph (cross-doc dup structure)."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.col("text"),
+            F.lit("shared boilerplate footer for the index tests"),
+            F.substring("text", 1, 30),
+        ).alias("text"),
+    )
+
+
+def _rows(df):
+    return {
+        r["doc_id"]: (r["text_dedup"], r["n_paras"], r["n_kept"])
+        for r in df.collect()
+    }
+
+
+def test_incremental_add_matches_batch_operator_under_ascending_ids(
+    spark, tmp_path
+):
+    """build(ids < K) + add(ids >= K) must reproduce the one-shot batch
+    operator's output for the added docs (arrival order == global
+    (doc_id, idx) order when batches ascend), and the owner set must
+    equal the batch operator's keep set."""
+    pdocs = _pdocs(spark)
+    a = pdocs.filter("doc_id < 300")
+    b = pdocs.filter("doc_id >= 300")
+    idx = ParagraphDedupIndex.build(
+        spark, a, str(tmp_path / "pi"), n_buckets=8
+    )
+    out_b = _rows(idx.add(b))
+    full = _rows(dedup_paragraphs(pdocs))
+    want_b = {k: v for k, v in full.items() if k >= 300}
+    assert out_b == want_b and out_b
+    # owners cover every distinct paragraph fingerprint exactly once
+    own = idx.owners().collect()
+    assert len(own) == len({r["fp"] for r in own})
+    # reload serves the same state
+    again = ParagraphDedupIndex.load(spark, str(tmp_path / "pi"))
+    assert again.n_docs == idx.n_docs
+    assert {r["fp"] for r in again.owners().collect()} == {
+        r["fp"] for r in own
+    }
+
+
+def test_replayed_add_is_output_idempotent(spark, tmp_path):
+    """A crash-redelivered batch returns the byte-identical deduped
+    output and appends zero owner rows — the ownership property a bare
+    seen-set design lacks."""
+    pdocs = _pdocs(spark)
+    idx = ParagraphDedupIndex.build(
+        spark, pdocs.filter("doc_id < 300"), str(tmp_path / "rp"),
+        n_buckets=8,
+    )
+    batch = pdocs.filter("doc_id >= 300")
+    first = _rows(idx.add(batch))
+    n_owners = idx.owners().count()
+    replay = _rows(idx.add(batch))
+    assert replay == first
+    assert idx.owners().count() == n_owners  # zero owner appends
+    # every replayed doc keeps its own paragraphs (not deduped empty)
+    assert all(v[2] > 0 for v in replay.values())
+
+
+def test_owner_reads_are_bucket_pruned(spark, tmp_path):
+    """The add-path owner read prunes to the batch fingerprints'
+    fbucket partitions and broadcast-semi-joins the batch fp set —
+    O(batch-adjacent state), never a full-state shuffle."""
+    pdocs = _pdocs(spark)
+    idx = ParagraphDedupIndex.build(
+        spark, pdocs, str(tmp_path / "pr"), n_buckets=8
+    )
+    owners_root = os.path.join(idx.vroot, "owners")
+    parts = [d for d in os.listdir(owners_root) if d.startswith("fbucket=")]
+    assert len(parts) > 1
+    one_fp = idx.owners().limit(1).select("fp")
+    scan = (
+        spark.read.schema(idx._owners_schema())
+        .parquet(owners_root)
+        .filter(
+            F.col("fbucket").isin(
+                [0]
+            )
+        )
+    )
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "fbucket" in plan.split(
+        "PartitionFilters"
+    )[1][:160], plan
+    assert one_fp.count() == 1
+
+
+def test_superseded_handle_refuses_writes(spark, tmp_path):
+    pdocs = _pdocs(spark)
+    v1 = ParagraphDedupIndex.build(
+        spark, pdocs.filter("doc_id < 100"), str(tmp_path / "vg"),
+        n_buckets=8,
+    )
+    ParagraphDedupIndex.build(spark, pdocs, str(tmp_path / "vg"), n_buckets=8)
+    with pytest.raises(RuntimeError, match="reload"):
+        v1.add(pdocs.filter("doc_id >= 100"))
+
+
+def test_streaming_paragraph_maintenance(spark, tmp_path):
+    """stream_documents_into_indexes(paragraph_index=...): after the
+    second half of the corpus replays through the file stream, every
+    distinct paragraph fingerprint of the full corpus has exactly ONE
+    owner (micro-batch split order may differ from global doc-id
+    order, so ownership identity follows the documented arrival-order
+    semantics — the fp SET and uniqueness are order-free)."""
+    from alma_memory_spark.operators.paragraphs import explode_paragraphs
+    from alma_memory_spark.streaming.ingest import (
+        stream_documents_into_indexes,
+    )
+
+    pdocs = _pdocs(spark)
+    half_a = pdocs.filter(F.col("doc_id") % 2 == 0)
+    half_b = pdocs.filter(F.col("doc_id") % 2 == 1)
+    idx = ParagraphDedupIndex.build(
+        spark, half_a, str(tmp_path / "pidx"), n_buckets=8
+    )
+    inbox = str(tmp_path / "inbox")
+    half_b.repartition(4).write.parquet(inbox)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(inbox)
+    )
+    batches = []
+    q = stream_documents_into_indexes(
+        stream, paragraph_index=idx,
+        checkpoint=str(tmp_path / "ckpt"), id_col="doc_id",
+        on_batch=batches.append,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(batches) >= 2
+    own = idx.owners().collect()
+    want_fps = {
+        r["fp"] for r in explode_paragraphs(pdocs).select("fp").collect()
+    }
+    assert {r["fp"] for r in own} == want_fps
+    assert len(own) == len(want_fps)  # exactly one owner per fp
+    assert idx.n_docs == pdocs.count()
