@@ -64,6 +64,10 @@ _NDIDX_GATE_CACHE: dict[str, str] = {}
 _NDIDX_GATE_LOCK = threading.Lock()
 _SDIDX_GATE_CACHE: dict[str, str] = {}
 _SDIDX_GATE_LOCK = threading.Lock()
+# pdidx caches the ADD OUTPUT rows (driver-side list — add() mutates,
+# so the lifecycle runs once and repeats replay the captured output)
+_PDIDX_GATE_CACHE: dict[str, list] = {}
+_PDIDX_GATE_LOCK = threading.Lock()
 
 
 # ---------------------------------------------------------------------------
@@ -653,6 +657,11 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'paradedup', coalesce(pr.h, md5('')), d.doc_id,
            coalesce(pr.n_kept, 0)
     FROM documents d LEFT JOIN preasm pr ON d.doc_id = pr.doc_id
+    UNION ALL
+    SELECT 'pdidx', coalesce(pr.h, md5('')), d.doc_id,
+           coalesce(pr.n_kept, 0)
+    FROM documents d LEFT JOIN preasm pr ON d.doc_id = pr.doc_id
+    WHERE d.doc_id >= 300
     """,
 )
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -756,17 +765,57 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("text", 1, 40),
         F.substring("text", 10, 30),
     )
-    para = dedup_paragraphs(docs.select("doc_id", p_aug.alias("text"))).select(
+    pdocs = docs.select("doc_id", p_aug.alias("text"))
+    para = dedup_paragraphs(pdocs).select(
         F.lit("paradedup").alias("variant"),
         F.md5("text_dedup").alias("key"),
         F.col("doc_id").alias("id"),
         F.col("n_kept").alias("n"),
+    )
+
+    # 'pdidx' rows (r8) — the PERSISTED ParagraphDedupIndex add path
+    # under the driver oracle: build over ids < 300, add() the rest;
+    # under ascending-id ingest the add output equals the one-shot
+    # batch operator restricted to the added docs, so the oracle is
+    # the same preasm replay filtered to the add split. add() mutates
+    # state, so the lifecycle runs once per sf_dir and the bounded
+    # output rows are captured driver-side; repeats replay them.
+    import atexit
+    import shutil
+    import tempfile
+
+    from alma_memory_spark.operators.paragraphs import ParagraphDedupIndex
+
+    with _PDIDX_GATE_LOCK:
+        cached = _PDIDX_GATE_CACHE.get(sf_dir)
+        if cached is None:
+            pdroot = tempfile.mkdtemp(prefix="alma_pdidx_gate_")
+            pidx = ParagraphDedupIndex.build(
+                spark, pdocs.filter(F.col("doc_id") < 300), pdroot,
+                id_col="doc_id", text_col="text", n_buckets=8,
+            )
+            out = pidx.add(pdocs.filter(F.col("doc_id") >= 300))
+            cached = [
+                (r["doc_id"], r["text_dedup"], r["n_kept"])
+                for r in out.collect()
+            ]
+            _PDIDX_GATE_CACHE[sf_dir] = cached
+            atexit.register(shutil.rmtree, pdroot, ignore_errors=True)
+    pdidx_rows = _tiny(
+        spark, _PDIDX_GATE_CACHE[sf_dir],
+        "id long, text_dedup string, n long",
+    ).select(
+        F.lit("pdidx").alias("variant"),
+        F.md5("text_dedup").alias("key"),
+        "id",
+        "n",
     )
     return (
         dd.unionByName(strat)
         .unionByName(mixed)
         .unionByName(contam)
         .unionByName(para)
+        .unionByName(pdidx_rows)
     )
 
 
