@@ -33,8 +33,10 @@ FOOTER = "universal boilerplate footer shared by every single document"
 HALF = "secondary boilerplate present in half of the corpus"
 
 
-def corpus(spark, n: int):
-    return spark.range(n).select(
+def corpus(spark, n: int, offset: int = 0):
+    """`offset` shifts BOTH the ids and the generated text content —
+    corpora at different offsets share only the footer paragraphs."""
+    return spark.range(offset, offset + n).select(
         F.col("id").alias("doc_id"),
         F.concat_ws(
             "\n\n",
@@ -85,5 +87,55 @@ def main() -> None:
     )
 
 
+def measure_incremental() -> None:
+    """Second claim: ParagraphDedupIndex.add(batch) stays FLAT as the
+    accumulated owner state grows 16x — the owner read prunes to the
+    batch fingerprints' fbucket partitions and broadcast-semi-joins
+    the batch fp set, so per-add cost is O(batch-adjacent state)."""
+    import shutil
+    import tempfile
+
+    from alma_memory_spark.operators.paragraphs import ParagraphDedupIndex
+
+    spark = get_spark(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    # fresh content at a disjoint offset: bodies/tails are NEW (kept),
+    # footers duplicate indexed state (dropped) — the realistic mix
+    batch = corpus(spark, 1_000, offset=50_000_000).localCheckpoint(
+        eager=True
+    )
+    results = []
+    for n in (10_000, 40_000, 160_000):
+        root = tempfile.mkdtemp(prefix="paradedup_inc_")
+        try:
+            idx = ParagraphDedupIndex.build(
+                spark, corpus(spark, n), root + "/idx", n_buckets=32
+            )
+            n_owners = idx.owners().count()
+            t0 = time.time()
+            out = idx.add(batch)
+            n_kept = out.agg(F.sum("n_kept")).collect()[0][0]
+            wall = time.time() - t0
+            rec = {
+                "indexed_docs": n,
+                "owners": int(n_owners),
+                "add_wall_s": round(wall, 2),
+                "batch_kept_paragraphs": int(n_kept),
+            }
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "claim": "paragraph-index add flat as owner state grows 16x",
+                "add_s_smallest": results[0]["add_wall_s"],
+                "add_s_largest": results[-1]["add_wall_s"],
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     main()
+    measure_incremental()
