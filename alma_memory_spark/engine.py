@@ -343,7 +343,10 @@ class AlmaSpark:
             unioned = frames[0]
             for f in frames[1:]:
                 unioned = unioned.unionByName(f, allowMissingColumns=True)
-            if fb is not None:
+            # the blend references the score column — a preferences-only
+            # union (no scored type table written yet) has none, and
+            # the preferences branch is never feedback-blended anyway
+            if fb is not None and "score" in unioned.columns:
                 unioned = apply_feedback_blend(
                     unioned, fb, self.feedback_weight, type_col="memory_type"
                 )

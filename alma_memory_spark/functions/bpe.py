@@ -54,9 +54,15 @@ def load_merge_ranks(path: str = DEFAULT_MERGES) -> dict:
     ranks: dict = {}
     with open(path, encoding="utf-8") as f:
         for line in f:
-            if line.startswith("#") or not line.rstrip("\n"):
+            line = line.rstrip("\n")
+            # only the '#version' header line is a comment in GPT-2
+            # merges.txt — merge pairs whose first symbol is '#' are
+            # legitimate and must not be dropped (ADVICE r8 #4); a
+            # line that doesn't split into exactly two symbols is
+            # likewise structural, not a merge
+            if line.startswith("#version") or len(line.split(" ")) != 2:
                 continue
-            a, b = line.rstrip("\n").split(" ")
+            a, b = line.split(" ")
             ranks[(a.replace("Ġ", " "), b.replace("Ġ", " "))] = len(ranks)
     return ranks
 

@@ -312,8 +312,11 @@ def quality_signals(
         "sum_word_len": F.aggregate(
             ts, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
         ),
+        # any alphabetic character, either case (ADVICE r8 #5: the
+        # published Gopher rule is case-insensitive; '[a-z]' failed
+        # clean all-caps documents)
         "alpha_words": F.size(
-            F.filter(ts, lambda s: s.rlike("[a-z]"))
+            F.filter(ts, lambda s: s.rlike("[a-zA-Z]"))
         ).cast("long"),
         "stopword_presence": F.size(
             F.array_intersect(
@@ -571,7 +574,7 @@ def sql_quality_signals(expr: str) -> dict[str, str]:
     return {
         "n_words": f"len({ts})",
         "sum_word_len": f"coalesce(list_sum(list_transform({ts}, s -> length(s))), 0)",
-        "alpha_words": f"len(list_filter({ts}, s -> regexp_matches(s, '[a-z]')))",
+        "alpha_words": f"len(list_filter({ts}, s -> regexp_matches(s, '[a-zA-Z]')))",
         "stopword_presence": f"len(list_intersect({ts}, {_sql_list(GOPHER_REQUIRED_STOPWORDS)}))",
         "symbols": (
             f"len(regexp_extract_all({expr}, '#'))"

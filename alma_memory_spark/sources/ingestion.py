@@ -237,7 +237,16 @@ def normalize_file(spark: SparkSession, path: str) -> DataFrame:
 def _source_file_expr(paths: list[str]):
     """source_file for a MULTI-path scan: `_metadata.file_path` is a
     URI (file://...), so map its basename back to the caller's exact
-    path string. Basenames are unique within one directory listing."""
+    path string. Basenames are unique within one directory listing.
+
+    The URI form percent-encodes spaces and other reserved characters
+    (ADVICE r8 #2: a name with a space arrived as `%20` and missed the
+    map, nulling source_file and reclassifying transcripts). Decode
+    before the lookup: `url_decode` is form-decoding ('+' -> space),
+    while a URI path keeps literal '+' unescaped — escaping '+' to
+    '%2B' first makes the composition exact percent-decoding. Every
+    %-sequence in `_fp` is well-formed (Spark produced the URI), so
+    url_decode cannot throw."""
     bases = [os.path.basename(p) for p in paths]
     if len(set(bases)) != len(bases):
         # only reachable if a caller batches across directories
@@ -248,31 +257,62 @@ def _source_file_expr(paths: list[str]):
     for p in paths:
         pairs += [F.lit(os.path.basename(p)), F.lit(p)]
     base = F.element_at(F.split(F.col("_fp"), "/"), -1)
-    return F.element_at(F.create_map(*pairs), base)
+    decoded = F.url_decode(F.regexp_replace(base, r"\+", "%2B"))
+    return F.element_at(F.create_map(*pairs), decoded)
 
 
 def _norm_jsonl_batch(spark: SparkSession, paths: list[str]) -> DataFrame:
     """ALL Claude-Code/Codex JSONL exports in ONE multi-path scan —
     turn numbering restarts per file via the (_fp, _blk) block keys.
-    The per-file text-column precedence (message.content -> content ->
-    text) becomes a per-row coalesce over the merged schema: for
-    well-formed exports exactly one of them is non-null per row, so
-    the projection is unchanged."""
+
+    Text-column precedence is per FILE, matching the per-file path
+    (ADVICE r8 #3): the file's own schema decides message.content ->
+    content -> text, so a claude-code row with a null message.content
+    must NOT fall through to a sibling file's top-level content column.
+    Per-file column presence is a map-side-combinable `max(isNotNull)`
+    aggregate over the same scan (one row per file), broadcast back.
+
+    If the batch's merged schema widens `message` away from a struct
+    (one file has a string `message`), the struct field access the
+    per-file path used is inexpressible on the merged frame — fall
+    back to per-file scans for correctness (rare mixed batch)."""
+    from pyspark.sql import types as T
+
     df = spark.read.json(paths)
     cols = df.columns
-    texts = []
-    if "message" in cols:
-        texts.append(F.col("message.content").cast("string"))
+    msg_field = next((f for f in df.schema.fields if f.name == "message"), None)
+    has_msg_content = (
+        msg_field is not None
+        and isinstance(msg_field.dataType, T.StructType)
+        and "content" in msg_field.dataType.fieldNames()
+    )
+    if msg_field is not None and not has_msg_content:
+        out = _norm_claude_code(spark, paths[0])
+        for p in paths[1:]:
+            out = out.unionByName(_norm_claude_code(spark, p))
+        return out
+    exprs: list = []  # (presence flag expr, text expr) in precedence order
+    if has_msg_content:
+        exprs.append((F.col("message").isNotNull(), F.col("message.content").cast("string")))
     if "content" in cols:
-        texts.append(F.col("content").cast("string"))
+        exprs.append((F.col("content").isNotNull(), F.col("content").cast("string")))
     if "text" in cols:
-        texts.append(F.col("text").cast("string"))
-    if not texts:
+        exprs.append((F.lit(True), F.col("text").cast("string")))
+    if not exprs:
         # no recognizable text column anywhere in the batch — surface
         # the same missing-column error the per-file path raised
-        texts = [F.col("text").cast("string")]
-    text = F.coalesce(*texts) if len(texts) > 1 else texts[0]
+        exprs = [(F.lit(True), F.col("text").cast("string"))]
     lo = _line_order(df)
+    if len(exprs) > 1:
+        pres = lo.groupBy("_fp").agg(
+            *[F.max(flag).alias(f"_has{i}") for i, (flag, _) in enumerate(exprs[:-1])]
+        )
+        lo = lo.join(F.broadcast(pres), "_fp")
+        text = exprs[-1][1]
+        for i in range(len(exprs) - 2, -1, -1):
+            text = F.when(F.col(f"_has{i}"), exprs[i][1]).otherwise(text)
+    else:
+        text = exprs[0][1]
     return _assign_turns(
         lo.filter(F.col("type").isin("human", "user", "assistant")).select(
             _source_file_expr(paths).alias("source_file"),

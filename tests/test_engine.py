@@ -278,6 +278,24 @@ def test_scoped_cache_projectwide_and_inherit(engine):
     assert engine.retrieve("alpha fact", agent="alice", project_id="proj-a") is not own2
 
 
+def test_feedback_retrieve_with_only_preferences(engine):
+    """Regression (ADVICE r8): a preferences-only store + use_feedback
+    must not crash — the post-union blend references 'score', which the
+    preferences frame lacks; with no scored table written yet the union
+    has no score column at all."""
+    engine.add_preference("u1", "style", "be terse")
+    sl = engine.retrieve(
+        "anything", agent="alice", project_id="p", user_id="u1", use_feedback=True
+    )
+    assert sl.preferences and sl.preferences[0]["preference"] == "be terse"
+    # and the mixed case still blends: write a scored type then repeat
+    engine.add_knowledge("alice", "p", "d", "some fact")
+    sl2 = engine.retrieve(
+        "some fact", agent="alice", project_id="p", user_id="u1", use_feedback=True
+    )
+    assert sl2.preferences and sl2.domain_knowledge
+
+
 def test_scoped_cache_user_preferences(engine):
     engine.add_preference("u1", "style", "be terse")
     s1 = engine.retrieve("anything", agent="alice", project_id="p", user_id="u1")

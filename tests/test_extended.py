@@ -201,6 +201,54 @@ def test_detect_and_normalize_formats(spark, tmp_path):
     assert all(not r["text"].startswith(">") for r in tr)
 
 
+def test_batched_ingest_matches_per_file_semantics(spark, tmp_path):
+    """Pinned (ADVICE r8 #2/#3): the batched directory dispatch must
+    reproduce per-file normalization exactly, including (a) filenames
+    with spaces/'+' — `_metadata.file_path` is a URI, so the basename
+    arrives percent-encoded and must be decoded before the source_file
+    map lookup; (b) per-FILE text-column precedence — a claude-code row
+    with a null message.content must not fall through to a sibling
+    file's top-level content column."""
+    spaced = tmp_path / "my notes + ideas.txt"
+    spaced.write_text("line one\nline two\n")
+    cc = tmp_path / "session.jsonl"
+    cc.write_text(
+        "\n".join(
+            json.dumps(x)
+            for x in [
+                {"type": "user", "message": {"content": "hello"}},
+                # null message.content: per-file precedence (file HAS
+                # message) keeps it null — never this row's top-level
+                # text or a sibling file's content column
+                {"type": "assistant", "message": {"content": None},
+                 "text": "MUST_NOT_APPEAR"},
+            ]
+        )
+    )
+    codex = tmp_path / "codex.jsonl"
+    codex.write_text(
+        "\n".join(
+            json.dumps(x)
+            for x in [
+                {"type": "session_meta", "payload": {}},
+                {"type": "user", "content": "codex question"},
+                {"type": "assistant", "content": "codex answer"},
+            ]
+        )
+    )
+    got = normalize_directory(spark, str(tmp_path)).orderBy("source_file", "turn")
+    want = normalize_file(spark, str(cc))
+    for p in (codex, spaced):
+        want = want.unionByName(normalize_file(spark, str(p)))
+    assert [r.asDict() for r in got.collect()] == [
+        r.asDict() for r in want.orderBy("source_file", "turn").collect()
+    ]
+    by_file = {r["source_file"] for r in got.collect()}
+    assert str(spaced) in by_file  # decoded lookup hit, not NULL
+    cc_rows = got.filter(F.col("source_file") == str(cc)).collect()
+    assert cc_rows[1]["text"] is None
+
+
 def test_turn_numbering_survives_multi_block_scan(spark, tmp_path):
     """Pinned (VERDICT r6 #1): turn numbers must stay in file order when
     the scan splits the file into many input blocks — the old global
