@@ -135,6 +135,7 @@ class IVFIndex:
         extra_cols: list[tuple[str, str]] | None = None,
         vroot: str | None = None,
         pq=None,
+        n_assign: int = 1,
     ):
         self.spark = spark
         self.path = path
@@ -142,6 +143,15 @@ class IVFIndex:
         self.cells = cells  # np.int64 cell ids, sorted DESC
         self.Cn = Cn  # L2-normalized centroid matrix, rows follow cells
         self.id_type = id_type
+        #: multi-probe MEMBERSHIP (r9): each vector is stored in its
+        #: top-n_assign cells (stable desc argsort, same tie rule as
+        #: the single argmax — column 0 IS the n_assign=1 placement).
+        #: Built for SemDedupIndex's boundary-recall knob: near-dups
+        #: straddling a cell boundary share a probed cell. Lists grow
+        #: n_assign-fold; search paths dedup candidate ids (copies
+        #: carry identical scores, so results match a 1-membership
+        #: index whenever recall allows).
+        self.n_assign = max(1, int(n_assign))
         #: (m, ks, Cb) when PQ-enabled: m subspaces, ks codes each,
         #: Cb codebook array of shape (m, ks, dim/m)
         self.pq = pq
@@ -308,6 +318,7 @@ class IVFIndex:
         pq_ks: int = 256,
         pq_train_max: int = 16384,
         pq_iters: int = 10,
+        n_assign: int = 1,
     ) -> "IVFIndex":
         """One-time index build: stride-sample centroid seeds
         (deterministic — every cent_every-th id for numeric ids; for
@@ -352,7 +363,10 @@ class IVFIndex:
         # a probe deleted list files or pair cached centroids with
         # half-written lists)
         vdir = begin_version(path)
-        idx = IVFIndex(spark, path, cells, Cn, id_type, extras, vroot=vdir, pq=pq)
+        idx = IVFIndex(
+            spark, path, cells, Cn, id_type, extras, vroot=vdir, pq=pq,
+            n_assign=n_assign,
+        )
         # the list write (the big job) and the tiny centroid/pq writes
         # target disjoint subdirs of the uncommitted version dir — run
         # them as concurrent Spark jobs (each tiny write costs a full
@@ -371,7 +385,8 @@ class IVFIndex:
         # leaked job is still writing into
         try:
             IVFIndex._write_build_meta(
-                spark, vdir, cells, Cn, id_type, cent_every, extras, pq
+                spark, vdir, cells, Cn, id_type, cent_every, extras, pq,
+                idx.n_assign,
             )
             lists_fut.result()  # lists must be complete BEFORE commit
         except BaseException:
@@ -387,7 +402,8 @@ class IVFIndex:
 
     @staticmethod
     def _write_build_meta(
-        spark, vdir, cells, Cn, id_type, cent_every, extras, pq
+        spark, vdir, cells, Cn, id_type, cent_every, extras, pq,
+        n_assign: int = 1,
     ) -> None:
         """The tiny PQ + centroid writes of build() (disjoint subdirs
         from the concurrent lists write)."""
@@ -420,11 +436,14 @@ class IVFIndex:
         tiny_df(
             spark,
             [
-                (int(c), [float(x) for x in Cn[i]], id_type, cent_every, meta_json)
+                (
+                    int(c), [float(x) for x in Cn[i]], id_type, cent_every,
+                    meta_json, int(n_assign),
+                )
                 for i, c in enumerate(cells)
             ],
             "cell long, cvec array<double>, id_type string, "
-            "cent_every int, extra_cols string",
+            "cent_every int, extra_cols string, n_assign int",
         ).coalesce(1).write.mode("overwrite").parquet(os.path.join(vdir, "centroids"))
 
     def _write_lists(
@@ -440,12 +459,15 @@ class IVFIndex:
         import numpy as np
         import pandas as pd
 
-        b = self.spark.sparkContext.broadcast((self.cells, self.Cn, self.pq))
+        b = self.spark.sparkContext.broadcast(
+            (self.cells, self.Cn, self.pq, self.n_assign)
+        )
         extras = self.extra_cols
         encode_pq = IVFIndex._encode_pq
 
         def assign(it):
-            cells_, Cn_, pq_ = b.value
+            cells_, Cn_, pq_, k_ = b.value
+            k_ = max(1, min(int(k_), len(cells_)))
             for pdf in it:
                 if not len(pdf):
                     continue
@@ -459,11 +481,31 @@ class IVFIndex:
                 }
                 for name, _t in extras:
                     out[name] = pdf[name]
-                out["cell"] = cells_[np.argmax(csims, axis=1)]
-                res = pd.DataFrame(out)
+                if k_ == 1:
+                    out["cell"] = cells_[np.argmax(csims, axis=1)]
+                    res = pd.DataFrame(out)
+                    if pq_ is not None:
+                        codes = encode_pq(Vn, pq_)
+                        res["code"] = [c.tobytes() for c in codes]
+                    yield res
+                    continue
+                # multi-probe membership: each vector in its top-k_
+                # cells — stable sort on -csim keeps the desc cell
+                # order on ties, so column 0 IS the argmax placement
+                top = np.argsort(-csims, axis=1, kind="stable")[:, :k_]
+                rep = np.repeat(np.arange(len(pdf)), k_)
+                rout = {
+                    "id": pdf[id_col].to_numpy()[rep],
+                    "embedding": pdf[vec_col].to_numpy()[rep],
+                }
+                for name, _t in extras:
+                    rout[name] = pdf[name].to_numpy()[rep]
+                rout["cell"] = cells_[top].ravel()
+                res = pd.DataFrame(rout)
                 if pq_ is not None:
                     codes = encode_pq(Vn, pq_)
-                    res["code"] = [c.tobytes() for c in codes]
+                    blobs = np.array([c.tobytes() for c in codes], dtype=object)
+                    res["code"] = blobs[rep]
                 yield res
 
         extra_schema = "".join(f", {n} {t}" for n, t in extras)
@@ -513,12 +555,15 @@ class IVFIndex:
         Cn = np.array([r["cvec"] for r in rows], dtype=np.float64)
         import json as _json
 
-        id_type, extras = "bigint", []
+        id_type, extras, n_assign = "bigint", [], 1
         if rows and "id_type" in rows[0].asDict():
             # meta rides the centroid rows (current layout)
             id_type = rows[0]["id_type"]
             if rows[0]["extra_cols"]:
                 extras = [tuple(e) for e in _json.loads(rows[0]["extra_cols"])]
+            # absent in pre-r9 indexes -> single membership
+            if "n_assign" in rows[0].asDict():
+                n_assign = int(rows[0]["n_assign"])
         elif os.path.isdir(os.path.join(vroot, "meta")):
             # legacy layout: separate one-row meta dir
             meta = spark.read.parquet(
@@ -541,7 +586,10 @@ class IVFIndex:
             for r in crows:
                 Cb[r["sub"], r["code"]] = r["cvec"]
             pq = (m, ks, Cb)
-        return IVFIndex(spark, path, cells, Cn, id_type, extras, vroot=vroot, pq=pq)
+        return IVFIndex(
+            spark, path, cells, Cn, id_type, extras, vroot=vroot, pq=pq,
+            n_assign=n_assign,
+        )
 
     # ------------------------------------------------------------------
 
@@ -844,6 +892,9 @@ class IVFIndex:
         hits = pruned.select("id", "embedding").mapInPandas(
             score, f"id {self.id_type}, similarity double"
         )
+        if self.n_assign > 1:
+            # multi-membership copies score identically — keep one
+            hits = hits.dropDuplicates(["id"])
         return hits.orderBy(F.desc("similarity"), F.asc("id")).limit(k)
 
     def search_batch(
@@ -945,6 +996,10 @@ class IVFIndex:
         hits = pruned.select("id", "embedding", "cell").mapInPandas(
             score, f"qid string, id {self.id_type}, similarity double"
         )
+        if self.n_assign > 1:
+            # a query probing 2+ of an id's membership cells scores the
+            # same (qid, id) twice with identical similarity — keep one
+            hits = hits.dropDuplicates(["qid", "id"])
         w = W.partitionBy("qid").orderBy(F.desc("similarity"), F.asc("id"))
         return (
             hits.withColumn("_rk", F.row_number().over(w))
@@ -997,6 +1052,8 @@ class IVFIndex:
         cand = pruned.select("id", "code").mapInPandas(
             adc, f"id {self.id_type}, sim_pq double"
         )
+        if self.n_assign > 1:
+            cand = cand.dropDuplicates(["id"])
         return cand.orderBy(F.desc("sim_pq"), F.asc("id")).limit(n_cand)
 
     def search_pq(
@@ -1077,4 +1134,6 @@ class IVFIndex:
         hits = rerank.select("id", "embedding").mapInPandas(
             score, f"id {self.id_type}, similarity double"
         )
+        if self.n_assign > 1:
+            hits = hits.dropDuplicates(["id"])
         return hits.orderBy(F.desc("similarity"), F.asc("id")).limit(k)

@@ -1099,13 +1099,17 @@ def winnow_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / e.nrm, 6) AS csim
         FROM e, centn c
       ), asgn AS (
+        -- multi-probe (r9): each vector in its TOP-2 cells, so pairs
+        -- straddling a cell boundary meet in a shared probed cell
         SELECT vec_id, v, nrm, cell FROM (
           SELECT *, row_number() OVER (PARTITION BY vec_id
                                        ORDER BY csim DESC, cell DESC) AS rn
           FROM scoredn
-        ) WHERE rn = 1
+        ) WHERE rn <= 2
       ), sdpairs AS (
-        SELECT id_a, id_b, sim FROM (
+        -- DISTINCT: a pair sharing both probed cells surfaces twice
+        -- with the same rounded sim
+        SELECT DISTINCT id_a, id_b, sim FROM (
           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                  round(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i]))
                        / (a.nrm * b.nrm), 6) AS sim
@@ -1240,6 +1244,9 @@ def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 vec_col="embedding",
                 threshold=NEARDUP_COS,
                 cent_every=SEMDEDUP_CENT_EVERY,
+                # r9 (VERDICT r8 #1): the persisted path now multi-
+                # probes — the oracle's asgn CTE takes rn <= 2
+                n_assign=2,
             )
             sidx.add(emb.filter(~in_build).select("vec_id", "embedding"))
             _SDIDX_GATE_CACHE[sf_dir] = sdroot

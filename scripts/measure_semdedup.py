@@ -253,8 +253,55 @@ def measure_multiprobe() -> None:
     print(json.dumps(out), flush=True)
 
 
+def measure_index_multiprobe() -> None:
+    """r9 (VERDICT r8 #1): recall of the PERSISTED SemDedupIndex
+    (build 70% + add 30%) vs exact all-pairs ground truth at
+    n_assign = 1 vs 2 — the streaming path's accumulated pairs must
+    reach ~the batch operator's multi-probe recall, not stay pinned at
+    the single-probe boundary-miss rate."""
+    import shutil
+    import tempfile
+
+    from alma_memory_spark.operators.semdedup import SemDedupIndex
+
+    spark = get_spark(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    n = 4_000
+    emb = make_corpus(spark, n).localCheckpoint(eager=True)
+    V = np.array(
+        [r["embedding"] for r in emb.orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    nrm = np.maximum(np.linalg.norm(V, axis=1), 1e-300)
+    S = np.round((V @ V.T) / np.outer(nrm, nrm), 6)
+    ia, ib = np.triu_indices(n, k=1)
+    mask = S[ia, ib] >= 0.85
+    exact = set(zip(ia[mask].tolist(), ib[mask].tolist()))
+    a = emb.filter((F.col("vec_id") % 10 < 7) | (F.col("vec_id") % CENT_EVERY == 0))
+    b = emb.filter((F.col("vec_id") % 10 >= 7) & (F.col("vec_id") % CENT_EVERY != 0))
+    out = {"exact_pairs": len(exact)}
+    for k in (1, 2):
+        root = tempfile.mkdtemp(prefix=f"alma_sdidx_mp{k}_")
+        try:
+            t0 = time.time()
+            idx = SemDedupIndex.build(
+                spark, a, root, threshold=0.85, cent_every=CENT_EVERY,
+                n_assign=k,
+            )
+            idx.add(b)
+            got = {(r["id_a"], r["id_b"]) for r in idx.pairs().collect()}
+            out[f"index_n_assign_{k}"] = {
+                "pairs": len(got),
+                "recall": round(len(got & exact) / max(1, len(exact)), 4),
+                "wall_s": round(time.time() - t0, 2),
+            }
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps(out), flush=True)
+
+
 if __name__ == "__main__":
     main()
     measure_incremental()
     measure_pairs_history()
     measure_multiprobe()
+    measure_index_multiprobe()

@@ -593,3 +593,35 @@ def test_commit_forget_superseded_version_drops_staging(spark, tmp_path):
     staged2 = cur.stage_forget(doomed)
     cur.commit_forget(staged2)
     assert os.path.isdir(os.path.join(cur.vroot, "tombstones"))
+
+
+def test_multiassign_index_search_has_no_duplicate_ids(spark, tmp_path):
+    """r9: an n_assign=2 (multi-membership) index — built for the
+    SemDedupIndex recall knob — stores each vector in its top-2 cells;
+    every search path must still return each id at most once, add()
+    must keep multi-membership, and load() restores the knob."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a = emb.filter("vec_id % 10 < 7")
+    b = emb.filter("vec_id % 10 >= 7")
+    path = str(tmp_path / "ivf2")
+    idx = IVFIndex.build(spark, a, path, cent_every=50, n_assign=2)
+    idx.add(b)
+    # lists hold ~2 rows per vector (capped by n_cells)
+    lists = spark.read.parquet(os.path.join(idx.vroot, "lists"))
+    n_vecs = emb.count()
+    assert n_vecs < lists.count() <= 2 * n_vecs
+    # each id appears in at most 2 distinct cells, never twice in one
+    per = lists.groupBy("id").count().collect()
+    assert max(r["count"] for r in per) <= 2
+    dup_in_cell = lists.groupBy("id", "cell").count().filter("count > 1")
+    assert dup_in_cell.count() == 0
+
+    idx2 = IVFIndex.load(spark, path)
+    assert idx2.n_assign == 2
+    top = idx2.search(QUERY_VEC, k=10, nprobe=3).collect()
+    ids = [r["id"] for r in top]
+    assert len(ids) == len(set(ids)) == 10
+    batch = idx2.search_batch([("q0", QUERY_VEC)], k=10, nprobe=3).collect()
+    assert [(r["id"], r["similarity"]) for r in batch] == [
+        (r["id"], r["similarity"]) for r in top
+    ]

@@ -321,3 +321,71 @@ def test_multi_probe_assignment_recovers_boundary_pairs(spark):
         semantic_dedup_pairs(emb, threshold=0.4, cent_every=50, n_assign=2)
     )
     assert s1 <= s2
+
+
+def test_semdedup_index_multiprobe_matches_pinned_full_run(spark, tmp_path):
+    """r9 (VERDICT r8 #1): the PERSISTED index at n_assign=2 — build +
+    add accumulates exactly the quantizer-pinned full multi-probe run;
+    a crafted boundary pair split across build/add is FOUND (the
+    single-probe persisted path missed it); replay appends nothing;
+    load() restores the n_assign knob."""
+    import math
+
+    from alma_memory_spark.operators.semdedup import SemDedupIndex
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a = emb.filter(F.col("vec_id") % 10 < 7)
+    b = emb.filter(F.col("vec_id") % 10 >= 7)
+    idx = SemDedupIndex.build(
+        spark, a, str(tmp_path / "sd2"), threshold=0.4, cent_every=50,
+        n_assign=2,
+    )
+    assert idx.add(b) >= 1
+    want = _pairs(
+        semantic_dedup_pairs(
+            emb, threshold=0.4, quantizer=idx.ivf, n_assign=2
+        )
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["cos_sim"]) for r in idx.pairs().collect()
+    }
+    assert got == want
+    # strictly more recall than the single-probe accumulation
+    want1 = _pairs(semantic_dedup_pairs(emb, threshold=0.4, quantizer=idx.ivf))
+    assert want1 <= want
+    # replay: no new pairs, no membership duplication
+    before = idx.pairs().count()
+    assert idx.add(b) == 0
+    assert idx.pairs().count() == before
+    loaded = SemDedupIndex.load(spark, str(tmp_path / "sd2"))
+    assert loaded.n_assign == 2
+    assert {
+        (r["id_a"], r["id_b"], r["cos_sim"]) for r in loaded.pairs().collect()
+    } == want
+
+    # boundary corpus: p lands with the build, q arrives via add() —
+    # they straddle the A/B cell boundary, so only multi-probe
+    # membership lets the increment see p at all
+    def nrm(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    A = [1.0, 0.0, 0.0, 0.0]
+    B = nrm([0.7, 0.714142842854285, 0.0, 0.0])
+    p = nrm([1.0, 0.42, 0.0, 0.0])
+    q = nrm([1.0, 0.52, 0.0, 0.0])
+    build_rows = [(0, A), (50, B), (1, p), (3, nrm([0.0, 0.0, 1.0, 0.0]))]
+    bdf = spark.createDataFrame(
+        build_rows, "vec_id long, embedding array<double>"
+    )
+    qdf = spark.createDataFrame(
+        [(2, q)], "vec_id long, embedding array<double>"
+    )
+    for n_assign, expect_found in ((1, False), (2, True)):
+        bidx = SemDedupIndex.build(
+            spark, bdf, str(tmp_path / f"bd{n_assign}"), threshold=0.99,
+            cent_every=50, n_assign=n_assign,
+        )
+        bidx.add(qdf)
+        found = {(r["id_a"], r["id_b"]) for r in bidx.pairs().collect()}
+        assert ((1, 2) in found) is expect_found
