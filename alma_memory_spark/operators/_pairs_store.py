@@ -43,6 +43,7 @@ PAIRS_LAYOUT = 2
 
 __all__ = [
     "PAIRS_LAYOUT",
+    "compact_pairs",
     "pair_src_bucket",
     "read_adjacent_pairs",
     "read_pairs",
@@ -168,3 +169,27 @@ def read_adjacent_pairs(
             sim_col,
         )
     )
+
+
+def compact_pairs(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    a_col: str,
+    b_col: str,
+    sim_col: str,
+    id_type: str,
+    n_buckets: int,
+    legacy: bool = False,
+) -> None:
+    """Fold an accumulated pairs dir into a fresh one: deduplicated
+    canonical content, ONE file per sbucket partition (each add()
+    appends a file per touched partition, so a long-running streaming
+    maintainer degrades the file listing without this). A LEGACY flat
+    dir comes out migrated to the adjacency layout. Shared by every
+    index compact() — content is identical through the canonical view
+    by construction."""
+    folded = read_pairs(
+        spark, src, a_col, b_col, sim_col, id_type, legacy=legacy
+    ).dropDuplicates([a_col, b_col])
+    write_pairs(folded, dest, a_col, b_col, sim_col, n_buckets)

@@ -610,6 +610,62 @@ class IVFIndex:
         self._write_lists(df, id_col, vec_col, mode="append")
         return self
 
+    def compact_to(self, dest_path: str) -> "IVFIndex":
+        """Fold list append debris into a fresh committed index at
+        `dest_path` WITHOUT recomputing assignments (VERDICT r8 #2):
+        every add() appends one parquet file per touched cell, so a
+        long-running streaming maintainer degrades the cell dirs' file
+        listings unboundedly. The fold rewrites base lists + committed
+        epoch segments − tombstoned ids as ONE file per cell partition;
+        the centroid/pq meta copies byte-identical (the quantizer is
+        frozen); committed epochs keep their _COMMIT markers (empty
+        segments) so a crash-replayed epoch still no-ops; tombstones
+        fold INTO the lists (the dead rows are dropped), so none carry
+        over. Content through _guarded_lists is identical by
+        construction. Same-path compaction goes through the version
+        swap: `idx.compact_to(idx.path)` commits a new version and
+        returns a fresh handle."""
+        import shutil
+
+        from alma_memory_spark.session import ensure_package_shipped
+
+        if os.path.abspath(dest_path) == os.path.abspath(self.path):
+            self._require_live_version()
+        ensure_package_shipped(self.spark)
+        vdir = begin_version(dest_path)
+        shutil.copytree(
+            os.path.join(self.vroot, "centroids"),
+            os.path.join(vdir, "centroids"),
+        )
+        if os.path.isdir(os.path.join(self.vroot, "pq")):
+            shutil.copytree(
+                os.path.join(self.vroot, "pq"), os.path.join(vdir, "pq")
+            )
+        lists = self._lists_df()
+        dead = self.tombstones()
+        if dead is not None:
+            lists = lists.join(F.broadcast(dead), "id", "left_anti")
+        n_out = min(
+            len(self.cells),
+            max(8, self.spark.sparkContext.defaultParallelism),
+        )
+        (
+            lists.repartition(n_out, "cell")
+            .sortWithinPartitions("cell", "id")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(os.path.join(vdir, "lists"))
+        )
+        for e in self._committed_segments():
+            seg = os.path.join(vdir, "segments", str(e))
+            os.makedirs(seg, exist_ok=True)
+            shutil.copy2(
+                os.path.join(self._segments_root(), str(e), "_COMMIT"),
+                os.path.join(seg, "_COMMIT"),
+            )
+        commit_version(dest_path, vdir, _FLAT_SUBDIRS)
+        return IVFIndex.load(self.spark, dest_path)
+
     def _require_live_version(self) -> None:
         """Mutations through a handle whose version is no longer the
         CURRENT one must fail loudly: a write into a superseded (even
@@ -692,9 +748,16 @@ class IVFIndex:
 
     def _lists_df(self) -> DataFrame:
         """Base lists plus committed epoch segments (filters — including
-        the cell partition pruning — push through the union)."""
+        the cell partition pruning — push through the union). A
+        committed segment without a lists dir was folded into the base
+        by compact_to(); its _COMMIT marker stays so a replayed epoch
+        still no-ops."""
         df = self.spark.read.parquet(os.path.join(self.vroot, "lists"))
         for e in self._committed_segments():
+            if not os.path.isdir(
+                os.path.join(self._segments_root(), str(e), "lists")
+            ):
+                continue
             df = df.unionByName(
                 self.spark.read.parquet(
                     os.path.join(self._segments_root(), str(e), "lists")

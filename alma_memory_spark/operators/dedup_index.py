@@ -54,6 +54,7 @@ from alma_memory_spark.operators._index_version import (
 )
 from alma_memory_spark.operators._pairs_store import (
     PAIRS_LAYOUT,
+    compact_pairs,
     read_adjacent_pairs,
     read_pairs,
     write_pairs,
@@ -635,10 +636,12 @@ class NearDupIndex:
             .write.partitionBy("tbucket")
             .parquet(os.path.join(vdir, "toks"))
         )
-        write_pairs(
-            self.pairs().dropDuplicates(["doc_a", "doc_b"]),
+        compact_pairs(
+            self.spark,
+            os.path.join(self.vroot, "pairs"),
             os.path.join(vdir, "pairs"),
-            "doc_a", "doc_b", "jaccard_sim", self.n_buckets,
+            "doc_a", "doc_b", "jaccard_sim", self.id_type, self.n_buckets,
+            legacy=self.pairs_layout is None,
         )
         n_exact = (
             self.spark.read.schema(self._toks_schema())

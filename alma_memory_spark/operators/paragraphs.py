@@ -308,6 +308,43 @@ class ParagraphDedupIndex:
                 "before writing (a write here would never be served)"
             )
 
+    def compact(self) -> "ParagraphDedupIndex":
+        """Fold per-add file accumulation into a fresh version — ONE
+        file per fbucket partition — without recomputing anything
+        (VERDICT r8 #2): each add() appends a parquet file per touched
+        owner partition, so a long-running streaming maintainer
+        degrades file listings unboundedly. Owner CONTENT is exact
+        under replay (ownership is a function of fp; a replayed append
+        can at most duplicate a row — folded by the per-fp dedup here,
+        keeping the same owner it already had). Stats fold to one row
+        carrying the accumulated n_docs (the documented
+        over-count-under-replay caveat — there is no per-doc store to
+        recount from, unlike NearDupIndex's toks). Returns a fresh
+        handle on the committed version; single-writer like add()."""
+        from alma_memory_spark.operators._index_version import (
+            begin_version,
+            commit_version,
+        )
+
+        self._require_live_version()
+        vdir = begin_version(self.path)
+        folded = (
+            self.spark.read.schema(self._owners_schema())
+            .parquet(os.path.join(self.vroot, "owners"))
+            .select("fp", self.id_col, "idx")
+            .dropDuplicates(["fp"])
+        )
+        self._write_owners(folded, vdir)
+        out = ParagraphDedupIndex(
+            self.spark, self.path, self.id_col, self.id_type, self.sep,
+            self.n_buckets, n_docs=self.n_docs, vroot=vdir,
+        )
+        out._write_stats(vdir, self.n_docs)
+        out.vroot = commit_version(
+            self.path, vdir, ParagraphDedupIndex._SUBDIRS
+        )
+        return out
+
     def owners(self) -> DataFrame:
         """All registered paragraph owners (fp, id, idx)."""
         return (

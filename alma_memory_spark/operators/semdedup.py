@@ -352,8 +352,11 @@ class SemDedupIndex:
     Unlike NearDupIndex, replay leaves NO debris here — membership is
     guarded before the lists append (a redelivered batch appends zero
     list rows) and the stats delta only writes when fresh docs landed —
-    so there is no compact() analog; the counts stay exact under
-    replay by construction."""
+    so the counts stay exact under replay by construction. compact()
+    (r9) is therefore pure FILE hygiene, not content repair: each add()
+    appends one parquet file per touched partition, and folding them to
+    one file per partition keeps a long-running streaming maintainer's
+    file listings bounded."""
 
     def __init__(self, spark, path, ivf, id_col, id_type, vec_col,
                  threshold, n_docs, vroot=None, n_buckets=32,
@@ -553,6 +556,58 @@ class SemDedupIndex:
                 legacy=self.pairs_layout is None,
             )
         return int(n_new)
+
+    def compact(self) -> "SemDedupIndex":
+        """Fold per-add file accumulation into a fresh version — ONE
+        file per pairs bucket / ivf cell partition — WITHOUT recomputing
+        pairs or assignments (VERDICT r8 #2): each add() appends a
+        parquet file per touched partition, so a long-running streaming
+        maintainer degrades file listings unboundedly. Replay leaves no
+        pair/list debris here (membership-guarded, see the class
+        docstring), so unlike NearDupIndex the fold is pure file-count
+        hygiene: content is identical by construction (contract-tested
+        byte-for-byte through the canonical views). Stats fold to one
+        exact row (n_docs recounted from distinct list ids). A legacy
+        flat pairs dir comes out migrated to the adjacency layout.
+        Returns a fresh handle on the committed version; single-writer
+        contract like add()."""
+        import os
+
+        from alma_memory_spark.operators._index_version import (
+            begin_version,
+            commit_version,
+        )
+        from alma_memory_spark.operators._pairs_store import (
+            PAIRS_LAYOUT,
+            compact_pairs,
+        )
+        from alma_memory_spark.operators.ann_index import IVFIndex
+
+        self._require_live_version()
+        vdir = begin_version(self.path)
+        new_ivf = self.ivf.compact_to(os.path.join(vdir, "ivf"))
+        compact_pairs(
+            self.spark,
+            os.path.join(self.vroot, "pairs"),
+            os.path.join(vdir, "pairs"),
+            "id_a", "id_b", "cos_sim", self.id_type, self.n_buckets,
+            legacy=self.pairs_layout is None,
+        )
+        # exact doc count from the folded lists (multi-membership
+        # stores n_assign rows per doc -> distinct ids)
+        n_exact = new_ivf._lists_df().select("id").distinct().count()
+        out = SemDedupIndex(
+            self.spark, self.path, new_ivf, self.id_col, self.id_type,
+            self.vec_col, self.threshold, n_exact, vroot=vdir,
+            n_buckets=self.n_buckets, pairs_layout=PAIRS_LAYOUT,
+            n_assign=self.n_assign,
+        )
+        out._write_stats(vdir, n_exact)
+        out.vroot = commit_version(self.path, vdir, ("ivf", "pairs", "stats"))
+        # the staging dir was renamed at commit — reload the inner IVF
+        # from the committed root (same as build())
+        out.ivf = IVFIndex.load(self.spark, os.path.join(out.vroot, "ivf"))
+        return out
 
     def pairs(self) -> DataFrame:
         import os

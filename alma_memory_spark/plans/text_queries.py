@@ -1205,14 +1205,10 @@ def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = emb.groupby("label").applyInPandas(cos_fn, "id_a long, id_b long, sim double")
 
     from alma_memory_spark.operators.semdedup import (
+        SemDedupIndex,
         semantic_dedup_groups,
         semantic_dedup_pairs,
     )
-
-    sem = semantic_dedup_pairs(
-        emb, threshold=NEARDUP_COS, cent_every=SEMDEDUP_CENT_EVERY
-    ).localCheckpoint(eager=True)  # pairs feed BOTH the rows and CC
-    semg = semantic_dedup_groups(sem)
 
     # 'sdidx' rows (r8) — the PERSISTED SemDedupIndex's incremental add
     # path under the driver oracle (VERDICT r7 #2): build over the
@@ -1222,35 +1218,53 @@ def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pinned full run, here replayed by the oracle's NORMALIZED-
     # centroid assignment chain (the IVF quantizer stores centroids
     # L2-normalized, unlike the raw-centroid 'semdedup' stage above).
-    # Build-once per sf_dir; repeats serve pair reads.
+    # Build-once per sf_dir; repeats serve pair reads. r9 (VERDICT r8
+    # #4): the lifecycle runs on a thread CONCURRENT with the eager
+    # 'semdedup' checkpoint below — the gate's wall is the max of the
+    # two, not their sum.
     import atexit
     import shutil
     import tempfile
-
-    from alma_memory_spark.operators.semdedup import SemDedupIndex
+    from concurrent.futures import ThreadPoolExecutor
 
     in_build = (F.col("vec_id") % 3 != 2) | (
         F.col("vec_id") % SEMDEDUP_CENT_EVERY == 0
     )
-    with _SDIDX_GATE_LOCK:
-        sdroot = _SDIDX_GATE_CACHE.get(sf_dir)
-        if sdroot is None:
-            sdroot = tempfile.mkdtemp(prefix="alma_sdidx_gate_")
-            sidx = SemDedupIndex.build(
-                spark,
-                emb.filter(in_build).select("vec_id", "embedding"),
-                sdroot,
-                id_col="vec_id",
-                vec_col="embedding",
-                threshold=NEARDUP_COS,
-                cent_every=SEMDEDUP_CENT_EVERY,
-                # r9 (VERDICT r8 #1): the persisted path now multi-
-                # probes — the oracle's asgn CTE takes rn <= 2
-                n_assign=2,
-            )
-            sidx.add(emb.filter(~in_build).select("vec_id", "embedding"))
-            _SDIDX_GATE_CACHE[sf_dir] = sdroot
-            atexit.register(shutil.rmtree, sdroot, ignore_errors=True)
+
+    def _sdidx_root() -> str:
+        with _SDIDX_GATE_LOCK:
+            sdroot = _SDIDX_GATE_CACHE.get(sf_dir)
+            if sdroot is None:
+                sdroot = tempfile.mkdtemp(prefix="alma_sdidx_gate_")
+                sidx = SemDedupIndex.build(
+                    spark,
+                    emb.filter(in_build).select("vec_id", "embedding"),
+                    sdroot,
+                    id_col="vec_id",
+                    vec_col="embedding",
+                    threshold=NEARDUP_COS,
+                    cent_every=SEMDEDUP_CENT_EVERY,
+                    # r9 (VERDICT r8 #1): the persisted path now multi-
+                    # probes — the oracle's asgn CTE takes rn <= 2
+                    n_assign=2,
+                )
+                sidx.add(emb.filter(~in_build).select("vec_id", "embedding"))
+                _SDIDX_GATE_CACHE[sf_dir] = sdroot
+                atexit.register(shutil.rmtree, sdroot, ignore_errors=True)
+            return sdroot
+
+    sdpool = ThreadPoolExecutor(max_workers=1)
+    sdfut = sdpool.submit(_sdidx_root)
+
+    sem = semantic_dedup_pairs(
+        emb, threshold=NEARDUP_COS, cent_every=SEMDEDUP_CENT_EVERY
+    ).localCheckpoint(eager=True)  # pairs feed BOTH the rows and CC
+    semg = semantic_dedup_groups(sem)
+
+    try:
+        sdroot = sdfut.result()
+    finally:
+        sdpool.shutdown(wait=False)
     sdp = SemDedupIndex.load(spark, sdroot).pairs()
 
     return (
@@ -1380,6 +1394,50 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-mismatch."""
     from alma_memory_spark.operators.components import near_dup_groups
     docs = _t(spark, sf_dir, "documents")
+
+    # 'ndidx' rows (r8) — the PERSISTED NearDupIndex's incremental add
+    # path under the driver oracle (VERDICT r7 #2): build over half of
+    # a 25% sub-corpus, add() the other half, emit the ACCUMULATED
+    # pairs — which must equal the one-shot LSH run over the whole
+    # sub-corpus (the defining index contract, here hash-checked
+    # against the SQL replay instead of a unit fixture). Uncapped by
+    # design: incremental == rebuild only holds while every band group
+    # stays on one side of the cap across operations, so the gate pins
+    # the exact-equality regime; the capped production path is alarmed
+    # by the AddStats saturation counters instead. Build-once per
+    # sf_dir (the IVF/text gate pattern); repeats serve pair reads.
+    # r9 (VERDICT r8 #4): the lifecycle runs on a thread CONCURRENT
+    # with the main pair pipeline below (the serving gate's
+    # build-future pattern) instead of serially before it — the gate's
+    # wall is max(pipeline, index lifecycle), not their sum.
+    import atexit
+    import shutil
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    from alma_memory_spark.operators.dedup_index import NearDupIndex
+
+    uni = docs.filter(F.col("doc_id") % 4 == 1).select("doc_id", "text")
+
+    def _ndidx_root() -> str:
+        with _NDIDX_GATE_LOCK:
+            ndroot = _NDIDX_GATE_CACHE.get(sf_dir)
+            if ndroot is None:
+                ndroot = tempfile.mkdtemp(prefix="alma_ndidx_gate_")
+                idx = NearDupIndex.build(
+                    spark, uni.filter(F.col("doc_id") % 8 == 1), ndroot,
+                    id_col="doc_id", text_col="text", n_buckets=8,
+                    k=MINHASH_K, bands=LSH_BANDS, rows=LSH_ROWS,
+                    verify_t=LSH_VERIFY_T,
+                )
+                idx.add(uni.filter(F.col("doc_id") % 8 == 5))
+                _NDIDX_GATE_CACHE[sf_dir] = ndroot
+                atexit.register(shutil.rmtree, ndroot, ignore_errors=True)
+            return ndroot
+
+    ndpool = ThreadPoolExecutor(max_workers=1)
+    ndfut = ndpool.submit(_ndidx_root)
+
     toks = docs.select(
         "doc_id", F.array_distinct(X.ws_tokens("text")).alias("ts")
     ).cache()
@@ -1458,37 +1516,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks.unpersist()
     groups = near_dup_groups(pairs)
 
-    # 'ndidx' rows (r8) — the PERSISTED NearDupIndex's incremental add
-    # path under the driver oracle (VERDICT r7 #2): build over half of
-    # a 25% sub-corpus, add() the other half, emit the ACCUMULATED
-    # pairs — which must equal the one-shot LSH run over the whole
-    # sub-corpus (the defining index contract, here hash-checked
-    # against the SQL replay instead of a unit fixture). Uncapped by
-    # design: incremental == rebuild only holds while every band group
-    # stays on one side of the cap across operations, so the gate pins
-    # the exact-equality regime; the capped production path is alarmed
-    # by the AddStats saturation counters instead. Build-once per
-    # sf_dir (the IVF/text gate pattern); repeats serve pair reads.
-    import atexit
-    import shutil
-    import tempfile
-
-    from alma_memory_spark.operators.dedup_index import NearDupIndex
-
-    uni = docs.filter(F.col("doc_id") % 4 == 1).select("doc_id", "text")
-    with _NDIDX_GATE_LOCK:
-        ndroot = _NDIDX_GATE_CACHE.get(sf_dir)
-        if ndroot is None:
-            ndroot = tempfile.mkdtemp(prefix="alma_ndidx_gate_")
-            idx = NearDupIndex.build(
-                spark, uni.filter(F.col("doc_id") % 8 == 1), ndroot,
-                id_col="doc_id", text_col="text", n_buckets=8,
-                k=MINHASH_K, bands=LSH_BANDS, rows=LSH_ROWS,
-                verify_t=LSH_VERIFY_T,
-            )
-            idx.add(uni.filter(F.col("doc_id") % 8 == 5))
-            _NDIDX_GATE_CACHE[sf_dir] = ndroot
-            atexit.register(shutil.rmtree, ndroot, ignore_errors=True)
+    # join the concurrent ndidx lifecycle (submitted at gate entry)
+    try:
+        ndroot = ndfut.result()
+    finally:
+        ndpool.shutdown(wait=False)
     ndpairs = NearDupIndex.load(spark, ndroot).pairs()
 
     return (

@@ -136,6 +136,63 @@ def measure_incremental() -> None:
     )
 
 
+def measure_compaction() -> None:
+    """r9 (VERDICT r8 #2): N micro-adds accumulate one parquet file per
+    touched fbucket per add; compact() folds them to one per partition.
+    Record owner file count before/after, add wall early vs late vs
+    post-compact (flat), and the compact cost itself."""
+    import shutil
+    import tempfile
+
+    from alma_memory_spark.operators.paragraphs import ParagraphDedupIndex
+
+    spark = get_spark(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    n_adds, batch = 100, 200
+    root = tempfile.mkdtemp(prefix="alma_pdidx_compact_")
+    try:
+        idx = ParagraphDedupIndex.build(
+            spark, corpus(spark, batch), root, n_buckets=16
+        )
+        walls = []
+        for i in range(1, n_adds + 1):
+            t0 = time.time()
+            idx.add(corpus(spark, batch, offset=i * batch)).count()
+            walls.append(time.time() - t0)
+
+        def owner_files(vroot):
+            total = 0
+            for r, _d, files in os.walk(os.path.join(vroot, "owners")):
+                total += sum(1 for f in files if f.endswith(".parquet"))
+            return total
+
+        files_before = owner_files(idx.vroot)
+        t0 = time.time()
+        out = idx.compact()
+        compact_s = time.time() - t0
+        files_after = owner_files(out.vroot)
+        t0 = time.time()
+        out.add(corpus(spark, batch, offset=(n_adds + 1) * batch)).count()
+        post_wall = time.time() - t0
+        print(
+            json.dumps(
+                {
+                    "claim": "compact folds micro-add file debris; add wall flat",
+                    "n_micro_adds": n_adds,
+                    "owner_files_before": files_before,
+                    "owner_files_after": files_after,
+                    "add_s_first10_mean": round(sum(walls[:10]) / 10, 3),
+                    "add_s_last10_mean": round(sum(walls[-10:]) / 10, 3),
+                    "add_s_post_compact": round(post_wall, 3),
+                    "compact_s": round(compact_s, 2),
+                }
+            ),
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 if __name__ == "__main__":
     main()
     measure_incremental()
+    measure_compaction()

@@ -299,9 +299,80 @@ def measure_index_multiprobe() -> None:
     print(json.dumps(out), flush=True)
 
 
+def measure_compaction() -> None:
+    """r9 (VERDICT r8 #2): N micro-adds accumulate one parquet file per
+    touched pairs-bucket/ivf-cell per add; compact() folds them to one
+    per partition with zero recompute. Record file counts before/after
+    and add wall early vs late vs post-compact (flat)."""
+    import shutil
+    import tempfile
+
+    from alma_memory_spark.operators.semdedup import SemDedupIndex
+
+    spark = get_spark(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    n_adds, batch = 100, 100
+    base = make_corpus(spark, 2_000).localCheckpoint(eager=True)
+    root = tempfile.mkdtemp(prefix="alma_sdidx_compact_")
+    try:
+        idx = SemDedupIndex.build(
+            spark, base, root, threshold=0.85, cent_every=CENT_EVERY,
+            n_buckets=16, n_assign=2,
+        )
+
+        def files_under(d):
+            total = 0
+            for _r, _dd, files in os.walk(d):
+                total += sum(1 for f in files if f.endswith(".parquet"))
+            return total
+
+        walls = []
+        for i in range(n_adds):
+            b = make_corpus(spark, batch, seed=100 + i).withColumn(
+                "vec_id", F.col("vec_id") + F.lit(2_000 + i * batch)
+            ).localCheckpoint(eager=True)
+            t0 = time.time()
+            idx.add(b)
+            walls.append(time.time() - t0)
+        before = {
+            "pairs": files_under(os.path.join(idx.vroot, "pairs")),
+            "lists": files_under(os.path.join(idx.ivf.vroot, "lists")),
+        }
+        t0 = time.time()
+        out = idx.compact()
+        compact_s = time.time() - t0
+        after = {
+            "pairs": files_under(os.path.join(out.vroot, "pairs")),
+            "lists": files_under(os.path.join(out.ivf.vroot, "lists")),
+        }
+        b = make_corpus(spark, batch, seed=999).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(500_000)
+        ).localCheckpoint(eager=True)
+        t0 = time.time()
+        out.add(b)
+        post_wall = time.time() - t0
+        print(
+            json.dumps(
+                {
+                    "claim": "compact folds micro-add file debris; add wall flat",
+                    "n_micro_adds": n_adds,
+                    "files_before": before,
+                    "files_after": after,
+                    "add_s_first10_mean": round(sum(walls[:10]) / 10, 3),
+                    "add_s_last10_mean": round(sum(walls[-10:]) / 10, 3),
+                    "add_s_post_compact": round(post_wall, 3),
+                    "compact_s": round(compact_s, 2),
+                }
+            ),
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 if __name__ == "__main__":
     main()
     measure_incremental()
     measure_pairs_history()
     measure_multiprobe()
     measure_index_multiprobe()
+    measure_compaction()

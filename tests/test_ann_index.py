@@ -625,3 +625,55 @@ def test_multiassign_index_search_has_no_duplicate_ids(spark, tmp_path):
     assert [(r["id"], r["similarity"]) for r in batch] == [
         (r["id"], r["similarity"]) for r in top
     ]
+
+
+def test_compact_to_folds_lists_preserves_epochs_and_results(spark, tmp_path):
+    """r9 (VERDICT r8 #2): compact_to folds base lists + committed
+    epoch segments - tombstones into one file per cell partition with
+    zero recompute; search results, applied epochs (replay still
+    no-ops), and the quantizer are unchanged."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "ivfc")
+    idx = IVFIndex.build(
+        spark, emb.filter("vec_id % 10 < 6"), path, cent_every=50
+    )
+    for m, ep in ((6, 1), (7, 2)):
+        assert idx.add_epoch(emb.filter(f"vec_id % 10 = {m}"), epoch=ep)
+    idx.add(emb.filter("vec_id % 10 = 8"))
+    victims = [r["vec_id"] for r in emb.filter("vec_id % 10 = 9").limit(3).collect()]
+    idx.forget(victims)
+
+    def listset(i):
+        return {
+            (r["id"], r["cell"])
+            for r in i._lists_df().select("id", "cell").collect()
+        }
+
+    def search_rows(i):
+        return [
+            (r["id"], r["similarity"])
+            for r in i.search(QUERY_VEC, k=10, nprobe=3).collect()
+        ]
+
+    before_lists = listset(idx)
+    before_search = search_rows(idx)
+    out = idx.compact_to(path)
+    # tombstoned ids fold OUT of the lists; everything else is equal
+    assert listset(out) == {t for t in before_lists if t[0] not in victims}
+    assert search_rows(out) == before_search
+    assert out.tombstones() is None
+    assert out.applied_epochs() == {1, 2}
+    # a crash-replayed committed epoch still no-ops
+    assert out.add_epoch(emb.filter("vec_id % 10 = 6"), epoch=1) is False
+    assert (out.cells == idx.cells).all() and np.allclose(out.Cn, idx.Cn)
+    # one file per cell partition
+    lists_root = os.path.join(out.vroot, "lists")
+    for d in os.listdir(lists_root):
+        full = os.path.join(lists_root, d)
+        if os.path.isdir(full) and d.startswith("cell="):
+            assert sum(1 for f in os.listdir(full) if f.endswith(".parquet")) == 1
+    # superseded handle refuses writes
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="[Rr]eload"):
+        idx.add(emb.filter("vec_id % 10 = 9"))

@@ -168,3 +168,56 @@ def test_streaming_paragraph_maintenance(spark, tmp_path):
     assert {r["fp"] for r in own} == want_fps
     assert len(own) == len(want_fps)  # exactly one owner per fp
     assert idx.n_docs == pdocs.count()
+
+
+def test_compact_folds_files_preserves_owners_and_output(spark, tmp_path):
+    """r9 (VERDICT r8 #2): compact() folds per-add owner-file
+    accumulation to ONE file per fbucket partition; owner content and
+    subsequent add() output are identical to an uncompacted twin; the
+    superseded handle fails loudly."""
+    pdocs = _pdocs(spark)
+    splits = [
+        pdocs.filter("doc_id < 200"),
+        pdocs.filter("doc_id >= 200 and doc_id < 300"),
+        pdocs.filter("doc_id >= 300 and doc_id < 400"),
+        pdocs.filter("doc_id >= 400"),
+    ]
+    idx = ParagraphDedupIndex.build(
+        spark, splits[0], str(tmp_path / "pc"), n_buckets=8
+    )
+    twin = ParagraphDedupIndex.build(
+        spark, splits[0], str(tmp_path / "pt"), n_buckets=8
+    )
+    for s in splits[1:3]:
+        idx.add(s)
+        twin.add(s)
+
+    def ownerset(i):
+        return {
+            (r["fp"], r["doc_id"], r["idx"]) for r in i.owners().collect()
+        }
+
+    def max_files_per_part(root):
+        worst = 0
+        for d in os.listdir(root):
+            full = os.path.join(root, d)
+            if os.path.isdir(full) and d.startswith("fbucket="):
+                worst = max(
+                    worst,
+                    sum(1 for f in os.listdir(full) if f.endswith(".parquet")),
+                )
+        return worst
+
+    before = ownerset(idx)
+    n_before = idx.n_docs
+    assert max_files_per_part(os.path.join(idx.vroot, "owners")) > 1
+
+    out = idx.compact()
+    assert ownerset(out) == before == ownerset(twin)
+    assert out.n_docs == n_before
+    assert max_files_per_part(os.path.join(out.vroot, "owners")) == 1
+    with pytest.raises(RuntimeError, match="reload"):
+        idx.add(splits[3])
+    # byte-identical dedup output vs the uncompacted twin
+    assert _rows(out.add(splits[3])) == _rows(twin.add(splits[3]))
+    assert ownerset(out) == ownerset(twin)

@@ -389,3 +389,73 @@ def test_semdedup_index_multiprobe_matches_pinned_full_run(spark, tmp_path):
         bidx.add(qdf)
         found = {(r["id_a"], r["id_b"]) for r in bidx.pairs().collect()}
         assert ((1, 2) in found) is expect_found
+
+
+def test_semdedup_index_compact_folds_files_preserves_content(spark, tmp_path):
+    """r9 (VERDICT r8 #2): compact() folds per-add file accumulation to
+    ONE file per pairs-bucket / ivf-cell partition with content
+    identical through the canonical views, exact stats, and a working
+    fresh handle; the superseded handle fails loudly."""
+    from alma_memory_spark.operators.semdedup import SemDedupIndex
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter((F.col("vec_id") % 10 < 6) | (F.col("vec_id") % 50 == 0))
+    idx = SemDedupIndex.build(
+        spark, base, str(tmp_path / "sdc"), threshold=0.4, cent_every=50,
+        n_buckets=8, n_assign=2,
+    )
+    for m in (6, 7, 8):
+        idx.add(emb.filter((F.col("vec_id") % 10 == m) & (F.col("vec_id") % 50 != 0)))
+    leftover = emb.filter((F.col("vec_id") % 10 == 9) & (F.col("vec_id") % 50 != 0))
+
+    def pairset(i):
+        return {(r["id_a"], r["id_b"], r["cos_sim"]) for r in i.pairs().collect()}
+
+    def listset(i):
+        return {
+            (r["id"], r["cell"])
+            for r in i.ivf._lists_df().select("id", "cell").collect()
+        }
+
+    def max_files_per_part(root):
+        worst = 0
+        for d in os.listdir(root):
+            full = os.path.join(root, d)
+            if not (os.path.isdir(full) and "=" in d):
+                continue
+            worst = max(
+                worst,
+                sum(1 for f in os.listdir(full) if f.endswith(".parquet")),
+            )
+        return worst
+
+    pairs_before = pairset(idx)
+    lists_before = listset(idx)
+    n_before = idx.n_docs
+    assert max_files_per_part(os.path.join(idx.vroot, "pairs")) > 1
+
+    out = idx.compact()
+    assert pairset(out) == pairs_before
+    assert listset(out) == lists_before
+    assert out.n_docs == n_before
+    assert out.n_assign == 2
+    assert max_files_per_part(os.path.join(out.vroot, "pairs")) == 1
+    assert max_files_per_part(
+        os.path.join(out.ivf.vroot, "lists")
+    ) == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="reload"):
+        idx.add(leftover)
+    # the compacted index keeps accumulating, equal to the pinned run
+    out.add(leftover)
+    from alma_memory_spark.operators.semdedup import semantic_dedup_pairs
+
+    want = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in semantic_dedup_pairs(
+            emb, threshold=0.4, quantizer=out.ivf, n_assign=2
+        ).collect()
+    }
+    assert pairset(out) == want
