@@ -44,9 +44,22 @@ from alma_memory_spark.functions.text import fingerprint
 
 __all__ = [
     "ParagraphDedupIndex",
+    "SENTENCE_BOUNDARY",
     "dedup_paragraphs",
+    "dedup_sentences",
     "explode_paragraphs",
+    "explode_sentences",
 ]
+
+#: sentence boundary: terminal punctuation + following whitespace. The
+#: whitespace class is spelled out (not \\s) so the Java-regex split
+#: and the RE2-based DuckDB oracle replay match byte-for-byte (\\s
+#: includes \\x0B in Java but not in RE2).
+SENTENCE_BOUNDARY = "([.!?][ \\t\\r\\n\\f]+)"
+#: ASCII record separator — inserted AFTER each boundary match, then
+#: split on. Precondition: the corpus does not contain \\x1e (control
+#: chars are stripped by any sane text-extraction front end).
+_UNIT_SENTINEL = "\x1e"
 
 
 def explode_paragraphs(
@@ -67,6 +80,61 @@ def explode_paragraphs(
     )
 
 
+def explode_sentences(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """(id, idx, p, fp): SENTENCE units of each doc in order, each unit
+    carrying its OWN trailing separator (terminal punctuation +
+    whitespace) — the separator-preserving split (VERDICT r8 #5).
+
+    A plain regex split on the boundary would discard the matched
+    whitespace, so sentence-mode reassembly could not be byte-faithful
+    (the r8 skip). Instead the boundary match is kept and a sentinel is
+    inserted AFTER it (`regexp_replace` with a capture backreference),
+    then the split runs on the sentinel: `concat(units)` — an empty
+    join separator — reproduces the original text byte-for-byte on a
+    no-dup document. Fingerprints normalize whitespace/case (the
+    shared `fingerprint`), so the attached separators never split a
+    dedup group."""
+    marked = F.regexp_replace(
+        F.col(text_col), SENTENCE_BOUNDARY, "$1" + _UNIT_SENTINEL
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(marked, _UNIT_SENTINEL)).alias("idx", "p"),
+        )
+        # only the final unit can be empty (text ending in a boundary);
+        # whitespace-only units cannot occur (the boundary consumes all
+        # consecutive whitespace), so this filter is reassembly-neutral
+        .filter(F.col("p") != "")
+        .withColumn("fp", fingerprint("p"))
+    )
+
+
+def _dedup_units(
+    df: DataFrame, units: DataFrame, id_col: str, join_sep: str,
+) -> DataFrame:
+    """Shared keep-first + reassembly core of dedup_paragraphs /
+    dedup_sentences (same aggregate shape, different unit split and
+    join separator)."""
+    # argmin per fingerprint as a combinable aggregate (struct min is
+    # lexicographic on (doc_id, idx)); winners rejoin on the full
+    # triple so a corpus-wide duplicate unit cannot skew the join
+    firsts = (
+        units.groupBy("fp")
+        .agg(F.min(F.struct(F.col(id_col), F.col("idx"))).alias("_w"))
+        .select(
+            "fp",
+            F.col(f"_w.{id_col}").alias(id_col),
+            F.col("_w.idx").alias("idx"),
+        )
+    )
+    kept = units.join(firsts, ["fp", id_col, "idx"], "left_semi").drop("fp")
+    counts = units.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paras"))
+    return _reassemble(kept, df.select(id_col), id_col, counts, join_sep)
+
+
 def dedup_paragraphs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     sep: str = "\n\n",
@@ -77,41 +145,23 @@ def dedup_paragraphs(
     doc — a doc whose paragraphs were all dropped (or all whitespace)
     comes back with text_dedup = '' and n_kept = 0, so the caller can
     filter empties instead of silently losing rows."""
-    paras = explode_paragraphs(df, id_col, text_col, sep)
-    # argmin per fingerprint as a combinable aggregate (struct min is
-    # lexicographic on (doc_id, idx)); winners rejoin on the full
-    # triple so a corpus-wide duplicate paragraph cannot skew the join
-    firsts = (
-        paras.groupBy("fp")
-        .agg(F.min(F.struct(F.col(id_col), F.col("idx"))).alias("_w"))
-        .select(
-            "fp",
-            F.col(f"_w.{id_col}").alias(id_col),
-            F.col("_w.idx").alias("idx"),
-        )
+    return _dedup_units(
+        df, explode_paragraphs(df, id_col, text_col, sep), id_col, sep
     )
-    kept = paras.join(firsts, ["fp", id_col, "idx"], "left_semi").drop("fp")
-    reasm = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "p"))),
-                lambda s: s["p"],
-            ),
-            sep,
-        ).alias("text_dedup"),
-        F.count(F.lit(1)).alias("n_kept"),
-    )
-    counts = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paras"))
-    return (
-        df.select(id_col)
-        .join(counts, id_col, "left")
-        .join(reasm, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
-            F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-        )
+
+
+def dedup_sentences(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Sentence-granularity exact dedup (VERDICT r8 #5): paragraph mode
+    misses boilerplate SENTENCES embedded inside otherwise-unique
+    paragraphs. Same keep-first pipeline as dedup_paragraphs over the
+    separator-preserving sentence split; reassembly joins with the
+    EMPTY separator because each kept unit carries its own — on a
+    corpus with no cross-doc duplicates the output text is
+    byte-identical to the input (contract-tested)."""
+    return _dedup_units(
+        df, explode_sentences(df, id_col, text_col), id_col, ""
     )
 
 

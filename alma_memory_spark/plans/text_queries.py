@@ -40,6 +40,10 @@ DECONTAM_N = 6  # n-gram size for the decontamination gate (prod: 13)
 # WS_RE convention in functions/text.py)
 _PARA_SEP = "\n\n"
 _PARA_FOOTER = "standard footer boilerplate shared across documents"
+# sentdedup gate (r9): a boilerplate SENTENCE embedded mid-text in
+# every doc — terminal '.' so the separator-preserving sentence split
+# finds a boundary after it
+_SENT_FOOTER = "Shared boilerplate sentence for the gate."
 JACCARD_T = 0.95  # token-set near-dup threshold for this corpus
 MINHASH_K = 8
 LSH_BANDS = 2  # 2 bands x 4 rows (stricter banding: fewer, better candidates)
@@ -641,6 +645,37 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, count(*) AS n_kept,
              md5(string_agg(p, '{_PARA_SEP}' ORDER BY idx)) AS h
       FROM pkeep GROUP BY doc_id
+    ),
+    sdoc AS (
+      SELECT doc_id,
+             substr(text, 1, 60) || '. ' || '{_SENT_FOOTER}' || ' ' ||
+             substr(text, 10, 40) || '!' AS stext
+      FROM documents
+    ),
+    sunits AS (
+      SELECT doc_id, u.i AS idx, u.p AS p, {X.sql_fingerprint('u.p')} AS pfp
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ps)+1), i -> {{'i': i, 'p': ps[i]}})) AS u
+        FROM (
+          SELECT doc_id,
+                 string_split(
+                   regexp_replace(stext, '([.!?][ \\t\\r\\n\\f]+)',
+                                  '\\1' || chr(30), 'g'),
+                   chr(30)) AS ps
+          FROM sdoc)
+      ) WHERE u.p <> ''
+    ),
+    skeep AS (
+      SELECT doc_id, idx, p FROM (
+        SELECT *, row_number() OVER (PARTITION BY pfp ORDER BY doc_id, idx) AS rn
+        FROM sunits
+      ) WHERE rn = 1
+    ),
+    sreasm AS (
+      SELECT doc_id, count(*) AS n_kept,
+             md5(string_agg(p, '' ORDER BY idx)) AS h
+      FROM skeep GROUP BY doc_id
     )
     SELECT 'dedup' AS variant, fp AS key, canonical_id AS id, n_copies AS n
     FROM dd
@@ -662,6 +697,10 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(pr.n_kept, 0)
     FROM documents d LEFT JOIN preasm pr ON d.doc_id = pr.doc_id
     WHERE d.doc_id >= 300
+    UNION ALL
+    SELECT 'sentdedup', coalesce(sr.h, md5('')), d.doc_id,
+           coalesce(sr.n_kept, 0)
+    FROM documents d LEFT JOIN sreasm sr ON d.doc_id = sr.doc_id
     """,
 )
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -773,6 +812,26 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_kept").alias("n"),
     )
 
+    # 'sentdedup' rows (r9, VERDICT r8 #5) — sentence-granularity
+    # dedup via the separator-preserving split: a boilerplate sentence
+    # embedded MID-TEXT in every doc (plus doc-unique sentences built
+    # from text slices) dedups at global first occurrence; each doc's
+    # row carries md5(reassembled) + kept count, so a wrong keep, a
+    # lost unit, or any byte drift in the separator-preserving
+    # reassembly hash-mismatches against the DuckDB sentinel replay.
+    from alma_memory_spark.operators.paragraphs import dedup_sentences
+
+    s_aug = F.concat(
+        F.substring("text", 1, 60), F.lit(". "), F.lit(_SENT_FOOTER),
+        F.lit(" "), F.substring("text", 10, 40), F.lit("!"),
+    )
+    sent = dedup_sentences(docs.select("doc_id", s_aug.alias("text"))).select(
+        F.lit("sentdedup").alias("variant"),
+        F.md5("text_dedup").alias("key"),
+        F.col("doc_id").alias("id"),
+        F.col("n_kept").alias("n"),
+    )
+
     # 'pdidx' rows (r8) — the PERSISTED ParagraphDedupIndex add path
     # under the driver oracle: build over ids < 300, add() the rest;
     # under ascending-id ingest the add output equals the one-shot
@@ -815,6 +874,7 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(mixed)
         .unionByName(contam)
         .unionByName(para)
+        .unionByName(sent)
         .unionByName(pdidx_rows)
     )
 

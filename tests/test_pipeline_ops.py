@@ -226,3 +226,45 @@ def test_write_training_shards_one_ordered_file_per_shard(spark, tmp_path):
         key = list(zip(t["pack_id"], t["pack_offset"]))
         assert key == sorted(key)
     assert back.count() == packed.count()
+
+
+def test_sentence_dedup_is_byte_faithful_and_keeps_first(spark):
+    """r9 (VERDICT r8 #5): the separator-preserving sentence split —
+    (a) on a corpus with NO cross-doc duplicates, reassembly is
+    byte-identical to the input (the property the r8 regex split could
+    not give); (b) a boilerplate sentence inside otherwise-unique
+    paragraphs dedups at global first occurrence, which paragraph mode
+    misses entirely."""
+    from alma_memory_spark.operators.paragraphs import (
+        dedup_paragraphs,
+        dedup_sentences,
+    )
+
+    nodup = [
+        (1, "First sentence here. Second one!  Third?\nNew line start."),
+        (2, "Single sentence without terminal"),
+        (3, "Tabs after.\tThen more text. Trailing boundary. "),
+        (4, "No punctuation at all just words"),
+    ]
+    df = spark.createDataFrame(nodup, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup_sentences(df).collect()}
+    for did, text in nodup:
+        assert got[did]["text_dedup"] == text, did
+        assert got[did]["n_kept"] == got[did]["n_paras"]
+
+    boiler = "Subscribe to our newsletter today."
+    rows = [
+        (1, f"Unique intro one. {boiler} Unique tail one."),
+        (2, f"Unique intro two! {boiler} Unique tail two."),
+        (3, f"{boiler}"),
+    ]
+    df2 = spark.createDataFrame(rows, "doc_id long, text string")
+    sgot = {r["doc_id"]: r for r in dedup_sentences(df2).collect()}
+    assert sgot[1]["text_dedup"] == rows[0][1]
+    assert sgot[2]["text_dedup"] == "Unique intro two! Unique tail two."
+    assert (sgot[2]["n_paras"], sgot[2]["n_kept"]) == (3, 2)
+    assert sgot[3]["text_dedup"] == "" and sgot[3]["n_kept"] == 0
+    # paragraph mode (blank-line separator) sees one unit per doc and
+    # misses the embedded boilerplate sentence — the gap this closes
+    pgot = {r["doc_id"]: r for r in dedup_paragraphs(df2).collect()}
+    assert pgot[2]["text_dedup"] == rows[1][1]
