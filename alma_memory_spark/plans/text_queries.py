@@ -80,6 +80,48 @@ _PDIDX_GATE_LOCK = threading.Lock()
 
 # quality-filter oracle snippets over the gate's synthetic lined text
 _QS = X.sql_quality_signals("qtext")
+
+# URL fixture (r9, VERDICT r8 #6): the driver corpus has no url column,
+# so both engines derive the SAME deterministic url per doc — five
+# domains (two blocklisted), www/scheme/deep-path/trailing-slash/utm
+# variation keyed off doc_id, and path collisions (doc_id % 400) so
+# canonical-url dedup has real duplicate groups.
+_URL_FIXTURE_SQL = (
+    "(CASE WHEN doc_id % 4 = 1 THEN 'http' ELSE 'https' END) || '://'"
+    " || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)"
+    " || (CASE doc_id % 5 WHEN 0 THEN 'example.com'"
+    " WHEN 1 THEN 'blog.example.com' WHEN 2 THEN 'spam.example'"
+    " WHEN 3 THEN 'news.test' ELSE 'ads.invalid' END)"
+    " || (CASE WHEN doc_id % 11 = 0 THEN '/a/b/c/d/e/f/g/page-'"
+    " ELSE '/docs/page-' END)"
+    " || CAST(doc_id % 400 AS VARCHAR)"
+    " || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END)"
+    " || (CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed' ELSE '' END)"
+)
+_US = X.sql_url_signals("url")
+
+
+def _url_fixture_col():
+    did = F.col("doc_id")
+    dom = (
+        F.when(did % 5 == 0, F.lit("example.com"))
+        .when(did % 5 == 1, F.lit("blog.example.com"))
+        .when(did % 5 == 2, F.lit("spam.example"))
+        .when(did % 5 == 3, F.lit("news.test"))
+        .otherwise(F.lit("ads.invalid"))
+    )
+    return F.concat(
+        F.when(did % 4 == 1, F.lit("http")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(did % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        dom,
+        F.when(did % 11 == 0, F.lit("/a/b/c/d/e/f/g/page-")).otherwise(
+            F.lit("/docs/page-")
+        ),
+        (did % 400).cast("string"),
+        F.when(did % 6 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.lit("?utm_source=feed")).otherwise(F.lit("")),
+    )
 # first-fit oracle: 1-based index of the earliest open block with room
 # (DuckDB list_position yields 0 on miss)
 _FFP = "coalesce(list_position(list_transform(r.rem, x -> x >= s.n_tokens), true), 0)"
@@ -176,6 +218,17 @@ _FFP = "coalesce(list_position(list_transform(r.rem, x -> x >= s.n_tokens), true
              {X.sql_gopher_pass_bits('qtext', 100)} AS pass_bits
       FROM qdoc
     ),
+    urls AS (
+      SELECT doc_id, {_URL_FIXTURE_SQL} AS url FROM documents
+    ),
+    usig AS (
+      SELECT doc_id,
+             CAST({_US['depth']} AS BIGINT) AS depth,
+             CAST({_US['blocked']} AS BIGINT) AS blocked,
+             CAST({_US['tracker']} AS BIGINT) AS tracker,
+             {X.sql_url_pass_bits('url')} || ':' || md5({_US['canonical']}) AS bits_canon
+      FROM urls
+    ),
     ffrec AS (
       SELECT shard, rn, doc_id, n_tokens,
              CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pack_offset,
@@ -261,6 +314,11 @@ _FFP = "coalesce(list_position(list_transform(r.rem, x -> x >= s.n_tokens), true
            pass_bits, CAST(NULL AS DOUBLE),
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
     FROM qsig
+    UNION ALL
+    SELECT 'qf3', doc_id, depth, blocked, tracker,
+           CAST(NULL AS BIGINT), bits_canon, CAST(NULL AS DOUBLE),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM usig
     """,
 )
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -570,6 +628,28 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("pack_id"),
         F.lit(None).cast("long").alias("pack_offset"),
     )
+    # 'qf3' rows (r9, VERDICT r8 #6) — URL/domain quality rules over
+    # the deterministic url fixture: registrable-domain blocklist,
+    # scheme/depth/tracker checks (a 5-bit pass string) plus the
+    # canonical-url dedup key, all pure column expressions (the gate's
+    # no-join plan contract holds; the canonical-key GROUPING runs in
+    # the exact_dedup gate's 'urldedup' rows, where joins belong)
+    udoc = docs.select("doc_id", _url_fixture_col().alias("url"))
+    us = X.url_signals(F.col("url"))
+    qf3 = udoc.select(
+        F.lit("qf3").alias("variant"),
+        "doc_id",
+        us["depth"].alias("n_tokens"),
+        us["blocked"].cast("long").alias("token_estimate"),
+        us["tracker"].cast("long").alias("n_bpe_tokens"),
+        F.lit(None).cast("long").alias("n_chars_actual"),
+        F.concat(
+            X.url_pass_bits(F.col("url")), F.lit(":"), F.md5(us["canonical"])
+        ).alias("pred_lang"),
+        F.lit(None).cast("double").alias("quality"),
+        F.lit(None).cast("long").alias("pack_id"),
+        F.lit(None).cast("long").alias("pack_offset"),
+    )
     return (
         prof_rows.unionByName(pack_rows)
         .unionByName(packsh_rows)
@@ -579,6 +659,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rep_rows)
         .unionByName(qf1)
         .unionByName(qf2)
+        .unionByName(qf3)
     )
 
 
@@ -676,6 +757,14 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, count(*) AS n_kept,
              md5(string_agg(p, '' ORDER BY idx)) AS h
       FROM skeep GROUP BY doc_id
+    ),
+    uurls AS (
+      SELECT doc_id, {_URL_FIXTURE_SQL} AS url FROM documents
+    ),
+    udd AS (
+      SELECT {_US['canonical']} AS canon, min(doc_id) AS canonical_id,
+             count(*) AS n_copies
+      FROM uurls GROUP BY 1
     )
     SELECT 'dedup' AS variant, fp AS key, canonical_id AS id, n_copies AS n
     FROM dd
@@ -701,6 +790,8 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'sentdedup', coalesce(sr.h, md5('')), d.doc_id,
            coalesce(sr.n_kept, 0)
     FROM documents d LEFT JOIN sreasm sr ON d.doc_id = sr.doc_id
+    UNION ALL
+    SELECT 'urldedup', canon, canonical_id, n_copies FROM udd
     """,
 )
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -869,12 +960,30 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id",
         "n",
     )
+    # 'urldedup' rows (r9, VERDICT r8 #6) — canonical-url dedup over
+    # the shared url fixture: normalize (drop scheme/www/trailing
+    # slash/query), group by the canonical key, min doc_id wins — the
+    # same one-shuffle shape as exact text dedup, with the
+    # normalization a pure column expression so it rides the scan.
+    uc = X.url_signals(_url_fixture_col())["canonical"]
+    urldd = (
+        docs.select("doc_id", uc.alias("canon"))
+        .groupBy("canon")
+        .agg(F.min("doc_id").alias("id"), F.count("*").alias("n"))
+        .select(
+            F.lit("urldedup").alias("variant"),
+            F.col("canon").alias("key"),
+            "id",
+            "n",
+        )
+    )
     return (
         dd.unionByName(strat)
         .unionByName(mixed)
         .unionByName(contam)
         .unionByName(para)
         .unionByName(sent)
+        .unionByName(urldd)
         .unionByName(pdidx_rows)
     )
 

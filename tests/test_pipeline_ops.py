@@ -268,3 +268,42 @@ def test_sentence_dedup_is_byte_faithful_and_keeps_first(spark):
     # misses the embedded boilerplate sentence — the gap this closes
     pgot = {r["doc_id"]: r for r in dedup_paragraphs(df2).collect()}
     assert pgot[2]["text_dedup"] == rows[1][1]
+
+
+def test_url_signals_and_pass_bits(spark):
+    """r9 (VERDICT r8 #6): URL quality rules — host/domain extraction,
+    registrable-domain blocklist, scheme/depth/tracker bits, and the
+    canonical dedup key (scheme-, www-, trailing-slash- and
+    query-insensitive)."""
+    from alma_memory_spark.functions.text import url_pass_bits, url_signals
+
+    rows = [
+        (1, "https://www.example.com/docs/page-1"),
+        (2, "http://example.com/docs/page-1/"),          # canon-dup of 1
+        (3, "https://blog.example.com/docs/page-1"),     # different host
+        (4, "https://spam.example/x"),                   # blocklisted
+        (5, "https://news.test/a/b/c/d/e/f/g/h"),        # too deep
+        (6, "https://news.test/a?utm_source=feed"),      # tracker
+        (7, "not a url at all"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    s = url_signals(F.col("url"))
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id", s["host"].alias("h"), s["domain"].alias("d"),
+            s["blocked"].alias("b"), s["canonical"].alias("c"),
+            url_pass_bits("url").alias("bits"),
+        ).collect()
+    }
+    assert got[1]["h"] == "www.example.com" and got[1]["d"] == "example.com"
+    # canonical key unifies scheme/www/trailing-slash variants
+    assert got[1]["c"] == got[2]["c"] == "example.com/docs/page-1"
+    assert got[3]["c"] == "blog.example.com/docs/page-1" != got[1]["c"]
+    assert got[4]["b"] and not got[1]["b"]
+    assert got[1]["bits"] == "11111"
+    assert got[2]["bits"] == "11011"   # http scheme fails bit 3
+    assert got[4]["bits"] == "10111"   # blocklist bit
+    assert got[5]["bits"] == "11101"   # depth bit
+    assert got[6]["bits"] == "11110"   # tracker bit
+    assert got[7]["bits"][0] == "0"    # unparseable host
