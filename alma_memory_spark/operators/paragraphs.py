@@ -235,7 +235,7 @@ class ParagraphDedupIndex:
 
     def __init__(self, spark: SparkSession, path: str, id_col: str,
                  id_type: str, sep: str, n_buckets: int, n_docs: int,
-                 vroot: str | None = None):
+                 vroot: str | None = None, unit: str = "paragraph"):
         self.spark = spark
         self.path = path
         self.vroot = vroot or path
@@ -244,6 +244,14 @@ class ParagraphDedupIndex:
         self.sep = sep
         self.n_buckets = n_buckets
         self.n_docs = n_docs
+        if unit not in ("paragraph", "sentence"):
+            raise ValueError(f"unit must be paragraph|sentence, got {unit!r}")
+        #: dedup granularity, frozen at build (r9): 'sentence' uses the
+        #: separator-preserving split (each unit carries its own
+        #: trailing separator; reassembly joins with '') so the
+        #: streaming path dedups boilerplate sentences embedded inside
+        #: otherwise-unique paragraphs — same ownership/replay contract
+        self.unit = unit
 
     # ---- plan fragments -------------------------------------------------
 
@@ -254,9 +262,17 @@ class ParagraphDedupIndex:
     def _fbucket(col, n_buckets: int):
         return F.pmod(F.xxhash64(col), F.lit(n_buckets))
 
+    @property
+    def _join_sep(self) -> str:
+        # sentence units carry their own trailing separator
+        return "" if self.unit == "sentence" else self.sep
+
     def _batch_winners(self, docs: DataFrame, text_col: str):
-        """(exploded paras, within-batch winners (fp, id, idx))."""
-        paras = explode_paragraphs(docs, self.id_col, text_col, self.sep)
+        """(exploded units, within-batch winners (fp, id, idx))."""
+        if self.unit == "sentence":
+            paras = explode_sentences(docs, self.id_col, text_col)
+        else:
+            paras = explode_paragraphs(docs, self.id_col, text_col, self.sep)
         winners = (
             paras.groupBy("fp")
             .agg(F.min(F.struct(F.col(self.id_col), F.col("idx"))).alias("_w"))
@@ -293,6 +309,7 @@ class ParagraphDedupIndex:
                             "id_type": self.id_type,
                             "sep": self.sep,
                             "n_buckets": self.n_buckets,
+                            "unit": self.unit,
                         }
                     ),
                     n_delta,
@@ -312,6 +329,7 @@ class ParagraphDedupIndex:
         text_col: str = "text",
         sep: str = "\n\n",
         n_buckets: int = 32,
+        unit: str = "paragraph",
     ) -> "ParagraphDedupIndex":
         from alma_memory_spark.operators._index_version import (
             begin_version,
@@ -320,7 +338,8 @@ class ParagraphDedupIndex:
 
         id_type = docs.schema[id_col].dataType.simpleString()
         idx = ParagraphDedupIndex(
-            spark, path, id_col, id_type, sep, n_buckets, n_docs=0
+            spark, path, id_col, id_type, sep, n_buckets, n_docs=0,
+            unit=unit,
         )
         vdir = begin_version(path)
         _paras, winners = idx._batch_winners(
@@ -344,6 +363,8 @@ class ParagraphDedupIndex:
             spark, path, p["id_col"], p["id_type"], p["sep"],
             p["n_buckets"], n_docs=sum(r["n_docs"] for r in rows),
             vroot=vroot,
+            # absent in pre-r9 stats -> paragraph granularity
+            unit=p.get("unit", "paragraph"),
         )
 
     def _require_live_version(self) -> None:
@@ -387,7 +408,7 @@ class ParagraphDedupIndex:
         self._write_owners(folded, vdir)
         out = ParagraphDedupIndex(
             self.spark, self.path, self.id_col, self.id_type, self.sep,
-            self.n_buckets, n_docs=self.n_docs, vroot=vdir,
+            self.n_buckets, n_docs=self.n_docs, vroot=vdir, unit=self.unit,
         )
         out._write_stats(vdir, self.n_docs)
         out.vroot = commit_version(
@@ -465,5 +486,6 @@ class ParagraphDedupIndex:
             F.count(F.lit(1)).alias("n_paras")
         )
         return _reassemble(
-            kept, batch.select(self.id_col), self.id_col, counts, self.sep
+            kept, batch.select(self.id_col), self.id_col, counts,
+            self._join_sep,
         )

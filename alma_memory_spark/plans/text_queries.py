@@ -792,6 +792,11 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents d LEFT JOIN sreasm sr ON d.doc_id = sr.doc_id
     UNION ALL
     SELECT 'urldedup', canon, canonical_id, n_copies FROM udd
+    UNION ALL
+    SELECT 'sentidx', coalesce(sr.h, md5('')), d.doc_id,
+           coalesce(sr.n_kept, 0)
+    FROM documents d LEFT JOIN sreasm sr ON d.doc_id = sr.doc_id
+    WHERE d.doc_id >= 300
     """,
 )
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -960,6 +965,37 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id",
         "n",
     )
+
+    # 'sentidx' rows (r9) — the sentence-unit persisted index's add
+    # path: same ascending-id split, sentence granularity over the
+    # sentdedup fixture; oracle = the sreasm replay filtered to the
+    # add split. All four persisted add paths (ndidx/sdidx/pdidx/
+    # sentidx) are now oracle-gated.
+    sdocs = docs.select("doc_id", s_aug.alias("text"))
+    skey = sf_dir + ":sent"
+    with _PDIDX_GATE_LOCK:
+        if _PDIDX_GATE_CACHE.get(skey) is None:
+            sroot = tempfile.mkdtemp(prefix="alma_sentidx_gate_")
+            sidx = ParagraphDedupIndex.build(
+                spark, sdocs.filter(F.col("doc_id") < 300), sroot,
+                id_col="doc_id", text_col="text", n_buckets=8,
+                unit="sentence",
+            )
+            sout = sidx.add(sdocs.filter(F.col("doc_id") >= 300))
+            _PDIDX_GATE_CACHE[skey] = [
+                (r["doc_id"], r["text_dedup"], r["n_kept"])
+                for r in sout.collect()
+            ]
+            atexit.register(shutil.rmtree, sroot, ignore_errors=True)
+    sentidx_rows = _tiny(
+        spark, _PDIDX_GATE_CACHE[skey],
+        "id long, text_dedup string, n long",
+    ).select(
+        F.lit("sentidx").alias("variant"),
+        F.md5("text_dedup").alias("key"),
+        "id",
+        "n",
+    )
     # 'urldedup' rows (r9, VERDICT r8 #6) — canonical-url dedup over
     # the shared url fixture: normalize (drop scheme/www/trailing
     # slash/query), group by the canonical key, min doc_id wins — the
@@ -985,6 +1021,7 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(sent)
         .unionByName(urldd)
         .unionByName(pdidx_rows)
+        .unionByName(sentidx_rows)
     )
 
 

@@ -221,3 +221,79 @@ def test_compact_folds_files_preserves_owners_and_output(spark, tmp_path):
     # byte-identical dedup output vs the uncompacted twin
     assert _rows(out.add(splits[3])) == _rows(twin.add(splits[3]))
     assert ownerset(out) == ownerset(twin)
+
+
+def test_sentence_unit_index_matches_batch_operator(spark, tmp_path):
+    """r9: sentence-granularity persisted index — build + ascending-id
+    adds reproduce dedup_sentences exactly; replay is output-idempotent;
+    load() restores the unit; the granularity is frozen at build."""
+    from alma_memory_spark.operators.paragraphs import dedup_sentences
+
+    boiler = "Subscribe to our newsletter today."
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 50), F.lit(". "), F.lit(boiler),
+            F.lit(" "), F.substring("text", 10, 30), F.lit("!"),
+        ).alias("text"),
+    )
+    a = docs.filter("doc_id < 300")
+    b = docs.filter("doc_id >= 300")
+    idx = ParagraphDedupIndex.build(
+        spark, a, str(tmp_path / "si"), n_buckets=8, unit="sentence"
+    )
+    out_b = _rows(idx.add(b))
+    full = _rows(dedup_sentences(docs))
+    assert out_b == {k: v for k, v in full.items() if k >= 300} and out_b
+    # replay: byte-identical output, zero new owner rows
+    n_own = idx.owners().count()
+    assert _rows(idx.add(b)) == out_b
+    assert idx.owners().count() == n_own
+    loaded = ParagraphDedupIndex.load(spark, str(tmp_path / "si"))
+    assert loaded.unit == "sentence"
+    assert _rows(loaded.add(b)) == out_b
+
+
+def test_streaming_sentence_unit_maintenance(spark, tmp_path):
+    """r9: a sentence-unit index rides the same streaming maintainer —
+    after the stream drains, every distinct SENTENCE fingerprint of the
+    full corpus has exactly one owner."""
+    from alma_memory_spark.operators.paragraphs import explode_sentences
+    from alma_memory_spark.streaming.ingest import (
+        stream_documents_into_indexes,
+    )
+
+    boiler = "Subscribe to our newsletter today."
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 50), F.lit(". "), F.lit(boiler),
+            F.lit(" "), F.substring("text", 10, 30), F.lit("!"),
+        ).alias("text"),
+    )
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = ParagraphDedupIndex.build(
+        spark, half_a, str(tmp_path / "sidx"), n_buckets=8, unit="sentence"
+    )
+    inbox = str(tmp_path / "inbox")
+    half_b.repartition(4).write.parquet(inbox)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(inbox)
+    )
+    q = stream_documents_into_indexes(
+        stream, paragraph_index=idx,
+        checkpoint=str(tmp_path / "ckpt"), id_col="doc_id",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    own = idx.owners().collect()
+    want_fps = {
+        r["fp"] for r in explode_sentences(docs).select("fp").collect()
+    }
+    assert {r["fp"] for r in own} == want_fps
+    assert len(own) == len(want_fps)
