@@ -2206,7 +2206,30 @@ _RELEVANCE_SQL = f"""
     WITH bm AS ({BM25_SEARCH_SQL}),
     tf AS ({TFIDF_SEARCH_SQL}),
     bsc AS ({BM25_SCOPED_SQL}),
-    bq2 AS ({BM25_Q2_SQL})
+    bq2 AS ({BM25_Q2_SQL}),
+    lmtok AS (
+      SELECT doc_id, unnest({X.sql_ws_tokens('text')}) AS token
+      FROM documents
+    ),
+    lmcnt AS (SELECT token, count(*) AS cnt FROM lmtok GROUP BY 1),
+    lmstat AS (SELECT sum(cnt) AS total, count(*) AS vocab FROM lmcnt),
+    lmlp AS (
+      SELECT token,
+             round(ln((cnt + 1) * 1.0 / (total + vocab)), 10) AS logp
+      FROM lmcnt, lmstat
+    ),
+    lmdoc AS (
+      SELECT t.doc_id,
+             round(CAST(sum(CAST(coalesce(l.logp,
+               (SELECT round(ln(1.0 / (total + vocab)), 10) FROM lmstat))
+               AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS score
+      FROM lmtok t LEFT JOIN lmlp l ON t.token = l.token
+      GROUP BY t.doc_id
+    ),
+    lmtop AS (
+      SELECT doc_id, score FROM lmdoc
+      ORDER BY score DESC, doc_id ASC LIMIT 20
+    )
     SELECT 'bm25' AS method, doc_id, bm25_score AS score FROM bm
     UNION ALL
     SELECT 'bm25_indexed', doc_id, bm25_score FROM bm
@@ -2218,6 +2241,8 @@ _RELEVANCE_SQL = f"""
     SELECT 'bm25_batch:q2', doc_id, bm25_score FROM bq2
     UNION ALL
     SELECT 'tfidf', doc_id, tfidf_score FROM tf
+    UNION ALL
+    SELECT 'lmq', doc_id, score FROM lmtop
     """
 
 
@@ -2326,12 +2351,27 @@ def text_relevance_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         _r6(F.col("bm25_score")).alias("score"),
     )
+    # 'lmq' rows (r9) — CCNet-shape statistical LM quality: mean token
+    # log-prob per doc under the corpus-trained add-one unigram model
+    # (operators/lm_quality.py), top-20 most-typical docs. The oracle
+    # re-derives counts -> smoothed log-probs -> DECIMAL-summed means,
+    # so a wrong count, a broken OOV floor, or an order-dependent mean
+    # all hash-mismatch.
+    from alma_memory_spark.operators.lm_quality import lm_quality_scores
+
+    lmq = (
+        lm_quality_scores(docs, id_col="doc_id", text_col="text")
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
     return (
         bm.select(F.lit("bm25").alias("method"), "*")
         .unionByName(bi.select(F.lit("bm25_indexed").alias("method"), "*"))
         .unionByName(bs.select(F.lit("bm25_scoped").alias("method"), "*"))
         .unionByName(bb)
         .unionByName(tf.select(F.lit("tfidf").alias("method"), "*"))
+        .unionByName(lmq.select(F.lit("lmq").alias("method"), "*"))
     )
 
 

@@ -307,3 +307,46 @@ def test_url_signals_and_pass_bits(spark):
     assert got[5]["bits"] == "11101"   # depth bit
     assert got[6]["bits"] == "11110"   # tracker bit
     assert got[7]["bits"][0] == "0"    # unparseable host
+
+
+def test_lm_quality_scores_hand_computed(spark):
+    """r9: CCNet-shape unigram LM quality — hand-computed smoothed
+    log-probs on a tiny corpus, self-train vs reference-corpus scoring
+    with the OOV floor, and partition-invariance of the DECIMAL mean."""
+    import math
+
+    from alma_memory_spark.operators.lm_quality import (
+        lm_quality_scores,
+        unigram_lm,
+    )
+
+    rows = [(1, "aa aa bb"), (2, "aa cc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # counts: aa=3 bb=1 cc=1; total=5 vocab=3 -> denom 8
+    lp = {t: round(math.log((c + 1) / 8), 10) for t, c in
+          {"aa": 3, "bb": 1, "cc": 1}.items()}
+    got = {r["doc_id"]: r for r in lm_quality_scores(df).collect()}
+    want1 = round((2 * lp["aa"] + lp["bb"]) / 3, 6)
+    want2 = round((lp["aa"] + lp["cc"]) / 2, 6)
+    assert (got[1]["n_tokens"], got[1]["score"]) == (3, want1)
+    assert (got[2]["n_tokens"], got[2]["score"]) == (2, want2)
+    # reference-corpus scoring: unseen token takes the floor ln(1/8)
+    lm, stats = unigram_lm(df)
+    new = spark.createDataFrame([(9, "aa zz")], "doc_id long, text string")
+    out = lm_quality_scores(new, lm=lm, stats=stats).collect()[0]
+    floor = round(math.log(1 / 8), 10)
+    assert out["score"] == round((lp["aa"] + floor) / 2, 6)
+    # partition-invariant mean (DECIMAL sum): 1 vs 8 partitions agree
+    import os as _os
+
+    from alma_memory_spark.session import load_table
+
+    sf_dir = _os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r["doc_id"]: r["score"]
+         for r in lm_quality_scores(docs.coalesce(1)).collect()}
+    b = {r["doc_id"]: r["score"]
+         for r in lm_quality_scores(docs.repartition(8)).collect()}
+    assert a == b
