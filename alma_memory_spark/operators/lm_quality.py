@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from alma_memory_spark.functions import text as X
 
-__all__ = ["lm_quality_scores", "unigram_lm"]
+__all__ = ["lm_quality_scores", "lm_tail_ids", "unigram_lm"]
 
 
 def unigram_lm(docs: DataFrame, text_col: str = "text"):
@@ -94,4 +94,37 @@ def lm_quality_scores(
             / F.count(F.lit(1)),
             6,
         ).alias("score"),
+    )
+
+
+def lm_tail_ids(
+    scores: DataFrame,
+    frac: float = 0.1,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Ids of the lowest-`frac` fraction of documents by LM score —
+    CCNet's tail bucket (candidates to drop or down-weight).
+
+    Scale shape: a global percent_rank window would funnel the whole
+    corpus through one task's sort; instead the cutoff is the max
+    score among the bottom-k rows (k = floor(frac * n)) found with a
+    TakeOrdered top-k heap, then a broadcast threshold filter — no
+    global sort at any scale. Boundary ties are INCLUDED (score <=
+    cutoff), which keeps the result deterministic under any partition
+    layout in both engines."""
+    n = scores.count()
+    k = int(frac * n)
+    if k <= 0:
+        return scores.select(id_col).limit(0)
+    cutoff = (
+        scores.select(score_col)
+        .orderBy(F.asc(score_col))
+        .limit(k)
+        .agg(F.max(score_col).alias("cut"))
+    )
+    return (
+        scores.crossJoin(F.broadcast(cutoff))
+        .filter(F.col(score_col) <= F.col("cut"))
+        .select(id_col)
     )

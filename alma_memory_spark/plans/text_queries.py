@@ -2229,6 +2229,15 @@ _RELEVANCE_SQL = f"""
     lmtop AS (
       SELECT doc_id, score FROM lmdoc
       ORDER BY score DESC, doc_id ASC LIMIT 20
+    ),
+    lmrank AS (
+      SELECT score, row_number() OVER (ORDER BY score ASC) AS rn,
+             (SELECT count(*) FROM lmdoc) AS n
+      FROM lmdoc
+    ),
+    lmcut AS (
+      SELECT max(score) AS cut FROM lmrank
+      WHERE rn <= CAST(floor(0.1 * n) AS BIGINT)
     )
     SELECT 'bm25' AS method, doc_id, bm25_score AS score FROM bm
     UNION ALL
@@ -2243,6 +2252,8 @@ _RELEVANCE_SQL = f"""
     SELECT 'tfidf', doc_id, tfidf_score FROM tf
     UNION ALL
     SELECT 'lmq', doc_id, score FROM lmtop
+    UNION ALL
+    SELECT 'lmtail', doc_id, score FROM lmdoc, lmcut WHERE score <= cut
     """
 
 
@@ -2357,14 +2368,24 @@ def text_relevance_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-derives counts -> smoothed log-probs -> DECIMAL-summed means,
     # so a wrong count, a broken OOV floor, or an order-dependent mean
     # all hash-mismatch.
-    from alma_memory_spark.operators.lm_quality import lm_quality_scores
+    from alma_memory_spark.operators.lm_quality import (
+        lm_quality_scores,
+        lm_tail_ids,
+    )
 
-    lmq = (
+    # scores feed BOTH the top-20 rows and the tail bucket —
+    # materialize once (localCheckpoint, the components.py precedent)
+    lmsc = (
         lm_quality_scores(docs, id_col="doc_id", text_col="text")
         .select("doc_id", "score")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(20)
+        .localCheckpoint(eager=True)
     )
+    lmq = lmsc.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+    # 'lmtail' rows (r9) — CCNet's percentile filter, scale-correct:
+    # the bottom-decile cutoff comes from a TakeOrdered bottom-k heap
+    # (never a corpus-wide percent_rank window); ties at the cutoff
+    # included deterministically. The oracle ranks the whole score set.
+    lmtail = lm_tail_ids(lmsc, frac=0.1).join(lmsc, "doc_id")
     return (
         bm.select(F.lit("bm25").alias("method"), "*")
         .unionByName(bi.select(F.lit("bm25_indexed").alias("method"), "*"))
@@ -2372,6 +2393,7 @@ def text_relevance_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bb)
         .unionByName(tf.select(F.lit("tfidf").alias("method"), "*"))
         .unionByName(lmq.select(F.lit("lmq").alias("method"), "*"))
+        .unionByName(lmtail.select(F.lit("lmtail").alias("method"), "*"))
     )
 
 

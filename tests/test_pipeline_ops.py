@@ -350,3 +350,25 @@ def test_lm_quality_scores_hand_computed(spark):
     b = {r["doc_id"]: r["score"]
          for r in lm_quality_scores(docs.repartition(8)).collect()}
     assert a == b
+
+
+def test_lm_tail_ids_bottom_decile_with_ties(spark):
+    """r9: the CCNet tail bucket — bottom-k cutoff via TakeOrdered (no
+    global window), boundary ties included deterministically."""
+    from alma_memory_spark.operators.lm_quality import lm_tail_ids
+
+    rows = [(i, float(-i)) for i in range(1, 21)]  # scores -1..-20
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    # k = 2 -> cutoff = -19; ids 19, 20
+    got = {r["doc_id"] for r in lm_tail_ids(df, frac=0.1).collect()}
+    assert got == {19, 20}
+    # ties at the cutoff all included
+    tied = spark.createDataFrame(
+        [(1, -5.0), (2, -5.0), (3, -5.0), (4, -1.0), (5, -1.0),
+         (6, -1.0), (7, -1.0), (8, -1.0), (9, -1.0), (10, -1.0)],
+        "doc_id long, score double",
+    )
+    got2 = {r["doc_id"] for r in lm_tail_ids(tied, frac=0.1).collect()}
+    assert got2 == {1, 2, 3}
+    # frac too small for one row -> empty, not error
+    assert lm_tail_ids(df, frac=0.01).count() == 0
