@@ -88,3 +88,22 @@ def test_bpe_counts_drive_packing_budget(spark):
     # holds a single oversize doc
     for r in fills:
         assert r["fill"] <= 512 or r["n"] == 1
+
+
+def test_merges_parsing_keeps_hash_pairs(tmp_path):
+    """Pinned (ADVICE r8 #4): only the '#version' header (and
+    structurally invalid lines) are skipped — a GPT-2-format merge
+    pair whose first symbol is '#' is legitimate and must load."""
+    p = tmp_path / "merges.txt"
+    p.write_text(
+        "#version: 0.2\n"
+        "h e\n"
+        "# #\n"          # '#' merge pair — must be KEPT
+        "## sym\n"       # another legit pair starting with '#'
+        "not a merge pair line\n"  # 4 fields -> structural, skipped
+        "\n"
+        "a b\n"
+    )
+    ranks = load_merge_ranks(str(p))
+    assert ("#", "#") in ranks and ("##", "sym") in ranks
+    assert list(ranks) == [("h", "e"), ("#", "#"), ("##", "sym"), ("a", "b")]
