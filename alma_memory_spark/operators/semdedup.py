@@ -210,7 +210,14 @@ def semantic_dedup_pairs_incremental(
     makes the batch visible to FUTURE increments (add assigns with the
     same stored centroids, so cell placement agrees by construction).
     Pair values match `semantic_dedup_pairs(full, quantizer=...)`
-    restricted to pairs touching the batch (contract-tested)."""
+    restricted to pairs touching the batch (contract-tested).
+
+    `n_assign` must MATCH the quantizer's membership: multi-probe
+    parity needs existing vectors stored in their top-n cells too
+    (build the IVFIndex with the same n_assign), else the increment
+    only multi-probes from the batch side and misses pairs whose
+    shared cell is the existing vector's secondary one. SemDedupIndex
+    freezes the knob at build for exactly this reason."""
     assigned_new, new_cells = _assign_batch(
         quantizer, new_df, id_col, vec_col, n_assign=n_assign
     )

@@ -22,7 +22,10 @@ applies them.
     # 5) PII scrub
     docs = docs.withColumn("text", P.redact_pii("text"))
     # 6) quality / language / repetition signals, filter to taste
-    #    (see functions.text: lang_id, quality_score, dup_ngram_fraction)
+    #    (functions.text: lang_id, quality_score, dup_ngram_fraction,
+    #    gopher_quality_pass, url_pass_bits; statistical LM quality:
+    #    docs.join(P.lm_tail_ids(P.lm_quality_scores(docs)),
+    #              "doc_id", "left_anti") drops the CCNet tail bucket)
     # 7) deterministic sampling / stratification / corpus mixing
     docs = P.stratified_sample(docs, "lang", {"en": 0.5}, key_col="doc_id")
     # 8) sequence packing (straddle or no-straddle)
@@ -51,9 +54,19 @@ from alma_memory_spark.functions.text import (
     quality_score,
     quality_signals,
 )
+from alma_memory_spark.functions.text import (  # noqa: F401 (facade)
+    url_pass_bits,
+    url_signals,
+)
+from alma_memory_spark.operators.lm_quality import (
+    lm_quality_scores,
+    lm_tail_ids,
+    unigram_lm,
+)
 from alma_memory_spark.operators.paragraphs import (
     ParagraphDedupIndex,
     dedup_paragraphs,
+    dedup_sentences,
 )
 from alma_memory_spark.operators.components import (
     connected_components,
@@ -89,6 +102,7 @@ __all__ = [
     "contamination_report",
     "decontaminate",
     "dedup_paragraphs",
+    "dedup_sentences",
     "drop_exact_duplicates",
     "dup_ngram_fraction",
     "fingerprint",
@@ -96,6 +110,8 @@ __all__ = [
     "gopher_quality_pass",
     "hash_sample",
     "lang_id",
+    "lm_quality_scores",
+    "lm_tail_ids",
     "mix_rates_for_token_budget",
     "near_dup_groups",
     "pack_documents",
@@ -108,6 +124,9 @@ __all__ = [
     "semantic_dedup_pairs",
     "semantic_dedup_pairs_incremental",
     "stratified_sample",
+    "unigram_lm",
+    "url_pass_bits",
+    "url_signals",
     "weighted_mix",
     "with_bpe_token_count",
     "write_training_shards",

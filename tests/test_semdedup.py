@@ -459,3 +459,34 @@ def test_semdedup_index_compact_folds_files_preserves_content(spark, tmp_path):
         ).collect()
     }
     assert pairset(out) == want
+
+
+def test_incremental_function_form_multiprobe_contract(spark, tmp_path):
+    """r9: the function-form increment at n_assign=2 against an
+    n_assign=2-built quantizer equals the full multi-probe run
+    restricted to the batch (the knob must match the membership —
+    documented in the docstring)."""
+    from alma_memory_spark.operators.ann_index import IVFIndex
+    from alma_memory_spark.operators.semdedup import (
+        semantic_dedup_pairs_incremental,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a = emb.filter(F.col("vec_id") < 400)
+    b = emb.filter(F.col("vec_id") >= 400)
+    idx = IVFIndex.build(
+        spark, a, str(tmp_path / "ivf2"), cent_every=50, n_assign=2
+    )
+    inc = _pairs(
+        semantic_dedup_pairs_incremental(idx, b, threshold=0.4, n_assign=2)
+    )
+    full = _pairs(
+        semantic_dedup_pairs(emb, threshold=0.4, quantizer=idx, n_assign=2)
+    )
+    want = {p for p in full if p[0] >= 400 or p[1] >= 400}
+    assert inc == want and inc
+    # no duplicate pair rows despite shared probed cells
+    rows = semantic_dedup_pairs_incremental(
+        idx, b, threshold=0.4, n_assign=2
+    ).collect()
+    assert len(rows) == len({(r["id_a"], r["id_b"]) for r in rows})
