@@ -646,7 +646,12 @@ _URL_SCHEME_RE = "^([a-z][a-z0-9+.-]*)://"
 _URL_PATH_RE = "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)"
 
 
-def url_signals(col: Column | str) -> dict[str, Column]:
+def url_signals(
+    col: Column | str,
+    *,
+    host: Column | None = None,
+    path: Column | None = None,
+) -> dict[str, Column]:
     """Per-row URL facts as pure column expressions (scan-speed — the
     same no-join discipline as quality_signals):
 
@@ -661,9 +666,14 @@ def url_signals(col: Column | str) -> dict[str, Column]:
       canonical   dedup KEY: host-sans-www + path-sans-trailing-slash,
                   lowercased, query/fragment dropped — the standard
                   url-dedup normalization
-    """
+
+    PERF: wide scans should pre-project the host/path extractions into
+    their own aliases and pass them via ``host=``/``path=`` — inline
+    expressions re-evaluate the authority regex once per signal
+    reference (the quality_signals lesson)."""
     c = F.lower(_c(col))
-    host = F.regexp_extract(c, _URL_HOST_RE, 1)
+    if host is None:
+        host = F.regexp_extract(c, _URL_HOST_RE, 1)
     host_nw = F.regexp_replace(host, r"^www\.", "")
     labels = F.split(host_nw, r"\.")
     domain = F.when(
@@ -672,7 +682,8 @@ def url_signals(col: Column | str) -> dict[str, Column]:
             F.element_at(labels, -2), F.lit("."), F.element_at(labels, -1)
         ),
     ).otherwise(host_nw)
-    path = F.regexp_extract(c, _URL_PATH_RE, 1)
+    if path is None:
+        path = F.regexp_extract(c, _URL_PATH_RE, 1)
     return {
         "host": host,
         "domain": domain,
@@ -688,11 +699,19 @@ def url_signals(col: Column | str) -> dict[str, Column]:
     }
 
 
-def url_pass_bits(col: Column | str, max_depth: int = 6) -> Column:
+def url_pass_bits(
+    col: Column | str,
+    max_depth: int = 6,
+    *,
+    host: Column | None = None,
+    path: Column | None = None,
+) -> Column:
     """5-char '1'/'0' string, one char per URL rule (fixed order):
     parseable host; domain not blocklisted; https scheme; path depth
-    <= max_depth; no utm_* tracker params. '11111' = keep."""
-    s = url_signals(col)
+    <= max_depth; no utm_* tracker params. '11111' = keep. Pass
+    pre-projected ``host=``/``path=`` on wide scans (see the
+    url_signals PERF note)."""
+    s = url_signals(col, host=host, path=path)
     bits = [
         s["host"] != "",
         ~s["blocked"],

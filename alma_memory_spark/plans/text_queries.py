@@ -634,8 +634,18 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # canonical-url dedup key, all pure column expressions (the gate's
     # no-join plan contract holds; the canonical-key GROUPING runs in
     # the exact_dedup gate's 'urldedup' rows, where joins belong)
-    udoc = docs.select("doc_id", _url_fixture_col().alias("url"))
-    us = X.url_signals(F.col("url"))
+    # host/path pre-projected once (the quality_signals PERF note —
+    # the signals reference the authority/path regexes ~8x between
+    # the bit string and the raw columns)
+    udoc = docs.select(
+        "doc_id", _url_fixture_col().alias("url")
+    ).select(
+        "doc_id",
+        "url",
+        F.regexp_extract(F.lower("url"), X._URL_HOST_RE, 1).alias("_uh"),
+        F.regexp_extract(F.lower("url"), X._URL_PATH_RE, 1).alias("_up"),
+    )
+    us = X.url_signals(F.col("url"), host=F.col("_uh"), path=F.col("_up"))
     qf3 = udoc.select(
         F.lit("qf3").alias("variant"),
         "doc_id",
@@ -644,7 +654,11 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         us["tracker"].cast("long").alias("n_bpe_tokens"),
         F.lit(None).cast("long").alias("n_chars_actual"),
         F.concat(
-            X.url_pass_bits(F.col("url")), F.lit(":"), F.md5(us["canonical"])
+            X.url_pass_bits(
+                F.col("url"), host=F.col("_uh"), path=F.col("_up")
+            ),
+            F.lit(":"),
+            F.md5(us["canonical"]),
         ).alias("pred_lang"),
         F.lit(None).cast("double").alias("quality"),
         F.lit(None).cast("long").alias("pack_id"),
