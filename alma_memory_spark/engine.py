@@ -36,6 +36,7 @@ from alma_memory_spark.operators import workflow as WF
 from alma_memory_spark.operators.consolidation import consolidate as _consolidate
 from alma_memory_spark.operators.feedback import apply_feedback_blend, feedback_summary
 from alma_memory_spark.operators.mmr import mmr_rerank
+from alma_memory_spark.operators import retrieval as RT
 from alma_memory_spark.operators.retrieval import (
     MODES,
     ModeConfig,
@@ -251,6 +252,8 @@ class AlmaSpark:
 
         qvec = self.embedder.encode(query)
         now = self._now()
+        # built once per retrieve, shared by every type branch
+        qv_lit = F.lit([float(x) for x in qvec])
         agents = [agent] + [a for a in (inherit_from or []) if a != agent]
 
         fb = None
@@ -283,7 +286,16 @@ class AlmaSpark:
             # for fresh/sparse stores: only domain_knowledge populated)
             if not self.store.exists(t):
                 continue
-            df = self.store.read(t)
+            # cached-expression serving path (VERDICT r8 #8): the
+            # query vector + now anchor ride as two projected literal
+            # columns (Catalyst constant-folds them), so retrieve_type
+            # serves its heavy expression trees — cosine, recency,
+            # composite — from the per-process cache instead of
+            # rebuilding them over py4j on every retrieve (profiled:
+            # ~0.8 s of a ~1.0 s warm retrieve was tree construction)
+            df = self.store.read(t).withColumns(
+                {RT.PARAM_QV: qv_lit, RT.PARAM_NOW: F.lit(now)}
+            )
             candidates = None
             if use_ann and self._has_ivf_index(t):
                 idx = self._load_ivf(t)
@@ -315,6 +327,7 @@ class AlmaSpark:
                 weights=weights,
                 mode=cfg,
                 candidates=candidates,
+                params=True,
             )
             # feedback blending happens ONCE after the union (each
             # branch is already cut to fetch_k rows by its own

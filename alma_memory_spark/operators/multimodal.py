@@ -73,6 +73,12 @@ def decode_image_features(media: DataFrame, fake: bool = True) -> DataFrame:
             "real image decoding requires Pillow/libvips, not present in "
             "this environment; use fake=True for plumbing tests"
         )
+    from alma_memory_spark.session import ensure_package_shipped
+
+    # the kernel closure references module-level code — executor
+    # workers need the addPyFile zip (callers outside the repo cwd
+    # crashed with ModuleNotFoundError before this)
+    ensure_package_shipped(media.sparkSession)
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -112,6 +118,9 @@ def sample_frames(media: DataFrame, every_n: int = 10, max_frames: int = 4) -> D
     """Video frame-sampling plumbing: explode deterministic frame indices
     per media row; the frame payload is a sliced stand-in (a real ffmpeg
     kernel plugs into the same row shape)."""
+    from alma_memory_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
