@@ -69,9 +69,12 @@ _NDIDX_GATE_LOCK = threading.Lock()
 _SDIDX_GATE_CACHE: dict[str, str] = {}
 _SDIDX_GATE_LOCK = threading.Lock()
 # pdidx caches the ADD OUTPUT rows (driver-side list — add() mutates,
-# so the lifecycle runs once and repeats replay the captured output)
+# so the lifecycle runs once and repeats replay the captured output);
+# the sentence-unit lifecycle shares the cache dict under its own lock
+# so the two can run CONCURRENTLY (r9 gate-overlap pattern)
 _PDIDX_GATE_CACHE: dict[str, list] = {}
 _PDIDX_GATE_LOCK = threading.Lock()
+_SENTIDX_GATE_LOCK = threading.Lock()
 
 
 # ---------------------------------------------------------------------------
@@ -952,26 +955,65 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import atexit
     import shutil
     import tempfile
+    from concurrent.futures import ThreadPoolExecutor
 
     from alma_memory_spark.operators.paragraphs import ParagraphDedupIndex
 
-    with _PDIDX_GATE_LOCK:
-        cached = _PDIDX_GATE_CACHE.get(sf_dir)
-        if cached is None:
-            pdroot = tempfile.mkdtemp(prefix="alma_pdidx_gate_")
-            pidx = ParagraphDedupIndex.build(
-                spark, pdocs.filter(F.col("doc_id") < 300), pdroot,
-                id_col="doc_id", text_col="text", n_buckets=8,
-            )
-            out = pidx.add(pdocs.filter(F.col("doc_id") >= 300))
-            cached = [
-                (r["doc_id"], r["text_dedup"], r["n_kept"])
-                for r in out.collect()
-            ]
-            _PDIDX_GATE_CACHE[sf_dir] = cached
-            atexit.register(shutil.rmtree, pdroot, ignore_errors=True)
+    # the paragraph- and sentence-unit lifecycles are independent
+    # (separate index dirs + cache keys, separate locks) — run them
+    # CONCURRENT with each other (r9 gate-overlap pattern): the
+    # first-invocation wall is max of the two builds, not their sum
+    sdocs = docs.select("doc_id", s_aug.alias("text"))
+    skey = sf_dir + ":sent"
+
+    def _pdidx_rows() -> list:
+        with _PDIDX_GATE_LOCK:
+            cached = _PDIDX_GATE_CACHE.get(sf_dir)
+            if cached is None:
+                pdroot = tempfile.mkdtemp(prefix="alma_pdidx_gate_")
+                pidx = ParagraphDedupIndex.build(
+                    spark, pdocs.filter(F.col("doc_id") < 300), pdroot,
+                    id_col="doc_id", text_col="text", n_buckets=8,
+                )
+                out = pidx.add(pdocs.filter(F.col("doc_id") >= 300))
+                cached = [
+                    (r["doc_id"], r["text_dedup"], r["n_kept"])
+                    for r in out.collect()
+                ]
+                _PDIDX_GATE_CACHE[sf_dir] = cached
+                atexit.register(shutil.rmtree, pdroot, ignore_errors=True)
+            return cached
+
+    def _sentidx_rows() -> list:
+        # 'sentidx' rows (r9) — the sentence-unit persisted index's
+        # add path: same ascending-id split, sentence granularity over
+        # the sentdedup fixture; oracle = the sreasm replay filtered
+        # to the add split. All four persisted add paths (ndidx/sdidx/
+        # pdidx/sentidx) are oracle-gated.
+        with _SENTIDX_GATE_LOCK:
+            cached = _PDIDX_GATE_CACHE.get(skey)
+            if cached is None:
+                sroot = tempfile.mkdtemp(prefix="alma_sentidx_gate_")
+                sidx = ParagraphDedupIndex.build(
+                    spark, sdocs.filter(F.col("doc_id") < 300), sroot,
+                    id_col="doc_id", text_col="text", n_buckets=8,
+                    unit="sentence",
+                )
+                sout = sidx.add(sdocs.filter(F.col("doc_id") >= 300))
+                cached = [
+                    (r["doc_id"], r["text_dedup"], r["n_kept"])
+                    for r in sout.collect()
+                ]
+                _PDIDX_GATE_CACHE[skey] = cached
+                atexit.register(shutil.rmtree, sroot, ignore_errors=True)
+            return cached
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _pd_fut = _pool.submit(_pdidx_rows)
+        _st_fut = _pool.submit(_sentidx_rows)
+        pd_rows_list, st_rows_list = _pd_fut.result(), _st_fut.result()
     pdidx_rows = _tiny(
-        spark, _PDIDX_GATE_CACHE[sf_dir],
+        spark, pd_rows_list,
         "id long, text_dedup string, n long",
     ).select(
         F.lit("pdidx").alias("variant"),
@@ -979,30 +1021,8 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id",
         "n",
     )
-
-    # 'sentidx' rows (r9) — the sentence-unit persisted index's add
-    # path: same ascending-id split, sentence granularity over the
-    # sentdedup fixture; oracle = the sreasm replay filtered to the
-    # add split. All four persisted add paths (ndidx/sdidx/pdidx/
-    # sentidx) are now oracle-gated.
-    sdocs = docs.select("doc_id", s_aug.alias("text"))
-    skey = sf_dir + ":sent"
-    with _PDIDX_GATE_LOCK:
-        if _PDIDX_GATE_CACHE.get(skey) is None:
-            sroot = tempfile.mkdtemp(prefix="alma_sentidx_gate_")
-            sidx = ParagraphDedupIndex.build(
-                spark, sdocs.filter(F.col("doc_id") < 300), sroot,
-                id_col="doc_id", text_col="text", n_buckets=8,
-                unit="sentence",
-            )
-            sout = sidx.add(sdocs.filter(F.col("doc_id") >= 300))
-            _PDIDX_GATE_CACHE[skey] = [
-                (r["doc_id"], r["text_dedup"], r["n_kept"])
-                for r in sout.collect()
-            ]
-            atexit.register(shutil.rmtree, sroot, ignore_errors=True)
     sentidx_rows = _tiny(
-        spark, _PDIDX_GATE_CACHE[skey],
+        spark, st_rows_list,
         "id long, text_dedup string, n long",
     ).select(
         F.lit("sentidx").alias("variant"),
