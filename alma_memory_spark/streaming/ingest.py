@@ -271,6 +271,7 @@ def stream_documents_into_indexes(
     id_col: str = "doc_id",
     vec_col: str = "embedding",
     on_batch=None,
+    compact_every: int | None = None,
 ):
     """Continuous index maintenance: each micro-batch of new documents
     lands INCREMENTALLY in the persisted search indexes as an EPOCH
@@ -301,8 +302,28 @@ def stream_documents_into_indexes(
     each committed segment records the writer's lineage (the
     checkpoint's streaming query id), and an epoch collision from a
     different lineage raises in add_epoch instead of silently
-    dropping the new query's batches (ADVICE r4)."""
+    dropping the new query's batches (ADVICE r4).
+
+    `compact_every=N` (r9) folds each maintained index's per-add file
+    debris every N processed micro-batches via its compact()/
+    compact_to() — every add appends one parquet file per touched
+    partition, so a maintainer running thousands of micro-batches
+    degrades file listings unboundedly without this (VERDICT r8 #2).
+    Compaction swaps the index VERSION, so the sink re-binds its own
+    handles; once the stream starts, the sink OWNS the handles — the
+    caller's originals keep serving reads of their (retained) snapshot
+    but must be re-loaded before any post-stream writes. The text
+    index folds its segments at rebuild instead (no compact path)."""
     run_id = uuid.uuid4().hex  # checkpoint-less fallback lineage
+    # mutable handle table: compaction returns FRESH handles and the
+    # old ones refuse writes (superseded-version guard)
+    refs = {
+        "ivf": ivf_index,
+        "neardup": neardup_index,
+        "semdedup": semdedup_index,
+        "paragraph": paragraph_index,
+    }
+    batch_count = {"n": 0}
 
     def _require_extras(index, batch_df: DataFrame, kind: str) -> list[str]:
         """Scope-aware indexes (extra_cols at build) need those columns
@@ -337,13 +358,13 @@ def stream_documents_into_indexes(
                 text_col=text_col,
                 lineage=lineage,
             )
-        if ivf_index is not None:
-            _require_extras(ivf_index, batch_df, "IVF")
-            ivf_index.add_epoch(
+        if refs["ivf"] is not None:
+            _require_extras(refs["ivf"], batch_df, "IVF")
+            refs["ivf"].add_epoch(
                 batch_df, epoch_id, id_col=id_col, vec_col=vec_col,
                 lineage=lineage,
             )
-        if neardup_index is not None:
+        if refs["neardup"] is not None:
             # near-dup maintenance (r6): candidates against only the
             # batch's band buckets, pairs appended. Crash replay of a
             # batch is pair-idempotent (add anti-joins accumulated
@@ -353,14 +374,14 @@ def stream_documents_into_indexes(
             # folded by a rebuild — so this add doesn't need the
             # epoch-segment protocol the score-bearing text/IVF adds
             # require
-            neardup_index.add(
+            refs["neardup"].add(
                 batch_df.select(
-                    F.col(id_col).alias(neardup_index.id_col),
+                    F.col(id_col).alias(refs["neardup"].id_col),
                     F.col(text_col),
                 ),
                 text_col=text_col,
             )
-        if semdedup_index is not None:
+        if refs["semdedup"] is not None:
             # semantic near-dup maintenance (r7): pairs computed against
             # only the batch's cells (pruned lists read), membership
             # published first with a replay guard — a redelivered batch
@@ -368,13 +389,13 @@ def stream_documents_into_indexes(
             # lexical index's replay story, which tolerates band/tok
             # bloat until a rebuild), so no epoch-segment protocol here
             # either
-            semdedup_index.add(
+            refs["semdedup"].add(
                 batch_df.select(
-                    F.col(id_col).alias(semdedup_index.id_col),
-                    F.col(vec_col).alias(semdedup_index.vec_col),
+                    F.col(id_col).alias(refs["semdedup"].id_col),
+                    F.col(vec_col).alias(refs["semdedup"].vec_col),
                 )
             )
-        if paragraph_index is not None:
+        if refs["paragraph"] is not None:
             # paragraph dedup maintenance (r8): within-batch winners
             # registered as owners for unseen fingerprints only
             # (bucket-pruned owner read). Replay appends zero OWNER
@@ -382,13 +403,27 @@ def stream_documents_into_indexes(
             # ownership, not a bare seen-set — so no epoch-segment
             # protocol here either; the discarded return frame costs
             # nothing (Spark plans are lazy)
-            paragraph_index.add(
+            refs["paragraph"].add(
                 batch_df.select(
-                    F.col(id_col).alias(paragraph_index.id_col),
+                    F.col(id_col).alias(refs["paragraph"].id_col),
                     F.col(text_col),
                 ),
                 text_col=text_col,
             )
+        batch_count["n"] += 1
+        if compact_every and batch_count["n"] % compact_every == 0:
+            # fold per-add file debris (one parquet file per touched
+            # partition per add) every N batches; the sink runs
+            # single-threaded inside foreachBatch, so the single-writer
+            # compaction contract holds, and the fresh handles replace
+            # the superseded ones for the NEXT batch
+            for key in ("neardup", "semdedup", "paragraph"):
+                if refs[key] is not None:
+                    refs[key] = refs[key].compact()
+            if refs["ivf"] is not None:
+                # compact_to preserves committed epoch markers, so the
+                # exactly-once replay contract survives the fold
+                refs["ivf"] = refs["ivf"].compact_to(refs["ivf"].path)
         if on_batch is not None:
             on_batch(epoch_id)
 

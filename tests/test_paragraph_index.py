@@ -297,3 +297,70 @@ def test_streaming_sentence_unit_maintenance(spark, tmp_path):
     }
     assert {r["fp"] for r in own} == want_fps
     assert len(own) == len(want_fps)
+
+
+def test_streaming_maintenance_with_in_stream_compaction(spark, tmp_path):
+    """r9: compact_every folds index file debris mid-stream — the sink
+    re-binds to the fresh version and keeps adding; final owner content
+    equals the uncompacted run; the folded owners dir has one file per
+    fbucket partition (plus at most the post-compaction adds)."""
+    import os as _os
+
+    from alma_memory_spark.operators.paragraphs import explode_paragraphs
+    from alma_memory_spark.streaming.ingest import (
+        stream_documents_into_indexes,
+    )
+
+    pdocs = _pdocs(spark)
+    half_a = pdocs.filter(F.col("doc_id") % 2 == 0)
+    half_b = pdocs.filter(F.col("doc_id") % 2 == 1)
+    idx = ParagraphDedupIndex.build(
+        spark, half_a, str(tmp_path / "pcidx"), n_buckets=8
+    )
+    inbox = str(tmp_path / "inbox")
+    half_b.repartition(6).write.parquet(inbox)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inbox)
+    )
+    q = stream_documents_into_indexes(
+        stream, paragraph_index=idx,
+        checkpoint=str(tmp_path / "ckpt"), id_col="doc_id",
+        compact_every=2,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # the caller's handle is superseded by the in-stream compaction;
+    # reload serves the current version
+    cur = ParagraphDedupIndex.load(spark, str(tmp_path / "pcidx"))
+    own = cur.owners().collect()
+    want_fps = {
+        r["fp"] for r in explode_paragraphs(pdocs).select("fp").collect()
+    }
+    assert {r["fp"] for r in own} == want_fps
+    assert len(own) == len(want_fps)
+    # ~6 micro-batches with compact_every=2 -> the last fold left at
+    # most (1 compacted + batches-since-fold) files per partition;
+    # without compaction this corpus accumulates 6+ appends per bucket
+    owners_root = _os.path.join(cur.vroot, "owners")
+    worst = 0
+    for d in _os.listdir(owners_root):
+        full = _os.path.join(owners_root, d)
+        if _os.path.isdir(full) and d.startswith("fbucket="):
+            worst = max(
+                worst,
+                sum(1 for f in _os.listdir(full) if f.endswith(".parquet")),
+            )
+    assert worst <= 3
+    # superseded original handle refuses writes; fresh one accepts
+    with pytest.raises(RuntimeError, match="reload"):
+        idx.add(half_b.limit(1))
+    cur.add(
+        spark.createDataFrame(
+            [(990001, "totally new paragraph body\n\nanother unit")],
+            "doc_id long, text string",
+        )
+    )
