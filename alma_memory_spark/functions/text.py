@@ -636,14 +636,50 @@ def sql_dup_ngram_fraction(expr: str, n: int = 2) -> str:
 #: registrable domains whose documents fail the blocklist rule. A
 #: production pipeline swaps in a real blocklist (the rule is a plain
 #: isin over the extracted registrable domain, so the list size only
-#: changes a broadcast literal set).
-URL_BLOCKLIST = ("spam.example", "ads.invalid", "tracker.test")
+#: changes a broadcast literal set). 'bad.co.uk' is reachable ONLY
+#: through the public-suffix rule (the last-2-label approximation
+#: would yield 'co.uk' and never block it).
+URL_BLOCKLIST = ("spam.example", "ads.invalid", "tracker.test", "bad.co.uk")
+
+
+def _load_psl_snapshot() -> tuple[str, ...]:
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "resources", "public_suffix_snapshot.txt",
+    )
+    with open(path, encoding="utf-8") as fh:
+        return tuple(
+            sorted(
+                ln.strip()
+                for ln in fh
+                if ln.strip() and not ln.startswith("//")
+            )
+        )
+
+
+#: trimmed public-suffix-list snapshot (two-label suffixes only; see
+#: resources/public_suffix_snapshot.txt). Compiled into a literal
+#: in-set on both engines — at this size (~170 entries) codegen emits
+#: a hash-set membership test, still scan-speed / no-join. The FULL
+#: PSL (wildcards, >2-label rules) swaps in as a broadcast
+#: longest-suffix map at production.
+PSL_2LABEL = _load_psl_snapshot()
 
 #: scheme://authority splitter — the safe common subset of Java regex
 #: and RE2 (no lookaround), shared verbatim by both engines
 _URL_HOST_RE = "^[a-z][a-z0-9+.-]*://([^/?#]+)"
 _URL_SCHEME_RE = "^([a-z][a-z0-9+.-]*)://"
 _URL_PATH_RE = "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)"
+#: authority -> host: drop 'userinfo@' then ':port' (r10 ADVICE —
+#: otherwise userinfo/port flow into domain/blocklist/canonical, so
+#: 'https://user@spam.example/x' bypasses the blocklist and
+#: 'example.com:80' splits the canonical dedup group). Bracketed IPv6
+#: literals are out of scope (documented; they contain ':' and would
+#: need the bracket form handled first).
+_URL_USERINFO_RE = "^[^@/]*@"
+_URL_PORT_RE = ":[0-9]*$"
 
 
 def url_signals(
@@ -655,36 +691,48 @@ def url_signals(
     """Per-row URL facts as pure column expressions (scan-speed — the
     same no-join discipline as quality_signals):
 
-      host        authority part, lowercased
-      domain      registrable-domain approximation: last two dot-labels
-                  of the host minus any leading 'www.' (a public-suffix
-                  table drops in as a broadcast map at production)
+      authority   raw authority part, lowercased (userinfo/port kept)
+      host        authority minus 'userinfo@' and ':port'
+      domain      REGISTRABLE domain: last two dot-labels of the host
+                  minus any leading 'www.' — except when those two
+                  labels are a public suffix (PSL_2LABEL snapshot:
+                  co.uk, com.au, github.io, ...), where the last THREE
+                  labels are registrable (shop.bad.co.uk -> bad.co.uk)
       blocked     domain in URL_BLOCKLIST
       scheme      url scheme, lowercased
       depth       path segment count
       tracker     url carries a utm_* query parameter
       canonical   dedup KEY: host-sans-www + path-sans-trailing-slash,
-                  lowercased, query/fragment dropped — the standard
-                  url-dedup normalization
+                  lowercased, query/fragment/userinfo/port dropped —
+                  the standard url-dedup normalization
 
-    PERF: wide scans should pre-project the host/path extractions into
-    their own aliases and pass them via ``host=``/``path=`` — inline
-    expressions re-evaluate the authority regex once per signal
-    reference (the quality_signals lesson)."""
+    PERF: wide scans should pre-project the AUTHORITY/path extractions
+    into their own aliases and pass them via ``host=``/``path=`` —
+    inline expressions re-evaluate the authority regex once per signal
+    reference (the quality_signals lesson). The userinfo/port strips
+    run inside (they operate on the short authority string, not the
+    full url)."""
     c = F.lower(_c(col))
     if host is None:
         host = F.regexp_extract(c, _URL_HOST_RE, 1)
+    host = F.regexp_replace(
+        F.regexp_replace(host, _URL_USERINFO_RE, ""), _URL_PORT_RE, ""
+    )
     host_nw = F.regexp_replace(host, r"^www\.", "")
     labels = F.split(host_nw, r"\.")
-    domain = F.when(
-        F.size(labels) >= 2,
-        F.concat(
-            F.element_at(labels, -2), F.lit("."), F.element_at(labels, -1)
-        ),
-    ).otherwise(host_nw)
+    last2 = F.concat(
+        F.element_at(labels, -2), F.lit("."), F.element_at(labels, -1)
+    )
+    last3 = F.concat(F.element_at(labels, -3), F.lit("."), last2)
+    domain = (
+        F.when((F.size(labels) >= 3) & last2.isin(*PSL_2LABEL), last3)
+        .when(F.size(labels) >= 2, last2)
+        .otherwise(host_nw)
+    )
     if path is None:
         path = F.regexp_extract(c, _URL_PATH_RE, 1)
     return {
+        "authority": F.regexp_extract(c, _URL_HOST_RE, 1),
         "host": host,
         "domain": domain,
         "blocked": domain.isin(*URL_BLOCKLIST),
@@ -730,19 +778,31 @@ def _sql_url_list() -> str:
     return "[" + ", ".join(f"'{d}'" for d in URL_BLOCKLIST) + "]"
 
 
+def _sql_psl_list() -> str:
+    return "[" + ", ".join(f"'{s}'" for s in PSL_2LABEL) + "]"
+
+
 def sql_url_signals(expr: str) -> dict[str, str]:
     """DuckDB mirrors of url_signals, same names and regexes."""
     c = f"lower({expr})"
-    host = f"regexp_extract({c}, '{_URL_HOST_RE}', 1)"
+    auth = f"regexp_extract({c}, '{_URL_HOST_RE}', 1)"
+    host = (
+        f"regexp_replace(regexp_replace({auth}, '{_URL_USERINFO_RE}', ''), "
+        f"'{_URL_PORT_RE}', '')"
+    )
     host_nw = f"regexp_replace({host}, '^www\\.', '')"
     labels = f"string_split({host_nw}, '.')"
+    last2 = f"(({labels})[-2] || '.' || ({labels})[-1])"
+    last3 = f"(({labels})[-3] || '.' || {last2})"
     domain = (
-        f"CASE WHEN len({labels}) >= 2 THEN "
-        f"({labels})[-2] || '.' || ({labels})[-1] "
+        f"CASE WHEN len({labels}) >= 3 "
+        f"AND list_contains({_sql_psl_list()}, {last2}) THEN {last3} "
+        f"WHEN len({labels}) >= 2 THEN {last2} "
         f"ELSE {host_nw} END"
     )
     path = f"regexp_extract({c}, '{_URL_PATH_RE}', 1)"
     return {
+        "authority": auth,
         "host": host,
         "domain": domain,
         "blocked": f"list_contains({_sql_url_list()}, {domain})",

@@ -7,21 +7,25 @@ percentile — the standard statistical quality gate in LLM data
 pipelines alongside the rule-based C4/Gopher filters. The heavy n-gram
 model is a library call; the SHAPE — mean token log-probability under
 a corpus-trained LM, outliers flagged — is expressible exactly in
-DataFrame ops with a unigram model, which is what ships here (a real
-KenLM scorer would slot in as an Arrow-batched kernel at the same
-call site, like the embedding/cross-encoder env boundaries).
+DataFrame ops with unigram and bigram models, which is what ships here
+(a real KenLM scorer would slot in as an Arrow-batched kernel at the
+same call site, like the embedding/cross-encoder env boundaries).
 
-Scale shape: training is one map-side-combinable token count shuffle;
-scoring is explode -> broadcast-join the (bounded, vocabulary-sized)
-log-prob table -> one per-doc aggregation. The corpus is never joined
-to itself and the model table broadcasts — the same discipline as the
-BM25/TF-IDF plans in operators/text_search.py.
+Scale shape: training is one map-side-combinable n-gram count shuffle;
+scoring is explode -> broadcast-join the (bounded) log-prob table ->
+one per-doc aggregation. The corpus is never joined to itself and the
+model table broadcasts — the same discipline as the BM25/TF-IDF plans
+in operators/text_search.py. Self-training on raw web text has an
+unbounded typo/URL vocabulary, so the broadcast table is boundable at
+build time (`top_v`): keep the top-V n-grams by count, everything else
+scores at the smoothing floor — the standard vocabulary-truncation
+trade, a build knob, off by default for trusted reference corpora.
 
 Determinism: probabilities derive from exact integer counts; the only
 float steps are one IEEE division, ln() (engine libm, agrees to ~1
 ulp — rounded to 10 dp before use, the codebase's standard float
 boundary), and the per-doc mean, whose sum runs in DECIMAL so it is
-order-independent under any partitioning. The 'lmq' gate rows
+order-independent under any partitioning. The 'lmq'/'lmq2' gate rows
 hash-match a full DuckDB replay.
 """
 
@@ -32,21 +36,42 @@ from pyspark.sql import functions as F
 
 from alma_memory_spark.functions import text as X
 
-__all__ = ["lm_quality_scores", "lm_tail_ids", "unigram_lm"]
+__all__ = [
+    "bigram_lm",
+    "bigram_quality_scores",
+    "lm_quality_scores",
+    "lm_tail_ids",
+    "unigram_lm",
+]
 
 
-def unigram_lm(docs: DataFrame, text_col: str = "text"):
+def _cap_top_v(counts: DataFrame, top_v: int | None, order_cols) -> DataFrame:
+    """Bound a model table to its top_v highest-count rows (ties broken
+    by the n-gram itself, so the kept set is deterministic). top_v is a
+    BUILD KNOB constant — the TakeOrdered here heaps a bounded k per
+    task, unlike a corpus-proportional k (the lm_tail_ids lesson)."""
+    if top_v is None:
+        return counts
+    return counts.orderBy(F.desc("cnt"), *order_cols).limit(top_v)
+
+
+def unigram_lm(docs: DataFrame, text_col: str = "text",
+               top_v: int | None = None):
     """(lm, stats): add-one-smoothed unigram log-probabilities over the
     corpus tokens — lm = (token, logp) with
     logp = round(ln((count + 1) / (total + vocab)), 10) — plus the
     one-row stats frame (total, vocab) the OOV floor derives from.
-    One count shuffle; both outputs are vocabulary-bounded."""
+    One count shuffle; `top_v` bounds the broadcastable lm table for
+    raw-web self-training (dropped tokens score at the OOV floor —
+    stats stay full-corpus so the floor itself is unchanged)."""
     toks = docs.select(F.explode(X.ws_tokens(text_col)).alias("token"))
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     stats = counts.agg(
         F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("vocab")
     )
-    lm = counts.crossJoin(F.broadcast(stats)).select(
+    lm = _cap_top_v(counts, top_v, [F.asc("token")]).crossJoin(
+        F.broadcast(stats)
+    ).select(
         "token",
         F.round(
             F.log(
@@ -70,10 +95,22 @@ def lm_quality_scores(
     higher = more typical of the training corpus (the CCNet quality
     axis; perplexity = exp(-score)). Defaults to self-training on
     `docs` (CCNet trains on the target-domain corpus); pass a
-    prebuilt (lm, stats) to score against a trusted reference corpus.
-    Unseen tokens take the smoothing floor ln(1 / (total + vocab)).
-    The per-doc sum runs in DECIMAL(28,10) so the mean is bit-stable
-    under any partitioning."""
+    prebuilt (lm, stats) PAIR to score against a trusted reference
+    corpus. Unseen tokens take the smoothing floor
+    ln(1 / (total + vocab)). The per-doc sum runs in DECIMAL(28,10)
+    so the mean is bit-stable under any partitioning.
+
+    EVERY input doc gets a row: empty/whitespace-only documents (zero
+    tokens) come back with n_tokens = 0 and score = NULL — they would
+    otherwise vanish from the explode and silently bypass any
+    downstream tail filter or score join."""
+    if (lm is None) != (stats is None):
+        raise ValueError(
+            "lm and stats must be passed together (stats carries the "
+            "total/vocab the OOV floor derives from); got "
+            f"lm={'set' if lm is not None else None}, "
+            f"stats={'set' if stats is not None else None}"
+        )
     if lm is None:
         lm, stats = unigram_lm(docs, text_col)
     floor = F.round(
@@ -87,7 +124,7 @@ def lm_quality_scores(
         .crossJoin(F.broadcast(stats))
         .select(id_col, F.coalesce("logp", floor).alias("lp"))
     )
-    return scored.groupBy(id_col).agg(
+    agg = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(
             F.sum(F.col("lp").cast("decimal(28,10)")).cast("double")
@@ -95,6 +132,16 @@ def lm_quality_scores(
             6,
         ).alias("score"),
     )
+    # zero-token docs never reach the explode — emit them from a
+    # narrow filtered scan (no join) so the output covers every input
+    empties = docs.filter(
+        F.coalesce(F.size(X.ws_tokens(text_col)), F.lit(0)) <= 0
+    ).select(
+        F.col(id_col),
+        F.lit(0).cast("long").alias("n_tokens"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    return agg.unionByName(empties)
 
 
 def lm_tail_ids(
@@ -102,29 +149,180 @@ def lm_tail_ids(
     frac: float = 0.1,
     id_col: str = "doc_id",
     score_col: str = "score",
+    method: str = "approx",
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Ids of the lowest-`frac` fraction of documents by LM score —
-    CCNet's tail bucket (candidates to drop or down-weight).
+    CCNet's tail bucket (candidates to drop or down-weight). NULL
+    scores (zero-token docs) are never in the tail: they carry no LM
+    evidence either way (drop them with their own rule if desired).
 
-    Scale shape: a global percent_rank window would funnel the whole
-    corpus through one task's sort; instead the cutoff is the max
-    score among the bottom-k rows (k = floor(frac * n)) found with a
-    TakeOrdered top-k heap, then a broadcast threshold filter — no
-    global sort at any scale. Boundary ties are INCLUDED (score <=
-    cutoff), which keeps the result deterministic under any partition
-    layout in both engines."""
-    n = scores.count()
-    k = int(frac * n)
-    if k <= 0:
+    method='approx' (the at-scale default): the cutoff is
+    `percentile_approx(score, frac, accuracy)` — a mergeable GK
+    sketch whose per-partition state is O(accuracy), aggregated
+    tree-wise; no count() action, no corpus-proportional heap, and
+    the whole thing stays one lazy plan (cutoff agg -> broadcast ->
+    tie-inclusive <= filter). Rank error is bounded by n/accuracy;
+    when n <= accuracy the sketch holds every value and the cutoff
+    is EXACT (how the oracle gates it at test SFs).
+
+    method='exact': the cutoff is the max score among the bottom-k
+    rows (k = floor(frac * n)) via a TakeOrdered bottom-k heap —
+    bit-exact against a rank-based SQL replay, but k grows with the
+    corpus, so every partition heaps k rows and the driver merges
+    them: a single-point funnel at production frac. Retained for
+    bounded-SF oracle replay only. This path runs a count() action —
+    materialize `scores` first (localCheckpoint) or the scores DAG
+    executes three times (count, cutoff, filter).
+
+    Boundary ties are INCLUDED (score <= cutoff) on both paths, which
+    keeps the result deterministic under any partition layout."""
+    if frac <= 0:
         return scores.select(id_col).limit(0)
-    cutoff = (
-        scores.select(score_col)
-        .orderBy(F.asc(score_col))
-        .limit(k)
-        .agg(F.max(score_col).alias("cut"))
-    )
+    if method == "approx":
+        cutoff = scores.agg(
+            F.percentile_approx(score_col, F.lit(frac), F.lit(accuracy))
+            .alias("cut")
+        )
+    elif method == "exact":
+        n = scores.filter(F.col(score_col).isNotNull()).count()
+        k = int(frac * n)
+        if k <= 0:
+            return scores.select(id_col).limit(0)
+        cutoff = (
+            scores.select(score_col)
+            .filter(F.col(score_col).isNotNull())
+            .orderBy(F.asc(score_col))
+            .limit(k)
+            .agg(F.max(score_col).alias("cut"))
+        )
+    else:
+        raise ValueError(f"method must be approx|exact, got {method!r}")
     return (
         scores.crossJoin(F.broadcast(cutoff))
         .filter(F.col(score_col) <= F.col("cut"))
         .select(id_col)
     )
+
+
+def _bigram_pairs(text_col: str):
+    """Array of (w1, w2) structs for each adjacent token pair, in
+    order. Guarded: F.sequence(1, 0) would generate DESCENDING, so
+    docs with < 2 tokens map to an explicit empty array."""
+    arr = X.ws_tokens(text_col)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(arr) - 1),
+        lambda i: F.struct(
+            F.element_at(arr, i).alias("w1"),
+            F.element_at(arr, i + 1).alias("w2"),
+        ),
+    )
+    empty = F.array().cast("array<struct<w1:string,w2:string>>")
+    return F.when(F.coalesce(F.size(arr), F.lit(0)) >= 2, pairs).otherwise(
+        empty
+    )
+
+
+def bigram_lm(docs: DataFrame, text_col: str = "text",
+              top_v: int | None = None):
+    """(lm2, ctx, stats): add-one-smoothed bigram conditionals over the
+    corpus — lm2 = (w1, w2, logp) with
+    logp = round(ln((c12 + 1) / (c1 + vocab)), 10), ctx = (w1, c1)
+    the per-context denominators (c1 = count of w1 as a bigram
+    history), stats = one row (vocab = distinct corpus tokens).
+    CCNet's scorer is a 5-gram KenLM; bigram is the first
+    SQL-replayable step up from unigram on the same ladder — one
+    extra n-gram count shuffle, same DECIMAL/broadcast discipline.
+
+    `top_v` bounds BOTH broadcast tables (lm2 grows toward vocab² on
+    raw web text): kept rows are the top-V by count with n-gram
+    tie-break; dropped bigrams score at their context floor, dropped
+    contexts at the cold floor ln(1/vocab)."""
+    pairs = docs.select(F.explode(_bigram_pairs(text_col)).alias("bg"))
+    pairs = pairs.select("bg.w1", "bg.w2")
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    ctx = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = (
+        docs.select(F.explode(X.ws_tokens(text_col)).alias("token"))
+        .agg(F.count_distinct("token").alias("vocab"))
+    )
+    lm2 = (
+        _cap_top_v(c12, top_v, [F.asc("w1"), F.asc("w2")])
+        .withColumnRenamed("cnt", "c12")
+        .join(ctx.withColumnRenamed("cnt", "c1"), "w1")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    (F.col("c12") + 1).cast("double")
+                    / (F.col("c1") + F.col("vocab")).cast("double")
+                ),
+                10,
+            ).alias("logp"),
+        )
+    )
+    ctx = _cap_top_v(ctx, top_v, [F.asc("w1")]).withColumnRenamed("cnt", "c1")
+    return lm2, ctx, stats
+
+
+def bigram_quality_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lm2: DataFrame | None = None,
+    ctx: DataFrame | None = None,
+    stats: DataFrame | None = None,
+) -> DataFrame:
+    """(id, n_bigrams, score): mean bigram-conditional log-probability
+    per document under an add-one bigram model (see bigram_lm).
+    Unseen bigram with a known context w1 floors at
+    ln(1 / (c1 + vocab)); unknown context floors at ln(1 / vocab).
+    Docs with < 2 tokens carry no bigram evidence: n_bigrams = 0,
+    score = NULL (the lm_quality_scores empty-doc contract). Same
+    DECIMAL-summed partition-invariant mean; 'lmq2' gate rows
+    hash-match a full DuckDB replay."""
+    given = (lm2 is not None, ctx is not None, stats is not None)
+    if any(given) and not all(given):
+        raise ValueError(
+            "lm2, ctx and stats must be passed together; got "
+            f"(lm2, ctx, stats) present = {given}"
+        )
+    if lm2 is None:
+        lm2, ctx, stats = bigram_lm(docs, text_col)
+    ctx_floor = F.round(
+        F.log(1.0 / (F.col("c1") + F.col("vocab")).cast("double")), 10
+    )
+    cold_floor = F.round(F.log(1.0 / F.col("vocab").cast("double")), 10)
+    bgs = docs.select(
+        F.col(id_col), F.explode(_bigram_pairs(text_col)).alias("bg")
+    ).select(id_col, "bg.w1", "bg.w2")
+    scored = (
+        bgs.join(F.broadcast(lm2), ["w1", "w2"], "left")
+        .join(F.broadcast(ctx), "w1", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            F.coalesce(
+                "logp", F.when(F.col("c1").isNotNull(), ctx_floor),
+                cold_floor,
+            ).alias("lp"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("lp").cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("score"),
+    )
+    empties = docs.filter(
+        F.coalesce(F.size(X.ws_tokens(text_col)), F.lit(0)) < 2
+    ).select(
+        F.col(id_col),
+        F.lit(0).cast("long").alias("n_bigrams"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    return agg.unionByName(empties)

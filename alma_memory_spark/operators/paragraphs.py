@@ -95,9 +95,18 @@ def explode_sentences(
     join separator — reproduces the original text byte-for-byte on a
     no-dup document. Fingerprints normalize whitespace/case (the
     shared `fingerprint`), so the attached separators never split a
-    dedup group."""
+    dedup group.
+
+    The sentinel precondition is ENFORCED, not assumed (r10 ADVICE): a
+    pre-existing \\x1e byte in the text would silently corrupt unit
+    boundaries, so it is stripped before marking — reassembly is
+    byte-faithful with respect to the SANITIZED text (control chars
+    are stripped by any sane text-extraction front end; the SQL oracle
+    replay strips identically)."""
     marked = F.regexp_replace(
-        F.col(text_col), SENTENCE_BOUNDARY, "$1" + _UNIT_SENTINEL
+        F.regexp_replace(F.col(text_col), _UNIT_SENTINEL, ""),
+        SENTENCE_BOUNDARY,
+        "$1" + _UNIT_SENTINEL,
     )
     return (
         df.select(

@@ -173,23 +173,30 @@ PARAM_QV = "_qv"
 PARAM_NOW = "_now_ts"
 
 
-def _ctx_id() -> int:
+def _ctx_id() -> tuple:
     """Cache key component: cached Columns wrap JVM expression objects,
     which die with the SparkContext — a restarted context must never
-    serve another context's trees."""
+    serve another context's trees. The key is a MONOTONE identity
+    ((applicationId, startTime), unique per context lifetime) — id()
+    of the context object is not safe: after a stop/restart CPython
+    can re-allocate the new context at the same address and the cache
+    would serve trees bound to the dead JVM gateway."""
     from pyspark import SparkContext
 
-    return id(SparkContext._active_spark_context)
+    sc = SparkContext._active_spark_context
+    if sc is None:
+        return (None, None)
+    return (sc.applicationId, sc.startTime)
 
 
 @lru_cache(maxsize=32)
-def _cosine_expr_cached(ctx: int, embedding_col: str) -> Column:
+def _cosine_expr_cached(ctx: tuple, embedding_col: str) -> Column:
     return cosine_similarity(embedding_col, F.col(PARAM_QV))
 
 
 @lru_cache(maxsize=512)
 def _score_exprs_cached(
-    ctx: int, memory_type: str, w_key: tuple, half_life: float, has_sim: bool
+    ctx: tuple, memory_type: str, w_key: tuple, half_life: float, has_sim: bool
 ):
     """(sim, rec, succ, conf, score) Columns with the now anchor read
     from the PARAM_NOW column — every tree here is per-process, not

@@ -84,22 +84,29 @@ _SENTIDX_GATE_LOCK = threading.Lock()
 # quality-filter oracle snippets over the gate's synthetic lined text
 _QS = X.sql_quality_signals("qtext")
 
-# URL fixture (r9, VERDICT r8 #6): the driver corpus has no url column,
-# so both engines derive the SAME deterministic url per doc — five
-# domains (two blocklisted), www/scheme/deep-path/trailing-slash/utm
-# variation keyed off doc_id, and path collisions (doc_id % 400) so
-# canonical-url dedup has real duplicate groups.
+# URL fixture (r9, VERDICT r8 #6; extended r10 VERDICT r9 #3): the
+# driver corpus has no url column, so both engines derive the SAME
+# deterministic url per doc — seven domains (three blocklisted, one
+# only via the public-suffix rule; one platform-suffix host),
+# userinfo/port/www/scheme/deep-path/trailing-slash/utm variation
+# keyed off doc_id, and path collisions (doc_id % 400) so
+# canonical-url dedup has real duplicate groups (userinfo/port
+# variants MUST land in the same canonical group — the r10 ADVICE
+# authority fix).
 _URL_FIXTURE_SQL = (
     "(CASE WHEN doc_id % 4 = 1 THEN 'http' ELSE 'https' END) || '://'"
+    " || (CASE WHEN doc_id % 9 = 0 THEN 'user:pw@' ELSE '' END)"
     " || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)"
-    " || (CASE doc_id % 5 WHEN 0 THEN 'example.com'"
+    " || (CASE doc_id % 7 WHEN 0 THEN 'example.com'"
     " WHEN 1 THEN 'blog.example.com' WHEN 2 THEN 'spam.example'"
-    " WHEN 3 THEN 'news.test' ELSE 'ads.invalid' END)"
+    " WHEN 3 THEN 'news.test' WHEN 4 THEN 'ads.invalid'"
+    " WHEN 5 THEN 'shop.bad.co.uk' ELSE 'docs.pages.github.io' END)"
+    " || (CASE WHEN doc_id % 8 = 0 THEN ':8443' ELSE '' END)"
     " || (CASE WHEN doc_id % 11 = 0 THEN '/a/b/c/d/e/f/g/page-'"
     " ELSE '/docs/page-' END)"
     " || CAST(doc_id % 400 AS VARCHAR)"
     " || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END)"
-    " || (CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed' ELSE '' END)"
+    " || (CASE WHEN doc_id % 10 = 5 THEN '?utm_source=feed' ELSE '' END)"
 )
 _US = X.sql_url_signals("url")
 
@@ -107,23 +114,27 @@ _US = X.sql_url_signals("url")
 def _url_fixture_col():
     did = F.col("doc_id")
     dom = (
-        F.when(did % 5 == 0, F.lit("example.com"))
-        .when(did % 5 == 1, F.lit("blog.example.com"))
-        .when(did % 5 == 2, F.lit("spam.example"))
-        .when(did % 5 == 3, F.lit("news.test"))
-        .otherwise(F.lit("ads.invalid"))
+        F.when(did % 7 == 0, F.lit("example.com"))
+        .when(did % 7 == 1, F.lit("blog.example.com"))
+        .when(did % 7 == 2, F.lit("spam.example"))
+        .when(did % 7 == 3, F.lit("news.test"))
+        .when(did % 7 == 4, F.lit("ads.invalid"))
+        .when(did % 7 == 5, F.lit("shop.bad.co.uk"))
+        .otherwise(F.lit("docs.pages.github.io"))
     )
     return F.concat(
         F.when(did % 4 == 1, F.lit("http")).otherwise(F.lit("https")),
         F.lit("://"),
+        F.when(did % 9 == 0, F.lit("user:pw@")).otherwise(F.lit("")),
         F.when(did % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
         dom,
+        F.when(did % 8 == 0, F.lit(":8443")).otherwise(F.lit("")),
         F.when(did % 11 == 0, F.lit("/a/b/c/d/e/f/g/page-")).otherwise(
             F.lit("/docs/page-")
         ),
         (did % 400).cast("string"),
         F.when(did % 6 == 0, F.lit("/")).otherwise(F.lit("")),
-        F.when(did % 7 == 0, F.lit("?utm_source=feed")).otherwise(F.lit("")),
+        F.when(did % 10 == 5, F.lit("?utm_source=feed")).otherwise(F.lit("")),
     )
 # first-fit oracle: 1-based index of the earliest open block with room
 # (DuckDB list_position yields 0 on miss)
@@ -758,7 +769,8 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (
           SELECT doc_id,
                  string_split(
-                   regexp_replace(stext, '([.!?][ \\t\\r\\n\\f]+)',
+                   regexp_replace(replace(stext, chr(30), ''),
+                                  '([.!?][ \\t\\r\\n\\f]+)',
                                   '\\1' || chr(30), 'g'),
                    chr(30)) AS ps
           FROM sdoc)
@@ -2272,6 +2284,40 @@ _RELEVANCE_SQL = f"""
     lmcut AS (
       SELECT max(score) AS cut FROM lmrank
       WHERE rn <= CAST(floor(0.1 * n) AS BIGINT)
+    ),
+    lmcutq AS (
+      -- the percentile_approx path's exact-sketch convention: value at
+      -- rank ceil(frac*n) (== floor(frac*n) when frac*n is integral,
+      -- as at the gate corpora — kept distinct so the gate stays
+      -- honest if the corpus size ever changes)
+      SELECT max(score) AS cut FROM lmrank
+      WHERE rn <= CAST(ceil(0.1 * n) AS BIGINT)
+    ),
+    lmbg AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM (
+        SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        FROM (SELECT doc_id, {X.sql_ws_tokens('text')} AS t FROM documents)
+      )
+    ),
+    bgc AS (SELECT w1, w2, count(*) AS c12 FROM lmbg GROUP BY 1, 2),
+    ctxc AS (SELECT w1, count(*) AS c1 FROM lmbg GROUP BY 1),
+    bstat AS (SELECT count(DISTINCT token) AS vocab FROM lmtok),
+    blp AS (
+      SELECT b.w1, b.w2,
+             round(ln((c12 + 1) * 1.0 / (c1 + vocab)), 10) AS logp
+      FROM bgc b JOIN ctxc c ON b.w1 = c.w1, bstat
+    ),
+    bdoc AS (
+      SELECT g.doc_id,
+             round(CAST(sum(CAST(l.logp AS DECIMAL(28,10))) AS DOUBLE)
+                   / count(*), 6) AS score
+      FROM lmbg g JOIN blp l ON g.w1 = l.w1 AND g.w2 = l.w2
+      GROUP BY g.doc_id
+    ),
+    lmq2top AS (
+      SELECT doc_id, score FROM bdoc
+      ORDER BY score DESC, doc_id ASC LIMIT 20
     )
     SELECT 'bm25' AS method, doc_id, bm25_score AS score FROM bm
     UNION ALL
@@ -2288,6 +2334,10 @@ _RELEVANCE_SQL = f"""
     SELECT 'lmq', doc_id, score FROM lmtop
     UNION ALL
     SELECT 'lmtail', doc_id, score FROM lmdoc, lmcut WHERE score <= cut
+    UNION ALL
+    SELECT 'lmtailq', doc_id, score FROM lmdoc, lmcutq WHERE score <= cut
+    UNION ALL
+    SELECT 'lmq2', doc_id, score FROM lmq2top
     """
 
 
@@ -2403,11 +2453,12 @@ def text_relevance_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so a wrong count, a broken OOV floor, or an order-dependent mean
     # all hash-mismatch.
     from alma_memory_spark.operators.lm_quality import (
+        bigram_quality_scores,
         lm_quality_scores,
         lm_tail_ids,
     )
 
-    # scores feed BOTH the top-20 rows and the tail bucket —
+    # scores feed the top-20 rows and BOTH tail buckets —
     # materialize once (localCheckpoint, the components.py precedent)
     lmsc = (
         lm_quality_scores(docs, id_col="doc_id", text_col="text")
@@ -2415,11 +2466,27 @@ def text_relevance_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     lmq = lmsc.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
-    # 'lmtail' rows (r9) — CCNet's percentile filter, scale-correct:
-    # the bottom-decile cutoff comes from a TakeOrdered bottom-k heap
-    # (never a corpus-wide percent_rank window); ties at the cutoff
-    # included deterministically. The oracle ranks the whole score set.
-    lmtail = lm_tail_ids(lmsc, frac=0.1).join(lmsc, "doc_id")
+    # 'lmtail' rows (r9) — CCNet's percentile filter through the
+    # EXACT bottom-k cutoff (bit-exact vs the oracle's rank replay;
+    # bounded-SF-only — the heap's k grows with the corpus).
+    # 'lmtailq' rows (r10, VERDICT r9 #1) — the AT-SCALE path: the
+    # cutoff from a mergeable percentile_approx sketch (O(accuracy)
+    # state per partition, no count() action, no corpus-proportional
+    # heap). At gate SFs n <= accuracy makes the sketch exact, so the
+    # SAME rank-based oracle hash-gates it; ties included on both.
+    lmtail = lm_tail_ids(lmsc, frac=0.1, method="exact").join(lmsc, "doc_id")
+    lmtailq = lm_tail_ids(lmsc, frac=0.1, method="approx").join(lmsc, "doc_id")
+    # 'lmq2' rows (r10, VERDICT r9 #6) — bigram-conditional LM quality
+    # (operators/lm_quality.py bigram_quality_scores): one step up the
+    # CCNet n-gram ladder from 'lmq', same one-count-shuffle train /
+    # broadcast-join score / DECIMAL-mean discipline; the oracle
+    # re-derives bigram counts -> conditionals -> means in full.
+    lmq2 = (
+        bigram_quality_scores(docs, id_col="doc_id", text_col="text")
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
     return (
         bm.select(F.lit("bm25").alias("method"), "*")
         .unionByName(bi.select(F.lit("bm25_indexed").alias("method"), "*"))
@@ -2428,6 +2495,8 @@ def text_relevance_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tf.select(F.lit("tfidf").alias("method"), "*"))
         .unionByName(lmq.select(F.lit("lmq").alias("method"), "*"))
         .unionByName(lmtail.select(F.lit("lmtail").alias("method"), "*"))
+        .unionByName(lmtailq.select(F.lit("lmtailq").alias("method"), "*"))
+        .unionByName(lmq2.select(F.lit("lmq2").alias("method"), "*"))
     )
 
 

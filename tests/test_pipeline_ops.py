@@ -270,6 +270,37 @@ def test_sentence_dedup_is_byte_faithful_and_keeps_first(spark):
     assert pgot[2]["text_dedup"] == rows[1][1]
 
 
+def test_sentence_split_enforces_sentinel_precondition(spark):
+    """r10 ADVICE: a pre-existing \\x1e byte in the text must not
+    corrupt unit boundaries — it is stripped before marking, so the
+    split behaves as if the text were sanitized (and reassembly is
+    byte-faithful w.r.t. the sanitized text)."""
+    from alma_memory_spark.operators.paragraphs import (
+        dedup_sentences,
+        explode_sentences,
+    )
+
+    dirty = [
+        (1, "First part.\x1e Second part. Third."),
+        (2, "Adjacent\x1e\x1ebytes here. Tail."),
+    ]
+    df = spark.createDataFrame(dirty, "doc_id long, text string")
+    units = {
+        (r["doc_id"], r["idx"]): r["p"]
+        for r in explode_sentences(df).collect()
+    }
+    # the \x1e never acts as a split point itself: doc 1 yields the 3
+    # real sentences of the sanitized text, nothing more
+    assert units[(1, 0)] == "First part. "
+    assert units[(1, 1)] == "Second part. "
+    assert units[(1, 2)] == "Third."
+    assert (1, 3) not in units
+    assert units[(2, 0)] == "Adjacentbytes here. "
+    got = {r["doc_id"]: r for r in dedup_sentences(df).collect()}
+    assert got[1]["text_dedup"] == "First part. Second part. Third."
+    assert got[2]["text_dedup"] == "Adjacentbytes here. Tail."
+
+
 def test_url_signals_and_pass_bits(spark):
     """r9 (VERDICT r8 #6): URL quality rules — host/domain extraction,
     registrable-domain blocklist, scheme/depth/tracker bits, and the
@@ -307,6 +338,52 @@ def test_url_signals_and_pass_bits(spark):
     assert got[5]["bits"] == "11101"   # depth bit
     assert got[6]["bits"] == "11110"   # tracker bit
     assert got[7]["bits"][0] == "0"    # unparseable host
+
+
+def test_url_signals_authority_and_psl(spark):
+    """r10: userinfo/port are stripped from the authority before
+    domain/blocklist/canonical derive (ADVICE — otherwise
+    'user@spam.example' bypasses the blocklist and ':80' splits
+    canonical dedup groups), and registrable domains honor the
+    public-suffix snapshot (VERDICT r9 #3 — last-2-label would yield
+    'co.uk'/'github.io' and mis-group whole registries)."""
+    from alma_memory_spark.functions.text import url_signals
+
+    rows = [
+        (1, "https://user@spam.example/x"),              # userinfo bypass
+        (2, "https://spam.example:443/x"),               # port bypass
+        (3, "https://example.com:80/docs/page-1"),
+        (4, "https://example.com/docs/page-1"),          # canon-dup of 3
+        (5, "https://shop.bad.co.uk/y"),                 # PSL: bad.co.uk
+        (6, "https://www.other.shop.example.co.uk/z"),   # PSL 3-label
+        (7, "https://docs.pages.github.io/p"),           # platform suffix
+        (8, "https://github.io/p"),                      # bare suffix host
+        (9, "https://user:pw@example.com:8443/docs/page-1"),  # both
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    s = url_signals(F.col("url"))
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id", s["host"].alias("h"), s["domain"].alias("d"),
+            s["blocked"].alias("b"), s["canonical"].alias("c"),
+            s["authority"].alias("a"),
+        ).collect()
+    }
+    # userinfo/port stripped from host -> blocklist catches both
+    assert got[1]["h"] == "spam.example" and got[1]["b"]
+    assert got[2]["h"] == "spam.example" and got[2]["b"]
+    # raw authority still available as its own signal
+    assert got[1]["a"] == "user@spam.example"
+    assert got[2]["a"] == "spam.example:443"
+    # port variants share the canonical dedup key
+    assert got[3]["c"] == got[4]["c"] == got[9]["c"] == "example.com/docs/page-1"
+    # registrable domain through the PSL snapshot
+    assert got[5]["d"] == "bad.co.uk" and got[5]["b"]
+    assert got[6]["d"] == "example.co.uk" and not got[6]["b"]
+    assert got[7]["d"] == "pages.github.io"
+    # a bare public-suffix host has nothing above it: last-2 fallback
+    assert got[8]["d"] == "github.io"
 
 
 def test_lm_quality_scores_hand_computed(spark):
@@ -353,22 +430,209 @@ def test_lm_quality_scores_hand_computed(spark):
 
 
 def test_lm_tail_ids_bottom_decile_with_ties(spark):
-    """r9: the CCNet tail bucket — bottom-k cutoff via TakeOrdered (no
-    global window), boundary ties included deterministically."""
+    """r9/r10: the CCNet tail bucket on BOTH cutoff paths — the exact
+    TakeOrdered bottom-k (bounded-SF oracle path) and the at-scale
+    percentile_approx sketch (VERDICT r9 #1) — boundary ties included
+    deterministically, and the two paths agreeing whenever n fits the
+    sketch (where the GK summary is exact)."""
     from alma_memory_spark.operators.lm_quality import lm_tail_ids
 
     rows = [(i, float(-i)) for i in range(1, 21)]  # scores -1..-20
     df = spark.createDataFrame(rows, "doc_id long, score double")
-    # k = 2 -> cutoff = -19; ids 19, 20
-    got = {r["doc_id"] for r in lm_tail_ids(df, frac=0.1).collect()}
-    assert got == {19, 20}
-    # ties at the cutoff all included
+    # k = 2 -> cutoff = -19; ids 19, 20 — on both paths
+    for method in ("exact", "approx"):
+        got = {
+            r["doc_id"]
+            for r in lm_tail_ids(df, frac=0.1, method=method).collect()
+        }
+        assert got == {19, 20}, method
+    # ties at the cutoff all included (both paths)
     tied = spark.createDataFrame(
         [(1, -5.0), (2, -5.0), (3, -5.0), (4, -1.0), (5, -1.0),
          (6, -1.0), (7, -1.0), (8, -1.0), (9, -1.0), (10, -1.0)],
         "doc_id long, score double",
     )
-    got2 = {r["doc_id"] for r in lm_tail_ids(tied, frac=0.1).collect()}
-    assert got2 == {1, 2, 3}
-    # frac too small for one row -> empty, not error
-    assert lm_tail_ids(df, frac=0.01).count() == 0
+    for method in ("exact", "approx"):
+        got2 = {
+            r["doc_id"]
+            for r in lm_tail_ids(tied, frac=0.1, method=method).collect()
+        }
+        assert got2 == {1, 2, 3}, method
+    # frac too small for one row: exact -> empty; approx clamps to the
+    # distribution minimum (a sketch has no notion of k=0) — documented
+    assert lm_tail_ids(df, frac=0.01, method="exact").count() == 0
+    assert {
+        r["doc_id"]
+        for r in lm_tail_ids(df, frac=0.01, method="approx").collect()
+    } == {20}
+    # frac <= 0 -> empty on any path; unknown method raises
+    assert lm_tail_ids(df, frac=0.0).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="method"):
+        lm_tail_ids(df, frac=0.1, method="nope")
+    # NULL scores (zero-token docs) are never in the tail
+    withnull = df.unionByName(
+        spark.createDataFrame([(99, None)], "doc_id long, score double")
+    )
+    for method in ("exact", "approx"):
+        got3 = {
+            r["doc_id"]
+            for r in lm_tail_ids(withnull, frac=0.1, method=method).collect()
+        }
+        assert 99 not in got3 and got3 == {19, 20}, method
+
+
+def test_lm_tail_paths_agree_on_random_data(spark):
+    """Property: with n <= accuracy the sketch holds every value, so
+    the approx cutoff is EXACTLY the value at rank ceil(frac*n)
+    (empirically pinned convention — the premise the 'lmtailq' oracle
+    gate rests on), and it equals the exact path's floor(frac*n)
+    cutoff whenever frac*n is integral."""
+    import math
+    import random
+
+    from alma_memory_spark.operators.lm_quality import lm_tail_ids
+
+    rng = random.Random(410)
+    for trial, n in enumerate((37, 100, 253)):
+        rows = [
+            (i, round(rng.uniform(-9.0, -2.0), 4)) for i in range(n)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, score double"
+        ).localCheckpoint(eager=True)
+        svals = sorted(v for _, v in rows)
+        for frac in (0.1, 0.25):
+            a = {r[0] for r in lm_tail_ids(df, frac, method="approx").collect()}
+            cut = svals[math.ceil(frac * n) - 1]
+            want = {i for i, v in rows if v <= cut}
+            assert a == want, (trial, frac)
+            if (frac * n) == int(frac * n):  # conventions coincide
+                e = {
+                    r[0]
+                    for r in lm_tail_ids(df, frac, method="exact").collect()
+                }
+                assert e == a, (trial, frac)
+
+
+def test_lm_quality_empty_docs_and_arg_validation(spark):
+    """r10 ADVICE: zero-token docs get (n_tokens=0, score=NULL) rows
+    instead of vanishing; lm-without-stats raises a clear error."""
+    import pytest as _pytest
+
+    from alma_memory_spark.operators.lm_quality import (
+        lm_quality_scores,
+        unigram_lm,
+    )
+
+    rows = [(1, "aa aa bb"), (2, ""), (3, "   \t\n "), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in lm_quality_scores(df).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    for empty_id in (2, 3, 4):
+        assert got[empty_id]["n_tokens"] == 0
+        assert got[empty_id]["score"] is None
+    assert got[1]["n_tokens"] == 3 and got[1]["score"] is not None
+    lm, stats = unigram_lm(df)
+    with _pytest.raises(ValueError, match="together"):
+        lm_quality_scores(df, lm=lm)
+    with _pytest.raises(ValueError, match="together"):
+        lm_quality_scores(df, stats=stats)
+
+
+def test_unigram_lm_top_v_cap(spark):
+    """r10 (VERDICT r9 #1): top_v bounds the broadcast model table —
+    kept rows keep their exact log-probs, dropped tokens score at the
+    unchanged full-corpus OOV floor."""
+    import math
+
+    from alma_memory_spark.operators.lm_quality import (
+        lm_quality_scores,
+        unigram_lm,
+    )
+
+    # counts: aa=4 bb=2 cc=1 dd=1 -> total=8 vocab=4 -> denom 12
+    df = spark.createDataFrame(
+        [(1, "aa aa bb cc"), (2, "aa aa bb dd")], "doc_id long, text string"
+    )
+    lm, stats = unigram_lm(df, top_v=2)
+    kept = {r["token"]: r["logp"] for r in lm.collect()}
+    # top-2 by count with token tie-break: aa (4), bb (2)
+    assert set(kept) == {"aa", "bb"}
+    assert kept["aa"] == round(math.log(5 / 12), 10)
+    st = stats.collect()[0]
+    assert (st["total"], st["vocab"]) == (8, 4)  # stats stay full-corpus
+    # scoring under the capped lm: cc/dd take the floor ln(1/12)
+    out = {
+        r["doc_id"]: r["score"]
+        for r in lm_quality_scores(df, lm=lm, stats=stats).collect()
+    }
+    floor = round(math.log(1 / 12), 10)
+    want1 = round(
+        (2 * round(math.log(5 / 12), 10) + round(math.log(3 / 12), 10)
+         + floor) / 4, 6,
+    )
+    assert out[1] == want1 and out[2] == want1  # symmetric docs
+
+
+def test_bigram_quality_scores_hand_computed(spark):
+    """r10 (VERDICT r9 #6): bigram-conditional LM quality — hand-built
+    add-one conditionals on a tiny corpus, short-doc NULL contract,
+    reference-corpus floors, and partition invariance."""
+    import math
+
+    import pytest as _pytest
+
+    from alma_memory_spark.operators.lm_quality import (
+        bigram_lm,
+        bigram_quality_scores,
+    )
+
+    # doc1 'aa bb aa bb' -> (aa,bb),(bb,aa),(aa,bb); doc2 'aa bb' ->
+    # (aa,bb). c12[(aa,bb)]=3, c12[(bb,aa)]=1; ctx: aa=3, bb=1;
+    # vocab = 3 distinct corpus tokens (aa, bb, solo)
+    rows = [(1, "aa bb aa bb"), (2, "aa bb"), (3, "solo"), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lp_ab = round(math.log(4 / 6), 10)   # (3+1)/(3+3)
+    lp_ba = round(math.log(2 / 4), 10)   # (1+1)/(1+3)
+    got = {r["doc_id"]: r for r in bigram_quality_scores(df).collect()}
+    assert got[1]["n_bigrams"] == 3
+    assert got[1]["score"] == round((2 * lp_ab + lp_ba) / 3, 6)
+    assert got[2]["score"] == round(lp_ab, 6)
+    # <2 tokens -> no bigram evidence: n_bigrams=0, score NULL
+    # ('solo' has vocab presence but no transitions)
+    for short_id in (3, 4):
+        assert got[short_id]["n_bigrams"] == 0
+        assert got[short_id]["score"] is None
+    # reference-corpus floors: known context (aa) -> ln(1/(c1+V));
+    # unknown context (zz) -> ln(1/V). vocab here = 3 (aa bb solo)
+    lm2, ctx, stats = bigram_lm(df)
+    assert stats.collect()[0]["vocab"] == 3
+    new = spark.createDataFrame(
+        [(9, "aa zz"), (10, "zz qq")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["score"]
+        for r in bigram_quality_scores(
+            new, lm2=lm2, ctx=ctx, stats=stats
+        ).collect()
+    }
+    assert out[9] == round(round(math.log(1 / 6), 10), 6)   # c1(aa)=3, V=3
+    assert out[10] == round(round(math.log(1 / 3), 10), 6)  # cold floor
+    with _pytest.raises(ValueError, match="together"):
+        bigram_quality_scores(df, lm2=lm2)
+    # partition invariance of the DECIMAL mean
+    import os as _os
+
+    from alma_memory_spark.session import load_table
+
+    sf_dir = _os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r["doc_id"]: r["score"]
+         for r in bigram_quality_scores(docs.coalesce(1)).collect()}
+    b = {r["doc_id"]: r["score"]
+         for r in bigram_quality_scores(docs.repartition(8)).collect()}
+    assert a == b
