@@ -24,8 +24,10 @@ applies them.
     # 6) quality / language / repetition signals, filter to taste
     #    (functions.text: lang_id, quality_score, dup_ngram_fraction,
     #    gopher_quality_pass, url_pass_bits; statistical LM quality:
-    #    docs.join(P.lm_tail_ids(P.lm_quality_scores(docs)),
-    #              "doc_id", "left_anti") drops the CCNet tail bucket)
+    #    scores = P.lm_quality_scores(docs).localCheckpoint()  # reused twice
+    #    docs.join(P.lm_tail_ids(scores), "doc_id", "left_anti")
+    #    drops the CCNet tail bucket — materialize `scores` first, the
+    #    cutoff agg and the filter both consume it)
     # 7) deterministic sampling / stratification / corpus mixing
     docs = P.stratified_sample(docs, "lang", {"en": 0.5}, key_col="doc_id")
     # 8) sequence packing (straddle or no-straddle)
@@ -59,6 +61,8 @@ from alma_memory_spark.functions.text import (  # noqa: F401 (facade)
     url_signals,
 )
 from alma_memory_spark.operators.lm_quality import (
+    bigram_lm,
+    bigram_quality_scores,
     lm_quality_scores,
     lm_tail_ids,
     unigram_lm,
@@ -67,6 +71,10 @@ from alma_memory_spark.operators.paragraphs import (
     ParagraphDedupIndex,
     dedup_paragraphs,
     dedup_sentences,
+)
+from alma_memory_spark.operators.substring import (
+    dedup_token_windows,
+    explode_token_windows,
 )
 from alma_memory_spark.operators.components import (
     connected_components,
@@ -98,11 +106,15 @@ __all__ = [
     "NearDupIndex",
     "ParagraphDedupIndex",
     "SemDedupIndex",
+    "bigram_lm",
+    "bigram_quality_scores",
     "connected_components",
     "contamination_report",
     "decontaminate",
     "dedup_paragraphs",
     "dedup_sentences",
+    "dedup_token_windows",
+    "explode_token_windows",
     "drop_exact_duplicates",
     "dup_ngram_fraction",
     "fingerprint",

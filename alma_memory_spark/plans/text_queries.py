@@ -44,6 +44,16 @@ _PARA_FOOTER = "standard footer boilerplate shared across documents"
 # every doc — terminal '.' so the separator-preserving sentence split
 # finds a boundary after it
 _SENT_FOOTER = "Shared boilerplate sentence for the gate."
+# subdedup gate (r10, VERDICT r9 #2): a 12-token boilerplate SPAN
+# embedded mid-text in every doc (no terminal punctuation — it crosses
+# no sentence boundary, the case sentence/paragraph modes miss) plus a
+# self-overlapping text slice; window size 6 so the span carries 7
+# duplicated windows
+_SUB_BOILER = (
+    "shared boilerplate token span repeated across every document"
+    " in the training corpus"
+)
+_SUB_W = 6
 JACCARD_T = 0.95  # token-set near-dup threshold for this corpus
 MINHASH_K = 8
 LSH_BANDS = 2  # 2 bands x 4 rows (stricter banding: fewer, better candidates)
@@ -794,6 +804,52 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT {_US['canonical']} AS canon, min(doc_id) AS canonical_id,
              count(*) AS n_copies
       FROM uurls GROUP BY 1
+    ),
+    subdoc AS (
+      SELECT doc_id,
+             substr(text, 1, 50) || ' ' || '{_SUB_BOILER}' || ' '
+             || substr(text, 8, 40) AS btext
+      FROM documents
+    ),
+    subt AS (
+      SELECT doc_id, us,
+             list_transform(us,
+               u -> lower(regexp_replace(u,
+                 '^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g'))
+             ) AS ts
+      FROM (
+        SELECT doc_id,
+               list_filter(
+                 string_split(
+                   regexp_replace(replace(btext, chr(30), ''),
+                                  '([ \\t\\n\\x0b\\f\\r]+)',
+                                  '\\1' || chr(30), 'g'),
+                   chr(30)),
+                 p -> p <> '') AS us
+        FROM subdoc)
+    ),
+    subw AS (
+      SELECT doc_id, s,
+             md5(array_to_string(ts[s + 1 : s + {_SUB_W}], ' ')) AS fp
+      FROM (
+        SELECT doc_id, ts, unnest(range(0, len(ts) - {_SUB_W} + 1)) AS s
+        FROM subt WHERE len(ts) >= {_SUB_W})
+    ),
+    subwin AS (
+      SELECT doc_id, s,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id, s) AS rn
+      FROM subw
+    ),
+    subdrop AS (
+      SELECT doc_id, list_sort(list(s)) AS starts
+      FROM subwin WHERE rn > 1 GROUP BY doc_id
+    ),
+    subkeep AS (
+      SELECT t.doc_id, len(t.us) AS n_units,
+             list_filter(t.us,
+               (u, i) -> len(list_filter(coalesce(d.starts, []),
+                 s -> s <= i - 1 AND i - 1 < s + {_SUB_W})) = 0) AS ku
+      FROM subt t LEFT JOIN subdrop d ON t.doc_id = d.doc_id
     )
     SELECT 'dedup' AS variant, fp AS key, canonical_id AS id, n_copies AS n
     FROM dd
@@ -826,6 +882,22 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(sr.n_kept, 0)
     FROM documents d LEFT JOIN sreasm sr ON d.doc_id = sr.doc_id
     WHERE d.doc_id >= 300
+    UNION ALL
+    SELECT 'subdedup', md5(coalesce(array_to_string(ku, ''), '')), doc_id,
+           CAST(len(ku) AS BIGINT)
+    FROM subkeep
+    UNION ALL
+    SELECT 'pdidxc', pfp, doc_id, CAST(idx - 1 AS BIGINT) FROM (
+      SELECT pfp, doc_id, idx,
+             row_number() OVER (PARTITION BY pfp ORDER BY doc_id, idx) AS rn
+      FROM paras
+    ) WHERE rn = 1
+    UNION ALL
+    SELECT 'sentidxc', pfp, doc_id, CAST(idx - 1 AS BIGINT) FROM (
+      SELECT pfp, doc_id, idx,
+             row_number() OVER (PARTITION BY pfp ORDER BY doc_id, idx) AS rn
+      FROM sunits
+    ) WHERE rn = 1
     """,
 )
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -957,6 +1029,32 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_kept").alias("n"),
     )
 
+    # 'subdedup' rows (r10, VERDICT r9 #2) — substring-granularity
+    # exact dedup (operators/substring.py, the Lee-et-al-2021
+    # token-window approximation): a 12-token boilerplate span with NO
+    # terminal punctuation — invisible to sentence/paragraph modes —
+    # embedded mid-text in every doc dedups at global first window
+    # occurrence; each doc's row carries md5(re-spliced text) + kept
+    # unit count, so a wrong keep, a mis-covered unit, or any byte
+    # drift in the separator-preserving re-splice hash-mismatches
+    # against the DuckDB window replay.
+    from alma_memory_spark.operators.substring import dedup_token_windows
+
+    sub_aug = F.concat_ws(
+        " ",
+        F.substring("text", 1, 50),
+        F.lit(_SUB_BOILER),
+        F.substring("text", 8, 40),
+    )
+    sub = dedup_token_windows(
+        docs.select("doc_id", sub_aug.alias("text")), w=_SUB_W
+    ).select(
+        F.lit("subdedup").alias("variant"),
+        F.md5("text_dedup").alias("key"),
+        F.col("doc_id").alias("id"),
+        F.col("n_kept").alias("n"),
+    )
+
     # 'pdidx' rows (r8) — the PERSISTED ParagraphDedupIndex add path
     # under the driver oracle: build over ids < 300, add() the rest;
     # under ascending-id ingest the add output equals the one-shot
@@ -978,7 +1076,7 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdocs = docs.select("doc_id", s_aug.alias("text"))
     skey = sf_dir + ":sent"
 
-    def _pdidx_rows() -> list:
+    def _pdidx_rows() -> tuple:
         with _PDIDX_GATE_LOCK:
             cached = _PDIDX_GATE_CACHE.get(sf_dir)
             if cached is None:
@@ -988,15 +1086,24 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     id_col="doc_id", text_col="text", n_buckets=8,
                 )
                 out = pidx.add(pdocs.filter(F.col("doc_id") >= 300))
-                cached = [
+                add_rows = [
                     (r["doc_id"], r["text_dedup"], r["n_kept"])
                     for r in out.collect()
                 ]
+                # r10 (VERDICT r9 #5): compact, then read the owner set
+                # back from the COMPACTED version — the 'pdidxc' rows
+                # hash the folded owners against the oracle's winner
+                # replay, proving the fold dropped/duplicated nothing
+                own_rows = [
+                    (r["fp"], r["doc_id"], r["idx"])
+                    for r in pidx.compact().owners().collect()
+                ]
+                cached = (add_rows, own_rows)
                 _PDIDX_GATE_CACHE[sf_dir] = cached
                 atexit.register(shutil.rmtree, pdroot, ignore_errors=True)
             return cached
 
-    def _sentidx_rows() -> list:
+    def _sentidx_rows() -> tuple:
         # 'sentidx' rows (r9) — the sentence-unit persisted index's
         # add path: same ascending-id split, sentence granularity over
         # the sentdedup fixture; oracle = the sreasm replay filtered
@@ -1012,10 +1119,16 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     unit="sentence",
                 )
                 sout = sidx.add(sdocs.filter(F.col("doc_id") >= 300))
-                cached = [
+                add_rows = [
                     (r["doc_id"], r["text_dedup"], r["n_kept"])
                     for r in sout.collect()
                 ]
+                # r10: 'sentidxc' — compacted owner set, sentence unit
+                own_rows = [
+                    (r["fp"], r["doc_id"], r["idx"])
+                    for r in sidx.compact().owners().collect()
+                ]
+                cached = (add_rows, own_rows)
                 _PDIDX_GATE_CACHE[skey] = cached
                 atexit.register(shutil.rmtree, sroot, ignore_errors=True)
             return cached
@@ -1023,7 +1136,8 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ThreadPoolExecutor(max_workers=2) as _pool:
         _pd_fut = _pool.submit(_pdidx_rows)
         _st_fut = _pool.submit(_sentidx_rows)
-        pd_rows_list, st_rows_list = _pd_fut.result(), _st_fut.result()
+        (pd_rows_list, pd_own_list) = _pd_fut.result()
+        (st_rows_list, st_own_list) = _st_fut.result()
     pdidx_rows = _tiny(
         spark, pd_rows_list,
         "id long, text_dedup string, n long",
@@ -1042,6 +1156,16 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id",
         "n",
     )
+    # 'pdidxc'/'sentidxc' rows (r10, VERDICT r9 #5): the OWNER sets
+    # read back from the COMPACTED index versions — hash-checked
+    # against the oracle's keep-first winner replay, so a fold that
+    # lost, duplicated, or re-owned any unit mismatches
+    pdidxc_rows = _tiny(
+        spark, pd_own_list, "key string, id long, n long"
+    ).select(F.lit("pdidxc").alias("variant"), "key", "id", "n")
+    sentidxc_rows = _tiny(
+        spark, st_own_list, "key string, id long, n long"
+    ).select(F.lit("sentidxc").alias("variant"), "key", "id", "n")
     # 'urldedup' rows (r9, VERDICT r8 #6) — canonical-url dedup over
     # the shared url fixture: normalize (drop scheme/www/trailing
     # slash/query), group by the canonical key, min doc_id wins — the
@@ -1066,8 +1190,11 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(para)
         .unionByName(sent)
         .unionByName(urldd)
+        .unionByName(sub)
         .unionByName(pdidx_rows)
         .unionByName(sentidx_rows)
+        .unionByName(pdidxc_rows)
+        .unionByName(sentidxc_rows)
     )
 
 
@@ -1501,6 +1628,12 @@ def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     n_assign=2,
                 )
                 sidx.add(emb.filter(~in_build).select("vec_id", "embedding"))
+                # r10 (VERDICT r9 #5): compact at the end of the
+                # lifecycle, so every pairs() read below serves the
+                # COMPACTED version — the existing 'sdidx' oracle now
+                # hash-proves compact()'s fold-neutrality (a dropped,
+                # duplicated, or corrupted pair would mismatch)
+                sidx.compact()
                 _SDIDX_GATE_CACHE[sf_dir] = sdroot
                 atexit.register(shutil.rmtree, sdroot, ignore_errors=True)
             return sdroot
@@ -1683,6 +1816,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     verify_t=LSH_VERIFY_T,
                 )
                 idx.add(uni.filter(F.col("doc_id") % 8 == 5))
+                # r10 (VERDICT r9 #5): serve the 'ndidx' rows from the
+                # COMPACTED version — the existing oracle hash-proves
+                # the fold's content identity
+                idx.compact()
                 _NDIDX_GATE_CACHE[sf_dir] = ndroot
                 atexit.register(shutil.rmtree, ndroot, ignore_errors=True)
             return ndroot
@@ -2048,11 +2185,25 @@ def ann_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivroot = _IVF_INDEX_GATE_CACHE.get(sf_dir)
         if ivroot is None:
             ivroot = tempfile.mkdtemp(prefix="alma_ivf_index_gate_")
-            IVFIndex.build(
-                spark, emb, ivroot, id_col="vec_id",
+            # r10 (VERDICT r9 #5): the lifecycle now exercises the FULL
+            # maintenance cycle under the oracle — build on a split,
+            # add_epoch the rest (exactly-once segment), compact_to the
+            # same path (segment folds into base lists, _COMMIT marker
+            # preserved). The quantizer trains on the SAME centroid
+            # seeds (stride rows all land in the build split), so the
+            # 'ivf_batch'/'pq' oracles over the full corpus are
+            # unchanged — a fold that lost an epoch row, duplicated a
+            # list entry, or dropped a cell would hash-mismatch.
+            in_b = (F.col("vec_id") % 5 != 3) | (
+                F.pmod(F.col("vec_id"), F.lit(IVF_CENT_EVERY)) == 0
+            )
+            bidx = IVFIndex.build(
+                spark, emb.filter(in_b), ivroot, id_col="vec_id",
                 vec_col="embedding", cent_every=IVF_CENT_EVERY,
                 pq_m=8,  # the 'pq' stage serves from the same index
             )
+            bidx.add_epoch(emb.filter(~in_b), epoch=1, lineage="gate")
+            bidx.compact_to(ivroot)
             _IVF_INDEX_GATE_CACHE[sf_dir] = ivroot
             atexit.register(shutil.rmtree, ivroot, ignore_errors=True)
     idx = IVFIndex.load(spark, ivroot)

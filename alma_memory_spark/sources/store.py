@@ -38,6 +38,11 @@ from alma_memory_spark import schemas
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
+#: version-pinned read-plan cache entries per store handle (r10,
+#: VERDICT r9 #4) — each entry is one analyzed DataFrame, a few KB of
+#: driver/JVM objects
+_READ_CACHE_MAX = 64
+
 
 def _decode_part(dirname: str):
     """Decode a hive partition dir name ('agent=a%20b') to its value.
@@ -51,9 +56,22 @@ def _decode_part(dirname: str):
 
 class ParquetStore:
     def __init__(self, spark: SparkSession, root: str):
+        import threading
+        from collections import OrderedDict
+
         self.spark = spark
         self.root = root
         self._held_locks: set[tuple] = set()
+        # version-pinned read-plan cache (r10, VERDICT r9 #4): reads
+        # pin the plan to the table's on-disk write-version stamp and
+        # serve the SAME DataFrame until any writer (this handle,
+        # another handle, another process) bumps it — see read()
+        self._read_cache: OrderedDict[tuple, tuple[str, DataFrame]] = (
+            OrderedDict()
+        )
+        self._read_cache_lock = threading.Lock()
+        #: escape hatch: set False to force a fresh listing every read
+        self.plan_cache_enabled = True
 
     def _path(self, table: str) -> str:
         return os.path.join(self.root, table)
@@ -162,6 +180,10 @@ class ParquetStore:
             cm.__exit__(None, None, None)
 
     def _recover_locked(self, table: str) -> None:
+        # repairs change the file set; a crashed writer never ran its
+        # post-mutation bump, so a plan cached at its pre-bump stamp
+        # must not survive the repair
+        self._bump_version(table)
         path = self._path(table)
         old = path + ".old"
         if not os.path.isdir(path) and os.path.isdir(old):
@@ -280,20 +302,102 @@ class ParquetStore:
             for f in os.listdir(p)
         )
 
+    # ---- write-version stamps + read-plan cache (r10, VERDICT r9 #4) --
+    #
+    # spark.read.parquet snapshots the file listing and schema EAGERLY,
+    # so a fresh read costs a reader + listing job every call — ~0.1 s
+    # of pure serving latency per table on the retrieve hot path. The
+    # plan is a pure function of the table's file set, so it is
+    # cacheable iff staleness is detectable: every mutation brackets
+    # itself with bumps of an on-disk `<table>.ver` stamp (atomic
+    # rename), and read() serves the cached plan only while the stamp
+    # it was built under is still current. Cross-ENGINE writers (the r9
+    # blocker: another process compacting the store would strand a
+    # purely in-process cache on deleted files) bump the same on-disk
+    # stamp, so their commits invalidate this process's cache too. The
+    # PRE-mutation bump covers readers that cache mid-mutation: their
+    # entry keys on the pre-bump stamp, which the post-bump supersedes.
+    # Tables written by anything OTHER than this protocol (out-of-band
+    # file drops) have no stamp and are never cached.
+
+    def _ver_path(self, table: str) -> str:
+        return self._path(table) + ".ver"
+
+    def _version_stamp(self, table: str) -> str | None:
+        try:
+            with open(self._ver_path(table)) as f:
+                return f.read()
+        except OSError:
+            return None
+
+    def _bump_version(self, table: str) -> None:
+        import uuid
+
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._ver_path(table) + "." + uuid.uuid4().hex
+        with open(tmp, "w") as f:
+            f.write(uuid.uuid4().hex)
+        os.rename(tmp, self._ver_path(table))
+
+    @contextlib.contextmanager
+    def _bumping(self, table: str):
+        """Bracket a mutation with stamp bumps. The post-bump runs even
+        on failure — a died-mid-write mutation may have touched files,
+        and an extra invalidation is always safe."""
+        self._bump_version(table)
+        try:
+            yield
+        finally:
+            self._bump_version(table)
+
     def read(self, table: str, declared_schema: bool = False) -> DataFrame:
         """`declared_schema=True` skips parquet schema inference (its
         footer-sampling jobs are serving-path latency) by trusting the
         registered StructType. Only for tables whose files are always
         written through that exact schema (e.g. retrieval_feedback on
         the retrieve hot path) — NOT for migrate()-managed tables,
-        where inferred-vs-declared difference IS the signal."""
+        where inferred-vs-declared difference IS the signal.
+
+        Reads are PLAN-CACHED per (table, declared_schema), pinned to
+        the table's write-version stamp (see the stamp block above):
+        a warm retrieve serves the analyzed DataFrame straight from
+        the cache — zero listing jobs, zero py4j plan construction —
+        and any committed write (this or another process) invalidates
+        via the stamp. Crash residue bypasses the cache (_dirty) so
+        recovery still runs before a fresh listing."""
+        key = (table, declared_schema)
+        stamp = (
+            self._version_stamp(table) if self.plan_cache_enabled else None
+        )
+        if stamp is not None:
+            with self._read_cache_lock:
+                ent = self._read_cache.get(key)
+            if ent is not None and ent[0] == stamp and not self._dirty(table):
+                with self._read_cache_lock:
+                    self._read_cache.move_to_end(key)
+                return ent[1]
         if not self.exists(table):
             schema = schemas.ALL_TABLES[table]
-            return self.spark.createDataFrame([], schema)
-        reader = self.spark.read
-        if declared_schema:
-            reader = reader.schema(schemas.ALL_TABLES[table])
-        return reader.parquet(self._path(table))
+            df = self.spark.createDataFrame([], schema)
+        else:
+            reader = self.spark.read
+            if declared_schema:
+                reader = reader.schema(schemas.ALL_TABLES[table])
+            df = reader.parquet(self._path(table))
+        # cache only when the stamp is UNCHANGED across the build (a
+        # concurrent writer's pre-bump between our stamp read and now
+        # would otherwise pin its mid-mutation listing) and the table
+        # is clean
+        if (
+            stamp is not None
+            and self._version_stamp(table) == stamp
+            and not self._dirty(table)
+        ):
+            with self._read_cache_lock:
+                self._read_cache[key] = (stamp, df)
+                while len(self._read_cache) > _READ_CACHE_MAX:
+                    self._read_cache.popitem(last=False)
+        return df
 
     #: per-table event-time column, used to lay rows out time-sorted
     #: inside every written file: parquet keeps min/max stats per row
@@ -326,10 +430,11 @@ class ParquetStore:
     def append(self, table: str, df: DataFrame) -> None:
         with self._table_lock(table):
             self._recover(table)
-            writer = self._time_sorted(table, df).write.mode("append")
-            if table in schemas.PARTITIONED_BY_PROJECT_AGENT:
-                writer = writer.partitionBy("project_id", "agent")
-            writer.parquet(self._path(table))
+            with self._bumping(table):
+                writer = self._time_sorted(table, df).write.mode("append")
+                if table in schemas.PARTITIONED_BY_PROJECT_AGENT:
+                    writer = writer.partitionBy("project_id", "agent")
+                writer.parquet(self._path(table))
 
     def overwrite(self, table: str, df: DataFrame) -> None:
         """Crash-safe overwrite of a path the plan may be reading from.
@@ -346,26 +451,27 @@ class ParquetStore:
         (sqlite_local.py:644-813)."""
         with self._table_lock(table):
             self._recover_locked(table)
-            path = self._path(table)
-            staging, old = path + ".staging", path + ".old"
-            trash = path + ".trash"
-            shutil.rmtree(staging, ignore_errors=True)
-            shutil.rmtree(trash, ignore_errors=True)  # prior crash leftover
-            writer = self._time_sorted(table, df).write.mode("overwrite")
-            if table in schemas.PARTITIONED_BY_PROJECT_AGENT:
-                writer = writer.partitionBy("project_id", "agent")
-            writer.parquet(staging)
-            shutil.rmtree(old, ignore_errors=True)
-            if os.path.isdir(path):
-                os.rename(path, old)
-            os.rename(staging, path)
-            # renaming .old to .trash BEFORE the (potentially long)
-            # rmtree shrinks the dirty-visible window to one rename —
-            # concurrent readers otherwise block on the table lock for
-            # the whole delete of the old copy
-            if os.path.isdir(old):
-                os.rename(old, trash)
-            shutil.rmtree(trash, ignore_errors=True)
+            with self._bumping(table):
+                path = self._path(table)
+                staging, old = path + ".staging", path + ".old"
+                trash = path + ".trash"
+                shutil.rmtree(staging, ignore_errors=True)
+                shutil.rmtree(trash, ignore_errors=True)  # prior crash leftover
+                writer = self._time_sorted(table, df).write.mode("overwrite")
+                if table in schemas.PARTITIONED_BY_PROJECT_AGENT:
+                    writer = writer.partitionBy("project_id", "agent")
+                writer.parquet(staging)
+                shutil.rmtree(old, ignore_errors=True)
+                if os.path.isdir(path):
+                    os.rename(path, old)
+                os.rename(staging, path)
+                # renaming .old to .trash BEFORE the (potentially long)
+                # rmtree shrinks the dirty-visible window to one rename —
+                # concurrent readers otherwise block on the table lock
+                # for the whole delete of the old copy
+                if os.path.isdir(old):
+                    os.rename(old, trash)
+                shutil.rmtree(trash, ignore_errors=True)
 
     # ---- partition-scoped rewrites (the plain-Parquet MERGE) ----------
     #
@@ -535,13 +641,14 @@ class ParquetStore:
             # truncate the dead writer's plan and orphan its asides
             # (which the debris path would then delete: data loss)
             self._recover_locked(table)
-            path = self._path(table)
-            staging = path + ".staging"
-            shutil.rmtree(staging, ignore_errors=True)
-            self._time_sorted(table, content).write.mode("overwrite").partitionBy(
-                "project_id", "agent"
-            ).parquet(staging)
-            self._swap_partitions(table, staging, touched)
+            with self._bumping(table):
+                path = self._path(table)
+                staging = path + ".staging"
+                shutil.rmtree(staging, ignore_errors=True)
+                self._time_sorted(table, content).write.mode(
+                    "overwrite"
+                ).partitionBy("project_id", "agent").parquet(staging)
+                self._swap_partitions(table, staging, touched)
 
     def upsert(
         self,

@@ -338,11 +338,32 @@ class TxLogStore(ParquetStore):
         return bool(live)
 
     def read(self, table: str) -> DataFrame:
-        _v, live = self._snapshot(table)
+        # version-pinned plan cache (r10, VERDICT r9 #4): the log
+        # version IS the staleness signal — data files are immutable
+        # and vacuum only deletes files no live version references, so
+        # a plan cached at the CURRENT version can never dangle; any
+        # commit (this or another process) advances the version and
+        # misses the cache. _snapshot still runs every read (it is the
+        # conflict anchor for read-modify-write transactions).
+        v, live = self._snapshot(table)
+        key = (table, "txread")
+        if self.plan_cache_enabled:
+            with self._read_cache_lock:
+                ent = self._read_cache.get(key)
+                if ent is not None and ent[0] == v:
+                    self._read_cache.move_to_end(key)
+                    return ent[1]
         if not live:
             schema = schemas.ALL_TABLES[table]
-            return self.spark.createDataFrame([], schema)
-        return self._group_read(table, live)
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = self._group_read(table, live)
+        if self.plan_cache_enabled:
+            with self._read_cache_lock:
+                self._read_cache[key] = (v, df)
+                while len(self._read_cache) > 64:
+                    self._read_cache.popitem(last=False)
+        return df
 
     def _read_for_pairs(self, table: str, pairs: list[tuple]) -> DataFrame:
         """Partition-scoped RMW reads resolve ONLY the touched pairs'

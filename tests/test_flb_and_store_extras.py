@@ -916,3 +916,68 @@ def test_high_cardinality_pairs_guard_and_forced_compaction(spark, tmp_path):
     assert after["n_pairs"] == n_pairs
     assert after["files_per_pair"] == 1.0  # one file per pair
     assert store.read("outcomes").count() == n_pairs * 4
+
+
+def test_read_plan_cache_version_pinned(spark, tmp_path):
+    """r10 (VERDICT r9 #4): read() serves the SAME analyzed plan while
+    the table's write-version stamp is unchanged, and any mutation —
+    through this handle or ANOTHER handle on the same root (the
+    cross-engine case that blocked the r9 cache) — invalidates it."""
+    root = str(tmp_path / "pc")
+    store = ParquetStore(spark, root)
+    seed = FX.seed_heuristics(spark)
+    store.append("heuristics", seed)
+    d1 = store.read("heuristics")
+    d2 = store.read("heuristics")
+    assert d2 is d1, "warm read must serve the cached plan object"
+    # declared_schema variant caches separately
+    f1 = store.read("heuristics", declared_schema=True)
+    assert f1 is not d1
+    assert store.read("heuristics", declared_schema=True) is f1
+    # a write through the same handle invalidates
+    store.append(
+        "heuristics", seed.withColumn("id", F.concat(F.lit("b_"), F.col("id")))
+    )
+    d3 = store.read("heuristics")
+    assert d3 is not d1
+    assert d3.count() == 2 * seed.count()
+    # a write through ANOTHER handle (cross-engine) invalidates too
+    other = ParquetStore(spark, root)
+    other.delete(
+        "heuristics", F.col("id").startswith("b_"), audit=False
+    )
+    d4 = store.read("heuristics")
+    assert d4 is not d3
+    assert d4.count() == seed.count()
+    # escape hatch: disabling the cache always re-lists
+    store.plan_cache_enabled = False
+    assert store.read("heuristics") is not store.read("heuristics")
+
+
+def test_read_plan_cache_compact_under_read(spark, tmp_path):
+    """The r9 blocker scenario: a cached read plan must not survive a
+    compaction (directory swap) by another handle — the swap deletes
+    the files the cached listing points at."""
+    root = str(tmp_path / "pcc")
+    store = ParquetStore(spark, root)
+    seed = FX.seed_heuristics(spark)
+    for _ in range(4):
+        store.append("heuristics", seed.limit(0))  # file debris
+    store.append("heuristics", seed)
+    store.append(
+        "heuristics", seed.withColumn("id", F.concat(F.lit("c_"), F.col("id")))
+    )
+    before = sorted(
+        (r["id"], r["confidence"]) for r in store.read("heuristics").collect()
+    )
+    cached = store.read("heuristics")
+    assert cached is store.read("heuristics")
+    # cross-engine compaction swaps partition dirs
+    other = ParquetStore(spark, root)
+    assert other.compact("heuristics")
+    fresh = store.read("heuristics")
+    assert fresh is not cached, "compact must invalidate the cached plan"
+    after = sorted(
+        (r["id"], r["confidence"]) for r in fresh.collect()
+    )
+    assert after == before

@@ -301,6 +301,52 @@ def test_sentence_split_enforces_sentinel_precondition(spark):
     assert got[2]["text_dedup"] == "Adjacentbytes here. Tail."
 
 
+def test_substring_dedup_token_windows(spark):
+    """r10 (VERDICT r9 #2): Lee-et-al-style substring dedup — a shared
+    token span with NO sentence boundary dedups at global first window
+    occurrence; byte-faithful re-splice on no-dup docs; within-doc
+    repeats handled; docs shorter than w untouched."""
+    from alma_memory_spark.operators.paragraphs import dedup_sentences
+    from alma_memory_spark.operators.substring import dedup_token_windows
+
+    boiler = "common navigation header links home about contact search"
+    rows = [
+        (1, f"alpha intro words here {boiler} alpha tail"),
+        (2, f"beta  intro\twords there {boiler} beta tail"),
+        (3, f"{boiler}"),
+        (4, "too short"),
+        (5, "  leading ws kept intact with unique content only here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup_token_windows(df, w=4).collect()}
+    # first occurrence keeps everything, byte-for-byte
+    assert got[1]["text_dedup"] == rows[0][1]
+    assert got[1]["n_kept"] == got[1]["n_units"]
+    # doc 2: the 8 boiler tokens excised; doc-specific bytes (incl.
+    # the double space and tab) survive the re-splice untouched
+    assert boiler not in got[2]["text_dedup"]
+    assert got[2]["text_dedup"].startswith("beta  intro\twords there ")
+    assert got[2]["text_dedup"].endswith("beta tail")
+    # doc 3 is ALL boilerplate -> fully excised (the drop-doc signal:
+    # n_kept < n_units flags it for whole-doc dropping downstream)
+    assert got[3]["text_dedup"] == "" and got[3]["n_kept"] == 0
+    # shorter than w -> no windows -> untouched
+    assert got[4]["text_dedup"] == rows[3][1]
+    assert got[5]["text_dedup"] == rows[4][1]
+    # sentence mode misses the span entirely (no terminal punctuation)
+    sgot = {r["doc_id"]: r for r in dedup_sentences(df).collect()}
+    assert boiler in sgot[2]["text_dedup"]
+    # within-doc repetition: the second occurrence of a >=w-token span
+    # inside the SAME doc is excised too (keep-first by (doc, start))
+    rep = spark.createDataFrame(
+        [(7, "one two three four five AND one two three four five")],
+        "doc_id long, text string",
+    )
+    rgot = dedup_token_windows(rep, w=5).collect()[0]
+    assert rgot["text_dedup"] == "one two three four five AND "
+    assert (rgot["n_units"], rgot["n_kept"]) == (11, 6)
+
+
 def test_url_signals_and_pass_bits(spark):
     """r9 (VERDICT r8 #6): URL quality rules — host/domain extraction,
     registrable-domain blocklist, scheme/depth/tracker bits, and the

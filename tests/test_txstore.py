@@ -624,3 +624,26 @@ def test_txlog_streaming_reingest_under_new_app_id(spark, tmp_path):
     st.append("outcomes", df.limit(2), txn=("stream-outcomes", 0))
     st.append("outcomes", df.limit(2), txn=("reingest-1", 0))
     assert st.read("outcomes").count() == 8
+
+
+def test_txlog_read_plan_cache_version_pinned(spark, tmp_path):
+    """r10 (VERDICT r9 #4): TxLogStore.read pins its plan to the log
+    version — same version serves the same DataFrame object, any
+    commit (either handle) advances the version and misses."""
+    from alma_memory_spark.testing import fixtures as FX
+
+    root = str(tmp_path / "txpc")
+    store = make_store(spark, root, "txlog")
+    seed = FX.seed_heuristics(spark)
+    store.append("heuristics", seed)
+    d1 = store.read("heuristics")
+    assert store.read("heuristics") is d1
+    other = make_store(spark, root, "txlog")
+    other.append(
+        "heuristics", seed.withColumn("id", F.concat(F.lit("b_"), F.col("id")))
+    )
+    d2 = store.read("heuristics")
+    assert d2 is not d1
+    assert d2.count() == 2 * seed.count()
+    # the new plan re-caches at the new version
+    assert store.read("heuristics") is d2
