@@ -49,12 +49,20 @@ surface, taken here to the granularity the paper actually ships.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from alma_memory_spark.functions.text import WS_RE
 
-__all__ = ["dedup_token_windows", "explode_token_windows", "token_units"]
+__all__ = [
+    "TokenWindowDedupIndex",
+    "dedup_token_windows",
+    "explode_token_windows",
+    "token_units",
+]
 
 #: ASCII record separator, inserted after each whitespace run then
 #: split on — pre-existing \x1e bytes are stripped first (the enforced
@@ -148,6 +156,14 @@ def dedup_token_windows(
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_list("start")).alias("starts"))
     )
+    return _excise(base, dropped, id_col, w)
+
+
+def _excise(base: DataFrame, dropped: DataFrame, id_col: str,
+            w: int) -> DataFrame:
+    """(id, text_dedup, n_units, n_kept): re-splice each doc from the
+    units NOT covered by any dropped window start — shared by the
+    batch operator and the index's add()."""
     starts = F.coalesce("starts", F.array().cast("array<int>"))
     kept = F.filter(
         F.col("units"),
@@ -155,12 +171,275 @@ def dedup_token_windows(
             starts, lambda s: (s <= j) & (j < s + F.lit(w))
         ),
     )
-    return (
-        base.join(dropped, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.array_join(kept, "").alias("text_dedup"),
-            F.size("units").alias("n_units"),
-            F.size(kept).alias("n_kept"),
-        )
+    return base.join(dropped, id_col, "left").select(
+        F.col(id_col),
+        F.array_join(kept, "").alias("text_dedup"),
+        F.size("units").alias("n_units"),
+        F.size(kept).alias("n_kept"),
     )
+
+
+class TokenWindowDedupIndex:
+    """Persisted INCREMENTAL substring dedup — the streaming form of
+    `dedup_token_windows`, completing the incremental-index family
+    (text / IVF / near-dup / semantic / paragraph / sentence /
+    TOKEN-WINDOW): a continuously ingested corpus excises token spans
+    of >= `w` tokens already seen ANYWHERE before, at O(batch) cost
+    per micro-batch.
+
+    State: one OWNER row per window fingerprint — (fp, doc, start) of
+    the globally FIRST occurrence — partitioned by
+    ``fbucket = pmod(xxhash64(fp), n_buckets)`` under the shared
+    versioned-dir swap protocol (the ParagraphDedupIndex layout at
+    window granularity). add(batch):
+
+    1. explode + fingerprint the batch's windows; within-batch winners
+       by the same min(struct(doc, start)) aggregate;
+    2. read owners for ONLY the batch's fingerprints (fbucket
+       partition prune + broadcast semi-join — O(batch-adjacent
+       state));
+    3. NEW fingerprints' winners append as owners (membership-first);
+    4. a batch window survives iff its (doc, start) IS its
+       fingerprint's owner; every unit covered by a non-surviving
+       window is excised and the doc re-splices byte-faithfully.
+
+    Ownership makes replay OUTPUT-idempotent: a crash-redelivered
+    batch finds its own windows registered as owners, returns the
+    byte-identical excised output, and appends zero owner rows
+    (contract-tested). Arrival-order first-occurrence semantics equal
+    the batch operator's global (doc, start) argmin exactly when
+    batches arrive in ascending doc-id order (the append-only ingest
+    shape — how the 'subidx' gate oracles it); out-of-order arrival
+    keeps first-seen-wins. Single-writer per index, like every add()."""
+
+    _SUBDIRS = ("owners", "stats")
+
+    def __init__(self, spark: SparkSession, path: str, id_col: str,
+                 id_type: str, w: int, n_buckets: int, n_docs: int,
+                 vroot: str | None = None):
+        self.spark = spark
+        self.path = path
+        self.vroot = vroot or path
+        self.id_col = id_col
+        self.id_type = id_type
+        #: window length in tokens, frozen at build (owners of
+        #: different window lengths are incomparable)
+        self.w = w
+        self.n_buckets = n_buckets
+        self.n_docs = n_docs
+
+    # ---- plan fragments -------------------------------------------------
+
+    def _owners_schema(self) -> str:
+        return (
+            f"fp string, {self.id_col} {self.id_type}, start int, "
+            "fbucket long"
+        )
+
+    @staticmethod
+    def _fbucket(col, n_buckets: int):
+        return F.pmod(F.xxhash64(col), F.lit(n_buckets))
+
+    def _batch_winners(self, docs: DataFrame, text_col: str):
+        wins = explode_token_windows(docs, self.w, self.id_col, text_col)
+        winners = (
+            wins.groupBy("fp")
+            .agg(
+                F.min(F.struct(F.col(self.id_col), F.col("start"))).alias(
+                    "_w"
+                )
+            )
+            .select(
+                "fp",
+                F.col(f"_w.{self.id_col}").alias(self.id_col),
+                F.col("_w.start").alias("start"),
+            )
+        )
+        return wins, winners
+
+    def _write_owners(self, owners: DataFrame, vdir: str) -> None:
+        (
+            owners.withColumn(
+                "fbucket", self._fbucket(F.col("fp"), self.n_buckets)
+            )
+            .repartition(min(self.n_buckets, 32), "fbucket")
+            .sortWithinPartitions("fbucket", "fp")
+            .write.mode("append")
+            .partitionBy("fbucket")
+            .parquet(os.path.join(vdir, "owners"))
+        )
+
+    def _write_stats(self, vdir: str, n_delta: int) -> None:
+        from alma_memory_spark.session import tiny_df
+
+        tiny_df(
+            self.spark,
+            [
+                (
+                    json.dumps(
+                        {
+                            "id_col": self.id_col,
+                            "id_type": self.id_type,
+                            "w": self.w,
+                            "n_buckets": self.n_buckets,
+                        }
+                    ),
+                    n_delta,
+                )
+            ],
+            "params string, n_docs long",
+        ).coalesce(1).write.mode("append").parquet(os.path.join(vdir, "stats"))
+
+    # ---- lifecycle ------------------------------------------------------
+
+    @staticmethod
+    def build(
+        spark: SparkSession,
+        docs: DataFrame,
+        path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        w: int = 50,
+        n_buckets: int = 32,
+    ) -> "TokenWindowDedupIndex":
+        from alma_memory_spark.operators._index_version import (
+            begin_version,
+            commit_version,
+        )
+
+        id_type = docs.schema[id_col].dataType.simpleString()
+        idx = TokenWindowDedupIndex(
+            spark, path, id_col, id_type, w, n_buckets, n_docs=0
+        )
+        vdir = begin_version(path)
+        _wins, winners = idx._batch_winners(
+            docs.select(id_col, text_col), text_col
+        )
+        idx._write_owners(winners, vdir)
+        n = docs.count()
+        idx.n_docs = n
+        idx._write_stats(vdir, n)
+        idx.vroot = commit_version(path, vdir, TokenWindowDedupIndex._SUBDIRS)
+        return idx
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "TokenWindowDedupIndex":
+        from alma_memory_spark.operators._index_version import resolve_vroot
+
+        vroot = resolve_vroot(path)
+        rows = spark.read.parquet(os.path.join(vroot, "stats")).collect()
+        p = json.loads(rows[0]["params"])
+        return TokenWindowDedupIndex(
+            spark, path, p["id_col"], p["id_type"], p["w"], p["n_buckets"],
+            n_docs=sum(r["n_docs"] for r in rows), vroot=vroot,
+        )
+
+    def _require_live_version(self) -> None:
+        from alma_memory_spark.operators._index_version import resolve_vroot
+
+        cur = resolve_vroot(self.path)
+        if os.path.abspath(cur) != os.path.abspath(self.vroot):
+            raise RuntimeError(
+                f"token-window index handle pins version "
+                f"{os.path.basename(self.vroot)!r} of {self.path}, but the "
+                f"current version is {os.path.basename(cur)!r} — reload "
+                "before writing (a write here would never be served)"
+            )
+
+    def compact(self) -> "TokenWindowDedupIndex":
+        """Fold per-add file accumulation into a fresh version — ONE
+        file per fbucket partition — without recomputing anything.
+        Owner CONTENT is exact under replay (ownership is a function
+        of fp; a replayed append can at most duplicate a row — folded
+        by the per-fp dedup here). Stats fold to one row carrying the
+        accumulated n_docs (the family's over-count-under-replay
+        caveat). Returns a fresh handle; single-writer like add()."""
+        from alma_memory_spark.operators._index_version import (
+            begin_version,
+            commit_version,
+        )
+
+        self._require_live_version()
+        vdir = begin_version(self.path)
+        folded = (
+            self.spark.read.schema(self._owners_schema())
+            .parquet(os.path.join(self.vroot, "owners"))
+            .select("fp", self.id_col, "start")
+            .dropDuplicates(["fp"])
+        )
+        self._write_owners(folded, vdir)
+        out = TokenWindowDedupIndex(
+            self.spark, self.path, self.id_col, self.id_type, self.w,
+            self.n_buckets, n_docs=self.n_docs, vroot=vdir,
+        )
+        out._write_stats(vdir, self.n_docs)
+        out.vroot = commit_version(
+            self.path, vdir, TokenWindowDedupIndex._SUBDIRS
+        )
+        return out
+
+    def owners(self) -> DataFrame:
+        """All registered window owners (fp, id, start)."""
+        return (
+            self.spark.read.schema(self._owners_schema())
+            .parquet(os.path.join(self.vroot, "owners"))
+            .select("fp", self.id_col, "start")
+        )
+
+    def add(self, docs: DataFrame, text_col: str = "text") -> DataFrame:
+        """Excise every batch token span already seen (by anyone,
+        anywhere, including earlier in this batch); returns
+        (id, text_dedup, n_units, n_kept) for every batch doc and
+        registers the batch's new windows as owners. See the class
+        docstring for the ownership/replay contract."""
+        self._require_live_version()
+        batch = docs.select(self.id_col, text_col)
+        base = batch.select(
+            F.col(self.id_col), token_units(text_col).alias("units")
+        ).localCheckpoint(eager=True)
+        wins, winners = self._batch_winners(batch, text_col)
+        wins = wins.localCheckpoint(eager=True)
+        winners = winners.localCheckpoint(eager=True)
+        fps = winners.select("fp")
+        buckets = [
+            r["b"]
+            for r in fps.select(
+                self._fbucket(F.col("fp"), self.n_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        if buckets:
+            seen = (
+                self.spark.read.schema(self._owners_schema())
+                .parquet(os.path.join(self.vroot, "owners"))
+                .filter(F.col("fbucket").isin(buckets))
+                .join(F.broadcast(fps), "fp", "left_semi")
+                .select("fp", self.id_col, "start")
+                .dropDuplicates(["fp"])
+                .localCheckpoint(eager=True)
+            )
+        else:
+            seen = self.spark.createDataFrame(
+                [], f"fp string, {self.id_col} {self.id_type}, start int"
+            )
+        new_owners = winners.join(seen, "fp", "left_anti")
+        self._write_owners(new_owners, self.vroot)
+        n_delta = batch.count()
+        self.n_docs += n_delta
+        self._write_stats(self.vroot, n_delta)
+        # a batch window survives iff it IS its fp's owner; every unit
+        # covered by a non-surviving window is excised
+        owner_now = seen.unionByName(new_owners).withColumnsRenamed(
+            {self.id_col: "_oid", "start": "_ostart"}
+        )
+        dropped = (
+            wins.join(owner_now, "fp")
+            .filter(
+                (F.col(self.id_col) != F.col("_oid"))
+                | (F.col("start") != F.col("_ostart"))
+            )
+            .groupBy(self.id_col)
+            .agg(F.sort_array(F.collect_list("start")).alias("starts"))
+        )
+        return _excise(base, dropped, self.id_col, self.w)

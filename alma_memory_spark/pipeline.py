@@ -73,6 +73,7 @@ from alma_memory_spark.operators.paragraphs import (
     dedup_sentences,
 )
 from alma_memory_spark.operators.substring import (
+    TokenWindowDedupIndex,
     dedup_token_windows,
     explode_token_windows,
 )
@@ -106,6 +107,7 @@ __all__ = [
     "NearDupIndex",
     "ParagraphDedupIndex",
     "SemDedupIndex",
+    "TokenWindowDedupIndex",
     "bigram_lm",
     "bigram_quality_scores",
     "connected_components",

@@ -266,6 +266,7 @@ def stream_documents_into_indexes(
     neardup_index=None,
     semdedup_index=None,
     paragraph_index=None,
+    window_index=None,
     checkpoint: str | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -322,6 +323,7 @@ def stream_documents_into_indexes(
         "neardup": neardup_index,
         "semdedup": semdedup_index,
         "paragraph": paragraph_index,
+        "window": window_index,
     }
     batch_count = {"n": 0}
 
@@ -395,6 +397,19 @@ def stream_documents_into_indexes(
                     F.col(vec_col).alias(refs["semdedup"].vec_col),
                 )
             )
+        if refs["window"] is not None:
+            # substring (token-window) dedup maintenance (r10): same
+            # ownership/replay contract as the paragraph index — a
+            # redelivered batch appends zero owner rows and returns
+            # the byte-identical excised output, so no epoch-segment
+            # protocol needed here either
+            refs["window"].add(
+                batch_df.select(
+                    F.col(id_col).alias(refs["window"].id_col),
+                    F.col(text_col),
+                ),
+                text_col=text_col,
+            )
         if refs["paragraph"] is not None:
             # paragraph dedup maintenance (r8): within-batch winners
             # registered as owners for unseen fingerprints only
@@ -417,7 +432,7 @@ def stream_documents_into_indexes(
             # single-threaded inside foreachBatch, so the single-writer
             # compaction contract holds, and the fresh handles replace
             # the superseded ones for the NEXT batch
-            for key in ("neardup", "semdedup", "paragraph"):
+            for key in ("neardup", "semdedup", "paragraph", "window"):
                 if refs[key] is not None:
                     refs[key] = refs[key].compact()
             if refs["ivf"] is not None:

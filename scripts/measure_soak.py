@@ -85,8 +85,18 @@ def synth_batch(spark, start_id: int, n: int):
 
 
 def count_files(root: str) -> int:
+    """Parquet files under the LIVE version only — the listing the
+    next add/search pays for (the version-swap protocol retains one
+    superseded version for in-flight readers; counting it would double
+    the metric without touching any read path)."""
+    from alma_memory_spark.operators._index_version import resolve_vroot
+
+    try:
+        live = resolve_vroot(root)
+    except Exception:
+        live = root
     n = 0
-    for _dir, _sub, files in os.walk(root):
+    for _dir, _sub, files in os.walk(live):
         n += sum(1 for f in files if f.endswith(".parquet"))
     return n
 

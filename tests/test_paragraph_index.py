@@ -364,3 +364,163 @@ def test_streaming_maintenance_with_in_stream_compaction(spark, tmp_path):
             "doc_id long, text string",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# token-window (substring) index — r10
+# ---------------------------------------------------------------------------
+
+
+def _wdocs(spark):
+    """Corpus with a mid-text >= w-token boilerplate span and a
+    self-substring tail (cross-doc window-dup structure, no sentence
+    boundaries)."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.substring("text", 1, 40),
+            F.lit("shared window boilerplate span for the index tests"),
+            F.substring("text", 5, 30),
+        ).alias("text"),
+    )
+
+
+def _wrows(df):
+    return {
+        r["doc_id"]: (r["text_dedup"], r["n_units"], r["n_kept"])
+        for r in df.collect()
+    }
+
+
+def test_window_index_add_matches_batch_operator(spark, tmp_path):
+    """Ascending-id incremental adds equal the one-shot batch operator
+    restricted to the added docs — the 'subidx' gate contract."""
+    from alma_memory_spark.operators.substring import (
+        TokenWindowDedupIndex,
+        dedup_token_windows,
+    )
+
+    docs = _wdocs(spark)
+    want = _wrows(
+        dedup_token_windows(docs, w=5).filter(F.col("doc_id") >= 200)
+    )
+    idx = TokenWindowDedupIndex.build(
+        spark, docs.filter(F.col("doc_id") < 200), str(tmp_path / "w"),
+        w=5, n_buckets=8,
+    )
+    got = _wrows(idx.add(docs.filter(F.col("doc_id") >= 200)))
+    assert got == want
+    # load() roundtrip preserves params
+    loaded = TokenWindowDedupIndex.load(spark, str(tmp_path / "w"))
+    assert (loaded.w, loaded.n_buckets, loaded.id_col) == (5, 8, "doc_id")
+    assert loaded.n_docs == idx.n_docs
+
+
+def test_window_index_replay_is_output_idempotent(spark, tmp_path):
+    """A crash-redelivered batch returns the byte-identical excised
+    output and appends ZERO owner rows."""
+    from alma_memory_spark.operators.substring import TokenWindowDedupIndex
+
+    docs = _wdocs(spark)
+    idx = TokenWindowDedupIndex.build(
+        spark, docs.filter(F.col("doc_id") < 200), str(tmp_path / "w"),
+        w=5, n_buckets=8,
+    )
+    batch = docs.filter(
+        (F.col("doc_id") >= 200) & (F.col("doc_id") < 260)
+    )
+    first = _wrows(idx.add(batch))
+    owners_after_first = idx.owners().count()
+    replay = _wrows(idx.add(batch))  # redelivery
+    assert replay == first
+    assert idx.owners().count() == owners_after_first
+
+
+def test_window_index_compact_preserves_owners_and_output(spark, tmp_path):
+    """compact() folds micro-add file debris without changing the
+    owner SET or subsequent add outputs."""
+    from alma_memory_spark.operators.substring import TokenWindowDedupIndex
+
+    docs = _wdocs(spark)
+    idx = TokenWindowDedupIndex.build(
+        spark, docs.filter(F.col("doc_id") < 100), str(tmp_path / "w"),
+        w=5, n_buckets=4,
+    )
+    for lo in (100, 140, 180, 220):
+        idx.add(
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 40))
+        )
+    before = sorted(
+        (r["fp"], r["doc_id"], r["start"]) for r in idx.owners().collect()
+    )
+
+    def _nfiles(root):
+        n = 0
+        for _d, _s, files in os.walk(root):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
+    files_before = _nfiles(idx.vroot)
+    out = idx.compact()
+    after = sorted(
+        (r["fp"], r["doc_id"], r["start"]) for r in out.owners().collect()
+    )
+    assert after == before
+    assert _nfiles(out.vroot) < files_before
+    # the superseded handle refuses writes; the fresh one accepts
+    with pytest.raises(RuntimeError, match="superseded|current version"):
+        idx.add(docs.filter(F.col("doc_id") >= 260))
+    nxt = _wrows(out.add(
+        docs.filter((F.col("doc_id") >= 260) & (F.col("doc_id") < 300))
+    ))
+    assert nxt  # excision still runs against the folded owner set
+
+
+def test_streaming_window_index_maintenance(spark, tmp_path):
+    """The maintainer feeds the token-window index per micro-batch:
+    after the stream drains, every distinct window fingerprint of the
+    full corpus has exactly ONE owner (micro-batch file order may
+    differ from doc-id order, so ownership identity follows the
+    documented arrival-order semantics — the fp SET and uniqueness
+    are order-free)."""
+    from alma_memory_spark.operators.substring import (
+        TokenWindowDedupIndex,
+        explode_token_windows,
+    )
+    from alma_memory_spark.streaming.ingest import (
+        stream_documents_into_indexes,
+    )
+
+    docs = _wdocs(spark).filter(F.col("doc_id") < 120).localCheckpoint()
+    idx = TokenWindowDedupIndex.build(
+        spark, docs.filter(F.col("doc_id") < 40), str(tmp_path / "w"),
+        w=5, n_buckets=4,
+    )
+    src = str(tmp_path / "src")
+    docs.filter(F.col("doc_id") >= 40).repartition(4).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    batches = []
+    q = stream_documents_into_indexes(
+        stream,
+        window_index=idx,
+        checkpoint=str(tmp_path / "ck"),
+        id_col="doc_id",
+        on_batch=batches.append,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(batches) >= 2
+    own = idx.owners().collect()
+    want_fps = {
+        r["fp"]
+        for r in explode_token_windows(docs, 5).select("fp").collect()
+    }
+    assert {r["fp"] for r in own} == want_fps
+    assert len(own) == len(want_fps)  # exactly one owner per fp
+    assert idx.n_docs == docs.count()
