@@ -166,16 +166,28 @@ def lm_tail_ids(
     when n <= accuracy the sketch holds every value and the cutoff
     is EXACT (how the oracle gates it at test SFs).
 
+    method='exact2': the EXACT cutoff (identical result to 'exact' and
+    the same rank-replay oracle) via two-pass distributed selection —
+    pass 1 histograms the scores into `buckets` fixed-width bins (one
+    map-side-combinable agg; the B-row histogram comes to the driver,
+    never data), locates the bin containing rank k from the cumulative
+    counts, then pass 2 runs the bottom-(k - below) TakeOrdered over
+    ONLY that bin's rows — the heap is bounded by the bin occupancy
+    (~n/B expected) instead of k. Worst case (every score equal: one
+    bin holds everything) degrades to 'exact'; real LM-score
+    distributions spread. The scale-clean EXACT option when the
+    sketch's bounded rank error is not acceptable.
+
     method='exact': the cutoff is the max score among the bottom-k
     rows (k = floor(frac * n)) via a TakeOrdered bottom-k heap —
     bit-exact against a rank-based SQL replay, but k grows with the
     corpus, so every partition heaps k rows and the driver merges
     them: a single-point funnel at production frac. Retained for
-    bounded-SF oracle replay only. This path runs a count() action —
-    materialize `scores` first (localCheckpoint) or the scores DAG
-    executes three times (count, cutoff, filter).
+    bounded-SF oracle replay only. Both exact paths run count()/agg
+    actions — materialize `scores` first (localCheckpoint) or the
+    scores DAG re-executes per action.
 
-    Boundary ties are INCLUDED (score <= cutoff) on both paths, which
+    Boundary ties are INCLUDED (score <= cutoff) on every path, which
     keeps the result deterministic under any partition layout."""
     if frac <= 0:
         return scores.select(id_col).limit(0)
@@ -196,8 +208,17 @@ def lm_tail_ids(
             .limit(k)
             .agg(F.max(score_col).alias("cut"))
         )
+    elif method == "exact2":
+        cutoff = _selection_cutoff(scores, frac, score_col, buckets=2048)
+        if cutoff is None:
+            return scores.select(id_col).limit(0)
+        cutoff = F.broadcast(
+            scores.sparkSession.createDataFrame([(cutoff,)], "cut double")
+        )
     else:
-        raise ValueError(f"method must be approx|exact, got {method!r}")
+        raise ValueError(
+            f"method must be approx|exact|exact2, got {method!r}"
+        )
     return (
         scores.crossJoin(F.broadcast(cutoff))
         .filter(F.col(score_col) <= F.col("cut"))
@@ -205,11 +226,66 @@ def lm_tail_ids(
     )
 
 
-def _bigram_pairs(text_col: str):
+def _selection_cutoff(
+    scores: DataFrame, frac: float, score_col: str, buckets: int
+) -> float | None:
+    """Exact k-th smallest score (k = floor(frac * n)) by histogram
+    two-pass selection; None when k == 0. See lm_tail_ids('exact2')."""
+    vals = F.col(score_col)
+    stats = scores.filter(vals.isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(vals).alias("lo"),
+        F.max(vals).alias("hi"),
+    ).collect()[0]
+    n, lo, hi = stats["n"], stats["lo"], stats["hi"]
+    k = int(frac * n) if n else 0
+    if k <= 0:
+        return None
+    if lo == hi:
+        return lo
+    # pass 1: fixed-width histogram (bin ids clamp into [0, buckets-1];
+    # the B-row result is driver-tiny)
+    width = (hi - lo) / buckets
+    bin_of = F.least(
+        F.lit(buckets - 1),
+        F.floor((vals - F.lit(lo)) / F.lit(width)).cast("int"),
+    )
+    hist = {
+        r["b"]: r["c"]
+        for r in scores.filter(vals.isNotNull())
+        .groupBy(bin_of.alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    below, target_bin = 0, buckets - 1
+    for b in range(buckets):
+        c = hist.get(b, 0)
+        if below + c >= k:
+            target_bin = b
+            break
+        below += c
+    # pass 2: bottom-(k - below) within the one target bin only
+    need = k - below
+    row = (
+        scores.filter(vals.isNotNull() & (bin_of == target_bin))
+        .select(vals.alias("_s"))
+        .orderBy(F.asc("_s"))
+        .limit(need)
+        .agg(F.max("_s").alias("cut"))
+        .collect()[0]
+    )
+    return row["cut"]
+
+
+def _bigram_pairs(arr) -> F.Column:
     """Array of (w1, w2) structs for each adjacent token pair, in
-    order. Guarded: F.sequence(1, 0) would generate DESCENDING, so
+    order, over a BOUND token-array column. PERF: the lambda
+    references `arr` twice per element — pass a projected COLUMN,
+    never the ws_tokens split tree itself (Catalyst does not CSE
+    inside higher-order lambdas; an inline tree re-runs the split per
+    element: O(n²) per document, measured 17 s vs 2 s on the sf0.1
+    gate). Guarded: F.sequence(1, 0) would generate DESCENDING, so
     docs with < 2 tokens map to an explicit empty array."""
-    arr = X.ws_tokens(text_col)
     pairs = F.transform(
         F.sequence(F.lit(1), F.size(arr) - 1),
         lambda i: F.struct(
@@ -221,6 +297,15 @@ def _bigram_pairs(text_col: str):
     return F.when(F.coalesce(F.size(arr), F.lit(0)) >= 2, pairs).otherwise(
         empty
     )
+
+
+def _explode_bigrams(docs: DataFrame, text_col: str, *keep) -> DataFrame:
+    """(…keep, w1, w2): one row per adjacent token pair, the token
+    array bound as a real column before the pair lambda runs."""
+    bound = docs.select(*keep, X.ws_tokens(text_col).alias("_toks"))
+    return bound.select(
+        *keep, F.explode(_bigram_pairs(F.col("_toks"))).alias("bg")
+    ).select(*keep, "bg.w1", "bg.w2")
 
 
 def bigram_lm(docs: DataFrame, text_col: str = "text",
@@ -238,8 +323,7 @@ def bigram_lm(docs: DataFrame, text_col: str = "text",
     raw web text): kept rows are the top-V by count with n-gram
     tie-break; dropped bigrams score at their context floor, dropped
     contexts at the cold floor ln(1/vocab)."""
-    pairs = docs.select(F.explode(_bigram_pairs(text_col)).alias("bg"))
-    pairs = pairs.select("bg.w1", "bg.w2")
+    pairs = _explode_bigrams(docs, text_col)
     c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
     ctx = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("cnt"))
     stats = (
@@ -295,9 +379,7 @@ def bigram_quality_scores(
         F.log(1.0 / (F.col("c1") + F.col("vocab")).cast("double")), 10
     )
     cold_floor = F.round(F.log(1.0 / F.col("vocab").cast("double")), 10)
-    bgs = docs.select(
-        F.col(id_col), F.explode(_bigram_pairs(text_col)).alias("bg")
-    ).select(id_col, "bg.w1", "bg.w2")
+    bgs = _explode_bigrams(docs, text_col, id_col)
     scored = (
         bgs.join(F.broadcast(lm2), ["w1", "w2"], "left")
         .join(F.broadcast(ctx), "w1", "left")

@@ -96,18 +96,15 @@ def _norm_toks(units: F.Column) -> F.Column:
     )
 
 
-def explode_token_windows(
-    df: DataFrame, w: int = 50, id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """(id, start, fp): one row per length-`w` token window, start
-    0-based; fp = md5 over the space-joined normalized window tokens.
-    Docs with fewer than `w` tokens yield no windows (they cannot
-    contain a duplicated `w`-token span)."""
-    units = token_units(text_col)
-    toks = _norm_toks(units)
+def _window_structs(toks: F.Column, w: int) -> F.Column:
+    """(start, fp) structs over a BOUND token-array column. PERF: the
+    lambda references `toks` once per window slice — pass a projected
+    COLUMN, never the token-split expression tree itself (Catalyst
+    does not common-subexpression-eliminate inside higher-order
+    lambdas, so an inline tree re-runs the split per window: O(n²)
+    per document — measured 17 s vs 2 s on the sf0.1 gate)."""
     n = F.size(toks)
-    wins = F.when(
+    return F.when(
         n >= w,
         F.transform(
             F.sequence(F.lit(0), n - w),
@@ -119,8 +116,24 @@ def explode_token_windows(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<start:int,fp:string>>"))
-    return df.select(
-        F.col(id_col), F.explode(wins).alias("wn")
+
+
+def explode_token_windows(
+    df: DataFrame, w: int = 50, id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, start, fp): one row per length-`w` token window, start
+    0-based; fp = md5 over the space-joined normalized window tokens.
+    Docs with fewer than `w` tokens yield no windows (they cannot
+    contain a duplicated `w`-token span)."""
+    # bind the unit and token arrays as real columns FIRST (see
+    # _window_structs PERF note)
+    bound = df.select(
+        F.col(id_col), token_units(text_col).alias("_units")
+    ).select(F.col(id_col), _norm_toks(F.col("_units")).alias("_toks"))
+    return bound.select(
+        F.col(id_col),
+        F.explode(_window_structs(F.col("_toks"), w)).alias("wn"),
     ).select(id_col, F.col("wn.start").alias("start"), F.col("wn.fp").alias("fp"))
 
 

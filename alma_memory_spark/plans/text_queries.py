@@ -345,6 +345,11 @@ _FFP = "coalesce(list_position(list_transform(r.rem, x -> x >= s.n_tokens), true
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
     FROM usig
     """,
+    # memo=True (r10): pure plan builder (deterministic fixture
+    # expressions, no lifecycles/temp stores), and the r10 PSL in-set
+    # (~170 literals x ~12 domain references) made the union's
+    # Catalyst analysis the dominant repeat cost
+    memo=True,
 )
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite gate: the per-document text-analysis profile in ONE
@@ -2540,6 +2545,8 @@ _RELEVANCE_SQL = f"""
     UNION ALL
     SELECT 'lmtailq', doc_id, score FROM lmdoc, lmcutq WHERE score <= cut
     UNION ALL
+    SELECT 'lmtail2', doc_id, score FROM lmdoc, lmcut WHERE score <= cut
+    UNION ALL
     SELECT 'lmq2', doc_id, score FROM lmq2top
     """
 
@@ -2679,6 +2686,10 @@ def text_relevance_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SAME rank-based oracle hash-gates it; ties included on both.
     lmtail = lm_tail_ids(lmsc, frac=0.1, method="exact").join(lmsc, "doc_id")
     lmtailq = lm_tail_ids(lmsc, frac=0.1, method="approx").join(lmsc, "doc_id")
+    # 'lmtail2' rows (r10) — the EXACT two-pass histogram selection
+    # (bounded per-bin heap instead of a k-sized one); result is
+    # defined to equal the exact path, so it shares the lmcut oracle
+    lmtail2 = lm_tail_ids(lmsc, frac=0.1, method="exact2").join(lmsc, "doc_id")
     # 'lmq2' rows (r10, VERDICT r9 #6) — bigram-conditional LM quality
     # (operators/lm_quality.py bigram_quality_scores): one step up the
     # CCNet n-gram ladder from 'lmq', same one-count-shuffle train /
@@ -2699,6 +2710,7 @@ def text_relevance_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(lmq.select(F.lit("lmq").alias("method"), "*"))
         .unionByName(lmtail.select(F.lit("lmtail").alias("method"), "*"))
         .unionByName(lmtailq.select(F.lit("lmtailq").alias("method"), "*"))
+        .unionByName(lmtail2.select(F.lit("lmtail2").alias("method"), "*"))
         .unionByName(lmq2.select(F.lit("lmq2").alias("method"), "*"))
     )
 

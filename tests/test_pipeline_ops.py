@@ -554,12 +554,47 @@ def test_lm_tail_paths_agree_on_random_data(spark):
             cut = svals[math.ceil(frac * n) - 1]
             want = {i for i, v in rows if v <= cut}
             assert a == want, (trial, frac)
+            e = {
+                r[0]
+                for r in lm_tail_ids(df, frac, method="exact").collect()
+            }
+            # exact2 (histogram two-pass selection) is DEFINED to equal
+            # the exact path on any input
+            e2 = {
+                r[0]
+                for r in lm_tail_ids(df, frac, method="exact2").collect()
+            }
+            assert e2 == e, (trial, frac)
             if (frac * n) == int(frac * n):  # conventions coincide
-                e = {
-                    r[0]
-                    for r in lm_tail_ids(df, frac, method="exact").collect()
-                }
                 assert e == a, (trial, frac)
+
+
+def test_lm_tail_exact2_degenerate_distributions(spark):
+    """exact2 edge cases: all-equal scores (one bin holds everything),
+    heavy ties at the cutoff, tiny frac -> empty."""
+    from alma_memory_spark.operators.lm_quality import lm_tail_ids
+
+    allsame = spark.createDataFrame(
+        [(i, -2.5) for i in range(10)], "doc_id long, score double"
+    )
+    got = {
+        r["doc_id"]
+        for r in lm_tail_ids(allsame, 0.3, method="exact2").collect()
+    }
+    assert got == set(range(10))  # cutoff = the one value, ties included
+    tied = spark.createDataFrame(
+        [(i, -5.0 if i < 4 else -1.0) for i in range(10)],
+        "doc_id long, score double",
+    )
+    # frac=0.1 -> k=1 -> cutoff -5 (all four ties in); frac=0.5 ->
+    # k=5 -> the 5th smallest is -1 -> everything is <= the cutoff
+    for frac, want in ((0.1, {0, 1, 2, 3}), (0.5, set(range(10)))):
+        got = {
+            r["doc_id"]
+            for r in lm_tail_ids(tied, frac, method="exact2").collect()
+        }
+        assert got == want, frac
+    assert lm_tail_ids(allsame, 0.05, method="exact2").count() == 0
 
 
 def test_lm_quality_empty_docs_and_arg_validation(spark):
