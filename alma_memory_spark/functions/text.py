@@ -115,9 +115,18 @@ def jaccard(a: Column | str, b: Column | str) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
-def shingles(col: Column | str, n: int = 3) -> Column:
-    """Character n-gram shingles of the normalized text."""
-    norm = F.regexp_replace(F.trim(F.lower(_c(col))), WS_RE, " ")
+def shingles(col: Column | str, n: int = 3, *,
+             norm: Column | None = None) -> Column:
+    """Character n-gram shingles of the normalized text.
+
+    PERF: the transform lambda references the normalized string once
+    per shingle position, and higher-order lambdas get no CSE — the
+    inline normalization re-runs per position (O(len²) per row). Wide
+    scans must pre-project `regexp_replace(trim(lower(col)), WS_RE,
+    ' ')` and pass it via ``norm=`` (the r10 HOF lesson; the hot
+    winnowing path uses the numpy rolling-hash kernel instead)."""
+    if norm is None:
+        norm = F.regexp_replace(F.trim(F.lower(_c(col))), WS_RE, " ")
     return F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(norm) - F.lit(n - 1), F.lit(1))),
         lambda i: norm.substr(i, F.lit(n)),
@@ -772,6 +781,102 @@ def url_pass_bits(
         ch = F.when(b, F.lit("1")).otherwise(F.lit("0"))
         out = ch if out is None else F.concat(out, ch)
     return out
+
+
+def with_url_signals(
+    df, col: Column | str, prefix: str = "url_", max_depth: int = 6
+):
+    """Attach every url signal (plus the 5-bit pass string) as REAL
+    columns through LAYERED projections — the production-scan form of
+    url_signals.
+
+    url_signals returns expression TREES: each signal that references
+    the domain chain re-embeds authority-extract -> userinfo/port
+    strip -> www strip -> label split -> PSL in-set (~170 literals),
+    so a scan consuming several signals pays the chain per reference
+    (and the analyzed plan carries the in-set once per reference —
+    the r10 text_profile analysis-cost lesson). Here each
+    intermediate binds as a column before anything references it, so
+    every stage of the chain computes ONCE per row and appears ONCE
+    in the plan; whole-stage codegen collapses the stacked selects
+    into a single stage. Values are identical to url_signals
+    (contract-tested). Intermediates are dropped; the kept columns
+    are `<prefix>{authority,host,domain,blocked,scheme,depth,
+    tracker,canonical,pass_bits}`."""
+    c = F.lower(_c(col))
+    star = [F.col(x) for x in df.columns]
+    out = df.select(
+        *star,
+        F.regexp_extract(c, _URL_HOST_RE, 1).alias(f"{prefix}authority"),
+        F.regexp_extract(c, _URL_SCHEME_RE, 1).alias(f"{prefix}scheme"),
+        F.regexp_extract(c, _URL_PATH_RE, 1).alias("_u_path"),
+        c.rlike(r"[?&]utm_").alias(f"{prefix}tracker"),
+    )
+    out = out.withColumn(
+        f"{prefix}host",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col(f"{prefix}authority"), _URL_USERINFO_RE, ""
+            ),
+            _URL_PORT_RE,
+            "",
+        ),
+    )
+    out = out.withColumn(
+        "_u_hostnw",
+        F.regexp_replace(F.col(f"{prefix}host"), r"^www\.", ""),
+    )
+    out = out.withColumn("_u_labels", F.split(F.col("_u_hostnw"), r"\."))
+    labels = F.col("_u_labels")
+    out = out.withColumn(
+        "_u_last2",
+        # guarded: element_at(-2) on a 1-label host raises; NULL here
+        # only feeds the >= 2-label branches below
+        F.when(
+            F.size(labels) >= 2,
+            F.concat(
+                F.element_at(labels, -2), F.lit("."),
+                F.element_at(labels, -1),
+            ),
+        ),
+    )
+    out = out.withColumn(
+        f"{prefix}domain",
+        F.when(
+            (F.size(labels) >= 3) & F.col("_u_last2").isin(*PSL_2LABEL),
+            F.concat(
+                F.element_at(labels, -3), F.lit("."), F.col("_u_last2")
+            ),
+        )
+        .when(F.size(labels) >= 2, F.col("_u_last2"))
+        .otherwise(F.col("_u_hostnw")),
+    )
+    out = out.select(
+        *[F.col(x) for x in out.columns],
+        F.col(f"{prefix}domain").isin(*URL_BLOCKLIST).alias(
+            f"{prefix}blocked"
+        ),
+        F.size(
+            F.filter(F.split("_u_path", "/"), lambda x: x != "")
+        ).cast("long").alias(f"{prefix}depth"),
+        F.concat(
+            F.col("_u_hostnw"), F.regexp_replace("_u_path", "/$", "")
+        ).alias(f"{prefix}canonical"),
+    )
+    bits = [
+        F.col(f"{prefix}host") != "",
+        ~F.col(f"{prefix}blocked"),
+        F.col(f"{prefix}scheme") == "https",
+        F.col(f"{prefix}depth") <= max_depth,
+        ~F.col(f"{prefix}tracker"),
+    ]
+    pass_bits = None
+    for b in bits:
+        ch = F.when(b, F.lit("1")).otherwise(F.lit("0"))
+        pass_bits = ch if pass_bits is None else F.concat(pass_bits, ch)
+    return out.withColumn(f"{prefix}pass_bits", pass_bits).drop(
+        "_u_path", "_u_hostnw", "_u_labels", "_u_last2"
+    )
 
 
 def _sql_url_list() -> str:

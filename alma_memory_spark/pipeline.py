@@ -59,6 +59,7 @@ from alma_memory_spark.functions.text import (
 from alma_memory_spark.functions.text import (  # noqa: F401 (facade)
     url_pass_bits,
     url_signals,
+    with_url_signals,
 )
 from alma_memory_spark.operators.lm_quality import (
     bigram_lm,
@@ -141,6 +142,7 @@ __all__ = [
     "unigram_lm",
     "url_pass_bits",
     "url_signals",
+    "with_url_signals",
     "weighted_mix",
     "with_bpe_token_count",
     "write_training_shards",

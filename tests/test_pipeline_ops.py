@@ -717,3 +717,43 @@ def test_bigram_quality_scores_hand_computed(spark):
     b = {r["doc_id"]: r["score"]
          for r in bigram_quality_scores(docs.repartition(8)).collect()}
     assert a == b
+
+
+def test_with_url_signals_matches_expression_form(spark):
+    """r10: the layered-projection production form produces values
+    identical to the url_signals expression trees on every signal,
+    including the pass-bit string, and leaves no _u_* intermediates."""
+    from alma_memory_spark.functions.text import (
+        url_pass_bits,
+        url_signals,
+        with_url_signals,
+    )
+
+    rows = [
+        (1, "https://www.example.com/docs/page-1"),
+        (2, "http://user:pw@shop.bad.co.uk:8443/a/b/c/d/e/f/g/x/"),
+        (3, "https://docs.pages.github.io/p?utm_source=x"),
+        (4, "not a url"),
+        (5, "https://spam.example:443/x"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {
+        r["id"]: r for r in with_url_signals(df, "url").orderBy("id").collect()
+    }
+    s = url_signals(F.col("url"))
+    want = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            *[s[k].alias(k) for k in
+              ("authority", "host", "domain", "blocked", "scheme",
+               "depth", "tracker", "canonical")],
+            url_pass_bits("url").alias("pass_bits"),
+        ).collect()
+    }
+    for i in want:
+        for k in ("authority", "host", "domain", "blocked", "scheme",
+                  "depth", "tracker", "canonical", "pass_bits"):
+            assert got[i][f"url_{k}"] == want[i][k], (i, k)
+    assert not [c for c in with_url_signals(df, "url").columns
+                if c.startswith("_u_")]
