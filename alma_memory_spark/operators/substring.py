@@ -60,6 +60,7 @@ from alma_memory_spark.functions.text import WS_RE
 __all__ = [
     "TokenWindowDedupIndex",
     "dedup_token_windows",
+    "drop_docs_with_dup_windows",
     "explode_token_windows",
     "token_units",
 ]
@@ -170,6 +171,24 @@ def dedup_token_windows(
         .agg(F.sort_array(F.collect_list("start")).alias("starts"))
     )
     return _excise(base, dropped, id_col, w)
+
+
+def drop_docs_with_dup_windows(
+    df: DataFrame, w: int = 50, id_col: str = "doc_id",
+    text_col: str = "text", max_dup_frac: float = 0.0,
+) -> DataFrame:
+    """The DROP-DOC excision choice (the alternative Lee et al. 2021
+    ablate): keep only documents whose duplicated-unit fraction is at
+    most `max_dup_frac` (default 0 = any duplicated >= w-token span
+    disqualifies the whole doc; docs shorter than w have no windows
+    and always survive). Returns the surviving rows of `df`
+    unmodified — nothing is re-spliced."""
+    d = dedup_token_windows(df, w, id_col, text_col)
+    keep = d.filter(
+        (F.col("n_units") - F.col("n_kept")).cast("double")
+        <= F.col("n_units") * F.lit(max_dup_frac)
+    ).select(id_col)
+    return df.join(keep, id_col, "left_semi")
 
 
 def _excise(base: DataFrame, dropped: DataFrame, id_col: str,

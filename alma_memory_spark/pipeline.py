@@ -76,6 +76,7 @@ from alma_memory_spark.operators.paragraphs import (
 from alma_memory_spark.operators.substring import (
     TokenWindowDedupIndex,
     dedup_token_windows,
+    drop_docs_with_dup_windows,
     explode_token_windows,
 )
 from alma_memory_spark.operators.components import (
@@ -117,6 +118,7 @@ __all__ = [
     "dedup_paragraphs",
     "dedup_sentences",
     "dedup_token_windows",
+    "drop_docs_with_dup_windows",
     "explode_token_windows",
     "drop_exact_duplicates",
     "dup_ngram_fraction",

@@ -805,3 +805,42 @@ def test_token_units_byte_faithful_on_random_texts(spark):
     for i, text in rows:
         if out[i]["n_kept"] == out[i]["n_units"]:
             assert out[i]["text_dedup"] == text.replace("\x1e", ""), i
+
+
+def test_drop_docs_with_dup_windows(spark):
+    """Drop-doc excision: any duplicated >= w-token span disqualifies
+    the doc at max_dup_frac=0; a tolerance keeps lightly-duplicated
+    docs; short docs always survive."""
+    from alma_memory_spark.operators.substring import (
+        drop_docs_with_dup_windows,
+    )
+
+    boiler = "one two three four five six"
+    rows = [
+        (1, f"alpha series starts here {boiler} alpha tail words extra"),
+        (2, f"beta series starts there {boiler} beta tail words extra"),
+        (3, "gamma entirely unique content with no shared span at all"),
+        (4, "tiny"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    strict = {
+        r["doc_id"]
+        for r in drop_docs_with_dup_windows(df, w=6).collect()
+    }
+    # doc 1 owns the boiler windows; doc 2 loses them -> dropped
+    assert strict == {1, 3, 4}
+    # doc 2: 14 units, the 6 boiler units excised -> dup frac ~0.43;
+    # tolerance 0.6 keeps it
+    loose = {
+        r["doc_id"]
+        for r in drop_docs_with_dup_windows(
+            df, w=6, max_dup_frac=0.6
+        ).collect()
+    }
+    assert loose == {1, 2, 3, 4}
+    # survivors are the ORIGINAL rows (nothing re-spliced)
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in drop_docs_with_dup_windows(df, w=6).collect()
+    }
+    assert texts[1] == rows[0][1]
