@@ -658,37 +658,30 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("pack_id"),
         F.lit(None).cast("long").alias("pack_offset"),
     )
-    # 'qf3' rows (r9, VERDICT r8 #6) — URL/domain quality rules over
-    # the deterministic url fixture: registrable-domain blocklist,
-    # scheme/depth/tracker checks (a 5-bit pass string) plus the
-    # canonical-url dedup key, all pure column expressions (the gate's
-    # no-join plan contract holds; the canonical-key GROUPING runs in
-    # the exact_dedup gate's 'urldedup' rows, where joins belong)
-    # host/path pre-projected once (the quality_signals PERF note —
-    # the signals reference the authority/path regexes ~8x between
-    # the bit string and the raw columns)
-    udoc = docs.select(
-        "doc_id", _url_fixture_col().alias("url")
-    ).select(
-        "doc_id",
-        "url",
-        F.regexp_extract(F.lower("url"), X._URL_HOST_RE, 1).alias("_uh"),
-        F.regexp_extract(F.lower("url"), X._URL_PATH_RE, 1).alias("_up"),
+    # 'qf3' rows (r9, VERDICT r8 #6; r10: served by with_url_signals)
+    # — URL/domain quality rules over the deterministic url fixture:
+    # registrable-domain blocklist (public-suffix snapshot),
+    # scheme/depth/tracker checks (the 5-bit pass string) plus the
+    # canonical-url dedup key. The PRODUCTION scan form runs under the
+    # oracle here: with_url_signals binds each intermediate
+    # (authority -> host -> labels -> domain) as a column through
+    # layered projections, so the chain computes once per row and the
+    # PSL in-set appears once in the plan — still pure projections,
+    # the gate's no-join plan contract holds (the canonical-key
+    # GROUPING runs in the exact_dedup gate's 'urldedup' rows, where
+    # joins belong)
+    udoc = X.with_url_signals(
+        docs.select("doc_id", _url_fixture_col().alias("url")), "url"
     )
-    us = X.url_signals(F.col("url"), host=F.col("_uh"), path=F.col("_up"))
     qf3 = udoc.select(
         F.lit("qf3").alias("variant"),
         "doc_id",
-        us["depth"].alias("n_tokens"),
-        us["blocked"].cast("long").alias("token_estimate"),
-        us["tracker"].cast("long").alias("n_bpe_tokens"),
+        F.col("url_depth").alias("n_tokens"),
+        F.col("url_blocked").cast("long").alias("token_estimate"),
+        F.col("url_tracker").cast("long").alias("n_bpe_tokens"),
         F.lit(None).cast("long").alias("n_chars_actual"),
         F.concat(
-            X.url_pass_bits(
-                F.col("url"), host=F.col("_uh"), path=F.col("_up")
-            ),
-            F.lit(":"),
-            F.md5(us["canonical"]),
+            F.col("url_pass_bits"), F.lit(":"), F.md5("url_canonical")
         ).alias("pred_lang"),
         F.lit(None).cast("double").alias("quality"),
         F.lit(None).cast("long").alias("pack_id"),
