@@ -39,8 +39,11 @@ from alma_memory_spark.functions import text as X
 __all__ = [
     "bigram_lm",
     "bigram_quality_scores",
+    "lm_buckets",
     "lm_quality_scores",
     "lm_tail_ids",
+    "stupid_backoff_lm",
+    "stupid_backoff_scores",
     "unigram_lm",
 ]
 
@@ -408,3 +411,305 @@ def bigram_quality_scores(
         F.lit(None).cast("double").alias("score"),
     )
     return agg.unionByName(empties)
+
+
+_TRI_STRUCT = "array<struct<w1:string,w2:string,w3:string>>"
+
+
+def _trigram_rows(docs: DataFrame, text_col: str, *keep) -> DataFrame:
+    """(…keep, w1, w2, w3): one row per adjacent token triple —
+    arrays_zip over three shifted slices of the BOUND token array
+    (one pass per doc, no per-element lambda; the _bigram_pairs
+    no-CSE lesson applies identically). Docs with < 3 tokens map to
+    an explicit empty array — F.slice with length <= 0 would throw."""
+    bound = docs.select(*keep, X.ws_tokens(text_col).alias("_toks"))
+    arr = F.col("_toks")
+    n = F.size(arr) - 2
+    tris = F.arrays_zip(
+        F.slice(arr, 1, n).alias("w1"),
+        F.slice(arr, 2, n).alias("w2"),
+        F.slice(arr, 3, n).alias("w3"),
+    ).cast(_TRI_STRUCT)
+    guarded = F.when(
+        F.coalesce(F.size(arr), F.lit(0)) >= 3, tris
+    ).otherwise(F.array().cast(_TRI_STRUCT))
+    return bound.select(*keep, F.explode(guarded).alias("tg")).select(
+        *keep, "tg.w1", "tg.w2", "tg.w3"
+    )
+
+
+def _ngram_counts(train: DataFrame, text_col: str) -> DataFrame:
+    """(order, w1, w2, w3, cnt): unigram + bigram + trigram counts
+    from ONE scan and ONE map-side-combinable shuffle — each doc's
+    token array emits all three orders into a single exploded stream
+    (the KenLM count-job shape: one pass over the corpus, never
+    three). w2/w3 are NULL below their order."""
+    bound = train.select(X.ws_tokens(text_col).alias("_toks"))
+    arr = F.col("_toks")
+    null_s = F.lit(None).cast("string")
+    g1 = F.transform(
+        arr,
+        lambda w: F.struct(
+            F.lit(1).alias("order"), w.alias("w1"),
+            null_s.alias("w2"), null_s.alias("w3"),
+        ),
+    )
+    gram_t = (
+        "array<struct<order:int,w1:string,w2:string,w3:string>>"
+    )
+    n2 = F.size(arr) - 1
+    g2 = F.when(
+        F.coalesce(F.size(arr), F.lit(0)) >= 2,
+        F.arrays_zip(
+            F.slice(arr, 1, n2).alias("w1"), F.slice(arr, 2, n2).alias("w2")
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    g2 = F.transform(
+        g2,
+        lambda p: F.struct(
+            F.lit(2).alias("order"), p["w1"].alias("w1"),
+            p["w2"].alias("w2"), null_s.alias("w3"),
+        ),
+    )
+    n3 = F.size(arr) - 2
+    g3 = F.when(
+        F.coalesce(F.size(arr), F.lit(0)) >= 3,
+        F.arrays_zip(
+            F.slice(arr, 1, n3).alias("w1"),
+            F.slice(arr, 2, n3).alias("w2"),
+            F.slice(arr, 3, n3).alias("w3"),
+        ).cast(_TRI_STRUCT),
+    ).otherwise(F.array().cast(_TRI_STRUCT))
+    g3 = F.transform(
+        g3,
+        lambda t: F.struct(
+            F.lit(3).alias("order"), t["w1"].alias("w1"),
+            t["w2"].alias("w2"), t["w3"].alias("w3"),
+        ),
+    )
+    grams = F.concat(g1.cast(gram_t), g2.cast(gram_t), g3.cast(gram_t))
+    return (
+        bound.select(F.explode(grams).alias("g"))
+        .groupBy("g.order", "g.w1", "g.w2", "g.w3")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def stupid_backoff_lm(train: DataFrame, text_col: str = "text",
+                      top_v: int | None = None):
+    """(tri, bi, uni, stats): raw n-gram count tables for a trigram
+    stupid-backoff scorer (Brants et al. 2007, "Large Language Models
+    in Machine Translation" — the count-only smoothing scheme designed
+    FOR distributed map-reduce LM training: no normalization pass, no
+    discounting statistics, just relative frequencies with a fixed
+    backoff penalty, which is why it scales where Kneser-Ney doesn't).
+    One more rung up the CCNet n-gram ladder from bigram_lm toward the
+    5-gram KenLM shape.
+
+    tri = (w1, w2, w3, cnt), bi = (w1, w2, cnt), uni = (token, cnt),
+    stats = one row (total tokens, vocab). All three orders come from
+    ONE scan + ONE count shuffle (_ngram_counts), materialized once
+    (lazy localCheckpoint) so the four derived tables are shallow
+    filters over it — the downstream lp-table/broadcast builds then
+    neither re-execute the corpus pass nor re-analyze a deep plan.
+    `top_v` bounds EACH broadcastable table (trigram tables grow
+    fastest on raw web text) — dropped n-grams back off one order,
+    exactly the scheme's semantics."""
+    counts = _ngram_counts(train, text_col).localCheckpoint(eager=False)
+    uni = counts.filter(F.col("order") == 1).select(
+        F.col("w1").alias("token"), "cnt"
+    )
+    stats = uni.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    bi = counts.filter(F.col("order") == 2).select("w1", "w2", "cnt")
+    tri = counts.filter(F.col("order") == 3).select(
+        "w1", "w2", "w3", "cnt"
+    )
+    uni = _cap_top_v(uni, top_v, [F.asc("token")])
+    bi = _cap_top_v(bi, top_v, [F.asc("w1"), F.asc("w2")])
+    tri = _cap_top_v(tri, top_v, [F.asc("w1"), F.asc("w2"), F.asc("w3")])
+    return tri, bi, uni, stats
+
+
+def stupid_backoff_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train: DataFrame | None = None,
+    alpha: float = 0.4,
+    tri: DataFrame | None = None,
+    bi: DataFrame | None = None,
+    uni: DataFrame | None = None,
+    stats: DataFrame | None = None,
+) -> DataFrame:
+    """(id, n_trigrams, score): mean trigram stupid-backoff
+    log-probability per document. Per trigram (w1, w2, w3):
+
+        S = c(w1 w2 w3)/c(w1 w2)            if the trigram is in-model
+          | alpha * c(w2 w3)/c(w2)          else if the bigram is
+          | alpha^2 * c(w3)/total           else if the unigram is
+          | alpha^2 * 1/(total + vocab)     else (OOV floor)
+
+    lp = the ln of S assembled from PER-FACTOR rounded-to-10dp lns
+    (round(ln(alpha),10) added per backoff level), so both engines sum
+    identical doubles; the per-doc sum runs in DECIMAL(28,10) — the
+    module's standard determinism discipline. Docs with < 3 tokens
+    carry no trigram evidence: n_trigrams = 0, score = NULL.
+
+    `train` (default: docs themselves) is the model corpus — pass a
+    held-out or trusted split to make the backoff levels actually
+    fire (self-training sees every trigram, so only the first branch
+    runs). Alternatively pass prebuilt (tri, bi, uni, stats) from
+    stupid_backoff_lm, all four together."""
+    given = (tri is not None, bi is not None, uni is not None,
+             stats is not None)
+    if any(given) and not all(given):
+        raise ValueError(
+            "tri, bi, uni and stats must be passed together; got "
+            f"(tri, bi, uni, stats) present = {given}"
+        )
+    if tri is None:
+        # stupid_backoff_lm materializes its one-pass count table, so
+        # the four derived frames are already shallow and shared
+        tri, bi, uni, stats = stupid_backoff_lm(
+            train if train is not None else docs, text_col
+        )
+    # pre-fold the backoff cascade into THREE lp tables at model scale
+    # (tiny-table joins), so the corpus-sized trigram stream takes 3
+    # broadcast joins + one coalesce instead of 5 joins + a CASE — and
+    # each count table's DAG is consumed once here, not twice
+    lna = F.round(F.log(F.lit(float(alpha))), 10)
+    tri_lp = (
+        tri.select("w1", "w2", "w3", F.col("cnt").alias("c123"))
+        .join(
+            F.broadcast(bi.select("w1", "w2", F.col("cnt").alias("c12"))),
+            ["w1", "w2"],
+        )
+        .select(
+            "w1", "w2", "w3",
+            F.round(
+                F.log(
+                    F.col("c123").cast("double")
+                    / F.col("c12").cast("double")
+                ),
+                10,
+            ).alias("lp3"),
+        )
+    )
+    bi_lp = (
+        bi.select(
+            F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+            F.col("cnt").alias("c23"),
+        )
+        .join(
+            F.broadcast(
+                uni.select(
+                    F.col("token").alias("w2"), F.col("cnt").alias("c2")
+                )
+            ),
+            "w2",
+        )
+        .select(
+            "w2", "w3",
+            (
+                lna
+                + F.round(
+                    F.log(
+                        F.col("c23").cast("double")
+                        / F.col("c2").cast("double")
+                    ),
+                    10,
+                )
+            ).alias("lp2"),
+        )
+    )
+    uni_lp = uni.crossJoin(F.broadcast(stats)).select(
+        F.col("token").alias("w3"),
+        (
+            lna + lna
+            + F.round(
+                F.log(
+                    F.col("cnt").cast("double")
+                    / F.col("total").cast("double")
+                ),
+                10,
+            )
+        ).alias("lp1"),
+    )
+    floor = (
+        lna + lna
+        + F.round(
+            F.log(
+                F.lit(1.0)
+                / (F.col("total") + F.col("vocab")).cast("double")
+            ),
+            10,
+        )
+    )
+    tg = _trigram_rows(docs, text_col, id_col)
+    scored = (
+        tg.join(F.broadcast(tri_lp), ["w1", "w2", "w3"], "left")
+        .join(F.broadcast(bi_lp), ["w2", "w3"], "left")
+        .join(F.broadcast(uni_lp), "w3", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col, F.coalesce("lp3", "lp2", "lp1", floor).alias("lp")
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.round(
+            F.sum(F.col("lp").cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("score"),
+    )
+    empties = docs.filter(
+        F.coalesce(F.size(X.ws_tokens(text_col)), F.lit(0)) < 3
+    ).select(
+        F.col(id_col),
+        F.lit(0).cast("long").alias("n_trigrams"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    return agg.unionByName(empties)
+
+
+def lm_buckets(
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    cuts: tuple = (1.0 / 3, 2.0 / 3),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """(id, bucket): CCNet's head/middle/tail perplexity bucketing —
+    the paper's actual published operator (Wenzek et al. 2020 §4.3
+    partitions each language into thirds by perplexity and KEEPS the
+    buckets as quality tiers; dropping the tail is just one policy).
+    Higher score = lower perplexity, so the lowest-score third is
+    'tail', the highest 'head'; NULL scores (no-evidence docs) get
+    'none' — they carry no LM signal either way.
+
+    Both cutoffs come from ONE mergeable percentile_approx sketch
+    (O(accuracy) state per partition, no count() action, exact when
+    n <= accuracy — the lm_tail_ids 'approx' discipline), broadcast
+    into a tie-inclusive CASE: tail <= cut1 < middle <= cut2 < head.
+    One lazy plan, scale-clean at any corpus size."""
+    cut = (
+        scores.agg(
+            F.percentile_approx(
+                score_col,
+                F.array(F.lit(float(cuts[0])), F.lit(float(cuts[1]))),
+                F.lit(accuracy),
+            ).alias("c")
+        )
+        .select(F.col("c")[0].alias("cut1"), F.col("c")[1].alias("cut2"))
+    )
+    return scores.crossJoin(F.broadcast(cut)).select(
+        id_col,
+        F.when(F.col(score_col).isNull(), F.lit("none"))
+        .when(F.col(score_col) <= F.col("cut1"), F.lit("tail"))
+        .when(F.col(score_col) <= F.col("cut2"), F.lit("middle"))
+        .otherwise(F.lit("head"))
+        .alias("bucket"),
+    )

@@ -64,8 +64,11 @@ from alma_memory_spark.functions.text import (  # noqa: F401 (facade)
 from alma_memory_spark.operators.lm_quality import (
     bigram_lm,
     bigram_quality_scores,
+    lm_buckets,
     lm_quality_scores,
     lm_tail_ids,
+    stupid_backoff_lm,
+    stupid_backoff_scores,
     unigram_lm,
 )
 from alma_memory_spark.operators.paragraphs import (
@@ -127,6 +130,7 @@ __all__ = [
     "gopher_quality_pass",
     "hash_sample",
     "lang_id",
+    "lm_buckets",
     "lm_quality_scores",
     "lm_tail_ids",
     "mix_rates_for_token_budget",
@@ -141,6 +145,8 @@ __all__ = [
     "semantic_dedup_pairs",
     "semantic_dedup_pairs_incremental",
     "stratified_sample",
+    "stupid_backoff_lm",
+    "stupid_backoff_scores",
     "unigram_lm",
     "url_pass_bits",
     "url_signals",

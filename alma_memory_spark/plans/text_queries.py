@@ -2519,6 +2519,75 @@ _RELEVANCE_SQL = f"""
     lmq2top AS (
       SELECT doc_id, score FROM bdoc
       ORDER BY score DESC, doc_id ASC LIMIT 20
+    ),
+    trdoc AS (
+      SELECT doc_id, {X.sql_ws_tokens('text')} AS t
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    trtok AS (SELECT unnest(t) AS token FROM trdoc),
+    truni AS (SELECT token, count(*) AS c FROM trtok GROUP BY 1),
+    trstat AS (SELECT sum(c) AS total, count(*) AS vocab FROM truni),
+    trbi AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS c
+      FROM (SELECT t, unnest(range(1, len(t))) AS i FROM trdoc)
+      GROUP BY 1, 2
+    ),
+    trtri AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3, count(*) AS c
+      FROM (SELECT t, unnest(range(1, len(t) - 1)) AS i FROM trdoc)
+      GROUP BY 1, 2, 3
+    ),
+    lmtr AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+      FROM (
+        SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        FROM (SELECT doc_id, {X.sql_ws_tokens('text')} AS t FROM documents)
+      )
+    ),
+    sblp AS (
+      SELECT g.doc_id,
+        CASE
+          WHEN t3.c IS NOT NULL AND b12.c IS NOT NULL
+            THEN round(ln(t3.c * 1.0 / b12.c), 10)
+          WHEN b23.c IS NOT NULL
+            THEN round(ln(0.4), 10) + round(ln(b23.c * 1.0 / u2.c), 10)
+          WHEN u3.c IS NOT NULL
+            THEN round(ln(0.4), 10) + round(ln(0.4), 10)
+                 + round(ln(u3.c * 1.0 / total), 10)
+          ELSE round(ln(0.4), 10) + round(ln(0.4), 10)
+               + round(ln(1.0 / (total + vocab)), 10)
+        END AS lp
+      FROM lmtr g
+      LEFT JOIN trtri t3
+        ON g.w1 = t3.w1 AND g.w2 = t3.w2 AND g.w3 = t3.w3
+      LEFT JOIN trbi b12 ON g.w1 = b12.w1 AND g.w2 = b12.w2
+      LEFT JOIN trbi b23 ON g.w2 = b23.w1 AND g.w3 = b23.w2
+      LEFT JOIN truni u2 ON g.w2 = u2.token
+      LEFT JOIN truni u3 ON g.w3 = u3.token
+      CROSS JOIN trstat
+    ),
+    sbdoc AS (
+      SELECT doc_id,
+             round(CAST(sum(CAST(lp AS DECIMAL(28,10))) AS DOUBLE)
+                   / count(*), 6) AS score
+      FROM sblp GROUP BY 1
+    ),
+    lmq3top AS (
+      SELECT doc_id, score FROM sbdoc
+      ORDER BY score DESC, doc_id ASC LIMIT 20
+    ),
+    bktcut AS (
+      SELECT max(CASE WHEN rn <= CAST(ceil((1.0/3) * n) AS BIGINT)
+                 THEN score END) AS cut1,
+             max(CASE WHEN rn <= CAST(ceil((2.0/3) * n) AS BIGINT)
+                 THEN score END) AS cut2
+      FROM lmrank
+    ),
+    lmbktrows AS (
+      SELECT 'lmbkt:' || CASE WHEN score <= cut1 THEN 'tail'
+                              WHEN score <= cut2 THEN 'middle'
+                              ELSE 'head' END AS method, doc_id, score
+      FROM lmdoc, bktcut
     )
     SELECT 'bm25' AS method, doc_id, bm25_score AS score FROM bm
     UNION ALL
@@ -2541,6 +2610,10 @@ _RELEVANCE_SQL = f"""
     SELECT 'lmtail2', doc_id, score FROM lmdoc, lmcut WHERE score <= cut
     UNION ALL
     SELECT 'lmq2', doc_id, score FROM lmq2top
+    UNION ALL
+    SELECT 'lmq3', doc_id, score FROM lmq3top
+    UNION ALL
+    SELECT method, doc_id, score FROM lmbktrows
     """
 
 
@@ -2657,8 +2730,10 @@ def text_relevance_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all hash-mismatch.
     from alma_memory_spark.operators.lm_quality import (
         bigram_quality_scores,
+        lm_buckets,
         lm_quality_scores,
         lm_tail_ids,
+        stupid_backoff_scores,
     )
 
     # scores feed the top-20 rows and BOTH tail buckets —
@@ -2694,6 +2769,42 @@ def text_relevance_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(20)
     )
+    # 'lmq3' rows (r10 late) — trigram STUPID-BACKOFF quality
+    # (operators/lm_quality.py stupid_backoff_scores; Brants et al.
+    # 2007, the count-only scheme built for distributed LM training),
+    # one more rung toward CCNet's 5-gram KenLM. The model trains on
+    # the even-doc_id HALF so all four backoff levels actually fire on
+    # the scored corpus (self-training would see every trigram); the
+    # oracle re-derives held-out counts -> backoff cascade -> DECIMAL
+    # means in full, so a wrong count table, a broken backoff branch,
+    # or a floor mismatch all hash-mismatch.
+    lmq3 = (
+        stupid_backoff_scores(
+            docs, id_col="doc_id", text_col="text",
+            train=docs.filter(F.col("doc_id") % 2 == 0),
+        )
+        .filter(F.col("score").isNotNull())
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+    # 'lmbkt:*' rows (r10 late) — CCNet's published head/middle/tail
+    # perplexity bucketing (Wenzek et al. 2020 §4.3) over the unigram
+    # scores: both tercile cutoffs from ONE mergeable
+    # percentile_approx sketch (exact at gate n, the lmtailq
+    # convention), tie-inclusive. Every scored doc lands in exactly
+    # one bucket and the oracle re-derives the buckets by rank, so a
+    # cutoff-convention drift or boundary-tie leak hash-mismatches.
+    lmbkt = (
+        lm_buckets(lmsc)
+        .join(lmsc, "doc_id")
+        .filter(F.col("bucket") != "none")
+        .select(
+            F.concat(F.lit("lmbkt:"), F.col("bucket")).alias("method"),
+            "doc_id",
+            "score",
+        )
+    )
     return (
         bm.select(F.lit("bm25").alias("method"), "*")
         .unionByName(bi.select(F.lit("bm25_indexed").alias("method"), "*"))
@@ -2705,6 +2816,8 @@ def text_relevance_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(lmtailq.select(F.lit("lmtailq").alias("method"), "*"))
         .unionByName(lmtail2.select(F.lit("lmtail2").alias("method"), "*"))
         .unionByName(lmq2.select(F.lit("lmq2").alias("method"), "*"))
+        .unionByName(lmq3.select(F.lit("lmq3").alias("method"), "*"))
+        .unionByName(lmbkt)
     )
 
 

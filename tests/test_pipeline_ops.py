@@ -844,3 +844,103 @@ def test_drop_docs_with_dup_windows(spark):
         for r in drop_docs_with_dup_windows(df, w=6).collect()
     }
     assert texts[1] == rows[0][1]
+
+
+def test_stupid_backoff_scores_hand_computed(spark):
+    """r10: trigram stupid-backoff LM quality (Brants et al. 2007) —
+    all four backoff levels hand-verified on a tiny held-out split,
+    the <3-token NULL contract, and partition invariance."""
+    import math
+
+    import pytest as _pytest
+
+    from alma_memory_spark.operators.lm_quality import (
+        stupid_backoff_lm,
+        stupid_backoff_scores,
+    )
+
+    # train: 'a b c a b c' + 'a b d' ->
+    # uni a:3 b:3 c:2 d:1 (total 9, vocab 4)
+    # bi  (a,b):3 (b,c):2 (c,a):1 (b,d):1
+    # tri (a,b,c):2 (b,c,a):1 (c,a,b):1 (a,b,d):1
+    train = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b d")], "doc_id long, text string"
+    )
+    tri, bi, uni, stats = stupid_backoff_lm(train)
+    assert stats.collect()[0].asDict() == {"total": 9, "vocab": 4}
+    lna = round(math.log(0.4), 10)
+    docs = spark.createDataFrame(
+        [
+            (10, "a b c"),   # in-model trigram: ln(c123/c12) = ln(2/3)
+            (11, "x b c"),   # backoff to bigram: a + ln(c23/c2) = ln(2/3)
+            (12, "x y d"),   # backoff to unigram: 2a + ln(c3/total)
+            (13, "a b x"),   # OOV floor: 2a + ln(1/(total+vocab))
+            (14, "a b"),     # <3 tokens: no trigram evidence
+            (15, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in stupid_backoff_scores(
+            docs, tri=tri, bi=bi, uni=uni, stats=stats
+        ).collect()
+    }
+    assert got[10]["n_trigrams"] == 1
+    assert got[10]["score"] == round(round(math.log(2 / 3), 10), 6)
+    assert got[11]["score"] == round(lna + round(math.log(2 / 3), 10), 6)
+    assert got[12]["score"] == round(
+        lna + lna + round(math.log(1 / 9), 10), 6
+    )
+    assert got[13]["score"] == round(
+        lna + lna + round(math.log(1 / 13), 10), 6
+    )
+    for short_id in (14, 15):
+        assert got[short_id]["n_trigrams"] == 0
+        assert got[short_id]["score"] is None
+    # self-training sees every trigram: only the first branch fires,
+    # so every score is a mean of pure ln(c123/c12) terms (all <= 0)
+    self_scored = stupid_backoff_scores(train).collect()
+    assert all(r["score"] is not None for r in self_scored)
+    with _pytest.raises(ValueError, match="together"):
+        stupid_backoff_scores(docs, tri=tri)
+    # partition invariance of the DECIMAL mean on real data
+    import os as _os
+
+    from alma_memory_spark.session import load_table
+
+    sf_dir = _os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    real = load_table(spark, sf_dir, "documents")
+    a = {r["doc_id"]: r["score"]
+         for r in stupid_backoff_scores(real.coalesce(1)).collect()}
+    b = {r["doc_id"]: r["score"]
+         for r in stupid_backoff_scores(real.repartition(8)).collect()}
+    assert a == b
+
+
+def test_lm_buckets_terciles_and_none(spark):
+    """r10: CCNet head/middle/tail bucketing — tercile cutoffs at the
+    exact-sketch rank convention (ceil(p*n)), tie-inclusive
+    boundaries, NULL scores bucketed 'none'."""
+    from alma_memory_spark.operators.lm_quality import lm_buckets
+
+    rows = [(i, float(i)) for i in range(1, 10)] + [(99, None)]
+    sc = spark.createDataFrame(rows, "doc_id long, score double")
+    got = {r["doc_id"]: r["bucket"] for r in lm_buckets(sc).collect()}
+    # n=9 non-null: cut1 = rank ceil(3) = 3.0, cut2 = rank ceil(6) = 6.0
+    assert {i: got[i] for i in range(1, 10)} == {
+        1: "tail", 2: "tail", 3: "tail",
+        4: "middle", 5: "middle", 6: "middle",
+        7: "head", 8: "head", 9: "head",
+    }
+    assert got[99] == "none"
+    # tie-inclusive: everything at the cutoff value lands in the
+    # lower bucket on every partition layout
+    ties = spark.createDataFrame(
+        [(i, 1.0) for i in range(6)] + [(6, 2.0), (7, 3.0), (8, 4.0)],
+        "doc_id long, score double",
+    )
+    tied = {r["doc_id"]: r["bucket"] for r in lm_buckets(ties).collect()}
+    assert all(tied[i] == "tail" for i in range(6))
