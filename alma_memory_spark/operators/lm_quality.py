@@ -42,6 +42,8 @@ __all__ = [
     "lm_buckets",
     "lm_quality_scores",
     "lm_tail_ids",
+    "ngram_backoff_lm",
+    "ngram_backoff_scores",
     "stupid_backoff_lm",
     "stupid_backoff_scores",
     "unigram_lm",
@@ -413,86 +415,261 @@ def bigram_quality_scores(
     return agg.unionByName(empties)
 
 
-_TRI_STRUCT = "array<struct<w1:string,w2:string,w3:string>>"
+def _gram_struct_t(k: int) -> str:
+    return (
+        "array<struct<"
+        + ",".join(f"w{i}:string" for i in range(1, k + 1))
+        + ">>"
+    )
+
+
+def _gram_zip(arr, k: int):
+    """Guarded array of k-token windows over a BOUND token array —
+    arrays_zip over k shifted slices (one pass per doc, no
+    per-element lambda; the _bigram_pairs no-CSE lesson applies
+    identically). Docs with < k tokens map to an explicit empty
+    array — F.slice with length <= 0 would throw."""
+    n = F.size(arr) - (k - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(arr, i, n).alias(f"w{i}") for i in range(1, k + 1)]
+    ).cast(_gram_struct_t(k))
+    return F.when(
+        F.coalesce(F.size(arr), F.lit(0)) >= k, zipped
+    ).otherwise(F.array().cast(_gram_struct_t(k)))
+
+
+def _ngram_rows(
+    docs: DataFrame, text_col: str, order: int, *keep
+) -> DataFrame:
+    """(…keep, w1..wN): one row per adjacent N-token window."""
+    bound = docs.select(*keep, X.ws_tokens(text_col).alias("_toks"))
+    return bound.select(
+        *keep, F.explode(_gram_zip(F.col("_toks"), order)).alias("g")
+    ).select(*keep, *[f"g.w{i}" for i in range(1, order + 1)])
 
 
 def _trigram_rows(docs: DataFrame, text_col: str, *keep) -> DataFrame:
-    """(…keep, w1, w2, w3): one row per adjacent token triple —
-    arrays_zip over three shifted slices of the BOUND token array
-    (one pass per doc, no per-element lambda; the _bigram_pairs
-    no-CSE lesson applies identically). Docs with < 3 tokens map to
-    an explicit empty array — F.slice with length <= 0 would throw."""
-    bound = docs.select(*keep, X.ws_tokens(text_col).alias("_toks"))
-    arr = F.col("_toks")
-    n = F.size(arr) - 2
-    tris = F.arrays_zip(
-        F.slice(arr, 1, n).alias("w1"),
-        F.slice(arr, 2, n).alias("w2"),
-        F.slice(arr, 3, n).alias("w3"),
-    ).cast(_TRI_STRUCT)
-    guarded = F.when(
-        F.coalesce(F.size(arr), F.lit(0)) >= 3, tris
-    ).otherwise(F.array().cast(_TRI_STRUCT))
-    return bound.select(*keep, F.explode(guarded).alias("tg")).select(
-        *keep, "tg.w1", "tg.w2", "tg.w3"
-    )
+    return _ngram_rows(docs, text_col, 3, *keep)
 
 
-def _ngram_counts(train: DataFrame, text_col: str) -> DataFrame:
-    """(order, w1, w2, w3, cnt): unigram + bigram + trigram counts
-    from ONE scan and ONE map-side-combinable shuffle — each doc's
-    token array emits all three orders into a single exploded stream
-    (the KenLM count-job shape: one pass over the corpus, never
-    three). w2/w3 are NULL below their order."""
+def _ngram_counts(
+    train: DataFrame, text_col: str, max_order: int = 3
+) -> DataFrame:
+    """(order, w1..w{max_order}, cnt): counts for EVERY order
+    1..max_order from ONE scan and ONE map-side-combinable shuffle —
+    each doc's token array emits all orders into a single exploded
+    stream (the KenLM count-job shape: one pass over the corpus,
+    never one per order). w_{k+1}.. are NULL below a row's order."""
     bound = train.select(X.ws_tokens(text_col).alias("_toks"))
     arr = F.col("_toks")
     null_s = F.lit(None).cast("string")
-    g1 = F.transform(
-        arr,
-        lambda w: F.struct(
-            F.lit(1).alias("order"), w.alias("w1"),
-            null_s.alias("w2"), null_s.alias("w3"),
-        ),
-    )
+    wcols = [f"w{i}" for i in range(1, max_order + 1)]
     gram_t = (
-        "array<struct<order:int,w1:string,w2:string,w3:string>>"
+        "array<struct<order:int,"
+        + ",".join(f"{w}:string" for w in wcols)
+        + ">>"
     )
-    n2 = F.size(arr) - 1
-    g2 = F.when(
-        F.coalesce(F.size(arr), F.lit(0)) >= 2,
-        F.arrays_zip(
-            F.slice(arr, 1, n2).alias("w1"), F.slice(arr, 2, n2).alias("w2")
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    g2 = F.transform(
-        g2,
-        lambda p: F.struct(
-            F.lit(2).alias("order"), p["w1"].alias("w1"),
-            p["w2"].alias("w2"), null_s.alias("w3"),
-        ),
-    )
-    n3 = F.size(arr) - 2
-    g3 = F.when(
-        F.coalesce(F.size(arr), F.lit(0)) >= 3,
-        F.arrays_zip(
-            F.slice(arr, 1, n3).alias("w1"),
-            F.slice(arr, 2, n3).alias("w2"),
-            F.slice(arr, 3, n3).alias("w3"),
-        ).cast(_TRI_STRUCT),
-    ).otherwise(F.array().cast(_TRI_STRUCT))
-    g3 = F.transform(
-        g3,
-        lambda t: F.struct(
-            F.lit(3).alias("order"), t["w1"].alias("w1"),
-            t["w2"].alias("w2"), t["w3"].alias("w3"),
-        ),
-    )
-    grams = F.concat(g1.cast(gram_t), g2.cast(gram_t), g3.cast(gram_t))
+    parts = []
+    for k in range(1, max_order + 1):
+        # factory, NOT a default-arg binding: F.transform passes the
+        # element INDEX to any second parameter it sees on the lambda
+        def make_widen(k):
+            def widen(g):
+                fields = [F.lit(k).alias("order")]
+                for i in range(1, max_order + 1):
+                    if k == 1:
+                        src = g if i == 1 else null_s
+                    else:
+                        src = g[f"w{i}"] if i <= k else null_s
+                    fields.append(src.alias(f"w{i}"))
+                return F.struct(*fields)
+
+            return widen
+
+        base = arr if k == 1 else _gram_zip(arr, k)
+        parts.append(F.transform(base, make_widen(k)).cast(gram_t))
+    grams = F.concat(*parts)
     return (
         bound.select(F.explode(grams).alias("g"))
-        .groupBy("g.order", "g.w1", "g.w2", "g.w3")
+        .groupBy("g.order", *[f"g.{w}" for w in wcols])
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def ngram_backoff_lm(train: DataFrame, text_col: str = "text",
+                     order: int = 3, top_v: int | None = None):
+    """(models, stats): count tables for an order-N stupid-backoff
+    scorer — models[k-1] = the k-gram count table (w1..wk, cnt) for
+    k = 1..order, stats = one row (total tokens, vocab). All orders
+    come from ONE scan + ONE count shuffle (_ngram_counts),
+    materialized once (lazy localCheckpoint) so every derived table
+    is a shallow filter over it. `top_v` bounds EACH broadcastable
+    table (higher orders grow fastest on raw web text) — dropped
+    n-grams back off one order, exactly the scheme's semantics.
+    stats derives from the UNCAPPED unigrams, so the OOV floor is
+    unchanged by capping. order=5 is the CCNet/KenLM shape."""
+    if order < 1:
+        raise ValueError(f"order must be >= 1, got {order}")
+    counts = _ngram_counts(train, text_col, order).localCheckpoint(
+        eager=False
+    )
+    uni_full = counts.filter(F.col("order") == 1).select(
+        F.col("w1").alias("token"), "cnt"
+    )
+    stats = uni_full.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    models = []
+    for k in range(1, order + 1):
+        cols = [f"w{i}" for i in range(1, k + 1)]
+        t = counts.filter(F.col("order") == k).select(*cols, "cnt")
+        models.append(_cap_top_v(t, top_v, [F.asc(c) for c in cols]))
+    return models, stats
+
+
+def _backoff_pen(lna, m: int):
+    """Sum of m copies of the rounded ln(alpha), left-associated —
+    the exact double-addition order the trigram instance ('lmq3'
+    oracle) uses, so every order reproduces it bit-for-bit."""
+    if m <= 0:
+        return None
+    pen = lna
+    for _ in range(m - 1):
+        pen = pen + lna
+    return pen
+
+
+def ngram_backoff_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train: DataFrame | None = None,
+    order: int = 3,
+    alpha: float = 0.4,
+    models: list | None = None,
+    stats: DataFrame | None = None,
+) -> DataFrame:
+    """(id, n_ngrams, score): mean order-N stupid-backoff
+    log-probability per document (Brants et al. 2007). Per N-gram
+    (w1..wN), level k scores the LAST k tokens:
+
+        S_N = c(w1..wN) / c(w1..wN-1)            if in-model
+        S_k = alpha^(N-k) * c(w_{N-k+1}..w_N)
+                            / c(w_{N-k+1}..w_{N-1})   backing off
+        S_1 = alpha^(N-1) * c(wN) / total
+        floor = alpha^(N-1) * 1 / (total + vocab)
+
+    lp is assembled from PER-FACTOR rounded-to-10dp lns (one
+    round(ln(alpha),10) added per backoff level, left-associated),
+    the per-doc sum runs in DECIMAL(28,10) — the module's standard
+    determinism discipline; order=3 is bit-identical to
+    stupid_backoff_scores (the 'lmq3' oracle gate). The backoff
+    cascade is pre-folded into N lp tables at model scale, so the
+    corpus-sized n-gram stream takes N broadcast joins + one
+    coalesce. Docs with < order tokens carry no evidence:
+    n_ngrams = 0, score = NULL.
+
+    `train` (default: docs) is the model corpus; or pass prebuilt
+    (models, stats) from ngram_backoff_lm together."""
+    if (models is None) != (stats is None):
+        raise ValueError(
+            "models and stats must be passed together; got "
+            f"(models, stats) present = "
+            f"({models is not None}, {stats is not None})"
+        )
+    if models is None:
+        models, stats = ngram_backoff_lm(
+            train if train is not None else docs, text_col, order
+        )
+    order = len(models)
+    lna = F.round(F.log(F.lit(float(alpha))), 10)
+
+    def _pen_plus(m: int, term):
+        pen = _backoff_pen(lna, m)
+        return term if pen is None else pen + term
+
+    lp_tables = []
+    for k in range(order, 0, -1):
+        # level-k lp, keyed on the n-gram's LAST k positions
+        shift = order - k
+        if k == 1:
+            tab = models[0].crossJoin(F.broadcast(stats)).select(
+                F.col("w1").alias(f"w{order}"),
+                _pen_plus(
+                    shift,
+                    F.round(
+                        F.log(
+                            F.col("cnt").cast("double")
+                            / F.col("total").cast("double")
+                        ),
+                        10,
+                    ),
+                ).alias("lp1"),
+            )
+        else:
+            prefix = [f"w{i}" for i in range(1, k)]
+            tab = (
+                models[k - 1].withColumnRenamed("cnt", "_ck")
+                .join(
+                    F.broadcast(
+                        models[k - 2].withColumnRenamed("cnt", "_cp")
+                    ),
+                    prefix,
+                )
+                .select(
+                    *[
+                        F.col(f"w{i}").alias(f"w{i + shift}")
+                        for i in range(1, k + 1)
+                    ],
+                    _pen_plus(
+                        shift,
+                        F.round(
+                            F.log(
+                                F.col("_ck").cast("double")
+                                / F.col("_cp").cast("double")
+                            ),
+                            10,
+                        ),
+                    ).alias(f"lp{k}"),
+                )
+            )
+        lp_tables.append((k, tab))
+    floor = _pen_plus(
+        order - 1,
+        F.round(
+            F.log(
+                F.lit(1.0)
+                / (F.col("total") + F.col("vocab")).cast("double")
+            ),
+            10,
+        ),
+    )
+    scored = _ngram_rows(docs, text_col, order, id_col)
+    for k, tab in lp_tables:
+        keys = [f"w{i}" for i in range(order - k + 1, order + 1)]
+        scored = scored.join(F.broadcast(tab), keys, "left")
+    scored = scored.crossJoin(F.broadcast(stats)).select(
+        id_col,
+        F.coalesce(
+            *[f"lp{k}" for k in range(order, 0, -1)], floor
+        ).alias("lp"),
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.round(
+            F.sum(F.col("lp").cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("score"),
+    )
+    empties = docs.filter(
+        F.coalesce(F.size(X.ws_tokens(text_col)), F.lit(0)) < order
+    ).select(
+        F.col(id_col),
+        F.lit(0).cast("long").alias("n_ngrams"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    return agg.unionByName(empties)
 
 
 def stupid_backoff_lm(train: DataFrame, text_col: str = "text",
@@ -514,22 +691,12 @@ def stupid_backoff_lm(train: DataFrame, text_col: str = "text",
     neither re-execute the corpus pass nor re-analyze a deep plan.
     `top_v` bounds EACH broadcastable table (trigram tables grow
     fastest on raw web text) — dropped n-grams back off one order,
-    exactly the scheme's semantics."""
-    counts = _ngram_counts(train, text_col).localCheckpoint(eager=False)
-    uni = counts.filter(F.col("order") == 1).select(
-        F.col("w1").alias("token"), "cnt"
+    exactly the scheme's semantics. The order-3 instance of
+    ngram_backoff_lm (order=5 is the full CCNet/KenLM shape)."""
+    (uni, bi, tri), stats = ngram_backoff_lm(
+        train, text_col, order=3, top_v=top_v
     )
-    stats = uni.agg(
-        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("vocab")
-    )
-    bi = counts.filter(F.col("order") == 2).select("w1", "w2", "cnt")
-    tri = counts.filter(F.col("order") == 3).select(
-        "w1", "w2", "w3", "cnt"
-    )
-    uni = _cap_top_v(uni, top_v, [F.asc("token")])
-    bi = _cap_top_v(bi, top_v, [F.asc("w1"), F.asc("w2")])
-    tri = _cap_top_v(tri, top_v, [F.asc("w1"), F.asc("w2"), F.asc("w3")])
-    return tri, bi, uni, stats
+    return tri, bi, uni.withColumnRenamed("w1", "token"), stats
 
 
 def stupid_backoff_scores(
@@ -561,7 +728,8 @@ def stupid_backoff_scores(
     held-out or trusted split to make the backoff levels actually
     fire (self-training sees every trigram, so only the first branch
     runs). Alternatively pass prebuilt (tri, bi, uni, stats) from
-    stupid_backoff_lm, all four together."""
+    stupid_backoff_lm, all four together. The order-3 instance of
+    ngram_backoff_scores (order=5 is the full CCNet/KenLM shape)."""
     given = (tri is not None, bi is not None, uni is not None,
              stats is not None)
     if any(given) and not all(given):
@@ -569,110 +737,15 @@ def stupid_backoff_scores(
             "tri, bi, uni and stats must be passed together; got "
             f"(tri, bi, uni, stats) present = {given}"
         )
-    if tri is None:
-        # stupid_backoff_lm materializes its one-pass count table, so
-        # the four derived frames are already shallow and shared
-        tri, bi, uni, stats = stupid_backoff_lm(
-            train if train is not None else docs, text_col
-        )
-    # pre-fold the backoff cascade into THREE lp tables at model scale
-    # (tiny-table joins), so the corpus-sized trigram stream takes 3
-    # broadcast joins + one coalesce instead of 5 joins + a CASE — and
-    # each count table's DAG is consumed once here, not twice
-    lna = F.round(F.log(F.lit(float(alpha))), 10)
-    tri_lp = (
-        tri.select("w1", "w2", "w3", F.col("cnt").alias("c123"))
-        .join(
-            F.broadcast(bi.select("w1", "w2", F.col("cnt").alias("c12"))),
-            ["w1", "w2"],
-        )
-        .select(
-            "w1", "w2", "w3",
-            F.round(
-                F.log(
-                    F.col("c123").cast("double")
-                    / F.col("c12").cast("double")
-                ),
-                10,
-            ).alias("lp3"),
-        )
+    models = (
+        [uni.withColumnRenamed("token", "w1"), bi, tri]
+        if tri is not None
+        else None
     )
-    bi_lp = (
-        bi.select(
-            F.col("w1").alias("w2"), F.col("w2").alias("w3"),
-            F.col("cnt").alias("c23"),
-        )
-        .join(
-            F.broadcast(
-                uni.select(
-                    F.col("token").alias("w2"), F.col("cnt").alias("c2")
-                )
-            ),
-            "w2",
-        )
-        .select(
-            "w2", "w3",
-            (
-                lna
-                + F.round(
-                    F.log(
-                        F.col("c23").cast("double")
-                        / F.col("c2").cast("double")
-                    ),
-                    10,
-                )
-            ).alias("lp2"),
-        )
-    )
-    uni_lp = uni.crossJoin(F.broadcast(stats)).select(
-        F.col("token").alias("w3"),
-        (
-            lna + lna
-            + F.round(
-                F.log(
-                    F.col("cnt").cast("double")
-                    / F.col("total").cast("double")
-                ),
-                10,
-            )
-        ).alias("lp1"),
-    )
-    floor = (
-        lna + lna
-        + F.round(
-            F.log(
-                F.lit(1.0)
-                / (F.col("total") + F.col("vocab")).cast("double")
-            ),
-            10,
-        )
-    )
-    tg = _trigram_rows(docs, text_col, id_col)
-    scored = (
-        tg.join(F.broadcast(tri_lp), ["w1", "w2", "w3"], "left")
-        .join(F.broadcast(bi_lp), ["w2", "w3"], "left")
-        .join(F.broadcast(uni_lp), "w3", "left")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            id_col, F.coalesce("lp3", "lp2", "lp1", floor).alias("lp")
-        )
-    )
-    agg = scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_trigrams"),
-        F.round(
-            F.sum(F.col("lp").cast("decimal(28,10)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("score"),
-    )
-    empties = docs.filter(
-        F.coalesce(F.size(X.ws_tokens(text_col)), F.lit(0)) < 3
-    ).select(
-        F.col(id_col),
-        F.lit(0).cast("long").alias("n_trigrams"),
-        F.lit(None).cast("double").alias("score"),
-    )
-    return agg.unionByName(empties)
+    return ngram_backoff_scores(
+        docs, id_col=id_col, text_col=text_col, train=train, order=3,
+        alpha=alpha, models=models, stats=stats,
+    ).withColumnRenamed("n_ngrams", "n_trigrams")
 
 
 def lm_buckets(

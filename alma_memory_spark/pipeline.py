@@ -67,6 +67,8 @@ from alma_memory_spark.operators.lm_quality import (
     lm_buckets,
     lm_quality_scores,
     lm_tail_ids,
+    ngram_backoff_lm,
+    ngram_backoff_scores,
     stupid_backoff_lm,
     stupid_backoff_scores,
     unigram_lm,
@@ -135,6 +137,8 @@ __all__ = [
     "lm_tail_ids",
     "mix_rates_for_token_budget",
     "near_dup_groups",
+    "ngram_backoff_lm",
+    "ngram_backoff_scores",
     "pack_documents",
     "pack_documents_nostraddle",
     "pii_count",

@@ -944,3 +944,69 @@ def test_lm_buckets_terciles_and_none(spark):
     )
     tied = {r["doc_id"]: r["bucket"] for r in lm_buckets(ties).collect()}
     assert all(tied[i] == "tail" for i in range(6))
+
+
+def test_ngram_backoff_order4_hand_computed(spark):
+    """r10: order-generic stupid backoff — all five levels (in-model,
+    three backoffs, floor) hand-verified at order=4, plus the
+    <order-token NULL contract and order-5 partition invariance on
+    real data (the CCNet/KenLM shape)."""
+    import math
+
+    from alma_memory_spark.operators.lm_quality import (
+        ngram_backoff_lm,
+        ngram_backoff_scores,
+    )
+
+    # train 'a b c d a b c d': uni a/b/c/d = 2 (total 8, vocab 4);
+    # bi (a,b)=(b,c)=(c,d)=2, (d,a)=1; tri (a,b,c)=(b,c,d)=2, others 1;
+    # 4g (a,b,c,d)=2, others 1
+    train = spark.createDataFrame(
+        [(1, "a b c d a b c d")], "doc_id long, text string"
+    )
+    models, stats = ngram_backoff_lm(train, order=4)
+    assert [len(m.columns) for m in models] == [2, 3, 4, 5]
+    assert stats.collect()[0].asDict() == {"total": 8, "vocab": 4}
+    lna = round(math.log(0.4), 10)
+    docs = spark.createDataFrame(
+        [
+            (10, "a b c d"),   # in-model: ln(c4/c3) = ln(2/2) = 0
+            (11, "x b c d"),   # level 3: a + ln(c3(b,c,d)/c2(b,c)) = a
+            (12, "x y c d"),   # level 2: 2a + ln(c2(c,d)/c1(c)) = 2a
+            (13, "x y z d"),   # level 1: 3a + ln(2/8)
+            (14, "x y z q"),   # floor:   3a + ln(1/12)
+            (15, "a b c"),     # < 4 tokens: no evidence
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in ngram_backoff_scores(
+            docs, models=models, stats=stats
+        ).collect()
+    }
+    assert got[10]["n_ngrams"] == 1 and got[10]["score"] == 0.0
+    assert got[11]["score"] == round(lna, 6)
+    assert got[12]["score"] == round(lna + lna, 6)
+    assert got[13]["score"] == round(
+        lna + lna + lna + round(math.log(2 / 8), 10), 6
+    )
+    assert got[14]["score"] == round(
+        lna + lna + lna + round(math.log(1 / 12), 10), 6
+    )
+    assert got[15]["n_ngrams"] == 0 and got[15]["score"] is None
+    # order-5 on real data: self-train -> every >=5-token doc scores
+    # in-model, and the DECIMAL mean is partition-invariant
+    import os as _os
+
+    from alma_memory_spark.session import load_table
+
+    sf_dir = _os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    real = load_table(spark, sf_dir, "documents")
+    a = {r["doc_id"]: r["score"]
+         for r in ngram_backoff_scores(real.coalesce(1), order=5).collect()}
+    b = {r["doc_id"]: r["score"]
+         for r in ngram_backoff_scores(real.repartition(8), order=5).collect()}
+    assert a == b and len(a) == real.count()
