@@ -196,12 +196,64 @@ def main() -> None:
         for r in nagg
     }
 
+    # ---- 4) order ladder: wall vs corpus scale at orders 3 and 5 ----
+    # the one-pass count emission means higher order = wider gram
+    # stream (~order x tokens), NOT more passes; wall should scale
+    # linearly in corpus size per order, with a constant factor
+    # between orders
+    from alma_memory_spark.operators.lm_quality import (
+        ngram_backoff_lm,
+        ngram_backoff_scores,
+    )
+
+    ladder = []
+    for reps in (1, 4, 16):
+        corpus = replicated(docs, reps).localCheckpoint(eager=True)
+        half = corpus.filter(F.col("doc_id") % 2 == 0)
+        for order in (3, 5):
+            t0 = time.perf_counter()
+            models, mstats = ngram_backoff_lm(half, order=order)
+            scored = ngram_backoff_scores(
+                corpus, models=models, stats=mstats
+            )
+            n_scored = scored.filter(F.col("score").isNotNull()).count()
+            wall = time.perf_counter() - t0
+            ladder.append(
+                {
+                    "reps": reps,
+                    "order": order,
+                    "scored": n_scored,
+                    "wall_s": round(wall, 3),
+                }
+            )
+            print(json.dumps(ladder[-1]), flush=True)
+        spark.catalog.clearCache()
+
+    # ---- 5) order-5 separation on the natural corpus ----------------
+    n5m, n5s = ngram_backoff_lm(nat, order=5)
+    n5 = ngram_backoff_scores(
+        nboth, models=n5m, stats=n5s
+    ).withColumnRenamed("score", "five")
+    n5agg = (
+        n5.withColumn(
+            "kind",
+            F.when(F.col("doc_id") >= 10_000, "shuffled").otherwise("real"),
+        )
+        .groupBy("kind")
+        .agg(F.round(F.avg("five"), 4).alias("mean_5gram"))
+        .orderBy("kind")
+        .collect()
+    )
+    for r in n5agg:
+        nat_sep[r["kind"]]["fivegram"] = r["mean_5gram"]
+
     out = {
         "tail_scaleup": rows,
         "separation_synthetic": {
             k: {"unigram": v[0], "bigram": v[1]} for k, v in sep.items()
         },
         "separation_natural": nat_sep,
+        "order_ladder": ladder,
     }
     print(json.dumps(out, indent=2))
     spark.stop()
