@@ -2583,6 +2583,77 @@ _RELEVANCE_SQL = f"""
                  THEN score END) AS cut2
       FROM lmrank
     ),
+    tr4 AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3,
+             t[i + 3] AS w4, count(*) AS c
+      FROM (SELECT t, unnest(range(1, len(t) - 2)) AS i FROM trdoc)
+      GROUP BY 1, 2, 3, 4
+    ),
+    tr5 AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3,
+             t[i + 3] AS w4, t[i + 4] AS w5, count(*) AS c
+      FROM (SELECT t, unnest(range(1, len(t) - 3)) AS i FROM trdoc)
+      GROUP BY 1, 2, 3, 4, 5
+    ),
+    lm5g AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3,
+             t[i + 3] AS w4, t[i + 4] AS w5
+      FROM (
+        SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+        FROM (SELECT doc_id, {X.sql_ws_tokens('text')} AS t
+              FROM documents WHERE doc_id % 4 = 1)
+      )
+    ),
+    sb5lp AS (
+      SELECT g.doc_id,
+        CASE
+          WHEN t5.c IS NOT NULL AND t4p.c IS NOT NULL
+            THEN round(ln(t5.c * 1.0 / t4p.c), 10)
+          WHEN t4s.c IS NOT NULL AND t3p.c IS NOT NULL
+            THEN round(ln(0.4), 10)
+                 + round(ln(t4s.c * 1.0 / t3p.c), 10)
+          WHEN t3s.c IS NOT NULL AND t2p.c IS NOT NULL
+            THEN round(ln(0.4), 10) + round(ln(0.4), 10)
+                 + round(ln(t3s.c * 1.0 / t2p.c), 10)
+          WHEN t2s.c IS NOT NULL AND u4.c IS NOT NULL
+            THEN round(ln(0.4), 10) + round(ln(0.4), 10)
+                 + round(ln(0.4), 10)
+                 + round(ln(t2s.c * 1.0 / u4.c), 10)
+          WHEN u5.c IS NOT NULL
+            THEN round(ln(0.4), 10) + round(ln(0.4), 10)
+                 + round(ln(0.4), 10) + round(ln(0.4), 10)
+                 + round(ln(u5.c * 1.0 / total), 10)
+          ELSE round(ln(0.4), 10) + round(ln(0.4), 10)
+               + round(ln(0.4), 10) + round(ln(0.4), 10)
+               + round(ln(1.0 / (total + vocab)), 10)
+        END AS lp
+      FROM lm5g g
+      LEFT JOIN tr5 t5 ON g.w1 = t5.w1 AND g.w2 = t5.w2
+        AND g.w3 = t5.w3 AND g.w4 = t5.w4 AND g.w5 = t5.w5
+      LEFT JOIN tr4 t4p ON g.w1 = t4p.w1 AND g.w2 = t4p.w2
+        AND g.w3 = t4p.w3 AND g.w4 = t4p.w4
+      LEFT JOIN tr4 t4s ON g.w2 = t4s.w1 AND g.w3 = t4s.w2
+        AND g.w4 = t4s.w3 AND g.w5 = t4s.w4
+      LEFT JOIN trtri t3p ON g.w2 = t3p.w1 AND g.w3 = t3p.w2
+        AND g.w4 = t3p.w3
+      LEFT JOIN trtri t3s ON g.w3 = t3s.w1 AND g.w4 = t3s.w2
+        AND g.w5 = t3s.w3
+      LEFT JOIN trbi t2p ON g.w3 = t2p.w1 AND g.w4 = t2p.w2
+      LEFT JOIN trbi t2s ON g.w4 = t2s.w1 AND g.w5 = t2s.w2
+      LEFT JOIN truni u4 ON g.w4 = u4.token
+      LEFT JOIN truni u5 ON g.w5 = u5.token
+      CROSS JOIN trstat
+    ),
+    sb5doc AS (
+      SELECT doc_id,
+             round(CAST(sum(CAST(lp AS DECIMAL(28,10))) AS DOUBLE)
+                   / count(*), 6) AS score
+      FROM sb5lp GROUP BY 1
+    ),
+    lmq5top AS (
+      SELECT doc_id, score FROM sb5doc
+      ORDER BY score DESC, doc_id ASC LIMIT 20
+    ),
     lmbktrows AS (
       SELECT 'lmbkt:' || CASE WHEN score <= cut1 THEN 'tail'
                               WHEN score <= cut2 THEN 'middle'
@@ -2612,6 +2683,8 @@ _RELEVANCE_SQL = f"""
     SELECT 'lmq2', doc_id, score FROM lmq2top
     UNION ALL
     SELECT 'lmq3', doc_id, score FROM lmq3top
+    UNION ALL
+    SELECT 'lmq5', doc_id, score FROM lmq5top
     UNION ALL
     SELECT method, doc_id, score FROM lmbktrows
     """
@@ -2733,6 +2806,8 @@ def text_relevance_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         lm_buckets,
         lm_quality_scores,
         lm_tail_ids,
+        ngram_backoff_lm,
+        ngram_backoff_scores,
         stupid_backoff_scores,
     )
 
@@ -2788,6 +2863,30 @@ def text_relevance_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(20)
     )
+    # 'lmq5' rows (r10 late) — the order-GENERIC backoff at order 5,
+    # the full CCNet/KenLM scorer shape in count-only form
+    # (ngram_backoff_scores; the order-3 instance is 'lmq3'). Same
+    # even-half training; scoring restricted to the doc_id % 4 == 1
+    # quarter (disjoint from half the train set, so every cascade
+    # level fires, and the 5-gram stream stays bench-bounded). The
+    # oracle replays all five count tables and the full five-level
+    # CASE cascade, so a wrong key shift (level k joins the n-gram's
+    # LAST k positions), a missing prefix condition, or a penalty
+    # mis-association all hash-mismatch.
+    models5, stats5 = ngram_backoff_lm(
+        docs.filter(F.col("doc_id") % 2 == 0), order=5
+    )
+    lmq5 = (
+        ngram_backoff_scores(
+            docs.filter(F.col("doc_id") % 4 == 1),
+            id_col="doc_id", text_col="text",
+            models=models5, stats=stats5,
+        )
+        .filter(F.col("score").isNotNull())
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
     # 'lmbkt:*' rows (r10 late) — CCNet's published head/middle/tail
     # perplexity bucketing (Wenzek et al. 2020 §4.3) over the unigram
     # scores: both tercile cutoffs from ONE mergeable
@@ -2817,6 +2916,7 @@ def text_relevance_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(lmtail2.select(F.lit("lmtail2").alias("method"), "*"))
         .unionByName(lmq2.select(F.lit("lmq2").alias("method"), "*"))
         .unionByName(lmq3.select(F.lit("lmq3").alias("method"), "*"))
+        .unionByName(lmq5.select(F.lit("lmq5").alias("method"), "*"))
         .unionByName(lmbkt)
     )
 
