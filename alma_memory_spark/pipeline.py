@@ -27,7 +27,10 @@ applies them.
     #    scores = P.lm_quality_scores(docs).localCheckpoint()  # reused twice
     #    docs.join(P.lm_tail_ids(scores), "doc_id", "left_anti")
     #    drops the CCNet tail bucket — materialize `scores` first, the
-    #    cutoff agg and the filter both consume it)
+    #    cutoff agg and the filter both consume it; P.lm_buckets(scores)
+    #    keeps the head/middle/tail tiers instead, and
+    #    P.ngram_backoff_scores(docs, train=trusted, order=5) is the
+    #    KenLM-shape scorer when word order should count)
     # 7) deterministic sampling / stratification / corpus mixing
     docs = P.stratified_sample(docs, "lang", {"en": 0.5}, key_col="doc_id")
     # 8) sequence packing (straddle or no-straddle)
