@@ -61,22 +61,55 @@ def _cap_top_v(counts: DataFrame, top_v: int | None, order_cols) -> DataFrame:
 
 
 def unigram_lm(docs: DataFrame, text_col: str = "text",
-               top_v: int | None = None):
+               top_v: int | None = None,
+               group_col: str | None = None):
     """(lm, stats): add-one-smoothed unigram log-probabilities over the
     corpus tokens — lm = (token, logp) with
     logp = round(ln((count + 1) / (total + vocab)), 10) — plus the
     one-row stats frame (total, vocab) the OOV floor derives from.
     One count shuffle; `top_v` bounds the broadcastable lm table for
     raw-web self-training (dropped tokens score at the OOV floor —
-    stats stay full-corpus so the floor itself is unchanged)."""
-    toks = docs.select(F.explode(X.ws_tokens(text_col)).alias("token"))
-    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    stats = counts.agg(
-        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("vocab")
+    stats stay full-corpus so the floor itself is unchanged).
+
+    `group_col` (e.g. a language column) trains ONE MODEL PER GROUP —
+    the actual CCNet structure (one KenLM per language, perplexity
+    always within-language): lm gains the group column in its key,
+    stats has one row per group, and the per-group totals/vocabs give
+    each group its own OOV floor. Still one count shuffle (the group
+    joins the grouping key); with top_v the per-group cap runs as a
+    model-scale row_number window instead of a global TakeOrdered."""
+    keys = [group_col] if group_col else []
+    toks = docs.select(
+        *keys, F.explode(X.ws_tokens(text_col)).alias("token")
     )
-    lm = _cap_top_v(counts, top_v, [F.asc("token")]).crossJoin(
-        F.broadcast(stats)
-    ).select(
+    counts = toks.groupBy(*keys, "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    if group_col:
+        stats = counts.groupBy(group_col).agg(
+            F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("vocab")
+        )
+        if top_v is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(group_col).orderBy(
+                F.desc("cnt"), F.asc("token")
+            )
+            counts = (
+                counts.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= top_v)
+                .drop("_rn")
+            )
+        lm = counts.join(F.broadcast(stats), group_col)
+    else:
+        stats = counts.agg(
+            F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("vocab")
+        )
+        lm = _cap_top_v(counts, top_v, [F.asc("token")]).crossJoin(
+            F.broadcast(stats)
+        )
+    lm = lm.select(
+        *keys,
         "token",
         F.round(
             F.log(
@@ -95,6 +128,7 @@ def lm_quality_scores(
     text_col: str = "text",
     lm: DataFrame | None = None,
     stats: DataFrame | None = None,
+    group_col: str | None = None,
 ) -> DataFrame:
     """(id, n_tokens, score): mean token log-probability per document —
     higher = more typical of the training corpus (the CCNet quality
@@ -108,7 +142,17 @@ def lm_quality_scores(
     EVERY input doc gets a row: empty/whitespace-only documents (zero
     tokens) come back with n_tokens = 0 and score = NULL — they would
     otherwise vanish from the explode and silently bypass any
-    downstream tail filter or score join."""
+    downstream tail filter or score join.
+
+    `group_col` (e.g. a language column on docs) scores each doc
+    under ITS GROUP'S model — the CCNet per-language structure
+    (Wenzek et al. 2020 train one KenLM per language and always
+    compare perplexities within-language). The output keeps the
+    group column and each group applies its own OOV floor. A doc
+    whose group has NO model row at all (possible only with a
+    prebuilt per-group lm) gets score = NULL — scoring it against
+    another language's model would be the exact cross-language
+    comparison CCNet's design exists to avoid."""
     if (lm is None) != (stats is None):
         raise ValueError(
             "lm and stats must be passed together (stats carries the "
@@ -117,23 +161,31 @@ def lm_quality_scores(
             f"stats={'set' if stats is not None else None}"
         )
     if lm is None:
-        lm, stats = unigram_lm(docs, text_col)
+        lm, stats = unigram_lm(docs, text_col, group_col=group_col)
+    keys = [group_col] if group_col else []
     floor = F.round(
         F.log(1.0 / (F.col("total") + F.col("vocab")).cast("double")), 10
     )
     toks = docs.select(
-        F.col(id_col), F.explode(X.ws_tokens(text_col)).alias("token")
+        F.col(id_col), *keys,
+        F.explode(X.ws_tokens(text_col)).alias("token"),
     )
-    scored = (
-        toks.join(F.broadcast(lm), "token", "left")
-        .crossJoin(F.broadcast(stats))
-        .select(id_col, F.coalesce("logp", floor).alias("lp"))
+    joined = toks.join(F.broadcast(lm), [*keys, "token"], "left")
+    if group_col:
+        joined = joined.join(F.broadcast(stats), group_col, "left")
+    else:
+        joined = joined.crossJoin(F.broadcast(stats))
+    scored = joined.select(
+        id_col, *keys,
+        F.when(
+            F.col("total").isNotNull(), F.coalesce("logp", floor)
+        ).alias("lp"),
     )
-    agg = scored.groupBy(id_col).agg(
+    agg = scored.groupBy(id_col, *keys).agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(
             F.sum(F.col("lp").cast("decimal(28,10)")).cast("double")
-            / F.count(F.lit(1)),
+            / F.count("lp"),
             6,
         ).alias("score"),
     )
@@ -142,7 +194,7 @@ def lm_quality_scores(
     empties = docs.filter(
         F.coalesce(F.size(X.ws_tokens(text_col)), F.lit(0)) <= 0
     ).select(
-        F.col(id_col),
+        F.col(id_col), *keys,
         F.lit(0).cast("long").alias("n_tokens"),
         F.lit(None).cast("double").alias("score"),
     )
@@ -570,7 +622,8 @@ def ngram_backoff_scores(
     n_ngrams = 0, score = NULL.
 
     `train` (default: docs) is the model corpus; or pass prebuilt
-    (models, stats) from ngram_backoff_lm together."""
+    (models, stats) from ngram_backoff_lm together — then `order` is
+    taken from len(models) and the parameter is ignored."""
     if (models is None) != (stats is None):
         raise ValueError(
             "models and stats must be passed together; got "
@@ -754,6 +807,7 @@ def lm_buckets(
     score_col: str = "score",
     cuts: tuple = (1.0 / 3, 2.0 / 3),
     accuracy: int = 10000,
+    group_col: str | None = None,
 ) -> DataFrame:
     """(id, bucket): CCNet's head/middle/tail perplexity bucketing —
     the paper's actual published operator (Wenzek et al. 2020 §4.3
@@ -767,22 +821,35 @@ def lm_buckets(
     (O(accuracy) state per partition, no count() action, exact when
     n <= accuracy — the lm_tail_ids 'approx' discipline), broadcast
     into a tie-inclusive CASE: tail <= cut1 < middle <= cut2 < head.
-    One lazy plan, scale-clean at any corpus size."""
-    cut = (
-        scores.agg(
-            F.percentile_approx(
-                score_col,
-                F.array(F.lit(float(cuts[0])), F.lit(float(cuts[1]))),
-                F.lit(accuracy),
-            ).alias("c")
-        )
-        .select(F.col("c")[0].alias("cut1"), F.col("c")[1].alias("cut2"))
-    )
-    return scores.crossJoin(F.broadcast(cut)).select(
-        id_col,
+    One lazy plan, scale-clean at any corpus size.
+
+    `group_col` buckets WITHIN each group — CCNet's per-language
+    terciles (a language's tail is defined against its own
+    distribution, never pooled): the sketch aggregates per group
+    (one agg shuffle over group keys, still O(accuracy) state per
+    group) and the cutoffs broadcast-join back on the group."""
+    pct = F.percentile_approx(
+        score_col,
+        F.array(F.lit(float(cuts[0])), F.lit(float(cuts[1]))),
+        F.lit(accuracy),
+    ).alias("c")
+    bucket = (
         F.when(F.col(score_col).isNull(), F.lit("none"))
         .when(F.col(score_col) <= F.col("cut1"), F.lit("tail"))
         .when(F.col(score_col) <= F.col("cut2"), F.lit("middle"))
         .otherwise(F.lit("head"))
-        .alias("bucket"),
+        .alias("bucket")
     )
+    if group_col:
+        cut = scores.groupBy(group_col).agg(pct).select(
+            group_col,
+            F.col("c")[0].alias("cut1"),
+            F.col("c")[1].alias("cut2"),
+        )
+        return scores.join(F.broadcast(cut), group_col, "left").select(
+            id_col, group_col, bucket
+        )
+    cut = scores.agg(pct).select(
+        F.col("c")[0].alias("cut1"), F.col("c")[1].alias("cut2")
+    )
+    return scores.crossJoin(F.broadcast(cut)).select(id_col, bucket)

@@ -2659,6 +2659,45 @@ _RELEVANCE_SQL = f"""
                               WHEN score <= cut2 THEN 'middle'
                               ELSE 'head' END AS method, doc_id, score
       FROM lmdoc, bktcut
+    ),
+    ldoc0 AS MATERIALIZED (
+      -- materialized so the lang expression (stopword-set hits)
+      -- evaluates once per DOC; inlined it lands inside the unnest
+      -- projection and re-runs per TOKEN (measured 10x the oracle)
+      SELECT doc_id, {X.sql_lang_id('text')} AS lang,
+             {X.sql_ws_tokens('text')} AS t
+      FROM documents
+    ),
+    ldoc AS (
+      SELECT doc_id, lang, unnest(t) AS token FROM ldoc0
+    ),
+    lcnt AS (SELECT lang, token, count(*) AS c FROM ldoc GROUP BY 1, 2),
+    lstat AS (
+      SELECT lang, sum(c) AS total, count(*) AS vocab
+      FROM lcnt GROUP BY 1
+    ),
+    llp AS (
+      SELECT c.lang, c.token,
+             round(ln((c.c + 1) * 1.0 / (s.total + s.vocab)), 10) AS logp
+      FROM lcnt c JOIN lstat s ON c.lang = s.lang
+    ),
+    lsc AS (
+      SELECT t.doc_id, t.lang,
+             round(CAST(sum(CAST(coalesce(l.logp, f.floor)
+               AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS score
+      FROM ldoc t
+      LEFT JOIN llp l ON t.lang = l.lang AND t.token = l.token
+      JOIN (SELECT lang, round(ln(1.0 / (total + vocab)), 10) AS floor
+            FROM lstat) f ON t.lang = f.lang
+      WHERE t.doc_id % 4 = 2
+      GROUP BY 1, 2
+    ),
+    lmqlrows AS (
+      SELECT 'lmql:' || lang AS method, doc_id, score,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY score DESC, doc_id ASC
+             ) AS rn
+      FROM lsc
     )
     SELECT 'bm25' AS method, doc_id, bm25_score AS score FROM bm
     UNION ALL
@@ -2687,6 +2726,8 @@ _RELEVANCE_SQL = f"""
     SELECT 'lmq5', doc_id, score FROM lmq5top
     UNION ALL
     SELECT method, doc_id, score FROM lmbktrows
+    UNION ALL
+    SELECT method, doc_id, score FROM lmqlrows WHERE rn <= 3
     """
 
 
@@ -2904,6 +2945,43 @@ def text_relevance_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score",
         )
     )
+    # 'lmql:<lang>' rows (r10 late) — the per-LANGUAGE model structure
+    # CCNet actually ships (one LM per language, scores compared only
+    # within-language): lm_quality_scores(group_col=...) trains one
+    # add-one unigram model per lang_id bucket in the SAME single
+    # count shuffle (the group joins the grouping key) and floors each
+    # language on its own totals. Top-3 per language; the oracle
+    # re-derives per-language counts -> per-language floors -> means,
+    # so pooled training, a cross-language floor, or a leaked group
+    # key all hash-mismatch.
+    from pyspark.sql import Window as W
+
+    from alma_memory_spark.operators.lm_quality import unigram_lm
+
+    docs_l = docs.select(
+        "doc_id", "text", X.lang_id("text").alias("lang")
+    )
+    # models train on the FULL corpus (the CCNet semantics); only the
+    # scored stream is cut to the doc_id % 4 == 2 quarter to keep the
+    # per-token join bench-bounded (the lmq5 precedent)
+    lm_l, stats_l = unigram_lm(docs_l, group_col="lang")
+    lmql_w = W.partitionBy("lang").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    lmql = (
+        lm_quality_scores(
+            docs_l.filter(F.col("doc_id") % 4 == 2),
+            lm=lm_l, stats=stats_l, group_col="lang",
+        )
+        .filter(F.col("score").isNotNull())
+        .withColumn("_rn", F.row_number().over(lmql_w))
+        .filter(F.col("_rn") <= 3)
+        .select(
+            F.concat(F.lit("lmql:"), F.col("lang")).alias("method"),
+            "doc_id",
+            "score",
+        )
+    )
     return (
         bm.select(F.lit("bm25").alias("method"), "*")
         .unionByName(bi.select(F.lit("bm25_indexed").alias("method"), "*"))
@@ -2918,6 +2996,7 @@ def text_relevance_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(lmq3.select(F.lit("lmq3").alias("method"), "*"))
         .unionByName(lmq5.select(F.lit("lmq5").alias("method"), "*"))
         .unionByName(lmbkt)
+        .unionByName(lmql)
     )
 
 

@@ -1010,3 +1010,106 @@ def test_ngram_backoff_order4_hand_computed(spark):
     b = {r["doc_id"]: r["score"]
          for r in ngram_backoff_scores(real.repartition(8), order=5).collect()}
     assert a == b and len(a) == real.count()
+
+
+def test_ngram_backoff_invariants_random_docs(spark):
+    """r10: seeded randomized invariants in one job per order — every
+    backoff lp is a log of a probability (<= 0, since a k-gram's count
+    never exceeds its prefix's), so scores are <= 0 wherever evidence
+    exists; n_ngrams is exactly max(0, tokens - order + 1)."""
+    import random
+
+    from alma_memory_spark.operators.lm_quality import (
+        ngram_backoff_scores,
+    )
+
+    rnd = random.Random(7)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "zz"]
+    rows = [
+        (i, " ".join(rnd.choice(vocab)
+                     for _ in range(rnd.randint(0, 12))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    train = df.filter("doc_id % 2 = 0")
+    for order in (2, 4):
+        got = {
+            r["doc_id"]: r
+            for r in ngram_backoff_scores(
+                df, train=train, order=order
+            ).collect()
+        }
+        assert len(got) == len(rows)
+        for i, text in rows:
+            n = len(text.split())
+            exp = max(0, n - order + 1)
+            assert got[i]["n_ngrams"] == exp, (i, order)
+            if exp:
+                assert got[i]["score"] <= 0.0, (i, order)
+            else:
+                assert got[i]["score"] is None, (i, order)
+
+
+def test_lm_quality_scores_per_group(spark):
+    """r10: per-language LM scoring (the CCNet structure) — each group
+    trains and floors on ITS OWN corpus, a prebuilt-model group gap
+    yields NULL (never a cross-language score), and per-group buckets
+    tercile within the group."""
+    import math
+
+    from alma_memory_spark.operators.lm_quality import (
+        lm_buckets,
+        lm_quality_scores,
+        unigram_lm,
+    )
+
+    rows = [
+        (1, "en", "aa aa bb"),   # en: aa:3 bb:1 (total 4, vocab 2)
+        (2, "en", "aa"),
+        (3, "fr", "cc"),         # fr: cc:1 (total 1, vocab 1)
+        (4, "fr", ""),           # zero tokens -> NULL, keeps group
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r["doc_id"]: r
+        for r in lm_quality_scores(df, group_col="lang").collect()
+    }
+    lp_aa = round(math.log(4 / 6), 10)   # (3+1)/(4+2)
+    lp_bb = round(math.log(2 / 6), 10)
+    assert got[1]["lang"] == "en"
+    assert got[1]["score"] == round((2 * lp_aa + lp_bb) / 3, 6)
+    assert got[2]["score"] == round(lp_aa, 6)
+    # fr trains only on fr text: cc scores (1+1)/(1+1) = 1 -> ln 1 = 0
+    assert got[3]["score"] == 0.0
+    assert got[4]["n_tokens"] == 0 and got[4]["score"] is None
+    # per-group OOV floor: en floor ln(1/6), fr floor ln(1/2)
+    lm, stats = unigram_lm(df, group_col="lang")
+    new = spark.createDataFrame(
+        [(9, "en", "zz"), (10, "fr", "zz"), (11, "de", "zz")],
+        "doc_id long, lang string, text string",
+    )
+    out = {
+        r["doc_id"]: r["score"]
+        for r in lm_quality_scores(
+            new, lm=lm, stats=stats, group_col="lang"
+        ).collect()
+    }
+    assert out[9] == round(round(math.log(1 / 6), 10), 6)
+    assert out[10] == round(round(math.log(1 / 2), 10), 6)
+    # no de model exists: NULL, not a cross-language score
+    assert out[11] is None
+    # per-group terciles: each group's cutoffs from its own scores
+    sc = spark.createDataFrame(
+        [(i, "a", float(i)) for i in range(1, 10)]
+        + [(i, "b", float(i)) for i in range(100, 109)],
+        "doc_id long, lang string, score double",
+    )
+    bk = {
+        (r["doc_id"], r["lang"]): r["bucket"]
+        for r in lm_buckets(sc, group_col="lang").collect()
+    }
+    assert bk[(1, "a")] == "tail" and bk[(9, "a")] == "head"
+    assert bk[(100, "b")] == "tail" and bk[(108, "b")] == "head"
+    # pooled terciles would put ALL of group a in the tail; per-group
+    # must not
+    assert bk[(7, "a")] == "head"
