@@ -835,6 +835,9 @@ def lm_buckets(
     ).alias("c")
     bucket = (
         F.when(F.col(score_col).isNull(), F.lit("none"))
+        # a NULL group never matches the cut join (cut1 NULL would
+        # otherwise fall through the <= comparisons into 'head')
+        .when(F.col("cut1").isNull(), F.lit("none"))
         .when(F.col(score_col) <= F.col("cut1"), F.lit("tail"))
         .when(F.col(score_col) <= F.col("cut2"), F.lit("middle"))
         .otherwise(F.lit("head"))

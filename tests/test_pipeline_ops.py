@@ -1113,3 +1113,18 @@ def test_lm_quality_scores_per_group(spark):
     # pooled terciles would put ALL of group a in the tail; per-group
     # must not
     assert bk[(7, "a")] == "head"
+
+
+def test_lm_buckets_null_group_is_none(spark):
+    """r10: a NULL group key never matches the per-group cut join —
+    such rows must bucket 'none', not fall through to 'head'."""
+    from alma_memory_spark.operators.lm_quality import lm_buckets
+
+    sc = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "a", 3.0), (4, None, 9.0)],
+        "doc_id long, lang string, score double",
+    )
+    got = {r["doc_id"]: r["bucket"]
+           for r in lm_buckets(sc, group_col="lang").collect()}
+    assert got[4] == "none"
+    assert got[1] == "tail" and got[3] == "head"
