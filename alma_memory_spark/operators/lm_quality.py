@@ -208,6 +208,7 @@ def lm_tail_ids(
     score_col: str = "score",
     method: str = "approx",
     accuracy: int = 10000,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Ids of the lowest-`frac` fraction of documents by LM score —
     CCNet's tail bucket (candidates to drop or down-weight). NULL
@@ -248,6 +249,29 @@ def lm_tail_ids(
     keeps the result deterministic under any partition layout."""
     if frac <= 0:
         return scores.select(id_col).limit(0)
+    if group_col is not None:
+        # per-group tail (CCNet drops the tail per LANGUAGE, never
+        # pooled): one per-group percentile sketch, broadcast back on
+        # the group key; NULL-group rows never match the join, and a
+        # NULL cut comparison is NULL, so they are never in the tail.
+        # Only the sketch path distributes per-group (the exact paths
+        # exist for bounded-SF oracle replay, which gates the global
+        # form).
+        if method != "approx":
+            raise ValueError(
+                "group_col requires method='approx' (the at-scale "
+                f"sketch path); got {method!r}"
+            )
+        cut = scores.groupBy(group_col).agg(
+            F.percentile_approx(
+                score_col, F.lit(frac), F.lit(accuracy)
+            ).alias("cut")
+        )
+        return (
+            scores.join(F.broadcast(cut), group_col, "left")
+            .filter(F.col(score_col) <= F.col("cut"))
+            .select(id_col)
+        )
     if method == "approx":
         cutoff = scores.agg(
             F.percentile_approx(score_col, F.lit(frac), F.lit(accuracy))

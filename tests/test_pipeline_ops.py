@@ -1128,3 +1128,27 @@ def test_lm_buckets_null_group_is_none(spark):
            for r in lm_buckets(sc, group_col="lang").collect()}
     assert got[4] == "none"
     assert got[1] == "tail" and got[3] == "head"
+
+
+def test_lm_tail_ids_per_group(spark):
+    """r10: per-group tail (CCNet drops per language) — each group's
+    bottom-frac from ITS OWN distribution; pooled would take all of
+    the low-scoring group."""
+    import pytest as _pytest
+
+    from alma_memory_spark.operators.lm_quality import lm_tail_ids
+
+    sc = spark.createDataFrame(
+        [(i, "a", float(i)) for i in range(1, 11)]
+        + [(100 + i, "b", 100.0 + i) for i in range(1, 11)]
+        + [(999, None, 0.5)],
+        "doc_id long, lang string, score double",
+    )
+    got = {
+        r["doc_id"]
+        for r in lm_tail_ids(sc, frac=0.1, group_col="lang").collect()
+    }
+    # each group's own bottom 10% (rank ceil(0.1*10) = 1)
+    assert got == {1, 101}
+    with _pytest.raises(ValueError, match="approx"):
+        lm_tail_ids(sc, frac=0.1, group_col="lang", method="exact")
