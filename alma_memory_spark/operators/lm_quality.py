@@ -4,12 +4,15 @@ CCNet (Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
 Datasets from Web Crawl Data") scores each document by its perplexity
 under a KenLM model trained on a trusted corpus and filters by
 percentile — the standard statistical quality gate in LLM data
-pipelines alongside the rule-based C4/Gopher filters. The heavy n-gram
-model is a library call; the SHAPE — mean token log-probability under
-a corpus-trained LM, outliers flagged — is expressible exactly in
-DataFrame ops with unigram and bigram models, which is what ships here
-(a real KenLM scorer would slot in as an Arrow-batched kernel at the
-same call site, like the embedding/cross-encoder env boundaries).
+pipelines alongside the rule-based C4/Gopher filters. What ships here
+is the full ladder, exact in DataFrame ops: add-one unigram/bigram
+models, order-generic stupid backoff up to the 5-gram KenLM shape
+(Brants et al. 2007 — the count-only scheme built FOR distributed
+training), the percentile tail filter, head/middle/tail bucketing,
+and CCNet's per-language structure via `group_col` (one model, floor
+and tercile set per language from one shared count shuffle). A real
+KenLM scorer would slot in as an Arrow-batched kernel at the same
+call sites, like the embedding/cross-encoder env boundaries.
 
 Scale shape: training is one map-side-combinable n-gram count shuffle;
 scoring is explode -> broadcast-join the (bounded) log-prob table ->
@@ -25,7 +28,8 @@ Determinism: probabilities derive from exact integer counts; the only
 float steps are one IEEE division, ln() (engine libm, agrees to ~1
 ulp — rounded to 10 dp before use, the codebase's standard float
 boundary), and the per-doc mean, whose sum runs in DECIMAL so it is
-order-independent under any partitioning. The 'lmq'/'lmq2' gate rows
+order-independent under any partitioning. The
+'lmq'/'lmq2'/'lmq3'/'lmq5'/'lmql:*'/'lmbkt:*'/'lmtail*' gate rows
 hash-match a full DuckDB replay.
 """
 
