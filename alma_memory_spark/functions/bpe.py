@@ -43,8 +43,11 @@ __all__ = [
     "DEFAULT_MERGES",
     "bpe_encode",
     "bpe_token_count_udf",
+    "bpe_token_ids_udf",
     "load_merge_ranks",
+    "load_vocab",
     "with_bpe_token_count",
+    "with_bpe_token_ids",
 ]
 
 
@@ -145,4 +148,82 @@ def with_bpe_token_count(
     source for pack_documents* / mix_rates_for_token_budget when the
     budget must be tokenizer-faithful instead of estimated."""
     udf = bpe_token_count_udf(df.sparkSession, merges_path)
+    return df.withColumn(out_col, udf(F.col(text_col)))
+
+
+@lru_cache(maxsize=8)
+def load_vocab(path: str = DEFAULT_MERGES) -> dict:
+    """{symbol: id}: deterministic vocabulary derived from the merge
+    table alone (the GPT-2 construction: base alphabet first, then one
+    entry per merge in rank order — a merge's output id IS determined
+    by its rank). id 0 is reserved for <unk>: a character outside the
+    table's alphabet (one the merge-training corpus never produced a
+    merge component for). Swap the resource for a real model's
+    merges + its vocab.json to match that model's ids exactly; this
+    derived vocab keeps the ID STREAM deterministic and
+    count-consistent (len(ids) == bpe token count, always) without
+    shipping a second resource."""
+    ranks = load_merge_ranks(path)
+    base = sorted(
+        {s for pair in ranks for s in pair if len(s) == 1}
+    )
+    vocab = {"<unk>": 0}
+    for s in base:
+        vocab[s] = len(vocab)
+    for pair, _rank in sorted(ranks.items(), key=lambda kv: kv[1]):
+        merged = pair[0] + pair[1]
+        if merged not in vocab:
+            vocab[merged] = len(vocab)
+    return vocab
+
+
+def bpe_token_ids_udf(spark, merges_path: str = DEFAULT_MERGES):
+    """Arrow-batched pandas UDF: text column -> array<int> of BPE
+    token ids (load_vocab's deterministic id space). Same memoized
+    once-per-unique-pre-token merge loop as the count kernel — the
+    two are consistent by construction: size(ids) == count."""
+    from pyspark.sql.functions import pandas_udf
+
+    from alma_memory_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    b = spark.sparkContext.broadcast(
+        (load_merge_ranks(merges_path), load_vocab(merges_path))
+    )
+
+    @pandas_udf("array<int>")
+    def _ids(texts):
+        import pandas as pd
+
+        ranks, vocab = b.value
+        memo: dict[str, list] = {}
+
+        def ids_one(text):
+            if text is None:
+                return []
+            out: list[int] = []
+            for pt in re.findall(BPE_TOKEN_RE, text):
+                ids = memo.get(pt)
+                if ids is None:
+                    ids = memo[pt] = [
+                        vocab.get(s, 0) for s in bpe_encode(pt, ranks)
+                    ]
+                out.extend(ids)
+            return out
+
+        return pd.Series([ids_one(t) for t in texts])
+
+    return _ids
+
+
+def with_bpe_token_ids(
+    df: DataFrame, text_col: str = "text", out_col: str = "input_ids",
+    merges_path: str = DEFAULT_MERGES,
+) -> DataFrame:
+    """df + a tokenizer-faithful `input_ids` array column — the last
+    step before pack_documents* / write_training_shards emits
+    dataloader-ready id shards instead of text. len(input_ids) always
+    equals with_bpe_token_count's count (same kernel), so budgets
+    computed on counts stay exact for the id stream."""
+    udf = bpe_token_ids_udf(df.sparkSession, merges_path)
     return df.withColumn(out_col, udf(F.col(text_col)))

@@ -48,7 +48,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from alma_memory_spark.functions.bpe import with_bpe_token_count
+from alma_memory_spark.functions.bpe import (
+    with_bpe_token_count,
+    with_bpe_token_ids,
+)
 from alma_memory_spark.functions.pii import pii_count, redact_pii
 from alma_memory_spark.functions.text import (
     dup_ngram_fraction,
@@ -160,6 +163,7 @@ __all__ = [
     "with_url_signals",
     "weighted_mix",
     "with_bpe_token_count",
+    "with_bpe_token_ids",
     "write_training_shards",
 ]
 

@@ -107,3 +107,81 @@ def test_merges_parsing_keeps_hash_pairs(tmp_path):
     ranks = load_merge_ranks(str(p))
     assert ("#", "#") in ranks and ("##", "sym") in ranks
     assert list(ranks) == [("h", "e"), ("#", "#"), ("##", "sym"), ("a", "b")]
+
+
+def test_token_ids_consistent_with_counts_and_vocab(spark):
+    """r10: with_bpe_token_ids — len(ids) == the count kernel's count
+    on real data, ids replay the reference loop through the derived
+    vocab, unseen chars map to <unk>=0, and the vocab is the
+    deterministic GPT-2 construction (base alphabet, then merges in
+    rank order)."""
+    from alma_memory_spark.functions.bpe import (
+        load_vocab,
+        with_bpe_token_ids,
+    )
+
+    ranks = load_merge_ranks(DEFAULT_MERGES)
+    vocab = load_vocab(DEFAULT_MERGES)
+    # construction: contiguous ids, 0 is <unk>, merges follow base
+    assert vocab["<unk>"] == 0
+    assert sorted(vocab.values()) == list(range(len(vocab)))
+    n_base = len({s for p in ranks for s in p if len(s) == 1})
+    first_merge = min(ranks, key=ranks.get)
+    assert vocab[first_merge[0] + first_merge[1]] >= n_base + 1
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    got = (
+        with_bpe_token_ids(with_bpe_token_count(docs), "text")
+        .select("doc_id", "text", "n_bpe", "input_ids")
+        .collect()
+    )
+    assert len(got) == 50
+    for r in got:
+        assert len(r["input_ids"]) == r["n_bpe"]
+        # replay the reference loop through the vocab
+        exp = []
+        for pt in re.findall(BPE_TOKEN_RE, r["text"]):
+            exp.extend(vocab.get(s, 0) for s in bpe_encode(pt, ranks))
+        assert r["input_ids"] == exp
+    # unseen alphabet -> <unk>, never a crash; empty/None -> []
+    odd = spark.createDataFrame(
+        [(1, "éé café"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["input_ids"]
+        for r in with_bpe_token_ids(odd).collect()
+    }
+    assert 0 in out[1]       # é is outside the derived alphabet
+    assert out[2] == [] and out[3] == []
+
+
+def test_id_shards_end_to_end(spark, tmp_path):
+    """r10: the full pretraining-output path — tokenizer-faithful ids,
+    no-straddle packing on the SAME counts, one ordered file per
+    shard; re-reading the shards reproduces every document's id
+    stream exactly and no block exceeds its budget."""
+    from alma_memory_spark import pipeline as P
+
+    docs = load_table(spark, SF_DIR, "documents").limit(40)
+    ready = P.with_bpe_token_ids(P.with_bpe_token_count(docs), "text")
+    packed = P.pack_documents_nostraddle(
+        ready, budget=256, token_col="n_bpe", key_col="doc_id",
+        n_shards=4,
+    )
+    out = str(tmp_path / "shards")
+    P.write_training_shards(packed, out)
+    back = spark.read.parquet(out)
+    got = {r["doc_id"]: r for r in back.collect()}
+    want = {r["doc_id"]: r for r in ready.collect()}
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k]["input_ids"] == want[k]["input_ids"]
+    # no block over budget (oversize docs get their own block)
+    over = (
+        back.groupBy("shard", "pack_id")
+        .agg(F.sum("n_bpe").alias("s"), F.count("*").alias("c"))
+        .filter((F.col("s") > 256) & (F.col("c") > 1))
+        .count()
+    )
+    assert over == 0
