@@ -160,6 +160,7 @@ __all__ = [
     "unigram_lm",
     "url_pass_bits",
     "url_signals",
+    "verify_shards",
     "with_url_signals",
     "weighted_mix",
     "with_bpe_token_count",
@@ -188,6 +189,8 @@ def write_training_shards(
     path: str,
     shard_col: str = "shard",
     order_cols: tuple[str, ...] = ("pack_id", "pack_offset"),
+    token_col: str | None = None,
+    manifest: bool = True,
 ) -> None:
     """Emit the packed corpus as dataloader-ready shards: one parquet
     dir per shard value, exactly ONE file per shard, rows inside sorted
@@ -196,7 +199,15 @@ def write_training_shards(
     one task (hash by shard key — shards ≫ tasks stays balanced; task
     count follows the input so big corpora keep their write
     parallelism); parquet row groups inherit the block order, so a
-    resuming loader seeks by pack_id via row-group min/max stats."""
+    resuming loader seeks by pack_id via row-group min/max stats.
+
+    `manifest=True` also writes `<path>/_manifest` — one row per shard
+    (n_docs, n_blocks, plus n_tokens when `token_col` is given), the
+    loader-side source of truth for scheduling and resume math.
+    Underscore-prefixed paths are invisible to parquet directory
+    readers (the _SUCCESS convention), so `spark.read.parquet(path)`
+    still sees only the data. verify_shards() re-derives the numbers
+    from the data and cross-checks them against this file."""
     n_out = max(8, packed.rdd.getNumPartitions())
     (
         packed.repartition(n_out, shard_col)
@@ -205,3 +216,74 @@ def write_training_shards(
         .partitionBy(shard_col)
         .parquet(path)
     )
+    if manifest:
+        aggs = [
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.col(order_cols[0])).alias("n_blocks"),
+        ]
+        if token_col is not None:
+            aggs.append(F.sum(token_col).alias("n_tokens"))
+        (
+            packed.groupBy(shard_col)
+            .agg(*aggs)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{path}/_manifest")
+        )
+
+
+def verify_shards(
+    spark,
+    path: str,
+    shard_col: str = "shard",
+    order_cols: tuple[str, ...] = ("pack_id", "pack_offset"),
+    token_col: str | None = None,
+) -> None:
+    """Integrity check for a write_training_shards output: re-derives
+    every manifest column from the shard data and raises ValueError on
+    ANY mismatch (a shard present in only one side counts); also
+    enforces the one-file-per-shard layout contract. Cheap relative to
+    a training run — one aggregation over the shards plus a directory
+    listing — and the check a loader should run before trusting a
+    resumed or hand-touched shard directory."""
+    import os as _os
+
+    data = spark.read.parquet(path)
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.col(order_cols[0])).alias("n_blocks"),
+    ]
+    if token_col is not None:
+        aggs.append(F.sum(token_col).alias("n_tokens"))
+    got = {
+        r[shard_col]: r.asDict()
+        for r in data.groupBy(shard_col).agg(*aggs).collect()
+    }
+    want = {
+        r[shard_col]: r.asDict()
+        for r in spark.read.parquet(f"{path}/_manifest").collect()
+    }
+    if set(got) != set(want):
+        raise ValueError(
+            f"shard set mismatch: data={sorted(got)} "
+            f"manifest={sorted(want)}"
+        )
+    for s in want:
+        for k, v in want[s].items():
+            if got[s].get(k) != v:
+                raise ValueError(
+                    f"shard {s}: manifest says {k}={v}, data has "
+                    f"{got[s].get(k)}"
+                )
+    for entry in _os.listdir(path):
+        if not entry.startswith(f"{shard_col}="):
+            continue
+        files = [
+            f for f in _os.listdir(_os.path.join(path, entry))
+            if f.endswith(".parquet")
+        ]
+        if len(files) != 1:
+            raise ValueError(
+                f"{entry}: expected exactly one parquet file, found "
+                f"{len(files)}"
+            )

@@ -185,3 +185,35 @@ def test_id_shards_end_to_end(spark, tmp_path):
         .count()
     )
     assert over == 0
+
+
+def test_shard_manifest_and_verify(spark, tmp_path):
+    """r10: the shard manifest cross-checks — verify_shards passes on
+    a fresh write (with n_tokens), and raises on a tampered manifest
+    and on a violated one-file-per-shard layout."""
+    import pytest
+
+    from alma_memory_spark import pipeline as P
+
+    docs = load_table(spark, SF_DIR, "documents").limit(30)
+    ready = P.with_bpe_token_count(docs)
+    packed = P.pack_documents_nostraddle(
+        ready, budget=256, token_col="n_bpe", key_col="doc_id",
+        n_shards=3,
+    )
+    out = str(tmp_path / "shards")
+    P.write_training_shards(packed, out, token_col="n_bpe")
+    P.verify_shards(spark, out, token_col="n_bpe")  # clean pass
+    # manifest visible only via its own path, not the data read
+    assert "n_blocks" not in spark.read.parquet(out).columns
+    # tamper: rewrite the manifest with a wrong count (materialize
+    # before overwriting the path being read)
+    mdf = spark.read.parquet(out + "/_manifest")
+    rows = [r.asDict() for r in mdf.collect()]
+    for r in rows:
+        r["n_docs"] += 1
+    spark.createDataFrame(rows, mdf.schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(out + "/_manifest")
+    with pytest.raises(ValueError, match="n_docs"):
+        P.verify_shards(spark, out, token_col="n_bpe")
