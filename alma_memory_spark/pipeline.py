@@ -33,10 +33,14 @@ applies them.
     #    KenLM-shape scorer when word order should count)
     # 7) deterministic sampling / stratification / corpus mixing
     docs = P.stratified_sample(docs, "lang", {"en": 0.5}, key_col="doc_id")
-    # 8) sequence packing (straddle or no-straddle)
+    # 8) sequence packing (straddle or no-straddle) on exact counts
+    docs = P.with_bpe_token_ids(P.with_bpe_token_count(docs))
     packed = P.pack_documents_nostraddle(
-        docs, budget=4096, token_col="n_tokens", key_col="doc_id", n_shards=1024
+        docs, budget=4096, token_col="n_bpe", key_col="doc_id", n_shards=1024
     )
+    # 9) dataloader-ready id shards + manifest, then trust-check
+    P.write_training_shards(packed, "/data/shards", token_col="n_bpe")
+    P.verify_shards(spark, "/data/shards", token_col="n_bpe")
 
 Every operator is oracle-gated (plans/registry.py) or contract-tested;
 scale shapes are measured in scripts/measure_*.py and documented in
