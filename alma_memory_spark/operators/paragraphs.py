@@ -123,15 +123,23 @@ def explode_sentences(
 
 def _dedup_units(
     df: DataFrame, units: DataFrame, id_col: str, join_sep: str,
+    scope: str = "global",
 ) -> DataFrame:
     """Shared keep-first + reassembly core of dedup_paragraphs /
     dedup_sentences (same aggregate shape, different unit split and
-    join separator)."""
+    join separator). scope='global': first occurrence across the
+    corpus wins. scope='doc': dedup only WITHIN each document (repeated
+    boilerplate inside one page) — the argmin key gains the doc id, so
+    the shuffle key is (id, fp): combiner-friendly and skew-free even
+    when one fingerprint floods the corpus."""
+    if scope not in ("global", "doc"):
+        raise ValueError(f"scope must be global|doc, got {scope!r}")
     # argmin per fingerprint as a combinable aggregate (struct min is
     # lexicographic on (doc_id, idx)); winners rejoin on the full
     # triple so a corpus-wide duplicate unit cannot skew the join
+    group = ["fp"] if scope == "global" else [id_col, "fp"]
     firsts = (
-        units.groupBy("fp")
+        units.groupBy(*group)
         .agg(F.min(F.struct(F.col(id_col), F.col("idx"))).alias("_w"))
         .select(
             "fp",
@@ -146,21 +154,26 @@ def _dedup_units(
 
 def dedup_paragraphs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    sep: str = "\n\n",
+    sep: str = "\n\n", scope: str = "global",
 ) -> DataFrame:
     """Drop every repeated paragraph (global first occurrence wins) and
     reassemble each document from its kept paragraphs in original
     order. Returns (id, text_dedup, n_paras, n_kept) for EVERY input
     doc — a doc whose paragraphs were all dropped (or all whitespace)
     comes back with text_dedup = '' and n_kept = 0, so the caller can
-    filter empties instead of silently losing rows."""
+    filter empties instead of silently losing rows. scope='doc'
+    restricts dedup to WITHIN each document (in-page boilerplate:
+    repeated nav blocks, footers a template stamps twice) — the
+    cross-doc corpus stays untouched."""
     return _dedup_units(
-        df, explode_paragraphs(df, id_col, text_col, sep), id_col, sep
+        df, explode_paragraphs(df, id_col, text_col, sep), id_col, sep,
+        scope,
     )
 
 
 def dedup_sentences(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    scope: str = "global",
 ) -> DataFrame:
     """Sentence-granularity exact dedup (VERDICT r8 #5): paragraph mode
     misses boilerplate SENTENCES embedded inside otherwise-unique
@@ -168,9 +181,10 @@ def dedup_sentences(
     separator-preserving sentence split; reassembly joins with the
     EMPTY separator because each kept unit carries its own — on a
     corpus with no cross-doc duplicates the output text is
-    byte-identical to the input (contract-tested)."""
+    byte-identical to the input (contract-tested). scope='doc' dedups
+    only within each document."""
     return _dedup_units(
-        df, explode_sentences(df, id_col, text_col), id_col, ""
+        df, explode_sentences(df, id_col, text_col), id_col, "", scope
     )
 
 

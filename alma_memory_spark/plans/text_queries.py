@@ -753,6 +753,30 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT doc_id, string_split(ptext, '{_PARA_SEP}') AS ps FROM pdoc)
       ) WHERE trim(u.p) <> ''
     ),
+    pddoc AS (
+      SELECT doc_id, concat_ws('{_PARA_SEP}', text,
+             substr(text, 1, 40), text, substr(text, 1, 40)) AS ptext
+      FROM documents
+    ),
+    pdunits AS (
+      SELECT doc_id, u.i AS idx, u.p AS p, {X.sql_fingerprint('u.p')} AS pfp
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ps)+1), i -> {{'i': i, 'p': ps[i]}})) AS u
+        FROM (SELECT doc_id, string_split(ptext, '{_PARA_SEP}') AS ps FROM pddoc)
+      ) WHERE trim(u.p) <> ''
+    ),
+    pdkeep AS (
+      SELECT doc_id, idx, p FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id, pfp ORDER BY idx) AS rn
+        FROM pdunits
+      ) WHERE rn = 1
+    ),
+    pdreasm AS (
+      SELECT doc_id, count(*) AS n_kept,
+             md5(string_agg(p, '{_PARA_SEP}' ORDER BY idx)) AS h
+      FROM pdkeep GROUP BY doc_id
+    ),
     pkeep AS (
       SELECT doc_id, idx, p FROM (
         SELECT *, row_number() OVER (PARTITION BY pfp ORDER BY doc_id, idx) AS rn
@@ -865,6 +889,10 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'paradedup', coalesce(pr.h, md5('')), d.doc_id,
            coalesce(pr.n_kept, 0)
     FROM documents d LEFT JOIN preasm pr ON d.doc_id = pr.doc_id
+    UNION ALL
+    SELECT 'paradoc', coalesce(pr.h, md5('')), d.doc_id,
+           coalesce(pr.n_kept, 0)
+    FROM documents d LEFT JOIN pdreasm pr ON d.doc_id = pr.doc_id
     UNION ALL
     SELECT 'pdidx', coalesce(pr.h, md5('')), d.doc_id,
            coalesce(pr.n_kept, 0)
@@ -1013,6 +1041,28 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pdocs = docs.select("doc_id", p_aug.alias("text"))
     para = dedup_paragraphs(pdocs).select(
         F.lit("paradedup").alias("variant"),
+        F.md5("text_dedup").alias("key"),
+        F.col("doc_id").alias("id"),
+        F.col("n_kept").alias("n"),
+    )
+    # 'paradoc' rows (r10 late) — WITHIN-doc paragraph dedup
+    # (scope='doc'): the fixture stamps each doc's own text and
+    # 40-char prefix TWICE in one page (the template-repeats-a-block
+    # shape); keep-first must drop exactly the second copies without
+    # touching any cross-doc duplicate, and the oracle replays the
+    # per-(doc, fp) window, so a scope leak in either direction
+    # hash-mismatches on the reassembled md5.
+    pd_aug = F.concat_ws(
+        _PARA_SEP,
+        F.col("text"),
+        F.substring("text", 1, 40),
+        F.col("text"),
+        F.substring("text", 1, 40),
+    )
+    parad = dedup_paragraphs(
+        docs.select("doc_id", pd_aug.alias("text")), scope="doc"
+    ).select(
+        F.lit("paradoc").alias("variant"),
         F.md5("text_dedup").alias("key"),
         F.col("doc_id").alias("id"),
         F.col("n_kept").alias("n"),
@@ -1237,6 +1287,7 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(mixed)
         .unionByName(contam)
         .unionByName(para)
+        .unionByName(parad)
         .unionByName(sent)
         .unionByName(urldd)
         .unionByName(sub)

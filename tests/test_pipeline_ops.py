@@ -1152,3 +1152,46 @@ def test_lm_tail_ids_per_group(spark):
     assert got == {1, 101}
     with _pytest.raises(ValueError, match="approx"):
         lm_tail_ids(sc, frac=0.1, group_col="lang", method="exact")
+
+
+def test_dedup_scope_doc_vs_global(spark):
+    """r10: scope='doc' drops only WITHIN-document repeats — a
+    paragraph shared across docs survives in every doc, while the
+    global scope keeps only its first corpus occurrence; both scopes
+    keep first-in-doc order and the n_paras/n_kept contract."""
+    from alma_memory_spark.operators.paragraphs import (
+        dedup_paragraphs,
+        dedup_sentences,
+    )
+
+    rows = [
+        (1, "alpha\n\nshared nav\n\nalpha\n\nbeta"),
+        (2, "shared nav\n\ngamma\n\nshared nav"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    doc = {r["doc_id"]: r for r in dedup_paragraphs(df, scope="doc").collect()}
+    # doc 1: second 'alpha' dropped; 'shared nav' kept (first in ITS doc)
+    assert doc[1]["text_dedup"] == "alpha\n\nshared nav\n\nbeta"
+    assert (doc[1]["n_paras"], doc[1]["n_kept"]) == (4, 3)
+    # doc 2 keeps its own first 'shared nav' even though doc 1 has it
+    assert doc[2]["text_dedup"] == "shared nav\n\ngamma"
+    assert (doc[2]["n_paras"], doc[2]["n_kept"]) == (3, 2)
+    glob = {r["doc_id"]: r
+            for r in dedup_paragraphs(df, scope="global").collect()}
+    assert glob[2]["text_dedup"] == "gamma"  # cross-doc dup dropped
+    # sentence mode honors the same knob; invalid scope raises
+    sdoc = {
+        r["doc_id"]: r["text_dedup"]
+        for r in dedup_sentences(
+            spark.createDataFrame(
+                [(1, "Hi there. Hi there. New end.")],
+                "doc_id long, text string",
+            ),
+            scope="doc",
+        ).collect()
+    }
+    assert sdoc[1] == "Hi there. New end."
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="scope"):
+        dedup_paragraphs(df, scope="corpus")
