@@ -2900,7 +2900,6 @@ def text_relevance_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         lm_tail_ids,
         ngram_backoff_lm,
         ngram_backoff_scores,
-        stupid_backoff_scores,
     )
 
     # scores feed the top-20 rows and BOTH tail buckets —
@@ -2945,10 +2944,18 @@ def text_relevance_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle re-derives held-out counts -> backoff cascade -> DECIMAL
     # means in full, so a wrong count table, a broken backoff branch,
     # or a floor mismatch all hash-mismatch.
+    # lmq3 and lmq5 share ONE even-half model build: a k-gram count is
+    # the same number whatever max_order the pass emitted, so the
+    # order-5 table's order<=3 filters ARE the trigram model (the
+    # one-pass emission makes this free; two separate self-builds
+    # would re-scan and re-shuffle the train half)
+    models5, stats5 = ngram_backoff_lm(
+        docs.filter(F.col("doc_id") % 2 == 0), order=5
+    )
     lmq3 = (
-        stupid_backoff_scores(
+        ngram_backoff_scores(
             docs, id_col="doc_id", text_col="text",
-            train=docs.filter(F.col("doc_id") % 2 == 0),
+            models=models5[:3], stats=stats5,
         )
         .filter(F.col("score").isNotNull())
         .select("doc_id", "score")
@@ -2958,16 +2965,14 @@ def text_relevance_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 'lmq5' rows (r10 late) — the order-GENERIC backoff at order 5,
     # the full CCNet/KenLM scorer shape in count-only form
     # (ngram_backoff_scores; the order-3 instance is 'lmq3'). Same
-    # even-half training; scoring restricted to the doc_id % 4 == 1
-    # quarter (disjoint from half the train set, so every cascade
-    # level fires, and the 5-gram stream stays bench-bounded). The
-    # oracle replays all five count tables and the full five-level
-    # CASE cascade, so a wrong key shift (level k joins the n-gram's
-    # LAST k positions), a missing prefix condition, or a penalty
-    # mis-association all hash-mismatch.
-    models5, stats5 = ngram_backoff_lm(
-        docs.filter(F.col("doc_id") % 2 == 0), order=5
-    )
+    # even-half training (the shared models5 above); scoring
+    # restricted to the doc_id % 4 == 1 quarter (disjoint from half
+    # the train set, so every cascade level fires, and the 5-gram
+    # stream stays bench-bounded). The oracle replays all five count
+    # tables and the full five-level CASE cascade, so a wrong key
+    # shift (level k joins the n-gram's LAST k positions), a missing
+    # prefix condition, or a penalty mis-association all
+    # hash-mismatch.
     lmq5 = (
         ngram_backoff_scores(
             docs.filter(F.col("doc_id") % 4 == 1),
