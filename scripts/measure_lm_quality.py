@@ -247,6 +247,32 @@ def main() -> None:
     for r in n5agg:
         nat_sep[r["kind"]]["fivegram"] = r["mean_5gram"]
 
+    # ---- 6) per-language structure: wall vs corpus scale ------------
+    # group_col adds the language to the count-shuffle key; wall
+    # should track corpus size exactly like the global model (one
+    # shuffle either way), with no per-language pass multiplication
+    from alma_memory_spark.functions.text import lang_id
+
+    perlang = []
+    for reps in (1, 16):
+        corpus = (
+            replicated(docs, reps)
+            .select("doc_id", "text", lang_id("text").alias("lang"))
+            .localCheckpoint(eager=True)
+        )
+        t0 = time.perf_counter()
+        n = (
+            lm_quality_scores(corpus, group_col="lang")
+            .filter(F.col("score").isNotNull())
+            .count()
+        )
+        wall = time.perf_counter() - t0
+        perlang.append(
+            {"reps": reps, "scored": n, "wall_s": round(wall, 3)}
+        )
+        print(json.dumps(perlang[-1]), flush=True)
+        spark.catalog.clearCache()
+
     out = {
         "tail_scaleup": rows,
         "separation_synthetic": {
@@ -254,6 +280,7 @@ def main() -> None:
         },
         "separation_natural": nat_sep,
         "order_ladder": ladder,
+        "per_language_ladder": perlang,
     }
     print(json.dumps(out, indent=2))
     spark.stop()
