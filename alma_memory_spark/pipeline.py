@@ -59,6 +59,7 @@ from alma_memory_spark.functions.bpe import (
 from alma_memory_spark.functions.pii import pii_count, redact_pii
 from alma_memory_spark.functions.text import (
     dup_ngram_fraction,
+    token_count as _token_count,
     fingerprint,
     gopher_pass_bits,
     gopher_quality_pass,
@@ -152,6 +153,7 @@ __all__ = [
     "pack_documents",
     "pack_documents_nostraddle",
     "pii_count",
+    "quality_report",
     "quality_score",
     "quality_signals",
     "redact_pii",
@@ -186,6 +188,40 @@ def drop_exact_duplicates(
         .select(id_col)
     )
     return df.join(keep, id_col, "left_semi")
+
+
+def quality_report(
+    docs: DataFrame, text_col: str = "text", min_words: int = 50
+) -> DataFrame:
+    """(lang, n_docs, n_tokens, mean_quality, gopher_pass_rate): the
+    one-scan corpus observability read a pipeline runs before and
+    after each filter stage — per detected language: how many docs,
+    how many whitespace tokens, the mean heuristic quality score, and
+    the fraction passing the Gopher rule family. All signals are
+    scan-speed column expressions grouped by lang_id; the means run
+    through the DECIMAL(28,10) sum discipline over per-doc
+    round(...,6) values, so the report is bit-stable under any
+    partitioning (oracle-gated as 'qreport:<lang>' rows of
+    table_stats)."""
+    base = docs.select(
+        lang_id(text_col).alias("lang"),
+        F.round(quality_score(text_col), 6).alias("q"),
+        gopher_quality_pass(text_col, min_words=min_words)
+        .cast("int")
+        .alias("g"),
+        _token_count(text_col).alias("ntok"),
+    )
+    dec_mean = lambda c: F.round(  # noqa: E731
+        F.sum(F.col(c).cast("decimal(28,10)")).cast("double")
+        / F.count(F.lit(1)),
+        6,
+    )
+    return base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").alias("n_tokens"),
+        dec_mean("q").alias("mean_quality"),
+        dec_mean("g").alias("gopher_pass_rate"),
+    )
 
 
 def write_training_shards(

@@ -495,7 +495,7 @@ def multi_agent_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "table_stats",
-    """
+    f"""
     SELECT 'count' AS variant, table_name, n,
            CAST(NULL AS DOUBLE) AS q50, CAST(NULL AS DOUBLE) AS q90,
            CAST(NULL AS DOUBLE) AS q99
@@ -513,6 +513,21 @@ def multi_agent_union(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(quantile_cont(length(text), 0.9), 6),
            round(quantile_cont(length(text), 0.99), 6)
     FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 'qreport:' || lang, lang, count(*) AS n,
+           round(CAST(sum(CAST(q AS DECIMAL(28,10))) AS DOUBLE)
+                 / count(*), 6),
+           round(CAST(sum(CAST(g AS DECIMAL(28,10))) AS DOUBLE)
+                 / count(*), 6),
+           CAST(sum(ntok) AS DOUBLE)
+    FROM (
+      SELECT {X.sql_lang_id('text')} AS lang,
+             round({X.sql_quality_score('text')}, 6) AS q,
+             CASE WHEN {X.sql_gopher_pass_bits('text')} = '1111111'
+                  THEN 1 ELSE 0 END AS g,
+             len({X.sql_ws_tokens('text')}) AS ntok
+      FROM documents
+    ) GROUP BY lang
     """,
 )
 def table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -560,4 +575,22 @@ def table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("table_name"),
         "n", "q50", "q90", "q99",
     )
-    return out.unionByName(quant)
+    # 'qreport:<lang>' rows (r10 late) — the pipeline facade's
+    # one-scan corpus quality report (pipeline.quality_report):
+    # per DETECTED language (lang_id, not the stored lang column),
+    # doc count, whitespace-token total, DECIMAL-summed means of the
+    # per-doc round(quality_score, 6) and the Gopher pass bit. The
+    # oracle re-derives every signal from its gated SQL mirror and
+    # replays the same decimal means, so a drifted signal, a pooled
+    # language, or an order-dependent mean all hash-mismatch.
+    from alma_memory_spark.pipeline import quality_report
+
+    qr = quality_report(docs).select(
+        F.concat(F.lit("qreport:"), F.col("lang")).alias("variant"),
+        F.col("lang").alias("table_name"),
+        F.col("n_docs").alias("n"),
+        F.col("mean_quality").alias("q50"),
+        F.col("gopher_pass_rate").alias("q90"),
+        F.col("n_tokens").cast("double").alias("q99"),
+    )
+    return out.unionByName(quant).unionByName(qr)

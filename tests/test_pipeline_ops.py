@@ -1195,3 +1195,29 @@ def test_dedup_scope_doc_vs_global(spark):
 
     with _pytest.raises(ValueError, match="scope"):
         dedup_paragraphs(df, scope="corpus")
+
+
+def test_quality_report_hand_corpus(spark):
+    """r10: quality_report groups by DETECTED language and reports
+    exact counts/rates on a hand corpus."""
+    from alma_memory_spark import pipeline as P
+
+    en_good = (
+        "the quick brown fox jumps over that lazy dog and it will have "
+        "kept running with steady calm pace for hours today"
+    )
+    rows = [
+        (1, en_good),          # en, passes gopher at min_words=10
+        (2, "too few words"),  # und (no stopwords), fails word count
+        (3, en_good + " again and again it went on"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["lang"]: r
+        for r in P.quality_report(df, min_words=10).collect()
+    }
+    assert got["en"]["n_docs"] == 2
+    assert got["en"]["gopher_pass_rate"] == 1.0
+    assert got["en"]["n_tokens"] == len(en_good.split()) * 2 + 6
+    assert 0.0 <= got["en"]["mean_quality"] <= 1.0
+    assert got["und"]["n_docs"] == 1 and got["und"]["gopher_pass_rate"] == 0.0
