@@ -36,6 +36,7 @@ __all__ = [
     "hash_bucket",
     "hash_sample",
     "mix_rates_for_token_budget",
+    "split_corpus",
     "stratified_sample",
     "weighted_mix",
     "sql_hash_keep",
@@ -161,3 +162,44 @@ def mix_rates_for_token_budget(
         else:
             rates[name] = min(1.0, want / have)
     return rates
+
+
+def split_corpus(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str,
+    salt: str = "split",
+) -> DataFrame:
+    """df + a `split` column assigning every row to exactly one named
+    split (train/val/test and friends) by cumulative hash-bucket
+    thresholds over hash(key, salt) — the standard held-out carve-up,
+    with the same guarantees as hash_sample: deterministic under
+    repartition/retry, content-keyed (a re-ingested duplicate lands in
+    the same split, so val never leaks into train via a second copy),
+    and namespaced by `salt` so independent splits of the same corpus
+    don't correlate. Weights must sum to 1 (±1 bucket of float slack;
+    the LAST split in insertion order absorbs the rounding remainder).
+    One narrow projection — no shuffle, no sort, no count."""
+    if not weights:
+        raise ValueError("weights must name at least one split")
+    for name, w in weights.items():
+        if not 0.0 <= w <= 1.0:
+            raise ValueError(f"weight for {name!r} must be in [0, 1]")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total!r}")
+    b = hash_bucket(key_col, salt)
+    names = list(weights)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = b < F.lit(_thresh(cum))
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", out)

@@ -111,6 +111,7 @@ from alma_memory_spark.operators.packing import (
 from alma_memory_spark.operators.sampling import (
     hash_sample,
     mix_rates_for_token_budget,
+    split_corpus,
     stratified_sample,
     weighted_mix,
 )
@@ -160,6 +161,7 @@ __all__ = [
     "semantic_dedup_groups",
     "semantic_dedup_pairs",
     "semantic_dedup_pairs_incremental",
+    "split_corpus",
     "stratified_sample",
     "stupid_backoff_lm",
     "stupid_backoff_scores",

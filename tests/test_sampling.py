@@ -365,3 +365,50 @@ def test_order_salt_gives_deterministic_corpus_shuffle(spark):
         ]
         # visiting order reconstructed from (pack_id, offset) matches
         assert got == order
+
+
+def test_split_corpus_partitions_deterministically(spark):
+    """r10: split_corpus — every row in exactly one split, proportions
+    near the weights, assignment stable under repartition and keyed on
+    CONTENT (a duplicate key lands in the same split), salts
+    independent, bad weights rejected."""
+    import pytest
+
+    from alma_memory_spark.operators.sampling import split_corpus
+
+    df = spark.range(0, 20000).select(F.col("id").alias("doc_id"))
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = split_corpus(df, w, key_col="doc_id")
+    counts = {r["split"]: r["n"] for r in
+              got.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 20000
+    assert abs(counts["train"] / 20000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20000 - 0.1) < 0.01
+    assert abs(counts["test"] / 20000 - 0.1) < 0.01
+    a = {r["doc_id"]: r["split"] for r in got.collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in split_corpus(
+            df.repartition(16), w, key_col="doc_id"
+        ).collect()
+    }
+    assert a == b
+    # duplicate keys co-locate: no val/train leak through a second copy
+    dup = split_corpus(
+        df.unionByName(df.limit(500)), w, key_col="doc_id"
+    )
+    assert (
+        dup.groupBy("doc_id")
+        .agg(F.count_distinct("split").alias("k"))
+        .filter("k > 1")
+        .count()
+        == 0
+    )
+    # a different salt reshuffles assignments
+    c = {r["doc_id"]: r["split"]
+         for r in split_corpus(df, w, key_col="doc_id", salt="v2").collect()}
+    assert c != a
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_corpus(df, {"train": 0.5, "val": 0.1}, key_col="doc_id")
+    with pytest.raises(ValueError, match="at least one"):
+        split_corpus(df, {}, key_col="doc_id")
