@@ -26,7 +26,12 @@ from pyspark.sql import functions as F
 
 from alma_memory_spark.functions.text import ngrams_of_tokens, ws_tokens
 
-__all__ = ["contamination_report", "decontaminate", "doc_ngrams"]
+__all__ = [
+    "contamination_report",
+    "decontaminate",
+    "decontaminate_spans",
+    "doc_ngrams",
+]
 
 
 def doc_ngrams(
@@ -79,3 +84,52 @@ def decontaminate(
     report ids)."""
     bad = contamination_report(train, bench, id_col, text_col, n).select(id_col)
     return train.join(bad, id_col, "left_anti")
+
+
+def decontaminate_spans(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, text_clean, n_units, n_kept): EXCISION-mode
+    decontamination — instead of dropping a contaminated document
+    wholesale (decontaminate), remove every n-token window that
+    appears verbatim in the benchmark corpus and re-splice the
+    remainder byte-faithfully. The open-data-pipeline middle ground:
+    a long, mostly-clean document that quotes one benchmark item
+    keeps everything but the quote.
+
+    Composition of two oracle-gated kernels: the window
+    fingerprinting + byte-faithful excision machinery of
+    dedup_token_windows ('subdedup' gates) and the
+    small-side-broadcast membership of decontaminate ('contam' gate).
+    Both corpora fingerprint through the SAME normalization
+    (operators/substring.token_units), so membership is exact.
+    Scale shape: the benchmark fp set broadcasts (eval corpora are
+    small by definition); the train side is a narrow map + one
+    per-doc aggregation — the training corpus never shuffles on the
+    gram key. Docs shorter than n tokens carry no windows and come
+    back unchanged."""
+    from alma_memory_spark.operators.substring import (
+        _excise,
+        explode_token_windows,
+        token_units,
+    )
+
+    base = train.select(F.col(id_col), token_units(text_col).alias("units"))
+    wins = explode_token_windows(train, n, id_col, text_col)
+    bench_fps = (
+        explode_token_windows(bench, n, id_col, text_col)
+        .select("fp")
+        .distinct()
+    )
+    dropped = (
+        wins.join(F.broadcast(bench_fps), "fp", "left_semi")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("start")).alias("starts"))
+    )
+    return _excise(base, dropped, id_col, n).withColumnRenamed(
+        "text_dedup", "text_clean"
+    )

@@ -102,6 +102,7 @@ from alma_memory_spark.operators.components import (
 from alma_memory_spark.operators.decontam import (
     contamination_report,
     decontaminate,
+    decontaminate_spans,
 )
 from alma_memory_spark.operators.dedup_index import NearDupIndex
 from alma_memory_spark.operators.packing import (
@@ -132,6 +133,7 @@ __all__ = [
     "connected_components",
     "contamination_report",
     "decontaminate",
+    "decontaminate_spans",
     "dedup_paragraphs",
     "dedup_sentences",
     "dedup_token_windows",

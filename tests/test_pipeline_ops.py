@@ -1221,3 +1221,41 @@ def test_quality_report_hand_corpus(spark):
     assert got["en"]["n_tokens"] == len(en_good.split()) * 2 + 6
     assert 0.0 <= got["en"]["mean_quality"] <= 1.0
     assert got["und"]["n_docs"] == 1 and got["und"]["gopher_pass_rate"] == 0.0
+
+
+def test_decontaminate_spans_excises_only_the_quote(spark):
+    """r10: excision-mode decontamination — a doc quoting one
+    benchmark item loses exactly the quoted window span (byte-faithful
+    remainder), clean docs come back byte-identical, short docs carry
+    no windows, and whole-doc contamination excises to empty rather
+    than vanishing."""
+    from alma_memory_spark import pipeline as P
+
+    quote = "q1 q2 q3 q4 q5"  # a 5-token benchmark item
+    bench = spark.createDataFrame(
+        [(100, "pre " + quote + " post")], "doc_id long, text string"
+    )
+    clean = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"
+    rows = [
+        (1, "a1 a2 a3 " + quote + " b1 b2 b3"),  # quote mid-doc
+        (2, clean),                               # no overlap
+        (3, quote),                               # the quote IS the doc
+        (4, "s1 s2"),                             # shorter than n
+    ]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in P.decontaminate_spans(train, bench, n=5).collect()
+    }
+    # doc 1: every unit covered by a contaminated 5-window is gone;
+    # windows containing any qN token overlap it, so the a/b context
+    # within 4 tokens of the quote goes too — but the doc SURVIVES
+    # with its clean prefix
+    assert got[1]["text_clean"].startswith("a1")
+    assert "q3" not in got[1]["text_clean"]
+    assert got[1]["n_kept"] < got[1]["n_units"]
+    assert got[2]["text_clean"].rstrip() == clean
+    assert got[2]["n_kept"] == got[2]["n_units"]
+    assert got[3]["text_clean"] == "" and got[3]["n_kept"] == 0
+    assert got[4]["text_clean"].rstrip() == "s1 s2"
+    assert set(got) == {1, 2, 3, 4}
