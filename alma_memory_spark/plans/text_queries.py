@@ -858,6 +858,45 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, ts, unnest(range(0, len(ts) - {_SUB_W} + 1)) AS s
         FROM subt WHERE len(ts) >= {_SUB_W})
     ),
+    cxt AS (
+      SELECT doc_id, us,
+             list_transform(us,
+               u -> lower(regexp_replace(u,
+                 '^[ \\t\\n\\x0b\\f\\r]+|[ \\t\\n\\x0b\\f\\r]+$', '', 'g'))
+             ) AS ts
+      FROM (
+        SELECT doc_id,
+               list_filter(
+                 string_split(
+                   regexp_replace(replace(text, chr(30), ''),
+                                  '([ \\t\\n\\x0b\\f\\r]+)',
+                                  '\\1' || chr(30), 'g'),
+                   chr(30)),
+                 p -> p <> '') AS us
+        FROM documents)
+    ),
+    cxw AS (
+      SELECT doc_id, s,
+             md5(array_to_string(ts[s + 1 : s + 13], ' ')) AS fp
+      FROM (
+        SELECT doc_id, ts, unnest(range(0, len(ts) - 12)) AS s
+        FROM cxt WHERE len(ts) >= 13)
+    ),
+    cxb AS (SELECT DISTINCT fp FROM cxw WHERE doc_id % 5 = 0),
+    cxdrop AS (
+      SELECT doc_id, list_sort(list(s)) AS starts
+      FROM cxw w JOIN cxb b USING (fp)
+      WHERE doc_id % 5 != 0
+      GROUP BY doc_id
+    ),
+    cxkeep AS (
+      SELECT t.doc_id, len(t.us) AS n_units,
+             list_filter(t.us,
+               (u, i) -> len(list_filter(coalesce(d.starts, []),
+                 s -> s <= i - 1 AND i - 1 < s + 13)) = 0) AS ku
+      FROM cxt t LEFT JOIN cxdrop d ON t.doc_id = d.doc_id
+      WHERE t.doc_id % 5 != 0
+    ),
     subwin AS (
       SELECT doc_id, s,
              row_number() OVER (PARTITION BY fp ORDER BY doc_id, s) AS rn
@@ -909,6 +948,10 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(sr.n_kept, 0)
     FROM documents d LEFT JOIN sreasm sr ON d.doc_id = sr.doc_id
     WHERE d.doc_id >= 300
+    UNION ALL
+    SELECT 'contamx', md5(coalesce(array_to_string(ku, ''), '')), doc_id,
+           CAST(len(ku) AS BIGINT)
+    FROM cxkeep
     UNION ALL
     SELECT 'subdedup', md5(coalesce(array_to_string(ku, ''), '')), doc_id,
            CAST(len(ku) AS BIGINT)
@@ -1064,6 +1107,28 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit("paradoc").alias("variant"),
         F.md5("text_dedup").alias("key"),
+        F.col("doc_id").alias("id"),
+        F.col("n_kept").alias("n"),
+    )
+
+    # 'contamx' rows (r10 late) — EXCISION-mode decontamination
+    # (operators/decontam.decontaminate_spans): the %5==0 docs play
+    # the benchmark corpus and every 13-token window a train doc
+    # shares with them is excised, remainder re-spliced
+    # byte-faithfully. The oracle replays windows -> broadcast
+    # membership -> covered-unit excision in full, so a
+    # normalization mismatch BETWEEN the two corpora, a off-by-one
+    # window cover, or a lost clean unit all hash-mismatch on the
+    # re-spliced md5.
+    from alma_memory_spark.operators.decontam import decontaminate_spans
+
+    cx = decontaminate_spans(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+        n=13,
+    ).select(
+        F.lit("contamx").alias("variant"),
+        F.md5("text_clean").alias("key"),
         F.col("doc_id").alias("id"),
         F.col("n_kept").alias("n"),
     )
@@ -1288,6 +1353,7 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(contam)
         .unionByName(para)
         .unionByName(parad)
+        .unionByName(cx)
         .unionByName(sent)
         .unionByName(urldd)
         .unionByName(sub)
