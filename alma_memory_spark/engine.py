@@ -107,6 +107,17 @@ class AlmaSpark:
         from alma_memory_spark.events import EventEmitter
 
         self.events = EventEmitter()
+        # SQL-compiled serving plan (operators/serving_sql.py, VERDICT
+        # r10 #1): whole-subtree template cache keyed on (store version
+        # stamps, serving config); per-call cost is one spark.sql()
+        # round trip instead of rebuilding the plan through py4j. Temp
+        # views are namespaced per engine instance and re-registered
+        # only when a table's stamp changes.
+        self.serving_sql_enabled = True
+        self._srv_ns = uuid.uuid4().hex[:8]
+        self._srv_lock = threading.Lock()
+        self._srv_views: dict[tuple, tuple] = {}
+        self._srv_templates: OrderedDict[tuple, Any] = OrderedDict()
 
     # ------------------------------------------------------------------
     # helpers
@@ -174,6 +185,135 @@ class AlmaSpark:
         if user_id is not None:
             keys.append(("user", user_id))
         return tuple(self._epochs.get(k, 0) for k in keys)
+
+    # ------------------------------------------------------------------
+    # SQL-compiled serving plan (operators/serving_sql.py, VERDICT r10 #1)
+    # ------------------------------------------------------------------
+
+    def _serving_view(self, table: str, declared_schema: bool = False):
+        """Register (or reuse) this engine's temp view over the
+        stamp-pinned store read. Returns (view_name, df, stamp). The
+        view is re-registered only when the table's write-version stamp
+        changes — the same staleness contract as store.read's plan
+        cache; a no-stamp table re-registers every call (cheap, one
+        py4j call) since its staleness is undetectable."""
+        # txlog's read() has no declared_schema param — pass it only
+        # when set (the same way the DataFrame path calls read)
+        df = (
+            self.store.read(table, declared_schema=True)
+            if declared_schema
+            else self.store.read(table)
+        )
+        stamp = self.store.version_stamp(table)
+        name = f"alma_srv_{self._srv_ns}_{table}"
+        key = (table, declared_schema)
+        with self._srv_lock:
+            ent = self._srv_views.get(key)
+            if ent is None or stamp is None or ent != (stamp, id(df)):
+                df.createOrReplaceTempView(name)
+                self._srv_views[key] = (stamp, id(df))
+        return name, df, stamp
+
+    def _sql_serving_rows(
+        self,
+        type_list: list[str],
+        fetch_k: int,
+        k: int,
+        min_score: float,
+        weights: ScoringWeights,
+        cfg: ModeConfig | None,
+        project_id: str | None,
+        agents: list[str],
+        user_id: str | None,
+        use_feedback: bool,
+        qvec,
+        now,
+    ):
+        """The serving fast path: one compiled-SQL statement for the
+        whole union plan. Returns (rows, colsets) or raises
+        ServingSQLUnsupported (caller falls back to the DataFrame
+        path — results are bit-identical either way)."""
+        from alma_memory_spark.operators import serving_sql as SS
+
+        branches: list[SS.BranchInput] = []
+        stamps: list[tuple] = []
+        for t in type_list:
+            if not self.store.exists(t):
+                continue
+            view, df, stamp = self._serving_view(t)
+            branches.append(
+                SS.BranchInput(
+                    t,
+                    view,
+                    tuple(df.columns),
+                    tuple((f.name, f.dataType.simpleString()) for f in df.schema.fields),
+                )
+            )
+            stamps.append((t, stamp))
+        prefs = None
+        if user_id is not None:
+            view, pdf, stamp = self._serving_view("preferences")
+            prefs = SS.PrefsInput(
+                view,
+                tuple(pdf.columns),
+                tuple((f.name, f.dataType.simpleString()) for f in pdf.schema.fields),
+                user_id,
+                k,
+            )
+            stamps.append(("preferences", stamp))
+        fb_view = None
+        if use_feedback:
+            fb_view, _, stamp = self._serving_view(
+                "retrieval_feedback", declared_schema=True
+            )
+            stamps.append(("retrieval_feedback", stamp))
+        if not branches and prefs is None:
+            return [], {}
+
+        cfg_key = (
+            (cfg.prioritize_failures, cfg.exact_match_boost)
+            if cfg is not None
+            else None
+        )
+        key = (
+            tuple(stamps),
+            fetch_k,
+            k,
+            min_score,
+            (weights.similarity, weights.recency, weights.success_rate, weights.confidence),
+            cfg_key,
+            project_id,
+            tuple(agents),
+            user_id,
+            use_feedback,
+            self.feedback_weight,
+        )
+        with self._srv_lock:
+            tmpl = self._srv_templates.get(key)
+            # a None stamp means staleness is undetectable: never reuse
+            if tmpl is not None and not any(s is None for _, s in stamps):
+                self._srv_templates.move_to_end(key)
+            else:
+                tmpl = None
+        if tmpl is None:
+            tmpl = SS.compile_serving_template(
+                branches,
+                fetch_k,
+                min_score,
+                weights,
+                cfg,
+                project_id,
+                tuple(agents),
+                prefs=prefs,
+                feedback_view=fb_view,
+                feedback_weight=self.feedback_weight,
+            )
+            with self._srv_lock:
+                self._srv_templates[key] = tmpl
+                while len(self._srv_templates) > 64:
+                    self._srv_templates.popitem(last=False)
+        rows = self.spark.sql(tmpl.bind(qvec, now)).collect()
+        return rows, dict(tmpl.colsets)
 
     # ------------------------------------------------------------------
     # retrieval (the hot path; reference core.py:246-307)
@@ -252,12 +392,42 @@ class AlmaSpark:
 
         qvec = self.embedder.encode(query)
         now = self._now()
-        # built once per retrieve, shared by every type branch
-        qv_lit = F.lit([float(x) for x in qvec])
         agents = [agent] + [a for a in (inherit_from or []) if a != agent]
 
+        # ONE Spark job for all memory types (SURVEY §3.1) either way.
+        # Fast path (VERDICT r10 #1): the whole union plan as one
+        # compiled-SQL statement — bit-identical results, one
+        # spark.sql() round trip instead of rebuilding the plan through
+        # py4j. Falls back to the DataFrame path for shapes the
+        # compiler rejects and for ANN-index serving (its candidate
+        # probe is built per call).
+        type_list = ["heuristics", "outcomes", "domain_knowledge"]
+        if cfg is None or cfg.include_anti_patterns:
+            type_list.append("anti_patterns")
+        sql_served = None
+        if self.serving_sql_enabled and not use_ann:
+            from alma_memory_spark.operators.serving_sql import ServingSQLUnsupported
+
+            try:
+                sql_served = self._sql_serving_rows(
+                    type_list,
+                    fetch_k,
+                    k,
+                    min_score,
+                    weights,
+                    cfg,
+                    project_id,
+                    agents,
+                    user_id,
+                    use_feedback,
+                    qvec,
+                    now,
+                )
+            except ServingSQLUnsupported:
+                sql_served = None
+
         fb = None
-        if use_feedback:
+        if use_feedback and sql_served is None:
             # declared schema: the feedback summary sits on the
             # retrieve hot path, and inference's footer-sampling jobs
             # are pure serving latency (the table is always written
@@ -270,16 +440,17 @@ class AlmaSpark:
             # subtrees, r8)
             fb = feedback_summary(fb_df)
 
-        # ONE Spark job for all memory types (SURVEY §3.1): per-type
-        # candidate frames (each already cut to fetch_k by
-        # TakeOrderedAndProject) union into a single plan with a
-        # memory_type column and ONE collect; rows split back driver-side.
-        type_list = ["heuristics", "outcomes", "domain_knowledge"]
-        if cfg is None or cfg.include_anti_patterns:
-            type_list.append("anti_patterns")
+        # DataFrame path: per-type candidate frames (each already cut
+        # to fetch_k by TakeOrderedAndProject) union into a single plan
+        # with a memory_type column and ONE collect; rows split back
+        # driver-side.
         frames: list[DataFrame] = []
         colsets: dict[str, list[str]] = {}
-        for t in type_list:
+        # built once per retrieve, shared by every type branch
+        qv_lit = (
+            None if sql_served is not None else F.lit([float(x) for x in qvec])
+        )
+        for t in [] if sql_served is not None else type_list:
             # a memory type that has never been written contributes an
             # empty result either way — skipping it drops its window +
             # sort + union stages from the one-job plan (the common case
@@ -339,7 +510,7 @@ class AlmaSpark:
                 ["feedback_score"] if fb is not None else []
             )
             frames.append(scored.withColumn("memory_type", F.lit(t)))
-        if user_id is not None:
+        if user_id is not None and sql_served is None:
             pdf = (
                 self.store.read("preferences")
                 .filter(F.col("user_id") == user_id)
@@ -349,9 +520,11 @@ class AlmaSpark:
             colsets["preferences"] = list(pdf.columns)
             frames.append(pdf.withColumn("memory_type", F.lit("preferences")))
 
+        rows_iter: list = []
+        if sql_served is not None:
+            rows_iter, colsets = sql_served
         by_type: dict[str, list[dict]] = {t: [] for t in type_list}
         by_type.update({t: [] for t in colsets})
-        rows_iter: list = []
         if frames:
             unioned = frames[0]
             for f in frames[1:]:

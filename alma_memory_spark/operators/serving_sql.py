@@ -1,0 +1,432 @@
+"""SQL-compiled serving plan: whole-subtree memoization (VERDICT r10 #1).
+
+Warm `retrieve()`'s remaining latency floor was driver-side plan
+construction: even with per-process cached Column trees
+(operators/retrieval.py PARAM_QV) the per-call DataFrame chain costs
+~550 py4j round trips (~0.15 s) because the query vector and clock are
+plan literals rebuilt every call. This module compiles the WHOLE
+per-retrieve serving subtree — scope filters -> cosine top-2k ->
+ann_rank -> composite scoring -> mode boosts -> threshold/top-k per
+type -> union -> feedback blend — into ONE SQL statement template,
+cached per (store version stamps, serving config), and binds the
+per-call query vector / clock by token substitution. A warm retrieve
+then costs ONE `spark.sql()` round trip (JVM-side parse + analyze,
+measured ~25 ms per branch) plus the collect, instead of rebuilding
+the tree through py4j.
+
+Bit-identity contract: every generated fragment mirrors the exact
+Catalyst expression tree the DataFrame path builds (operator order,
+literal types, null semantics, sort null-ordering defaults), so
+results are BIT-identical to `retrieve_type(params=True)` — asserted
+at full precision in tests/test_serving_sql.py and pinned by the
+engine_retrieve_serving oracle gates. Two deliberate pre-folds, both
+IEEE-754-identical to what Catalyst constant-folds in the DataFrame
+plan:
+
+- the query vector's L2 norm (`sqrt(aggregate(qv, 0.0, acc+x*x))` over
+  an array literal) is folded in Python with the same left-to-right
+  double fold — CPython floats ARE IEEE-754 doubles, so the value is
+  the literal Catalyst would produce;
+- the `now` anchor enters as its epoch-seconds double (what
+  `Cast(TimestampType -> double)` yields: micros / 1e6, computed here
+  with exact integer micros). Naive datetimes are interpreted in the
+  SYSTEM timezone (matching `F.lit(naive_dt)` under the default
+  session timezone); engines with a non-default
+  `spark.sql.session.timeZone` should pass tz-aware clocks.
+
+Reference: serving semantics alma/retrieval/engine.py:275-374 +
+scoring.py + modes.py — see operators/retrieval.py for the per-type
+conventions this compiles.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from datetime import datetime, timezone
+
+from alma_memory_spark.operators.retrieval import (
+    _RECENCY_TS,
+    ModeConfig,
+    ScoringWeights,
+)
+
+#: per-call substitution tokens; chosen to never collide with SQL text
+TOKEN_QV = "@QV@"
+TOKEN_QNORM = "@QNORM@"
+TOKEN_NOW = "@NOWD@"
+
+_EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
+
+
+class ServingSQLUnsupported(Exception):
+    """Raised at compile time when the requested serving shape cannot
+    be expressed by this compiler (the engine falls back to the
+    DataFrame path; semantics are identical either way)."""
+
+
+def double_literal(x: float) -> str:
+    """A Spark SQL double literal that round-trips `x` exactly.
+    repr() of a CPython float is the shortest round-tripping decimal."""
+    v = float(x)
+    if math.isnan(v):
+        return "CAST('NaN' AS DOUBLE)"
+    if math.isinf(v):
+        return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+    r = repr(v)
+    return r + "D"
+
+
+def string_literal(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def qv_array_sql(qvec) -> str:
+    return "array(" + ",".join(double_literal(v) for v in qvec) + ")"
+
+
+def qv_norm(qvec) -> float:
+    """The L2 norm Catalyst constant-folds for the literal query array:
+    left-to-right `acc + x*x` fold in double, then sqrt. CPython floats
+    are IEEE-754 doubles, so this is the identical computation."""
+    acc = 0.0
+    for v in qvec:
+        x = float(v)
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
+def now_epoch_seconds(dt: datetime) -> float:
+    """Epoch seconds exactly as Cast(TimestampType -> double) computes
+    them: integer micros divided by 1e6 (one IEEE division). Naive
+    datetimes are taken in the system timezone, matching F.lit(naive)
+    under the default session timezone."""
+    aware = dt if dt.tzinfo is not None else dt.astimezone()
+    delta = aware - _EPOCH
+    micros = (delta.days * 86400 + delta.seconds) * 1_000_000 + delta.microseconds
+    return micros / 1e6
+
+
+def _q(name: str) -> str:
+    if "`" in name:
+        raise ServingSQLUnsupported(f"unquotable column name: {name!r}")
+    return f"`{name}`"
+
+
+# ---------------------------------------------------------------------------
+# expression fragments — each mirrors the retrieval.py Column tree
+# ---------------------------------------------------------------------------
+
+def _cosine_sql(emb_col: str) -> str:
+    """functions/vector.py cosine_similarity over (embedding, @QV@):
+    the qv-side norm is the pre-folded @QNORM@ literal (see module
+    docstring); the doc-side norm and the dot product keep the exact
+    fold shape (zip_with + sequential aggregate in double)."""
+    te = f"transform({_q(emb_col)}, x -> CAST(x AS DOUBLE))"
+    tq = f"transform({TOKEN_QV}, x -> CAST(x AS DOUBLE))"
+    dot = f"aggregate(zip_with({te}, {tq}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    na = f"sqrt(aggregate({te}, 0.0D, (acc, x) -> acc + x * x))"
+    return (
+        f"CASE WHEN ({na} > 0 AND {TOKEN_QNORM} > 0) "
+        f"THEN {dot} / ({na} * {TOKEN_QNORM}) ELSE 0.0D END"
+    )
+
+
+def _recency_sql(ts_col: str, half_life_days: float) -> str:
+    """functions/temporal.py recency_score with the now anchor already
+    a folded epoch-seconds double."""
+    d = f"({TOKEN_NOW} - CAST({_q(ts_col)} AS DOUBLE)) / 86400.0D"
+    return (
+        f"least(1.0D, pow(0.5D, greatest({d}, 0.0D) / "
+        f"{double_literal(half_life_days)}))"
+    )
+
+
+def _success_sql(memory_type: str) -> str:
+    if memory_type == "heuristics":
+        return (
+            "CASE WHEN `occurrence_count` > 0 "
+            "THEN CAST(`success_count` AS DOUBLE) / `occurrence_count` "
+            "ELSE 0.0D END"
+        )
+    if memory_type == "outcomes":
+        return "CASE WHEN `success` THEN 1.0D ELSE 0.3D END"
+    if memory_type == "anti_patterns":
+        return "least(CAST(`occurrence_count` AS DOUBLE) / 10.0D, 1.0D)"
+    return "1.0D"  # domain_knowledge and default
+
+
+def _confidence_sql(memory_type: str) -> str:
+    if memory_type in ("heuristics", "domain_knowledge"):
+        return "CAST(`confidence` AS DOUBLE)"
+    return "1.0D"
+
+
+_SCORE_COMPONENTS = (
+    "sim_score",
+    "recency_score",
+    "success_score",
+    "confidence_score",
+)
+
+
+@dataclass(frozen=True)
+class BranchInput:
+    """One memory-type branch: the registered temp view plus its schema
+    (column order and simpleString dtypes, used for union null-fill)."""
+
+    memory_type: str
+    view: str
+    columns: tuple[str, ...]
+    dtypes: tuple[tuple[str, str], ...]
+
+
+@dataclass(frozen=True)
+class PrefsInput:
+    view: str
+    columns: tuple[str, ...]
+    dtypes: tuple[tuple[str, str], ...]
+    user_id: str
+    limit: int
+
+
+@dataclass
+class ServingTemplate:
+    """Compiled statement with @QV@/@QNORM@/@NOWD@ tokens plus the
+    per-type output column sets the driver splits rows by."""
+
+    text: str
+    colsets: dict[str, list[str]]
+
+    def bind(self, qvec, now: datetime) -> str:
+        return (
+            self.text.replace(TOKEN_QNORM, double_literal(qv_norm(qvec)))
+            .replace(TOKEN_QV, qv_array_sql(qvec))
+            .replace(TOKEN_NOW, double_literal(now_epoch_seconds(now)))
+        )
+
+
+def _branch_layers(
+    b: BranchInput,
+    fetch_k: int,
+    min_score: float,
+    weights: ScoringWeights,
+    mode: ModeConfig | None,
+    project_id: str | None,
+    agents: tuple[str, ...],
+) -> tuple[str, list[str]]:
+    """SQL for one memory-type branch, mirroring retrieve_type's layer
+    order exactly; returns (subquery_sql, output_columns)."""
+    if "id" not in b.columns or "embedding" not in b.columns:
+        raise ServingSQLUnsupported(f"{b.memory_type}: missing id/embedding")
+    ts_col = _RECENCY_TS.get(b.memory_type)
+    if ts_col is None or ts_col not in b.columns:
+        raise ServingSQLUnsupported(f"{b.memory_type}: missing recency column")
+
+    cols = [_q(c) for c in b.columns]
+    filters = []
+    if project_id is not None:
+        filters.append(f"`project_id` = {string_literal(project_id)}")
+    select_extra = ""
+    if agents:
+        filters.append(
+            "`agent` IN (" + ",".join(string_literal(a) for a in agents) + ")"
+        )
+        me = string_literal(agents[0])
+        select_extra = (
+            f", CASE WHEN `agent` != {me} THEN `agent` END AS `shared_from`"
+        )
+    where = (" WHERE " + " AND ".join(filters)) if filters else ""
+    base = f"SELECT {', '.join(cols)}{select_extra} FROM {b.view}{where}"
+    out_cols = list(b.columns) + (["shared_from"] if agents else [])
+
+    # vector_candidates: cosine column -> global top-2k -> explicit
+    # ann_rank over the bounded frame (pmod(xxhash64(id), 1) constant
+    # partition — functions/window.py bounded_rank_w)
+    sim = _cosine_sql("embedding")
+    top = (
+        f"SELECT *, {sim} AS `similarity` FROM ({base}) "
+        f"ORDER BY `similarity` DESC, `id` ASC LIMIT {2 * fetch_k}"
+    )
+    ranked = (
+        "SELECT *, row_number() OVER (PARTITION BY pmod(xxhash64(`id`), 1) "
+        "ORDER BY `similarity` DESC, `id` ASC) AS `ann_rank` "
+        f"FROM ({top})"
+    )
+    out_cols += ["similarity", "ann_rank"]
+
+    # score_memories(params=True): component columns + composite in one
+    # projection
+    comp = {
+        "sim_score": "CAST(`similarity` AS DOUBLE)",
+        "recency_score": _recency_sql(ts_col, 30.0),
+        "success_score": f"CAST({_success_sql(b.memory_type)} AS DOUBLE)",
+        "confidence_score": f"CAST({_confidence_sql(b.memory_type)} AS DOUBLE)",
+    }
+    scored = (
+        "SELECT *, "
+        + ", ".join(f"{e} AS {_q(n)}" for n, e in comp.items())
+        + f" FROM ({ranked})"
+    )
+    w = weights
+    score = (
+        f"{double_literal(w.similarity)} * `sim_score` "
+        f"+ {double_literal(w.recency)} * `recency_score` "
+        f"+ {double_literal(w.success_rate)} * `success_score` "
+        f"+ {double_literal(w.confidence)} * `confidence_score`"
+    )
+    cur = f"SELECT *, ({score}) AS `score` FROM ({scored})"
+    out_cols += [*_SCORE_COMPONENTS, "score"]
+
+    def _replace_score(expr: str, inner: str) -> str:
+        keep = ", ".join(_q(c) for c in out_cols if c != "score")
+        return f"SELECT {keep}, {expr} AS `score` FROM ({inner})"
+
+    # apply_mode_boosts: prioritize_failures first, exact-match second —
+    # two sequential score rewrites, as in the DataFrame path
+    if mode is not None:
+        if mode.prioritize_failures and "success" in b.columns:
+            cur = _replace_score(
+                "CASE WHEN NOT `success` THEN `score` * 1.5D ELSE `score` END",
+                cur,
+            )
+        if mode.exact_match_boost != 1.0:
+            bst = mode.exact_match_boost
+            half = 1.0 + (bst - 1.0) / 2.0
+            cur = _replace_score(
+                f"CASE WHEN `sim_score` > 0.9D THEN `score` * {double_literal(bst)} "
+                f"WHEN `sim_score` > 0.8D THEN `score` * {double_literal(half)} "
+                "ELSE `score` END",
+                cur,
+            )
+
+    # threshold_topk: filter, then top-k with the ann_rank tiebreak
+    final = (
+        f"SELECT * FROM ({cur}) WHERE `score` >= {double_literal(min_score)} "
+        f"ORDER BY `score` DESC, `ann_rank` ASC LIMIT {fetch_k}"
+    )
+    return final, out_cols
+
+
+def compile_serving_template(
+    branches: list[BranchInput],
+    fetch_k: int,
+    min_score: float,
+    weights: ScoringWeights,
+    mode: ModeConfig | None,
+    project_id: str | None,
+    agents: tuple[str, ...],
+    prefs: PrefsInput | None = None,
+    feedback_view: str | None = None,
+    feedback_weight: float = 0.15,
+) -> ServingTemplate:
+    """Compile the one-job union serving statement for the given store
+    shape + config. Raises ServingSQLUnsupported for shapes this
+    compiler cannot prove bit-identical (the engine then uses the
+    DataFrame path)."""
+    if not branches and prefs is None:
+        raise ServingSQLUnsupported("nothing to serve")
+
+    colsets: dict[str, list[str]] = {}
+    branch_sqls: list[tuple[str, str, list[str]]] = []  # (type, sql, cols)
+    dtype_of: dict[str, str] = {}
+
+    def _note_types(dtypes, extra: dict[str, str]) -> None:
+        for name, dt in list(dtypes) + list(extra.items()):
+            prev = dtype_of.get(name)
+            if prev is not None and prev != dt:
+                raise ServingSQLUnsupported(
+                    f"conflicting union dtypes for {name}: {prev} vs {dt}"
+                )
+            dtype_of[name] = dt
+
+    added = {
+        "shared_from": "string",
+        "similarity": "double",
+        "ann_rank": "int",
+        "sim_score": "double",
+        "recency_score": "double",
+        "success_score": "double",
+        "confidence_score": "double",
+        "score": "double",
+    }
+    for b in branches:
+        sql, out_cols = _branch_layers(
+            b, fetch_k, min_score, weights, mode, project_id, agents
+        )
+        _note_types(b.dtypes, {c: added[c] for c in added if c in out_cols})
+        branch_sqls.append((b.memory_type, sql, out_cols))
+        colsets[b.memory_type] = list(out_cols)
+
+    if prefs is not None:
+        if "user_id" not in prefs.columns or "confidence" not in prefs.columns:
+            raise ServingSQLUnsupported("preferences: missing user_id/confidence")
+        psql = (
+            f"SELECT {', '.join(_q(c) for c in prefs.columns)} FROM {prefs.view} "
+            f"WHERE `user_id` = {string_literal(prefs.user_id)} "
+            f"ORDER BY `confidence` DESC, `id` ASC LIMIT {prefs.limit}"
+        )
+        _note_types(prefs.dtypes, {})
+        branch_sqls.append(("preferences", psql, list(prefs.columns)))
+        colsets["preferences"] = list(prefs.columns)
+
+    # union column superset in unionByName accretion order
+    union_cols: list[str] = []
+    for _, _, out_cols in branch_sqls:
+        for c in out_cols:
+            if c not in union_cols:
+                union_cols.append(c)
+
+    parts = []
+    for t, sql, out_cols in branch_sqls:
+        have = set(out_cols)
+        proj = ", ".join(
+            _q(c) if c in have else f"CAST(NULL AS {dtype_of[c]}) AS {_q(c)}"
+            for c in union_cols
+        )
+        parts.append(
+            f"SELECT {proj}, {string_literal(t)} AS `memory_type` FROM ({sql})"
+        )
+    union = "\nUNION ALL\n".join(parts)
+
+    has_score = any(t != "preferences" for t, _, _ in branch_sqls)
+    if feedback_view is not None and has_score:
+        # operators/feedback.py feedback_summary + apply_feedback_blend
+        # (type_col form): broadcast left join on (id, memory_type),
+        # blended score replaces score, feedback_score column kept
+        from alma_memory_spark.operators.feedback import (
+            NEGATIVE_SIGNALS,
+            POSITIVE_SIGNALS,
+        )
+
+        pos = ",".join(string_literal(s) for s in POSITIVE_SIGNALS)
+        neg = ",".join(string_literal(s) for s in NEGATIVE_SIGNALS)
+        summary = (
+            "SELECT `memory_id`, `memory_type` AS `_fb_type`, "
+            f"CAST((SUM(CASE WHEN `signal` IN ({pos}) THEN 1 ELSE 0 END) "
+            f"- SUM(CASE WHEN `signal` IN ({neg}) THEN 1 ELSE 0 END)) AS DOUBLE) "
+            "/ COUNT(*) AS `feedback_score` "
+            f"FROM {feedback_view} GROUP BY `memory_id`, `memory_type`"
+        )
+        keep = ", ".join(
+            f"u.{_q(c)}" for c in union_cols + ["memory_type"] if c != "score"
+        )
+        blended = (
+            f"CASE WHEN fbs.`feedback_score` IS NOT NULL "
+            f"THEN {double_literal(1.0 - feedback_weight)} * u.`score` "
+            f"+ {double_literal(feedback_weight)} * (fbs.`feedback_score` + 1.0D) / 2.0D "
+            "ELSE u.`score` END"
+        )
+        text = (
+            f"SELECT /*+ BROADCAST(fbs) */ {keep}, fbs.`feedback_score`, "
+            f"{blended} AS `score` "
+            f"FROM (\n{union}\n) u LEFT JOIN ({summary}) fbs "
+            "ON u.`id` = fbs.`memory_id` AND u.`memory_type` = fbs.`_fb_type`"
+        )
+        for t in colsets:
+            if t != "preferences":
+                colsets[t] = colsets[t] + ["feedback_score"]
+    else:
+        text = union
+
+    return ServingTemplate(text=text, colsets=colsets)

@@ -330,6 +330,13 @@ class ParquetStore:
         except OSError:
             return None
 
+    def version_stamp(self, table: str) -> str | None:
+        """Public staleness token for external caches keyed like the
+        read-plan cache (e.g. the engine's compiled serving templates):
+        changes on every committed mutation by any writer process;
+        None when the table has no stamp (never cache)."""
+        return self._version_stamp(table)
+
     def _bump_version(self, table: str) -> None:
         import uuid
 

@@ -337,6 +337,13 @@ class TxLogStore(ParquetStore):
         _v, live = self._snapshot(table)
         return bool(live)
 
+    def version_stamp(self, table: str) -> str | None:
+        """Staleness token for external plan caches: the log version
+        (immutable files + unreferenced-only vacuum mean a plan pinned
+        to the current version cannot dangle)."""
+        v, _live = self._snapshot(table)
+        return f"txv{v}"
+
     def read(self, table: str) -> DataFrame:
         # version-pinned plan cache (r10, VERDICT r9 #4): the log
         # version IS the staleness signal — data files are immutable
