@@ -218,12 +218,27 @@ def bpe_token_ids_udf(spark, merges_path: str = DEFAULT_MERGES):
 
 def with_bpe_token_ids(
     df: DataFrame, text_col: str = "text", out_col: str = "input_ids",
-    merges_path: str = DEFAULT_MERGES,
+    merges_path: str = DEFAULT_MERGES, unk_col: str | None = "n_unk",
 ) -> DataFrame:
     """df + a tokenizer-faithful `input_ids` array column — the last
     step before pack_documents* / write_training_shards emits
     dataloader-ready id shards instead of text. len(input_ids) always
     equals with_bpe_token_count's count (same kernel), so budgets
-    computed on counts stay exact for the id stream."""
+    computed on counts stay exact for the id stream.
+
+    `unk_col` (default "n_unk") adds the per-document count of ids
+    that are <unk>=0 — characters outside the merge table's alphabet
+    COLLAPSE to one id, and on corpora whose script the merge table
+    never saw that silently produces heavily-<unk> shards with no
+    other signal (counts stay self-consistent, masking it). The column
+    is a pure JVM expression over the emitted array (no second Python
+    pass); callers should alert on `sum(n_unk)/sum(size(input_ids))`
+    above a corpus-appropriate threshold before emitting shards.
+    Pass unk_col=None to skip."""
     udf = bpe_token_ids_udf(df.sparkSession, merges_path)
-    return df.withColumn(out_col, udf(F.col(text_col)))
+    out = df.withColumn(out_col, udf(F.col(text_col)))
+    if unk_col is not None:
+        out = out.withColumn(
+            unk_col, F.size(F.filter(F.col(out_col), lambda x: x == 0))
+        )
+    return out

@@ -651,12 +651,21 @@ def ngram_backoff_scores(
 
     `train` (default: docs) is the model corpus; or pass prebuilt
     (models, stats) from ngram_backoff_lm together — then `order` is
-    taken from len(models) and the parameter is ignored."""
+    taken from len(models) and the parameter is ignored, and passing
+    `train` alongside prebuilt models raises (the training corpus
+    argument would silently do nothing — r11, ADVICE)."""
     if (models is None) != (stats is None):
         raise ValueError(
             "models and stats must be passed together; got "
             f"(models, stats) present = "
             f"({models is not None}, {stats is not None})"
+        )
+    if models is not None and train is not None:
+        raise ValueError(
+            "train and prebuilt (models, stats) are mutually exclusive: "
+            "prebuilt models are served as-is, so the training corpus "
+            "argument would be silently ignored — build with "
+            "ngram_backoff_lm(train, ...) and pass only (models, stats)"
         )
     if models is None:
         models, stats = ngram_backoff_lm(

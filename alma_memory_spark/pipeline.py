@@ -288,11 +288,31 @@ def verify_shards(
     ANY mismatch (a shard present in only one side counts); also
     enforces the one-file-per-shard layout contract. Cheap relative to
     a training run — one aggregation over the shards plus a directory
-    listing — and the check a loader should run before trusting a
-    resumed or hand-touched shard directory."""
-    import os as _os
+    listing (through the Hadoop FileSystem API, so hdfs://, s3a://
+    and any other scheme write_training_shards itself supports all
+    work — r11, ADVICE) — and the check a loader should run before
+    trusting a resumed or hand-touched shard directory.
 
+    The requested column set is validated against the manifest SCHEMA
+    up front: a token_col requested against a manifest written without
+    one (or vice versa) raises a dedicated error naming the column —
+    never a silent skip of a check the caller asked for, and never a
+    confusing per-shard value mismatch (r11, ADVICE)."""
     data = spark.read.parquet(path)
+    manifest = spark.read.parquet(f"{path}/_manifest")
+    expected_cols = {shard_col, "n_docs", "n_blocks"} | (
+        {"n_tokens"} if token_col is not None else set()
+    )
+    manifest_cols = set(manifest.columns)
+    if manifest_cols != expected_cols:
+        missing = sorted(expected_cols - manifest_cols)
+        extra = sorted(manifest_cols - expected_cols)
+        raise ValueError(
+            "verify_shards column set does not match the manifest "
+            f"schema: missing from manifest={missing}, present in "
+            f"manifest but not requested={extra} (was the manifest "
+            "written with a different token_col?)"
+        )
     aggs = [
         F.count(F.lit(1)).alias("n_docs"),
         F.count_distinct(F.col(order_cols[0])).alias("n_blocks"),
@@ -303,10 +323,7 @@ def verify_shards(
         r[shard_col]: r.asDict()
         for r in data.groupBy(shard_col).agg(*aggs).collect()
     }
-    want = {
-        r[shard_col]: r.asDict()
-        for r in spark.read.parquet(f"{path}/_manifest").collect()
-    }
+    want = {r[shard_col]: r.asDict() for r in manifest.collect()}
     if set(got) != set(want):
         raise ValueError(
             f"shard set mismatch: data={sorted(got)} "
@@ -319,12 +336,19 @@ def verify_shards(
                     f"shard {s}: manifest says {k}={v}, data has "
                     f"{got[s].get(k)}"
                 )
-    for entry in _os.listdir(path):
-        if not entry.startswith(f"{shard_col}="):
+    # layout check via the Hadoop FileSystem bound to the path's
+    # scheme — os.listdir would crash on any non-local filesystem
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    for st in fs.listStatus(root):
+        entry = st.getPath().getName()
+        if not (st.isDirectory() and entry.startswith(f"{shard_col}=")):
             continue
         files = [
-            f for f in _os.listdir(_os.path.join(path, entry))
-            if f.endswith(".parquet")
+            f.getPath().getName()
+            for f in fs.listStatus(st.getPath())
+            if f.getPath().getName().endswith(".parquet")
         ]
         if len(files) != 1:
             raise ValueError(

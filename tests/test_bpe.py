@@ -217,3 +217,63 @@ def test_shard_manifest_and_verify(spark, tmp_path):
     ).parquet(out + "/_manifest")
     with pytest.raises(ValueError, match="n_docs"):
         P.verify_shards(spark, out, token_col="n_bpe")
+
+
+def test_unk_rate_surfaced(spark):
+    """r11 (ADVICE): out-of-alphabet characters collapse to <unk>=0 —
+    the default n_unk column surfaces the rate so heavily-<unk> corpora
+    are detectable before shard emission."""
+    from pyspark.sql import functions as F
+
+    from alma_memory_spark.functions.bpe import with_bpe_token_ids
+
+    docs = spark.createDataFrame(
+        [(1, "plain ascii text"), (2, "ééé çà café"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = with_bpe_token_ids(docs)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # per-document: n_unk counts exactly the 0 ids
+    for r in rows.values():
+        assert r["n_unk"] == sum(1 for i in r["input_ids"] if i == 0)
+    # doc 2's accented chars are guaranteed outside the derived alphabet
+    assert rows[2]["n_unk"] > 0
+    assert rows[3]["n_unk"] == 0 and rows[4]["n_unk"] == 0
+    # corpus-level rate: the documented alerting aggregate
+    agg = out.agg(
+        (F.sum("n_unk") / F.sum(F.size("input_ids"))).alias("unk_rate")
+    ).collect()[0]
+    assert 0.0 < agg["unk_rate"] < 1.0
+    # opt-out keeps the r10 schema
+    assert "n_unk" not in with_bpe_token_ids(docs, unk_col=None).columns
+
+
+def test_verify_shards_column_set_and_hadoop_listing(spark, tmp_path):
+    """r11 (ADVICE): (1) a token_col requested against a manifest
+    written without one — and the reverse — raises a dedicated error
+    naming the column instead of silently skipping or a confusing
+    value mismatch; (2) the layout listing goes through the Hadoop
+    FileSystem API, so an explicit file:// URI (the minimal non-local
+    scheme probe os.listdir cannot take) verifies clean."""
+    import pytest
+
+    from alma_memory_spark import pipeline as P
+
+    docs = load_table(spark, SF_DIR, "documents").limit(20)
+    ready = P.with_bpe_token_count(docs)
+    packed = P.pack_documents_nostraddle(
+        ready, budget=256, token_col="n_bpe", key_col="doc_id", n_shards=2,
+    )
+    # manifest WITHOUT token sums
+    out1 = str(tmp_path / "no_tokens")
+    P.write_training_shards(packed, out1)
+    P.verify_shards(spark, out1)  # matching request passes
+    with pytest.raises(ValueError, match="missing from manifest=\\['n_tokens'\\]"):
+        P.verify_shards(spark, out1, token_col="n_bpe")
+    # manifest WITH token sums, verification without
+    out2 = str(tmp_path / "with_tokens")
+    P.write_training_shards(packed, out2, token_col="n_bpe")
+    with pytest.raises(ValueError, match="not requested=\\['n_tokens'\\]"):
+        P.verify_shards(spark, out2)
+    # scheme-qualified URI through the Hadoop FS listing
+    P.verify_shards(spark, "file://" + out2, token_col="n_bpe")
