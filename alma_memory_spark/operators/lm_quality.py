@@ -311,21 +311,56 @@ def lm_tail_ids(
     )
 
 
+#: 'exact2' funnel bound (r11, VERDICT r10 #5): when the target bin
+#: still holds more than this many sub-k rows, re-histogram INSIDE the
+#: bin instead of running the bottom-(k - below) heap over it — a
+#: near-constant score distribution with a tiny outlier tail puts
+#: almost all rows in one bin, and the heap would re-grow to ~k there.
+#: Each recursion level shrinks the candidate range by ~`buckets`x;
+#: identical-float mass inside a bin terminates via the lo == hi exact
+#: answer. The depth cap is a float-precision backstop (2048^8 range
+#: reduction exhausts a double's mantissa long before 8 levels): at
+#: the cap the bounded heap runs as before, so the result is exact on
+#: every path.
+_EXACT2_MAX_FUNNEL = 65536
+_EXACT2_MAX_DEPTH = 8
+
+
 def _selection_cutoff(
-    scores: DataFrame, frac: float, score_col: str, buckets: int
+    scores: DataFrame,
+    frac: float,
+    score_col: str,
+    buckets: int,
+    max_funnel: int = _EXACT2_MAX_FUNNEL,
 ) -> float | None:
     """Exact k-th smallest score (k = floor(frac * n)) by histogram
-    two-pass selection; None when k == 0. See lm_tail_ids('exact2')."""
+    selection with degenerate-bin recursion; None when k == 0. See
+    lm_tail_ids('exact2')."""
     vals = F.col(score_col)
-    stats = scores.filter(vals.isNotNull()).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min(vals).alias("lo"),
-        F.max(vals).alias("hi"),
-    ).collect()[0]
-    n, lo, hi = stats["n"], stats["lo"], stats["hi"]
+    nonnull = scores.filter(vals.isNotNull())
+    n = nonnull.count()
     k = int(frac * n) if n else 0
     if k <= 0:
         return None
+    return _select_kth(
+        nonnull, k, score_col, buckets, max_funnel, _EXACT2_MAX_DEPTH
+    )
+
+
+def _select_kth(
+    df: DataFrame,
+    k: int,
+    score_col: str,
+    buckets: int,
+    max_funnel: int,
+    depth: int,
+) -> float:
+    """k-th smallest value of a non-null score frame: histogram pass ->
+    target bin -> either a bounded bottom-(k - below) heap over the bin
+    or (degenerate bin, r11) one more histogram level inside it."""
+    vals = F.col(score_col)
+    stats = df.agg(F.min(vals).alias("lo"), F.max(vals).alias("hi")).collect()[0]
+    lo, hi = stats["lo"], stats["hi"]
     if lo == hi:
         return lo
     # pass 1: fixed-width histogram (bin ids clamp into [0, buckets-1];
@@ -337,8 +372,7 @@ def _selection_cutoff(
     )
     hist = {
         r["b"]: r["c"]
-        for r in scores.filter(vals.isNotNull())
-        .groupBy(bin_of.alias("b"))
+        for r in df.groupBy(bin_of.alias("b"))
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()
     }
@@ -349,11 +383,16 @@ def _selection_cutoff(
             target_bin = b
             break
         below += c
-    # pass 2: bottom-(k - below) within the one target bin only
     need = k - below
+    in_bin = df.filter(bin_of == target_bin)
+    if need > max_funnel and depth > 0:
+        # degenerate bin: recurse into it — rank need within the bin
+        return _select_kth(
+            in_bin, need, score_col, buckets, max_funnel, depth - 1
+        )
+    # pass 2: bottom-need within the one target bin only
     row = (
-        scores.filter(vals.isNotNull() & (bin_of == target_bin))
-        .select(vals.alias("_s"))
+        in_bin.select(vals.alias("_s"))
         .orderBy(F.asc("_s"))
         .limit(need)
         .agg(F.max("_s").alias("cut"))

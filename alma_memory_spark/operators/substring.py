@@ -149,9 +149,17 @@ def dedup_token_windows(
     EVERY input doc."""
     base = df.select(F.col(id_col), token_units(text_col).alias("units"))
     wins = explode_token_windows(df, w, id_col, text_col)
-    # argmin per fingerprint (combinable aggregate, no window); losers
-    # rejoin on the full triple so a corpus-wide duplicate span cannot
-    # skew the join
+    # argmin per fingerprint (combinable aggregate, no window). The
+    # losers join below keys on fp ALONE (the triple filter runs
+    # AFTER the join), so a corpus-wide boilerplate span — one fp
+    # carried by millions of probe-side rows — is a genuinely skewed
+    # join key. What bounds it: `winners` is UNIQUE per fp (the build
+    # side never amplifies), and AQE skew-join splitting
+    # (spark.sql.adaptive.skewJoin, default-on in Spark 3.2+ and
+    # pinned in session.py) splits the oversized probe partition into
+    # chunks against a duplicated build side. Pinned by a forced-skew
+    # test (one fp across 1e5 windows) in
+    # tests/test_pipeline_ops.py::test_substring_dedup_survives_hot_fp.
     winners = (
         wins.groupBy("fp")
         .agg(F.min(F.struct(F.col(id_col), F.col("start"))).alias("_w"))
@@ -195,18 +203,59 @@ def _excise(base: DataFrame, dropped: DataFrame, id_col: str,
             w: int) -> DataFrame:
     """(id, text_dedup, n_units, n_kept): re-splice each doc from the
     units NOT covered by any dropped window start — shared by the
-    batch operator and the index's add()."""
+    batch operator and the index's add().
+
+    LINEAR per doc (r11): the naive form — filter units by
+    exists(starts, covers) — is O(n_units * n_dropped) per document,
+    which goes quadratic on exactly the doc class this operator
+    targets (a boilerplate mega-doc whose every window drops:
+    n_dropped ~ n_units, one task, 1e10 lambda evaluations at 1e5
+    units). Instead, the SORTED starts are merged into disjoint
+    covered intervals with O(d) array ops (an interval boundary is a
+    start more than w after its predecessor — no incremental
+    append-to-accumulator, so no O(i^2) rebuild), the KEPT index
+    ranges are the gaps between intervals, and the surviving units
+    are gathered by index. Total O(n_units + n_dropped) per doc."""
     starts = F.coalesce("starts", F.array().cast("array<int>"))
-    kept = F.filter(
-        F.col("units"),
-        lambda u, j: ~F.exists(
-            starts, lambda s: (s <= j) & (j < s + F.lit(w))
-        ),
+    n = F.size("units")
+    big = F.lit(2_147_483_647)
+    # neighbors of each sorted start (sentinels at both ends)
+    prevs = F.concat(F.array(-big), F.slice(starts, 1, F.greatest(F.size(starts) - 1, F.lit(0))))
+    nexts = F.concat(
+        F.when(F.size(starts) > 1, F.slice(starts, 2, F.size(starts) - 1))
+        .otherwise(F.array().cast("array<int>")),
+        F.array(big),
     )
+    z = F.arrays_zip(starts.alias("s"), prevs.alias("p"), nexts.alias("x"))
+    # merged covered intervals [lo, hi): a start opens one iff the
+    # previous coverage [p, p+w) cannot reach it; it closes one iff
+    # the next start opens a new one
+    los = F.transform(
+        F.filter(z, lambda t: t["s"] > t["p"] + F.lit(w)), lambda t: t["s"]
+    )
+    his = F.transform(
+        F.filter(z, lambda t: t["x"] > t["s"] + F.lit(w)),
+        lambda t: t["s"] + F.lit(w),
+    )
+    # kept index ranges are the gaps: [0, lo1), [hi1, lo2), ..,
+    # [hi_last, n); empty when adjacent (guard: sequence() DESCENDS
+    # when from > to, so gate on from < to)
+    gap_from = F.concat(F.array(F.lit(0)), his)
+    gap_to = F.concat(los, F.array(n))
+    kept_idx = F.flatten(
+        F.zip_with(
+            gap_from,
+            gap_to,
+            lambda a, b: F.when(a < b, F.sequence(a, b - 1)).otherwise(
+                F.array().cast("array<int>")
+            ),
+        )
+    )
+    kept = F.transform(kept_idx, lambda j: F.element_at("units", j + 1))
     return base.join(dropped, id_col, "left").select(
         F.col(id_col),
         F.array_join(kept, "").alias("text_dedup"),
-        F.size("units").alias("n_units"),
+        n.alias("n_units"),
         F.size(kept).alias("n_kept"),
     )
 
@@ -461,7 +510,11 @@ class TokenWindowDedupIndex:
         self.n_docs += n_delta
         self._write_stats(self.vroot, n_delta)
         # a batch window survives iff it IS its fp's owner; every unit
-        # covered by a non-surviving window is excised
+        # covered by a non-surviving window is excised. Same hot-fp
+        # join shape as the batch operator: owner_now is unique per
+        # fp, the probe side can be arbitrarily skewed on a
+        # boilerplate fp, and AQE skew-join splitting bounds it (see
+        # dedup_token_windows and the forced-skew test).
         owner_now = seen.unionByName(new_owners).withColumnsRenamed(
             {self.id_col: "_oid", "start": "_ostart"}
         )
