@@ -651,30 +651,123 @@ def sql_dup_ngram_fraction(expr: str, n: int = 2) -> str:
 URL_BLOCKLIST = ("spam.example", "ads.invalid", "tracker.test", "bad.co.uk")
 
 
-def _load_psl_snapshot() -> tuple[str, ...]:
+def _load_psl_rules() -> dict:
+    """Parse the committed PSL snapshot into its three rule classes
+    (publicsuffix.org list format), grouped by label count:
+
+      exact[k]  k-label normal rules  (public suffix = the k labels)
+      wild[k]   k-label WILDCARD BASES from '*.base' rules (public
+                suffix = one label + the base, i.e. k+1 labels)
+      exc[k]    k-label exception rules from '!rule' lines (public
+                suffix = the rule minus its leftmost label, k-1)
+
+    Matching (the PSL algorithm): exception rules beat everything;
+    otherwise the rule with the most labels wins; no match defaults
+    to the 1-label TLD. Registrable domain = public suffix + one more
+    host label (the host itself when it has no extra label)."""
     import os
+    from collections import defaultdict
 
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "resources", "public_suffix_snapshot.txt",
     )
+    exact: dict[int, set] = defaultdict(set)
+    wild: dict[int, set] = defaultdict(set)
+    exc: dict[int, set] = defaultdict(set)
     with open(path, encoding="utf-8") as fh:
-        return tuple(
-            sorted(
-                ln.strip()
-                for ln in fh
-                if ln.strip() and not ln.startswith("//")
-            )
+        for ln in fh:
+            rule = ln.strip()
+            if not rule or rule.startswith("//"):
+                continue
+            if rule.startswith("!"):
+                base = rule[1:]
+                exc[base.count(".") + 1].add(base)
+            elif rule.startswith("*."):
+                base = rule[2:]
+                wild[base.count(".") + 1].add(base)
+            else:
+                exact[rule.count(".") + 1].add(rule)
+    return {"exact": exact, "wild": wild, "exc": exc}
+
+
+#: trimmed public-suffix-list snapshot, ALL rule classes (r11,
+#: VERDICT r10 #2: 2/3/4-label exact rules, wildcard rules, exception
+#: rules; see resources/public_suffix_snapshot.txt). Compiled into
+#: literal in-sets on both engines — at this size (~250 entries)
+#: codegen emits hash-set membership tests, still scan-speed /
+#: no-join. The full publicsuffix.org dat drops into the same file;
+#: if it ever outgrows comfortable literal in-sets, the same grouped
+#: rule sets ship as ONE broadcast map (suffix -> rule class) probed
+#: by the identical lastK chain.
+PSL_RULES = _load_psl_rules()
+#: max labels across exact rules (bounds the lastK chain)
+_PSL_MAX_EXACT = max(PSL_RULES["exact"], default=1)
+#: backward-compat view: the 2-label exact suffixes (r10 name)
+PSL_2LABEL = tuple(sorted(PSL_RULES["exact"].get(2, ())))
+
+def _psl_inset(col: Column, vals) -> Column:
+    vals = sorted(vals)
+    if not vals:
+        return F.lit(False)
+    return col.isin(*vals)
+
+
+def psl_lastk_exprs(labels: Column) -> list[Column]:
+    """[l1..l5]: the host's last k dot-joined labels, NULL when the
+    host has fewer than k labels — the guard matters: Spark 4 runs
+    ANSI mode, where an out-of-bounds element_at THROWS, and these
+    feed match CONDITIONS (a NULL isin(...) is NULL -> the CASE falls
+    through, exactly the no-match semantics)."""
+    size = F.size(labels)
+    out = []
+    for k in range(1, 6):
+        e = F.element_at(labels, -k)
+        for i in range(k - 1, 0, -1):
+            e = F.concat(e, F.lit("."), F.element_at(labels, -i))
+        out.append(F.when(size >= k, e))
+    return out
+
+
+def psl_ps_len(l1: Column, l2: Column, l3: Column, l4: Column) -> Column:
+    """Public-suffix label count under the PSL algorithm: exception
+    rules win outright (suffix = rule minus its leftmost label), then
+    the longest match among exact and wildcard rules ('*.base' = one
+    label + base), default 1 (the bare TLD)."""
+    R = PSL_RULES
+    return (
+        F.when(_psl_inset(l2, R["exc"].get(2, ())), F.lit(1))
+        .when(_psl_inset(l3, R["exc"].get(3, ())), F.lit(2))
+        .when(_psl_inset(l4, R["exact"].get(4, ())), F.lit(4))
+        .when(
+            _psl_inset(l3, R["exact"].get(3, ()))
+            | _psl_inset(l2, R["wild"].get(2, ())),
+            F.lit(3),
         )
+        .when(
+            _psl_inset(l2, R["exact"].get(2, ()))
+            | _psl_inset(l1, R["wild"].get(1, ())),
+            F.lit(2),
+        )
+        .otherwise(F.lit(1))
+    )
 
 
-#: trimmed public-suffix-list snapshot (two-label suffixes only; see
-#: resources/public_suffix_snapshot.txt). Compiled into a literal
-#: in-set on both engines — at this size (~170 entries) codegen emits
-#: a hash-set membership test, still scan-speed / no-join. The FULL
-#: PSL (wildcards, >2-label rules) swaps in as a broadcast
-#: longest-suffix map at production.
-PSL_2LABEL = _load_psl_snapshot()
+def psl_domain(
+    ps: Column, l2: Column, l3: Column, l4: Column, l5: Column,
+    host_nw: Column,
+) -> Column:
+    """Registrable domain = public suffix + one label; the host itself
+    when it IS a public suffix (lastK's NULL guard doubles as the
+    has-an-extra-label check)."""
+    return (
+        F.when((ps == 4) & l5.isNotNull(), l5)
+        .when((ps == 3) & l4.isNotNull(), l4)
+        .when((ps == 2) & l3.isNotNull(), l3)
+        .when((ps == 1) & l2.isNotNull(), l2)
+        .otherwise(host_nw)
+    )
+
 
 #: scheme://authority splitter — the safe common subset of Java regex
 #: and RE2 (no lookaround), shared verbatim by both engines
@@ -702,11 +795,14 @@ def url_signals(
 
       authority   raw authority part, lowercased (userinfo/port kept)
       host        authority minus 'userinfo@' and ':port'
-      domain      REGISTRABLE domain: last two dot-labels of the host
-                  minus any leading 'www.' — except when those two
-                  labels are a public suffix (PSL_2LABEL snapshot:
-                  co.uk, com.au, github.io, ...), where the last THREE
-                  labels are registrable (shop.bad.co.uk -> bad.co.uk)
+      domain      REGISTRABLE domain of the host minus any leading
+                  'www.', under the FULL PSL algorithm over the
+                  committed snapshot (r11, VERDICT r10 #2): exact
+                  2/3/4-label rules (co.uk, k12.ma.us,
+                  pvt.k12.ma.us), wildcard rules (*.ck, *.kobe.jp),
+                  exception rules (!www.ck, !city.kobe.jp) — public
+                  suffix + one label, or the host itself when it IS
+                  a public suffix
       blocked     domain in URL_BLOCKLIST
       scheme      url scheme, lowercased
       depth       path segment count
@@ -729,15 +825,8 @@ def url_signals(
     )
     host_nw = F.regexp_replace(host, r"^www\.", "")
     labels = F.split(host_nw, r"\.")
-    last2 = F.concat(
-        F.element_at(labels, -2), F.lit("."), F.element_at(labels, -1)
-    )
-    last3 = F.concat(F.element_at(labels, -3), F.lit("."), last2)
-    domain = (
-        F.when((F.size(labels) >= 3) & last2.isin(*PSL_2LABEL), last3)
-        .when(F.size(labels) >= 2, last2)
-        .otherwise(host_nw)
-    )
+    l1, l2, l3, l4, l5 = psl_lastk_exprs(labels)
+    domain = psl_domain(psl_ps_len(l1, l2, l3, l4), l2, l3, l4, l5, host_nw)
     if path is None:
         path = F.regexp_extract(c, _URL_PATH_RE, 1)
     return {
@@ -828,28 +917,26 @@ def with_url_signals(
     )
     out = out.withColumn("_u_labels", F.split(F.col("_u_hostnw"), r"\."))
     labels = F.col("_u_labels")
+    # NULL-guarded lastK columns bound once (element_at OOB throws
+    # under ANSI; see psl_lastk_exprs), then the PSL match over the
+    # bound columns — each rule-set in-set appears once in the plan
+    lk = psl_lastk_exprs(labels)
+    out = out.withColumns(
+        {f"_u_last{k}": lk[k - 1] for k in range(1, 6)}
+    )
     out = out.withColumn(
-        "_u_last2",
-        # guarded: element_at(-2) on a 1-label host raises; NULL here
-        # only feeds the >= 2-label branches below
-        F.when(
-            F.size(labels) >= 2,
-            F.concat(
-                F.element_at(labels, -2), F.lit("."),
-                F.element_at(labels, -1),
-            ),
+        "_u_pslen",
+        psl_ps_len(
+            F.col("_u_last1"), F.col("_u_last2"),
+            F.col("_u_last3"), F.col("_u_last4"),
         ),
     )
     out = out.withColumn(
         f"{prefix}domain",
-        F.when(
-            (F.size(labels) >= 3) & F.col("_u_last2").isin(*PSL_2LABEL),
-            F.concat(
-                F.element_at(labels, -3), F.lit("."), F.col("_u_last2")
-            ),
-        )
-        .when(F.size(labels) >= 2, F.col("_u_last2"))
-        .otherwise(F.col("_u_hostnw")),
+        psl_domain(
+            F.col("_u_pslen"), F.col("_u_last2"), F.col("_u_last3"),
+            F.col("_u_last4"), F.col("_u_last5"), F.col("_u_hostnw"),
+        ),
     )
     out = out.select(
         *[F.col(x) for x in out.columns],
@@ -875,7 +962,8 @@ def with_url_signals(
         ch = F.when(b, F.lit("1")).otherwise(F.lit("0"))
         pass_bits = ch if pass_bits is None else F.concat(pass_bits, ch)
     return out.withColumn(f"{prefix}pass_bits", pass_bits).drop(
-        "_u_path", "_u_hostnw", "_u_labels", "_u_last2"
+        "_u_path", "_u_hostnw", "_u_labels", "_u_pslen",
+        *[f"_u_last{k}" for k in range(1, 6)],
     )
 
 
@@ -883,8 +971,45 @@ def _sql_url_list() -> str:
     return "[" + ", ".join(f"'{d}'" for d in URL_BLOCKLIST) + "]"
 
 
-def _sql_psl_list() -> str:
-    return "[" + ", ".join(f"'{s}'" for s in PSL_2LABEL) + "]"
+def _sql_vals(vals) -> str:
+    return "[" + ", ".join(f"'{s}'" for s in sorted(vals)) + "]"
+
+
+def _sql_psl_domain(labels: str, host_nw: str) -> str:
+    """DuckDB mirror of psl_ps_len + psl_domain. Negative list
+    indexing past the length yields NULL in DuckDB, so the lastK
+    concats NULL-propagate — the same no-match fall-through the
+    guarded Spark exprs produce."""
+    R = PSL_RULES
+    lk = {1: f"({labels})[-1]"}
+    for k in range(2, 6):
+        inner = " || '.' || ".join(f"({labels})[-{i}]" for i in range(k, 0, -1))
+        lk[k] = f"({inner})"
+
+    def inset(k: int, vals) -> str:
+        if not vals:
+            return "false"
+        return f"list_contains({_sql_vals(vals)}, {lk[k]})"
+
+    ps = (
+        "CASE "
+        f"WHEN {inset(2, R['exc'].get(2, ()))} THEN 1 "
+        f"WHEN {inset(3, R['exc'].get(3, ()))} THEN 2 "
+        f"WHEN {inset(4, R['exact'].get(4, ()))} THEN 4 "
+        f"WHEN ({inset(3, R['exact'].get(3, ()))} "
+        f"OR {inset(2, R['wild'].get(2, ()))}) THEN 3 "
+        f"WHEN ({inset(2, R['exact'].get(2, ()))} "
+        f"OR {inset(1, R['wild'].get(1, ()))}) THEN 2 "
+        "ELSE 1 END"
+    )
+    return (
+        "CASE "
+        f"WHEN ({ps}) = 4 AND {lk[5]} IS NOT NULL THEN {lk[5]} "
+        f"WHEN ({ps}) = 3 AND {lk[4]} IS NOT NULL THEN {lk[4]} "
+        f"WHEN ({ps}) = 2 AND {lk[3]} IS NOT NULL THEN {lk[3]} "
+        f"WHEN ({ps}) = 1 AND {lk[2]} IS NOT NULL THEN {lk[2]} "
+        f"ELSE {host_nw} END"
+    )
 
 
 def sql_url_signals(expr: str) -> dict[str, str]:
@@ -897,14 +1022,7 @@ def sql_url_signals(expr: str) -> dict[str, str]:
     )
     host_nw = f"regexp_replace({host}, '^www\\.', '')"
     labels = f"string_split({host_nw}, '.')"
-    last2 = f"(({labels})[-2] || '.' || ({labels})[-1])"
-    last3 = f"(({labels})[-3] || '.' || {last2})"
-    domain = (
-        f"CASE WHEN len({labels}) >= 3 "
-        f"AND list_contains({_sql_psl_list()}, {last2}) THEN {last3} "
-        f"WHEN len({labels}) >= 2 THEN {last2} "
-        f"ELSE {host_nw} END"
-    )
+    domain = _sql_psl_domain(labels, host_nw)
     path = f"regexp_extract({c}, '{_URL_PATH_RE}', 1)"
     return {
         "authority": auth,

@@ -95,10 +95,13 @@ _SUBIDX_GATE_LOCK = threading.Lock()
 # quality-filter oracle snippets over the gate's synthetic lined text
 _QS = X.sql_quality_signals("qtext")
 
-# URL fixture (r9, VERDICT r8 #6; extended r10 VERDICT r9 #3): the
-# driver corpus has no url column, so both engines derive the SAME
-# deterministic url per doc — seven domains (three blocklisted, one
-# only via the public-suffix rule; one platform-suffix host),
+# URL fixture (r9, VERDICT r8 #6; extended r10 VERDICT r9 #3; r11
+# VERDICT r10 #2): the driver corpus has no url column, so both
+# engines derive the SAME deterministic url per doc — eleven domains
+# (three blocklisted, one only via the public-suffix rule; one
+# platform-suffix host; r11: a 3-label-registry host, a
+# 4-label-registry host, a wildcard-rule host and an
+# exception-rule host, so the FULL PSL match is exercised in-gate),
 # userinfo/port/www/scheme/deep-path/trailing-slash/utm variation
 # keyed off doc_id, and path collisions (doc_id % 400) so
 # canonical-url dedup has real duplicate groups (userinfo/port
@@ -108,12 +111,14 @@ _URL_FIXTURE_SQL = (
     "(CASE WHEN doc_id % 4 = 1 THEN 'http' ELSE 'https' END) || '://'"
     " || (CASE WHEN doc_id % 9 = 0 THEN 'user:pw@' ELSE '' END)"
     " || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)"
-    " || (CASE doc_id % 7 WHEN 0 THEN 'example.com'"
+    " || (CASE doc_id % 11 WHEN 0 THEN 'example.com'"
     " WHEN 1 THEN 'blog.example.com' WHEN 2 THEN 'spam.example'"
     " WHEN 3 THEN 'news.test' WHEN 4 THEN 'ads.invalid'"
-    " WHEN 5 THEN 'shop.bad.co.uk' ELSE 'docs.pages.github.io' END)"
+    " WHEN 5 THEN 'shop.bad.co.uk' WHEN 6 THEN 'docs.pages.github.io'"
+    " WHEN 7 THEN 'hs.x.k12.ma.us' WHEN 8 THEN 'school.pvt.k12.ma.us'"
+    " WHEN 9 THEN 'a.foo.kobe.jp' ELSE 'web.city.kobe.jp' END)"
     " || (CASE WHEN doc_id % 8 = 0 THEN ':8443' ELSE '' END)"
-    " || (CASE WHEN doc_id % 11 = 0 THEN '/a/b/c/d/e/f/g/page-'"
+    " || (CASE WHEN doc_id % 13 = 0 THEN '/a/b/c/d/e/f/g/page-'"
     " ELSE '/docs/page-' END)"
     " || CAST(doc_id % 400 AS VARCHAR)"
     " || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END)"
@@ -125,13 +130,17 @@ _US = X.sql_url_signals("url")
 def _url_fixture_col():
     did = F.col("doc_id")
     dom = (
-        F.when(did % 7 == 0, F.lit("example.com"))
-        .when(did % 7 == 1, F.lit("blog.example.com"))
-        .when(did % 7 == 2, F.lit("spam.example"))
-        .when(did % 7 == 3, F.lit("news.test"))
-        .when(did % 7 == 4, F.lit("ads.invalid"))
-        .when(did % 7 == 5, F.lit("shop.bad.co.uk"))
-        .otherwise(F.lit("docs.pages.github.io"))
+        F.when(did % 11 == 0, F.lit("example.com"))
+        .when(did % 11 == 1, F.lit("blog.example.com"))
+        .when(did % 11 == 2, F.lit("spam.example"))
+        .when(did % 11 == 3, F.lit("news.test"))
+        .when(did % 11 == 4, F.lit("ads.invalid"))
+        .when(did % 11 == 5, F.lit("shop.bad.co.uk"))
+        .when(did % 11 == 6, F.lit("docs.pages.github.io"))
+        .when(did % 11 == 7, F.lit("hs.x.k12.ma.us"))
+        .when(did % 11 == 8, F.lit("school.pvt.k12.ma.us"))
+        .when(did % 11 == 9, F.lit("a.foo.kobe.jp"))
+        .otherwise(F.lit("web.city.kobe.jp"))
     )
     return F.concat(
         F.when(did % 4 == 1, F.lit("http")).otherwise(F.lit("https")),
@@ -140,7 +149,7 @@ def _url_fixture_col():
         F.when(did % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
         dom,
         F.when(did % 8 == 0, F.lit(":8443")).otherwise(F.lit("")),
-        F.when(did % 11 == 0, F.lit("/a/b/c/d/e/f/g/page-")).otherwise(
+        F.when(did % 13 == 0, F.lit("/a/b/c/d/e/f/g/page-")).otherwise(
             F.lit("/docs/page-")
         ),
         (did % 400).cast("string"),
