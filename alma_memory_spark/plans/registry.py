@@ -53,6 +53,36 @@ QUERIES: dict[str, QuerySpec] = {}
 _PLAN_MEMO: dict[tuple, DataFrame] = {}
 _PLAN_MEMO_LOCK = __import__("threading").Lock()
 
+#: per-stage wall attribution for EAGER composite gates (r11, VERDICT
+#: r10 #6): gates whose expensive stages run driver-side inside fn()
+#: (engine seeding, lifecycle writes, the serving retrieves) wrap each
+#: stage in stage_timer(); bench.py merges this into BENCH_r{N}.json's
+#: "stages" map so a round-over-round drift is attributable without
+#: re-deriving which stage grew. min() across repeat runs (the bench's
+#: best-of-2) — same steady-state convention as the per-query number.
+#: Purely observational: no gate semantics change.
+STAGE_TIMINGS: dict[str, dict[str, float]] = {}
+_STAGE_LOCK = __import__("threading").Lock()
+
+
+def stage_timer(gate: str, stage: str):
+    import contextlib
+    import time as _time
+
+    @contextlib.contextmanager
+    def _cm():
+        t0 = _time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = round(_time.perf_counter() - t0, 4)
+            with _STAGE_LOCK:
+                cur = STAGE_TIMINGS.setdefault(gate, {})
+                prev = cur.get(stage)
+                cur[stage] = dt if prev is None else min(prev, dt)
+
+    return _cm()
+
 
 def register(name: str, oracle: str | None, memo: bool = False):
     """`memo=True` caches the CONSTRUCTED DataFrame per (session,

@@ -15,7 +15,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from alma_memory_spark.plans.registry import _r6, _t, register
+from alma_memory_spark.plans.registry import _r6, _t, register, stage_timer
 from alma_memory_spark.session import tiny_df as _tiny
 
 _CUTOFF = "2024-01-15 00:00:00"
@@ -247,9 +247,22 @@ def store_write_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
         from alma_memory_spark.session import ensure_package_shipped
 
         ensure_package_shipped(spark)  # once, before the stage threads
+
+        def _timed(fn):
+            # per-stage wall attribution (r11, VERDICT r10 #6); stages
+            # run CONCURRENTLY so each stage's wall includes overlap
+            # contention — attribution, not isolated cost
+            def run():
+                with stage_timer(
+                    "store_write_roundtrips", fn.__name__.removesuffix("_stage")
+                ):
+                    return fn()
+
+            return run
+
         with ThreadPoolExecutor(max_workers=5) as pool:
             futures = [
-                pool.submit(fn)
+                pool.submit(_timed(fn))
                 for fn in (
                     upsert_stage, audit_stage, migrate_stage, json_stage,
                     txlog_stage,
@@ -839,6 +852,8 @@ def engine_retrieve_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         from concurrent.futures import ThreadPoolExecutor
 
         append_pool = ThreadPoolExecutor(max_workers=2)
+        _seed_t = stage_timer("engine_retrieve_serving", "seed_appends")
+        _seed_t.__enter__()
         w1 = append_pool.submit(eng.store.append, "domain_knowledge", rows_df)
         w2 = append_pool.submit(eng.store.append, "retrieval_feedback", fb_df)
 
@@ -854,10 +869,12 @@ def engine_retrieve_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             def _build():
                 w1.result()
-                return eng.index_vectors("domain_knowledge", cent_every=50)
+                with stage_timer("engine_retrieve_serving", "ivf_build"):
+                    return eng.index_vectors("domain_knowledge", cent_every=50)
 
             f3 = build_pool.submit(_build)
             w1.result(), w2.result()
+            _seed_t.__exit__(None, None, None)
             append_pool.shutdown(wait=True)
 
             # the cache-separation property (mode/top_k/use_feedback in
@@ -870,6 +887,7 @@ def engine_retrieve_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
             # e2e-first ordering kept the most expensive cold retrieve
             # OFF the thread pool and on the gate's critical path).
             def e2e_call():
+              with stage_timer("engine_retrieve_serving", "e2e"):
                 s = eng.retrieve(
                     QUERY_TEXT, agent="helena", project_id="p", top_k=20
                 )
@@ -879,6 +897,7 @@ def engine_retrieve_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
 
             def recall_call():
+              with stage_timer("engine_retrieve_serving", "recall"):
                 s = eng.retrieve(
                     QUERY_TEXT, agent="helena", project_id="p", top_k=15, mode="recall"
                 )
@@ -888,6 +907,7 @@ def engine_retrieve_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
 
             def feedback_call():
+              with stage_timer("engine_retrieve_serving", "feedback"):
                 s = eng.retrieve(
                     QUERY_TEXT, agent="helena", project_id="p", top_k=20,
                     use_feedback=True,
@@ -905,20 +925,22 @@ def engine_retrieve_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
             def ann_call():
                 rep = f3.result()
                 assert rep["indexed"], rep
-                s = eng.retrieve(
-                    QUERY_TEXT, agent="helena", project_id="p", top_k=20,
-                    use_ann=True, nprobe=rep["n_cells"],
-                )
+                with stage_timer("engine_retrieve_serving", "ann"):
+                    s = eng.retrieve(
+                        QUERY_TEXT, agent="helena", project_id="p", top_k=20,
+                        use_ann=True, nprobe=rep["n_cells"],
+                    )
                 return [
                     ("ann", r["id"], round(float(r["score"]), 6))
                     for r in s.domain_knowledge
                 ]
 
             def batch_call():
-                bt = eng.retrieve_batch(
-                    [QUERY_TEXT, _BATCH_TASK_2], agent="helena",
-                    project_id="p", top_k=20,
-                )
+                with stage_timer("engine_retrieve_serving", "batch"):
+                    bt = eng.retrieve_batch(
+                        [QUERY_TEXT, _BATCH_TASK_2], agent="helena",
+                        project_id="p", top_k=20,
+                    )
                 rows = []
                 for qi, task in enumerate([QUERY_TEXT, _BATCH_TASK_2]):
                     rows += [

@@ -128,6 +128,63 @@ def main() -> None:
         except Exception as e:  # one broken query must not cost the round
             errors[name] = str(e)[:200]
 
+    # Per-stage wall attribution for the composite gates (r11, VERDICT
+    # r10 #6) — answers "which stage grew" from the BENCH json alone.
+    # Two sources, merged under "stages":
+    #   - EAGER gates (engine_retrieve_serving, store_write_roundtrips)
+    #     time their stages inside the gate via registry.stage_timer
+    #     during the best-of-2 runs above (min across runs);
+    #   - LAZY union gates are re-timed once per stage by filtering the
+    #     built frame on its discriminator column — Catalyst pushes the
+    #     literal filter through the union and prunes every other
+    #     branch, so each number is that stage's subtree alone.
+    # Purely observational (the "queries"/"value" numbers are computed
+    # exactly as before); disable with SPARK_GRAFT_STAGES=0.
+    stages: dict[str, dict[str, float]] = {}
+    if os.environ.get("SPARK_GRAFT_STAGES", "1") != "0":
+        from pyspark.sql import functions as F  # noqa: E402
+
+        from alma_memory_spark.plans.registry import STAGE_TIMINGS
+
+        lazy_gates = [
+            g.strip()
+            for g in os.environ.get(
+                "SPARK_GRAFT_STAGE_GATES",
+                "text_relevance_search,minhash_lsh_pairs,neardup_pairs,"
+                "exact_dedup,table_stats,text_profile,ann_approx_topk",
+            ).split(",")
+            if g.strip()
+        ]
+        for gname in lazy_gates:
+            spec = QUERIES.get(gname)
+            if spec is None or gname in errors:
+                continue
+            try:
+                df = spec.fn(spark, sf_dir)
+                disc = next(
+                    (c for c in ("variant", "method", "stage") if c in df.columns),
+                    None,
+                )
+                if disc is None:
+                    continue
+                values = sorted(
+                    r[0] for r in df.select(disc).distinct().collect()
+                    if r[0] is not None
+                )
+                per = {}
+                for v in values:
+                    t0 = time.perf_counter()
+                    df.filter(F.col(disc) == v).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    per[str(v)] = round(time.perf_counter() - t0, 4)
+                stages[gname] = per
+                spark.catalog.clearCache()
+            except Exception as e:
+                errors.setdefault(f"stages:{gname}", str(e)[:200])
+        for gname, per in STAGE_TIMINGS.items():
+            stages.setdefault(gname, {}).update(per)
+
     total = round(sum(timings.values()), 4)
     payload = {
         "metric": "alma_memory_spark_bench_total",
@@ -136,6 +193,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if stages:
+        payload["stages"] = stages
     if errors:
         payload["errors"] = errors
     # Compact separators keep the line well under harness capture

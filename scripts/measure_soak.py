@@ -37,6 +37,9 @@ from alma_memory_spark.operators.paragraphs import (  # noqa: E402
     ParagraphDedupIndex,
 )
 from alma_memory_spark.operators.semdedup import SemDedupIndex  # noqa: E402
+from alma_memory_spark.operators.substring import (  # noqa: E402
+    TokenWindowDedupIndex,
+)
 from alma_memory_spark.session import get_spark  # noqa: E402
 
 BATCHES = int(os.environ.get("SOAK_BATCHES", "300"))
@@ -104,7 +107,9 @@ def count_files(root: str) -> int:
 def main() -> None:
     spark = get_spark()
     work = tempfile.mkdtemp(prefix="alma_soak_")
-    roots = {k: os.path.join(work, k) for k in ("ivf", "nd", "sd", "pd")}
+    roots = {
+        k: os.path.join(work, k) for k in ("ivf", "nd", "sd", "pd", "tw")
+    }
     seed = synth_batch(spark, 0, 200).localCheckpoint(eager=True)
     refs = {
         "ivf": IVFIndex.build(
@@ -124,6 +129,15 @@ def main() -> None:
             spark, seed.select("doc_id", "text"), roots["pd"],
             id_col="doc_id", text_col="text", n_buckets=8,
         ),
+        # r11 (VERDICT r10 #7): the fifth compactable index — the
+        # token-window (substring) dedup owners, wired into
+        # stream_documents_into_indexes via window_index= but unsoaked
+        # until now. w=8 so the 12-word synthetic docs actually carry
+        # windows.
+        "tw": TokenWindowDedupIndex.build(
+            spark, seed.select("doc_id", "text"), roots["tw"],
+            id_col="doc_id", text_col="text", w=8, n_buckets=8,
+        ),
     }
     next_id = 1_000_000
     n_compactions = 0
@@ -142,9 +156,10 @@ def main() -> None:
         refs["nd"].add(batch.select("doc_id", "text"), text_col="text")
         refs["sd"].add(batch.select("doc_id", "embedding"))
         refs["pd"].add(batch.select("doc_id", "text"), text_col="text")
+        refs["tw"].add(batch.select("doc_id", "text"), text_col="text")
         if b % COMPACT_EVERY == 0:
             # the sink's in-stream fold + handle re-bind
-            for k in ("nd", "sd", "pd"):
+            for k in ("nd", "sd", "pd", "tw"):
                 refs[k] = refs[k].compact()
             refs["ivf"] = refs["ivf"].compact_to(refs["ivf"].path)
             n_compactions += 1
