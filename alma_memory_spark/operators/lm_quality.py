@@ -43,6 +43,7 @@ from alma_memory_spark.functions import text as X
 __all__ = [
     "bigram_lm",
     "bigram_quality_scores",
+    "kenlm_scores",
     "lm_buckets",
     "lm_quality_scores",
     "lm_tail_ids",
@@ -932,3 +933,122 @@ def lm_buckets(
         F.col("c")[0].alias("cut1"), F.col("c")[1].alias("cut2")
     )
     return scores.crossJoin(F.broadcast(cut)).select(id_col, bucket)
+
+
+# ---------------------------------------------------------------------------
+# env-gated KenLM scoring (r11, VERDICT r10 #3)
+# ---------------------------------------------------------------------------
+
+def _kenlm_kernel(
+    model_file: str,
+    shipped_name: str | None,
+    id_col: str,
+    text_col: str,
+    normalize: bool,
+):
+    """The mapInPandas kernel for kenlm_scores, factored out so the
+    plumbing (tokenization convention, normalization math, NULL/empty
+    contract, output columns) unit-tests driver-side with a stub
+    `kenlm` module — the library itself is absent in this container,
+    so the Spark-side path cannot execute here."""
+
+    def kernel(batches):
+        import pandas as pd  # local: runs on executors
+
+        import kenlm  # the env gate re-checked where it matters
+
+        if shipped_name is not None:
+            from pyspark import SparkFiles
+
+            path = SparkFiles.get(shipped_name)
+        else:
+            path = model_file
+        model = kenlm.Model(path)  # mmap'd once per python worker
+        for pdf in batches:
+            ids, ntoks, scores = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                toks = (t or "").split()
+                n = len(toks)
+                ids.append(i)
+                ntoks.append(n)
+                if n == 0:
+                    # the module-wide empty-doc contract (lm_quality_
+                    # scores, ngram_backoff_scores): no evidence ->
+                    # NULL score, never a fake floor
+                    scores.append(None)
+                else:
+                    # total log10 P(doc) with BOS context, no EOS —
+                    # CCNet normalizes per token (Wenzek et al. 2020);
+                    # perplexity = 10 ** (-score) on the normalized
+                    # value
+                    lp = model.score(" ".join(toks), bos=True, eos=False)
+                    scores.append(lp / n if normalize else lp)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_tokens": ntoks,
+                    # nullable Float64: a plain float64 column turns
+                    # None into NaN, which Arrow ships as NaN (not
+                    # NULL) and breaks the empty-doc score-IS-NULL
+                    # contract downstream filters rely on
+                    "score": pd.array(scores, dtype="Float64"),
+                }
+            )
+
+    return kernel
+
+
+def kenlm_scores(
+    docs: DataFrame,
+    model_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = True,
+    ship: bool = True,
+) -> DataFrame:
+    """(id, n_tokens, score): per-token log10 probability under a REAL
+    Kneser-Ney n-gram model via the `kenlm` library — the CCNet scorer
+    proper (Wenzek et al. 2020; the reference pipeline scores with a
+    KenLM 5-gram). ENV-GATED at the same seam as
+    sentence_transformer_udf: the library is not installed in this
+    container, so calling this raises the declared boundary error and
+    `ngram_backoff_scores(order=5)` is the deterministic default with
+    the same distributed shape.
+
+    Parity contract (documented, not oracle-checkable without the
+    lib): same whitespace tokenization as the count-only ladder, same
+    empty-doc contract (n_tokens = 0, score = NULL), score is
+    LENGTH-NORMALIZED log10 P (perplexity = 10 ** (-score)); ranking
+    order agrees with ngram_backoff_scores up to smoothing differences
+    (Kneser-Ney vs stupid backoff), which is exactly the model-quality
+    delta the swap buys.
+
+    Scale shape: the model file ships ONCE per executor via
+    SparkContext.addFile (`ship=True`; pass ship=False when
+    `model_path` is already on a shared/cluster filesystem) and is
+    memory-mapped per python worker — NOT a broadcast variable: a
+    multi-GB .bin through the JVM broadcast path would copy through
+    driver and executor heaps, while mmap shares pages across the
+    worker processes on each host. Scoring is one narrow
+    mapInPandas — no shuffle, no driver funnel, linear in corpus."""
+    try:
+        import kenlm  # noqa: F401
+    except ImportError as e:  # pragma: no cover - lib absent here
+        raise NotImplementedError(
+            "kenlm is not available in this environment; use "
+            "ngram_backoff_scores(order=5) — the deterministic "
+            "count-only stupid-backoff scorer with the same "
+            "distributed shape"
+        ) from e
+    import os as _os  # pragma: no cover - below requires the lib
+
+    spark = docs.sparkSession  # pragma: no cover
+    shipped = None  # pragma: no cover
+    if ship:  # pragma: no cover
+        spark.sparkContext.addFile(model_path)
+        shipped = _os.path.basename(model_path)
+    id_type = docs.schema[id_col].dataType.simpleString()  # pragma: no cover
+    return docs.select(id_col, text_col).mapInPandas(  # pragma: no cover
+        _kenlm_kernel(model_path, shipped, id_col, text_col, normalize),
+        f"{id_col} {id_type}, n_tokens int, score double",
+    )

@@ -1384,3 +1384,65 @@ def test_psl_full_semantics_and_duckdb_mirror(spark):
             f"SELECT {dsql} FROM (SELECT ? AS url)", [u]
         ).fetchone()
         assert dd == want, ("duckdb", u, dd, want)
+
+
+def test_kenlm_env_gate_and_kernel_plumbing(spark):
+    """r11 (VERDICT r10 #3): kenlm_scores is the env-gated REAL-model
+    call site at the sentence_transformer_udf seam — calling it
+    without the library raises the declared boundary error naming the
+    deterministic default; the mapInPandas kernel's plumbing
+    (tokenization, per-token log10 normalization, empty/None contract,
+    output columns) is unit-pinned driver-side with a stub kenlm."""
+    import sys
+    import types
+
+    import pandas as pd
+    import pytest
+
+    from alma_memory_spark.operators.lm_quality import (
+        _kenlm_kernel,
+        kenlm_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "")], "doc_id long, text string"
+    )
+    if "kenlm" not in sys.modules:
+        with pytest.raises(NotImplementedError, match="ngram_backoff_scores"):
+            kenlm_scores(docs, "/nonexistent/model.bin")
+
+    # stub model: score(text) = -2.0 per whitespace token (log10)
+    class _Model:
+        def __init__(self, path):
+            self.path = path
+
+        def score(self, text, bos=True, eos=False):
+            assert bos is True and eos is False
+            return -2.0 * len(text.split())
+
+    stub = types.ModuleType("kenlm")
+    stub.Model = _Model
+    sys.modules["kenlm"] = stub
+    try:
+        kernel = _kenlm_kernel(
+            "/shared/model.bin", None, "doc_id", "text", normalize=True
+        )
+        pdf = pd.DataFrame(
+            {"doc_id": [1, 2, 3], "text": ["a b c", "", None]}
+        )
+        (out,) = list(kernel(iter([pdf])))
+        assert list(out.columns) == ["doc_id", "n_tokens", "score"]
+        assert out["n_tokens"].tolist() == [3, 0, 0]
+        # normalized: (-2 * 3) / 3; empty/None -> NULL score, row kept
+        assert out["score"][0] == -2.0
+        # nullable Float64 so Arrow ships true NULLs (NaN is not NULL)
+        assert str(out["score"].dtype) == "Float64"
+        assert pd.isna(out["score"][1]) and pd.isna(out["score"][2])
+        # unnormalized variant returns the total log10 prob
+        kernel2 = _kenlm_kernel(
+            "/shared/model.bin", None, "doc_id", "text", normalize=False
+        )
+        (out2,) = list(kernel2(iter([pdf])))
+        assert out2["score"][0] == -6.0
+    finally:
+        del sys.modules["kenlm"]
