@@ -430,3 +430,201 @@ def compile_serving_template(
         text = union
 
     return ServingTemplate(text=text, colsets=colsets)
+
+
+# ---------------------------------------------------------------------------
+# batch serving (retrieve_batch) — the qid-dimension form (r11)
+# ---------------------------------------------------------------------------
+
+#: per-call token for the inline (qid, qvec) VALUES rows
+TOKEN_QVALUES = "@QVALUES@"
+
+
+def _cosine_sql_col(emb_col: str, qv_expr: str) -> str:
+    """cosine_similarity(embedding, <column>) — the batch form: the
+    query vector is a real column (one row per qid in the broadcast
+    VALUES frame), so BOTH norms evaluate per row, exactly the
+    DataFrame tree `cosine_similarity("embedding", F.col("qvec"))`
+    builds."""
+    te = f"transform({_q(emb_col)}, x -> CAST(x AS DOUBLE))"
+    tq = f"transform({qv_expr}, x -> CAST(x AS DOUBLE))"
+    dot = f"aggregate(zip_with({te}, {tq}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    na = f"sqrt(aggregate({te}, 0.0D, (acc, x) -> acc + x * x))"
+    nb = f"sqrt(aggregate({tq}, 0.0D, (acc, x) -> acc + x * x))"
+    return (
+        f"CASE WHEN ({na} > 0 AND {nb} > 0) "
+        f"THEN {dot} / ({na} * {nb}) ELSE 0.0D END"
+    )
+
+
+def qvalues_sql(qids, qvecs) -> str:
+    """The inline broadcast query frame: VALUES ('<qid>', array(...)),
+    one row per pending task — the SQL form of the tiny_df the
+    DataFrame path crossJoins."""
+    rows = ", ".join(
+        f"({string_literal(q)}, {qv_array_sql(v)})"
+        for q, v in zip(qids, qvecs)
+    )
+    return f"(VALUES {rows}) AS q(`qid`, `qvec`)"
+
+
+def _batch_branch_layers(
+    b: BranchInput,
+    fetch_k: int,
+    min_score: float,
+    weights: ScoringWeights,
+    project_id: str | None,
+    agent: str,
+) -> tuple[str, list[str]]:
+    """One memory-type branch of the BATCH plan, mirroring
+    engine._batch_exact_candidates + score_memories(params=False) +
+    threshold_topk(partition_cols=['qid']) layer by layer."""
+    if "id" not in b.columns or "embedding" not in b.columns:
+        raise ServingSQLUnsupported(f"{b.memory_type}: missing id/embedding")
+    ts_col = _RECENCY_TS.get(b.memory_type)
+    if ts_col is None or ts_col not in b.columns:
+        raise ServingSQLUnsupported(f"{b.memory_type}: missing recency column")
+
+    cols = [_q(c) for c in b.columns]
+    filters = [f"`agent` IN ({string_literal(agent)})"]
+    if project_id is not None:
+        filters.insert(0, f"`project_id` = {string_literal(project_id)}")
+    base = (
+        f"SELECT {', '.join(cols)}, "
+        f"CASE WHEN `agent` != {string_literal(agent)} THEN `agent` END "
+        f"AS `shared_from` FROM {b.view} WHERE {' AND '.join(filters)}"
+    )
+    out_cols = list(b.columns) + ["shared_from", "qid", "similarity"]
+
+    sim = _cosine_sql_col("embedding", "q.`qvec`")
+    joined = (
+        f"SELECT /*+ BROADCAST(q) */ b.*, q.`qid`, {sim} AS `similarity` "
+        f"FROM ({base}) b CROSS JOIN {TOKEN_QVALUES}"
+    )
+    w_rank = "PARTITION BY `qid` ORDER BY `similarity` DESC, `id` ASC"
+    rk = f"SELECT *, row_number() OVER ({w_rank}) AS `_rk` FROM ({joined})"
+    cut = (
+        f"SELECT {', '.join(_q(c) for c in out_cols)} FROM ({rk}) "
+        f"WHERE `_rk` <= {2 * fetch_k}"
+    )
+    ranked = f"SELECT *, row_number() OVER ({w_rank}) AS `ann_rank` FROM ({cut})"
+    out_cols += ["ann_rank"]
+
+    comp = {
+        "sim_score": "CAST(`similarity` AS DOUBLE)",
+        "recency_score": _recency_sql(ts_col, 30.0),
+        "success_score": f"CAST({_success_sql(b.memory_type)} AS DOUBLE)",
+        "confidence_score": f"CAST({_confidence_sql(b.memory_type)} AS DOUBLE)",
+    }
+    scored = (
+        "SELECT *, "
+        + ", ".join(f"{e} AS {_q(n)}" for n, e in comp.items())
+        + f" FROM ({ranked})"
+    )
+    w = weights
+    score = (
+        f"{double_literal(w.similarity)} * `sim_score` "
+        f"+ {double_literal(w.recency)} * `recency_score` "
+        f"+ {double_literal(w.success_rate)} * `success_score` "
+        f"+ {double_literal(w.confidence)} * `confidence_score`"
+    )
+    scored2 = f"SELECT *, ({score}) AS `score` FROM ({scored})"
+    out_cols += [*_SCORE_COMPONENTS, "score"]
+
+    fil = f"SELECT * FROM ({scored2}) WHERE `score` >= {double_literal(min_score)}"
+    w_top = "PARTITION BY `qid` ORDER BY `score` DESC, `ann_rank` ASC"
+    win = f"SELECT *, row_number() OVER ({w_top}) AS `_rk` FROM ({fil})"
+    final = (
+        f"SELECT {', '.join(_q(c) for c in out_cols)} FROM ({win}) "
+        f"WHERE `_rk` <= {fetch_k}"
+    )
+    return final, out_cols
+
+
+def compile_batch_template(
+    branches: list[BranchInput],
+    fetch_k: int,
+    min_score: float,
+    weights: ScoringWeights,
+    project_id: str | None,
+    agent: str,
+    prefs: PrefsInput | None = None,
+) -> ServingTemplate:
+    """The retrieve_batch union statement with @QVALUES@/@NOWD@ tokens;
+    bind with bind_batch(). Same compile/staleness contract as
+    compile_serving_template."""
+    if not branches and prefs is None:
+        raise ServingSQLUnsupported("nothing to serve")
+    colsets: dict[str, list[str]] = {}
+    branch_sqls: list[tuple[str, str, list[str]]] = []
+    dtype_of: dict[str, str] = {"qid": "string"}
+
+    def _note_types(dtypes, extra: dict[str, str]) -> None:
+        for name, dt in list(dtypes) + list(extra.items()):
+            prev = dtype_of.get(name)
+            if prev is not None and prev != dt:
+                raise ServingSQLUnsupported(
+                    f"conflicting union dtypes for {name}: {prev} vs {dt}"
+                )
+            dtype_of[name] = dt
+
+    added = {
+        "shared_from": "string",
+        "similarity": "double",
+        "ann_rank": "int",
+        "sim_score": "double",
+        "recency_score": "double",
+        "success_score": "double",
+        "confidence_score": "double",
+        "score": "double",
+    }
+    for b in branches:
+        sql, out_cols = _batch_branch_layers(
+            b, fetch_k, min_score, weights, project_id, agent
+        )
+        _note_types(b.dtypes, {c: added[c] for c in added if c in out_cols})
+        branch_sqls.append((b.memory_type, sql, out_cols))
+        # the driver splits rows by (qid, type); colsets exclude qid —
+        # same convention as the DataFrame path
+        colsets[b.memory_type] = [c for c in out_cols if c != "qid"]
+
+    if prefs is not None:
+        if "user_id" not in prefs.columns or "confidence" not in prefs.columns:
+            raise ServingSQLUnsupported("preferences: missing user_id/confidence")
+        psql = (
+            f"SELECT {', '.join(_q(c) for c in prefs.columns)}, "
+            "CAST(NULL AS string) AS `qid` "
+            f"FROM {prefs.view} "
+            f"WHERE `user_id` = {string_literal(prefs.user_id)} "
+            f"ORDER BY `confidence` DESC, `id` ASC LIMIT {prefs.limit}"
+        )
+        _note_types(prefs.dtypes, {})
+        branch_sqls.append(
+            ("preferences", psql, list(prefs.columns) + ["qid"])
+        )
+        colsets["preferences"] = list(prefs.columns)
+
+    union_cols: list[str] = []
+    for _, _, out_cols in branch_sqls:
+        for c in out_cols:
+            if c not in union_cols:
+                union_cols.append(c)
+    parts = []
+    for t, sql, out_cols in branch_sqls:
+        have = set(out_cols)
+        proj = ", ".join(
+            _q(c) if c in have else f"CAST(NULL AS {dtype_of[c]}) AS {_q(c)}"
+            for c in union_cols
+        )
+        parts.append(
+            f"SELECT {proj}, {string_literal(t)} AS `memory_type` FROM ({sql})"
+        )
+    return ServingTemplate(
+        text="\nUNION ALL\n".join(parts), colsets=colsets
+    )
+
+
+def bind_batch(tmpl: ServingTemplate, qids, qvecs, now: datetime) -> str:
+    return tmpl.text.replace(
+        TOKEN_QVALUES, qvalues_sql(qids, qvecs)
+    ).replace(TOKEN_NOW, double_literal(now_epoch_seconds(now)))

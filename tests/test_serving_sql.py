@@ -218,3 +218,26 @@ def test_unsupported_shapes_fall_back(seeded):
         assert sl is not None
     finally:
         EM.AlmaSpark._sql_serving_rows = orig
+
+
+def test_batch_sql_path_bitwise_equals_df_path(seeded):
+    """r11: retrieve_batch's compiled-SQL path (qid-dimension VALUES
+    bind) is bit-identical to the DataFrame batch path at full
+    precision, including the preferences branch."""
+    tasks = [
+        "validate schema before writing rows",
+        "mock the api layer and assert contracts",
+        "remember the deployment switchover",
+    ]
+    seeded.serving_sql_enabled = True
+    seeded._cache.clear()
+    a = seeded.retrieve_batch(tasks, agent="helena", project_id="proj-a",
+                              user_id="u1", top_k=7)
+    seeded.serving_sql_enabled = False
+    seeded._cache.clear()
+    b = seeded.retrieve_batch(tasks, agent="helena", project_id="proj-a",
+                              user_id="u1", top_k=7)
+    seeded.serving_sql_enabled = True
+    assert set(a) == set(b) == set(tasks)
+    for t in tasks:
+        _slices_equal(a[t], b[t])
