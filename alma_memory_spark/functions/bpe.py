@@ -44,10 +44,13 @@ __all__ = [
     "bpe_encode",
     "bpe_token_count_udf",
     "bpe_token_ids_udf",
+    "learn_merges",
     "load_merge_ranks",
     "load_vocab",
+    "train_bpe_merges",
     "with_bpe_token_count",
     "with_bpe_token_ids",
+    "write_merges",
 ]
 
 
@@ -242,3 +245,104 @@ def with_bpe_token_ids(
             unk_col, F.size(F.filter(F.col(out_col), lambda x: x == 0))
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# distributed BPE TRAINING (r11)
+# ---------------------------------------------------------------------------
+
+def learn_merges(freqs: dict, n_merges: int) -> list[tuple[str, str]]:
+    """The deterministic BPE merge loop (Sennrich et al. 2016) over a
+    pre-token frequency table: repeatedly merge the highest-frequency
+    adjacent symbol pair, ties broken lexicographically, stopping when
+    no pair occurs twice. Shared by scripts/make_bpe_vocab.py (which
+    pins the committed resource byte-for-byte) and train_bpe_merges
+    (the distributed trainer). Cost: O(n_merges * total word symbols)
+    over the UNIQUE-pre-token table — never the corpus."""
+    import collections
+
+    words = {w: tuple(w) for w in freqs}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: collections.Counter = collections.Counter()
+        for w, syms in words.items():
+            f = freqs[w]
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < 2:
+            break
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_words = {}
+        for w, syms in words.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == best[0]
+                    and syms[i + 1] == best[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_words[w] = tuple(out)
+        words = new_words
+    return merges
+
+
+def write_merges(path: str, merges: list[tuple[str, str]]) -> None:
+    """merges.txt-format writer (Ġ = space, the GPT-2 convention the
+    loader reverses); output loads back via load_merge_ranks."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("#version: alma-bpe-1 (char-level, %d merges)\n" % len(merges))
+        for a, b in merges:
+            f.write(f"{a.replace(' ', 'Ġ')} {b.replace(' ', 'Ġ')}\n")
+
+
+def train_bpe_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 400,
+    min_count: int = 1,
+    top_words: int | None = None,
+) -> list[tuple[str, str]]:
+    """Train a BPE merge table ON the corpus, distributed: the classic
+    two-phase design every scalable tokenizer trainer uses — BPE
+    statistics depend on the corpus only through pre-token
+    FREQUENCIES, so phase 1 is one map-side-combinable Spark count
+    over `regexp_extract_all(BPE_TOKEN_RE)` (the same JVM-side
+    pre-tokenizer the counting kernels use) and phase 2 is the
+    deterministic merge loop over the collected (pre-token, count)
+    table. The corpus is never touched again after the one count
+    shuffle, and re-running on the same corpus reproduces the same
+    table byte-for-byte (lexicographic tie-break).
+
+    100 TB shape: the driver table is UNIQUE pre-tokens, not corpus
+    tokens — bound it with `min_count` (raw web corpora have unbounded
+    typo/URL tails; count-1 pre-tokens cannot influence early merges
+    much) and/or `top_words` (keep the N highest-count pre-tokens,
+    ties by pre-token — a TakeOrdered of constant k, the standard
+    vocabulary-truncation trade). With either cap the collect is
+    O(cap), independent of corpus size.
+
+    Returns the merge list; persist with write_merges() and serve via
+    with_bpe_token_count / with_bpe_token_ids (merges_path=...)."""
+    pts = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0)
+        ).alias("pt")
+    )
+    counts = pts.groupBy("pt").agg(F.count(F.lit(1)).alias("cnt"))
+    if min_count > 1:
+        counts = counts.filter(F.col("cnt") >= min_count)
+    if top_words is not None:
+        counts = counts.orderBy(F.desc("cnt"), F.asc("pt")).limit(top_words)
+    freqs = {r["pt"]: r["cnt"] for r in counts.collect()}
+    return learn_merges(freqs, n_merges)

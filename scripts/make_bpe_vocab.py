@@ -57,41 +57,12 @@ def pre_tokens(text: str) -> list[str]:
 
 
 def train(corpus: str, n_merges: int) -> list[tuple[str, str]]:
+    # the loop itself lives in functions/bpe.py (learn_merges) so the
+    # script and the distributed trainer can never drift (r11)
+    from alma_memory_spark.functions.bpe import learn_merges
+
     freqs = collections.Counter(pre_tokens(corpus))
-    words = {w: tuple(w) for w in freqs}
-    merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        pairs: collections.Counter = collections.Counter()
-        for w, syms in words.items():
-            f = freqs[w]
-            for a, b in zip(syms, syms[1:]):
-                pairs[(a, b)] += f
-        if not pairs:
-            break
-        # deterministic: max frequency, then lexicographically smallest
-        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        if pairs[best] < 2:
-            break
-        merges.append(best)
-        merged = best[0] + best[1]
-        new_words = {}
-        for w, syms in words.items():
-            out = []
-            i = 0
-            while i < len(syms):
-                if (
-                    i + 1 < len(syms)
-                    and syms[i] == best[0]
-                    and syms[i + 1] == best[1]
-                ):
-                    out.append(merged)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            new_words[w] = tuple(out)
-        words = new_words
-    return merges
+    return learn_merges(dict(freqs), n_merges)
 
 
 def main() -> None:

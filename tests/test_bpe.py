@@ -277,3 +277,50 @@ def test_verify_shards_column_set_and_hadoop_listing(spark, tmp_path):
         P.verify_shards(spark, out2)
     # scheme-qualified URI through the Hadoop FS listing
     P.verify_shards(spark, "file://" + out2, token_col="n_bpe")
+
+
+def test_distributed_trainer_reproduces_committed_table(spark, tmp_path):
+    """r11: train_bpe_merges — the distributed two-phase trainer (one
+    Spark pre-token count shuffle + the deterministic driver merge
+    loop) reproduces the committed resource EXACTLY when fed the same
+    seed corpus as a DataFrame, round-trips through write_merges /
+    load_merge_ranks, and the caps (min_count / top_words) bound the
+    driver table deterministically."""
+    import importlib.util
+    import os as _os
+
+    from alma_memory_spark.functions.bpe import (
+        learn_merges,
+        load_merge_ranks,
+        train_bpe_merges,
+        write_merges,
+    )
+
+    spec = importlib.util.spec_from_file_location(
+        "make_bpe_vocab",
+        _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                      "scripts", "make_bpe_vocab.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    lines = [ln for ln in mod.SEED_CORPUS.split("\n") if ln.strip()]
+    docs = spark.createDataFrame([(i, ln) for i, ln in enumerate(lines)],
+                                 "doc_id long, text string")
+    merges = train_bpe_merges(docs, n_merges=mod.N_MERGES)
+    committed = list(load_merge_ranks(DEFAULT_MERGES))
+    assert merges == committed, (merges[:5], committed[:5])
+
+    # file round-trip loads back with identical ranks
+    out = str(tmp_path / "merges.txt")
+    write_merges(out, merges)
+    assert list(load_merge_ranks(out)) == merges
+
+    # caps: min_count drops singleton pre-tokens before the loop;
+    # top_words keeps a deterministic frequency-ranked prefix
+    capped = train_bpe_merges(docs, n_merges=50, top_words=40)
+    assert len(capped) <= 50
+    again = train_bpe_merges(docs, n_merges=50, top_words=40)
+    assert capped == again
+    # learn_merges stops when no pair repeats
+    assert learn_merges({"ab": 1}, 10) == []
