@@ -118,6 +118,13 @@ class AlmaSpark:
         self._srv_lock = threading.Lock()
         self._srv_views: dict[tuple, tuple] = {}
         self._srv_templates: OrderedDict[tuple, Any] = OrderedDict()
+        #: fast-path observability: sql-served calls vs analysis-error
+        #: fallbacks (the last error + statement are kept for
+        #: diagnosis; a fallback is always safe — the DataFrame path
+        #: is bit-identical)
+        self._srv_hits = 0
+        self._srv_fallbacks = 0
+        self._srv_last_error: tuple[str, str] | None = None
 
     # ------------------------------------------------------------------
     # helpers
@@ -312,8 +319,28 @@ class AlmaSpark:
                 self._srv_templates[key] = tmpl
                 while len(self._srv_templates) > 64:
                     self._srv_templates.popitem(last=False)
-        rows = self.spark.sql(tmpl.bind(qvec, now)).collect()
+        rows = self._srv_run(tmpl.bind(qvec, now))
         return rows, dict(tmpl.colsets)
+
+    def _srv_run(self, text: str) -> list:
+        """Execute a compiled serving statement; an AnalysisException
+        downgrades to the DataFrame path (bit-identical) instead of
+        failing the retrieve — the statement + error are kept on the
+        engine for diagnosis and the fallback is counted."""
+        from pyspark.errors import AnalysisException
+
+        from alma_memory_spark.operators.serving_sql import ServingSQLUnsupported
+
+        try:
+            rows = self.spark.sql(text).collect()
+        except AnalysisException as e:
+            with self._srv_lock:
+                self._srv_fallbacks += 1
+                self._srv_last_error = (str(e)[:2000], text)
+            raise ServingSQLUnsupported(f"analysis failed: {e}") from e
+        with self._srv_lock:
+            self._srv_hits += 1
+        return rows
 
     def _sql_batch_rows(
         self,
@@ -388,7 +415,7 @@ class AlmaSpark:
                 self._srv_templates[key] = tmpl
                 while len(self._srv_templates) > 64:
                     self._srv_templates.popitem(last=False)
-        rows = self.spark.sql(SS.bind_batch(tmpl, qids, qvecs, now)).collect()
+        rows = self._srv_run(SS.bind_batch(tmpl, qids, qvecs, now))
         return rows, dict(tmpl.colsets)
 
     # ------------------------------------------------------------------

@@ -170,6 +170,29 @@ _SCORE_COMPONENTS = (
 )
 
 
+#: columns the serving pipeline ADDS; a base table already exposing one
+#: would make the generated SELECT ambiguous where the DataFrame path's
+#: withColumn would silently REPLACE it — refuse to compile and let the
+#: engine fall back (observed in the wild via StructType.add's
+#: in-place-mutation footgun polluting shared schemas with a NULL
+#: `similarity` column)
+_RESERVED = frozenset(
+    [
+        "shared_from", "similarity", "ann_rank", "qid", "memory_type",
+        "feedback_score", *_SCORE_COMPONENTS, "score",
+    ]
+)
+
+
+def _check_reserved(b: BranchInput) -> None:
+    clash = sorted(_RESERVED.intersection(b.columns))
+    if clash:
+        raise ServingSQLUnsupported(
+            f"{b.memory_type}: base table exposes reserved serving "
+            f"column(s) {clash} (the DataFrame path replaces them)"
+        )
+
+
 @dataclass(frozen=True)
 class BranchInput:
     """One memory-type branch: the registered temp view plus its schema
@@ -219,6 +242,7 @@ def _branch_layers(
     order exactly; returns (subquery_sql, output_columns)."""
     if "id" not in b.columns or "embedding" not in b.columns:
         raise ServingSQLUnsupported(f"{b.memory_type}: missing id/embedding")
+    _check_reserved(b)
     ts_col = _RECENCY_TS.get(b.memory_type)
     if ts_col is None or ts_col not in b.columns:
         raise ServingSQLUnsupported(f"{b.memory_type}: missing recency column")
@@ -481,6 +505,7 @@ def _batch_branch_layers(
     threshold_topk(partition_cols=['qid']) layer by layer."""
     if "id" not in b.columns or "embedding" not in b.columns:
         raise ServingSQLUnsupported(f"{b.memory_type}: missing id/embedding")
+    _check_reserved(b)
     ts_col = _RECENCY_TS.get(b.memory_type)
     if ts_col is None or ts_col not in b.columns:
         raise ServingSQLUnsupported(f"{b.memory_type}: missing recency column")

@@ -28,6 +28,18 @@ def _days_ago(d):
     return NOW - timedelta(days=d)
 
 
+def _with_similarity(schema):
+    """COPY of a table schema plus a similarity column. StructType.add
+    MUTATES in place (and returns self), so calling .add on the shared
+    schemas.* globals silently polluted every later test's seeds with a
+    NULL similarity column — caught by the r11 compiled-SQL serving
+    path, which (unlike withColumn's replace semantics) refuses
+    reserved-column collisions."""
+    from pyspark.sql import types as T
+
+    return T.StructType(list(schema.fields) + [T.StructField("similarity", T.DoubleType())])
+
+
 def test_weights_normalize():
     w = ScoringWeights(0.8, 0.6, 0.4, 0.2)  # sums to 2.0
     assert abs(w.similarity - 0.4) < 1e-9
@@ -71,7 +83,7 @@ def test_outcome_composite_score_literal(spark):
             "embedding": [1.0, 0.0], "metadata": {}, "similarity": 0.5,
         },
     ]
-    schema = schemas.OUTCOMES.add("similarity", "double")
+    schema = _with_similarity(schemas.OUTCOMES)
     df = spark.createDataFrame(rows, schema)
     out = {r["id"]: r["score"] for r in score_memories(df, "outcomes", NOW).collect()}
     assert abs(out["o1"] - 0.77) < 1e-9
@@ -89,7 +101,7 @@ def test_heuristic_and_antipattern_conventions(spark):
             "similarity": 1.0,
         }
     ]
-    hdf = spark.createDataFrame(hrows, schemas.HEURISTICS.add("similarity", "double"))
+    hdf = spark.createDataFrame(hrows, _with_similarity(schemas.HEURISTICS))
     h = score_memories(hdf, "heuristics", NOW).collect()[0]
     # 0.4*1 + 0.3*1 + 0.2*0.8 + 0.1*0.6 = 0.92
     assert abs(h["score"] - 0.92) < 1e-9
@@ -103,7 +115,7 @@ def test_heuristic_and_antipattern_conventions(spark):
             "similarity": 1.0,
         }
     ]
-    adf = spark.createDataFrame(arows, schemas.ANTI_PATTERNS.add("similarity", "double"))
+    adf = spark.createDataFrame(arows, _with_similarity(schemas.ANTI_PATTERNS))
     ap = score_memories(adf, "anti_patterns", NOW).collect()[0]
     # success term capped at min(25/10, 1) = 1.0 -> 0.4+0.3+0.2+0.1 = 1.0
     assert abs(ap["score"] - 1.0) < 1e-9

@@ -131,6 +131,15 @@ def test_sql_path_bitwise_equals_df_path(seeded):
         b = seeded.retrieve(**kw)
         _slices_equal(a, b)
     seeded.serving_sql_enabled = True
+    # the comparisons above must have exercised the REAL fast path —
+    # an analysis-error fallback would compare DF against DF; dump the
+    # failing statement for diagnosis if one happened
+    if seeded._srv_fallbacks:
+        err, text = seeded._srv_last_error
+        with open("/tmp/srv_sql_fail.txt", "w") as fh:
+            fh.write(err + "\n\n" + text)
+    assert seeded._srv_fallbacks == 0, seeded._srv_last_error and seeded._srv_last_error[0]
+    assert seeded._srv_hits >= len(VARIANTS)
 
 
 def test_sql_path_sees_fresh_writes(seeded, spark):
@@ -241,3 +250,41 @@ def test_batch_sql_path_bitwise_equals_df_path(seeded):
     assert set(a) == set(b) == set(tasks)
     for t in tasks:
         _slices_equal(a[t], b[t])
+
+
+def test_reserved_column_collision_falls_back(spark, tmp_path):
+    """r11: a store table already exposing a pipeline-added column
+    (e.g. `similarity` — seen in the wild via StructType.add's
+    in-place-mutation footgun) must NOT produce an ambiguous compiled
+    statement: the compiler refuses, the engine falls back to the
+    DataFrame path (whose withColumn REPLACES the column), and the
+    retrieve still serves."""
+    from pyspark.sql import types as T
+
+    from alma_memory_spark.embedding import HashEmbedder, hash_embed
+
+    schema = T.StructType(
+        list(schemas.DOMAIN_KNOWLEDGE.fields)
+        + [T.StructField("similarity", T.DoubleType())]
+    )
+    rows = [
+        {
+            "id": f"d{i}", "agent": "helena", "project_id": "p",
+            "domain": "d", "fact": f"fact number {i}",
+            "source": "user_stated", "confidence": 0.9,
+            "last_verified": ANCHOR, "verification_status": None,
+            "embedding": hash_embed(f"fact number {i}", 16),
+            "metadata": {}, "similarity": 0.123,
+        }
+        for i in range(6)
+    ]
+    eng = AlmaSpark(
+        spark, str(tmp_path / "store"), embedder=HashEmbedder(16),
+        clock=lambda: ANCHOR,
+    )
+    eng.store.append("domain_knowledge", spark.createDataFrame(rows, schema))
+    sl = eng.retrieve("fact number 3", agent="helena", project_id="p")
+    assert sl.domain_knowledge, "retrieve must still serve via fallback"
+    # the compiler refused (no analysis error, no sql hit for dk)
+    assert eng._srv_fallbacks == 0 and eng._srv_last_error is None
+    assert eng._srv_hits == 0
