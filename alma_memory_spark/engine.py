@@ -235,25 +235,57 @@ class AlmaSpark:
         use_feedback: bool,
         qvec,
         now,
+        use_ann: bool = False,
+        nprobe: int = 8,
     ):
         """The serving fast path: one compiled-SQL statement for the
         whole union plan. Returns (rows, colsets) or raises
         ServingSQLUnsupported (caller falls back to the DataFrame
-        path — results are bit-identical either way)."""
+        path — results are bit-identical either way).
+
+        `use_ann=True` (r12, VERDICT r11 #1): a type with a scope-
+        expressible IVF index keeps its probe on the index path —
+        IVFIndex.search runs per call (a pruned nprobe-cell scan, the
+        same deterministic kernel the DataFrame path broadcast-joins)
+        and its COLLECTED (id, similarity) rows bind into the template
+        as a per-type VALUES table, so the union statement itself stays
+        one cached-template spark.sql() round trip."""
         from alma_memory_spark.operators import serving_sql as SS
 
         branches: list[SS.BranchInput] = []
         stamps: list[tuple] = []
+        cands: dict[str, list] = {}
         for t in type_list:
             if not self.store.exists(t):
                 continue
             view, df, stamp = self._serving_view(t)
+            ann = False
+            if use_ann and self._has_ivf_index(t):
+                idx = self._load_ivf(t)
+                # same scope rule as the DataFrame path: a scope the
+                # index cannot express keeps the exact scan (engine
+                # retrieve(): want built from df columns vs extra_cols)
+                indexed = {n for n, _t in idx.extra_cols}
+                want: dict = {}
+                if project_id is not None and "project_id" in df.columns:
+                    want["project_id"] = project_id
+                if "agent" in df.columns:
+                    want["agent"] = agents if len(agents) > 1 else agents[0]
+                if set(want) <= indexed:
+                    ann = True
+                    cands[t] = [
+                        (r["id"], r["similarity"])
+                        for r in idx.search(
+                            qvec, k=2 * fetch_k, nprobe=nprobe, filters=want
+                        ).collect()
+                    ]
             branches.append(
                 SS.BranchInput(
                     t,
                     view,
                     tuple(df.columns),
                     tuple((f.name, f.dataType.simpleString()) for f in df.schema.fields),
+                    ann=ann,
                 )
             )
             stamps.append((t, stamp))
@@ -294,6 +326,10 @@ class AlmaSpark:
             user_id,
             use_feedback,
             self.feedback_weight,
+            # the ann-served type set changes the branch SHAPE (an index
+            # created or dropped between calls leaves store stamps
+            # untouched, so it must key the template directly)
+            tuple(sorted(t for t in cands)),
         )
         with self._srv_lock:
             tmpl = self._srv_templates.get(key)
@@ -303,6 +339,7 @@ class AlmaSpark:
             else:
                 tmpl = None
         if tmpl is None:
+            SS.check_parser_mode(self.spark)
             tmpl = SS.compile_serving_template(
                 branches,
                 fetch_k,
@@ -319,7 +356,7 @@ class AlmaSpark:
                 self._srv_templates[key] = tmpl
                 while len(self._srv_templates) > 64:
                     self._srv_templates.popitem(last=False)
-        rows = self._srv_run(tmpl.bind(qvec, now))
+        rows = self._srv_run(tmpl.bind(qvec, now, cands=cands))
         return rows, dict(tmpl.colsets)
 
     def _srv_run(self, text: str) -> list:
@@ -354,26 +391,45 @@ class AlmaSpark:
         qids: list[str],
         qvecs: list,
         now,
+        use_ann: bool = False,
+        nprobe: int = 8,
     ):
         """retrieve_batch's fast path: the qid-dimension union plan as
         one compiled-SQL statement; (qid, qvec) bind per call as an
         inline VALUES table. Returns (rows, colsets) or raises
-        ServingSQLUnsupported."""
+        ServingSQLUnsupported. `use_ann=True` binds each indexed type's
+        IVFIndex.search_batch output as a (qid, id, similarity) VALUES
+        table — same contract as _sql_serving_rows (r12)."""
         from alma_memory_spark.operators import serving_sql as SS
 
         k = fetch_k  # batch serves default mode: fetch_k == top_k
         branches: list[SS.BranchInput] = []
         stamps: list[tuple] = []
+        cands: dict[str, list] = {}
         for t in type_list:
             if not self.store.exists(t):
                 continue
             view, df, stamp = self._serving_view(t)
+            ann = False
+            if use_ann and self._has_ivf_index(t):
+                idx = self._load_ivf(t)
+                want = self._ann_scope_filters(df, idx, project_id, agent)
+                if want is not None:
+                    ann = True
+                    cands[t] = [
+                        (r["qid"], r["id"], r["similarity"])
+                        for r in idx.search_batch(
+                            list(zip(qids, qvecs)), k=2 * fetch_k,
+                            nprobe=nprobe, filters=want,
+                        ).collect()
+                    ]
             branches.append(
                 SS.BranchInput(
                     t,
                     view,
                     tuple(df.columns),
                     tuple((f.name, f.dataType.simpleString()) for f in df.schema.fields),
+                    ann=ann,
                 )
             )
             stamps.append((t, stamp))
@@ -399,6 +455,7 @@ class AlmaSpark:
             project_id,
             agent,
             user_id,
+            tuple(sorted(t for t in cands)),  # ann branch shape (see above)
         )
         with self._srv_lock:
             tmpl = self._srv_templates.get(key)
@@ -407,6 +464,7 @@ class AlmaSpark:
             else:
                 tmpl = None
         if tmpl is None:
+            SS.check_parser_mode(self.spark)
             tmpl = SS.compile_batch_template(
                 branches, fetch_k, min_score, weights, project_id, agent,
                 prefs=prefs,
@@ -415,7 +473,7 @@ class AlmaSpark:
                 self._srv_templates[key] = tmpl
                 while len(self._srv_templates) > 64:
                     self._srv_templates.popitem(last=False)
-        rows = self._srv_run(SS.bind_batch(tmpl, qids, qvecs, now))
+        rows = self._srv_run(SS.bind_batch(tmpl, qids, qvecs, now, cands=cands))
         return rows, dict(tmpl.colsets)
 
     # ------------------------------------------------------------------
@@ -502,13 +560,14 @@ class AlmaSpark:
         # compiled-SQL statement — bit-identical results, one
         # spark.sql() round trip instead of rebuilding the plan through
         # py4j. Falls back to the DataFrame path for shapes the
-        # compiler rejects and for ANN-index serving (its candidate
-        # probe is built per call).
+        # compiler rejects. ANN-index serving (r12, VERDICT r11 #1)
+        # also compiles: the per-call IVF probe stays on the index path
+        # and its candidate set binds as a VALUES table.
         type_list = ["heuristics", "outcomes", "domain_knowledge"]
         if cfg is None or cfg.include_anti_patterns:
             type_list.append("anti_patterns")
         sql_served = None
-        if self.serving_sql_enabled and not use_ann:
+        if self.serving_sql_enabled:
             from alma_memory_spark.operators.serving_sql import ServingSQLUnsupported
 
             try:
@@ -525,6 +584,8 @@ class AlmaSpark:
                     use_feedback,
                     qvec,
                     now,
+                    use_ann=use_ann,
+                    nprobe=nprobe,
                 )
             except ServingSQLUnsupported:
                 sql_served = None
@@ -752,16 +813,18 @@ class AlmaSpark:
         # throughput form): the whole qid-dimension union plan as one
         # compiled-SQL statement — the (qid, qvec) frame rides as an
         # inline VALUES table, bit-identical results, one spark.sql()
-        # round trip. ANN-index batch serving keeps the DataFrame path
-        # (its candidate probe is per-call).
+        # round trip. ANN-index batch serving compiles too (r12): the
+        # search_batch probe runs on the index path and its (qid, id,
+        # similarity) candidate set binds as a VALUES table.
         sql_served = None
-        if self.serving_sql_enabled and not use_ann:
+        if self.serving_sql_enabled:
             from alma_memory_spark.operators.serving_sql import ServingSQLUnsupported
 
             try:
                 sql_served = self._sql_batch_rows(
                     type_list, fetch_k, min_score, weights,
                     project_id, agent, user_id, qids, qvecs, now,
+                    use_ann=use_ann, nprobe=nprobe,
                 )
             except ServingSQLUnsupported:
                 sql_served = None

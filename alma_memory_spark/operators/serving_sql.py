@@ -55,6 +55,8 @@ from alma_memory_spark.operators.retrieval import (
 TOKEN_QV = "@QV@"
 TOKEN_QNORM = "@QNORM@"
 TOKEN_NOW = "@NOWD@"
+#: per-type ANN candidate tables (r12) — full token is "@CANDS_<type>@"
+TOKEN_CANDS_PREFIX = "@CANDS_"
 
 _EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
 
@@ -78,7 +80,52 @@ def double_literal(x: float) -> str:
 
 
 def string_literal(s: str) -> str:
-    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    """Quote a string for the serving statement. Quotes are escaped by
+    DOUBLING ('' is accepted by Spark's parser in BOTH
+    spark.sql.parser.escapedStringLiterals modes, unlike \\' which is a
+    literal backslash under the legacy setting — ADVICE r11); the
+    backslash doubling is only meaningful under the default mode, and
+    the engine refuses to compile under the legacy mode (see
+    check_parser_mode), where it would corrupt embedded backslashes."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+def check_parser_mode(spark) -> None:
+    """string_literal's backslash escaping assumes the DEFAULT parser
+    mode; under spark.sql.parser.escapedStringLiterals=true a doubled
+    backslash is two literal backslashes. Refuse to compile there —
+    the DataFrame path (plan literals, no SQL text) is always safe."""
+    if (
+        str(spark.conf.get("spark.sql.parser.escapedStringLiterals", "false"))
+        .lower()
+        == "true"
+    ):
+        raise ServingSQLUnsupported(
+            "spark.sql.parser.escapedStringLiterals=true changes string "
+            "escape semantics; serving SQL refuses to compile"
+        )
+
+
+#: every substitution token (the CANDS entry is a prefix — any
+#: occurrence means a candidate-table token)
+_ALL_TOKENS = (TOKEN_QV, TOKEN_QNORM, TOKEN_NOW, TOKEN_CANDS_PREFIX, "@QVALUES@")
+
+
+def _check_token_safe(*values) -> None:
+    """bind()/bind_batch() do global token substitution over the whole
+    statement — an embedded config string or column name CONTAINING a
+    token would be silently rewritten inside its literal, diverging
+    from the DataFrame path with no signal (ADVICE r11). Refuse to
+    compile instead; the engine falls back."""
+    for v in values:
+        if v is None:
+            continue
+        s = str(v)
+        for tok in _ALL_TOKENS:
+            if tok in s:
+                raise ServingSQLUnsupported(
+                    f"input contains substitution token {tok!r}: {s[:80]!r}"
+                )
 
 
 def qv_array_sql(qvec) -> str:
@@ -196,12 +243,64 @@ def _check_reserved(b: BranchInput) -> None:
 @dataclass(frozen=True)
 class BranchInput:
     """One memory-type branch: the registered temp view plus its schema
-    (column order and simpleString dtypes, used for union null-fill)."""
+    (column order and simpleString dtypes, used for union null-fill).
+    `ann=True` compiles the branch's vector stage as a broadcast join
+    against a per-call candidate VALUES table (token
+    "@CANDS_<type>@") instead of the exact cosine scan — the
+    SQL form of the IVF-index serving path (r12, VERDICT r11 #1)."""
 
     memory_type: str
     view: str
     columns: tuple[str, ...]
     dtypes: tuple[tuple[str, str], ...]
+    ann: bool = False
+
+
+#: id dtypes the candidate VALUES binder can emit literals for
+_CAND_ID_TYPES = {"string", "bigint", "int"}
+
+
+def cand_token(memory_type: str) -> str:
+    return f"{TOKEN_CANDS_PREFIX}{memory_type}@"
+
+
+def _id_literal(v, id_type: str) -> str:
+    if id_type == "string":
+        return string_literal(str(v))
+    return f"CAST({int(v)} AS {id_type.upper()})"
+
+
+def cand_values_sql(rows, id_type: str, batch: bool = False) -> str:
+    """The per-call ANN candidate table: VALUES rows of (id, similarity)
+    — or (qid, id, similarity) in batch form — aliased `c`. The values
+    are the COLLECTED output of IVFIndex.search/search_batch (the same
+    deterministic kernel the DataFrame path broadcast-joins), so the
+    join sees bit-identical (id, similarity) pairs. An empty candidate
+    set binds as one all-NULL row: the inner equi-join on id matches
+    nothing (NULL = NULL is not true), reproducing the DataFrame
+    path's empty-join result without invalid zero-row VALUES."""
+    if id_type not in _CAND_ID_TYPES:
+        raise ServingSQLUnsupported(f"unsupported candidate id type: {id_type}")
+    cols = "(`qid`, `id`, `similarity`)" if batch else "(`id`, `similarity`)"
+    if not rows:
+        nid = f"CAST(NULL AS {id_type.upper()})"
+        row = (
+            f"(CAST(NULL AS STRING), {nid}, CAST(NULL AS DOUBLE))"
+            if batch
+            else f"({nid}, CAST(NULL AS DOUBLE))"
+        )
+        return f"(VALUES {row}) AS c{cols}"
+    if batch:
+        body = ", ".join(
+            f"({string_literal(str(q))}, {_id_literal(i, id_type)}, "
+            f"{double_literal(s)})"
+            for q, i, s in rows
+        )
+    else:
+        body = ", ".join(
+            f"({_id_literal(i, id_type)}, {double_literal(s)})" for i, s in rows
+        )
+    return f"(VALUES {body}) AS c{cols}"
 
 
 @dataclass(frozen=True)
@@ -215,18 +314,28 @@ class PrefsInput:
 
 @dataclass
 class ServingTemplate:
-    """Compiled statement with @QV@/@QNORM@/@NOWD@ tokens plus the
-    per-type output column sets the driver splits rows by."""
+    """Compiled statement with @QV@/@QNORM@/@NOWD@ (and per-type
+    @CANDS_<type>@) tokens plus the per-type output column sets the
+    driver splits rows by. `ann_id_types` maps each ann-served type to
+    its id dtype so bind() can emit the candidate VALUES table."""
 
     text: str
     colsets: dict[str, list[str]]
+    ann_id_types: dict[str, str] | None = None
 
-    def bind(self, qvec, now: datetime) -> str:
-        return (
+    def bind(self, qvec, now: datetime, cands: dict[str, list] | None = None) -> str:
+        out = (
             self.text.replace(TOKEN_QNORM, double_literal(qv_norm(qvec)))
             .replace(TOKEN_QV, qv_array_sql(qvec))
             .replace(TOKEN_NOW, double_literal(now_epoch_seconds(now)))
         )
+        # candidate tables LAST: their id values are data and must not
+        # be re-scanned for the scalar tokens above
+        for t, id_type in (self.ann_id_types or {}).items():
+            out = out.replace(
+                cand_token(t), cand_values_sql((cands or {}).get(t, []), id_type)
+            )
+        return out
 
 
 def _branch_layers(
@@ -264,14 +373,28 @@ def _branch_layers(
     base = f"SELECT {', '.join(cols)}{select_extra} FROM {b.view}{where}"
     out_cols = list(b.columns) + (["shared_from"] if agents else [])
 
-    # vector_candidates: cosine column -> global top-2k -> explicit
-    # ann_rank over the bounded frame (pmod(xxhash64(id), 1) constant
-    # partition — functions/window.py bounded_rank_w)
-    sim = _cosine_sql("embedding")
-    top = (
-        f"SELECT *, {sim} AS `similarity` FROM ({base}) "
-        f"ORDER BY `similarity` DESC, `id` ASC LIMIT {2 * fetch_k}"
-    )
+    if b.ann:
+        # ANN-index serving (r12): the scoped base inner-joins the
+        # per-call candidate VALUES table on id, keeping the index's
+        # similarity — the SQL form of retrieve_type's
+        # `join(broadcast(candidates), "id") -> orderBy -> limit`
+        # (operators/retrieval.py:416-425); same 2k cut, same explicit
+        # ann_rank over the bounded frame
+        top = (
+            f"SELECT /*+ BROADCAST(c) */ b.*, c.`similarity` "
+            f"FROM ({base}) b JOIN {cand_token(b.memory_type)} "
+            f"ON b.`id` = c.`id` "
+            f"ORDER BY `similarity` DESC, `id` ASC LIMIT {2 * fetch_k}"
+        )
+    else:
+        # vector_candidates: cosine column -> global top-2k -> explicit
+        # ann_rank over the bounded frame (pmod(xxhash64(id), 1) constant
+        # partition — functions/window.py bounded_rank_w)
+        sim = _cosine_sql("embedding")
+        top = (
+            f"SELECT *, {sim} AS `similarity` FROM ({base}) "
+            f"ORDER BY `similarity` DESC, `id` ASC LIMIT {2 * fetch_k}"
+        )
     ranked = (
         "SELECT *, row_number() OVER (PARTITION BY pmod(xxhash64(`id`), 1) "
         "ORDER BY `similarity` DESC, `id` ASC) AS `ann_rank` "
@@ -350,10 +473,19 @@ def compile_serving_template(
     DataFrame path)."""
     if not branches and prefs is None:
         raise ServingSQLUnsupported("nothing to serve")
+    _check_token_safe(
+        project_id,
+        *agents,
+        *(b.view for b in branches),
+        *(c for b in branches for c in b.columns),
+        *((prefs.view, prefs.user_id, *prefs.columns) if prefs else ()),
+        feedback_view,
+    )
 
     colsets: dict[str, list[str]] = {}
     branch_sqls: list[tuple[str, str, list[str]]] = []  # (type, sql, cols)
     dtype_of: dict[str, str] = {}
+    ann_id_types: dict[str, str] = {}
 
     def _note_types(dtypes, extra: dict[str, str]) -> None:
         for name, dt in list(dtypes) + list(extra.items()):
@@ -378,6 +510,13 @@ def compile_serving_template(
         sql, out_cols = _branch_layers(
             b, fetch_k, min_score, weights, mode, project_id, agents
         )
+        if b.ann:
+            id_type = dict(b.dtypes).get("id", "")
+            if id_type not in _CAND_ID_TYPES:
+                raise ServingSQLUnsupported(
+                    f"{b.memory_type}: unsupported ann id type {id_type!r}"
+                )
+            ann_id_types[b.memory_type] = id_type
         _note_types(b.dtypes, {c: added[c] for c in added if c in out_cols})
         branch_sqls.append((b.memory_type, sql, out_cols))
         colsets[b.memory_type] = list(out_cols)
@@ -453,7 +592,9 @@ def compile_serving_template(
     else:
         text = union
 
-    return ServingTemplate(text=text, colsets=colsets)
+    return ServingTemplate(
+        text=text, colsets=colsets, ann_id_types=ann_id_types or None
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -521,11 +662,23 @@ def _batch_branch_layers(
     )
     out_cols = list(b.columns) + ["shared_from", "qid", "similarity"]
 
-    sim = _cosine_sql_col("embedding", "q.`qvec`")
-    joined = (
-        f"SELECT /*+ BROADCAST(q) */ b.*, q.`qid`, {sim} AS `similarity` "
-        f"FROM ({base}) b CROSS JOIN {TOKEN_QVALUES}"
-    )
+    if b.ann:
+        # ANN batch serving (r12): the candidate VALUES table carries
+        # (qid, id, similarity) — the collected output of
+        # IVFIndex.search_batch — and replaces the exact crossJoin
+        # stage, mirroring engine.retrieve_batch's
+        # `df.join(broadcast(cands), "id")` (engine.py:801-808)
+        joined = (
+            f"SELECT /*+ BROADCAST(c) */ b.*, c.`qid`, c.`similarity` "
+            f"FROM ({base}) b JOIN {cand_token(b.memory_type)} "
+            f"ON b.`id` = c.`id`"
+        )
+    else:
+        sim = _cosine_sql_col("embedding", "q.`qvec`")
+        joined = (
+            f"SELECT /*+ BROADCAST(q) */ b.*, q.`qid`, {sim} AS `similarity` "
+            f"FROM ({base}) b CROSS JOIN {TOKEN_QVALUES}"
+        )
     w_rank = "PARTITION BY `qid` ORDER BY `similarity` DESC, `id` ASC"
     rk = f"SELECT *, row_number() OVER ({w_rank}) AS `_rk` FROM ({joined})"
     cut = (
@@ -580,9 +733,17 @@ def compile_batch_template(
     compile_serving_template."""
     if not branches and prefs is None:
         raise ServingSQLUnsupported("nothing to serve")
+    _check_token_safe(
+        project_id,
+        agent,
+        *(b.view for b in branches),
+        *(c for b in branches for c in b.columns),
+        *((prefs.view, prefs.user_id, *prefs.columns) if prefs else ()),
+    )
     colsets: dict[str, list[str]] = {}
     branch_sqls: list[tuple[str, str, list[str]]] = []
     dtype_of: dict[str, str] = {"qid": "string"}
+    ann_id_types: dict[str, str] = {}
 
     def _note_types(dtypes, extra: dict[str, str]) -> None:
         for name, dt in list(dtypes) + list(extra.items()):
@@ -607,6 +768,13 @@ def compile_batch_template(
         sql, out_cols = _batch_branch_layers(
             b, fetch_k, min_score, weights, project_id, agent
         )
+        if b.ann:
+            id_type = dict(b.dtypes).get("id", "")
+            if id_type not in _CAND_ID_TYPES:
+                raise ServingSQLUnsupported(
+                    f"{b.memory_type}: unsupported ann id type {id_type!r}"
+                )
+            ann_id_types[b.memory_type] = id_type
         _note_types(b.dtypes, {c: added[c] for c in added if c in out_cols})
         branch_sqls.append((b.memory_type, sql, out_cols))
         # the driver splits rows by (qid, type); colsets exclude qid —
@@ -645,11 +813,26 @@ def compile_batch_template(
             f"SELECT {proj}, {string_literal(t)} AS `memory_type` FROM ({sql})"
         )
     return ServingTemplate(
-        text="\nUNION ALL\n".join(parts), colsets=colsets
+        text="\nUNION ALL\n".join(parts),
+        colsets=colsets,
+        ann_id_types=ann_id_types or None,
     )
 
 
-def bind_batch(tmpl: ServingTemplate, qids, qvecs, now: datetime) -> str:
-    return tmpl.text.replace(
+def bind_batch(
+    tmpl: ServingTemplate,
+    qids,
+    qvecs,
+    now: datetime,
+    cands: dict[str, list] | None = None,
+) -> str:
+    out = tmpl.text.replace(
         TOKEN_QVALUES, qvalues_sql(qids, qvecs)
     ).replace(TOKEN_NOW, double_literal(now_epoch_seconds(now)))
+    # candidate tables LAST (their id values are data — see bind())
+    for t, id_type in (tmpl.ann_id_types or {}).items():
+        out = out.replace(
+            cand_token(t),
+            cand_values_sql((cands or {}).get(t, []), id_type, batch=True),
+        )
+    return out

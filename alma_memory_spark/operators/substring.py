@@ -252,11 +252,21 @@ def _excise(base: DataFrame, dropped: DataFrame, id_col: str,
         )
     )
     kept = F.transform(kept_idx, lambda j: F.element_at("units", j + 1))
+    # No-drop short-circuit (r12): in real corpora the overwhelming
+    # majority of docs lose NOTHING, but they still paid the full
+    # interval-merge + sequence + per-unit element_at gather (3 lambda
+    # evaluations per unit) just to reproduce their own units. CASE
+    # WHEN is lazily evaluated per-branch in codegen, so docs whose
+    # `starts` is null/empty splice straight from `units` at one
+    # array_join and skip the gather entirely.
+    no_drop = F.col("starts").isNull() | (F.size("starts") == 0)
     return base.join(dropped, id_col, "left").select(
         F.col(id_col),
-        F.array_join(kept, "").alias("text_dedup"),
+        F.when(no_drop, F.array_join("units", ""))
+        .otherwise(F.array_join(kept, ""))
+        .alias("text_dedup"),
         n.alias("n_units"),
-        F.size(kept).alias("n_kept"),
+        F.when(no_drop, n).otherwise(F.size(kept)).alias("n_kept"),
     )
 
 

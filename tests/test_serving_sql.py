@@ -177,7 +177,9 @@ def test_compiler_literals_roundtrip():
 
     assert SS.double_literal(0.1) == "0.1D"
     assert SS.double_literal(1e-07) == "1e-07D"
-    assert SS.string_literal("o'brien") == "'o\\'brien'"
+    # quotes escape by DOUBLING — valid in both
+    # spark.sql.parser.escapedStringLiterals modes (ADVICE r11)
+    assert SS.string_literal("o'brien") == "'o''brien'"
     # the python fold must equal the JVM's left-to-right double fold
     import math
 
@@ -288,3 +290,171 @@ def test_reserved_column_collision_falls_back(spark, tmp_path):
     # the compiler refused (no analysis error, no sql hit for dk)
     assert eng._srv_fallbacks == 0 and eng._srv_last_error is None
     assert eng._srv_hits == 0
+
+
+# ---------------------------------------------------------------------------
+# ANN serving through the SQL template (r12, VERDICT r11 #1)
+# ---------------------------------------------------------------------------
+
+
+def test_ann_sql_path_bitwise_equals_df_path(seeded):
+    """retrieve(use_ann=True) with a scope-expressible IVF index now
+    compiles: the probe stays on the index path and its candidate set
+    binds as a VALUES table. Mixed branch shapes (only domain_knowledge
+    indexed; heuristics/outcomes/anti_patterns keep the exact cosine
+    scan) must still be bit-identical to the DataFrame ANN path, with
+    the fast path actually taken (hit counters, zero fallbacks)."""
+    rep = seeded.index_vectors("domain_knowledge", cent_every=7)
+    assert rep["indexed"]
+    for nprobe in (rep["n_cells"], 1):
+        seeded.serving_sql_enabled = True
+        seeded._cache.clear()
+        h0, f0 = seeded._srv_hits, seeded._srv_fallbacks
+        a = seeded.retrieve(
+            "validate schema before writing", agent="helena",
+            project_id="proj-a", top_k=6, use_ann=True, nprobe=nprobe,
+        )
+        assert seeded._srv_hits == h0 + 1, seeded._srv_last_error
+        assert seeded._srv_fallbacks == f0
+        seeded.serving_sql_enabled = False
+        seeded._cache.clear()
+        b = seeded.retrieve(
+            "validate schema before writing", agent="helena",
+            project_id="proj-a", top_k=6, use_ann=True, nprobe=nprobe,
+        )
+        _slices_equal(a, b)
+    seeded.serving_sql_enabled = True
+
+
+def test_ann_sql_empty_candidates_matches_df(seeded):
+    """A scoped ANN probe that returns NO candidates binds as the
+    all-NULL VALUES row — the inner join matches nothing, exactly the
+    DataFrame path's empty-join branch. No fallback, no analysis
+    error."""
+    seeded.index_vectors("domain_knowledge", cent_every=7)
+    seeded.serving_sql_enabled = True
+    seeded._cache.clear()
+    h0 = seeded._srv_hits
+    a = seeded.retrieve(
+        "anything at all", agent="ghost_agent", project_id="proj-a",
+        use_ann=True, nprobe=2,
+    )
+    assert seeded._srv_hits == h0 + 1, seeded._srv_last_error
+    assert a.domain_knowledge == []
+    seeded.serving_sql_enabled = False
+    seeded._cache.clear()
+    b = seeded.retrieve(
+        "anything at all", agent="ghost_agent", project_id="proj-a",
+        use_ann=True, nprobe=2,
+    )
+    seeded.serving_sql_enabled = True
+    _slices_equal(a, b)
+
+
+def test_ann_batch_sql_path_bitwise_equals_df_path(seeded):
+    """retrieve_batch(use_ann=True): search_batch's (qid, id,
+    similarity) candidates bind as one VALUES table; per-task slices
+    bit-identical to the DataFrame batch ANN path."""
+    rep = seeded.index_vectors("domain_knowledge", cent_every=7)
+    tasks = [
+        "validate schema before writing rows",
+        "mock the api layer and assert contracts",
+        "remember the deployment switchover",
+    ]
+    seeded.serving_sql_enabled = True
+    seeded._cache.clear()
+    h0, f0 = seeded._srv_hits, seeded._srv_fallbacks
+    a = seeded.retrieve_batch(
+        tasks, agent="helena", project_id="proj-a", top_k=6,
+        use_ann=True, nprobe=rep["n_cells"],
+    )
+    assert seeded._srv_hits == h0 + 1, seeded._srv_last_error
+    assert seeded._srv_fallbacks == f0
+    seeded.serving_sql_enabled = False
+    seeded._cache.clear()
+    b = seeded.retrieve_batch(
+        tasks, agent="helena", project_id="proj-a", top_k=6,
+        use_ann=True, nprobe=rep["n_cells"],
+    )
+    seeded.serving_sql_enabled = True
+    for t in tasks:
+        _slices_equal(a[t], b[t])
+
+
+def test_token_collision_refuses_to_compile(seeded):
+    """ADVICE r11: bind() does global token substitution, so a config
+    string CONTAINING a token (here a project id with @NOWD@) must
+    refuse at compile time and fall back to the DataFrame path —
+    never silently rewrite the literal."""
+    from alma_memory_spark.operators import serving_sql as SS
+
+    with pytest.raises(SS.ServingSQLUnsupported):
+        SS.compile_serving_template(
+            [SS.BranchInput("domain_knowledge", "v", ("id", "embedding"), (("id", "string"), ("embedding", "array<float>")))],
+            5, 0.2, None, None, "proj@NOWD@x", ("a",),
+        )
+    # engine-level: the retrieve still serves (DF fallback), 0 sql hits
+    seeded._cache.clear()
+    h0 = seeded._srv_hits
+    sl = seeded.retrieve(
+        "token safety", agent="helena", project_id="proj@NOWD@x",
+    )
+    assert sl is not None
+    assert seeded._srv_hits == h0
+    assert seeded._srv_fallbacks == 0 and (
+        seeded._srv_last_error is None
+    ), "compiler must refuse BEFORE any analysis error"
+
+
+def test_legacy_parser_mode_refuses_to_compile(seeded, spark):
+    """ADVICE r11: under spark.sql.parser.escapedStringLiterals=true
+    the \\' escaping rules change — the engine must refuse to compile
+    (DataFrame fallback) rather than risk splicing text into the
+    statement."""
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try:
+        seeded._cache.clear()
+        seeded._srv_templates.clear()
+        h0 = seeded._srv_hits
+        sl = seeded.retrieve(
+            "legacy parser mode", agent="helena", project_id="proj-a"
+        )
+        assert sl is not None
+        assert seeded._srv_hits == h0
+    finally:
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", "false")
+    seeded._cache.clear()
+    sl2 = seeded.retrieve(
+        "legacy parser mode again", agent="helena", project_id="proj-a"
+    )
+    assert seeded._srv_hits == h0 + 1, "default mode compiles again"
+    assert sl2 is not None
+
+
+def test_quote_in_scope_string_served_correctly(seeded, spark):
+    """A single quote inside an agent/project id must survive the
+    doubled-quote literal in BOTH parser modes' default (the compiled
+    statement analyzes and the scoped read returns the right rows)."""
+    from alma_memory_spark.embedding import hash_embed
+
+    rows = [
+        {
+            "id": "q1", "agent": "o'brien", "project_id": "proj'x",
+            "domain": "d", "fact": "quoted scope fact",
+            "source": "user_stated", "confidence": 0.9,
+            "last_verified": ANCHOR, "verification_status": None,
+            "embedding": hash_embed("quoted scope fact", 16),
+            "metadata": {},
+        }
+    ]
+    seeded.store.append(
+        "domain_knowledge",
+        seeded.spark.createDataFrame(rows, schemas.DOMAIN_KNOWLEDGE),
+    )
+    seeded._cache.clear()
+    h0 = seeded._srv_hits
+    sl = seeded.retrieve(
+        "quoted scope fact", agent="o'brien", project_id="proj'x"
+    )
+    assert seeded._srv_hits == h0 + 1, seeded._srv_last_error
+    assert [r["id"] for r in sl.domain_knowledge] == ["q1"]
