@@ -751,18 +751,37 @@ class IVFIndex:
         the cell partition pruning — push through the union). A
         committed segment without a lists dir was folded into the base
         by compact_to(); its _COMMIT marker stays so a replayed epoch
-        still no-ops."""
-        df = self.spark.read.parquet(os.path.join(self.vroot, "lists"))
-        for e in self._committed_segments():
-            if not os.path.isdir(
-                os.path.join(self._segments_root(), str(e), "lists")
-            ):
-                continue
+        still no-ops.
+
+        The built plan is memoized per (vroot, committed-segment set,
+        base-lists dir mtime) — spark.read.parquet re-lists files and
+        re-reads footers on every call (~0.1 s of pure serving latency
+        per probe, r12). Staleness holds by the index's own layout
+        rules: segments are immutable once committed (set membership is
+        the key), a rebuild swaps vroot, and compact_to() rewrites the
+        base lists dir (its mtime is the key) — each invalidates."""
+        segs = tuple(
+            e
+            for e in self._committed_segments()
+            if os.path.isdir(os.path.join(self._segments_root(), str(e), "lists"))
+        )
+        base = os.path.join(self.vroot, "lists")
+        try:
+            base_mtime = os.path.getmtime(base)
+        except OSError:
+            base_mtime = -1.0
+        key = (self.vroot, segs, base_mtime)
+        cached = getattr(self, "_lists_plan", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        df = self.spark.read.parquet(base)
+        for e in segs:
             df = df.unionByName(
                 self.spark.read.parquet(
                     os.path.join(self._segments_root(), str(e), "lists")
                 )
             )
+        self._lists_plan = (key, df)
         return df
 
     # ------------------------------------------------------------------

@@ -77,6 +77,31 @@ def main() -> None:
         f"median {statistics.median(times):.3f}s best {times[0]:.3f}s "
         f"p90 {times[int(0.9 * n)]:.3f}s mean {statistics.mean(times):.3f}s"
     )
+
+    # ANN-index serving (r12, VERDICT r11 #1): probe on the index path,
+    # candidates bound as a VALUES table into the compiled statement
+    rep = eng.index_vectors("domain_knowledge", cent_every=7)
+    for i in range(3):
+        eng.retrieve(
+            f"ann warmup {i}", agent="helena", project_id="p",
+            use_ann=True, nprobe=2,
+        )
+    atimes = []
+    for i in range(n):
+        t0 = time.perf_counter()
+        sl = eng.retrieve(
+            f"distinct ann question number {i}", agent="helena",
+            project_id="p", use_ann=True, nprobe=2,
+        )
+        atimes.append(time.perf_counter() - t0)
+        assert sl.domain_knowledge, "expected ann results"
+    atimes.sort()
+    print(
+        f"warm ANN retrieve (nprobe=2, {rep['n_cells']} cells) over {n} "
+        f"distinct queries: median {statistics.median(atimes):.3f}s "
+        f"best {atimes[0]:.3f}s p90 {atimes[int(0.9 * n)]:.3f}s "
+        f"sql_hits {eng._srv_hits} fallbacks {eng._srv_fallbacks}"
+    )
     spark.stop()
 
 
