@@ -1365,6 +1365,15 @@ def test_psl_full_semantics_and_duckdb_mirror(spark):
         ("https://example.com/x", "example.com"),               # default
         ("https://deep.blog.example.com/x", "example.com"),
         ("https://com/x", "com"),                               # bare TLD
+        # r12 (VERDICT r11 #3): families only the FULL dat carries
+        ("https://x.y.s3.cn-north-1.amazonaws.com.cn/x",
+         "y.s3.cn-north-1.amazonaws.com.cn"),                   # 5-label exact
+        ("https://v.w.abc.compute.amazonaws.com/x",
+         "w.abc.compute.amazonaws.com"),                        # 3-label wildcard base
+        ("https://v.w.abc.compute.amazonaws.com.cn/x",
+         "w.abc.compute.amazonaws.com.cn"),                     # 4-label wildcard base
+        ("https://me.blogspot.com/x", "me.blogspot.com"),       # private-section rule
+        ("https://x.me.blogspot.com/x", "me.blogspot.com"),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, (u, _) in enumerate(cases)], "id long, url string"
