@@ -221,6 +221,25 @@ class AlmaSpark:
                 self._srv_views[key] = (stamp, id(df))
         return name, df, stamp
 
+    def _register_cand_view(self, table: str, cand_df) -> str:
+        """Register an ANN candidate frame under a PER-CALL unique temp
+        view name and return its quoted reference. Unique because
+        concurrent retrieves on one engine would otherwise serve each
+        other's candidates; the frame is lazy, so the probe scan runs
+        inside the serving statement's single job."""
+        import uuid
+
+        name = f"alma_cand_{self._srv_ns}_{table}_{uuid.uuid4().hex[:12]}"
+        cand_df.createOrReplaceTempView(name)
+        return f"`{name}`"
+
+    def _drop_cand_views(self, cand_refs: dict[str, str]) -> None:
+        for ref in cand_refs.values():
+            try:
+                self.spark.catalog.dropTempView(ref.strip("`"))
+            except Exception:
+                pass  # view cleanup must never fail a retrieve
+
     def _sql_serving_rows(
         self,
         type_list: list[str],
@@ -245,16 +264,35 @@ class AlmaSpark:
 
         `use_ann=True` (r12, VERDICT r11 #1): a type with a scope-
         expressible IVF index keeps its probe on the index path —
-        IVFIndex.search runs per call (a pruned nprobe-cell scan, the
-        same deterministic kernel the DataFrame path broadcast-joins)
-        and its COLLECTED (id, similarity) rows bind into the template
-        as a per-type VALUES table, so the union statement itself stays
-        one cached-template spark.sql() round trip."""
+        IVFIndex.search builds its pruned nprobe-cell scan (the same
+        deterministic kernel the DataFrame path broadcast-joins) and
+        the LAZY probe frame registers as a per-call temp view the
+        statement joins, so the probe executes INSIDE the one serving
+        job: no separate candidate-collect job, one spark.sql() round
+        trip total. View names are per-call unique (concurrent
+        retrieves on one engine must not stomp each other's
+        candidates) and dropped after the run."""
         from alma_memory_spark.operators import serving_sql as SS
 
-        branches: list[SS.BranchInput] = []
+        cand_refs: dict[str, str] = {}
+        try:
+            return self._sql_serving_rows_inner(
+                SS, type_list, fetch_k, k, min_score, weights, cfg,
+                project_id, agents, user_id, use_feedback, qvec, now,
+                use_ann, nprobe, cand_refs,
+            )
+        finally:
+            # drop on EVERY exit — including compile-time refusals that
+            # raise after a candidate view was already registered
+            self._drop_cand_views(cand_refs)
+
+    def _sql_serving_rows_inner(
+        self, SS, type_list, fetch_k, k, min_score, weights, cfg,
+        project_id, agents, user_id, use_feedback, qvec, now,
+        use_ann, nprobe, cand_refs,
+    ):
+        branches: list = []
         stamps: list[tuple] = []
-        cands: dict[str, list] = {}
         for t in type_list:
             if not self.store.exists(t):
                 continue
@@ -273,12 +311,12 @@ class AlmaSpark:
                     want["agent"] = agents if len(agents) > 1 else agents[0]
                 if set(want) <= indexed:
                     ann = True
-                    cands[t] = [
-                        (r["id"], r["similarity"])
-                        for r in idx.search(
+                    cand_refs[t] = self._register_cand_view(
+                        t,
+                        idx.search(
                             qvec, k=2 * fetch_k, nprobe=nprobe, filters=want
-                        ).collect()
-                    ]
+                        ).select("id", "similarity"),
+                    )
             branches.append(
                 SS.BranchInput(
                     t,
@@ -329,7 +367,7 @@ class AlmaSpark:
             # the ann-served type set changes the branch SHAPE (an index
             # created or dropped between calls leaves store stamps
             # untouched, so it must key the template directly)
-            tuple(sorted(t for t in cands)),
+            tuple(sorted(t for t in cand_refs)),
         )
         with self._srv_lock:
             tmpl = self._srv_templates.get(key)
@@ -356,7 +394,7 @@ class AlmaSpark:
                 self._srv_templates[key] = tmpl
                 while len(self._srv_templates) > 64:
                     self._srv_templates.popitem(last=False)
-        rows = self._srv_run(tmpl.bind(qvec, now, cands=cands))
+        rows = self._srv_run(tmpl.bind(qvec, now, cand_refs=cand_refs))
         return rows, dict(tmpl.colsets)
 
     def _srv_run(self, text: str) -> list:
@@ -397,15 +435,29 @@ class AlmaSpark:
         """retrieve_batch's fast path: the qid-dimension union plan as
         one compiled-SQL statement; (qid, qvec) bind per call as an
         inline VALUES table. Returns (rows, colsets) or raises
-        ServingSQLUnsupported. `use_ann=True` binds each indexed type's
-        IVFIndex.search_batch output as a (qid, id, similarity) VALUES
-        table — same contract as _sql_serving_rows (r12)."""
+        ServingSQLUnsupported. `use_ann=True` registers each indexed
+        type's IVFIndex.search_batch frame as a per-call (qid, id,
+        similarity) candidate view — same contract as
+        _sql_serving_rows (r12)."""
         from alma_memory_spark.operators import serving_sql as SS
 
+        cand_refs: dict[str, str] = {}
+        try:
+            return self._sql_batch_rows_inner(
+                SS, type_list, fetch_k, min_score, weights, project_id,
+                agent, user_id, qids, qvecs, now, use_ann, nprobe,
+                cand_refs,
+            )
+        finally:
+            self._drop_cand_views(cand_refs)
+
+    def _sql_batch_rows_inner(
+        self, SS, type_list, fetch_k, min_score, weights, project_id,
+        agent, user_id, qids, qvecs, now, use_ann, nprobe, cand_refs,
+    ):
         k = fetch_k  # batch serves default mode: fetch_k == top_k
-        branches: list[SS.BranchInput] = []
+        branches: list = []
         stamps: list[tuple] = []
-        cands: dict[str, list] = {}
         for t in type_list:
             if not self.store.exists(t):
                 continue
@@ -416,13 +468,13 @@ class AlmaSpark:
                 want = self._ann_scope_filters(df, idx, project_id, agent)
                 if want is not None:
                     ann = True
-                    cands[t] = [
-                        (r["qid"], r["id"], r["similarity"])
-                        for r in idx.search_batch(
+                    cand_refs[t] = self._register_cand_view(
+                        t,
+                        idx.search_batch(
                             list(zip(qids, qvecs)), k=2 * fetch_k,
                             nprobe=nprobe, filters=want,
-                        ).collect()
-                    ]
+                        ),
+                    )
             branches.append(
                 SS.BranchInput(
                     t,
@@ -455,7 +507,7 @@ class AlmaSpark:
             project_id,
             agent,
             user_id,
-            tuple(sorted(t for t in cands)),  # ann branch shape (see above)
+            tuple(sorted(t for t in cand_refs)),  # ann branch shape (see above)
         )
         with self._srv_lock:
             tmpl = self._srv_templates.get(key)
@@ -473,7 +525,9 @@ class AlmaSpark:
                 self._srv_templates[key] = tmpl
                 while len(self._srv_templates) > 64:
                     self._srv_templates.popitem(last=False)
-        rows = self._srv_run(SS.bind_batch(tmpl, qids, qvecs, now, cands=cands))
+        rows = self._srv_run(
+            SS.bind_batch(tmpl, qids, qvecs, now, cand_refs=cand_refs)
+        )
         return rows, dict(tmpl.colsets)
 
     # ------------------------------------------------------------------

@@ -567,13 +567,76 @@ def dup_ngram_fraction(col: Column | str, n: int = 2) -> Column:
     Convenience form — evaluates the gram array twice (see
     token_ngrams PERF note). Wide scans should compute the gram array
     once and derive (total, distinct, fraction) from it, the way the
-    text_profile gate does."""
+    text_profile gate does.
+
+    FILTER TRAP (r12, found by the measure_chain scale proof): binding
+    the tokens/grams as aliased columns is NOT enough when this feeds
+    a `.filter()` — PushDownPredicate substitutes alias definitions
+    back into the predicate as it pushes through the projections,
+    re-inlining the tokenizer into the HOF lambda (measured 19.4 s vs
+    0.8 s for 3k rows). Filters over HOF-derived signals should
+    compute the signal as a STORED column (materialize, or keep it as
+    a projected output consumed downstream) and filter on the plain
+    column."""
     g = token_ngrams(col, n)
     total = F.size(g)
     return F.when(
         total > 0,
         F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / total.cast("double"),
     ).otherwise(F.lit(0.0))
+
+
+def with_repetition_signals(
+    df, col: Column | str, ns: tuple[int, ...] = (2,), prefix: str = "dup"
+):
+    """The PRODUCTION form of dup_ngram_fraction (r12): attach
+    `<prefix><n>_frac` for each n in `ns` as REAL columns through
+    staged projections — tokens bound once, each n's gram array bound
+    once, counts derived from the bound arrays — so the tokenizer and
+    every gram transform evaluate ONCE per row regardless of how many
+    signals reference them. Values are identical to
+    dup_ngram_fraction(col, n) (contract-tested).
+
+    Use this (and then filter on the plain output columns) instead of
+    putting dup_ngram_fraction inside a `.filter()`: PushDownPredicate
+    re-inlines aliased expressions into pushed predicates, which puts
+    the tokenizer back inside the CodegenFallback lambda at
+    per-element cost (measured 19.4 s -> 0.8 s on a 3k-row filter —
+    see dup_ngram_fraction's FILTER TRAP note)."""
+    star = [F.col(x) for x in df.columns]
+    out = df.select(*star, ws_tokens(col).alias("_rs_ts"))
+    out = out.select(
+        *star, "_rs_ts",
+        *[
+            ngrams_of_tokens(F.col("_rs_ts"), n).alias(f"_rs_g{n}")
+            for n in ns
+        ],
+    )
+    counted = out.select(
+        *star,
+        *[
+            c
+            for n in ns
+            for c in (
+                F.size(f"_rs_g{n}").cast("long").alias(f"_rs_t{n}"),
+                F.size(F.array_distinct(f"_rs_g{n}")).cast("long").alias(f"_rs_d{n}"),
+            )
+        ],
+    )
+    return counted.select(
+        *star,
+        *[
+            F.when(
+                F.col(f"_rs_t{n}") > 0,
+                F.lit(1.0)
+                - F.col(f"_rs_d{n}").cast("double")
+                / F.col(f"_rs_t{n}").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias(f"{prefix}{n}_frac")
+            for n in ns
+        ],
+    )
 
 
 def sql_quality_signals(expr: str) -> dict[str, str]:

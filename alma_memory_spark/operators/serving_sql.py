@@ -256,51 +256,8 @@ class BranchInput:
     ann: bool = False
 
 
-#: id dtypes the candidate VALUES binder can emit literals for
-_CAND_ID_TYPES = {"string", "bigint", "int"}
-
-
 def cand_token(memory_type: str) -> str:
     return f"{TOKEN_CANDS_PREFIX}{memory_type}@"
-
-
-def _id_literal(v, id_type: str) -> str:
-    if id_type == "string":
-        return string_literal(str(v))
-    return f"CAST({int(v)} AS {id_type.upper()})"
-
-
-def cand_values_sql(rows, id_type: str, batch: bool = False) -> str:
-    """The per-call ANN candidate table: VALUES rows of (id, similarity)
-    — or (qid, id, similarity) in batch form — aliased `c`. The values
-    are the COLLECTED output of IVFIndex.search/search_batch (the same
-    deterministic kernel the DataFrame path broadcast-joins), so the
-    join sees bit-identical (id, similarity) pairs. An empty candidate
-    set binds as one all-NULL row: the inner equi-join on id matches
-    nothing (NULL = NULL is not true), reproducing the DataFrame
-    path's empty-join result without invalid zero-row VALUES."""
-    if id_type not in _CAND_ID_TYPES:
-        raise ServingSQLUnsupported(f"unsupported candidate id type: {id_type}")
-    cols = "(`qid`, `id`, `similarity`)" if batch else "(`id`, `similarity`)"
-    if not rows:
-        nid = f"CAST(NULL AS {id_type.upper()})"
-        row = (
-            f"(CAST(NULL AS STRING), {nid}, CAST(NULL AS DOUBLE))"
-            if batch
-            else f"({nid}, CAST(NULL AS DOUBLE))"
-        )
-        return f"(VALUES {row}) AS c{cols}"
-    if batch:
-        body = ", ".join(
-            f"({string_literal(str(q))}, {_id_literal(i, id_type)}, "
-            f"{double_literal(s)})"
-            for q, i, s in rows
-        )
-    else:
-        body = ", ".join(
-            f"({_id_literal(i, id_type)}, {double_literal(s)})" for i, s in rows
-        )
-    return f"(VALUES {body}) AS c{cols}"
 
 
 @dataclass(frozen=True)
@@ -316,25 +273,27 @@ class PrefsInput:
 class ServingTemplate:
     """Compiled statement with @QV@/@QNORM@/@NOWD@ (and per-type
     @CANDS_<type>@) tokens plus the per-type output column sets the
-    driver splits rows by. `ann_id_types` maps each ann-served type to
-    its id dtype so bind() can emit the candidate VALUES table."""
+    driver splits rows by. `ann_types` lists the ann-served types;
+    bind() substitutes each @CANDS_<type>@ with the caller's per-call
+    candidate TABLE REFERENCE — a temp view registered over the
+    IVFIndex.search/search_batch DataFrame, so the probe executes
+    INSIDE the one serving job (no driver-side candidate collect) and
+    the join sees the exact frame the DataFrame path broadcasts."""
 
     text: str
     colsets: dict[str, list[str]]
-    ann_id_types: dict[str, str] | None = None
+    ann_types: tuple[str, ...] = ()
 
-    def bind(self, qvec, now: datetime, cands: dict[str, list] | None = None) -> str:
+    def bind(
+        self, qvec, now: datetime, cand_refs: dict[str, str] | None = None
+    ) -> str:
         out = (
             self.text.replace(TOKEN_QNORM, double_literal(qv_norm(qvec)))
             .replace(TOKEN_QV, qv_array_sql(qvec))
             .replace(TOKEN_NOW, double_literal(now_epoch_seconds(now)))
         )
-        # candidate tables LAST: their id values are data and must not
-        # be re-scanned for the scalar tokens above
-        for t, id_type in (self.ann_id_types or {}).items():
-            out = out.replace(
-                cand_token(t), cand_values_sql((cands or {}).get(t, []), id_type)
-            )
+        for t in self.ann_types:
+            out = out.replace(cand_token(t), (cand_refs or {})[t])
         return out
 
 
@@ -375,14 +334,15 @@ def _branch_layers(
 
     if b.ann:
         # ANN-index serving (r12): the scoped base inner-joins the
-        # per-call candidate VALUES table on id, keeping the index's
-        # similarity — the SQL form of retrieve_type's
+        # per-call candidate view (the IVF probe's lazy DataFrame —
+        # the probe scan runs inside THIS job) on id, keeping the
+        # index's similarity — the SQL form of retrieve_type's
         # `join(broadcast(candidates), "id") -> orderBy -> limit`
         # (operators/retrieval.py:416-425); same 2k cut, same explicit
         # ann_rank over the bounded frame
         top = (
             f"SELECT /*+ BROADCAST(c) */ b.*, c.`similarity` "
-            f"FROM ({base}) b JOIN {cand_token(b.memory_type)} "
+            f"FROM ({base}) b JOIN {cand_token(b.memory_type)} c "
             f"ON b.`id` = c.`id` "
             f"ORDER BY `similarity` DESC, `id` ASC LIMIT {2 * fetch_k}"
         )
@@ -485,7 +445,6 @@ def compile_serving_template(
     colsets: dict[str, list[str]] = {}
     branch_sqls: list[tuple[str, str, list[str]]] = []  # (type, sql, cols)
     dtype_of: dict[str, str] = {}
-    ann_id_types: dict[str, str] = {}
 
     def _note_types(dtypes, extra: dict[str, str]) -> None:
         for name, dt in list(dtypes) + list(extra.items()):
@@ -510,13 +469,6 @@ def compile_serving_template(
         sql, out_cols = _branch_layers(
             b, fetch_k, min_score, weights, mode, project_id, agents
         )
-        if b.ann:
-            id_type = dict(b.dtypes).get("id", "")
-            if id_type not in _CAND_ID_TYPES:
-                raise ServingSQLUnsupported(
-                    f"{b.memory_type}: unsupported ann id type {id_type!r}"
-                )
-            ann_id_types[b.memory_type] = id_type
         _note_types(b.dtypes, {c: added[c] for c in added if c in out_cols})
         branch_sqls.append((b.memory_type, sql, out_cols))
         colsets[b.memory_type] = list(out_cols)
@@ -593,7 +545,9 @@ def compile_serving_template(
         text = union
 
     return ServingTemplate(
-        text=text, colsets=colsets, ann_id_types=ann_id_types or None
+        text=text,
+        colsets=colsets,
+        ann_types=tuple(b.memory_type for b in branches if b.ann),
     )
 
 
@@ -663,14 +617,14 @@ def _batch_branch_layers(
     out_cols = list(b.columns) + ["shared_from", "qid", "similarity"]
 
     if b.ann:
-        # ANN batch serving (r12): the candidate VALUES table carries
-        # (qid, id, similarity) — the collected output of
-        # IVFIndex.search_batch — and replaces the exact crossJoin
+        # ANN batch serving (r12): the candidate view carries
+        # (qid, id, similarity) — IVFIndex.search_batch's lazy frame,
+        # registered per call — and replaces the exact crossJoin
         # stage, mirroring engine.retrieve_batch's
         # `df.join(broadcast(cands), "id")` (engine.py:801-808)
         joined = (
             f"SELECT /*+ BROADCAST(c) */ b.*, c.`qid`, c.`similarity` "
-            f"FROM ({base}) b JOIN {cand_token(b.memory_type)} "
+            f"FROM ({base}) b JOIN {cand_token(b.memory_type)} c "
             f"ON b.`id` = c.`id`"
         )
     else:
@@ -743,7 +697,6 @@ def compile_batch_template(
     colsets: dict[str, list[str]] = {}
     branch_sqls: list[tuple[str, str, list[str]]] = []
     dtype_of: dict[str, str] = {"qid": "string"}
-    ann_id_types: dict[str, str] = {}
 
     def _note_types(dtypes, extra: dict[str, str]) -> None:
         for name, dt in list(dtypes) + list(extra.items()):
@@ -768,13 +721,6 @@ def compile_batch_template(
         sql, out_cols = _batch_branch_layers(
             b, fetch_k, min_score, weights, project_id, agent
         )
-        if b.ann:
-            id_type = dict(b.dtypes).get("id", "")
-            if id_type not in _CAND_ID_TYPES:
-                raise ServingSQLUnsupported(
-                    f"{b.memory_type}: unsupported ann id type {id_type!r}"
-                )
-            ann_id_types[b.memory_type] = id_type
         _note_types(b.dtypes, {c: added[c] for c in added if c in out_cols})
         branch_sqls.append((b.memory_type, sql, out_cols))
         # the driver splits rows by (qid, type); colsets exclude qid —
@@ -815,7 +761,7 @@ def compile_batch_template(
     return ServingTemplate(
         text="\nUNION ALL\n".join(parts),
         colsets=colsets,
-        ann_id_types=ann_id_types or None,
+        ann_types=tuple(b.memory_type for b in branches if b.ann),
     )
 
 
@@ -824,15 +770,11 @@ def bind_batch(
     qids,
     qvecs,
     now: datetime,
-    cands: dict[str, list] | None = None,
+    cand_refs: dict[str, str] | None = None,
 ) -> str:
     out = tmpl.text.replace(
         TOKEN_QVALUES, qvalues_sql(qids, qvecs)
     ).replace(TOKEN_NOW, double_literal(now_epoch_seconds(now)))
-    # candidate tables LAST (their id values are data — see bind())
-    for t, id_type in (tmpl.ann_id_types or {}).items():
-        out = out.replace(
-            cand_token(t),
-            cand_values_sql((cands or {}).get(t, []), id_type, batch=True),
-        )
+    for t in tmpl.ann_types:
+        out = out.replace(cand_token(t), (cand_refs or {})[t])
     return out

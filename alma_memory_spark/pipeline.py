@@ -70,6 +70,7 @@ from alma_memory_spark.functions.text import (
 from alma_memory_spark.functions.text import (  # noqa: F401 (facade)
     url_pass_bits,
     url_signals,
+    with_repetition_signals,
     with_url_signals,
 )
 from alma_memory_spark.operators.lm_quality import (
@@ -171,6 +172,7 @@ __all__ = [
     "url_pass_bits",
     "url_signals",
     "verify_shards",
+    "with_repetition_signals",
     "with_url_signals",
     "weighted_mix",
     "with_bpe_token_count",

@@ -1455,3 +1455,51 @@ def test_kenlm_env_gate_and_kernel_plumbing(spark):
         assert out2["score"][0] == -6.0
     finally:
         del sys.modules["kenlm"]
+
+
+def test_with_repetition_signals_matches_convenience_form(spark):
+    """r12 (found by measure_chain): the staged-projection production
+    form must be VALUE-identical to the inline dup_ngram_fraction for
+    every n, including empty text and shorter-than-n docs — the only
+    difference is plan shape (tokenizer/gram arrays bound once,
+    filter-safe)."""
+    from alma_memory_spark.functions.text import (
+        dup_ngram_fraction,
+        with_repetition_signals,
+    )
+
+    rows = [
+        (1, "a b a b a b a b"),          # heavy 2-gram repeats
+        (2, "all distinct tokens here"),
+        (3, "one"),                       # shorter than n=2
+        (4, ""),                          # empty
+        (5, "x y x y z x y"),
+        (6, "w w w w w w w w w w"),       # single-token loop
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["dup2_frac"], r["dup3_frac"])
+        for r in with_repetition_signals(df, "text", ns=(2, 3)).collect()
+    }
+    want = {
+        r["doc_id"]: (r["d2"], r["d3"])
+        for r in df.select(
+            "doc_id",
+            dup_ngram_fraction("text", 2).alias("d2"),
+            dup_ngram_fraction("text", 3).alias("d3"),
+        ).collect()
+    }
+    assert got == want
+    # filter-safety: filtering on the attached plain column keeps
+    # results identical to filtering on the inline expression
+    a = sorted(
+        r["doc_id"]
+        for r in with_repetition_signals(df, "text")
+        .filter(F.col("dup2_frac") < 0.5)
+        .collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in df.filter(dup_ngram_fraction("text", 2) < 0.5).collect()
+    )
+    assert a == b
