@@ -616,7 +616,8 @@ class AlmaSpark:
         # py4j. Falls back to the DataFrame path for shapes the
         # compiler rejects. ANN-index serving (r12, VERDICT r11 #1)
         # also compiles: the per-call IVF probe stays on the index path
-        # and its candidate set binds as a VALUES table.
+        # and its lazy candidate frame joins in as a per-call temp view
+        # (the probe executes inside the one serving job).
         type_list = ["heuristics", "outcomes", "domain_knowledge"]
         if cfg is None or cfg.include_anti_patterns:
             type_list.append("anti_patterns")
@@ -869,7 +870,7 @@ class AlmaSpark:
         # inline VALUES table, bit-identical results, one spark.sql()
         # round trip. ANN-index batch serving compiles too (r12): the
         # search_batch probe runs on the index path and its (qid, id,
-        # similarity) candidate set binds as a VALUES table.
+        # similarity) frame joins in as a per-call temp view.
         sql_served = None
         if self.serving_sql_enabled:
             from alma_memory_spark.operators.serving_sql import ServingSQLUnsupported

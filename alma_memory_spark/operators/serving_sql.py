@@ -245,9 +245,10 @@ class BranchInput:
     """One memory-type branch: the registered temp view plus its schema
     (column order and simpleString dtypes, used for union null-fill).
     `ann=True` compiles the branch's vector stage as a broadcast join
-    against a per-call candidate VALUES table (token
-    "@CANDS_<type>@") instead of the exact cosine scan — the
-    SQL form of the IVF-index serving path (r12, VERDICT r11 #1)."""
+    against a per-call candidate TABLE (token "@CANDS_<type>@",
+    substituted with a temp-view reference over the IVF probe's lazy
+    frame) instead of the exact cosine scan — the SQL form of the
+    IVF-index serving path (r12, VERDICT r11 #1)."""
 
     memory_type: str
     view: str
