@@ -458,3 +458,45 @@ def test_quote_in_scope_string_served_correctly(seeded, spark):
     )
     assert seeded._srv_hits == h0 + 1, seeded._srv_last_error
     assert [r["id"] for r in sl.domain_knowledge] == ["q1"]
+
+
+def test_ann_sql_plan_probes_inside_one_job(seeded):
+    """Plan-shape pin for the r12 design claim: the compiled ANN
+    statement's physical plan must contain the probe kernel
+    (MapInPandas) on the BUILD side of a broadcast join — the probe
+    executes INSIDE the one serving job, not as a separate
+    candidate-collect job."""
+    import alma_memory_spark.engine as EM
+
+    seeded.index_vectors("domain_knowledge", cent_every=7)
+    seeded.retrieve(
+        "plan warm", agent="helena", project_id="proj-a",
+        use_ann=True, nprobe=2,
+    )
+    plans = []
+    orig = EM.AlmaSpark._srv_run
+
+    def capture(self, text):
+        df = self.spark.sql(text)
+        plans.append(df._jdf.queryExecution().executedPlan().toString())
+        return orig(self, text)
+
+    EM.AlmaSpark._srv_run = capture
+    try:
+        seeded._cache.clear()
+        seeded.retrieve(
+            "plan audit question", agent="helena", project_id="proj-a",
+            use_ann=True, nprobe=2,
+        )
+    finally:
+        EM.AlmaSpark._srv_run = orig
+    assert plans, "SQL path did not serve"
+    p = plans[-1]
+    assert "MapInPandas" in p, "probe kernel missing from the statement plan"
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p[:500]
+    # the per-call candidate views must not leak
+    leftover = [
+        t.name for t in seeded.spark.catalog.listTables()
+        if t.name.startswith("alma_cand_")
+    ]
+    assert leftover == [], leftover
