@@ -29,8 +29,10 @@ from alma_memory_spark.functions.text import ngrams_of_tokens, ws_tokens
 __all__ = [
     "contamination_report",
     "decontaminate",
+    "decontaminate_fuzzy",
     "decontaminate_spans",
     "doc_ngrams",
+    "fuzzy_contamination_report",
 ]
 
 
@@ -133,3 +135,116 @@ def decontaminate_spans(
     return _excise(base, dropped, id_col, n).withColumnRenamed(
         "text_dedup", "text_clean"
     )
+
+
+def fuzzy_contamination_report(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 2,
+    rows: int = 4,
+    verify_t: float = 0.8,
+) -> DataFrame:
+    """FUZZY decontamination (r12): (doc_id, n_bench_matches,
+    max_jaccard_u) for every training doc whose DISTINCT-TOKEN set is
+    near-duplicate of ANY benchmark doc — MinHash-LSH candidates
+    (band-key equality) verified by exact Jaccard >= `verify_t`.
+
+    The open-data complement to the exact n-gram stage
+    (contamination_report): paraphrased or lightly-edited benchmark
+    items share no 13-gram but keep most of their token set — the
+    FineWeb/DCLM-style fuzzy pass catches them. `max_jaccard_u` is the
+    best match's Jaccard in integer MICRO units
+    (round(jaccard * 1e6)): an exact cross-engine value without
+    float->string formatting hazards.
+
+    Spark shape (100 TB): the TRAIN side is one narrow map (distinct
+    tokens -> k-min signature -> band keys, no explode of grams) and
+    never shuffles until the final map-side-combinable groupBy on
+    doc_id; the BENCH side (eval sets: thousands of docs) broadcasts
+    twice — once as band keys for the candidate join, once as token
+    sets for the verify. A stop-phrase band key fans candidates out by
+    at most the BENCH bucket size (broadcast-bounded, transient rows
+    inside one narrow stage) — there is no train-side self-join, so
+    the quadratic blowup LSH dedup needs a band cap for cannot occur
+    here. Reference: same signature/banding kernel as the 'pair'/
+    'ndidx' gates (functions/text.minhash_signature, Broder 1997;
+    banding per Leskovec-Rajaraman-Ullman ch.3)."""
+    from alma_memory_spark.functions.text import hash32, minhash_signature
+
+    def prep(df: DataFrame, out_id: str) -> DataFrame:
+        toked = df.select(
+            F.col(id_col).alias(out_id),
+            F.array_distinct(ws_tokens(text_col)).alias("ts"),
+        ).withColumn("hs", F.transform("ts", hash32))
+        sig = minhash_signature(F.col("hs"), k, hashed=True)
+        band_structs = [
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        *[
+                            sig[b * rows + r].cast("string")
+                            for r in range(rows)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+        return toked.select(
+            out_id, "ts", F.explode(F.array(*band_structs)).alias("bd")
+        ).select(out_id, "ts", "bd.band_idx", "bd.band_key")
+
+    tb = prep(train, "_tid")
+    bb = prep(bench, "_bid")
+    bench_bands = bb.select("_bid", "band_idx", "band_key")
+    cand = (
+        tb.select("_tid", "band_idx", "band_key")
+        .join(F.broadcast(bench_bands), ["band_idx", "band_key"])
+        .select("_tid", "_bid")
+        .distinct()
+    )
+    train_ts = tb.select("_tid", "ts").distinct()
+    bench_ts = bb.select("_bid", F.col("ts").alias("bts")).distinct()
+    inter = F.size(F.array_intersect("ts", "bts")).cast("double")
+    union = (
+        F.size("ts").cast("double") + F.size("bts").cast("double") - inter
+    )
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    verified = (
+        cand.join(train_ts, "_tid")
+        .join(F.broadcast(bench_ts), "_bid")
+        .withColumn("_jac", jac)
+        .filter(F.col("_jac") >= F.lit(verify_t))
+    )
+    return (
+        verified.groupBy("_tid")
+        .agg(
+            F.count(F.lit(1)).alias("n_bench_matches"),
+            F.round(F.max("_jac") * F.lit(1e6)).cast("long").alias("max_jaccard_u"),
+        )
+        .select(
+            F.col("_tid").alias(id_col), "n_bench_matches", "max_jaccard_u"
+        )
+    )
+
+
+def decontaminate_fuzzy(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    verify_t: float = 0.8,
+    **kw,
+) -> DataFrame:
+    """Training frame minus fuzzy-contaminated docs (left anti-join on
+    the fuzzy report ids) — the drop-doc form of
+    fuzzy_contamination_report."""
+    bad = fuzzy_contamination_report(
+        train, bench, id_col, text_col, verify_t=verify_t, **kw
+    ).select(id_col)
+    return train.join(bad, id_col, "left_anti")

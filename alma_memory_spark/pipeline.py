@@ -103,7 +103,9 @@ from alma_memory_spark.operators.components import (
 from alma_memory_spark.operators.decontam import (
     contamination_report,
     decontaminate,
+    decontaminate_fuzzy,
     decontaminate_spans,
+    fuzzy_contamination_report,
 )
 from alma_memory_spark.operators.dedup_index import NearDupIndex
 from alma_memory_spark.operators.packing import (
@@ -134,7 +136,9 @@ __all__ = [
     "connected_components",
     "contamination_report",
     "decontaminate",
+    "decontaminate_fuzzy",
     "decontaminate_spans",
+    "fuzzy_contamination_report",
     "dedup_paragraphs",
     "dedup_sentences",
     "dedup_token_windows",

@@ -59,6 +59,7 @@ MINHASH_K = 8
 LSH_BANDS = 2  # 2 bands x 4 rows (stricter banding: fewer, better candidates)
 LSH_ROWS = 4
 LSH_VERIFY_T = 0.9
+FUZZY_DECON_T = 0.8  # fuzzy-decontamination verify threshold ('contamf')
 LSH_BUCKET_CAP = 100  # drop degenerate mega-buckets (standard LSH-dedup guard)
 WINNOW_POST_CAP = 50  # drop stop-phrase fingerprints posted by >cap docs
 WINNOW_CONTAIN_T = 0.4  # winnow containment threshold for this corpus
@@ -1931,12 +1932,34 @@ def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN toksu tb ON tb.doc_id = c.doc_b
       WHERE len(list_intersect(ta.ts, tb.ts)) * 1.0 /
             (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts))) >= {LSH_VERIFY_T}
+    ), fzcand AS (
+      SELECT DISTINCT t.doc_id AS tid, b.doc_id AS bid
+      FROM bands t JOIN bands b
+        ON t.band_idx = b.band_idx AND t.band_key = b.band_key
+      WHERE t.doc_id % 5 != 0 AND b.doc_id % 5 = 0
+    ), fzver AS (
+      SELECT c.tid,
+             CASE WHEN (len(ta.ts) + len(tb.ts)
+                        - len(list_intersect(ta.ts, tb.ts))) > 0
+                  THEN len(list_intersect(ta.ts, tb.ts)) * 1.0 /
+                       (len(ta.ts) + len(tb.ts)
+                        - len(list_intersect(ta.ts, tb.ts)))
+                  ELSE 0.0 END AS jac
+      FROM fzcand c
+      JOIN toks ta ON ta.doc_id = c.tid
+      JOIN toks tb ON tb.doc_id = c.bid
+    ), fzrep AS (
+      SELECT tid, count(*) AS nm,
+             CAST(round(max(jac) * 1e6) AS BIGINT) AS ju
+      FROM fzver WHERE jac >= {FUZZY_DECON_T} GROUP BY tid
     )
     SELECT 'pair' AS variant, doc_a, doc_b, jaccard_sim FROM pairs
     UNION ALL
     SELECT 'group', doc_id, group_id, CAST(NULL AS DOUBLE) FROM groups
     UNION ALL
     SELECT 'ndidx', doc_a, doc_b, jaccard_sim FROM pairsu
+    UNION ALL
+    SELECT 'contamf', tid, nm, CAST(ju AS DOUBLE) FROM fzrep
     """,
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1954,6 +1977,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     star-contraction, a lost node, or a non-min label all
     hash-mismatch."""
     from alma_memory_spark.operators.components import near_dup_groups
+    from alma_memory_spark.operators.decontam import fuzzy_contamination_report
     docs = _t(spark, sf_dir, "documents")
 
     # 'ndidx' rows (r8) — the PERSISTED NearDupIndex's incremental add
@@ -2106,6 +2130,32 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_a",
                 "doc_b",
                 "jaccard_sim",
+            )
+        )
+        # 'contamf' rows (r12) — FUZZY decontamination
+        # (operators/decontam.fuzzy_contamination_report): train docs
+        # (%5 != 0) whose distinct-token set is MinHash-LSH candidate +
+        # exact-Jaccard >= 0.8 near-dup of ANY bench doc (%5 == 0) —
+        # the FineWeb/DCLM-style complement to the exact n-gram
+        # 'contam' stage (paraphrased benchmark items share no 13-gram
+        # but keep most of their token set). The oracle replays
+        # signature -> banding -> candidate join -> Jaccard verify ->
+        # per-train-doc (match count, max Jaccard in integer MICRO
+        # units), so a banding drift, a verify off-by-one, or a
+        # float-rounding divergence all hash-mismatch. doc_b carries
+        # the match count; jaccard_sim the micro-Jaccard (an
+        # integer-valued double — exact cross-engine).
+        .unionByName(
+            fuzzy_contamination_report(
+                docs.filter(F.col("doc_id") % 5 != 0),
+                docs.filter(F.col("doc_id") % 5 == 0),
+                k=MINHASH_K, bands=LSH_BANDS, rows=LSH_ROWS,
+                verify_t=FUZZY_DECON_T,
+            ).select(
+                F.lit("contamf").alias("variant"),
+                F.col("doc_id").alias("doc_a"),
+                F.col("n_bench_matches").alias("doc_b"),
+                F.col("max_jaccard_u").cast("double").alias("jaccard_sim"),
             )
         )
     )

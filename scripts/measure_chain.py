@@ -193,6 +193,15 @@ def run_chain(spark: SparkSession, app_id: str, src: str, work: str) -> list[dic
         lambda d: P.decontaminate(d, bench, n=13),
         "s07_decontam",
     )
+    # 7b) FUZZY decontamination (r12): MinHash-LSH near-dup of any
+    # bench doc, exact-Jaccard verified — catches paraphrased items
+    # the exact n-gram pass misses; bench side broadcasts, train side
+    # stays a narrow map until the final per-doc groupBy
+    stage(
+        "decontam_fuzzy",
+        lambda d: P.decontaminate_fuzzy(d, bench, verify_t=0.9),
+        "s07b_fuzzy",
+    )
     # 8a/8b) quality + repetition signals, then the filter. The Gopher
     # stopword rule is unusable on THIS corpus (synthetic ~40-word
     # vocab, no natural stopwords — it zeroes the corpus), so the cuts

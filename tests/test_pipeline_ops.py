@@ -1503,3 +1503,55 @@ def test_with_repetition_signals_matches_convenience_form(spark):
         for r in df.filter(dup_ngram_fraction("text", 2) < 0.5).collect()
     )
     assert a == b
+
+
+def test_fuzzy_decontamination_semantics(spark):
+    """r12: fuzzy_contamination_report catches the case the exact
+    n-gram stage cannot — a SHUFFLED/paraphrased benchmark item shares
+    no long n-gram but keeps its token set — while leaving genuinely
+    disjoint docs alone; decontaminate_fuzzy drops exactly the
+    reported ids."""
+    from alma_memory_spark.operators.decontam import (
+        contamination_report,
+        decontaminate_fuzzy,
+        fuzzy_contamination_report,
+    )
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    shuffled = "kappa iota theta eta zeta epsilon delta gamma beta alpha"
+    train = spark.createDataFrame(
+        [
+            (1, shuffled),                             # token-set identical
+            (2, "alpha beta gamma delta nu xi omicron pi rho sigma"),  # ~half overlap
+            (3, "one two three four five six seven eight nine ten"),   # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, bench_text)], "doc_id long, text string"
+    )
+    rep = {
+        r["doc_id"]: (r["n_bench_matches"], r["max_jaccard_u"])
+        for r in fuzzy_contamination_report(
+            train, bench, verify_t=0.8
+        ).collect()
+    }
+    assert rep == {1: (1, 1_000_000)}, rep  # only the shuffle, jac=1.0
+    # the exact n-gram stage misses it (no shared 5-gram)
+    exact = contamination_report(train, bench, n=5).collect()
+    assert exact == []
+    kept = sorted(
+        r["doc_id"] for r in decontaminate_fuzzy(train, bench).collect()
+    )
+    assert kept == [2, 3]
+    # lowering verify_t does NOT manufacture candidates: a ~0.33-
+    # jaccard doc still has to band-collide first (P ~ 2*j^4 under
+    # 2x4 banding — the documented LSH recall approximation), and the
+    # disjoint doc can never appear
+    rep2 = {
+        r["doc_id"]
+        for r in fuzzy_contamination_report(
+            train, bench, verify_t=0.3
+        ).collect()
+    }
+    assert 1 in rep2 and 3 not in rep2
