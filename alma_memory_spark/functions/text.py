@@ -850,6 +850,27 @@ def psl_lastk_exprs(labels: Column, K: int | None = None) -> list[Column]:
     return out
 
 
+def _psl_group_cond(lastk: list[Column], ps: int, groups) -> Column:
+    """Match condition for one chain group. A group member with k == ps
+    is an EXACT rule set (the lastK NULL guard already requires the
+    host to have >= k labels); k == ps - 1 is a WILDCARD base set —
+    the spec's '*' matches exactly ONE label, so the rule only matches
+    hosts with MORE labels than the base (lastk[ps] non-null). Without
+    that guard a host EQUAL to a >=3-label wildcard base (e.g. the
+    base of '*.backyards.banzaicloud.io') would take ps from the
+    wildcard and return itself instead of its true registrable domain
+    — a bug the r12 reference-algorithm property test caught (the r11
+    curated snapshot only carried 1/2-label bases, where the error is
+    value-invisible). k == ps + 1 is an exception set (no guard)."""
+    cond = None
+    for k, vals in groups:
+        c = _psl_inset(lastk[k - 1], vals)
+        if k == ps - 1:  # wildcard base: host needs base+1 (= ps) labels
+            c = c & lastk[ps - 1].isNotNull()
+        cond = c if cond is None else (cond | c)
+    return cond
+
+
 def psl_domain_expr(lastk: list[Column], host_nw: Column) -> Column:
     """Registrable domain in ONE CASE over the data-driven chain: the
     first matching group fixes the public-suffix length ps, the domain
@@ -858,10 +879,7 @@ def psl_domain_expr(lastk: list[Column], host_nw: Column) -> Column:
     check). Each rule set appears exactly once in the expression."""
     expr = None
     for ps, groups in _PSL_CHAIN:
-        cond = None
-        for k, vals in groups:
-            c = _psl_inset(lastk[k - 1], vals)
-            cond = c if cond is None else (cond | c)
+        cond = _psl_group_cond(lastk, ps, groups)
         dom = F.coalesce(lastk[ps], host_nw)
         expr = (
             F.when(cond, dom) if expr is None else expr.when(cond, dom)
@@ -876,10 +894,7 @@ def psl_ps_len(lastk: list[Column]) -> Column:
     psl_domain_expr)."""
     expr = None
     for ps, groups in _PSL_CHAIN:
-        cond = None
-        for k, vals in groups:
-            c = _psl_inset(lastk[k - 1], vals)
-            cond = c if cond is None else (cond | c)
+        cond = _psl_group_cond(lastk, ps, groups)
         expr = (
             F.when(cond, F.lit(ps))
             if expr is None
@@ -1100,12 +1115,15 @@ def _sql_psl_domain(labels: str, host_nw: str) -> str:
         inner = " || '.' || ".join(f"({labels})[-{i}]" for i in range(k, 0, -1))
         lk[k] = f"({inner})"
 
-    def inset(k: int, vals) -> str:
-        return f"{lk[k]} IN (" + ", ".join(f"'{v}'" for v in vals) + ")"
+    def inset(k: int, ps: int, vals) -> str:
+        s = f"{lk[k]} IN (" + ", ".join(f"'{v}'" for v in vals) + ")"
+        if k == ps - 1:  # wildcard base: host needs base+1 labels
+            s = f"({s} AND {lk[ps]} IS NOT NULL)"
+        return s
 
     branches = []
     for ps, groups in _PSL_CHAIN:
-        cond = " OR ".join(inset(k, vals) for k, vals in groups if vals)
+        cond = " OR ".join(inset(k, ps, vals) for k, vals in groups if vals)
         if not cond:
             continue
         branches.append(

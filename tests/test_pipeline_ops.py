@@ -1555,3 +1555,88 @@ def test_fuzzy_decontamination_semantics(spark):
         ).collect()
     }
     assert 1 in rep2 and 3 not in rep2
+
+
+def test_psl_chain_matches_reference_algorithm(spark):
+    """r12: pin the data-driven PSL chain (and its DuckDB mirror)
+    against an INDEPENDENT transcription of the publicsuffix.org
+    algorithm — brute-force longest-match over the raw rule strings,
+    exceptions first — across hosts generated from a spread of real
+    rules of every class (1-5-label exact, 1-4-label wildcard bases,
+    exceptions, unknown TLDs)."""
+    import duckdb
+
+    from alma_memory_spark.functions import text as X
+
+    R = X.PSL_RULES
+    raw: list[tuple[str, ...]] = []  # (kind, *labels)
+    for k, vals in R["exact"].items():
+        for v in vals:
+            raw.append(("exact", v))
+    for k, vals in R["wild"].items():
+        for v in vals:
+            raw.append(("wild", v))
+    for k, vals in R["exc"].items():
+        for v in vals:
+            raw.append(("exc", v))
+
+    def ref_domain(host: str) -> str:
+        hl = host.split(".")
+        best_ps = 1
+        exc_ps = None
+        for kind, base in raw:
+            bl = base.split(".")
+            if kind == "wild":
+                rl = ["*"] + bl
+            else:
+                rl = bl
+            if len(rl) > len(hl):
+                continue
+            if all(
+                a == "*" or a == b for a, b in zip(rl, hl[len(hl) - len(rl):])
+            ):
+                if kind == "exc":
+                    exc_ps = len(rl) - 1
+                else:
+                    best_ps = max(best_ps, len(rl))
+        ps = exc_ps if exc_ps is not None else best_ps
+        if len(hl) <= ps:
+            return host  # host IS a public suffix (engine convention)
+        return ".".join(hl[len(hl) - ps - 1:])
+
+    # host set: a deterministic spread of rules from every class,
+    # each exercised at suffix / suffix+1 / suffix+2 depth
+    import itertools
+
+    picks: list[str] = []
+    for kind in ("exact", "wild", "exc"):
+        for k in sorted(R[kind]):
+            picks += [
+                (base if kind != "wild" else base)
+                for base in sorted(R[kind][k])[:6]
+            ]
+    hosts: list[str] = []
+    for base in picks:
+        hosts += [base, f"one.{base}", f"two.one.{base}"]
+    hosts += ["unknowntld", "foo.unknowntld", "a.b.c.d.e.foo.unknowntld"]
+    hosts = sorted(set(hosts))
+
+    expected = {h: ref_domain(h) for h in hosts}
+
+    df = spark.createDataFrame([(h,) for h in hosts], "h string")
+    lastk = X.psl_lastk_exprs(F.split("h", r"\."))
+    got = {
+        r["h"]: r["d"]
+        for r in df.select(
+            "h", X.psl_domain_expr(lastk, F.col("h")).alias("d")
+        ).collect()
+    }
+    bad = {h: (got[h], expected[h]) for h in hosts if got[h] != expected[h]}
+    assert not bad, dict(itertools.islice(bad.items(), 5))
+
+    dsql = X._sql_psl_domain("string_split(h, chr(46))", "h")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE hosts AS SELECT unnest(?) AS h", [hosts])
+    dgot = dict(con.execute(f"SELECT h, {dsql} FROM hosts").fetchall())
+    dbad = {h: (dgot[h], expected[h]) for h in hosts if dgot[h] != expected[h]}
+    assert not dbad, dict(itertools.islice(dbad.items(), 5))

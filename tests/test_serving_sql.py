@@ -500,3 +500,38 @@ def test_ann_sql_plan_probes_inside_one_job(seeded):
         if t.name.startswith("alma_cand_")
     ]
     assert leftover == [], leftover
+
+
+def test_concurrent_ann_retrieves_do_not_cross_talk(seeded):
+    """r12: the per-call unique candidate views exist because two
+    concurrent ANN retrieves on ONE engine must never serve each
+    other's candidates. Run two distinct ANN queries concurrently many
+    times and require every slice to equal its serial result."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    seeded.index_vectors("domain_knowledge", cent_every=7)
+    q1 = dict(
+        task="validate schema before writing", agent="helena",
+        project_id="proj-a", top_k=6, use_ann=True, nprobe=2,
+    )
+    q2 = dict(
+        task="remember what did we deploy", agent="victor",
+        project_id="proj-b", top_k=6, use_ann=True, nprobe=2,
+    )
+    seeded._cache.clear()
+    want1 = seeded.retrieve(**q1)
+    seeded._cache.clear()
+    want2 = seeded.retrieve(**q2)
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        for _ in range(4):
+            seeded._cache.clear()
+            f1 = ex.submit(seeded.retrieve, **q1)
+            f2 = ex.submit(seeded.retrieve, **q2)
+            _slices_equal(f1.result(), want1)
+            _slices_equal(f2.result(), want2)
+    assert seeded._srv_fallbacks == 0, seeded._srv_last_error
+    leftover = [
+        t.name for t in seeded.spark.catalog.listTables()
+        if t.name.startswith("alma_cand_")
+    ]
+    assert leftover == [], leftover
