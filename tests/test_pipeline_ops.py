@@ -1640,3 +1640,55 @@ def test_psl_chain_matches_reference_algorithm(spark):
     dgot = dict(con.execute(f"SELECT h, {dsql} FROM hosts").fetchall())
     dbad = {h: (dgot[h], expected[h]) for h in hosts if dgot[h] != expected[h]}
     assert not dbad, dict(itertools.islice(dbad.items(), 5))
+
+
+def test_excision_matches_naive_reference_on_random_inputs(spark):
+    """r12: randomized pin for the shared linear excision kernel
+    (substring._excise — r11 interval-merge rewrite + r12 no-drop
+    short-circuit, shared by batch/index/decontam call sites) against
+    the obvious O(units x dropped) reference: keep unit i iff no
+    dropped start s covers it (s <= i < s+w). Covers empty starts
+    (short-circuit branch), fully-dropped docs, adjacent/overlapping
+    intervals, and single-unit docs."""
+    import random
+
+    from alma_memory_spark.operators.substring import _excise
+
+    rng = random.Random(1207)
+    w = 4
+    rows = []
+    for doc in range(120):
+        n = rng.randint(1, 30)
+        units = [f"u{doc}_{i} " for i in range(n)]
+        mode = doc % 4
+        if mode == 0:
+            starts = []                                  # no-drop branch
+        elif mode == 1:
+            starts = sorted(rng.sample(range(n), min(n, rng.randint(1, 6))))
+        elif mode == 2:
+            starts = list(range(0, n))                   # everything covered
+        else:
+            s0 = rng.randint(0, max(0, n - 1))
+            starts = sorted({s0, min(n - 1, s0 + w), min(n - 1, s0 + w - 1)})
+        rows.append((doc, units, starts if starts else None))
+
+    base = spark.createDataFrame(
+        [(d, u) for d, u, _ in rows], "doc_id long, units array<string>"
+    )
+    dropped = spark.createDataFrame(
+        [(d, s) for d, _, s in rows if s is not None],
+        "doc_id long, starts array<int>",
+    )
+    got = {
+        r["doc_id"]: (r["text_dedup"], r["n_units"], r["n_kept"])
+        for r in _excise(base, dropped, "doc_id", w).collect()
+    }
+    for doc, units, starts in rows:
+        ss = starts or []
+        kept = [
+            u
+            for i, u in enumerate(units)
+            if not any(s <= i < s + w for s in ss)
+        ]
+        want = ("".join(kept), len(units), len(kept))
+        assert got[doc] == want, (doc, ss, got[doc], want)
