@@ -1692,3 +1692,44 @@ def test_excision_matches_naive_reference_on_random_inputs(spark):
         ]
         want = ("".join(kept), len(units), len(kept))
         assert got[doc] == want, (doc, ss, got[doc], want)
+
+
+def test_url_parsing_matches_urllib_reference(spark):
+    """r12: pin the shared authority/scheme/path regexes (both engines
+    compile the SAME patterns, so oracle parity cannot catch shared
+    drift) against urllib.parse on generated well-formed URLs.
+    Documented scope: everything lowercased, userinfo/port stripped
+    from host, bracketed IPv6 out of scope."""
+    import itertools
+    from urllib.parse import urlsplit
+
+    schemes = ["http", "https", "ftp+ssh"]
+    userinfos = ["", "user@", "a.b:pw@"]
+    hosts = ["example.com", "www.shop.co.uk", "single", "x-9.y.z"]
+    ports = ["", ":8080"]
+    paths = ["", "/", "/a/b", "/a/b/", "/a%20b/c.d"]
+    tails = ["", "?q=1&utm_source=x", "#frag", "?x=/slash"]
+    urls = [
+        f"{s}://{u}{h}{p}{pa}{t}"
+        for s, u, h, p, pa, t in itertools.product(
+            schemes, userinfos, hosts, ports, paths, tails
+        )
+    ]
+    from alma_memory_spark.functions.text import url_signals
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    s = url_signals(F.col("url"))
+    got = {
+        r["url"]: (r["scheme"], r["host"], r["depth"])
+        for r in df.select(
+            "url", s["scheme"].alias("scheme"), s["host"].alias("host"),
+            s["depth"].alias("depth"),
+        ).collect()
+    }
+    for u in urls:
+        ref = urlsplit(u.lower())
+        want_scheme = ref.scheme
+        want_host = ref.hostname or ""
+        want_depth = len([x for x in ref.path.split("/") if x])
+        g = got[u]
+        assert g == (want_scheme, want_host, want_depth), (u, g, (want_scheme, want_host, want_depth))
