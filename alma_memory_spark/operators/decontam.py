@@ -30,9 +30,11 @@ __all__ = [
     "contamination_report",
     "decontaminate",
     "decontaminate_fuzzy",
+    "decontaminate_semantic",
     "decontaminate_spans",
     "doc_ngrams",
     "fuzzy_contamination_report",
+    "semantic_contamination_report",
 ]
 
 
@@ -247,4 +249,86 @@ def decontaminate_fuzzy(
     bad = fuzzy_contamination_report(
         train, bench, id_col, text_col, verify_t=verify_t, **kw
     ).select(id_col)
+    return train.join(bad, id_col, "left_anti")
+
+
+def semantic_contamination_report(
+    train_emb: DataFrame,
+    bench_emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SEMANTIC decontamination (r12): (id, n_bench_matches, max_cos)
+    for every training vector whose embedding has cosine >= `threshold`
+    against ANY benchmark vector — the third decontamination mode
+    (exact n-gram / fuzzy lexical / semantic): a REWRITTEN benchmark
+    item shares neither long n-grams nor most of its token set, but a
+    decent embedder keeps it close in vector space.
+
+    Spark shape (100 TB): the BENCH matrix (eval-set-sized) collects
+    once and rides the task closure L2-normalized; the train side is
+    ONE mapInPandas pass — per Arrow batch, a single BLAS matmul
+    (Vn @ Bn.T) scores every train row against every bench row, and
+    the per-row count/max reduce inside the kernel. No shuffle at all;
+    no train self-join. Cosines round at 6dp BEFORE thresholding (the
+    established cross-engine contract of the cosine/semdedup gates).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from alma_memory_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(train_emb.sparkSession)
+    bench_rows = bench_emb.select(vec_col).collect()
+    id_type = train_emb.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_type}, n_bench_matches long, max_cos double"
+    )
+    if not bench_rows:
+        return train_emb.sparkSession.createDataFrame([], out_schema)
+    B = np.array([r[0] for r in bench_rows], dtype=np.float64)
+    Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
+    t_, Bn_, idc = float(threshold), Bn, id_col
+
+    def score(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            Vn = V / np.maximum(
+                np.linalg.norm(V, axis=1, keepdims=True), 1e-300
+            )
+            S = np.round(Vn @ Bn_.T, 6)
+            hit = S >= t_
+            nm = hit.sum(axis=1)
+            keep = nm > 0
+            if not keep.any():
+                continue
+            mx = np.where(hit, S, -np.inf).max(axis=1)
+            yield pd.DataFrame(
+                {
+                    idc: pdf[idc].to_numpy()[keep],
+                    "n_bench_matches": nm[keep].astype("int64"),
+                    "max_cos": mx[keep],
+                }
+            )
+
+    return train_emb.select(id_col, vec_col).mapInPandas(score, out_schema)
+
+
+def decontaminate_semantic(
+    train: DataFrame,
+    train_emb: DataFrame,
+    bench_emb: DataFrame,
+    id_col: str = "doc_id",
+    emb_id_col: str = "vec_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Training frame minus semantically-contaminated docs: anti-join
+    on the semantic report's ids (train_emb maps emb_id_col ->
+    train[id_col])."""
+    bad = semantic_contamination_report(
+        train_emb, bench_emb, id_col=emb_id_col, threshold=threshold
+    ).select(F.col(emb_id_col).alias(id_col))
     return train.join(bad, id_col, "left_anti")

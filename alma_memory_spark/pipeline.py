@@ -104,8 +104,10 @@ from alma_memory_spark.operators.decontam import (
     contamination_report,
     decontaminate,
     decontaminate_fuzzy,
+    decontaminate_semantic,
     decontaminate_spans,
     fuzzy_contamination_report,
+    semantic_contamination_report,
 )
 from alma_memory_spark.operators.dedup_index import NearDupIndex
 from alma_memory_spark.operators.packing import (
@@ -137,8 +139,10 @@ __all__ = [
     "contamination_report",
     "decontaminate",
     "decontaminate_fuzzy",
+    "decontaminate_semantic",
     "decontaminate_spans",
     "fuzzy_contamination_report",
+    "semantic_contamination_report",
     "dedup_paragraphs",
     "dedup_sentences",
     "dedup_token_windows",

@@ -1679,6 +1679,16 @@ def winnow_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT 'sdidx', id_a, id_b, sim FROM sdpairs
     )
+    UNION ALL
+    SELECT 'sdecon', id_a, nm, mx FROM (
+      SELECT t.vec_id AS id_a, count(*) AS nm, max(cs) AS mx FROM (
+        SELECT t.vec_id,
+               round(list_sum(list_transform(range(1, len(t.v)+1),
+                     i -> t.v[i] * b.v[i])) / (t.nrm * b.nrm), 6) AS cs
+        FROM e t, e b
+        WHERE t.vec_id % 7 != 0 AND b.vec_id % 7 = 0
+      ) t WHERE cs >= {NEARDUP_COS} GROUP BY t.vec_id
+    )
     """,
 )
 def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1760,6 +1770,9 @@ def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cos = emb.groupby("label").applyInPandas(cos_fn, "id_a long, id_b long, sim double")
 
+    from alma_memory_spark.operators.decontam import (
+        semantic_contamination_report,
+    )
     from alma_memory_spark.operators.semdedup import (
         SemDedupIndex,
         semantic_dedup_groups,
@@ -1854,6 +1867,26 @@ def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("doc_id").alias("id_a"),
                 F.col("group_id").alias("id_b"),
                 F.lit(None).cast("double").alias("sim"),
+            )
+        )
+        # 'sdecon' rows (r12) — SEMANTIC decontamination
+        # (operators/decontam.semantic_contamination_report): train
+        # vectors (vec_id % 7 != 0) with cosine >= NEARDUP_COS against
+        # ANY bench vector (% 7 == 0); one mapInPandas matmul pass,
+        # bench matrix in the closure, no shuffle. Oracle replays the
+        # full cross product with the same 6dp rounding, so a kernel
+        # drift, a wrong count, or a max off-by-one all hash-mismatch.
+        # id_b carries the bench-match count; sim the max cosine.
+        .unionByName(
+            semantic_contamination_report(
+                emb.filter(F.col("vec_id") % 7 != 0),
+                emb.filter(F.col("vec_id") % 7 == 0),
+                threshold=NEARDUP_COS,
+            ).select(
+                F.lit("sdecon").alias("method"),
+                F.col("vec_id").alias("id_a"),
+                F.col("n_bench_matches").alias("id_b"),
+                F.col("max_cos").alias("sim"),
             )
         )
     )

@@ -1733,3 +1733,54 @@ def test_url_parsing_matches_urllib_reference(spark):
         want_depth = len([x for x in ref.path.split("/") if x])
         g = got[u]
         assert g == (want_scheme, want_host, want_depth), (u, g, (want_scheme, want_host, want_depth))
+
+
+def test_semantic_decontamination_semantics(spark):
+    """r12: semantic_contamination_report catches a REWRITTEN
+    benchmark item (different tokens, same embedding direction) that
+    both the exact n-gram and fuzzy lexical stages miss; count/max
+    semantics and the drop form are exact."""
+    from alma_memory_spark.operators.decontam import (
+        decontaminate_semantic,
+        semantic_contamination_report,
+    )
+
+    b = [1.0, 0.0, 0.0, 0.0]
+    train_emb = spark.createDataFrame(
+        [
+            (1, [0.99, 0.141, 0.0, 0.0]),   # cos ~0.990 vs bench
+            (2, [0.7, 0.7, 0.1, 0.0]),      # cos ~0.70
+            (3, [0.0, 0.0, 1.0, 0.0]),      # orthogonal
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    bench_emb = spark.createDataFrame(
+        [(100, b), (101, [0.95, 0.3, 0.05, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rep = {
+        r["vec_id"]: (r["n_bench_matches"], r["max_cos"])
+        for r in semantic_contamination_report(
+            train_emb, bench_emb, threshold=0.9
+        ).collect()
+    }
+    assert set(rep) == {1}
+    n, mx = rep[1]
+    assert n == 2 and 0.97 <= mx <= 1.0, rep
+    train = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in decontaminate_semantic(
+            train, train_emb, bench_emb, threshold=0.9
+        ).collect()
+    )
+    assert kept == [2, 3]
+    # empty bench: nothing is contaminated, schema intact
+    empty = semantic_contamination_report(
+        train_emb,
+        spark.createDataFrame([], "vec_id long, embedding array<float>"),
+    )
+    assert empty.count() == 0
+    assert empty.columns == ["vec_id", "n_bench_matches", "max_cos"]
