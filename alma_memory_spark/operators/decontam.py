@@ -148,11 +148,20 @@ def fuzzy_contamination_report(
     bands: int = 2,
     rows: int = 4,
     verify_t: float = 0.8,
+    bench_band_cap: int | None = None,
 ) -> DataFrame:
     """FUZZY decontamination (r12): (doc_id, n_bench_matches,
     max_jaccard_u) for every training doc whose DISTINCT-TOKEN set is
     near-duplicate of ANY benchmark doc — MinHash-LSH candidates
     (band-key equality) verified by exact Jaccard >= `verify_t`.
+
+    `bench_band_cap` is the cross-corpus form of the LSH skew guard:
+    a stop-phrase band key shared by many BENCH docs multiplies every
+    colliding train row by that bucket's size — capping the BENCH side
+    (the small broadcast side, so the count is one cheap window over
+    eval-set-sized data) bounds candidates at |train| x cap x bands.
+    Recall trade as with NearDupIndex.band_cap: a pair whose ONLY
+    shared band sits in an over-cap bucket is missed.
 
     The open-data complement to the exact n-gram stage
     (contamination_report): paraphrased or lightly-edited benchmark
@@ -203,25 +212,38 @@ def fuzzy_contamination_report(
 
     tb = prep(train, "_tid")
     bb = prep(bench, "_bid")
-    bench_bands = bb.select("_bid", "band_idx", "band_key")
-    cand = (
-        tb.select("_tid", "band_idx", "band_key")
-        .join(F.broadcast(bench_bands), ["band_idx", "band_key"])
-        .select("_tid", "_bid")
-        .distinct()
+    # both token sets ride THROUGH the broadcast band join (each band
+    # row already carries its side's ts), so the verify needs no
+    # re-join of candidates against the train table — the train side's
+    # only shuffles are the (tid, bid) dedup and the final groupBy
+    bench_bands = bb.select(
+        "_bid", F.col("ts").alias("bts"), "band_idx", "band_key"
     )
-    train_ts = tb.select("_tid", "ts").distinct()
-    bench_ts = bb.select("_bid", F.col("ts").alias("bts")).distinct()
+    if bench_band_cap is not None:
+        from pyspark.sql.window import Window as _W
+
+        bench_bands = (
+            bench_bands.withColumn(
+                "_bn",
+                F.count(F.lit(1)).over(
+                    _W.partitionBy("band_idx", "band_key")
+                ),
+            )
+            .filter(F.col("_bn") <= bench_band_cap)
+            .drop("_bn")
+        )
+    cand = (
+        tb.join(F.broadcast(bench_bands), ["band_idx", "band_key"])
+        .select("_tid", "ts", "_bid", "bts")
+        .dropDuplicates(["_tid", "_bid"])
+    )
     inter = F.size(F.array_intersect("ts", "bts")).cast("double")
     union = (
         F.size("ts").cast("double") + F.size("bts").cast("double") - inter
     )
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    verified = (
-        cand.join(train_ts, "_tid")
-        .join(F.broadcast(bench_ts), "_bid")
-        .withColumn("_jac", jac)
-        .filter(F.col("_jac") >= F.lit(verify_t))
+    verified = cand.withColumn("_jac", jac).filter(
+        F.col("_jac") >= F.lit(verify_t)
     )
     return (
         verified.groupBy("_tid")

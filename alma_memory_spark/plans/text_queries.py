@@ -60,6 +60,7 @@ LSH_BANDS = 2  # 2 bands x 4 rows (stricter banding: fewer, better candidates)
 LSH_ROWS = 4
 LSH_VERIFY_T = 0.9
 FUZZY_DECON_T = 0.8  # fuzzy-decontamination verify threshold ('contamf')
+FUZZY_BENCH_CAP = 8  # 'contamf' bench-side band cap (cross-corpus skew guard)
 LSH_BUCKET_CAP = 100  # drop degenerate mega-buckets (standard LSH-dedup guard)
 WINNOW_POST_CAP = 50  # drop stop-phrase fingerprints posted by >cap docs
 WINNOW_CONTAIN_T = 0.4  # winnow containment threshold for this corpus
@@ -1965,11 +1966,17 @@ def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN toksu tb ON tb.doc_id = c.doc_b
       WHERE len(list_intersect(ta.ts, tb.ts)) * 1.0 /
             (len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts))) >= {LSH_VERIFY_T}
+    ), fzbb AS (
+      SELECT doc_id, band_idx, band_key FROM (
+        SELECT b.*, count(*) OVER (PARTITION BY band_idx, band_key) AS bn
+        FROM (SELECT doc_id, band_idx, band_key FROM bands
+              WHERE doc_id % 41 = 0) b
+      ) WHERE bn <= {FUZZY_BENCH_CAP}
     ), fzcand AS (
       SELECT DISTINCT t.doc_id AS tid, b.doc_id AS bid
-      FROM bands t JOIN bands b
+      FROM bands t JOIN fzbb b
         ON t.band_idx = b.band_idx AND t.band_key = b.band_key
-      WHERE t.doc_id % 5 != 0 AND b.doc_id % 5 = 0
+      WHERE t.doc_id % 41 != 0
     ), fzver AS (
       SELECT c.tid,
              CASE WHEN (len(ta.ts) + len(tb.ts)
@@ -2167,8 +2174,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # 'contamf' rows (r12) — FUZZY decontamination
         # (operators/decontam.fuzzy_contamination_report): train docs
-        # (%5 != 0) whose distinct-token set is MinHash-LSH candidate +
-        # exact-Jaccard >= 0.8 near-dup of ANY bench doc (%5 == 0) —
+        # (%41 != 0) whose distinct-token set is MinHash-LSH candidate +
+        # exact-Jaccard >= 0.8 near-dup of ANY bench doc (%41 == 0;
+        # an eval-set-sized 2.4% slice — the %5 split used by the
+        # n-gram stages made 'bench' 20% of this collision-dense
+        # corpus and the candidate fan-out dominated the gate) —
         # the FineWeb/DCLM-style complement to the exact n-gram
         # 'contam' stage (paraphrased benchmark items share no 13-gram
         # but keep most of their token set). The oracle replays
@@ -2180,10 +2190,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # integer-valued double — exact cross-engine).
         .unionByName(
             fuzzy_contamination_report(
-                docs.filter(F.col("doc_id") % 5 != 0),
-                docs.filter(F.col("doc_id") % 5 == 0),
+                docs.filter(F.col("doc_id") % 41 != 0),
+                docs.filter(F.col("doc_id") % 41 == 0),
                 k=MINHASH_K, bands=LSH_BANDS, rows=LSH_ROWS,
-                verify_t=FUZZY_DECON_T,
+                verify_t=FUZZY_DECON_T, bench_band_cap=FUZZY_BENCH_CAP,
             ).select(
                 F.lit("contamf").alias("variant"),
                 F.col("doc_id").alias("doc_a"),
