@@ -102,6 +102,28 @@ def main() -> None:
         f"best {atimes[0]:.3f}s p90 {atimes[int(0.9 * n)]:.3f}s "
         f"sql_hits {eng._srv_hits} fallbacks {eng._srv_fallbacks}"
     )
+
+    # batch ANN (r12): one compiled statement + one search_batch probe
+    # view for a whole task batch
+    bsz = 32
+    eng.retrieve_batch(
+        [f"batch warm {i}" for i in range(bsz)], agent="helena",
+        project_id="p", use_ann=True, nprobe=2,
+    )
+    bt = []
+    for w in range(3):
+        tasks = [f"batch ann q {w} {i}" for i in range(bsz)]
+        t0 = time.perf_counter()
+        out = eng.retrieve_batch(
+            tasks, agent="helena", project_id="p", use_ann=True, nprobe=2
+        )
+        bt.append(time.perf_counter() - t0)
+        assert len(out) == bsz
+    print(
+        f"warm batch ANN retrieve ({bsz} tasks): best "
+        f"{min(bt):.3f}s total = {min(bt) / bsz * 1000:.1f} ms/task; "
+        f"fallbacks {eng._srv_fallbacks}"
+    )
     spark.stop()
 
 
