@@ -185,6 +185,14 @@ def fuzzy_contamination_report(
     banding per Leskovec-Rajaraman-Ullman ch.3)."""
     from alma_memory_spark.functions.text import hash32, minhash_signature
 
+    if bands * rows > k:
+        # sig[band*rows + r] past k yields NULLs that concat_ws
+        # silently skips -> degenerate shared band keys and spurious
+        # candidates (the ADVICE-r6 class NearDupIndex.build guards)
+        raise ValueError(
+            f"bands*rows must be <= k (got bands={bands} rows={rows} k={k})"
+        )
+
     def prep(df: DataFrame, out_id: str) -> DataFrame:
         toked = df.select(
             F.col(id_col).alias(out_id),

@@ -1784,3 +1784,16 @@ def test_semantic_decontamination_semantics(spark):
     )
     assert empty.count() == 0
     assert empty.columns == ["vec_id", "n_bench_matches", "max_cos"]
+
+
+def test_fuzzy_decontamination_rejects_bad_banding(spark):
+    """bands*rows > k would index past the signature and degenerate
+    the band keys (the ADVICE-r6 class) — refused up front, same as
+    NearDupIndex.build."""
+    from alma_memory_spark.operators.decontam import (
+        fuzzy_contamination_report,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="bands\\*rows"):
+        fuzzy_contamination_report(df, df, k=8, bands=3, rows=4)
