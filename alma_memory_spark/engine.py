@@ -300,16 +300,10 @@ class AlmaSpark:
             ann = False
             if use_ann and self._has_ivf_index(t):
                 idx = self._load_ivf(t)
-                # same scope rule as the DataFrame path: a scope the
-                # index cannot express keeps the exact scan (engine
-                # retrieve(): want built from df columns vs extra_cols)
-                indexed = {n for n, _t in idx.extra_cols}
-                want: dict = {}
-                if project_id is not None and "project_id" in df.columns:
-                    want["project_id"] = project_id
-                if "agent" in df.columns:
-                    want["agent"] = agents if len(agents) > 1 else agents[0]
-                if set(want) <= indexed:
+                # same scope rule as every other ANN path: a scope the
+                # index cannot express keeps the exact scan
+                want = self._ann_scope_filters(df, idx, project_id, agents)
+                if want is not None:
                     ann = True
                     cand_refs[t] = self._register_cand_view(
                         t,
@@ -401,11 +395,19 @@ class AlmaSpark:
         """Execute a compiled serving statement; an AnalysisException
         downgrades to the DataFrame path (bit-identical) instead of
         failing the retrieve — the statement + error are kept on the
-        engine for diagnosis and the fallback is counted."""
+        engine for diagnosis and the fallback is counted.
+
+        The parser-mode refusal re-runs here on EVERY execution, not
+        just at compile time: a cached template's literals were escaped
+        under the default mode, so a session that flips
+        escapedStringLiterals=true after caching must fall back too
+        (ADVICE r12 — the conf read is ~free vs the collect)."""
         from pyspark.errors import AnalysisException
 
+        from alma_memory_spark.operators import serving_sql as SS
         from alma_memory_spark.operators.serving_sql import ServingSQLUnsupported
 
+        SS.check_parser_mode(self.spark)
         try:
             rows = self.spark.sql(text).collect()
         except AnalysisException as e:
@@ -689,17 +691,12 @@ class AlmaSpark:
             candidates = None
             if use_ann and self._has_ivf_index(t):
                 idx = self._load_ivf(t)
-                indexed = {n for n, _t in idx.extra_cols}
                 # the scope the READ applies (df columns decide, the
                 # same way retrieve_type filters); the index must carry
                 # every one of them or its candidates would be ranked
                 # globally and burn the 2k budget on out-of-scope rows
-                want: dict = {}
-                if project_id is not None and "project_id" in df.columns:
-                    want["project_id"] = project_id
-                if "agent" in df.columns:
-                    want["agent"] = agents if len(agents) > 1 else agents[0]
-                if set(want) <= indexed:
+                want = self._ann_scope_filters(df, idx, project_id, agents)
+                if want is not None:
                     candidates = idx.search(
                         qvec, k=2 * fetch_k, nprobe=nprobe, filters=want
                     )
@@ -1814,11 +1811,18 @@ class AlmaSpark:
     def _ann_scope_filters(df: DataFrame, idx, project_id, agent) -> dict | None:
         """Scope predicates servable INSIDE the pruned index scan, or
         None when the index lacks a needed scope column (callers then
-        fall back to the live-id semi-join guard). Shared by the single
-        and batch ANN paths so the scoping rule cannot diverge."""
+        fall back to the live-id semi-join guard). Shared by EVERY ANN
+        entry point — single/batch, SQL/DataFrame — so the scoping rule
+        cannot diverge (ADVICE r12 retired the two inline copies).
+
+        `agent` accepts a single name, None, or the agents list from
+        retrieve()'s inherit_from form; a one-element list collapses to
+        the scalar so the index filter shape matches the single path."""
         want = {}
         if project_id is not None and "project_id" in df.columns:
             want["project_id"] = project_id
+        if isinstance(agent, (list, tuple)):
+            agent = list(agent) if len(agent) > 1 else (agent[0] if agent else None)
         if agent is not None and "agent" in df.columns:
             want["agent"] = agent
         if set(want) <= {n for n, _t in idx.extra_cols}:

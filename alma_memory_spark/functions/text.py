@@ -603,6 +603,19 @@ def with_repetition_signals(
     the tokenizer back inside the CodegenFallback lambda at
     per-element cost (measured 19.4 s -> 0.8 s on a 3k-row filter —
     see dup_ngram_fraction's FILTER TRAP note)."""
+    reserved = {"_rs_ts"} | {
+        f"_rs_{kind}{n}" for n in ns for kind in ("g", "t", "d")
+    }
+    outputs = {f"{prefix}{n}_frac" for n in ns}
+    clash = (reserved | outputs) & set(df.columns)
+    if clash:
+        # a pre-existing scratch column would make the staged selects
+        # ambiguous; a pre-existing output column would be silently
+        # shadowed (ADVICE r12) — refuse loudly instead
+        raise ValueError(
+            "with_repetition_signals: input already has column(s) "
+            f"{sorted(clash)}; rename them or pass a different prefix"
+        )
     star = [F.col(x) for x in df.columns]
     out = df.select(*star, ws_tokens(col).alias("_rs_ts"))
     out = out.select(

@@ -67,6 +67,7 @@ search() bit-for-bit (the unit-test contract).
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -161,6 +162,8 @@ class IVFIndex:
         #: joining the corpus table (the per-query live-id semi-join
         #: would shuffle the scoped id set at 100 TB)
         self.extra_cols = extra_cols or []
+        #: guards the _lists_plan memo (concurrent probes; ADVICE r12)
+        self._plan_lock = threading.Lock()
 
     # ------------------------------------------------------------------
 
@@ -754,26 +757,38 @@ class IVFIndex:
         still no-ops.
 
         The built plan is memoized per (vroot, committed-segment set,
-        base-lists dir mtime) — spark.read.parquet re-lists files and
-        re-reads footers on every call (~0.1 s of pure serving latency
-        per probe, r12). Staleness holds by the index's own layout
-        rules: segments are immutable once committed (set membership is
-        the key), a rebuild swaps vroot, and compact_to() rewrites the
-        base lists dir (its mtime is the key) — each invalidates."""
+        base-lists FILE LISTING) — spark.read.parquet re-lists files
+        and re-reads footers on every call (~0.1 s of pure serving
+        latency per probe, r12). Staleness holds by the index's own
+        layout rules: segments are immutable once committed (set
+        membership is the key), a rebuild swaps vroot, and compact_to()
+        rewrites the base lists dir — the key is the recursive
+        (relpath, size, mtime_ns) listing rather than the dir mtime
+        alone, so a compact landing within the same second as a prior
+        probe still invalidates (Spark part files carry fresh UUID
+        names; ADVICE r12). The memo write is lock-guarded — concurrent
+        probes on one index object race benignly otherwise, but the
+        lock makes the last-wins explicit."""
         segs = tuple(
             e
             for e in self._committed_segments()
             if os.path.isdir(os.path.join(self._segments_root(), str(e), "lists"))
         )
         base = os.path.join(self.vroot, "lists")
-        try:
-            base_mtime = os.path.getmtime(base)
-        except OSError:
-            base_mtime = -1.0
-        key = (self.vroot, segs, base_mtime)
-        cached = getattr(self, "_lists_plan", None)
-        if cached is not None and cached[0] == key:
-            return cached[1]
+        sig = []
+        for root, _dirs, files in os.walk(base):
+            rel = os.path.relpath(root, base)
+            for fn in files:
+                try:
+                    st = os.stat(os.path.join(root, fn))
+                except OSError:
+                    continue
+                sig.append((rel, fn, st.st_size, st.st_mtime_ns))
+        key = (self.vroot, segs, tuple(sorted(sig)))
+        with self._plan_lock:
+            cached = getattr(self, "_lists_plan", None)
+            if cached is not None and cached[0] == key:
+                return cached[1]
         df = self.spark.read.parquet(base)
         for e in segs:
             df = df.unionByName(
@@ -781,7 +796,8 @@ class IVFIndex:
                     os.path.join(self._segments_root(), str(e), "lists")
                 )
             )
-        self._lists_plan = (key, df)
+        with self._plan_lock:
+            self._lists_plan = (key, df)
         return df
 
     # ------------------------------------------------------------------

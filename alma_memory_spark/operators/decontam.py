@@ -33,6 +33,7 @@ __all__ = [
     "decontaminate_semantic",
     "decontaminate_spans",
     "doc_ngrams",
+    "fuzzy_band_saturation",
     "fuzzy_contamination_report",
     "semantic_contamination_report",
 ]
@@ -139,6 +140,77 @@ def decontaminate_spans(
     )
 
 
+#: default bench-side band cap (r13, VERDICT r12 #2): the r12 chain
+#: proof measured the uncapped form quadratic on collision-dense
+#: corpora (116 s vs 16.7 s at the 8x leg) — production callers who
+#: never thought about skew should get the guard, not the pathology.
+#: Matches the 'contamf' gate's setting; pass bench_band_cap=None to
+#: opt out explicitly, and fuzzy_band_saturation() to observe what a
+#: cap is dropping.
+DEFAULT_BENCH_BAND_CAP = 8
+
+
+def _fuzzy_band_frame(
+    df: DataFrame, id_col: str, text_col: str, out_id: str,
+    k: int, bands: int, rows: int,
+) -> DataFrame:
+    """(out_id, ts, band_idx, band_key) — distinct-token sets plus
+    their MinHash band keys; the shared banding kernel of
+    fuzzy_contamination_report and fuzzy_band_saturation."""
+    from alma_memory_spark.functions.text import hash32, minhash_signature
+
+    toked = df.select(
+        F.col(id_col).alias(out_id),
+        F.array_distinct(ws_tokens(text_col)).alias("ts"),
+    ).withColumn("hs", F.transform("ts", hash32))
+    sig = minhash_signature(F.col("hs"), k, hashed=True)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    *[sig[b * rows + r].cast("string") for r in range(rows)],
+                )
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    return toked.select(
+        out_id, "ts", F.explode(F.array(*band_structs)).alias("bd")
+    ).select(out_id, "ts", "bd.band_idx", "bd.band_key")
+
+
+def fuzzy_band_saturation(
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 2,
+    rows: int = 4,
+    bench_band_cap: int | None = DEFAULT_BENCH_BAND_CAP,
+) -> DataFrame:
+    """The observability side of the default-on cap (VERDICT r12 #2):
+    one row per OVER-CAP bench band bucket — (band_idx, band_key,
+    n_bench_docs) — i.e. exactly the buckets
+    fuzzy_contamination_report(bench_band_cap=cap) skips, the
+    cross-corpus analogue of NearDupIndex's AddStats counters. An
+    empty frame means the cap dropped nothing; `count()` of it is the
+    capped-groups counter, `sum(n_bench_docs)` the dropped band rows.
+    Runs entirely on the eval-set-sized bench frame (one groupBy)."""
+    if bands * rows > k:
+        raise ValueError(
+            f"bands*rows must be <= k (got bands={bands} rows={rows} k={k})"
+        )
+    bb = _fuzzy_band_frame(bench, id_col, text_col, "_bid", k, bands, rows)
+    counts = bb.groupBy("band_idx", "band_key").agg(
+        F.count(F.lit(1)).alias("n_bench_docs")
+    )
+    if bench_band_cap is None:
+        return counts.filter(F.lit(False))
+    return counts.filter(F.col("n_bench_docs") > bench_band_cap)
+
+
 def fuzzy_contamination_report(
     train: DataFrame,
     bench: DataFrame,
@@ -148,7 +220,7 @@ def fuzzy_contamination_report(
     bands: int = 2,
     rows: int = 4,
     verify_t: float = 0.8,
-    bench_band_cap: int | None = None,
+    bench_band_cap: int | None = DEFAULT_BENCH_BAND_CAP,
 ) -> DataFrame:
     """FUZZY decontamination (r12): (doc_id, n_bench_matches,
     max_jaccard_u) for every training doc whose DISTINCT-TOKEN set is
@@ -160,8 +232,11 @@ def fuzzy_contamination_report(
     colliding train row by that bucket's size — capping the BENCH side
     (the small broadcast side, so the count is one cheap window over
     eval-set-sized data) bounds candidates at |train| x cap x bands.
+    DEFAULT-ON since r13 (the r12 chain proof measured the uncapped
+    form quadratic on collision-dense corpora); pass None to opt out.
     Recall trade as with NearDupIndex.band_cap: a pair whose ONLY
-    shared band sits in an over-cap bucket is missed.
+    shared band sits in an over-cap bucket is missed —
+    fuzzy_band_saturation() reports exactly the skipped buckets.
 
     The open-data complement to the exact n-gram stage
     (contamination_report): paraphrased or lightly-edited benchmark
@@ -183,8 +258,6 @@ def fuzzy_contamination_report(
     here. Reference: same signature/banding kernel as the 'pair'/
     'ndidx' gates (functions/text.minhash_signature, Broder 1997;
     banding per Leskovec-Rajaraman-Ullman ch.3)."""
-    from alma_memory_spark.functions.text import hash32, minhash_signature
-
     if bands * rows > k:
         # sig[band*rows + r] past k yields NULLs that concat_ws
         # silently skips -> degenerate shared band keys and spurious
@@ -193,33 +266,8 @@ def fuzzy_contamination_report(
             f"bands*rows must be <= k (got bands={bands} rows={rows} k={k})"
         )
 
-    def prep(df: DataFrame, out_id: str) -> DataFrame:
-        toked = df.select(
-            F.col(id_col).alias(out_id),
-            F.array_distinct(ws_tokens(text_col)).alias("ts"),
-        ).withColumn("hs", F.transform("ts", hash32))
-        sig = minhash_signature(F.col("hs"), k, hashed=True)
-        band_structs = [
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.md5(
-                    F.concat_ws(
-                        "_",
-                        *[
-                            sig[b * rows + r].cast("string")
-                            for r in range(rows)
-                        ],
-                    )
-                ).alias("band_key"),
-            )
-            for b in range(bands)
-        ]
-        return toked.select(
-            out_id, "ts", F.explode(F.array(*band_structs)).alias("bd")
-        ).select(out_id, "ts", "bd.band_idx", "bd.band_key")
-
-    tb = prep(train, "_tid")
-    bb = prep(bench, "_bid")
+    tb = _fuzzy_band_frame(train, id_col, text_col, "_tid", k, bands, rows)
+    bb = _fuzzy_band_frame(bench, id_col, text_col, "_bid", k, bands, rows)
     # both token sets ride THROUGH the broadcast band join (each band
     # row already carries its side's ts), so the verify needs no
     # re-join of candidates against the train table — the train side's

@@ -106,6 +106,7 @@ from alma_memory_spark.operators.decontam import (
     decontaminate_fuzzy,
     decontaminate_semantic,
     decontaminate_spans,
+    fuzzy_band_saturation,
     fuzzy_contamination_report,
     semantic_contamination_report,
 )
@@ -141,6 +142,7 @@ __all__ = [
     "decontaminate_fuzzy",
     "decontaminate_semantic",
     "decontaminate_spans",
+    "fuzzy_band_saturation",
     "fuzzy_contamination_report",
     "semantic_contamination_report",
     "dedup_paragraphs",

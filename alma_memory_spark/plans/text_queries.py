@@ -1682,10 +1682,14 @@ def winnow_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     UNION ALL
     SELECT 'sdecon', id_a, nm, mx FROM (
+      -- norm guard mirrors semantic_contamination_report's
+      -- max(norm, 1e-300): a zero-norm embedding scores cosine 0 on
+      -- both engines instead of inf/NaN here (ADVICE r12)
       SELECT t.vec_id AS id_a, count(*) AS nm, max(cs) AS mx FROM (
         SELECT t.vec_id,
                round(list_sum(list_transform(range(1, len(t.v)+1),
-                     i -> t.v[i] * b.v[i])) / (t.nrm * b.nrm), 6) AS cs
+                     i -> t.v[i] * b.v[i]))
+                     / (greatest(t.nrm, 1e-300) * greatest(b.nrm, 1e-300)), 6) AS cs
         FROM e t, e b
         WHERE t.vec_id % 7 != 0 AND b.vec_id % 7 = 0
       ) t WHERE cs >= {NEARDUP_COS} GROUP BY t.vec_id

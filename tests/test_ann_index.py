@@ -677,3 +677,41 @@ def test_compact_to_folds_lists_preserves_epochs_and_results(spark, tmp_path):
 
     with _pytest.raises(RuntimeError, match="[Rr]eload"):
         idx.add(emb.filter("vec_id % 10 = 9"))
+
+
+def test_lists_plan_memo_invalidates_on_same_mtime_rewrite(spark, tmp_path):
+    """ADVICE r12: the _lists_df memo keys on the base dir's recursive
+    file listing, not its mtime — a rewrite landing within the same
+    coarse-mtime second (simulated by pinning dir AND file mtimes back
+    to their pre-change values) must still invalidate, because part
+    files carry fresh names/sizes."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    half_a = emb.filter("vec_id % 2 = 0")
+    half_b = emb.filter("vec_id % 2 = 1")
+    path = str(tmp_path / "ivf_memo")
+    idx = IVFIndex.build(spark, half_a, path, cent_every=50)
+    base = os.path.join(idx.vroot, "lists")
+
+    p1 = idx._lists_df()
+    assert idx._lists_df() is p1, "unchanged layout must memo-hit"
+
+    stamps = {}
+    for root, _dirs, files in os.walk(base):
+        st = os.stat(root)
+        stamps[root] = (st.st_atime, st.st_mtime)
+        for fn in files:
+            fp = os.path.join(root, fn)
+            s = os.stat(fp)
+            stamps[fp] = (s.st_atime, s.st_mtime)
+
+    idx.add(half_b)  # appends fresh part files into the cell dirs
+
+    # pin every PRE-EXISTING path's mtime back: the old mtime-based key
+    # would see an unchanged base mtime and serve the stale plan
+    for p, (at, mt) in stamps.items():
+        if os.path.exists(p):
+            os.utime(p, (at, mt))
+
+    p2 = idx._lists_df()
+    assert p2 is not p1, "new part files must invalidate the memo"
+    assert idx._lists_df() is p2, "and the fresh plan memoizes again"

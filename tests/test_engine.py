@@ -478,3 +478,32 @@ def test_retrieve_batch_cache_hits_and_dedup(spark, tmp_path):
     )
     assert calls == ["batched cache fact 1"]
     assert fresh["batched cache fact 1"] is not batch["batched cache fact 1"]
+
+
+def test_ann_scope_filters_accepts_agents_list():
+    """ADVICE r12: the shared scope rule serves every ANN entry point —
+    including retrieve()'s agents-list (inherit_from) form, where a
+    one-element list collapses to the scalar."""
+    from alma_memory_spark.engine import AlmaSpark
+
+    class _Df:
+        columns = ["id", "project_id", "agent", "embedding"]
+
+    class _Idx:
+        extra_cols = [("project_id", "string"), ("agent", "string")]
+
+    f = AlmaSpark._ann_scope_filters
+    assert f(_Df, _Idx, "p1", "a1") == {"project_id": "p1", "agent": "a1"}
+    assert f(_Df, _Idx, "p1", ["a1"]) == {"project_id": "p1", "agent": "a1"}
+    assert f(_Df, _Idx, "p1", ["a1", "a2"]) == {
+        "project_id": "p1",
+        "agent": ["a1", "a2"],
+    }
+    assert f(_Df, _Idx, None, []) == {}
+    assert f(_Df, _Idx, None, None) == {}
+
+    class _IdxNoAgent:
+        extra_cols = [("project_id", "string")]
+
+    assert f(_Df, _IdxNoAgent, "p1", ["a1", "a2"]) is None
+    assert f(_Df, _IdxNoAgent, "p1", None) == {"project_id": "p1"}

@@ -1505,6 +1505,26 @@ def test_with_repetition_signals_matches_convenience_form(spark):
     assert a == b
 
 
+def test_with_repetition_signals_refuses_column_clashes(spark):
+    """ADVICE r12: a pre-existing scratch or output column must raise
+    up front, not produce ambiguous-column errors or silently shadow
+    the requested signal."""
+    import pytest
+
+    from alma_memory_spark.functions.text import with_repetition_signals
+
+    base = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    for bad in ("_rs_ts", "_rs_g2", "_rs_t2", "_rs_d2", "dup2_frac"):
+        df = base.withColumn(bad, F.lit(0))
+        with pytest.raises(ValueError, match=bad):
+            with_repetition_signals(df, "text")
+    # a clash only matters for the requested ns/prefix
+    ok = base.withColumn("dup3_frac", F.lit(0.0))
+    assert "dup2_frac" in with_repetition_signals(ok, "text", ns=(2,)).columns
+    with pytest.raises(ValueError, match="dup3_frac"):
+        with_repetition_signals(ok, "text", ns=(2, 3))
+
+
 def test_fuzzy_decontamination_semantics(spark):
     """r12: fuzzy_contamination_report catches the case the exact
     n-gram stage cannot — a SHUFFLED/paraphrased benchmark item shares
@@ -1555,6 +1575,48 @@ def test_fuzzy_decontamination_semantics(spark):
         ).collect()
     }
     assert 1 in rep2 and 3 not in rep2
+
+
+def test_fuzzy_band_cap_default_on_with_saturation_report(spark):
+    """VERDICT r12 #2: bench_band_cap defaults ON (the r12 chain proof
+    measured the uncapped form quadratic on collision-dense corpora),
+    and fuzzy_band_saturation reports exactly the over-cap buckets the
+    capped report skips."""
+    from alma_memory_spark.operators.decontam import (
+        DEFAULT_BENCH_BAND_CAP,
+        fuzzy_band_saturation,
+        fuzzy_contamination_report,
+    )
+
+    assert DEFAULT_BENCH_BAND_CAP is not None
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # 12 identical bench docs: every band bucket holds 12 > any cap < 12
+    bench = spark.createDataFrame(
+        [(100 + i, text) for i in range(12)], "doc_id long, text string"
+    )
+    train = spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+    # default cap (8) drops the saturated buckets -> no match reported
+    assert fuzzy_contamination_report(train, bench).collect() == []
+    # and the saturation report names them: both band buckets, 12 docs
+    sat = fuzzy_band_saturation(bench).collect()
+    assert len(sat) == 2
+    assert all(r["n_bench_docs"] == 12 for r in sat)
+
+    # explicit opt-out restores the uncapped behavior
+    rep = fuzzy_contamination_report(train, bench, bench_band_cap=None).collect()
+    assert len(rep) == 1 and rep[0]["n_bench_matches"] == 12
+    assert fuzzy_band_saturation(bench, bench_band_cap=None).collect() == []
+
+    # a cap the buckets fit under drops nothing
+    rep13 = fuzzy_contamination_report(train, bench, bench_band_cap=13).collect()
+    assert len(rep13) == 1
+    assert fuzzy_band_saturation(bench, bench_band_cap=13).collect() == []
+    # saturation validates banding geometry like the report does
+    import pytest
+
+    with pytest.raises(ValueError, match="bands"):
+        fuzzy_band_saturation(bench, k=4, bands=2, rows=4)
 
 
 def test_psl_chain_matches_reference_algorithm(spark):

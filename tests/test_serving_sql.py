@@ -431,6 +431,28 @@ def test_legacy_parser_mode_refuses_to_compile(seeded, spark):
     assert sl2 is not None
 
 
+def test_parser_mode_flip_after_template_cached(seeded, spark):
+    """ADVICE r12: a template cached under the default parser mode
+    must NOT execute after escapedStringLiterals flips to true — its
+    literals were escaped for the default mode. The per-run check in
+    _srv_run forces the DataFrame fallback even on a cache hit."""
+    seeded._cache.clear()
+    sl = seeded.retrieve("flip check", agent="helena", project_id="proj-a")
+    assert sl is not None
+    h0 = seeded._srv_hits
+    assert h0 > 0, "template cached under default mode"
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try:
+        seeded._cache.clear()
+        sl2 = seeded.retrieve("flip check", agent="helena", project_id="proj-a")
+        assert sl2 is not None
+        assert seeded._srv_hits == h0, (
+            "cached template must not execute under the legacy parser mode"
+        )
+    finally:
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", "false")
+
+
 def test_quote_in_scope_string_served_correctly(seeded, spark):
     """A single quote inside an agent/project id must survive the
     doubled-quote literal in BOTH parser modes' default (the compiled
