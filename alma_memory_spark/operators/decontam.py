@@ -34,7 +34,9 @@ __all__ = [
     "decontaminate_spans",
     "doc_ngrams",
     "fuzzy_band_saturation",
+    "fuzzy_bands_from_signature",
     "fuzzy_contamination_report",
+    "fuzzy_contamination_report_from_bands",
     "semantic_contamination_report",
 ]
 
@@ -150,20 +152,23 @@ def decontaminate_spans(
 DEFAULT_BENCH_BAND_CAP = 8
 
 
-def _fuzzy_band_frame(
-    df: DataFrame, id_col: str, text_col: str, out_id: str,
-    k: int, bands: int, rows: int,
+def fuzzy_bands_from_signature(
+    df: DataFrame,
+    id_col: str,
+    ts_col: str = "ts",
+    sig_col: str = "sig",
+    bands: int = 2,
+    rows: int = 4,
 ) -> DataFrame:
-    """(out_id, ts, band_idx, band_key) — distinct-token sets plus
-    their MinHash band keys; the shared banding kernel of
-    fuzzy_contamination_report and fuzzy_band_saturation."""
-    from alma_memory_spark.functions.text import hash32, minhash_signature
-
-    toked = df.select(
-        F.col(id_col).alias(out_id),
-        F.array_distinct(ws_tokens(text_col)).alias("ts"),
-    ).withColumn("hs", F.transform("ts", hash32))
-    sig = minhash_signature(F.col("hs"), k, hashed=True)
+    """(id_col, ts, band_idx, band_key) from a frame that ALREADY
+    carries the distinct-token array and its MinHash signature — the
+    share-the-signature entry (VERDICT r12 #3): a caller running LSH
+    dedup AND fuzzy decontamination over the same corpus computes ONE
+    tokenize->hash->minhash pass and bands it here for every consumer,
+    instead of each stage re-deriving the signature from raw text.
+    Band keys are identical to _fuzzy_band_frame's (same md5 fold over
+    the same signature slices)."""
+    sig = F.col(sig_col)
     band_structs = [
         F.struct(
             F.lit(b).alias("band_idx"),
@@ -176,9 +181,31 @@ def _fuzzy_band_frame(
         )
         for b in range(bands)
     ]
-    return toked.select(
-        out_id, "ts", F.explode(F.array(*band_structs)).alias("bd")
-    ).select(out_id, "ts", "bd.band_idx", "bd.band_key")
+    return df.select(
+        F.col(id_col),
+        F.col(ts_col).alias("ts"),
+        F.explode(F.array(*band_structs)).alias("bd"),
+    ).select(id_col, "ts", "bd.band_idx", "bd.band_key")
+
+
+def _fuzzy_band_frame(
+    df: DataFrame, id_col: str, text_col: str, out_id: str,
+    k: int, bands: int, rows: int,
+) -> DataFrame:
+    """(out_id, ts, band_idx, band_key) — distinct-token sets plus
+    their MinHash band keys; the shared banding kernel of
+    fuzzy_contamination_report and fuzzy_band_saturation."""
+    from alma_memory_spark.functions.text import hash32, minhash_signature
+
+    toked = (
+        df.select(
+            F.col(id_col).alias(out_id),
+            F.array_distinct(ws_tokens(text_col)).alias("ts"),
+        )
+        .withColumn("hs", F.transform("ts", hash32))
+        .withColumn("sig", minhash_signature(F.col("hs"), k, hashed=True))
+    )
+    return fuzzy_bands_from_signature(toked, out_id, "ts", "sig", bands, rows)
 
 
 def fuzzy_band_saturation(
@@ -266,20 +293,47 @@ def fuzzy_contamination_report(
             f"bands*rows must be <= k (got bands={bands} rows={rows} k={k})"
         )
 
-    tb = _fuzzy_band_frame(train, id_col, text_col, "_tid", k, bands, rows)
-    bb = _fuzzy_band_frame(bench, id_col, text_col, "_bid", k, bands, rows)
-    # both token sets ride THROUGH the broadcast band join (each band
-    # row already carries its side's ts), so the verify needs no
-    # re-join of candidates against the train table — the train side's
-    # only shuffles are the (tid, bid) dedup and the final groupBy
-    bench_bands = bb.select(
-        "_bid", F.col("ts").alias("bts"), "band_idx", "band_key"
+    return fuzzy_contamination_report_from_bands(
+        _fuzzy_band_frame(train, id_col, text_col, id_col, k, bands, rows),
+        _fuzzy_band_frame(bench, id_col, text_col, id_col, k, bands, rows),
+        id_col=id_col,
+        verify_t=verify_t,
+        bench_band_cap=bench_band_cap,
+    )
+
+
+def fuzzy_contamination_report_from_bands(
+    train_bands: DataFrame,
+    bench_bands: DataFrame,
+    id_col: str = "doc_id",
+    verify_t: float = 0.8,
+    bench_band_cap: int | None = DEFAULT_BENCH_BAND_CAP,
+) -> DataFrame:
+    """The join+verify half of fuzzy_contamination_report over
+    PRE-BANDED frames — columns (<id_col>, ts, band_idx, band_key),
+    the fuzzy_bands_from_signature shape. Use when the signature pass
+    is shared with other LSH consumers (VERDICT r12 #3); values are
+    identical to the from-raw-text form by construction (the banding
+    kernel is the same code path).
+
+    Both token sets ride THROUGH the broadcast band join (each band
+    row already carries its side's ts), so the verify needs no re-join
+    of candidates against the train table — the train side's only
+    shuffles are the (tid, bid) dedup and the final groupBy."""
+    tb = train_bands.select(
+        F.col(id_col).alias("_tid"), "ts", "band_idx", "band_key"
+    )
+    bb = bench_bands.select(
+        F.col(id_col).alias("_bid"),
+        F.col("ts").alias("bts"),
+        "band_idx",
+        "band_key",
     )
     if bench_band_cap is not None:
         from pyspark.sql.window import Window as _W
 
-        bench_bands = (
-            bench_bands.withColumn(
+        bb = (
+            bb.withColumn(
                 "_bn",
                 F.count(F.lit(1)).over(
                     _W.partitionBy("band_idx", "band_key")
@@ -289,7 +343,7 @@ def fuzzy_contamination_report(
             .drop("_bn")
         )
     cand = (
-        tb.join(F.broadcast(bench_bands), ["band_idx", "band_key"])
+        tb.join(F.broadcast(bb), ["band_idx", "band_key"])
         .select("_tid", "ts", "_bid", "bts")
         .dropDuplicates(["_tid", "_bid"])
     )

@@ -107,7 +107,9 @@ from alma_memory_spark.operators.decontam import (
     decontaminate_semantic,
     decontaminate_spans,
     fuzzy_band_saturation,
+    fuzzy_bands_from_signature,
     fuzzy_contamination_report,
+    fuzzy_contamination_report_from_bands,
     semantic_contamination_report,
 )
 from alma_memory_spark.operators.dedup_index import NearDupIndex
@@ -143,7 +145,9 @@ __all__ = [
     "decontaminate_semantic",
     "decontaminate_spans",
     "fuzzy_band_saturation",
+    "fuzzy_bands_from_signature",
     "fuzzy_contamination_report",
+    "fuzzy_contamination_report_from_bands",
     "semantic_contamination_report",
     "dedup_paragraphs",
     "dedup_sentences",

@@ -2021,7 +2021,6 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     star-contraction, a lost node, or a non-min label all
     hash-mismatch."""
     from alma_memory_spark.operators.components import near_dup_groups
-    from alma_memory_spark.operators.decontam import fuzzy_contamination_report
     docs = _t(spark, sf_dir, "documents")
 
     # 'ndidx' rows (r8) — the PERSISTED NearDupIndex's incremental add
@@ -2071,34 +2070,32 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ndpool = ThreadPoolExecutor(max_workers=1)
     ndfut = ndpool.submit(_ndidx_root)
 
-    toks = docs.select(
-        "doc_id", F.array_distinct(X.ws_tokens("text")).alias("ts")
-    ).cache()
-    sigs = toks.withColumn("hs", F.transform("ts", X.hash32)).withColumn(
-        "sig", X.minhash_signature(F.col("hs"), MINHASH_K, hashed=True)
+    # ONE tokenize -> hash -> minhash-signature pass for the whole gate
+    # (VERDICT r12 #3): 'pair' banding, the verify join's token sets,
+    # AND the 'contamf' stage below all read this cache — previously
+    # contamf re-derived the full signature from raw text (the gate's
+    # biggest cost, ~1.7 s of re-tokenization at sf0.1)
+    from alma_memory_spark.operators.decontam import (
+        fuzzy_bands_from_signature,
+        fuzzy_contamination_report_from_bands,
     )
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.md5(
-                            F.concat_ws(
-                                "_",
-                                *[
-                                    F.col("sig")[i * LSH_ROWS + r].cast("string")
-                                    for r in range(LSH_ROWS)
-                                ],
-                            )
-                        ).alias("band_key"),
-                    )
-                    for i in range(LSH_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_key")
+
+    sigd = (
+        docs.select("doc_id", F.array_distinct(X.ws_tokens("text")).alias("ts"))
+        .withColumn("hs", F.transform("ts", X.hash32))
+        .withColumn(
+            "sig", X.minhash_signature(F.col("hs"), MINHASH_K, hashed=True)
+        )
+        .drop("hs")
+        .cache()
+    )
+    toks = sigd.select("doc_id", "ts")
+    # (doc_id, ts, band_idx, band_key) — the decontam banding kernel
+    # over the shared signature; 'pair' drops ts, 'contamf' rides it
+    bandsrc = fuzzy_bands_from_signature(
+        sigd, "doc_id", "ts", "sig", LSH_BANDS, LSH_ROWS
+    )
+    bands = bandsrc.select("doc_id", "band_idx", "band_key")
     bands = (
         bands.withColumn(
             "bucket_n", F.count("*").over(W.partitionBy("band_idx", "band_key"))
@@ -2140,13 +2137,26 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # reclaimed when the DataFrame is GC'd
         .localCheckpoint(eager=True)
     )
-    # pairs is materialized above; the banded AND tokenized tables have
-    # no more readers (toks fed the verify join inside the checkpointed
-    # pipeline — leaving it cached pinned the full token arrays per
-    # sf_dir for the application lifetime, the same ADVICE-r6 defect
-    # the pairs cache had)
+    # 'contamf' rows — FUZZY decontamination over the SHARED banded
+    # frame (train %41 != 0 vs bench %41 == 0): materialized eagerly
+    # WHILE the signature cache is warm (the union branch evaluates
+    # after this function returns, when the cache is gone — without
+    # the checkpoint the whole signature pass would re-run from raw
+    # text at action time, exactly the duplication this r13 change
+    # removes). Report rows are per-doc counts: tiny to checkpoint.
+    contamf = fuzzy_contamination_report_from_bands(
+        bandsrc.filter(F.col("doc_id") % 41 != 0),
+        bandsrc.filter(F.col("doc_id") % 41 == 0),
+        id_col="doc_id",
+        verify_t=FUZZY_DECON_T,
+        bench_band_cap=FUZZY_BENCH_CAP,
+    ).localCheckpoint(eager=True)
+    # pairs + contamf are materialized above; the banded AND signature
+    # tables have no more readers (leaving them cached pinned the full
+    # token arrays per sf_dir for the application lifetime, the same
+    # ADVICE-r6 defect the pairs cache had)
     bands.unpersist()
-    toks.unpersist()
+    sigd.unpersist()
     groups = near_dup_groups(pairs)
 
     # join the concurrent ndidx lifecycle (submitted at gate entry)
@@ -2176,12 +2186,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "jaccard_sim",
             )
         )
-        # 'contamf' rows (r12) — FUZZY decontamination
-        # (operators/decontam.fuzzy_contamination_report): train docs
-        # (%41 != 0) whose distinct-token set is MinHash-LSH candidate +
-        # exact-Jaccard >= 0.8 near-dup of ANY bench doc (%41 == 0;
-        # an eval-set-sized 2.4% slice — the %5 split used by the
-        # n-gram stages made 'bench' 20% of this collision-dense
+        # 'contamf' rows (r12; r13: served from the gate's SHARED
+        # signature pass, checkpointed above) — FUZZY decontamination:
+        # train docs (%41 != 0) whose distinct-token set is MinHash-LSH
+        # candidate + exact-Jaccard >= 0.8 near-dup of ANY bench doc
+        # (%41 == 0; an eval-set-sized 2.4% slice — the %5 split used
+        # by the n-gram stages made 'bench' 20% of this collision-dense
         # corpus and the candidate fan-out dominated the gate) —
         # the FineWeb/DCLM-style complement to the exact n-gram
         # 'contam' stage (paraphrased benchmark items share no 13-gram
@@ -2193,12 +2203,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the match count; jaccard_sim the micro-Jaccard (an
         # integer-valued double — exact cross-engine).
         .unionByName(
-            fuzzy_contamination_report(
-                docs.filter(F.col("doc_id") % 41 != 0),
-                docs.filter(F.col("doc_id") % 41 == 0),
-                k=MINHASH_K, bands=LSH_BANDS, rows=LSH_ROWS,
-                verify_t=FUZZY_DECON_T, bench_band_cap=FUZZY_BENCH_CAP,
-            ).select(
+            contamf.select(
                 F.lit("contamf").alias("variant"),
                 F.col("doc_id").alias("doc_a"),
                 F.col("n_bench_matches").alias("doc_b"),
