@@ -235,6 +235,8 @@ class AlmaSpark:
 
     def _drop_cand_views(self, cand_refs: dict[str, str]) -> None:
         for ref in cand_refs.values():
+            if ref.startswith("("):
+                continue  # inline SQL subquery (r13) — nothing to drop
             try:
                 self.spark.catalog.dropTempView(ref.strip("`"))
             except Exception:
@@ -305,11 +307,13 @@ class AlmaSpark:
                 want = self._ann_scope_filters(df, idx, project_id, agents)
                 if want is not None:
                     ann = True
-                    cand_refs[t] = self._register_cand_view(
-                        t,
-                        idx.search(
-                            qvec, k=2 * fetch_k, nprobe=nprobe, filters=want
-                        ).select("id", "similarity"),
+                    # r13 (VERDICT r12 #4): the probe is spliced into
+                    # the statement as SQL TEXT over the index's stable
+                    # lists view — no per-call py4j frame construction
+                    # (~145 ms) and no temp-view register/drop churn;
+                    # _drop_cand_views skips subquery refs
+                    cand_refs[t] = idx.search_sql_subquery(
+                        qvec, k=2 * fetch_k, nprobe=nprobe, filters=want
                     )
             branches.append(
                 SS.BranchInput(

@@ -769,6 +769,25 @@ class IVFIndex:
         names; ADVICE r12). The memo write is lock-guarded — concurrent
         probes on one index object race benignly otherwise, but the
         lock makes the last-wins explicit."""
+        key = self._lists_key()
+        with self._plan_lock:
+            cached = getattr(self, "_lists_plan", None)
+            if cached is not None and cached[0] == key:
+                return cached[1]
+        df = self.spark.read.parquet(os.path.join(self.vroot, "lists"))
+        for e in key[1]:
+            df = df.unionByName(
+                self.spark.read.parquet(
+                    os.path.join(self._segments_root(), str(e), "lists")
+                )
+            )
+        with self._plan_lock:
+            self._lists_plan = (key, df)
+        return df
+
+    def _lists_key(self):
+        """Staleness key of the lists layout: (vroot, committed segment
+        set, recursive base-dir file listing). See _lists_df."""
         segs = tuple(
             e
             for e in self._committed_segments()
@@ -784,21 +803,7 @@ class IVFIndex:
                 except OSError:
                     continue
                 sig.append((rel, fn, st.st_size, st.st_mtime_ns))
-        key = (self.vroot, segs, tuple(sorted(sig)))
-        with self._plan_lock:
-            cached = getattr(self, "_lists_plan", None)
-            if cached is not None and cached[0] == key:
-                return cached[1]
-        df = self.spark.read.parquet(base)
-        for e in segs:
-            df = df.unionByName(
-                self.spark.read.parquet(
-                    os.path.join(self._segments_root(), str(e), "lists")
-                )
-            )
-        with self._plan_lock:
-            self._lists_plan = (key, df)
-        return df
+        return (self.vroot, segs, tuple(sorted(sig)))
 
     # ------------------------------------------------------------------
 
@@ -934,6 +939,20 @@ class IVFIndex:
             pruned = pruned.join(live_ids.toDF("id"), "id", "left_semi")
         return pruned
 
+    @staticmethod
+    def _jvm_sim(qvec_lit) -> "F.Column":
+        """round(dot(embedding, qn) / max(|embedding|, 1e-300), 6) as a
+        pure column expression — the JVM scoring kernel (r13, VERDICT
+        r12 #4). Value-identical to the Arrow/numpy kernel at the 6dp
+        contract (the numpy kernel stays as the test oracle)."""
+        from alma_memory_spark.functions.vector import dot_product, l2_norm
+
+        return F.round(
+            dot_product(F.col("embedding"), qvec_lit)
+            / F.greatest(l2_norm(F.col("embedding")), F.lit(1e-300)),
+            6,
+        )
+
     def search(
         self,
         query_vec,
@@ -941,14 +960,28 @@ class IVFIndex:
         nprobe: int = 3,
         live_ids: DataFrame | None = None,
         filters: dict | None = None,
+        kernel: str = "jvm",
     ) -> DataFrame:
         """Exact cosine top-k inside the nprobe probed cells only.
 
         The `cell isin probed` predicate lands in the scan's
         PartitionFilters (cell is a partition column), so the job reads
         nprobe directories out of n_cells — the plan shape is a pruned
-        narrow scan -> fused Arrow kernel -> TakeOrderedAndProject.
+        narrow scan -> scoring kernel -> TakeOrderedAndProject.
         Returns (id, similarity) sorted DESC with id ASC tiebreak.
+
+        `kernel` (r13, VERDICT r12 #4): 'jvm' (default) scores with a
+        column expression (sequential-fold dot / norm, 6dp round) — the
+        whole probe stays JVM-side, which removes the Python-worker
+        round trip (~0.15 s of fixed serving latency in local mode)
+        that dominated warm ANN retrieves; the compiled-SQL serving
+        statement becomes a single pure-SQL job. 'arrow' keeps the
+        fused numpy kernel — per-element interpreted fold costs more
+        per ROW, so prefer it when a single probe must scan very large
+        candidate sets (≳10^5 rows: huge per-cell occupancy, or
+        nprobe ~ n_cells); pruned index reads are occupancy-bounded,
+        so 'jvm' wins for serving. Both kernels are contract-tested
+        value-identical at the 6dp rounding.
 
         Staleness guards, both applied BEFORE the top-k cut:
         - persisted tombstones (forget()) are anti-joined out, so a
@@ -968,32 +1001,187 @@ class IVFIndex:
 
         from alma_memory_spark.session import ensure_package_shipped
 
-        ensure_package_shipped(self.spark)
         probed, qn = self.probe_cells(query_vec, nprobe)
         pruned = self._guarded_lists(probed, filters, live_ids)
-        # the query vector rides the task closure (tiny, auto-serialized);
-        # a per-query sparkContext.broadcast would leak one live
-        # broadcast per search() in a long-lived serving process (the
-        # returned DataFrame is lazy, so there is no safe destroy point)
-        qn_ = qn
+        if kernel == "jvm":
+            qlit = F.array(*[F.lit(float(x)) for x in qn])
+            hits = pruned.select(
+                "id", self._jvm_sim(qlit).alias("similarity")
+            )
+        else:
+            ensure_package_shipped(self.spark)
+            # the query vector rides the task closure (tiny,
+            # auto-serialized); a per-query sparkContext.broadcast would
+            # leak one live broadcast per search() in a long-lived
+            # serving process (the returned DataFrame is lazy, so there
+            # is no safe destroy point)
+            qn_ = qn
 
-        def score(it):
-            for pdf in it:
-                if not len(pdf):
-                    continue
-                V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-                Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
-                yield pd.DataFrame(
-                    {"id": pdf["id"].to_numpy(), "similarity": np.round(Vn @ qn_, 6)}
-                )
+            def score(it):
+                for pdf in it:
+                    if not len(pdf):
+                        continue
+                    V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                    Vn = V / np.maximum(
+                        np.linalg.norm(V, axis=1, keepdims=True), 1e-300
+                    )
+                    yield pd.DataFrame(
+                        {
+                            "id": pdf["id"].to_numpy(),
+                            "similarity": np.round(Vn @ qn_, 6),
+                        }
+                    )
 
-        hits = pruned.select("id", "embedding").mapInPandas(
-            score, f"id {self.id_type}, similarity double"
-        )
+            hits = pruned.select("id", "embedding").mapInPandas(
+                score, f"id {self.id_type}, similarity double"
+            )
         if self.n_assign > 1:
             # multi-membership copies score identically — keep one
             hits = hits.dropDuplicates(["id"])
         return hits.orderBy(F.desc("similarity"), F.asc("id")).limit(k)
+
+    def _sql_lists_view(self) -> str:
+        """Register (or refresh) the memoized lists plan as a STABLE
+        temp view and return its name — the anchor of the SQL-text
+        probe (r13, VERDICT r12 #4). The name is keyed on the vroot (a
+        version swap gets a fresh name; stale handles can never read a
+        newer version's view), and the registered plan refreshes
+        whenever the lists staleness key changes (add()/add_epoch()
+        debris, compact) — so per serving call the only work is one
+        os.walk plus a dict compare, not py4j plan construction."""
+        import hashlib
+
+        key = self._lists_key()
+        with self._plan_lock:
+            cached = getattr(self, "_lists_view", None)
+            if cached is not None and cached[0] == key:
+                return cached[1]
+        name = (
+            "alma_ivf_lists_"
+            + hashlib.md5(self.vroot.encode()).hexdigest()[:12]
+        )
+        self._lists_df().createOrReplaceTempView(name)
+        with self._plan_lock:
+            self._lists_view = (key, name)
+        return name
+
+    def _sql_tombstones_view(self) -> str | None:
+        """Stable temp view over the tombstones dir (or None when no
+        tombstones exist), refreshed when the dir's file listing
+        changes — forget() appends a file, so read-your-deletes holds
+        through the SQL probe too."""
+        import hashlib
+
+        ts = self._tombstones_path()
+        if not os.path.isdir(ts):
+            return None
+        sig = []
+        for fn in os.listdir(ts):
+            try:
+                st = os.stat(os.path.join(ts, fn))
+            except OSError:
+                continue
+            sig.append((fn, st.st_size, st.st_mtime_ns))
+        key = (self.vroot, tuple(sorted(sig)))
+        with self._plan_lock:
+            cached = getattr(self, "_tomb_view", None)
+            if cached is not None and cached[0] == key:
+                return cached[1]
+        name = (
+            "alma_ivf_tomb_"
+            + hashlib.md5(self.vroot.encode()).hexdigest()[:12]
+        )
+        self.tombstones().createOrReplaceTempView(name)
+        with self._plan_lock:
+            self._tomb_view = (key, name)
+        return name
+
+    def search_sql_subquery(
+        self,
+        query_vec,
+        k: int = 10,
+        nprobe: int = 3,
+        filters: dict | None = None,
+    ) -> str:
+        """search(kernel='jvm') as a parenthesized SQL SUBQUERY string
+        — `(SELECT id, similarity FROM ... ORDER BY ... LIMIT k)` —
+        over the stable lists/tombstones views (r13, VERDICT r12 #4).
+
+        Why TEXT and not a DataFrame: the serving hot path measured
+        ~145 ms/call of pure py4j expression construction building the
+        probe frame (fold lambdas + a dim-element array literal each
+        round-trip the gateway), dwarfing the probe's actual execution
+        (~80 ms). This method does the probe driver-side (numpy, ~us)
+        and emits one string; the engine splices it into the compiled
+        serving statement in place of a candidate-view reference —
+        zero per-call py4j, zero temp-view register/drop churn.
+
+        Contract: bit-identical to search(kernel='jvm') — the SQL
+        parses to the same Catalyst expressions as the Column kernel
+        (same casts, same fold order, same 6dp round; pinned by
+        test_sql_subquery_matches_search). Scope filters must name
+        indexed extra_cols, as in search(). live_ids is not supported
+        here (serving uses indexed scope filters instead)."""
+        from alma_memory_spark.operators.serving_sql import (
+            double_literal,
+            string_literal,
+        )
+
+        probed, qn = self.probe_cells(query_vec, nprobe)
+        lists_view = self._sql_lists_view()
+        tomb_view = self._sql_tombstones_view()
+
+        qarr = "array(" + ",".join(double_literal(float(x)) for x in qn) + ")"
+        cast = "x -> CAST(x AS DOUBLE)"
+        dot = (
+            "aggregate(zip_with("
+            f"transform(l.`embedding`, {cast}), transform({qarr}, {cast}), "
+            "(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+        )
+        nrm = (
+            "sqrt(aggregate("
+            f"transform(l.`embedding`, {cast}), 0.0D, (acc, x) -> acc + x * x))"
+        )
+        sim = f"round({dot} / greatest({nrm}, 1e-300D), 6)"
+
+        conds = [
+            "l.`cell` IN (" + ",".join(str(int(c)) for c in probed) + ")"
+        ]
+        indexed = {n for n, _t in self.extra_cols}
+        for col, val in (filters or {}).items():
+            if col not in indexed:
+                raise ValueError(
+                    f"filter column '{col}' was not indexed "
+                    f"(extra_cols={sorted(indexed)})"
+                )
+            vals = (
+                list(val)
+                if isinstance(val, (list, tuple, set, frozenset))
+                else [val]
+            )
+            lits = [
+                string_literal(v) if isinstance(v, str) else double_literal(float(v))
+                for v in vals
+            ]
+            conds.append(f"l.`{col}` IN ({','.join(lits)})")
+        anti = (
+            f" LEFT ANTI JOIN `{tomb_view}` d ON l.`id` = d.`id`"
+            if tomb_view is not None
+            else ""
+        )
+        inner = (
+            f"SELECT l.`id` AS `id`, {sim} AS `similarity` "
+            f"FROM `{lists_view}` l{anti} WHERE " + " AND ".join(conds)
+        )
+        if self.n_assign > 1:
+            # multi-membership copies carry identical similarity (same
+            # row, same expression) — DISTINCT keeps one, mirroring
+            # search()'s dropDuplicates(["id"])
+            inner = f"SELECT DISTINCT `id`, `similarity` FROM ({inner})"
+        return (
+            f"(SELECT `id`, `similarity` FROM ({inner}) "
+            f"ORDER BY `similarity` DESC, `id` ASC LIMIT {int(k)})"
+        )
 
     def search_batch(
         self,
@@ -1002,6 +1190,7 @@ class IVFIndex:
         nprobe: int = 3,
         live_ids: DataFrame | None = None,
         filters: dict | None = None,
+        kernel: str = "arrow",
     ) -> DataFrame:
         """Multi-query ANN in ONE job — the serving-throughput shape.
 
@@ -1016,18 +1205,30 @@ class IVFIndex:
         Plan shape: all queries probe the quantizer driver-side (one
         vectorized matmul); the scan prunes to the UNION of probed
         cells (still PartitionFilters — reads max nprobe x |queries|
-        directories, typically far fewer due to overlap); one fused
-        Arrow kernel scores each list row against exactly the queries
-        that probed its cell (per-batch BLAS matmul + mask); one
-        shuffle on qid for the per-query window top-k. Tombstone /
-        live-id / scope-filter guards are identical to search()."""
+        directories, typically far fewer due to overlap); the scoring
+        kernel scores each list row against exactly the queries that
+        probed its cell; one shuffle on qid for the per-query window
+        top-k. Tombstone / live-id / scope-filter guards are identical
+        to search().
+
+        `kernel` (r13, VERDICT r12 #4): 'arrow' (default) is the fused
+        numpy kernel — per-batch BLAS matmul + mask; the batch
+        dimension amortizes the fixed Python-worker hop to ~5 ms/task
+        at batch 32, and BLAS beats the interpreted pair fold once the
+        batch multiplies the scored-pair count (measured: jvm batch
+        21-24 ms/task vs arrow 15-18 at batch 32 — the OPPOSITE of the
+        single-query trade, where 'jvm' wins because nothing amortizes
+        the hop). 'jvm' broadcast-joins the tiny exploded (qid, cell,
+        qvec) probe table on cell and scores pairs with the
+        column-expression kernel — pure-JVM job, useful when Python
+        workers are unavailable or the batch is tiny. Value-identical
+        at the 6dp contract either way."""
         import numpy as np
         import pandas as pd
         from pyspark.sql.window import Window as W
 
-        from alma_memory_spark.session import ensure_package_shipped
+        from alma_memory_spark.session import ensure_package_shipped, tiny_df
 
-        ensure_package_shipped(self.spark)
         queries = list(queries)
         if not queries:
             return self.spark.createDataFrame(
@@ -1048,52 +1249,77 @@ class IVFIndex:
             order = np.lexsort((-self.cells, -row))
             probed_per_q.append(set(self.cells[order[:nprobe]].tolist()))
         union_cells = sorted(set().union(*probed_per_q))
-        # per-cell boolean mask over queries: list row in cell c scores
-        # only against queries that probed c
-        cell_qmask = {
-            c: np.array([c in p for p in probed_per_q]) for c in union_cells
-        }
 
         pruned = self._guarded_lists(union_cells, filters, live_ids)
 
-        qids_, Qn_, mask_ = qids, Qn, cell_qmask
-
-        def score(it):
-            qarr = np.array(qids_, dtype=object)
-            for pdf in it:
-                if not len(pdf):
-                    continue
-                V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-                Vn = V / np.maximum(
-                    np.linalg.norm(V, axis=1, keepdims=True), 1e-300
+        if kernel == "jvm":
+            probe_rows = [
+                (qid, [float(x) for x in Qn[i]], int(c))
+                for i, qid in enumerate(qids)
+                for c in sorted(probed_per_q[i])
+            ]
+            probe_df = tiny_df(
+                self.spark,
+                probe_rows,
+                "qid string, _qvec array<double>, cell bigint",
+            )
+            hits = (
+                pruned.select("id", "embedding", "cell")
+                .join(F.broadcast(probe_df), "cell")
+                .select(
+                    "qid",
+                    "id",
+                    self._jvm_sim(F.col("_qvec")).alias("similarity"),
                 )
-                S = np.round(Vn @ Qn_.T, 6)  # rows x |Q|
-                cells_col = pdf["cell"].to_numpy()
-                ids_col = pdf["id"].to_numpy()
-                out_q, out_id, out_s = [], [], []
-                for c in np.unique(cells_col):
-                    qm = mask_.get(int(c))
-                    if qm is None or not qm.any():
+            )
+        else:
+            ensure_package_shipped(self.spark)
+            # per-cell boolean mask over queries: list row in cell c
+            # scores only against queries that probed c
+            cell_qmask = {
+                c: np.array([c in p for p in probed_per_q])
+                for c in union_cells
+            }
+            qids_, Qn_, mask_ = qids, Qn, cell_qmask
+
+            def score(it):
+                qarr = np.array(qids_, dtype=object)
+                for pdf in it:
+                    if not len(pdf):
                         continue
-                    rm = cells_col == c
-                    sub = S[np.ix_(rm, qm)]
-                    n_r, n_q = sub.shape
-                    out_q.append(np.repeat(qarr[qm][None, :], n_r, 0).ravel())
-                    out_id.append(np.repeat(ids_col[rm], n_q))
-                    out_s.append(sub.ravel())
-                if not out_q:
-                    continue
-                yield pd.DataFrame(
-                    {
-                        "qid": np.concatenate(out_q),
-                        "id": np.concatenate(out_id),
-                        "similarity": np.concatenate(out_s),
-                    }
-                )
+                    V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                    Vn = V / np.maximum(
+                        np.linalg.norm(V, axis=1, keepdims=True), 1e-300
+                    )
+                    S = np.round(Vn @ Qn_.T, 6)  # rows x |Q|
+                    cells_col = pdf["cell"].to_numpy()
+                    ids_col = pdf["id"].to_numpy()
+                    out_q, out_id, out_s = [], [], []
+                    for c in np.unique(cells_col):
+                        qm = mask_.get(int(c))
+                        if qm is None or not qm.any():
+                            continue
+                        rm = cells_col == c
+                        sub = S[np.ix_(rm, qm)]
+                        n_r, n_q = sub.shape
+                        out_q.append(
+                            np.repeat(qarr[qm][None, :], n_r, 0).ravel()
+                        )
+                        out_id.append(np.repeat(ids_col[rm], n_q))
+                        out_s.append(sub.ravel())
+                    if not out_q:
+                        continue
+                    yield pd.DataFrame(
+                        {
+                            "qid": np.concatenate(out_q),
+                            "id": np.concatenate(out_id),
+                            "similarity": np.concatenate(out_s),
+                        }
+                    )
 
-        hits = pruned.select("id", "embedding", "cell").mapInPandas(
-            score, f"qid string, id {self.id_type}, similarity double"
-        )
+            hits = pruned.select("id", "embedding", "cell").mapInPandas(
+                score, f"qid string, id {self.id_type}, similarity double"
+            )
         if self.n_assign > 1:
             # a query probing 2+ of an id's membership cells scores the
             # same (qid, id) twice with identical similarity — keep one

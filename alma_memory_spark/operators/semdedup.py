@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "SemDedupIndex",
+    "auto_cent_every",
     "semantic_dedup_pairs",
     "semantic_dedup_pairs_incremental",
     "semantic_dedup_groups",
@@ -122,12 +123,42 @@ def _assign_cells(
     )
 
 
+#: bounds for cent_every="auto" (r13, VERDICT r12 #1): below 16 the
+#: cells are too small to catch near-dups; above 2048 a single cell's
+#: O(occ^2) similarity matrix stops fitting comfortably in one Arrow
+#: group (2048^2 doubles = 32 MB) — corpora big enough to hit the cap
+#: should move to a persisted IVF `quantizer` instead.
+AUTO_OCC_MIN = 16
+AUTO_OCC_MAX = 2048
+
+
+def auto_cent_every(n: int) -> int:
+    """Occupancy-BALANCED quantizer granularity (r13, VERDICT r12 #1).
+
+    With stride seeding, total work has two terms: ASSIGNMENT is
+    n x n_cells x dim (every vector scores every centroid) and the
+    per-cell PAIR stage is n x occupancy x dim. occupancy =
+    n / n_cells, so a FIXED cent_every (=occupancy) keeps the pair
+    stage linear but lets assignment grow as n^2/cent_every — the r12
+    chain's 32x leg measured semdedup at 57% of total wall with the
+    default 50, and the arithmetic says assignment was ~25 GFLOP of
+    that vs ~0.5 for pairs. The two terms balance at
+    n_cells = occupancy = sqrt(n) (total ~ 2 n^1.5 dim). Larger cells
+    also catch more boundary pairs (the SemDeDup approximation's known
+    miss), so recall IMPROVES alongside the cost cut whenever
+    sqrt(n) > the fixed default — both effects measured by the
+    cent_every sweep in scripts/measure_semdedup.py."""
+    import math
+
+    return max(AUTO_OCC_MIN, min(AUTO_OCC_MAX, int(round(math.sqrt(max(1, n))))))
+
+
 def semantic_dedup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.85,
-    cent_every: int = 50,
+    cent_every: "int | str" = 50,
     quantizer=None,
     n_assign: int = 1,
 ) -> DataFrame:
@@ -137,6 +168,13 @@ def semantic_dedup_pairs(
     L2-normalized, norms == 1); default derives stride centroids from
     `df` itself. The per-cell kernel is one BLAS matmul per Arrow
     group — O(occupancy^2) per cell, cells in parallel.
+
+    `cent_every="auto"` (r13, VERDICT r12 #1) derives the granularity
+    from the corpus size as sqrt(n) clamped to [16, 2048] — the point
+    where assignment cost (n x n_cells) and pair cost (n x occupancy)
+    balance; see auto_cent_every. Costs one extra count() job over
+    `df` (cache upstream if the input plan is expensive). Fixed
+    integers remain fully supported — the oracle gates pin 50.
 
     `n_assign` is the recall knob for THE SemDeDup approximation
     (near-dups straddling a cell boundary are missed at n_assign=1):
@@ -152,6 +190,8 @@ def semantic_dedup_pairs(
         cells, C = quantizer.cells, quantizer.Cn
         cnrm = np.ones(len(cells), dtype=np.float64)
     else:
+        if cent_every == "auto":
+            cent_every = auto_cent_every(df.count())
         cells, C, cnrm = stride_centroids(df, id_col, vec_col, cent_every)
     assigned = _assign_cells(
         df, id_col, vec_col, cells, C, cnrm, n_assign=n_assign

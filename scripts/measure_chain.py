@@ -129,11 +129,18 @@ def run_chain(spark: SparkSession, app_id: str, src: str, work: str) -> list[dic
         ).select("doc_id", F.col("text_dedup").alias("text"), "lang", "source"),
         "s03_para",
     )
-    # 4) substring (50-token-window) dedup -> respliced text
+    # 4) substring (50-token-window) dedup -> respliced text.
+    # fp_hash="xxhash64" (r13, VERDICT r12 #6): the chain runs the
+    # PRODUCTION fingerprint — 8-byte bigint fps cut hash compute and
+    # every fp-keyed shuffle/join width, measured 24% off the
+    # winners+losers pipeline at the 8x corpus with byte-identical
+    # output; the oracle gates keep md5 (DuckDB replays it exactly).
     stage(
         "substring_dedup",
         lambda d: d.join(
-            P.dedup_token_windows(d, w=50).select("doc_id", "text_dedup"),
+            P.dedup_token_windows(
+                d, w=50, fp_hash="xxhash64"
+            ).select("doc_id", "text_dedup"),
             "doc_id",
         )
         .select("doc_id", F.col("text_dedup").alias("text"), "lang", "source")
@@ -169,9 +176,19 @@ def run_chain(spark: SparkSession, app_id: str, src: str, work: str) -> list[dic
         emb = d.select("doc_id", embed("text").alias("embedding"))
         # 0.97: bag-of-words hash embeddings over the synthetic corpus's
         # ~40-word vocab are globally correlated; production threshold
-        # (0.92 on real sentence embeddings) would mass-drop here
+        # (0.92 on real sentence embeddings) would mass-drop here.
+        # cent_every: occupancy-balanced (r13, VERDICT r12 #1) — the
+        # fixed 50 made ASSIGNMENT (n x n_cells) dominate at the 32x
+        # leg (57% of chain wall); sqrt(n) balances assign vs pairs
+        # (A/B at 160k vectors: 16.9 s vs 26.4 s AND more dups found).
+        # n from d.count(): d is the prior stage's materialized
+        # parquet, so the count is a metadata-cheap scan, while
+        # cent_every="auto" would re-run the embed UDF for its count.
+        from alma_memory_spark.operators.semdedup import auto_cent_every
+
         pairs = P.semantic_dedup_pairs(
-            emb, id_col="doc_id", threshold=0.97, cent_every=50
+            emb, id_col="doc_id", threshold=0.97,
+            cent_every=auto_cent_every(d.count()),
         )
         groups = P.semantic_dedup_groups(pairs)
         return d.join(

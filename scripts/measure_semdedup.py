@@ -369,6 +369,76 @@ def measure_compaction() -> None:
         shutil.rmtree(root, ignore_errors=True)
 
 
+
+
+def measure_cell_sweep() -> None:
+    """r13 (VERDICT r12 #1): cent_every sweep at the 32x-chain-like
+    scale — wall + pairs + RECALL vs exact all-pairs ground truth.
+
+    The r12 chain's 32x leg had semdedup at 57% of chain wall with the
+    default cent_every=50 on ~141k vectors; the auto_cent_every
+    analysis says assignment (n x n_cells x dim) dominated there and
+    balances against the pair stage at occupancy = sqrt(n). This sweep
+    verifies both claims empirically: wall should bottom out near
+    sqrt(n), and recall should be monotone-ish INCREASING with
+    occupancy (larger cells catch more boundary pairs). Ground truth
+    is the driver-side exact threshold all-pairs (blocked numpy
+    matmul) — feasible at 64k (2e9 pair sims)."""
+    n = int(os.environ.get("SEMDEDUP_SWEEP_N", "64000"))
+    thr = 0.85
+    spark = get_spark(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    emb = make_corpus(spark, n).localCheckpoint(eager=True)
+
+    # exact ground truth, blocked driver-side
+    rows = emb.orderBy("vec_id").collect()
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    exact = set()
+    B = 4096
+    t0 = time.time()
+    for i0 in range(0, n, B):
+        S = V[i0 : i0 + B] @ V.T
+        S = np.round(S, 6)
+        ai, bi = np.nonzero(S >= thr)
+        for a, b in zip(ai, bi):
+            ga, gb = ids[i0 + a], ids[b]
+            if ga < gb:
+                exact.add((int(ga), int(gb)))
+    gt_wall = time.time() - t0
+    print(json.dumps({"sweep_n": n, "exact_pairs": len(exact),
+                      "ground_truth_wall_s": round(gt_wall, 1)}), flush=True)
+
+    from alma_memory_spark.operators.semdedup import auto_cent_every
+
+    auto = auto_cent_every(n)
+    for ce in sorted({25, 50, 100, auto, 500, 1000}):
+        t0 = time.time()
+        got = {
+            (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+            for r in semantic_dedup_pairs(
+                emb, threshold=thr, cent_every=ce
+            ).collect()
+        }
+        wall = time.time() - t0
+        print(
+            json.dumps(
+                {
+                    "cent_every": ce,
+                    "auto": ce == auto,
+                    "wall_s": round(wall, 2),
+                    "pairs": len(got),
+                    "recall": round(len(got & exact) / max(1, len(exact)), 4),
+                    "false_pairs": len(got - exact),
+                }
+            ),
+            flush=True,
+        )
+    emb.unpersist()
+
+
+
+
 if __name__ == "__main__":
     main()
     measure_incremental()
@@ -376,3 +446,4 @@ if __name__ == "__main__":
     measure_multiprobe()
     measure_index_multiprobe()
     measure_compaction()
+    measure_cell_sweep()

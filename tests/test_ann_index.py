@@ -715,3 +715,76 @@ def test_lists_plan_memo_invalidates_on_same_mtime_rewrite(spark, tmp_path):
     p2 = idx._lists_df()
     assert p2 is not p1, "new part files must invalidate the memo"
     assert idx._lists_df() is p2, "and the fresh plan memoizes again"
+
+
+def test_jvm_and_arrow_kernels_identical(spark, tmp_path):
+    """r13 (VERDICT r12 #4): the JVM column-expression scoring kernel
+    (serving default — no Python worker in the job) must be
+    VALUE-IDENTICAL to the fused Arrow/numpy kernel (the oracle, kept
+    for very large candidate scans) for single AND batch search, at
+    full precision of the 6dp contract."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "ivf_kern")
+    idx = IVFIndex.build(spark, emb, path, cent_every=50)
+
+    a = idx.search(QUERY_VEC, k=15, nprobe=3, kernel="jvm").collect()
+    b = idx.search(QUERY_VEC, k=15, nprobe=3, kernel="arrow").collect()
+    assert [(r["id"], r["similarity"]) for r in a] == [
+        (r["id"], r["similarity"]) for r in b
+    ]
+    # and the plan of the jvm path carries no Python evaluation node
+    plan = idx.search(QUERY_VEC, k=15, nprobe=3)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
+
+    qs = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter("vec_id in (3, 17, 29)").collect()
+    ]
+    ba = idx.search_batch(qs, k=10, nprobe=3, kernel="jvm").collect()
+    bb = idx.search_batch(qs, k=10, nprobe=3, kernel="arrow").collect()
+    assert [(r["qid"], r["id"], r["similarity"]) for r in ba] == [
+        (r["qid"], r["id"], r["similarity"]) for r in bb
+    ]
+
+
+def test_sql_subquery_matches_search(spark, tmp_path):
+    """r13 (VERDICT r12 #4): search_sql_subquery's text form must be
+    BIT-identical to search(kernel='jvm') — same ids, same
+    full-precision similarities — including under scope filters and
+    after forget() tombstones (read-your-deletes through the SQL
+    probe) and add() (stable view refresh)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "ivf_sqltext")
+    half_a = emb.filter("vec_id % 2 = 0")
+    half_b = emb.filter("vec_id % 2 = 1")
+    idx = IVFIndex.build(spark, half_a, path, cent_every=50)
+
+    def both(k=12, nprobe=3, filters=None):
+        a = idx.search(QUERY_VEC, k=k, nprobe=nprobe, filters=filters).collect()
+        sql = idx.search_sql_subquery(QUERY_VEC, k=k, nprobe=nprobe, filters=filters)
+        b = spark.sql(f"SELECT * FROM {sql} x").collect()
+        assert [(r["id"], r["similarity"]) for r in a] == [
+            (r["id"], r["similarity"]) for r in b
+        ]
+        return a
+
+    r1 = both()
+    assert len(r1) == 12
+
+    # add() appends list files: the stable view must refresh (same
+    # name, fresh plan) and serve the new rows
+    idx.add(half_b)
+    r2 = both()
+    assert {r["id"] for r in r2} != {r["id"] for r in r1} or len(r2) == 12
+
+    # forget() tombstones exclude immediately through the SQL probe
+    victim = r2[0]["id"]
+    idx.forget([victim])
+    r3 = both()
+    assert victim not in {r["id"] for r in r3}
+
+    # unindexed filter refuses like search()
+    import pytest
+
+    with pytest.raises(ValueError, match="not indexed"):
+        idx.search_sql_subquery(QUERY_VEC, filters={"nope": 1})

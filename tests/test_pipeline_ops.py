@@ -1859,3 +1859,46 @@ def test_fuzzy_decontamination_rejects_bad_banding(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="bands\\*rows"):
         fuzzy_contamination_report(df, df, k=8, bands=3, rows=4)
+
+
+def test_substring_dedup_xxhash64_matches_md5(spark):
+    """r13 (VERDICT r12 #6): the 8-byte xxhash64 window fingerprint is
+    the production form of the md5 default — dedup decisions depend
+    only on fp-group membership, so the respliced output must be
+    byte-identical under either hash (and the fp column type moves to
+    bigint)."""
+    from alma_memory_spark.operators.substring import (
+        dedup_token_windows,
+        drop_docs_with_dup_windows,
+        explode_token_windows,
+    )
+    import os as _os
+
+    from alma_memory_spark.session import load_table
+
+    sf = _os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    a = {
+        (r["doc_id"], r["text_dedup"], r["n_units"], r["n_kept"])
+        for r in dedup_token_windows(docs, w=6).collect()
+    }
+    b = {
+        (r["doc_id"], r["text_dedup"], r["n_units"], r["n_kept"])
+        for r in dedup_token_windows(docs, w=6, fp_hash="xxhash64").collect()
+    }
+    assert a == b and len(a) > 0
+
+    wa = explode_token_windows(docs, w=6)
+    wx = explode_token_windows(docs, w=6, fp_hash="xxhash64")
+    assert wa.schema["fp"].dataType.simpleString() == "string"
+    assert wx.schema["fp"].dataType.simpleString() == "bigint"
+    assert wa.count() == wx.count()
+
+    da = {r["doc_id"] for r in drop_docs_with_dup_windows(docs, w=6).collect()}
+    dx = {
+        r["doc_id"]
+        for r in drop_docs_with_dup_windows(
+            docs, w=6, fp_hash="xxhash64"
+        ).collect()
+    }
+    assert da == dx

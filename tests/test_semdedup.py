@@ -490,3 +490,43 @@ def test_incremental_function_form_multiprobe_contract(spark, tmp_path):
         idx, b, threshold=0.4, n_assign=2
     ).collect()
     assert len(rows) == len({(r["id_a"], r["id_b"]) for r in rows})
+
+
+def test_auto_cent_every_bounds_and_balance():
+    """r13 (VERDICT r12 #1): sqrt(n) clamped to [16, 2048]."""
+    from alma_memory_spark.operators.semdedup import (
+        AUTO_OCC_MAX,
+        AUTO_OCC_MIN,
+        auto_cent_every,
+    )
+
+    assert auto_cent_every(0) == AUTO_OCC_MIN
+    assert auto_cent_every(100) == AUTO_OCC_MIN
+    assert auto_cent_every(2500) == 50
+    assert auto_cent_every(141_000) == 375
+    assert auto_cent_every(10**12) == AUTO_OCC_MAX
+
+
+def test_semantic_dedup_pairs_auto_matches_explicit(spark):
+    """cent_every='auto' must be exactly the explicit
+    auto_cent_every(n) run — same quantizer rule, same pairs."""
+    from alma_memory_spark.operators.semdedup import (
+        auto_cent_every,
+        semantic_dedup_pairs,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    got = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in semantic_dedup_pairs(
+            emb, threshold=0.3, cent_every="auto"
+        ).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in semantic_dedup_pairs(
+            emb, threshold=0.3, cent_every=auto_cent_every(n)
+        ).collect()
+    }
+    assert got == want and len(got) > 0

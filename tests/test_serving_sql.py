@@ -483,11 +483,14 @@ def test_quote_in_scope_string_served_correctly(seeded, spark):
 
 
 def test_ann_sql_plan_probes_inside_one_job(seeded):
-    """Plan-shape pin for the r12 design claim: the compiled ANN
-    statement's physical plan must contain the probe kernel
-    (MapInPandas) on the BUILD side of a broadcast join — the probe
-    executes INSIDE the one serving job, not as a separate
-    candidate-collect job."""
+    """Plan-shape pin for the r12 design claim, updated for the r13
+    JVM probe kernel (VERDICT r12 #4): the compiled ANN statement's
+    physical plan must contain the probe's pruned lists SCAN on the
+    BUILD side of a broadcast join — the probe executes INSIDE the one
+    serving job, not as a separate candidate-collect job — and must
+    carry NO Python evaluation node at all (the scoring kernel is a
+    column expression, so serving never pays the Python-worker round
+    trip that dominated warm ANN latency through r12)."""
     import alma_memory_spark.engine as EM
 
     seeded.index_vectors("domain_knowledge", cent_every=7)
@@ -514,7 +517,13 @@ def test_ann_sql_plan_probes_inside_one_job(seeded):
         EM.AlmaSpark._srv_run = orig
     assert plans, "SQL path did not serve"
     p = plans[-1]
-    assert "MapInPandas" in p, "probe kernel missing from the statement plan"
+    assert "MapInPandas" not in p and "Python" not in p, (
+        "serving statement must be pure JVM (r13)"
+    )
+    # the probe's pruned cell-partitioned lists scan runs inside this
+    # statement: its partition column (`cell`) appears in the plan's
+    # scan output, and the candidate side joins broadcast
+    assert "cell#" in p, "probe lists scan missing from the statement plan"
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p[:500]
     # the per-call candidate views must not leak
     leftover = [
