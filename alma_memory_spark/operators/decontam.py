@@ -99,6 +99,7 @@ def decontaminate_spans(
     n: int = 13,
     id_col: str = "doc_id",
     text_col: str = "text",
+    fp_hash: str = "md5",
 ) -> DataFrame:
     """(id, text_clean, n_units, n_kept): EXCISION-mode
     decontamination — instead of dropping a contaminated document
@@ -118,7 +119,9 @@ def decontaminate_spans(
     small by definition); the train side is a narrow map + one
     per-doc aggregation — the training corpus never shuffles on the
     gram key. Docs shorter than n tokens carry no windows and come
-    back unchanged."""
+    back unchanged. `fp_hash="xxhash64"` is the 8-byte production
+    fingerprint (see substring._FP_FNS) — both corpora must use the
+    same hash, which threading the one parameter guarantees."""
     from alma_memory_spark.operators.substring import (
         _excise,
         explode_token_windows,
@@ -126,9 +129,9 @@ def decontaminate_spans(
     )
 
     base = train.select(F.col(id_col), token_units(text_col).alias("units"))
-    wins = explode_token_windows(train, n, id_col, text_col)
+    wins = explode_token_windows(train, n, id_col, text_col, fp_hash=fp_hash)
     bench_fps = (
-        explode_token_windows(bench, n, id_col, text_col)
+        explode_token_windows(bench, n, id_col, text_col, fp_hash=fp_hash)
         .select("fp")
         .distinct()
     )

@@ -324,7 +324,7 @@ class TokenWindowDedupIndex:
 
     def __init__(self, spark: SparkSession, path: str, id_col: str,
                  id_type: str, w: int, n_buckets: int, n_docs: int,
-                 vroot: str | None = None):
+                 vroot: str | None = None, fp_hash: str = "md5"):
         self.spark = spark
         self.path = path
         self.vroot = vroot or path
@@ -335,12 +335,16 @@ class TokenWindowDedupIndex:
         self.w = w
         self.n_buckets = n_buckets
         self.n_docs = n_docs
+        #: fingerprint function, frozen at build (r13 — owners of
+        #: different hashes are incomparable; recorded in stats)
+        self.fp_hash = fp_hash
 
     # ---- plan fragments -------------------------------------------------
 
     def _owners_schema(self) -> str:
+        fp_t = "bigint" if self.fp_hash == "xxhash64" else "string"
         return (
-            f"fp string, {self.id_col} {self.id_type}, start int, "
+            f"fp {fp_t}, {self.id_col} {self.id_type}, start int, "
             "fbucket long"
         )
 
@@ -349,7 +353,9 @@ class TokenWindowDedupIndex:
         return F.pmod(F.xxhash64(col), F.lit(n_buckets))
 
     def _batch_winners(self, docs: DataFrame, text_col: str):
-        wins = explode_token_windows(docs, self.w, self.id_col, text_col)
+        wins = explode_token_windows(
+            docs, self.w, self.id_col, text_col, fp_hash=self.fp_hash
+        )
         winners = (
             wins.groupBy("fp")
             .agg(
@@ -390,6 +396,7 @@ class TokenWindowDedupIndex:
                             "id_type": self.id_type,
                             "w": self.w,
                             "n_buckets": self.n_buckets,
+                            "fp_hash": self.fp_hash,
                         }
                     ),
                     n_delta,
@@ -409,6 +416,7 @@ class TokenWindowDedupIndex:
         text_col: str = "text",
         w: int = 50,
         n_buckets: int = 32,
+        fp_hash: str = "md5",
     ) -> "TokenWindowDedupIndex":
         from alma_memory_spark.operators._index_version import (
             begin_version,
@@ -417,7 +425,8 @@ class TokenWindowDedupIndex:
 
         id_type = docs.schema[id_col].dataType.simpleString()
         idx = TokenWindowDedupIndex(
-            spark, path, id_col, id_type, w, n_buckets, n_docs=0
+            spark, path, id_col, id_type, w, n_buckets, n_docs=0,
+            fp_hash=fp_hash,
         )
         vdir = begin_version(path)
         _wins, winners = idx._batch_winners(
@@ -440,6 +449,7 @@ class TokenWindowDedupIndex:
         return TokenWindowDedupIndex(
             spark, path, p["id_col"], p["id_type"], p["w"], p["n_buckets"],
             n_docs=sum(r["n_docs"] for r in rows), vroot=vroot,
+            fp_hash=p.get("fp_hash", "md5"),  # pre-r13 stats lack it
         )
 
     def _require_live_version(self) -> None:
@@ -479,6 +489,7 @@ class TokenWindowDedupIndex:
         out = TokenWindowDedupIndex(
             self.spark, self.path, self.id_col, self.id_type, self.w,
             self.n_buckets, n_docs=self.n_docs, vroot=vdir,
+            fp_hash=self.fp_hash,
         )
         out._write_stats(vdir, self.n_docs)
         out.vroot = commit_version(
@@ -528,8 +539,9 @@ class TokenWindowDedupIndex:
                 .localCheckpoint(eager=True)
             )
         else:
+            fp_t = "bigint" if self.fp_hash == "xxhash64" else "string"
             seen = self.spark.createDataFrame(
-                [], f"fp string, {self.id_col} {self.id_type}, start int"
+                [], f"fp {fp_t}, {self.id_col} {self.id_type}, start int"
             )
         new_owners = winners.join(seen, "fp", "left_anti")
         self._write_owners(new_owners, self.vroot)

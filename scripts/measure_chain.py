@@ -173,7 +173,15 @@ def run_chain(spark: SparkSession, app_id: str, src: str, work: str) -> list[dic
         return texts.map(lambda t: hash_embed(t or "", dim))
 
     def semdedup(d):
-        emb = d.select("doc_id", embed("text").alias("embedding"))
+        # materialize the embeddings ONCE (r13): the stage's plan reads
+        # emb in multiple passes (centroid seeding, assignment, the CC
+        # join-back), and hash_embed is a per-row Python UDF — without
+        # the checkpoint it re-runs per pass and dominates the stage
+        # (measured 215 s vs ~30 s at the 32x leg). Production shape:
+        # embeddings are a materialized column, computed once.
+        emb = d.select(
+            "doc_id", embed("text").alias("embedding")
+        ).localCheckpoint(eager=True)
         # 0.97: bag-of-words hash embeddings over the synthetic corpus's
         # ~40-word vocab are globally correlated; production threshold
         # (0.92 on real sentence embeddings) would mass-drop here.
