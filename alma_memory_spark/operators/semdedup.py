@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "SemDedupIndex",
     "auto_cent_every",
+    "semantic_dedup_families",
     "semantic_dedup_pairs",
     "semantic_dedup_pairs_incremental",
     "semantic_dedup_groups",
@@ -227,6 +228,102 @@ def semantic_dedup_pairs(
         # multi-probe path; the default plan is unchanged)
         out = out.dropDuplicates(["id_a", "id_b"])
     return out
+
+
+def semantic_dedup_families(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.85,
+    cent_every: "int | str" = "auto",
+    quantizer=None,
+    n_assign: int = 1,
+) -> DataFrame:
+    """(doc_id, group_id, is_canonical) — row-identical to
+    `semantic_dedup_groups(semantic_dedup_pairs(...))` with the same
+    arguments, but the per-cell kernel runs LOCAL connected components
+    over the thresholded similarity graph in numpy and emits ONE
+    (id -> local component min) star edge per matched member — O(occ)
+    output rows per cell instead of the up-to-O(occ^2) pair rows the
+    pairs operator must emit.
+
+    WHY (r13, found at the chain's 32x leg): on pair-DENSE corpora
+    (boilerplate-heavy web text where most docs are semantic dups of
+    something) the pair OUTPUT is the cost — 141k vectors at 90% dup
+    density produced tens of millions of pair rows whose shuffle + CC
+    iterations dominated the stage, and larger (occupancy-balanced)
+    cells make that quadratically worse. Dedup-to-families never needed
+    the pairs: within a cell, the star edges generate exactly the same
+    components (each local component collapses onto its min; global CC
+    re-links multi-probe copies across cells), so the family frame is
+    identical while the edge volume drops from O(n x occ) worst-case
+    to exactly one row per matched member per membership.
+
+    Use semantic_dedup_pairs when the pair list itself is the product
+    (audit, thresholds sweeps, the oracle gates); use THIS for the
+    drop-duplicates pipeline stage. Identity with the pairs path is
+    contract-tested, including n_assign > 1."""
+    import numpy as np
+
+    if quantizer is not None:
+        cells, C = quantizer.cells, quantizer.Cn
+        cnrm = np.ones(len(cells), dtype=np.float64)
+    else:
+        if cent_every == "auto":
+            cent_every = auto_cent_every(df.count())
+        cells, C, cnrm = stride_centroids(df, id_col, vec_col, cent_every)
+    assigned = _assign_cells(
+        df, id_col, vec_col, cells, C, cnrm, n_assign=n_assign
+    )
+
+    def cell_stars(pdf):
+        import pandas as pd
+
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        empty = pd.DataFrame({"id_a": [], "id_b": []}).astype(
+            {"id_a": ids.dtype, "id_b": ids.dtype}
+        )
+        if len(ids) < 2:
+            return empty
+        V = np.array(pdf["v"].to_numpy()[order].tolist(), dtype=np.float64)
+        nrm = np.maximum(np.sqrt((V * V).sum(axis=1)), 1e-300)
+        A = np.round((V @ V.T) / np.outer(nrm, nrm), 6) >= threshold
+        np.fill_diagonal(A, False)
+        deg = A.any(axis=1)
+        if not deg.any():
+            return empty
+        # min-label propagation over the POSITIONS (ids sorted asc, so
+        # position order == id order): labels[i] = min reachable
+        # position; converges in O(diameter) occ^2-cheap sweeps
+        n = len(ids)
+        labels = np.arange(n)
+        while True:
+            # neighbor minimum (inf where no neighbor)
+            nb = np.where(A, labels[None, :], n).min(axis=1)
+            new = np.minimum(labels, nb)
+            # a node also adopts its OWN label's current root (path
+            # halving — keeps sweeps ~log(diameter))
+            new = np.minimum(new, new[new])
+            if (new == labels).all():
+                break
+            labels = new
+        m = deg  # only matched members appear, as in the pairs path
+        roots = ids[labels[m]]
+        mids = ids[m]
+        keep = mids != roots  # root reappears as a dst; self-edges add nothing
+        return pd.DataFrame({"id_a": mids[keep], "id_b": roots[keep]})
+
+    id_type = assigned.schema["id"].dataType.simpleString()
+    edges = assigned.groupby("cell").applyInPandas(
+        cell_stars, f"id_a {id_type}, id_b {id_type}"
+    )
+    if n_assign > 1:
+        edges = edges.dropDuplicates(["id_a", "id_b"])
+    from alma_memory_spark.operators.components import near_dup_groups
+
+    return near_dup_groups(edges, id_a="id_a", id_b="id_b")
 
 
 def semantic_dedup_pairs_incremental(

@@ -126,6 +126,7 @@ from alma_memory_spark.operators.sampling import (
 )
 from alma_memory_spark.operators.semdedup import (
     SemDedupIndex,
+    semantic_dedup_families,
     semantic_dedup_groups,
     semantic_dedup_pairs,
     semantic_dedup_pairs_incremental,
@@ -175,6 +176,7 @@ __all__ = [
     "quality_score",
     "quality_signals",
     "redact_pii",
+    "semantic_dedup_families",
     "semantic_dedup_groups",
     "semantic_dedup_pairs",
     "semantic_dedup_pairs_incremental",

@@ -1678,6 +1678,12 @@ def winnow_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 'semgroup', n, min(r), CAST(NULL AS DOUBLE)
       FROM semreach GROUP BY n
       UNION ALL
+      -- 'semfam' (r13): the star-edge families operator must equal
+      -- the pairs->CC composition row-for-row; same reachability
+      -- replay, canonical flag = (node = component min) as 0/1
+      SELECT 'semfam', n, min(r), CAST(n = min(r) AS DOUBLE)
+      FROM semreach GROUP BY n
+      UNION ALL
       SELECT 'sdidx', id_a, id_b, sim FROM sdpairs
     )
     UNION ALL
@@ -1780,6 +1786,7 @@ def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from alma_memory_spark.operators.semdedup import (
         SemDedupIndex,
+        semantic_dedup_families,
         semantic_dedup_groups,
         semantic_dedup_pairs,
     )
@@ -1872,6 +1879,23 @@ def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("doc_id").alias("id_a"),
                 F.col("group_id").alias("id_b"),
                 F.lit(None).cast("double").alias("sim"),
+            )
+        )
+        # 'semfam' rows (r13) — semantic_dedup_families, the direct
+        # star-edge form (per-cell local CC, O(occ) edges/cell instead
+        # of O(occ^2) pairs): families must equal the pairs->CC chain
+        # row-for-row, so the oracle is the SAME recursive-CTE replay
+        # as 'semgroup' plus the canonical flag (n = component min) as
+        # a 0/1 double — a star edge that broke a transitive chain, a
+        # lost member, or a wrong canonical all hash-mismatch.
+        .unionByName(
+            semantic_dedup_families(
+                emb, threshold=NEARDUP_COS, cent_every=SEMDEDUP_CENT_EVERY
+            ).select(
+                F.lit("semfam").alias("method"),
+                F.col("doc_id").alias("id_a"),
+                F.col("group_id").alias("id_b"),
+                F.col("is_canonical").cast("double").alias("sim"),
             )
         )
         # 'sdecon' rows (r12) — SEMANTIC decontamination

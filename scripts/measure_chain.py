@@ -189,16 +189,19 @@ def run_chain(spark: SparkSession, app_id: str, src: str, work: str) -> list[dic
         # fixed 50 made ASSIGNMENT (n x n_cells) dominate at the 32x
         # leg (57% of chain wall); sqrt(n) balances assign vs pairs
         # (A/B at 160k vectors: 16.9 s vs 26.4 s AND more dups found).
-        # n from d.count(): d is the prior stage's materialized
-        # parquet, so the count is a metadata-cheap scan, while
-        # cent_every="auto" would re-run the embed UDF for its count.
+        # semantic_dedup_families (r13): the drop-duplicates stage
+        # never needed the O(occ^2) pair rows — per-cell local CC
+        # emits one star edge per matched member (row-identical
+        # families, contract-tested; 16.5 -> 8.7 s at 160k vectors on
+        # this pair-dense corpus). n from d.count(): d is the prior
+        # stage's materialized parquet, so the count is metadata-cheap,
+        # while cent_every="auto" would re-run the embed UDF.
         from alma_memory_spark.operators.semdedup import auto_cent_every
 
-        pairs = P.semantic_dedup_pairs(
+        groups = P.semantic_dedup_families(
             emb, id_col="doc_id", threshold=0.97,
             cent_every=auto_cent_every(d.count()),
         )
-        groups = P.semantic_dedup_groups(pairs)
         return d.join(
             groups.filter(~F.col("is_canonical")).select("doc_id"),
             "doc_id",

@@ -530,3 +530,60 @@ def test_semantic_dedup_pairs_auto_matches_explicit(spark):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_semantic_dedup_families_matches_pairs_path(spark):
+    """r13: semantic_dedup_families (per-cell LOCAL CC -> star edges,
+    O(occ) rows/cell) must be ROW-identical to the pairs->groups
+    composition for the same arguments — on real embeddings, on a
+    pair-dense clustered corpus, and under multi-probe."""
+    import numpy as np
+
+    from alma_memory_spark.operators.semdedup import (
+        semantic_dedup_families,
+        semantic_dedup_groups,
+        semantic_dedup_pairs,
+    )
+
+    def fam_rows(df):
+        return sorted(
+            (r["doc_id"], r["group_id"], r["is_canonical"])
+            for r in df.collect()
+        )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    for na in (1, 2):
+        want = fam_rows(
+            semantic_dedup_groups(
+                semantic_dedup_pairs(
+                    emb, threshold=0.3, cent_every=40, n_assign=na
+                )
+            )
+        )
+        got = fam_rows(
+            semantic_dedup_families(
+                emb, threshold=0.3, cent_every=40, n_assign=na
+            )
+        )
+        assert got == want and len(got) > 0, f"n_assign={na}"
+
+    # pair-dense clustered corpus: long transitive chains inside cells
+    # (the case star edges must NOT break) — vectors drift slowly so
+    # a~b, b~c with a!~c occurs
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(8,))
+    rows = []
+    v = base.copy()
+    for i in range(300):
+        v = v + rng.normal(scale=0.02, size=(8,))
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    chain = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    want = fam_rows(
+        semantic_dedup_groups(
+            semantic_dedup_pairs(chain, threshold=0.995, cent_every=30)
+        )
+    )
+    got = fam_rows(
+        semantic_dedup_families(chain, threshold=0.995, cent_every=30)
+    )
+    assert got == want and len(got) > 0
