@@ -12,8 +12,13 @@ applies them.
     # 2) lexical near-dup: MinHash-LSH pairs -> CC families -> drop
     idx = P.NearDupIndex.build(spark, docs, "/idx/neardup")
     docs = docs.join(idx.drop_list(), "doc_id", "left_anti")
-    # 3) semantic near-dup (SemDeDup shape): IVF cells -> cosine -> CC
-    sem = P.semantic_dedup_groups(P.semantic_dedup_pairs(emb))
+    # 3) semantic near-dup (SemDeDup shape): IVF cells -> local CC ->
+    #    star edges -> global families. semantic_dedup_families is the
+    #    drop-duplicates default (O(n) edge volume even on dup-dense
+    #    corpora, occupancy-balanced cells via cent_every="auto");
+    #    semantic_dedup_pairs remains for when the pair list itself is
+    #    the product (audits, threshold sweeps)
+    sem = P.semantic_dedup_families(emb)
     docs = docs.join(
         sem.filter("NOT is_canonical").select("doc_id"), "doc_id", "left_anti"
     )
