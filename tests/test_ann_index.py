@@ -78,6 +78,10 @@ def test_ivf_search_prunes_partitions(spark, tmp_path):
     # node's numFiles metric after running the job instead)
     df.collect()
     jplan = df._jdf.queryExecution().executedPlan()
+    # the SQL-routed probe (r13) wraps in AdaptiveSparkPlanExec whose
+    # collectLeaves() is itself — unwrap to the executed final plan
+    if "AdaptiveSparkPlan" in jplan.getClass().getSimpleName():
+        jplan = jplan.finalPhysicalPlan()
     leaves = jplan.collectLeaves()
     num_files = None
     for i in range(leaves.size()):
