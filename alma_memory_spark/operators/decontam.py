@@ -38,6 +38,7 @@ __all__ = [
     "fuzzy_contamination_report",
     "fuzzy_contamination_report_from_bands",
     "semantic_contamination_report",
+    "with_fuzzy_contamination_flag",
 ]
 
 
@@ -385,6 +386,118 @@ def decontaminate_fuzzy(
         train, bench, id_col, text_col, verify_t=verify_t, **kw
     ).select(id_col)
     return train.join(bad, id_col, "left_anti")
+
+
+def with_fuzzy_contamination_flag(
+    df: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 2,
+    rows: int = 4,
+    verify_t: float = 0.8,
+    bench_band_cap: int | None = DEFAULT_BENCH_BAND_CAP,
+    flag_col: str = "is_contaminated",
+) -> DataFrame:
+    """STREAM-SAFE fuzzy decontamination (r13): attach a boolean
+    `flag_col` that is true iff the row's distinct-token set is a
+    MinHash-LSH candidate + exact-Jaccard >= `verify_t` near-dup of
+    any benchmark doc — the per-row FLAG form of
+    fuzzy_contamination_report, decision-identical (contract-tested).
+
+    Why a separate form: the report is a join + per-doc aggregate, and
+    dropping via its ids is a self-join — none of which a Structured
+    Streaming frame allows against itself. This form is ONE stateless
+    vectorized pandas UDF: the capped bench band buckets (eval-set-
+    sized by definition) collect ONCE at plan-build time and ride the
+    task closure, the same shape semantic_contamination_report uses
+    for its bench matrix; each row re-derives its signature/band keys
+    in the kernel (faithful ports of ws_tokens/hash32/
+    minhash_signature — pinned against the column kernels by the
+    contract test) and verifies candidates in-process. Works on batch
+    frames too; `stream.filter(~F.col(flag_col))` is the streaming
+    drop. Cost: one Python pass over the stream — the batch report
+    stays the cheaper choice when a join is available.
+
+    The bench collect happens when THIS function runs (plan-build):
+    a long-lived streaming query pins that snapshot of the benchmark
+    corpus, matching the static-side semantics of stream-static
+    joins."""
+    import hashlib
+    import re
+
+    from alma_memory_spark.functions.text import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_PRIME,
+        WS_RE,
+    )
+    from alma_memory_spark.session import ensure_package_shipped
+
+    if bands * rows > k:
+        raise ValueError(
+            f"bands*rows must be <= k (got bands={bands} rows={rows} k={k})"
+        )
+    ensure_package_shipped(df.sparkSession)
+
+    # bench side: capped band buckets -> {(band_idx, band_key):
+    # [(bid, frozenset(tokens))]}, collected once (eval-set-sized)
+    bb = _fuzzy_band_frame(bench, bench_id_col, text_col, "_bid", k, bands, rows)
+    if bench_band_cap is not None:
+        from pyspark.sql.window import Window as _W
+
+        bb = (
+            bb.withColumn(
+                "_bn",
+                F.count(F.lit(1)).over(_W.partitionBy("band_idx", "band_key")),
+            )
+            .filter(F.col("_bn") <= bench_band_cap)
+            .drop("_bn")
+        )
+    buckets: dict = {}
+    for r in bb.collect():
+        buckets.setdefault((r["band_idx"], r["band_key"]), []).append(
+            (r["_bid"], frozenset(r["ts"]))
+        )
+
+    ws_re = re.compile(WS_RE)
+    a_s, b_s, p = list(MINHASH_A[:k]), list(MINHASH_B[:k]), MINHASH_PRIME
+
+    def _flag_one(text) -> bool:
+        ts = {t for t in ws_re.split((text or "").lower()) if t != ""}
+        if not ts:
+            return False
+        hs = [
+            int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+            for t in ts
+        ]
+        sig = [min((a_s[j] * h + b_s[j]) % p for h in hs) for j in range(k)]
+        seen_bids = set()
+        for b in range(bands):
+            key = hashlib.md5(
+                "_".join(
+                    str(sig[b * rows + r_]) for r_ in range(rows)
+                ).encode()
+            ).hexdigest()
+            for bid, bts in buckets.get((b, key), ()):
+                if bid in seen_bids:
+                    continue
+                seen_bids.add(bid)
+                inter = len(ts & bts)
+                union = len(ts) + len(bts) - inter
+                # same raw-double compare as the report's verify (ints
+                # divide identically in IEEE double on both engines)
+                jac = (inter / union) if union > 0 else 0.0
+                if jac >= verify_t:
+                    return True
+        return False
+
+    @F.pandas_udf("boolean")
+    def _flag(texts):
+        return texts.map(_flag_one)
+
+    return df.withColumn(flag_col, _flag(F.col(text_col)))
 
 
 def semantic_contamination_report(

@@ -13,12 +13,19 @@ composition of shipped operators:
   per-cell pairs   <- the blocked BLAS cosine kernel (one matmul/cell)
   families         <- operators/components.py connected components
 
-Scale shape: the stride quantizer yields n/cent_every cells, so cell
-occupancy stays ~cent_every as the corpus grows — per-cell pair cost is
-FLAT (measured by scripts/measure_semdedup.py); the only shuffle is the
-groupBy(cell) exchange. No all-pairs join exists at any corpus size.
-Assignment is a narrow Arrow-batched map against the broadcast centroid
-matrix, identical in shape to IVFIndex._write_lists (ann_index.py:392).
+Scale shape: the stride quantizer yields n/cent_every cells; the only
+shuffle is the groupBy(cell) exchange and no all-pairs join exists at
+any corpus size. Assignment is a narrow Arrow-batched map against the
+broadcast centroid matrix, identical in shape to IVFIndex._write_lists
+(ann_index.py:392). Cost model (r13): assignment is n x n_cells x dim
+and the per-cell pair stage n x occupancy x dim — they balance at
+occupancy = sqrt(n) (`cent_every="auto"`, auto_cent_every); and on
+DUPLICATE-DENSE corpora the pair OUTPUT itself turns quadratic inside
+cells, which `semantic_dedup_families` avoids by running local
+connected components in the kernel and emitting one star edge per
+matched member (O(n) edges at any dup density, identical families).
+Both measured in scripts/measure_semdedup.py and the measure_chain
+32x leg (SCALE.md r13).
 
 For corpora where n/cent_every centroids no longer fit the driver
 (billions of vectors), pass a persisted `IVFIndex` built with coarser

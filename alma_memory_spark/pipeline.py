@@ -116,6 +116,7 @@ from alma_memory_spark.operators.decontam import (
     fuzzy_contamination_report,
     fuzzy_contamination_report_from_bands,
     semantic_contamination_report,
+    with_fuzzy_contamination_flag,
 )
 from alma_memory_spark.operators.dedup_index import NearDupIndex
 from alma_memory_spark.operators.packing import (
@@ -155,6 +156,7 @@ __all__ = [
     "fuzzy_contamination_report",
     "fuzzy_contamination_report_from_bands",
     "semantic_contamination_report",
+    "with_fuzzy_contamination_flag",
     "dedup_paragraphs",
     "dedup_sentences",
     "dedup_token_windows",

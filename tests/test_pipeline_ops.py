@@ -1902,3 +1902,104 @@ def test_substring_dedup_xxhash64_matches_md5(spark):
         ).collect()
     }
     assert da == dx
+
+
+def test_fuzzy_contamination_flag_matches_report(spark):
+    """r13: the stream-safe per-row flag (pandas-UDF kernel, bench
+    buckets in the closure) must make the SAME decisions as
+    fuzzy_contamination_report for every doc — including under the
+    band cap, with unicode text, and on empty docs."""
+    import os as _os
+
+    from alma_memory_spark.operators.decontam import (
+        fuzzy_contamination_report,
+        with_fuzzy_contamination_flag,
+    )
+    from alma_memory_spark.session import load_table
+
+    sf = _os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 11 != 0)
+    bench = docs.filter(F.col("doc_id") % 11 == 0)
+
+    for cap in (8, None):
+        want = {
+            r["doc_id"]
+            for r in fuzzy_contamination_report(
+                train, bench, bench_band_cap=cap
+            ).collect()
+        }
+        got = {
+            r["doc_id"]
+            for r in with_fuzzy_contamination_flag(
+                train, bench, bench_band_cap=cap
+            )
+            .filter("is_contaminated")
+            .collect()
+        }
+        assert got == want, f"cap={cap}"
+        assert len(want) > 0 or cap == 8  # uncapped must find dups here
+
+    # hand-built edge cases: empty text, unicode, exact dup of bench
+    bench2 = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta"),
+         (101, "Ünïcode Tökens Überall gemischt mit ascii wörtern hier")],
+        "doc_id long, text string",
+    )
+    train2 = spark.createDataFrame(
+        [(1, "theta eta zeta epsilon delta gamma beta alpha"),  # shuffled dup
+         (2, ""),                                                # empty
+         (3, None),                                              # null
+         (4, "ünïcode tökens überall gemischt mit ascii wörtern hier"),
+         (5, "completely different words nothing shared at all")],
+        "doc_id long, text string",
+    )
+    want = {
+        r["doc_id"]
+        for r in fuzzy_contamination_report(train2, bench2).collect()
+    }
+    got = {
+        r["doc_id"]
+        for r in with_fuzzy_contamination_flag(train2, bench2)
+        .filter("is_contaminated")
+        .collect()
+    }
+    assert got == want
+    assert 1 in got and 5 not in got
+
+
+def test_fuzzy_contamination_flag_works_on_a_stream(spark, tmp_path):
+    """The flag is a stateless narrow map, so it must run unchanged on
+    a Structured Streaming frame (the batch report's join+aggregate
+    shape cannot)."""
+    from alma_memory_spark.operators.decontam import (
+        with_fuzzy_contamination_flag,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "feed")
+    spark.createDataFrame(
+        [(1, "theta eta zeta epsilon delta gamma beta alpha"),
+         (2, "completely different words nothing shared at all")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    flagged = with_fuzzy_contamination_flag(stream, bench)
+    assert flagged.isStreaming
+    q = (
+        flagged.filter(~F.col("is_contaminated"))
+        .writeStream.format("memory")
+        .queryName("decontam_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    rows = spark.sql("select doc_id from decontam_stream_test").collect()
+    assert sorted(r["doc_id"] for r in rows) == [2]
