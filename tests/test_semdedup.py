@@ -587,3 +587,50 @@ def test_semantic_dedup_families_matches_pairs_path(spark):
         semantic_dedup_families(chain, threshold=0.995, cent_every=30)
     )
     assert got == want and len(got) > 0
+
+
+def test_semantic_dedup_families_randomized_vs_pairs(spark):
+    """r13 property pin for the hand-rolled in-kernel local CC
+    (min-label propagation with path halving): across seeded random
+    corpora of varying density/threshold — including near-degenerate
+    all-similar and all-distinct regimes — families must equal the
+    pairs->global-CC composition exactly."""
+    import numpy as np
+
+    from alma_memory_spark.operators.semdedup import (
+        semantic_dedup_families,
+        semantic_dedup_groups,
+        semantic_dedup_pairs,
+    )
+
+    def fam_rows(df):
+        return sorted(
+            (r["doc_id"], r["group_id"], r["is_canonical"])
+            for r in df.collect()
+        )
+
+    for seed, n, dim, scale, thr, ce in [
+        (11, 180, 4, 0.6, 0.9, 20),     # low-dim, dense collisions
+        (12, 240, 6, 0.05, 0.999, 35),  # tight clusters
+        (13, 150, 8, 1.0, 0.2, 25),     # nearly-everything-similar
+        (14, 200, 8, 2.0, 0.98, 60),    # nearly-nothing-similar
+    ]:
+        rng = np.random.default_rng(seed)
+        n_anchor = max(3, n // 40)
+        anchors = rng.normal(size=(n_anchor, dim))
+        base = anchors[rng.integers(0, n_anchor, size=n)]
+        V = base + rng.normal(scale=scale, size=(n, dim))
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+        emb = spark.createDataFrame(
+            [(int(i), [float(x) for x in V[i]]) for i in range(n)],
+            "vec_id long, embedding array<double>",
+        )
+        want = fam_rows(
+            semantic_dedup_groups(
+                semantic_dedup_pairs(emb, threshold=thr, cent_every=ce)
+            )
+        )
+        got = fam_rows(
+            semantic_dedup_families(emb, threshold=thr, cent_every=ce)
+        )
+        assert got == want, f"seed={seed}"
