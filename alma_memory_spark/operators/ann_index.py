@@ -1144,6 +1144,13 @@ class IVFIndex:
         )
 
         probed, qn = self.probe_cells(query_vec, nprobe)
+        if not probed:
+            # a quantizer with zero cells cannot serve candidates; an
+            # empty IN () would not parse — emit a valid empty relation
+            return (
+                f"(SELECT CAST(NULL AS {self.id_type}) AS `id`, "
+                "CAST(NULL AS DOUBLE) AS `similarity` WHERE FALSE)"
+            )
         lists_view = self._sql_lists_view()
         tomb_view = self._sql_tombstones_view()
 
