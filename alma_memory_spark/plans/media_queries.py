@@ -21,6 +21,10 @@ from alma_memory_spark.plans.text_queries import TFIDF_SEARCH_SQL
 
 _HEXVAL = "(strpos('0123456789abcdef', {c}) - 1)"
 
+#: 4x3 binary-PPM header, hex-encoded — shared by the Spark payload
+#: builder and the oracle's unhex replay (the 'real:' gate rows)
+_P6_HDR_HEX = b"P6\n4 3\n255\n".hex()
+
 
 def _sha_byte(i: int) -> str:
     """SQL for byte i of sha256(text) as an integer (two hex chars)."""
@@ -52,6 +56,31 @@ def _sha_byte(i: int) -> str:
              AS n_frames,
            CAST(least(10, octet_length(encode(text))) AS INT) AS frame0_len
     FROM documents
+    UNION ALL
+    -- 'real:' rows (r13): the REAL pure-numpy P6 decoder under the
+    -- oracle. The payload is a 4x3 P6 whose 12 identical pixels derive
+    -- from doc_id; the oracle replays the hex construction for the
+    -- checksum (DuckDB sha256 is VARCHAR-only) and computes the
+    -- Rec.601 luma analytically — so the gate hash-proves the decoder
+    -- exactly inverts the encoder (header tokenizer, pixel parse,
+    -- luma math).
+    SELECT 'real:' || CAST(doc_id AS VARCHAR) AS media_id,
+           'image/x-portable-pixmap' AS mime,
+           4 AS width,
+           3 AS height,
+           round((0.299 * (doc_id % 256) + 0.587 * ((doc_id * 7) % 256)
+                  + 0.114 * ((doc_id * 13) % 256)) / 255.0, 6) AS mean_luma,
+           sha256('{_P6_HDR_HEX}'
+                  || repeat(printf('%02x%02x%02x',
+                                   doc_id % 256,
+                                   (doc_id * 7) % 256,
+                                   (doc_id * 13) % 256), 12)) AS payload_sha256,
+           round(1.0, 6) AS scale,
+           4 AS target_w,
+           3 AS target_h,
+           CAST(4 AS BIGINT) AS n_frames,
+           10 AS frame0_len
+    FROM documents
     """,
 )
 def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -62,7 +91,9 @@ def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     width/height/luma/sha256, then resize_stage computes the scale plan
     as pure column math. The oracle reproduces the codec's sha256-derived
     dims in SQL, hash-checking the batching plumbing and schema, which
-    previously had only unit tests."""
+    previously had only unit tests. The 'real:' rows (r13) run the
+    REAL P6 decoder over synthesized payloads — see the inline note
+    below."""
     from alma_memory_spark.operators.multimodal import (
         decode_image_features,
         resize_stage,
@@ -92,7 +123,7 @@ def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("frame0_len"),
         )
     )
-    return feats.join(frames, "media_id").select(
+    out_cols = [
         "media_id",
         "mime",
         "width",
@@ -104,7 +135,61 @@ def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "target_h",
         "n_frames",
         "frame0_len",
+    ]
+    fake_rows = feats.join(frames, "media_id").select(*out_cols)
+
+    # 'real:' rows (r13) — the REAL pure-numpy P6 decoder
+    # (decode_image_features(fake=False)) over payloads SYNTHESIZED as
+    # column math: a 4x3 P6 whose 12 identical pixels derive from
+    # doc_id (unhex of header-hex + repeated printf pixel hex). The
+    # oracle derives the luma ANALYTICALLY from the pixel rule and
+    # replays the hex construction for the checksum (DuckDB's sha256
+    # is VARCHAR-only, so the checksum pins the HEX form; the binary
+    # payload itself is pinned by dims + luma + frame lengths). The
+    # gate therefore hash-proves decode(encode(pixels)) == pixels
+    # through header tokenizer, binary parse, and Rec.601 luma.
+    px_hex = F.concat(
+        F.format_string("%02x", F.pmod(F.col("doc_id"), F.lit(256))),
+        F.format_string("%02x", F.pmod(F.col("doc_id") * 7, F.lit(256))),
+        F.format_string("%02x", F.pmod(F.col("doc_id") * 13, F.lit(256))),
     )
+    from alma_memory_spark.plans.media_queries import _P6_HDR_HEX as _HH
+
+    media_real = docs.select(
+        F.concat(F.lit("real:"), F.col("doc_id").cast("string")).alias(
+            "media_id"
+        ),
+        F.lit("image/x-portable-pixmap").alias("mime"),
+        F.unhex(F.concat(F.lit(_HH), F.repeat(px_hex, 12))).alias("payload"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+    feats_real = resize_stage(
+        decode_image_features(media_real, fake=False).drop("codec")
+    )
+    frames_real = (
+        sample_frames(media_real, every_n=10, max_frames=4)
+        .groupBy("media_id")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.max(
+                F.when(F.col("frame_idx") == 0, F.octet_length("frame_payload"))
+            ).alias("frame0_len"),
+        )
+    )
+    hex_full = F.concat(F.lit(_HH), F.repeat(px_hex, 12))
+    hex_sha = docs.select(
+        F.concat(F.lit("real:"), F.col("doc_id").cast("string")).alias(
+            "media_id"
+        ),
+        F.sha2(hex_full, 256).alias("_hex_sha"),
+    )
+    real_rows = (
+        feats_real.join(frames_real, "media_id")
+        .join(hex_sha, "media_id")
+        .withColumn("payload_sha256", F.col("_hex_sha"))
+        .select(*out_cols)
+    )
+    return fake_rows.unionByName(real_rows)
 
 
 @register(
