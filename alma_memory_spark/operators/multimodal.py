@@ -438,3 +438,18 @@ def media_stats(features: DataFrame) -> DataFrame:
         F.max("width").alias("max_w"),
         F.avg("mean_luma").alias("avg_luma"),
     )
+
+
+def audio_stats(features: DataFrame) -> DataFrame:
+    """Corpus-level audio stats over decode_audio_features output
+    (r13): per (mime, codec) counts, decodable share, total/mean
+    duration, and the sample-rate range — the observability read
+    before filtering an audio corpus (e.g. drop non-decodable rows,
+    cap durations)."""
+    return features.groupBy("mime", "codec").agg(
+        F.count("*").alias("n"),
+        F.sum(F.coalesce("duration_s", F.lit(0.0))).alias("total_duration_s"),
+        F.avg("duration_s").alias("avg_duration_s"),
+        F.min("sample_rate").alias("min_rate"),
+        F.max("sample_rate").alias("max_rate"),
+    )

@@ -1089,3 +1089,84 @@ def test_index_vectors_rejects_bad_pq_m(spark, tmp_path):
     assert eng.index_vectors("domain_knowledge", cent_every=5, pq_m=4)[
         "indexed"
     ]
+
+
+def test_media_decoders_never_raise_on_garbage():
+    """r13 robustness pin: the pure binary parsers run on UNTRUSTED
+    payloads at corpus scale — any malformed input must come back None
+    (image) / unsupported (audio-feature tuple path is
+    exception-guarded in the kernel), never raise. Fuzz: random bytes,
+    every truncation of a valid payload, and header-corrupted
+    variants."""
+    import random
+
+    from alma_memory_spark.operators.multimodal import (
+        decode_bmp,
+        decode_ppm,
+    )
+
+    rng = random.Random(7)
+    px = [(255, 0, 0)] * 6
+    valid_ppm = _ppm_bytes(3, 2, px)
+    valid_bmp = _bmp_bytes(3, 2, px)
+    assert decode_ppm(valid_ppm) is not None
+    assert decode_bmp(valid_bmp) is not None
+
+    cases = [b"", b"P6", b"BM", b"P6\n-1 2\n255\n", b"P6\n2 2\n70000\n"]
+    cases += [bytes(rng.randrange(256) for _ in range(n)) for n in (1, 13, 64, 300)]
+    cases += [valid_ppm[:i] for i in range(len(valid_ppm))]
+    cases += [valid_bmp[:i] for i in range(len(valid_bmp))]
+    # single-byte corruptions of the headers
+    for i in range(min(20, len(valid_ppm))):
+        b = bytearray(valid_ppm)
+        b[i] ^= 0xFF
+        cases.append(bytes(b))
+    for i in range(min(54, len(valid_bmp))):
+        b = bytearray(valid_bmp)
+        b[i] ^= 0xFF
+        cases.append(bytes(b))
+    for payload in cases:
+        r = decode_ppm(payload)  # must not raise
+        assert r is None or r.shape[2] == 3
+        r = decode_bmp(payload)
+        assert r is None or r.shape[2] == 3
+
+
+def test_audio_stats(spark):
+    """Per-(mime, codec) corpus aggregation over real audio features."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    from alma_memory_spark.operators.multimodal import (
+        audio_stats,
+        decode_audio_features,
+    )
+
+    def wav(rate, frames):
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(np.zeros(frames, dtype="<i2").tobytes())
+        return buf.getvalue()
+
+    media = spark.createDataFrame(
+        [
+            ("a", "audio/wav", wav(8000, 8000), {}),   # 1.0 s
+            ("b", "audio/wav", wav(16000, 8000), {}),  # 0.5 s
+            ("c", "audio/wav", b"not a wav", {}),
+        ],
+        "media_id string, mime string, payload binary, meta map<string,string>",
+    )
+    stats = {
+        (r["mime"], r["codec"]): r
+        for r in audio_stats(decode_audio_features(media)).collect()
+    }
+    ok = stats[("audio/wav", "wav")]
+    assert ok["n"] == 2
+    assert abs(ok["total_duration_s"] - 1.5) < 1e-9
+    assert (ok["min_rate"], ok["max_rate"]) == (8000, 16000)
+    assert stats[("audio/wav", "unsupported")]["n"] == 1
