@@ -943,8 +943,15 @@ class IVFIndex:
     def _jvm_sim(qvec_lit) -> "F.Column":
         """round(dot(embedding, qn) / max(|embedding|, 1e-300), 6) as a
         pure column expression — the JVM scoring kernel (r13, VERDICT
-        r12 #4). Value-identical to the Arrow/numpy kernel at the 6dp
-        contract (the numpy kernel stays as the test oracle)."""
+        r12 #4). Parity with the Arrow/numpy kernel at the 6dp round
+        is EMPIRICAL, not guaranteed (ADVICE r13 #3): this kernel is a
+        sequential left-to-right double fold rounded by Spark's
+        BigDecimal HALF_UP, while numpy uses pairwise/BLAS summation
+        rounded half-to-even — a dot product landing within one ulp of
+        a 6dp rounding boundary can flip the last digit and hence a
+        top-k tiebreak. Contract tests pin identity on the test
+        corpora (test_ann_kernel_identity); callers needing strict
+        bit-identity across kernels must pin ONE kernel."""
         from alma_memory_spark.functions.vector import dot_product, l2_norm
 
         return F.round(
@@ -980,8 +987,10 @@ class IVFIndex:
         per ROW, so prefer it when a single probe must scan very large
         candidate sets (≳10^5 rows: huge per-cell occupancy, or
         nprobe ~ n_cells); pruned index reads are occupancy-bounded,
-        so 'jvm' wins for serving. Both kernels are contract-tested
-        value-identical at the 6dp rounding.
+        so 'jvm' wins for serving. Cross-kernel parity at the 6dp
+        rounding is EMPIRICAL — contract-tested on these corpora, not
+        guaranteed (see _jvm_sim: fold order and rounding mode differ);
+        pin one kernel where strict bit-identity is a contract.
 
         Staleness guards, both applied BEFORE the top-k cut:
         - persisted tombstones (forget()) are anti-joined out, so a
@@ -1008,15 +1017,32 @@ class IVFIndex:
             # JVM-side in ~10-25 ms. Identical plan and results
             # (contract-tested vs both other forms). live_ids is a
             # DataFrame — that shape keeps the Column path below.
-            sub = self.search_sql_subquery(
-                query_vec, k=k, nprobe=nprobe, filters=filters
+            # Parser-mode guard (ADVICE r13 #1): string filter values
+            # in the SQL text are escaped for the DEFAULT parser mode;
+            # under spark.sql.parser.escapedStringLiterals=true a
+            # backslash-carrying value would silently mis-match, so the
+            # probe drops to the Column-expression jvm kernel below —
+            # plan literals, parser-mode safe, value-identical.
+            from alma_memory_spark.operators.serving_sql import (
+                ServingSQLUnsupported,
+                check_parser_mode,
             )
-            # the subquery already orders + limits; re-sorting the tiny
-            # k-row result keeps the ordering a DataFrame-API contract
-            # rather than relying on subquery-order preservation
-            return self.spark.sql(f"SELECT * FROM {sub} AS c").orderBy(
-                F.desc("similarity"), F.asc("id")
-            )
+
+            try:
+                check_parser_mode(self.spark)
+            except ServingSQLUnsupported:
+                pass
+            else:
+                sub = self.search_sql_subquery(
+                    query_vec, k=k, nprobe=nprobe, filters=filters
+                )
+                # the subquery already orders + limits; re-sorting the
+                # tiny k-row result keeps the ordering a DataFrame-API
+                # contract rather than relying on subquery-order
+                # preservation
+                return self.spark.sql(f"SELECT * FROM {sub} AS c").orderBy(
+                    F.desc("similarity"), F.asc("id")
+                )
         probed, qn = self.probe_cells(query_vec, nprobe)
         pruned = self._guarded_lists(probed, filters, live_ids)
         if kernel == "jvm":
@@ -1137,11 +1163,31 @@ class IVFIndex:
         (same casts, same fold order, same 6dp round; pinned by
         test_sql_subquery_matches_search). Scope filters must name
         indexed extra_cols, as in search(). live_ids is not supported
-        here (serving uses indexed scope filters instead)."""
+        here (serving uses indexed scope filters instead).
+
+        Raises ServingSQLUnsupported when a STRING filter value would
+        be emitted under spark.sql.parser.escapedStringLiterals=true
+        (ADVICE r13 #1): string_literal's backslash doubling is wrong
+        under the legacy parser mode, so the caller must take a
+        plan-literal path instead (search() does this automatically;
+        the engine's compile sites already catch and fall back)."""
         from alma_memory_spark.operators.serving_sql import (
+            check_parser_mode,
             double_literal,
             string_literal,
         )
+
+        if any(
+            isinstance(v, str)
+            or (
+                isinstance(v, (list, tuple, set, frozenset))
+                and any(isinstance(x, str) for x in v)
+            )
+            for v in (filters or {}).values()
+        ):
+            # only string literals depend on the parser mode; numeric
+            # probes skip the conf read on the serving hot path
+            check_parser_mode(self.spark)
 
         probed, qn = self.probe_cells(query_vec, nprobe)
         if not probed:
@@ -1244,8 +1290,9 @@ class IVFIndex:
         the hop). 'jvm' broadcast-joins the tiny exploded (qid, cell,
         qvec) probe table on cell and scores pairs with the
         column-expression kernel — pure-JVM job, useful when Python
-        workers are unavailable or the batch is tiny. Value-identical
-        at the 6dp contract either way."""
+        workers are unavailable or the batch is tiny. Cross-kernel
+        parity at the 6dp round is empirical (see _jvm_sim), pinned by
+        contract tests on these corpora rather than guaranteed."""
         import numpy as np
         import pandas as pd
         from pyspark.sql.window import Window as W

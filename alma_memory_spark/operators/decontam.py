@@ -163,6 +163,7 @@ def fuzzy_bands_from_signature(
     sig_col: str = "sig",
     bands: int = 2,
     rows: int = 4,
+    k: int | None = None,
 ) -> DataFrame:
     """(id_col, ts, band_idx, band_key) from a frame that ALREADY
     carries the distinct-token array and its MinHash signature — the
@@ -171,17 +172,51 @@ def fuzzy_bands_from_signature(
     tokenize->hash->minhash pass and bands it here for every consumer,
     instead of each stage re-deriving the signature from raw text.
     Band keys are identical to _fuzzy_band_frame's (same md5 fold over
-    the same signature slices)."""
+    the same signature slices).
+
+    Guard (ADVICE r13 #4): a signature ARRAY shorter than bands*rows
+    yields out-of-bounds NULL sig slots that concat_ws silently skips
+    — degenerate shared band keys and spurious candidates, the exact
+    failure the sibling entry points' bands*rows<=k check prevents.
+    Pass `k` (the signature length) for the same eager ValueError;
+    with or without it, the band-key expression raises at RUNTIME on
+    any row whose signature array has size < bands*rows. (The check is
+    on ARRAY SIZE, not slot nullness: a full-length signature with
+    NULL slots is legitimate — empty-token docs minhash to all-NULL —
+    and bands identically to before.)"""
+    if k is not None and bands * rows > k:
+        raise ValueError(
+            f"bands*rows must be <= k (got bands={bands} rows={rows} k={k})"
+        )
     sig = F.col(sig_col)
+    need = bands * rows
+    short_err = F.raise_error(
+        F.concat(
+            F.lit(
+                "fuzzy_bands_from_signature: signature has fewer than "
+                f"bands*rows={need} slots (size "
+            ),
+            F.size(sig).cast("string"),
+            F.lit(")"),
+        )
+    )
     band_structs = [
         F.struct(
             F.lit(b).alias("band_idx"),
-            F.md5(
-                F.concat_ws(
-                    "_",
-                    *[sig[b * rows + r].cast("string") for r in range(rows)],
-                )
-            ).alias("band_key"),
+            F.when(
+                F.size(sig) >= F.lit(need),
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        *[
+                            sig[b * rows + r].cast("string")
+                            for r in range(rows)
+                        ],
+                    )
+                ),
+            )
+            .otherwise(short_err)
+            .alias("band_key"),
         )
         for b in range(bands)
     ]
@@ -209,7 +244,9 @@ def _fuzzy_band_frame(
         .withColumn("hs", F.transform("ts", hash32))
         .withColumn("sig", minhash_signature(F.col("hs"), k, hashed=True))
     )
-    return fuzzy_bands_from_signature(toked, out_id, "ts", "sig", bands, rows)
+    return fuzzy_bands_from_signature(
+        toked, out_id, "ts", "sig", bands, rows, k=k
+    )
 
 
 def fuzzy_band_saturation(
@@ -252,6 +289,7 @@ def fuzzy_contamination_report(
     rows: int = 4,
     verify_t: float = 0.8,
     bench_band_cap: int | None = DEFAULT_BENCH_BAND_CAP,
+    warn_dropped: bool = True,
 ) -> DataFrame:
     """FUZZY decontamination (r12): (doc_id, n_bench_matches,
     max_jaccard_u) for every training doc whose DISTINCT-TOKEN set is
@@ -267,7 +305,10 @@ def fuzzy_contamination_report(
     form quadratic on collision-dense corpora); pass None to opt out.
     Recall trade as with NearDupIndex.band_cap: a pair whose ONLY
     shared band sits in an over-cap bucket is missed —
-    fuzzy_band_saturation() reports exactly the skipped buckets.
+    fuzzy_band_saturation() reports exactly the skipped buckets, and
+    `warn_dropped` (default True, ADVICE r13 #2) raises a UserWarning
+    whenever the cap actually drops a bucket, at the cost of one eager
+    aggregate over the (eval-set-sized) bench side.
 
     The open-data complement to the exact n-gram stage
     (contamination_report): paraphrased or lightly-edited benchmark
@@ -303,6 +344,7 @@ def fuzzy_contamination_report(
         id_col=id_col,
         verify_t=verify_t,
         bench_band_cap=bench_band_cap,
+        warn_dropped=warn_dropped,
     )
 
 
@@ -312,6 +354,7 @@ def fuzzy_contamination_report_from_bands(
     id_col: str = "doc_id",
     verify_t: float = 0.8,
     bench_band_cap: int | None = DEFAULT_BENCH_BAND_CAP,
+    warn_dropped: bool = True,
 ) -> DataFrame:
     """The join+verify half of fuzzy_contamination_report over
     PRE-BANDED frames — columns (<id_col>, ts, band_idx, band_key),
@@ -336,16 +379,36 @@ def fuzzy_contamination_report_from_bands(
     if bench_band_cap is not None:
         from pyspark.sql.window import Window as _W
 
-        bb = (
-            bb.withColumn(
-                "_bn",
-                F.count(F.lit(1)).over(
-                    _W.partitionBy("band_idx", "band_key")
-                ),
-            )
-            .filter(F.col("_bn") <= bench_band_cap)
-            .drop("_bn")
+        bb = bb.withColumn(
+            "_bn",
+            F.count(F.lit(1)).over(_W.partitionBy("band_idx", "band_key")),
         )
+        if warn_dropped:
+            # default-on cap + silent recall loss is the ADVICE r13 #2
+            # hazard: tell default-mode callers when the report is no
+            # longer exhaustive. One eager aggregate over the BENCH
+            # side only (eval-set-sized by definition — the same data
+            # that broadcasts next); pass warn_dropped=False to keep
+            # plan construction fully lazy.
+            import warnings
+
+            n_over = (
+                bb.filter(F.col("_bn") > bench_band_cap)
+                .select("band_idx", "band_key")
+                .distinct()
+                .count()
+            )
+            if n_over:
+                warnings.warn(
+                    f"fuzzy contamination report: {n_over} bench band "
+                    f"bucket(s) exceed bench_band_cap={bench_band_cap} "
+                    "and are skipped — the report is not exhaustive. "
+                    "Inspect them with fuzzy_band_saturation(); pass "
+                    "bench_band_cap=None for the exhaustive (skew-"
+                    "exposed) form or warn_dropped=False to silence.",
+                    stacklevel=2,
+                )
+        bb = bb.filter(F.col("_bn") <= bench_band_cap).drop("_bn")
     cand = (
         tb.join(F.broadcast(bb), ["band_idx", "band_key"])
         .select("_tid", "ts", "_bid", "bts")
@@ -444,22 +507,29 @@ def with_fuzzy_contamination_flag(
     # bench side: capped band buckets -> {(band_idx, band_key):
     # [(bid, frozenset(tokens))]}, collected once (eval-set-sized)
     bb = _fuzzy_band_frame(bench, bench_id_col, text_col, "_bid", k, bands, rows)
-    if bench_band_cap is not None:
-        from pyspark.sql.window import Window as _W
-
-        bb = (
-            bb.withColumn(
-                "_bn",
-                F.count(F.lit(1)).over(_W.partitionBy("band_idx", "band_key")),
-            )
-            .filter(F.col("_bn") <= bench_band_cap)
-            .drop("_bn")
-        )
     buckets: dict = {}
     for r in bb.collect():
         buckets.setdefault((r["band_idx"], r["band_key"]), []).append(
             (r["_bid"], frozenset(r["ts"]))
         )
+    if bench_band_cap is not None:
+        # cap applied driver-side over the already-collected buckets
+        # (cheaper than the former Spark window — no shuffle at all),
+        # which also makes the dropped-bucket warning free
+        # (ADVICE r13 #2): decision-identical to filtering _bn <= cap.
+        over = [kk for kk, v in buckets.items() if len(v) > bench_band_cap]
+        if over:
+            import warnings
+
+            warnings.warn(
+                f"with_fuzzy_contamination_flag: {len(over)} bench band "
+                f"bucket(s) exceed bench_band_cap={bench_band_cap} and "
+                "are skipped — the flag is not exhaustive (see "
+                "fuzzy_band_saturation; bench_band_cap=None opts out).",
+                stacklevel=2,
+            )
+            for kk in over:
+                del buckets[kk]
 
     ws_re = re.compile(WS_RE)
     a_s, b_s, p = list(MINHASH_A[:k]), list(MINHASH_B[:k]), MINHASH_PRIME

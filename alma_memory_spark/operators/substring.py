@@ -107,6 +107,18 @@ def _norm_toks(units: F.Column) -> F.Column:
 #: depends only on fp-group membership, which any collision-free hash
 #: preserves). DuckDB has no Spark-compatible xxhash64, so oracle
 #: gates pin 'md5'.
+#:
+#: Collision bound (ADVICE r13 #5) — a 64-bit fp collision is NOT
+#: benign here: two DISTINCT windows sharing an fp form a spurious
+#: duplicate group, and dedup_token_windows/decontaminate_spans would
+#: excise a unique span. Expected colliding window PAIRS over n
+#: distinct windows ~ n^2 / 2^65 (birthday): negligible below
+#: n ~ 10^8 (~3e-4 expected), ~0.03 at n=10^9, ~3 at n=10^10, ~300 at
+#: n=10^11 (a 100 TB corpus at ~1 window/token sits near 10^13:
+#: ~10^7 expected spurious excisions). Operators at that scale should
+#: keep 'md5' (128-bit: n^2/2^129, zero for any physical corpus) or
+#: shard the dedup so per-shard n stays <= ~10^9; 'xxhash64' is the
+#: right trade only while n^2/2^65 is acceptable span loss.
 _FP_FNS = {"md5": F.md5, "xxhash64": F.xxhash64}
 
 

@@ -792,3 +792,60 @@ def test_sql_subquery_matches_search(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not indexed"):
         idx.search_sql_subquery(QUERY_VEC, filters={"nope": 1})
+
+
+def test_search_jvm_parser_mode_safe_fallback(spark, tmp_path):
+    """ADVICE r13 #1: search(kernel='jvm') routes through SQL TEXT by
+    default, but string filter literals are escaped for the DEFAULT
+    parser mode only. Under spark.sql.parser.escapedStringLiterals=true
+    the probe must drop to the Column-expression kernel (plan literals)
+    and keep returning the RIGHT rows — pinned with a backslash-
+    carrying scope value, the exact case the text form would silently
+    mis-match."""
+    import pytest as _pytest
+
+    from alma_memory_spark.operators.serving_sql import ServingSQLUnsupported
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(300)
+    docs = emb.selectExpr(
+        "vec_id",
+        "embedding",
+        r"concat('ag\\', vec_id % 2) AS agent",  # values 'ag\0' / 'ag\1'
+    )
+    path = str(tmp_path / "ivf_parser")
+    idx = IVFIndex.build(
+        spark, docs, path, cent_every=25, extra_cols=["agent"]
+    )
+    flt = {"agent": "ag\\1"}
+    want = [
+        (r["id"], r["similarity"])
+        for r in idx.search(QUERY_VEC, k=8, nprobe=4, filters=flt).collect()
+    ]
+    assert want, "default mode must serve the backslash-scoped rows"
+
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try:
+        # the subquery form refuses outright (string literal present)
+        with _pytest.raises(ServingSQLUnsupported):
+            idx.search_sql_subquery(QUERY_VEC, k=8, nprobe=4, filters=flt)
+        # search() silently takes the Column kernel: identical results
+        got = [
+            (r["id"], r["similarity"])
+            for r in idx.search(
+                QUERY_VEC, k=8, nprobe=4, filters=flt
+            ).collect()
+        ]
+        assert got == want
+        # filterless probes carry no string literal — still served
+        # (via either path), same rows as default mode
+        base_legacy = [
+            (r["id"], r["similarity"])
+            for r in idx.search(QUERY_VEC, k=8, nprobe=4).collect()
+        ]
+    finally:
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", "false")
+    base_default = [
+        (r["id"], r["similarity"])
+        for r in idx.search(QUERY_VEC, k=8, nprobe=4).collect()
+    ]
+    assert base_legacy == base_default

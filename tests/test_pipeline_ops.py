@@ -2003,3 +2003,84 @@ def test_fuzzy_contamination_flag_works_on_a_stream(spark, tmp_path):
         q.stop()
     rows = spark.sql("select doc_id from decontam_stream_test").collect()
     assert sorted(r["doc_id"] for r in rows) == [2]
+
+
+def test_fuzzy_bands_from_signature_guards_short_signature(spark):
+    """ADVICE r13 #4: the share-the-signature entry now enforces the
+    bands*rows<=k guard its siblings have — eagerly via the optional
+    `k` param, and at RUNTIME (raise, not silent truncation) when a
+    row's signature array is shorter than bands*rows. Full-length
+    signatures with NULL slots (empty-token docs) stay legitimate."""
+    import pytest as _pytest
+
+    from alma_memory_spark.operators.decontam import (
+        fuzzy_bands_from_signature,
+    )
+
+    with _pytest.raises(ValueError, match="bands\\*rows"):
+        fuzzy_bands_from_signature(
+            spark.range(1).selectExpr(
+                "id AS doc_id", "array('a') AS ts", "array(1L) AS sig"
+            ),
+            "doc_id",
+            bands=3,
+            rows=4,
+            k=8,
+        )
+
+    # runtime guard: sig has 3 slots, bands*rows needs 8
+    short = spark.createDataFrame(
+        [(1, ["a"], [1, 2, 3])],
+        "doc_id long, ts array<string>, sig array<long>",
+    )
+    bad = fuzzy_bands_from_signature(short, "doc_id", bands=2, rows=4)
+    with _pytest.raises(Exception, match="fewer than bands\\*rows"):
+        bad.collect()
+
+    # full-length all-NULL signature (empty-token doc) must still band
+    nulls = spark.sql(
+        "SELECT 2L AS doc_id, array() AS ts, "
+        "array_repeat(CAST(NULL AS LONG), 8) AS sig"
+    )
+    rows = fuzzy_bands_from_signature(nulls, "doc_id", bands=2, rows=4).collect()
+    assert len(rows) == 2 and all(r["band_key"] is not None for r in rows)
+
+
+def test_fuzzy_band_cap_warns_when_buckets_dropped(spark):
+    """ADVICE r13 #2: the default-on bench_band_cap silently traded
+    recall; now both the report and the stream-safe flag warn when the
+    cap ACTUALLY drops a bucket, and stay silent when nothing is
+    dropped (or when warn_dropped=False opts out)."""
+    import warnings as _warnings
+
+    import pytest as _pytest
+
+    from alma_memory_spark.operators.decontam import (
+        fuzzy_contamination_report,
+        with_fuzzy_contamination_flag,
+    )
+
+    # 12 identical bench docs -> one band bucket of 12 > cap 8
+    bench = spark.range(12).selectExpr(
+        "id AS doc_id", "'alpha beta gamma delta shared' AS text"
+    )
+    train = spark.range(3).selectExpr(
+        "id AS doc_id", "'alpha beta gamma delta shared' AS text"
+    )
+    with _pytest.warns(UserWarning, match="not exhaustive"):
+        fuzzy_contamination_report(train, bench).collect()
+    with _pytest.warns(UserWarning, match="not exhaustive"):
+        with_fuzzy_contamination_flag(train, bench).collect()
+
+    # opt-outs and the nothing-dropped case stay silent
+    varied = spark.range(12).selectExpr(
+        "id AS doc_id",
+        "concat('doc word', id, ' unique tokens ', id * 7) AS text",
+    )
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        fuzzy_contamination_report(
+            train, bench, warn_dropped=False
+        ).collect()
+        fuzzy_contamination_report(train, varied).collect()
+        with_fuzzy_contamination_flag(train, varied).collect()
