@@ -58,18 +58,30 @@ __all__ = [
 def load_merge_ranks(path: str = DEFAULT_MERGES) -> dict:
     """{(sym_a, sym_b): rank} from a merges.txt-format file (Ġ = space)."""
     ranks: dict = {}
-    with open(path, encoding="utf-8") as f:
-        for line in f:
-            line = line.rstrip("\n")
-            # only the '#version' header line is a comment in GPT-2
-            # merges.txt — merge pairs whose first symbol is '#' are
-            # legitimate and must not be dropped (ADVICE r8 #4); a
-            # line that doesn't split into exactly two symbols is
-            # likewise structural, not a merge
-            if line.startswith("#version") or len(line.split(" ")) != 2:
-                continue
-            a, b = line.split(" ")
-            ranks[(a.replace("Ġ", " "), b.replace("Ġ", " "))] = len(ranks)
+    if path == DEFAULT_MERGES and not os.path.isfile(path):
+        # zip-shipped package on an executor (addPyFile): the default
+        # path points inside the zip, where open() fails — read via
+        # the import system instead (r14 inherited-state fix, the
+        # text.py _resource_lines precedent)
+        from alma_memory_spark.functions.text import _resource_lines
+
+        lines = _resource_lines("bpe_merges.txt")
+        if lines is None:
+            raise FileNotFoundError(path)
+    else:
+        with open(path, encoding="utf-8") as f:
+            lines = f.read().splitlines()
+    for line in lines:
+        line = line.rstrip("\n")
+        # only the '#version' header line is a comment in GPT-2
+        # merges.txt — merge pairs whose first symbol is '#' are
+        # legitimate and must not be dropped (ADVICE r8 #4); a
+        # line that doesn't split into exactly two symbols is
+        # likewise structural, not a merge
+        if line.startswith("#version") or len(line.split(" ")) != 2:
+            continue
+        a, b = line.split(" ")
+        ranks[(a.replace("Ġ", " "), b.replace("Ġ", " "))] = len(ranks)
     return ranks
 
 

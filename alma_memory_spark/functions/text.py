@@ -735,6 +735,27 @@ URL_BLOCKLIST = ("spam.example", "ads.invalid", "tracker.test", "bad.co.uk")
 _PSL_LASTK_CAP = 8
 
 
+def _resource_lines(name: str) -> list | None:
+    """Lines of resources/<name>, or None when absent.
+
+    Executors import this module from the `addPyFile` package ZIP when
+    the driver runs outside the repo (session.ensure_package_shipped);
+    a plain filesystem open() of a path inside that zip raises
+    NotADirectoryError and kills every Python worker at import time
+    (r14 inherited-state fix). importlib.resources resolves through
+    the active loader, so the same call works from a directory install
+    and from the zipimport path."""
+    import importlib.resources as _ir
+
+    try:
+        trav = _ir.files("alma_memory_spark").joinpath("resources", name)
+        if not trav.is_file():
+            return None
+        return trav.read_text(encoding="utf-8").splitlines()
+    except (FileNotFoundError, ModuleNotFoundError, OSError):
+        return None
+
+
 def _load_psl_rules() -> dict:
     """Parse the committed PSL file into its three rule classes
     (publicsuffix.org list format), grouped by label count:
@@ -758,32 +779,33 @@ def _load_psl_rules() -> dict:
     xn-- form matches only rules spelled that way, as in the dat's
     punycode entries). The r11 curated snapshot remains as the
     fallback when the full dat is absent."""
-    import os
     from collections import defaultdict
 
-    res = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "resources",
-    )
-    path = os.path.join(res, "public_suffix_list.dat")
-    if not os.path.isfile(path):
-        path = os.path.join(res, "public_suffix_snapshot.txt")
+    path = "public_suffix_list.dat"
+    lines = _resource_lines(path)
+    if lines is None:
+        path = "public_suffix_snapshot.txt"
+        lines = _resource_lines(path)
+    if lines is None:
+        raise FileNotFoundError(
+            "alma_memory_spark/resources: no PSL rule file "
+            "(public_suffix_list.dat or public_suffix_snapshot.txt)"
+        )
     exact: dict[int, set] = defaultdict(set)
     wild: dict[int, set] = defaultdict(set)
     exc: dict[int, set] = defaultdict(set)
-    with open(path, encoding="utf-8") as fh:
-        for ln in fh:
-            rule = ln.strip()
-            if not rule or rule.startswith("//"):
-                continue
-            if rule.startswith("!"):
-                base = rule[1:]
-                exc[base.count(".") + 1].add(base)
-            elif rule.startswith("*."):
-                base = rule[2:]
-                wild[base.count(".") + 1].add(base)
-            else:
-                exact[rule.count(".") + 1].add(rule)
+    for ln in lines:
+        rule = ln.strip()
+        if not rule or rule.startswith("//"):
+            continue
+        if rule.startswith("!"):
+            base = rule[1:]
+            exc[base.count(".") + 1].add(base)
+        elif rule.startswith("*."):
+            base = rule[2:]
+            wild[base.count(".") + 1].add(base)
+        else:
+            exact[rule.count(".") + 1].add(rule)
     need_k = max(
         [2]
         + [k for k in exc]  # exc k matches lastK[k], domain = lastK[k]

@@ -64,6 +64,32 @@ import threading as _threading  # noqa: E402
 _SHIP_LOCK = _threading.Lock()
 
 
+def build_package_zip(zpath: str) -> str:
+    """Write the executor-shippable package zip to `zpath` (atomic).
+
+    Ships every .py file AND the resources/ data files: functions/
+    text.py loads the PSL rule file AT IMPORT TIME — a zip without it
+    kills every Python worker import with NotADirectoryError (r14
+    inherited-state fix; workers read resources via
+    importlib.resources, which resolves into this zip)."""
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    tmp = zpath + ".tmp"
+    with zipfile.ZipFile(tmp, "w") as z:
+        for root, _, files in os.walk(pkg_dir):
+            in_resources = os.path.basename(root) == "resources"
+            for f in files:
+                if f.endswith(".py") or (
+                    in_resources and f.endswith((".dat", ".txt"))
+                ):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    os.replace(tmp, zpath)  # atomic: addPyFile never sees a partial zip
+    return zpath
+
+
 def ensure_package_shipped(spark: SparkSession) -> None:
     """Ship this package to executor Python workers via addPyFile.
 
@@ -84,21 +110,13 @@ def ensure_package_shipped(spark: SparkSession) -> None:
         if key in _SHIPPED_SESSIONS:
             return
         import tempfile
-        import zipfile
 
-        pkg_dir = os.path.dirname(os.path.abspath(__file__))
-        zpath = os.path.join(
-            tempfile.gettempdir(), f"alma_memory_spark_pkg_{os.getpid()}.zip"
+        zpath = build_package_zip(
+            os.path.join(
+                tempfile.gettempdir(),
+                f"alma_memory_spark_pkg_{os.getpid()}.zip",
+            )
         )
-        tmp = zpath + ".tmp"
-        with zipfile.ZipFile(tmp, "w") as z:
-            for root, _, files in os.walk(pkg_dir):
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                        z.write(full, rel)
-        os.replace(tmp, zpath)  # atomic: addPyFile never sees a partial zip
         spark.sparkContext.addPyFile(zpath)
         _SHIPPED_SESSIONS.add(key)
 

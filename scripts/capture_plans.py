@@ -1,0 +1,58 @@
+"""Capture .explain("formatted") for every registry query.
+
+Usage: python scripts/capture_plans.py <outdir> <suffix> [name ...]
+
+Writes <outdir>/<query>_<suffix>.txt for each declared query (or only
+the named ones). The r14 optimization round commits before/after pairs
+under plans/r14/ so plan-shape claims in OPTIMIZATION_r14.md are
+checkable without running Spark.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from alma_memory_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    outdir = sys.argv[1]
+    suffix = sys.argv[2]
+    only = set(sys.argv[3:])
+    os.makedirs(outdir, exist_ok=True)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("alma-plans", cpus=cpus)
+
+    from alma_memory_spark.plans.registry import QUERIES
+
+    for name, spec in QUERIES.items():
+        if only and name not in only:
+            continue
+        path = os.path.join(outdir, f"{name}_{suffix}.txt")
+        try:
+            df = spec.fn(spark, sf_dir)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            with open(path, "w") as fh:
+                fh.write(buf.getvalue())
+            print(f"wrote {path}", file=sys.stderr)
+        except Exception as e:  # capture must never abort the sweep
+            with open(path, "w") as fh:
+                fh.write(f"ERROR: {e}\n")
+            print(f"ERROR {name}: {e}", file=sys.stderr)
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
