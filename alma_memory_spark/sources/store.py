@@ -38,6 +38,49 @@ from alma_memory_spark import schemas
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
+#: write-time output-file sizing target (guide §6: aim for files sized
+#: by data volume, not by task count). Overridable for deployments;
+#: the same 128 MiB default the compaction path uses.
+_TARGET_FILE_BYTES = int(
+    os.environ.get("ALMA_STORE_TARGET_FILE_BYTES", str(128 << 20))
+)
+
+
+def size_write_partitions(df: DataFrame) -> DataFrame:
+    """Bound a write's output-file count by the frame's ESTIMATED data
+    volume (r14, guide §6 small-files): coalesce to
+    ceil(est_bytes / target_file_bytes) when that is below the session
+    parallelism, else leave the frame alone.
+
+    Rationale: append/overwrite used to emit one file per input
+    partition, so a 500-row engine batch arriving with 32 partitions
+    paid 32 task commits + left 32 tiny files (measured 3.8 s vs 0.5 s
+    per small write on the bench host). The estimate comes from
+    Catalyst (`optimizedPlan().stats()`), which without CBO propagates
+    base-relation sizes and does NOT discount filters — i.e. it
+    over-estimates, and an over-estimate only means fewer merged
+    partitions (safe). Unknown sizes estimate huge -> no resize ->
+    prior behavior. repartition() rather than coalesce(): coalesce is
+    a narrow dependency that would COLLAPSE the upstream computation
+    (an upsert's window-dedup would run single-task — measured as a
+    wall regression); the round-robin exchange keeps the upstream
+    parallel and only the final write tasks merge. Sort-before-
+    repartition (SPARK-23207, default-on) keeps the row-to-partition
+    assignment deterministic under task retry."""
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return df
+    if est <= 0:
+        return df
+    want = -(-est // _TARGET_FILE_BYTES)  # ceil
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if want >= par:
+        return df
+    return df.repartition(int(want))
+
 #: version-pinned read-plan cache entries per store handle (r10,
 #: VERDICT r9 #4) — each entry is one analyzed DataFrame, a few KB of
 #: driver/JVM objects
@@ -424,6 +467,9 @@ class ParquetStore:
     }
 
     def _time_sorted(self, table: str, df: DataFrame) -> DataFrame:
+        # size the write BEFORE the within-partition sort so the sort
+        # runs once over the final (possibly merged) partitions
+        df = size_write_partitions(df)
         ts = self.TIME_SORT_COLS.get(table)
         if ts is None or ts not in df.columns:
             return df

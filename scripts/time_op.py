@@ -1,0 +1,132 @@
+"""Isolation timer for single operators/gates (guide §1: noop sink,
+median of N runs, cache cleared between runs).
+
+Usage: python scripts/time_op.py <what> [runs]
+
+<what> names a timing target registered in TARGETS below (small
+lambdas over the sf dir from $SPARK_GRAFT_SF_DIR) or a registry gate
+name prefixed with 'gate:'.
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from alma_memory_spark.session import get_spark, load_table  # noqa: E402
+
+_CLK = os.sysconf("SC_CLK_TCK")
+
+
+def pgroup_cpu_seconds() -> float:
+    """Total user+sys CPU seconds consumed so far by every live process
+    in this session's process group (driver python, the local-mode JVM,
+    reused Python workers). Neighbor-VM contention inflates WALL by
+    3-10x on this host but leaves consumed-CPU nearly untouched, so
+    optimization A/Bs compare CPU deltas first and walls second."""
+    me = os.getpid()
+    try:
+        pgid = os.getpgid(me)
+    except OSError:
+        return 0.0
+    total = 0.0
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as fh:
+                parts = fh.read().rsplit(")", 1)[1].split()
+            # fields after comm: state(0) ppid(1) pgrp(2) ... utime(11)
+            # stime(12) cutime(13) cstime(14)
+            if int(parts[2]) != pgid:
+                continue
+            total += (int(parts[11]) + int(parts[12])) / _CLK
+        except (OSError, IndexError, ValueError):
+            continue
+    return total
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _sub(spark, sf_dir):
+    from alma_memory_spark.operators.substring import dedup_token_windows
+
+    d = _docs(spark, sf_dir)
+    aug = F.concat_ws(
+        " ", F.substring("text", 1, 50),
+        F.lit("the quick brown fox jumps over the lazy dog again and again"),
+        F.substring("text", 8, 40),
+    )
+    return dedup_token_windows(d.select("doc_id", aug.alias("text")), w=12)
+
+
+def _contamx(spark, sf_dir):
+    from alma_memory_spark.operators.decontam import decontaminate_spans
+
+    d = _docs(spark, sf_dir)
+    return decontaminate_spans(
+        d.filter(F.col("doc_id") % 5 != 0),
+        d.filter(F.col("doc_id") % 5 == 0),
+        n=13,
+    )
+
+
+TARGETS = {
+    "sub": _sub,
+    "contamx": _contamx,
+}
+
+
+def main() -> None:
+    what = sys.argv[1]
+    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("alma-timeop", cpus=cpus)
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    try:
+        spark.range(cpus * 4).repartition(cpus).mapInPandas(
+            lambda it: (pdf for pdf in it), "id long"
+        ).count()
+    except Exception:
+        pass
+
+    if what.startswith("gate:"):
+        from alma_memory_spark.plans.registry import QUERIES
+
+        fn = QUERIES[what[5:]].fn
+    else:
+        fn = TARGETS[what]
+
+    walls, cpus_used = [], []
+    for i in range(runs):
+        spark.sparkContext.setJobDescription(f"{what} run {i}")
+        c0 = pgroup_cpu_seconds()
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        walls.append(round(time.perf_counter() - t0, 4))
+        cpus_used.append(round(pgroup_cpu_seconds() - c0, 2))
+        spark.catalog.clearCache()
+        import gc
+
+        gc.collect()
+    print(
+        f"{what}: wall_median={statistics.median(walls)} min={min(walls)} "
+        f"runs={walls}\n"
+        f"{what}: cpu_median={statistics.median(cpus_used)} "
+        f"cpu_runs={cpus_used}",
+        file=sys.stderr,
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
