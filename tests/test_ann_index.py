@@ -849,3 +849,105 @@ def test_search_jvm_parser_mode_safe_fallback(spark, tmp_path):
         for r in idx.search(QUERY_VEC, k=8, nprobe=4).collect()
     ]
     assert base_legacy == base_default
+
+
+def test_batch_sql_subquery_matches(spark, tmp_path):
+    """r14 (VERDICT r13 #3): search_batch_sql_subquery's text form must
+    be row-identical to search_batch — per-qid rows, similarities,
+    tiebreaks — including under scope filters, after forget()
+    tombstones, and on a multi-assign index (the DISTINCT dedup path);
+    cross-kernel (jvm/arrow) identity on this corpus is part of the
+    pinned contract. The legacy parser mode must refuse (qids are
+    string literals)."""
+    import pytest as _pytest
+
+    from alma_memory_spark.operators.serving_sql import ServingSQLUnsupported
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    docs = emb.selectExpr(
+        "vec_id", "embedding", "concat('agent', vec_id % 3) AS agent"
+    )
+    path = str(tmp_path / "ivf_batch_sql")
+    idx = IVFIndex.build(
+        spark, docs, path, cent_every=25, extra_cols=["agent"]
+    )
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter("vec_id IN (3, 17, 29)").collect()
+    ]
+
+    def sql_rows(k=8, nprobe=3, filters=None):
+        sub = idx.search_batch_sql_subquery(
+            queries, k=k, nprobe=nprobe, filters=filters
+        )
+        return [
+            (r["qid"], r["id"], r["similarity"])
+            for r in spark.sql(
+                f"SELECT * FROM {sub} c "
+                "ORDER BY `qid`, `similarity` DESC, `id` ASC"
+            ).collect()
+        ]
+
+    def df_rows(kernel, k=8, nprobe=3, filters=None):
+        return [
+            (r["qid"], r["id"], r["similarity"])
+            for r in idx.search_batch(
+                queries, k=k, nprobe=nprobe, filters=filters, kernel=kernel
+            ).collect()
+        ]
+
+    got = sql_rows()
+    assert got == df_rows("jvm")
+    assert got == df_rows("arrow")
+    assert {q for q, _i, _s in got} == {"3", "17", "29"}
+
+    # scoped: filter lands in the pruned scan on both forms
+    flt = {"agent": "agent1"}
+    assert sql_rows(k=5, nprobe=4, filters=flt) == df_rows(
+        "jvm", k=5, nprobe=4, filters=flt
+    )
+
+    # tombstones exclude immediately through the text form
+    victim = got[0][1]
+    idx.forget([victim])
+    after = sql_rows()
+    assert victim not in {i for _q, i, _s in after}
+    assert after == df_rows("jvm")
+
+    # unindexed filter refuses like search_batch
+    with _pytest.raises(ValueError, match="not indexed"):
+        idx.search_batch_sql_subquery(queries, filters={"nope": 1})
+
+    # empty batch: a valid empty relation
+    sub = idx.search_batch_sql_subquery([], k=3)
+    assert spark.sql(f"SELECT * FROM {sub} c").count() == 0
+
+    # multi-assign index: DISTINCT dedup mirrors dropDuplicates
+    path2 = str(tmp_path / "ivf_batch_sql_na2")
+    idx2 = IVFIndex.build(spark, emb, path2, cent_every=25, n_assign=2)
+    sub2 = idx2.search_batch_sql_subquery(queries, k=8, nprobe=3)
+    got2 = [
+        (r["qid"], r["id"], r["similarity"])
+        for r in spark.sql(
+            f"SELECT * FROM {sub2} c "
+            "ORDER BY `qid`, `similarity` DESC, `id` ASC"
+        ).collect()
+    ]
+    want2 = [
+        (r["qid"], r["id"], r["similarity"])
+        for r in idx2.search_batch(queries, k=8, nprobe=3, kernel="jvm").collect()
+    ]
+    assert got2 == want2
+    per_q = {}
+    for q, i, _s in got2:
+        per_q.setdefault(q, []).append(i)
+    for q, ids in per_q.items():
+        assert len(ids) == len(set(ids)), f"duplicate id for qid {q}"
+
+    # legacy parser mode refuses outright (string qid literals)
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try:
+        with _pytest.raises(ServingSQLUnsupported):
+            idx.search_batch_sql_subquery(queries, k=8, nprobe=3)
+    finally:
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", "false")

@@ -381,6 +381,56 @@ def test_ann_batch_sql_path_bitwise_equals_df_path(seeded):
         _slices_equal(a[t], b[t])
 
 
+def test_ann_batch_small_routes_to_sql_text_probe(seeded, monkeypatch):
+    """r14 (VERDICT r13 #3): batches up to _ANN_BATCH_SQL_MAX must
+    splice the probe as SQL TEXT — zero search_batch() frame
+    construction, zero temp views. Pinned by making the DataFrame
+    probe unreachable: search_batch raises, the retrieve must still be
+    SQL-served. Past the threshold the view path is REQUIRED (arrow
+    kernel wins at large batch) — pinned by dropping the threshold to
+    0 and counting the register call."""
+    from alma_memory_spark import engine as E
+    from alma_memory_spark.operators.ann_index import IVFIndex
+
+    rep = seeded.index_vectors("domain_knowledge", cent_every=7)
+    tasks = ["probe text routing one", "probe text routing two"]
+    seeded.serving_sql_enabled = True
+    seeded._cache.clear()
+
+    def boom(self, *a, **kw):
+        raise AssertionError("search_batch frame built for a small batch")
+
+    monkeypatch.setattr(IVFIndex, "search_batch", boom)
+    h0 = seeded._srv_hits
+    out = seeded.retrieve_batch(
+        tasks, agent="helena", project_id="proj-a", top_k=6,
+        use_ann=True, nprobe=rep["n_cells"],
+    )
+    assert seeded._srv_hits == h0 + 1, seeded._srv_last_error
+    assert out[tasks[0]] is not None
+    monkeypatch.undo()
+
+    # threshold 0: the view path must be taken (register called once
+    # per ann branch)
+    monkeypatch.setattr(E, "_ANN_BATCH_SQL_MAX", 0)
+    calls = []
+    orig = type(seeded)._register_cand_view
+
+    def counting(self, table, cand_df):
+        calls.append(table)
+        return orig(self, table, cand_df)
+
+    monkeypatch.setattr(type(seeded), "_register_cand_view", counting)
+    seeded._cache.clear()
+    out2 = seeded.retrieve_batch(
+        tasks, agent="helena", project_id="proj-a", top_k=6,
+        use_ann=True, nprobe=rep["n_cells"],
+    )
+    assert calls == ["domain_knowledge"]
+    for t in tasks:
+        _slices_equal(out[t], out2[t])
+
+
 def test_token_collision_refuses_to_compile(seeded):
     """ADVICE r11: bind() does global token substitution, so a config
     string CONTAINING a token (here a project id with @NOWD@) must
