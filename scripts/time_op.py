@@ -79,8 +79,42 @@ def _contamx(spark, sf_dir):
     )
 
 
+def _sub16(spark, sf_dir):
+    """dedup_token_windows at w=12 over a 16x replicated corpus with a
+    shared boilerplate span (the measure_substring.py geometry) — the
+    scale-shaped A/B target for the winners/losers join work."""
+    from alma_memory_spark.operators.substring import dedup_token_windows
+
+    d = _docs(spark, sf_dir)
+    boiler = "shared boilerplate token span repeated across every document here"
+    parts = []
+    for r in range(16):
+        parts.append(
+            d.select(
+                (F.col("doc_id") + r * 1_000_000).alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    F.array_join(
+                        F.transform(
+                            F.split(F.col("text"), r"\s+"),
+                            lambda t: F.concat(t, F.lit(f"_r{r}")),
+                        ),
+                        " ",
+                    ),
+                    F.lit(boiler + f" tag{r}"),
+                    F.substring("text", 1, 60),
+                ).alias("text"),
+            )
+        )
+    rep = parts[0]
+    for p in parts[1:]:
+        rep = rep.unionByName(p)
+    return dedup_token_windows(rep, w=12, fp_hash="xxhash64")
+
+
 TARGETS = {
     "sub": _sub,
+    "sub16": _sub16,
     "contamx": _contamx,
 }
 
