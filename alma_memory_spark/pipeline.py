@@ -209,7 +209,21 @@ def drop_exact_duplicates(
 ) -> DataFrame:
     """Keep the min-id representative of every exact-duplicate family
     (md5 fingerprint over normalized text) — one map-side-combinable
-    hash shuffle, the standard first dedup pass."""
+    hash shuffle, the standard first dedup pass.
+
+    r14 NEGATIVE RESULT (do not retry): inverting the keep test to a
+    dup-only-losers ANTI join (the geometry that won -38%/-12% on the
+    substring and paragraph operators) measured a ~2x LOSS here in
+    interleaved A/B at the 16x corpus (semi 3.28 s vs anti 7.47 s
+    median, anti slower in every pair, with the narrow (id, fp) pair
+    persisted so the md5 pass ran once). The unit here is the whole
+    document, not an exploded per-token/per-paragraph frame: the
+    semi-join build side is already the narrow id column, while the
+    inverted form adds a third shuffle (winners join) plus a cache
+    materialization that dwarf the saved probe work. The exploded-unit
+    operators keep the inverted geometry; this one keeps the
+    two-shuffle semi join.
+    """
     keep = (
         df.withColumn("_fp", fingerprint(text_col))
         .groupBy("_fp")

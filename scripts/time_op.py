@@ -112,9 +112,62 @@ def _sub16(spark, sf_dir):
     return dedup_token_windows(rep, w=12, fp_hash="xxhash64")
 
 
+def _para16(spark, sf_dir):
+    """dedup_paragraphs over a 16x replicated corpus where every doc
+    shares one boilerplate paragraph and repeats part of itself — the
+    scale-shaped A/B target for the keep-first join geometry."""
+    from alma_memory_spark.operators.paragraphs import dedup_paragraphs
+
+    d = _docs(spark, sf_dir)
+    boiler = "Standard footer paragraph shared by every page in the corpus."
+    parts = []
+    for r in range(16):
+        parts.append(
+            d.select(
+                (F.col("doc_id") + r * 1_000_000).alias("doc_id"),
+                F.concat_ws(
+                    "\n\n",
+                    F.concat(F.col("text"), F.lit(f" v{r}")),
+                    F.lit(boiler),
+                    F.substring("text", 1, 40),
+                    F.concat(F.substring("text", 1, 40), F.lit(f" u{r}")),
+                ).alias("text"),
+            )
+        )
+    rep = parts[0]
+    for p in parts[1:]:
+        rep = rep.unionByName(p)
+    return dedup_paragraphs(rep)
+
+
+def _exact16(spark, sf_dir):
+    """drop_exact_duplicates over a 16x replicated corpus where 4 of
+    every 16 replicas are byte-identical (one 4-copy family per doc)
+    and the rest unique — the scale-shaped A/B target for the keep
+    join geometry (dup mass ~25%, realistic for a raw web crawl)."""
+    from alma_memory_spark import pipeline as P
+
+    d = _docs(spark, sf_dir)
+    parts = []
+    for r in range(16):
+        tag = "" if r < 4 else f" v{r}"
+        parts.append(
+            d.select(
+                (F.col("doc_id") + r * 1_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(tag)).alias("text"),
+            )
+        )
+    rep = parts[0]
+    for p in parts[1:]:
+        rep = rep.unionByName(p)
+    return P.drop_exact_duplicates(rep)
+
+
 TARGETS = {
     "sub": _sub,
     "sub16": _sub16,
+    "para16": _para16,
+    "exact16": _exact16,
     "contamx": _contamx,
 }
 

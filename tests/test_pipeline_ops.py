@@ -2084,3 +2084,42 @@ def test_fuzzy_band_cap_warns_when_buckets_dropped(spark):
         ).collect()
         fuzzy_contamination_report(train, varied).collect()
         with_fuzzy_contamination_flag(train, varied).collect()
+
+
+def test_drop_exact_duplicates_matches_spec(spark):
+    """drop_exact_duplicates must keep exactly the min-id winner per
+    fingerprint family — pinned against the straightforward spec on
+    corpora covering all-unique, all-duplicate, and mixed-family
+    shapes (this harness adjudicated the r14 anti-join experiment the
+    operator docstring records as a negative result)."""
+    from alma_memory_spark import pipeline as P
+
+    cases = [
+        # mixed: two families (one of 3, one of 2) + three uniques
+        [
+            (7, "aaa"), (3, "aaa"), (9, "aaa"),
+            (5, "bbb"), (1, "bbb"),
+            (2, "u1"), (8, "u2"), (4, "u3"),
+        ],
+        # all unique
+        [(1, "x"), (2, "y"), (3, "z")],
+        # one family covering everything
+        [(4, "same"), (2, "same"), (9, "same")],
+        # whitespace-normalized collisions (fingerprint normalizes)
+        [(6, "a  b"), (5, "a b"), (1, "c")],
+    ]
+    for rows in cases:
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        spec = {
+            min(i for i, t2 in rows if _norm(t2) == _norm(t))
+            for i, t in rows
+        }
+        got = {r.doc_id for r in P.drop_exact_duplicates(df).collect()}
+        assert got == spec, (rows, got, spec)
+        # full rows survive untouched (anti join projects nothing away)
+        kept = P.drop_exact_duplicates(df)
+        assert set(kept.columns) == {"doc_id", "text"}
+
+
+def _norm(t: str) -> str:
+    return " ".join(t.lower().split())
