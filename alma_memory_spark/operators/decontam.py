@@ -289,7 +289,7 @@ def fuzzy_contamination_report(
     rows: int = 4,
     verify_t: float = 0.8,
     bench_band_cap: int | None = DEFAULT_BENCH_BAND_CAP,
-    warn_dropped: bool = True,
+    warn_dropped: bool = False,
 ) -> DataFrame:
     """FUZZY decontamination (r12): (doc_id, n_bench_matches,
     max_jaccard_u) for every training doc whose DISTINCT-TOKEN set is
@@ -306,9 +306,21 @@ def fuzzy_contamination_report(
     Recall trade as with NearDupIndex.band_cap: a pair whose ONLY
     shared band sits in an over-cap bucket is missed —
     fuzzy_band_saturation() reports exactly the skipped buckets, and
-    `warn_dropped` (default True, ADVICE r13 #2) raises a UserWarning
+    `warn_dropped=True` (explicit opt-in) raises a UserWarning
     whenever the cap actually drops a bucket, at the cost of one eager
-    aggregate over the (eval-set-sized) bench side.
+    aggregate over the (eval-set-sized) bench side. Default-OFF on the
+    report path since r15 (VERDICT r14 #3): the eager count ran one
+    Spark job at plan-CONSTRUCTION time on every call, whether or not
+    anything was over cap — the same construction-time fixed-cost
+    class r14 removed from the serving tier. A fully lazy warning via
+    `df.observe()` was tried first and is NOT viable: in Spark 4.1.2
+    observed metrics come back empty/broken whenever the observed
+    subtree (which here contains the bucket-count window) sits below a
+    join — reproduced with both broadcast-hinted and unhinted joins;
+    plain scans, window-only and broadcast-without-window shapes all
+    work. The stream-safe flag form (with_fuzzy_contamination_flag)
+    keeps its default-ON warning — it collects the bench buckets at
+    plan-build time anyway, so its check is free.
 
     The open-data complement to the exact n-gram stage
     (contamination_report): paraphrased or lightly-edited benchmark
@@ -354,7 +366,7 @@ def fuzzy_contamination_report_from_bands(
     id_col: str = "doc_id",
     verify_t: float = 0.8,
     bench_band_cap: int | None = DEFAULT_BENCH_BAND_CAP,
-    warn_dropped: bool = True,
+    warn_dropped: bool = False,
 ) -> DataFrame:
     """The join+verify half of fuzzy_contamination_report over
     PRE-BANDED frames — columns (<id_col>, ts, band_idx, band_key),
@@ -384,12 +396,13 @@ def fuzzy_contamination_report_from_bands(
             F.count(F.lit(1)).over(_W.partitionBy("band_idx", "band_key")),
         )
         if warn_dropped:
-            # default-on cap + silent recall loss is the ADVICE r13 #2
-            # hazard: tell default-mode callers when the report is no
-            # longer exhaustive. One eager aggregate over the BENCH
-            # side only (eval-set-sized by definition — the same data
-            # that broadcasts next); pass warn_dropped=False to keep
-            # plan construction fully lazy.
+            # EXPLICIT OPT-IN (r15; was default-on): one eager
+            # aggregate over the BENCH side only (eval-set-sized by
+            # definition — the same data that broadcasts next). This
+            # runs a Spark job at plan-construction time; the default
+            # keeps construction fully lazy and callers who need the
+            # exhaustiveness signal opt in here or run
+            # fuzzy_band_saturation() themselves.
             import warnings
 
             n_over = (

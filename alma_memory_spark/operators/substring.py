@@ -51,6 +51,7 @@ from __future__ import annotations
 
 import json
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -240,7 +241,31 @@ def dedup_token_windows(
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_list("start")).alias("starts"))
     )
-    return _excise(base, dropped, id_col, w)
+    out = _excise(base, dropped, id_col, w)
+    # Release the persisted triple when the CALLER lets go of the
+    # result (r15, VERDICT r14 #4): a bare persist() registers in the
+    # CacheManager and is never reclaimed by GC, so repeated
+    # invocations in a long-lived session accumulate stale storage
+    # until LRU eviction. The operator must stay lazy (no action at
+    # construction) and the cache must outlive this function (the
+    # returned plan reads it), so the unpersist is tied to the result
+    # frame's lifetime via weakref.finalize — the bench's per-gate
+    # gc.collect() and any caller dropping the frame now free the
+    # blocks deterministically. atexit=False: at interpreter shutdown
+    # the JVM may already be gone and the blocks die with it anyway.
+    fin = weakref.finalize(out, _unpersist_quietly, wins)
+    fin.atexit = False
+    return out
+
+
+def _unpersist_quietly(cached: DataFrame) -> None:
+    """Best-effort cache release for dedup_token_windows' fingerprint
+    triple — runs from a GC finalizer, where the session may already
+    be stopped; failures must never surface there."""
+    try:
+        cached.unpersist(blocking=False)
+    except Exception:
+        pass
 
 
 def drop_docs_with_dup_windows(

@@ -56,6 +56,13 @@ def tfidf_scores(
         .withColumn("idf", F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0)
         .select("term", "idf")
     )
+    # NEGATIVE RESULT (r15, VERDICT r14 #9): materializing the narrow
+    # (term, idf) aggregate once (lazy localCheckpoint) to serve its 4
+    # plan references measured a LOSS — +25% process-group CPU and
+    # slower walls at sf0.1 AND a 16x corpus (numbers and method at the
+    # twin site in plans/text_queries.tfidf_scores_df). ReuseExchange
+    # already dedups the identical df_ shuffle inside one execution;
+    # do not re-add a manual share here without a new measurement.
 
     qtf: dict[str, float] = {}
     for t in qtoks:

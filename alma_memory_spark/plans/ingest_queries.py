@@ -17,7 +17,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from alma_memory_spark.plans.registry import _t, register
+from alma_memory_spark.plans.registry import _t, probe_plan, register
 from alma_memory_spark.session import tiny_df as _tiny
 
 # (file, doc_ids, roles) layout shared by the Spark side and the oracle.
@@ -137,6 +137,7 @@ def chat_ingest_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("source", "turn")
         )
+        probe_plan("chat_ingest_formats", "normalize", out)
         rows = out.collect()
         return _tiny(spark, rows, out.schema)
     finally:

@@ -84,6 +84,26 @@ def stage_timer(gate: str, stage: str):
     return _cm()
 
 
+#: Optional plan probe (r15, VERDICT r14 #8): several gates run their
+#: real pipeline against a per-call temp store and must materialize
+#: before the `finally` removes it, so the DECLARED frame is a
+#: LocalTableScan and `explain()` on it is vacuous. When a capture
+#: tool sets PLAN_PROBE, those gates call probe_plan(gate, stage, df)
+#: on each inner frame RIGHT BEFORE materializing it — the probe sees
+#: the real pre-materialization plan. None (the default) is a no-op:
+#: zero behavior change on bench/oracle paths.
+PLAN_PROBE: Callable[[str, str, DataFrame], None] | None = None
+
+
+def probe_plan(gate: str, stage: str, df: DataFrame) -> None:
+    cb = PLAN_PROBE
+    if cb is not None:
+        try:
+            cb(gate, stage, df)
+        except Exception:
+            pass  # a broken probe must never break a gate
+
+
 def register(name: str, oracle: str | None, memo: bool = False):
     """`memo=True` caches the CONSTRUCTED DataFrame per (session,
     sf_dir). For gate functions whose result is deterministic in

@@ -15,7 +15,13 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from alma_memory_spark.plans.registry import _r6, _t, register, stage_timer
+from alma_memory_spark.plans.registry import (
+    _r6,
+    _t,
+    probe_plan,
+    register,
+    stage_timer,
+)
 from alma_memory_spark.session import tiny_df as _tiny
 
 _CUTOFF = "2024-01-15 00:00:00"
@@ -418,6 +424,7 @@ def workflow_scope_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id", "tenant_id", "workflow_id", "run_id", "result")
             .orderBy("id")
         )
+        probe_plan("workflow_scope_filter", "outcomes", out)
         rows = out.collect()
         return _tiny(spark, rows, out.schema)
     finally:
@@ -481,6 +488,7 @@ def embedding_encode_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("emb")[1].cast("double")).alias("dim1"),
         _r6(norm).alias("norm"),
     ).orderBy("text_id")
+    probe_plan("embedding_encode_udf", "encode", out)
     rows = out.collect()
     return _tiny(spark, rows, out.schema)
 
@@ -564,6 +572,7 @@ def graph_asof_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("source_name", "target_name", "relation_type")
             .orderBy("source_name")
         )
+        probe_plan("graph_asof_neighbors", "asof", out)
         rows = out.collect()
         return _tiny(spark, rows, out.schema)
     finally:

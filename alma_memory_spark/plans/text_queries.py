@@ -2627,6 +2627,24 @@ def tfidf_scores_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("idf", F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0)
         .select("term", "idf")
     )
+    # NEGATIVE RESULT (r15, VERDICT r14 #9 — measured, do not retry):
+    # the final score plan references idf FOUR times (qvec -> dots and
+    # qnorm; doc_w -> dots and dnorm) and Catalyst does not share the
+    # subtree, so materializing the narrow vocab-sized (term, idf)
+    # aggregate once via lazy localCheckpoint looked like the §2.4
+    # exchange-reuse win. It is a LOSS at both scales measured:
+    # interleaved A/B (scripts/ab_op.py tfidf / tfidf16,
+    # ALMA_TFIDF_SHARE toggle) walls 1.75 -> 1.98 s median at sf0.1 and
+    # 10.16 -> 11.98 s at the 16x corpus; process-group CPU seconds
+    # (scripts/time_op.py tfidf16, 5 runs) 112.2 -> 140.7 median
+    # (+25%). Writing the checkpoint blocks (serialize + block store)
+    # and the lineage-truncation stage barrier cost more than re-running
+    # the cheap df aggregate per consumer — the same family as r14's
+    # tokenize-persist negative (persist pays only when materialized
+    # bytes are far narrower than the RECOMPUTE, and this recompute is
+    # a map-side-combinable aggregate over one scan). Spark's own
+    # ReuseExchange already dedups the identical df_ shuffle within one
+    # execution, which caps what any manual sharing could save.
 
     qtoks = _TFIDF_QUERY.lower().split()
     qtf = 1.0 / len(qtoks)

@@ -17,10 +17,68 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from alma_memory_spark.session import get_spark  # noqa: E402
 
 
+def _calibration_probe(widths: tuple[int, ...]) -> dict[str, float]:
+    """No-Spark CPU era probe (r15, VERDICT r14 #1): mean seconds per
+    process for a fixed 4e6-iteration pure-Python loop run N-wide in
+    concurrent subprocesses. The r14 round showed the sandbox's 32
+    vCPUs intermittently deliver ~50% per-thread throughput at full
+    width (neighbor-VM oversubscription), inflating every wall in the
+    sweep uniformly and poisoning cross-round PERF comparisons; these
+    numbers let the driver normalize: a gate wall is comparable across
+    rounds only after dividing by the era factor its width implies.
+    The loop is timed INSIDE the child (spawn overhead excluded) and
+    the probe runs OUTSIDE the timed query region — it adds keys, it
+    never touches a query number."""
+    import subprocess
+
+    child = (
+        "import time\nt=time.perf_counter()\ns=0\n"
+        "for i in range(4_000_000): s+=i\n"
+        "print(time.perf_counter()-t)"
+    )
+
+    def run_width(n: int) -> float:
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", child], stdout=subprocess.PIPE
+            )
+            for _ in range(n)
+        ]
+        vals = [float(p.communicate()[0]) for p in procs]
+        return sum(vals) / len(vals)
+
+    out: dict[str, float] = {}
+    for w in widths:
+        # 1-wide is noisy minute to minute; average 3 samples there,
+        # one sample at the wide widths (32 procs already average)
+        reps = 3 if w == 1 else 1
+        out[f"calib_{w}w"] = round(
+            sum(run_width(w) for _ in range(reps)) / reps, 4
+        )
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    # Era calibration (r15, VERDICT r14 #1): probe per-thread CPU
+    # throughput at 1-wide and full host width (32) before the sweep
+    # and again after it; the means ride the stdout JSON as calib_1w /
+    # calib_32w (plus calib_<cpus>w when the bench runs narrower), the
+    # pre/post pairs land in BENCH_DETAIL.json. Additions only — query
+    # timing and methodology are untouched. Disable with
+    # SPARK_GRAFT_CALIB=0 (the probe costs ~5 s of bench wall, outside
+    # every timed region).
+    calib_enabled = os.environ.get("SPARK_GRAFT_CALIB", "1") != "0"
+    calib_widths = tuple(sorted({1, 32} | ({cpus} if cpus > 1 else set())))
+    calib_pre: dict[str, float] = {}
+    if calib_enabled:
+        try:
+            calib_pre = _calibration_probe(calib_widths)
+        except Exception:
+            calib_pre = {}  # the probe must never cost the round
 
     # The harness parses stdout for ONE JSON line. The JVM and various
     # libraries occasionally write to fd 1 (e.g. "WARNING: Using
@@ -196,6 +254,23 @@ def main() -> None:
         for gname, per in STAGE_TIMINGS.items():
             stages.setdefault(gname, {}).update(per)
 
+    # Post-sweep calibration probe (see the pre-sweep note): the
+    # stdout keys are the pre/post MEAN (one era number per width for
+    # the driver to normalize with), the raw pair goes to the detail
+    # file so a mid-sweep era shift is visible as pre/post divergence.
+    calib_post: dict[str, float] = {}
+    calib_mean: dict[str, float] = {}
+    if calib_enabled:
+        try:
+            calib_post = _calibration_probe(calib_widths)
+        except Exception:
+            calib_post = {}
+        for k in calib_pre:
+            vals = [calib_pre[k]] + (
+                [calib_post[k]] if k in calib_post else []
+            )
+            calib_mean[k] = round(sum(vals) / len(vals), 4)
+
     total = round(sum(timings.values()), 4)
     payload = {
         "metric": "alma_memory_spark_bench_total",
@@ -206,6 +281,7 @@ def main() -> None:
         "runs": n_runs,
         "detail": "BENCH_DETAIL.json",
     }
+    payload.update(calib_mean)
     if errors:
         payload["errors"] = errors
     # The stages map + per-run spreads go to a FILE, not stdout: the
@@ -217,6 +293,8 @@ def main() -> None:
         detail = dict(payload)
         detail["stages"] = stages
         detail["query_runs"] = runs_detail
+        if calib_enabled:
+            detail["calibration"] = {"pre": calib_pre, "post": calib_post}
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "BENCH_DETAIL.json"),

@@ -163,12 +163,47 @@ def _exact16(spark, sf_dir):
     return P.drop_exact_duplicates(rep)
 
 
+def _tfidf(spark, sf_dir):
+    """The gate's full TF-IDF score table, constructed FRESH per call
+    (the registry gate is memo=True so env toggles can't reach it
+    through ab_op) — the r15 A/B target for the narrow idf share
+    (ALMA_TFIDF_SHARE)."""
+    from alma_memory_spark.plans.text_queries import tfidf_scores_df
+
+    return tfidf_scores_df(spark, sf_dir)
+
+
+def _tfidf16(spark, sf_dir):
+    """Operator-library tfidf_scores over a 16x replicated corpus with
+    per-copy token salting — the scale-shaped arm of the idf-share A/B
+    (vocab grows 16x, the exploded stream 16x)."""
+    from alma_memory_spark.operators.text_search import tfidf_scores
+
+    d = _docs(spark, sf_dir)
+    parts = []
+    for r in range(16):
+        parts.append(
+            d.select(
+                (F.col("doc_id") + r * 1_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(f" salt{r} copyvar {r}")).alias(
+                    "text"
+                ),
+            )
+        )
+    rep = parts[0]
+    for p in parts[1:]:
+        rep = rep.unionByName(p)
+    return tfidf_scores(rep, "spark query engine fast join", id_col="doc_id")
+
+
 TARGETS = {
     "sub": _sub,
     "sub16": _sub16,
     "para16": _para16,
     "exact16": _exact16,
     "contamx": _contamx,
+    "tfidf": _tfidf,
+    "tfidf16": _tfidf16,
 }
 
 
