@@ -189,6 +189,14 @@ def dedup_token_windows(
     # pass is the stage VERDICT r13 attributed at 45 s on the 32x
     # chain). The skew-safe groupBy+join shape (AQE skew-split pinned
     # by test_substring_dedup_survives_hot_fp) is unchanged.
+    # r15 re-measure of the persist half alone (temporary
+    # ALMA_SUB_NOPERSIST toggle, removed after measurement; 5
+    # interleaved rounds per arm, single session): 16x corpus 8.24 s
+    # (persist) vs 8.91 s (recompute) median — -8%, growing with
+    # corpus size (the duplicated pass is linear in docs); at the
+    # sf0.1 gate corpus it is a wash (2.74 vs 2.65). Kept: the triple
+    # is narrow, the retention is bounded below, and the chain legs
+    # run 64-128x where the recompute side doubles real work.
     wins = explode_token_windows(
         df, w, id_col, text_col, fp_hash=fp_hash
     ).persist()
@@ -224,6 +232,11 @@ def dedup_token_windows(
             F.min(F.struct(F.col(id_col), F.col("start"))).alias("_w"),
             F.count(F.lit(1)).alias("_n"),
         )
+        # r15 geometry re-measure (temporary ALMA_SUB_ALLWINNERS
+        # toggle, removed after measurement): dup-only 9.03 s vs
+        # all-winners 10.83 s median at 16x (-17%), single session,
+        # persist identical in both arms — the r14 claim confirmed
+        # with the old build side as a live control.
         .filter(F.col("_n") > 1)
         .select(
             "fp",
